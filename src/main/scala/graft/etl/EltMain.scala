@@ -1,0 +1,32 @@
+package graft.etl
+
+import graft.quality.DataQuality
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the star-schema ELT + quality gate — the engine's
+  * `spark_elt_emr.py` + `spark_check_emr.py` equivalent in one run.
+  *
+  * Usage: graft.etl.EltMain <inputDir> <outputDir> [--idempotent]
+  */
+object EltMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.etl.EltMain <inputDir> <outputDir> [--idempotent]")
+    val Array(inputDir, outputDir) = args.take(2)
+    val idempotent = args.contains("--idempotent")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-elt")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    StarSchemaWriter.runElt(spark, inputDir, outputDir, idempotent)
+    DataQuality.validate(spark, outputDir, DataQuality.extendedSuite)
+    println(s"[graft-elt] star schema written to $outputDir; quality checks passed")
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet sinks for the star schema (reference spark_elt_emr.py
+  * :82-83, :104-105, :116-117, :126, :145, :163, :185 — SURVEY §2.1
+  * S5-S7).
+  *
+  * Partitioning mirrors the reference: fact + time dim hive-partitioned
+  * by `year`,`month` (monthly incremental append), user dim by
+  * `usertype`,`birth_year`, the rest unpartitioned overwrites.
+  *
+  * Improvement over the reference's blind append (SURVEY §4): with
+  * `idempotent=true` we switch `partitionOverwriteMode=dynamic` and
+  * SaveMode.Overwrite, so re-running a month replaces exactly its
+  * `year=/month=` partitions instead of double-appending — the
+  * at-least-once duplicate risk the reference carries. At 100 TB a
+  * re-run that appends duplicates is unrecoverable without a full
+  * rewrite; dynamic overwrite makes month re-runs idempotent for the
+  * cost of the partitions touched.
+  */
+object StarSchemaWriter {
+
+  def writeAll(spark: SparkSession, staging: Staging, outputDir: String,
+      idempotent: Boolean = false): Unit = {
+    val tables = StarSchema.buildAll(staging)
+    val incrementalMode =
+      if (idempotent) {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        SaveMode.Overwrite
+      } else SaveMode.Append
+
+    def path(name: String) = s"$outputDir/$name.parquet"
+
+    tables("bikeshare_fact_table").write
+      .partitionBy("year", "month").mode(incrementalMode)
+      .parquet(path("bikeshare_fact_table"))
+    tables("dim_time_table").write
+      .partitionBy("year", "month").mode(incrementalMode)
+      .parquet(path("dim_time_table"))
+    tables("dim_user_agg_table").write
+      .partitionBy("usertype", "birth_year").mode(SaveMode.Overwrite)
+      .parquet(path("dim_user_agg_table"))
+    Seq("dim_bike_table", "dim_covid_table", "dim_weather_table", "dim_station")
+      .foreach { name =>
+        tables(name).write.mode(SaveMode.Overwrite).parquet(path(name))
+      }
+  }
+
+  /** Full reference pipeline: stage → build → write (the
+    * `process_data` equivalent, spark_elt_emr.py:19-185). */
+  def runElt(spark: SparkSession, inputDir: String, outputDir: String,
+      idempotent: Boolean = false): Unit =
+    writeAll(spark, Ingest.stageAll(spark, inputDir), outputDir, idempotent)
+}

@@ -1,0 +1,133 @@
+package graft.etl
+
+import graft.SparkTestSession
+import graft.quality.{DataQuality, QualityViolation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end star-schema ELT over the handwritten staging fixtures
+  * (FIXTURES.md): scan → normalize → join → distinct → sort → sink →
+  * quality-validate, the reference's whole lifecycle (SURVEY §3). */
+class StarSchemaSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val fixtures = getClass.getResource("/citibike").getPath
+  private lazy val staging = Ingest.stageAll(spark, fixtures)
+
+  test("events glob scan unions both monthly files with normalized headers") {
+    assert(staging.events.count() == 8) // 6 NYC (incl. 1 dup) + 2 JC
+    assert(staging.events.columns.contains("birth_year"))
+    assert(staging.events.columns.contains("start_station_id"))
+  }
+
+  test("covid headers are lowercased") {
+    assert(staging.covids.columns.contains("date_of_interest"))
+    assert(staging.covids.columns.contains("bx_case_count"))
+  }
+
+  test("fact: row per trip, md5 id, computed partitions") {
+    val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
+    assert(fact.count() == 8)
+    val row = fact.filter(col("bike_id") === "30002" && col("duration") === "610").head()
+    // id = md5(concat(starttime, bikeid)) over the raw strings
+    val expectedId = java.security.MessageDigest.getInstance("MD5")
+      .digest("2020-01-01 08:45:10.000030002".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("id") == expectedId)
+    assert(row.getAs[Int]("year") == 2020 && row.getAs[Int]("month") == 1)
+  }
+
+  test("fact J1: covid left join matches by date, null for uncovered date") {
+    val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
+    val jan05 = fact.filter(col("start_time").cast("date") === "2020-01-05")
+    assert(jan05.count() == 1)
+    assert(jan05.filter(col("covid_id").isNull).count() == 1)
+    val jan02 = fact.filter(col("start_time").cast("date") === "2020-01-02")
+    assert(jan02.filter(col("covid_id").isNull).count() == 0)
+  }
+
+  test("fact J2: every trip lands on its hour's :51 weather observation") {
+    val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
+    assert(fact.filter(col("weather_id").isNull).count() == 0)
+    // weather_id = HH-1:51:00 (hour epoch - 540s)
+    val m = fact.filter(col("bike_id") === "30002" && col("duration") === "610")
+      .select(date_format(col("weather_id"), "yyyy-MM-dd HH:mm:ss")).head().getString(0)
+    assert(m == "2020-01-01 07:51:00")
+  }
+
+  test("fact F2: null-propagating user_agg_id for empty birth_year") {
+    val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
+    assert(fact.filter(col("user_agg_id").isNull).count() == 1)
+  }
+
+  test("time dim: distinct start times, calendar decomposition") {
+    val td = StarSchema.buildTimeDim(staging.events)
+    assert(td.count() == 7) // 8 trips, 1 duplicate starttime
+    val r = td.filter(date_format(col("start_time"), "yyyy-MM-dd HH:mm") === "2020-01-03 07:59").head()
+    assert(r.getAs[Int]("hour") == 7 && r.getAs[Int]("weekday") == 6) // Friday
+  }
+
+  test("user agg dim: distinct composite rows incl. the null-keyed one") {
+    val ud = StarSchema.buildUserAggDim(staging.events)
+    assert(ud.count() == 7) // 8 trips, dup trip collapses
+    assert(ud.filter(col("user_agg_id").isNull).count() == 1)
+  }
+
+  test("bike dim: sorted distinct bike ids") {
+    val bikes = StarSchema.buildBikeDim(staging.events)
+      .collect().map(_.getString(0))
+    assert(bikes.toSeq == Seq("30001", "30002", "30003", "40001", "40002"))
+  }
+
+  test("station dim: distinct collapses the duplicated GBFS row") {
+    val sd = StarSchema.buildStationDim(staging.stations)
+    assert(sd.count() == 5)
+    assert(sd.columns.contains("longtitude")) // [sic] parity
+  }
+
+  test("weather dim: null gust defaults to 0, case-insensitive dewPt") {
+    val wd = StarSchema.buildWeatherDim(staging.weathers)
+    assert(wd.filter(col("wind_gust").isNull).count() == 0)
+    assert(wd.filter(col("wind_gust") === 0).count() > 0)
+    assert(wd.columns.contains("dew_point"))
+  }
+
+  test("covid dim: MM/dd/yyyy key parse") {
+    val cd = StarSchema.buildCovidDim(staging.covids)
+    assert(cd.count() == 3)
+    assert(cd.filter(col("covid_id") === "2020-01-01").count() == 1)
+  }
+
+  test("full ELT writes 7 tables; reference + extended quality suites pass") {
+    val out = Files.createTempDirectory("graft_elt").toString
+    StarSchemaWriter.runElt(spark, fixtures, out)
+    DataQuality.validate(spark, out, DataQuality.referenceSuite)
+    DataQuality.validate(spark, out, DataQuality.extendedSuite)
+    val fact = spark.read.parquet(s"$out/bikeshare_fact_table.parquet")
+    assert(fact.count() == 8)
+    // hive partitioning materialized
+    assert(fact.columns.contains("year") && fact.columns.contains("month"))
+  }
+
+  test("S5 append semantics vs idempotent dynamic-overwrite re-run") {
+    val out = Files.createTempDirectory("graft_elt_inc").toString
+    StarSchemaWriter.runElt(spark, fixtures, out)
+    StarSchemaWriter.runElt(spark, fixtures, out) // blind append, ref parity
+    assert(spark.read.parquet(s"$out/bikeshare_fact_table.parquet").count() == 16)
+    StarSchemaWriter.runElt(spark, fixtures, out, idempotent = true)
+    assert(spark.read.parquet(s"$out/bikeshare_fact_table.parquet").count() == 8)
+  }
+
+  test("quality harness raises on violation") {
+    import spark.implicits._
+    val bad = Seq((null.asInstanceOf[String], 1)).toDF("id", "x")
+    intercept[QualityViolation] {
+      DataQuality.runCheck(DataQuality.isNull("t", "id"), bad)
+    }
+    val empty = spark.emptyDataFrame
+    intercept[QualityViolation] {
+      DataQuality.runCheck(DataQuality.isEmpty("t"), empty)
+    }
+  }
+}
