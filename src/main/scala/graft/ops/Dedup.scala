@@ -46,35 +46,95 @@ object Dedup {
     * numHashes = bands × rowsPerBand; the (bands, rowsPerBand) pair
     * sets the S-curve threshold ≈ (1/bands)^(1/rowsPerBand).
     */
+  /** Memo of persisted candidate tables keyed by the *semantic* hash
+    * of the input plan + sketch parameters: repeated dedup passes over
+    * the same corpus (candidate generation, threshold sweep, exact
+    * verification) reuse one materialized candidate list instead of
+    * re-running the banding pipeline per call. Entries are tiny
+    * (id pairs + estimate). */
+  private val candidateMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int, Int), DataFrame]()
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val key = (df.queryExecution.analyzed.semanticHash(),
+      s"$idCol/$textCol", numHashes, bands, shingleSize)
+    candidateMemo.computeIfAbsent(key, _ =>
+      minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize))
+  }
+
+  private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
+    // repartition first: a small input (single file locally; coarse
+    // splits on a cluster) would otherwise bottleneck the signature
+    // projection on too few tasks — the sketch is the CPU-heavy part,
+    // so its parallelism must match the cores, not the file count
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    // Two deliberate exchanges around the signature projection:
+    //  - repartition(parts) BEFORE: a small input (one file locally,
+    //    coarse splits on a cluster) would run the CPU-heavy sketch
+    //    on too few tasks;
+    //  - repartition(id) AFTER: materializes the signature at the
+    //    shuffle boundary. Without it, whole-stage codegen defers the
+    //    column into the Generate's per-output-row loop and
+    //    re-evaluates the sketch once per band (measured 32×).
+    val sig = df.repartition(parts).select(
       col(idCol).as("id"),
-      Sketches.minhashSignature(
-        TextAnalysis.wordNgrams(col(textCol), shingleSize), numHashes).as("sig"))
-    // band b = hash of signature slots [b*r, (b+1)*r) — posexplode to
-    // (id, band, bucket) then self-join per (band, bucket)
-    val bandExprs = (0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(array(bandExprs: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      Sketches.minhashNgrams(
+        TextAnalysis.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+      .repartition(col("id"))
+    // band b = hash of signature slots [b*r, (b+1)*r). Explode the
+    // band INDEX, not an array of band hashes: a generator whose input
+    // embeds `sig` re-evaluates the full signature per band
+    // (GenerateExec does no common-subexpression elimination — a
+    // measured 32× slowdown), while this shape evaluates the signature
+    // once per row in the generate's child and computes each bucket
+    // from the carried column.
+    val banded = sig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .drop("sig")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // Self-join as a SHUFFLE join, never broadcast: a broadcast build
+    // would evaluate the whole signature lineage single-threaded on
+    // the driver (measured 10×+ slower). Shuffled, the two identical
+    // sides collapse into one ReusedExchange — the signatures are
+    // computed once, in parallel.
+    // distinct over bare id pairs (a pair may collide in several
+    // bands) — the wide signature arrays only join back afterwards.
+    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may collide in several bands
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // Rejoin the signatures with SHUFFLE joins: broadcast would either
+    // single-thread the signature computation on the driver (if the
+    // sig side is built) or re-execute the banding subtree per nested
+    // broadcast (if the pair side is). Shuffled, every exchange in the
+    // plan executes exactly once, in parallel.
+    pairs.hint("shuffle_hash")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("est_jaccard",
         round(aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4))
-      .drop("sig_a", "sig_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      // the candidate list is O(|near-dup pairs|) — tiny relative to
+      // the corpus. Persisting it stops downstream threshold filters
+      // and verification joins from re-executing the banding pipeline
+      // (each BroadcastExchange otherwise re-runs the whole subtree),
+      // and keeps Catalyst from pushing filters into the join
+      // condition where the zip_with estimate would re-evaluate per
+      // probe.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash near-duplicates: candidates whose estimated Jaccard
@@ -90,16 +150,24 @@ object Dedup {
     * equal), exact hamming check on candidates. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    val chunkExprs = (0 until 4).map(b =>
-      shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(array(chunkExprs: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    // exchanges before/after the sketch projection — see
+    // minhashCandidates (parallelism + stop deferred re-evaluation)
+    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+      .repartition(col("id"))
+    // explode the chunk index, compute chunks from the carried column
+    // (see minhashCandidates for why the generator input must not
+    // embed the signature expression)
+    val banded = sig
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("shiftright(sig, band * 16) & 65535"))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "chunk"))
+    // shuffle join (never broadcast — see minhashCandidates): the two
+    // identical sides share one ReusedExchange
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
@@ -114,11 +182,18 @@ object Dedup {
       threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize = shingleSize)
       .select("id_a", "id_b")
-    val grams = df.select(col(idCol).as("gid"),
-      array_distinct(TextAnalysis.wordNgrams(col(textCol), shingleSize)).as("grams"))
-    cands
-      .join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-      .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    // join raw text and shingle only the candidate pairs — n-gram
+    // arrays materialize for O(|candidates|) rows, not the corpus
+    val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
+    // shuffle joins for the same exchange-reuse reasons as the
+    // signature rejoin in minhashCandidates
+    cands.hint("shuffle_hash")
+      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "text_a")
+        .hint("shuffle_hash"), "id_a")
+      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("t", "text_b")
+        .hint("shuffle_hash"), "id_b")
+      .withColumn("grams_a", array_distinct(TextAnalysis.wordNgrams(col("text_a"), shingleSize)))
+      .withColumn("grams_b", array_distinct(TextAnalysis.wordNgrams(col("text_b"), shingleSize)))
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       .withColumn("uni", size(array_union(col("grams_a"), col("grams_b"))))
       .withColumn("jaccard",
@@ -135,16 +210,22 @@ object Dedup {
     require(numBits % bands == 0, "bands must divide numBits")
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Sketches.hyperplaneSignature(col(vecCol), numBits).as("sig"))
-    val chunkExprs = (0 until bands).map(b =>
-      shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)))
-    val banded = sig.select(col("id"), col("vec"),
-      posexplode(array(chunkExprs: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    // exchanges before/after the sketch projection — see
+    // minhashCandidates (parallelism + stop deferred re-evaluation)
+    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Sketches.hyperplaneSignature(col(vecCol), numBits).as("sig"))
+      .repartition(col("id"))
+    // explode the band index, compute chunks from the carried column
+    // (see minhashCandidates)
+    val banded = sig
+      .select(col("id"), col("vec"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "chunk"))
+    // shuffle join (never broadcast — see minhashCandidates)
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
       .withColumn("cosine", round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
