@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -205,8 +205,45 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Generic as-of join (nearest prior purchase per user for every
+    * event) — our union+window composition vs DuckDB's native
+    * ASOF LEFT JOIN as the oracle. */
+  private val x14AsofJoin = GraftQuery(
+    "x14_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.asofJoin(ev, purchases, "ts", "ts",
+        partitionKeys = Seq("user_id"), payload = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("matched_time"), col("value_asof"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, p.pts AS matched_time,
+        p.pvalue AS value_asof
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id AS puser, CAST(ts AS TIMESTAMP) AS pts, value AS pvalue
+         FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.puser AND CAST(e.ts AS TIMESTAMP) >= p.pts
+      ORDER BY e.event_id"""))
+
+  /** Approximate distinct counting (HLL++) — the cardinality-sketch
+    * path for 100 TB group-bys; algorithm-specific values, so spec-
+    * checked against exact counts within rsd rather than oracled. */
+  private val x15ApproxDistinct = GraftQuery(
+    "x15_approx_distinct",
+    (s, dir) => Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
-    x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures)
+    x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
+    x14AsofJoin, x15ApproxDistinct)
 }
