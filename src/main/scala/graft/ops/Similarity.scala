@@ -75,6 +75,24 @@ object Similarity {
     * moderate dims; a TypedImperativeAggregate buffer is the upgrade
     * path for very wide vectors. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    centroidsTyped(df, labelCol, vecCol)
+
+  /** Centroids via the native typed [[graft.functions.VectorAvg]]
+    * aggregator: the buffer is one (sums, count) per group per
+    * partition, so the shuffle carries |groups| × dims doubles — the
+    * scale-correct plan. */
+  def centroidsTyped(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val vecAvg = udaf(graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    df.groupBy(col(labelCol).as("label"))
+      .agg(vecAvg(col(vecCol)).as("raw"))
+      .select(col("label"),
+        transform(col("raw"), x => round(x, 4)).as("centroid"))
+  }
+
+  /** Reference formulation via posexplode + regroup — shuffles
+    * |rows| × dims scalars; kept for cross-checking the typed path. */
+  def centroidsExploded(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("mean"))

@@ -96,10 +96,14 @@ object TextAnalysis {
       struct(size(array_intersect(t, lit(words.toArray))).as("hits"),
         lit(lang).as("lang"))
     }
-    // greatest() over (hits, lang) structs: max hits, tie-break on lang
-    df.withColumn("detected_lang",
-      when(greatest(scored: _*).getField("hits") > 0,
-        greatest(scored: _*).getField("lang")).otherwise(lit("und")))
+    // greatest() over (hits, lang) structs: max hits, tie-break on
+    // lang. Materialize the vote once (a nested select, so the 5
+    // array_intersect passes run once per row, not once per use).
+    df.withColumn("__lang_vote", greatest(scored: _*))
+      .select(col("*"),
+        when(col("__lang_vote.hits") > 0, col("__lang_vote.lang"))
+          .otherwise(lit("und")).as("detected_lang"))
+      .drop("__lang_vote")
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set —

@@ -174,4 +174,14 @@ class OpsSpec extends AnyFunSuite {
     assert(!readSchema.contains("content"), "blob column must be pruned from the scan")
     assert(summary.count() == 3)
   }
+
+  test("typed VectorAvg centroids match the posexplode formulation") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val typed = Similarity.centroidsTyped(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val exploded = Similarity.centroidsExploded(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(typed.keySet == exploded.keySet)
+    typed.foreach { case (k, v) => assert(v == exploded(k), s"label $k differs") }
+  }
 }
