@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
+    graft.queries.Analytics,
     graft.queries.Extensions)
 
   private lazy val registry: Seq[GraftQuery] = modules.flatMap(_.queries)

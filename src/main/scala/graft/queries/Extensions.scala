@@ -241,9 +241,44 @@ object Extensions extends QueryModule {
       .orderBy(col("event_type")),
     None)
 
+  /** Structured Streaming, driver-checkable: the watermarked hourly
+    * aggregation run to completion over the static events table via a
+    * memory sink. Append mode emits exactly the windows whose end is
+    * ≤ max(ts) − watermark — the oracle states that closure condition
+    * in SQL. */
+  private val x16StreamingHourly = GraftQuery(
+    "x16_streaming_hourly",
+    (s, dir) => {
+      val srcDir = streamSrcDir(dir)
+      val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
+      graft.streaming.EventStreams.runToMemory(
+        s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly")
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS w
+                        FROM events)
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      HAVING hour_start + INTERVAL '1 hour' <= (SELECT w FROM wm)
+      ORDER BY hour_start, event_type"""))
+
+  /** FileStreamSource needs a directory; testdata ships one file per
+    * table — stage a per-sfDir copy once. */
+  private val streamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamSrcDir(sfDir: String): String =
+    streamDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"))
+      dir.toString
+    })
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
-    x14AsofJoin, x15ApproxDistinct)
+    x14AsofJoin, x15ApproxDistinct, x16StreamingHourly)
 }
