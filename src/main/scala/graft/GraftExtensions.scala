@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{HyperplaneSignature, MinHashNgrams, MinHashSignature, SimHash64}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two registration paths, same functions:
+  *   - `withExtensions(new GraftExtensions)` at session build
+  *     (`spark.sql.extensions=graft.GraftExtensions` on a cluster);
+  *   - [[GraftFunctions.register]] on a live session.
+  *
+  * After either, plain SQL can use the sketches:
+  * {{{
+  *   SELECT minhash_ngrams(split(lower(text), '\\s+'), 3, 128, 42) FROM docs
+  *   SELECT simhash64(split(lower(text), '\\s+'), 42) FROM docs
+  *   SELECT hyperplane_sig(embedding, 16, 42) FROM embeddings
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  /** (name, info, builder) triples for every SQL-exposed function. */
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash_ngrams",
+      new ExpressionInfo(classOf[MinHashNgrams].getName, "minhash_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => MinHashNgrams(tokens, 3, 128, 42L)
+        case Seq(tokens, n) => MinHashNgrams(tokens, intArg(n, "n"), 128, 42L)
+        case Seq(tokens, n, k) => MinHashNgrams(tokens, intArg(n, "n"), intArg(k, "numHashes"), 42L)
+        case Seq(tokens, n, k, seed) =>
+          MinHashNgrams(tokens, intArg(n, "n"), intArg(k, "numHashes"), longArg(seed, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_ngrams(tokens[, n[, numHashes[, seed]]])")
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(shingles) => MinHashSignature(shingles, 128, 42L)
+        case Seq(shingles, k) => MinHashSignature(shingles, intArg(k, "numHashes"), 42L)
+        case Seq(shingles, k, seed) =>
+          MinHashSignature(shingles, intArg(k, "numHashes"), longArg(seed, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles[, numHashes[, seed]])")
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => SimHash64(tokens, 42L)
+        case Seq(tokens, seed) => SimHash64(tokens, longArg(seed, "seed"))
+        case _ => throw new IllegalArgumentException("simhash64(tokens[, seed])")
+      }),
+    ("hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => HyperplaneSignature(vec, 16, 42L)
+        case Seq(vec, bits) => HyperplaneSignature(vec, intArg(bits, "numBits"), 42L)
+        case Seq(vec, bits, seed) =>
+          HyperplaneSignature(vec, intArg(bits, "numBits"), longArg(seed, "seed"))
+        case _ => throw new IllegalArgumentException("hyperplane_sig(vec[, numBits[, seed]])")
+      }))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    descriptors.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

