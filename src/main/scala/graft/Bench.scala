@@ -16,8 +16,12 @@ object Bench {
     // machinery once so the first timed query doesn't absorb session
     // initialization (class loading, codegen compiler, broadcast env).
     Tables.all.foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).count()
-      catch { case _: Throwable => () }
+      // events needs the nanos-timestamp repair — go through its
+      // loader, or the warmup read throws and silently skips the table
+      try {
+        if (t == "events") Tables.events(spark, sfDir).limit(1).count()
+        else Tables.load(spark, sfDir, t).limit(1).count()
+      } catch { case _: Throwable => () }
     }
     import org.apache.spark.sql.functions._
     spark.range(1000).groupBy((col("id") % 10).as("k"))

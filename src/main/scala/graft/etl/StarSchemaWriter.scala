@@ -24,27 +24,41 @@ object StarSchemaWriter {
   def writeAll(spark: SparkSession, staging: Staging, outputDir: String,
       idempotent: Boolean = false): Unit = {
     val tables = StarSchema.buildAll(staging)
+    val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+    val previousMode = spark.conf.getOption(overwriteModeKey)
     val incrementalMode =
       if (idempotent) {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.conf.set(overwriteModeKey, "dynamic")
         SaveMode.Overwrite
       } else SaveMode.Append
 
     def path(name: String) = s"$outputDir/$name.parquet"
 
-    tables("bikeshare_fact_table").write
-      .partitionBy("year", "month").mode(incrementalMode)
-      .parquet(path("bikeshare_fact_table"))
-    tables("dim_time_table").write
-      .partitionBy("year", "month").mode(incrementalMode)
-      .parquet(path("dim_time_table"))
-    tables("dim_user_agg_table").write
-      .partitionBy("usertype", "birth_year").mode(SaveMode.Overwrite)
-      .parquet(path("dim_user_agg_table"))
-    Seq("dim_bike_table", "dim_covid_table", "dim_weather_table", "dim_station")
-      .foreach { name =>
-        tables(name).write.mode(SaveMode.Overwrite).parquet(path(name))
+    try {
+      tables("bikeshare_fact_table").write
+        .partitionBy("year", "month").mode(incrementalMode)
+        .parquet(path("bikeshare_fact_table"))
+      tables("dim_time_table").write
+        .partitionBy("year", "month").mode(incrementalMode)
+        .parquet(path("dim_time_table"))
+      // the user dim is a full overwrite regardless of mode — pin
+      // static overwrite so a prior idempotent run's dynamic setting
+      // can't leave stale (usertype, birth_year) partitions behind
+      tables("dim_user_agg_table").write
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("usertype", "birth_year").mode(SaveMode.Overwrite)
+        .parquet(path("dim_user_agg_table"))
+      Seq("dim_bike_table", "dim_covid_table", "dim_weather_table", "dim_station")
+        .foreach { name =>
+          tables(name).write.mode(SaveMode.Overwrite).parquet(path(name))
+        }
+    } finally {
+      // don't leak the session-wide overwrite mode to later writers
+      if (idempotent) previousMode match {
+        case Some(v) => spark.conf.set(overwriteModeKey, v)
+        case None => spark.conf.unset(overwriteModeKey)
       }
+    }
   }
 
   /** Full reference pipeline: stage → build → write (the

@@ -19,9 +19,13 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    if (v == null) b
+    if (v == null || v.isEmpty) b // null/empty vectors contribute nothing
     else {
-      val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      // ragged inputs: grow the buffer to the widest vector seen;
+      // shorter vectors contribute to their leading dims only
+      val sums =
+        if (b._1.length >= v.length) b._1
+        else java.util.Arrays.copyOf(b._1, v.length)
       var i = 0
       while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, b._2 + 1)
@@ -29,12 +33,14 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
+    if (a._2 == 0) b
+    else if (b._2 == 0) a
     else {
+      val (wide, narrow) =
+        if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < narrow.length) { wide(i) += narrow(i); i += 1 }
+      (wide, a._2 + b._2)
     }
   }
 

@@ -46,21 +46,49 @@ object Dedup {
     * numHashes = bands × rowsPerBand; the (bands, rowsPerBand) pair
     * sets the S-curve threshold ≈ (1/bands)^(1/rowsPerBand).
     */
-  /** Memo of persisted candidate tables keyed by the *semantic* hash
-    * of the input plan + sketch parameters: repeated dedup passes over
-    * the same corpus (candidate generation, threshold sweep, exact
-    * verification) reuse one materialized candidate list instead of
-    * re-running the banding pipeline per call. Entries are tiny
-    * (id pairs + estimate). */
+  /** Memo of persisted candidate tables keyed by session identity +
+    * the *semantic* hash of the input plan + sketch parameters:
+    * repeated dedup passes over the same corpus (candidate generation,
+    * threshold sweep, exact verification) reuse one materialized
+    * candidate list instead of re-running the banding pipeline per
+    * call. Entries are tiny (id pairs + estimate).
+    *
+    * Caveats (by design): the semantic hash keys a parquet scan by
+    * its path, not its contents — if files under a staged path are
+    * mutated in-place mid-session, call [[clearCandidateCache]]; the
+    * memo holds at most [[memoCapacity]] entries (oldest unpersisted
+    * and dropped). */
+  private val memoCapacity = 16
   private val candidateMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int, Int), DataFrame]()
+    new java.util.LinkedHashMap[(Int, Int, String, Int, Int, Int), DataFrame](
+      memoCapacity, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), DataFrame]): Boolean = {
+        val evict = size() > memoCapacity
+        if (evict) try e.getValue.unpersist() catch { case _: Throwable => () }
+        evict
+      }
+    }
+
+  /** Drop all memoized candidate tables (unpersisting each). */
+  def clearCandidateCache(): Unit = candidateMemo.synchronized {
+    val it = candidateMemo.values().iterator()
+    while (it.hasNext) { try it.next().unpersist() catch { case _: Throwable => () } }
+    candidateMemo.clear()
+  }
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val key = (df.queryExecution.analyzed.semanticHash(),
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(),
       s"$idCol/$textCol", numHashes, bands, shingleSize)
-    candidateMemo.computeIfAbsent(key, _ =>
-      minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize))
+    candidateMemo.synchronized {
+      Option(candidateMemo.get(key)).getOrElse {
+        val built = minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize)
+        candidateMemo.put(key, built)
+        built
+      }
+    }
   }
 
   private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,

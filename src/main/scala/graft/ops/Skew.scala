@@ -32,6 +32,12 @@ object Skew {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would emit one copy of an unmatched small-side
+    // row PER SALT REPLICA — silently wrong, so refuse them
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin replicates the small side; joinType '$joinType' would " +
+        "duplicate unmatched small-side rows (use inner/left/semi/anti)")
     // deterministic salt: stable hash of the whole row spread over
     // saltFactor buckets (monotonically_increasing_id would also work
     // but is partition-layout-dependent; xxhash of columns is stable

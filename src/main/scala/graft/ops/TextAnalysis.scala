@@ -22,7 +22,8 @@ object TextAnalysis {
     * pre-tokenizers split on category boundaries). */
   def subwordCount(text: Column): Column =
     size(filter(
-      split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      split(lower(text),
+        "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9])|(?<=[^a-z0-9])"),
       t => length(trim(t)) > 0))
 
   /** Word n-grams (default trigrams) as space-joined strings — the
@@ -112,12 +113,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Rolling-hash winnowing fingerprint: k-gram shingle hashes min-
-    * sampled per window — a compact set for containment detection. */
-  def winnowedFingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+  /** Compact similarity fingerprint: a short MinHash signature over
+    * word bigrams — min-sampled shingle hashes, the same containment
+    * signal winnowing targets, expressed with the engine's sketch
+    * machinery (numHashes controls the fingerprint width). */
+  def shingleFingerprint(text: Column, numHashes: Int = 16, seed: Long = 5L): Column = {
     import graft.functions.Sketches
-    // reuse the minhash machinery: char shingles → minhash signature
-    Sketches.minhashSignature(wordNgrams(text, 2), numHashes = window * 4, seed = k.toLong)
+    Sketches.minhashNgrams(tokens(text), n = 2, numHashes = numHashes, seed = seed)
   }
 }
 

@@ -184,4 +184,20 @@ class OpsSpec extends AnyFunSuite {
     assert(typed.keySet == exploded.keySet)
     typed.foreach { case (k, v) => assert(v == exploded(k), s"label $k differs") }
   }
+
+  test("char shingles, subword count and shingle fingerprints") {
+    val t = Seq((1L, "abc  def"), (2L, "ab")).toDF("doc_id", "text")
+    val sh = t.select(col("doc_id"), TextAnalysis.charShingles(col("text"), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("abc", "bc ", "c d", " de", "def")) // ws normalized
+    assert(sh(2L) == Seq("ab")) // shorter than n -> whole string
+    val sw = Seq((1L, "hello world42 x-y!")).toDF("doc_id", "text")
+      .select(TextAnalysis.subwordCount(col("text"))).head().getInt(0)
+    assert(sw == 7) // hello, world, 42, x, -, y, !
+    val fp = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.shingleFingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
 }
