@@ -280,5 +280,19 @@ object Extensions extends QueryModule {
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
-    x14AsofJoin, x15ApproxDistinct, x16StreamingHourly)
+    x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf)
+
+  /** IVF-style ANN: deterministic Lloyd-clustered inverted file,
+    * nprobe-bounded exact search (spec asserts nprobe=k == brute
+    * force; rows-only here). */
+  private val x17AnnIvf = GraftQuery(
+    "x17_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfTopK(index, "vec_id", "embedding", query, topK = 10, nprobe = 3)
+    },
+    None)
 }
