@@ -69,41 +69,54 @@ object Similarity {
     out
   }
 
+  /** An inverted-file index: per-row cluster assignments plus the
+    * exact centroids that PRODUCED the assignment — probe ranking and
+    * assignment must use the same vectors, or a query's own cluster
+    * may not be probed. */
+  final case class IvfIndex(
+      assignments: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String)
+
   /** IVF (inverted-file) index: k centroids learned with a fixed
-    * number of deterministic Lloyd iterations (init = the k lowest-id
-    * vectors), every vector assigned to its nearest centroid.
+    * number of Lloyd iterations (init = the k lowest-id vectors),
+    * every vector assigned to its nearest centroid. Stable given a
+    * fixed partitioning; exact boundary ties under float re-summation
+    * are the usual k-means caveat.
     *
     * Scale profile: each iteration is one broadcast of k×dims doubles
     * + a map-only argmax pass + a VectorAvg aggregation whose buffer
     * is k×dims — no shuffle ever carries vectors by cluster. The
-    * returned index (id, vec, cluster) is what you'd write
-    * partitioned by `cluster` so probes prune partitions at read
-    * time.
+    * assignments table is what you'd write partitioned by `cluster`
+    * so probes prune partitions at read time.
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      k: Int = 16, iters: Int = 3): IvfIndex = {
+    // accept array<float|double>: normalize to float once
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
     var centroids: Array[Array[Double]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      assigned = assignClusters(base, centroids)
+      val assigned = assignClusters(base, centroids)
       val updated = centroidsTyped(assigned, "cluster", "vec")
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
-    assignClusters(base, centroids)
+    val assignments = assignClusters(base, centroids)
       .select(col("id").as(idCol), col("vec").as(vecCol), col("cluster"))
+    IvfIndex(assignments, centroids, idCol, vecCol)
   }
 
   /** ANN top-k over an IVF index: probe the `nprobe` clusters whose
-    * centroids are closest to the query, exact cosine within them.
-    * nprobe = k degenerates to exact brute force (spec-asserted). */
-  def ivfTopK(index: DataFrame, idCol: String, vecCol: String,
-      query: Array[Float], topK: Int = 10, nprobe: Int = 4): DataFrame = {
-    val centroids = centroidsTyped(
-      index.select(col(vecCol).as("vec"), col("cluster")), "cluster", "vec")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    * (assignment) centroids are closest to the query, exact cosine
+    * within them — the tail IS [[bruteForceTopK]] over the probed
+    * subset, so nprobe = k degenerates to exact brute force
+    * (spec-asserted) and the two paths can't drift apart. */
+  def ivfTopK(index: IvfIndex, query: Array[Float],
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) {
@@ -112,28 +125,31 @@ object Similarity {
       if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
     }
     val q = query.map(_.toDouble)
-    val probes = centroids.toSeq.sortBy { case (_, c) => -cos(q, c) }
-      .take(nprobe).map(_._1)
-    val qLit = lit(query.map(_.toDouble))
-    index.filter(col("cluster").isin(probes: _*))
-      .select(col(idCol),
-        round(VectorMath.cosineSimilarity(col(vecCol), qLit), 4).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(topK)
+    val probes = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(q, c) }
+      .take(nprobe).map(_._2).toSeq
+    bruteForceTopK(
+      index.assignments.filter(col("cluster").isin(probes: _*)),
+      index.idCol, index.vecCol, query, topK)
   }
 
   /** Map-only nearest-centroid assignment: the k centroid literals
     * ride in the plan; argmax via greatest() over (sim, cluster)
     * structs — no join, no shuffle. */
   private def assignClusters(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        round(VectorMath.cosineSimilarity(col("vec"), lit(c)), 9).as("sim"),
-        lit(i).as("cluster"))
+    if (centroids.length <= 1) {
+      // greatest() needs >= 2 args; a 0/1-centroid index is one cluster
+      base.select(col("id"), col("vec"), lit(0).as("cluster"))
+    } else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          round(VectorMath.cosineSimilarity(col("vec"), lit(c)), 9).as("sim"),
+          lit(i).as("cluster"))
+      }
+      base
+        .withColumn("__vote", greatest(scored.toIndexedSeq: _*))
+        .select(col("id"), col("vec"), col("__vote.cluster").as("cluster"))
     }
-    base
-      .withColumn("__vote", greatest(scored.toIndexedSeq: _*))
-      .select(col("id"), col("vec"), col("__vote.cluster").as("cluster"))
   }
 
   /** Per-label centroids of an embedding column: posexplode to

@@ -292,7 +292,7 @@ object Extensions extends QueryModule {
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
-      Similarity.ivfTopK(index, "vec_id", "embedding", query, topK = 10, nprobe = 3)
+      Similarity.ivfTopK(index, query, topK = 10, nprobe = 3)
     },
     None)
 }

@@ -204,19 +204,20 @@ class OpsSpec extends AnyFunSuite {
   test("IVF: full-probe equals brute force; low-probe finds planted cluster") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
-    assert(index.count() == emb.count())
-    assert(index.select("cluster").distinct().count() <= 8)
+    assert(index.assignments.count() == emb.count())
+    assert(index.assignments.select("cluster").distinct().count() <= 8)
+    assert(index.centroids.length == 8)
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     // probing every cluster is exhaustive -> identical to brute force
-    val full = Similarity.ivfTopK(index, "vec_id", "embedding", query,
-      topK = 5, nprobe = 8).as[(Long, Double)].collect().toSeq
+    val full = Similarity.ivfTopK(index, query, topK = 5, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, k = 5)
       .as[(Long, Double)].collect().toSeq
     assert(full == brute)
     // one-probe search still finds the query vector itself (cosine 1.0)
-    val one = Similarity.ivfTopK(index, "vec_id", "embedding", query,
-      topK = 5, nprobe = 1).as[(Long, Double)].collect()
+    val one = Similarity.ivfTopK(index, query, topK = 5, nprobe = 1)
+      .as[(Long, Double)].collect()
     assert(one.head._1 == 0L && one.head._2 == 1.0)
   }
 }
