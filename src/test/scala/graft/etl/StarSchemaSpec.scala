@@ -130,4 +130,42 @@ class StarSchemaSpec extends AnyFunSuite {
       DataQuality.runCheck(DataQuality.isEmpty("t"), empty)
     }
   }
+
+  test("monthly incremental: append accumulates months; idempotent re-run replaces only its month") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    // stage a February input: same dims, two new trips
+    val febIn = Files.createTempDirectory("graft_feb").toString
+    for (sub <- Seq("weathers", "stations", "covids")) {
+      Files.createDirectories(Paths.get(s"$febIn/$sub"))
+      Files.list(Paths.get(s"$fixtures/$sub")).iterator().asScala.foreach { f =>
+        Files.copy(f, Paths.get(s"$febIn/$sub/${f.getFileName}"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    Files.createDirectories(Paths.get(s"$febIn/events"))
+    val febCsv =
+      "tripduration,starttime,stoptime,start station id,start station name," +
+        "start station latitude,start station longitude,end station id," +
+        "end station name,end station latitude,end station longitude," +
+        "bikeid,usertype,birth year,gender\n" +
+        "300,2020-02-01 09:00:00.0000,,72,st 72,40.7,-74.0,79,st 79,40.8,-73.9,30001,Subscriber,1980,1\n" +
+        "400,2020-02-02 10:00:00.0000,,79,st 79,40.7,-74.0,72,st 72,40.8,-73.9,30002,Customer,1991,2\n"
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(Paths.get(s"$febIn/events/202002-citibike-tripdata.csv.gz")))
+    gz.write(febCsv.getBytes("UTF-8")); gz.close()
+
+    val out = Files.createTempDirectory("graft_elt_months").toString
+    StarSchemaWriter.runElt(spark, fixtures, out, idempotent = true)  // January
+    StarSchemaWriter.runElt(spark, febIn, out, idempotent = true)     // February
+    val fact = spark.read.parquet(s"$out/bikeshare_fact_table.parquet")
+    assert(fact.filter(col("month") === 1).count() == 8)
+    assert(fact.filter(col("month") === 2).count() == 2)
+    // re-run February in idempotent mode: month 2 replaced, month 1 untouched
+    StarSchemaWriter.runElt(spark, febIn, out, idempotent = true)
+    val fact2 = spark.read.parquet(s"$out/bikeshare_fact_table.parquet")
+    assert(fact2.filter(col("month") === 1).count() == 8,
+      "idempotent Feb re-run must not clobber January partitions")
+    assert(fact2.filter(col("month") === 2).count() == 2)
+  }
 }
