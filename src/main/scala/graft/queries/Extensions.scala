@@ -69,15 +69,30 @@ object Extensions extends QueryModule {
           / len(string_split(text, ' ')), 4) AS stopword_ratio
       FROM documents ORDER BY doc_id"""))
 
-  /** Language-ID distribution (stopword-profile voting) — engine-side
-    * heuristic, rows-only check. */
+  /** Language-ID distribution (stopword-profile voting). The oracle
+    * replays the argmax in SQL: (hits, lang) encoded as a zero-padded
+    * sortable string (DuckDB's greatest() takes no structs), with the
+    * same max-hits-then-max-lang tie-break as Spark's struct
+    * greatest(); stopword lists come from the same Stopwords object. */
   private val x5LangId = GraftQuery(
     "x5_lang_id",
     (s, dir) => TextAnalysis.withLanguage(Tables.documents(s, dir))
       .groupBy(col("detected_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("detected_lang")),
-    None)
+    Some {
+      val arms = graft.ops.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val list = words.map("'" + _ + "'").mkString(",")
+        s"printf('%03d', len(list_intersect(t, [$list]))) || '$lang'"
+      }.mkString(",\n        ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      scored AS (SELECT doc_id, greatest(
+        $arms) AS v FROM toks)
+      SELECT CASE WHEN CAST(substr(v, 1, 3) AS INT) > 0 THEN substr(v, 4)
+                  ELSE 'und' END AS detected_lang,
+             count(*) AS n_docs
+      FROM scored GROUP BY 1 ORDER BY 1"""
+    })
 
   /** Brute-force cosine top-k against the corpus's own vec 0 — the
     * exact-search baseline. The oracle mirrors the double-precision
