@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -37,6 +37,34 @@ private[graft] object SketchHash {
   }
 }
 
+/** Shared codegen for the sketch expressions: the generated code calls
+  * the expression's `compute(ArrayData)` directly on the child column
+  * value. Unlike `CodegenFallback` — which reconstructs an InternalRow
+  * and calls `eval`, and drops the whole stage out of whole-stage
+  * codegen — this keeps the surrounding operators fused and passes
+  * only the one array the sketch needs. The arithmetic is a single
+  * JVM method either way, so interpreted and codegen'd paths are
+  * bit-identical by construction. */
+private[functions] trait SketchCodegen { self: UnaryExpression =>
+  /** The sketch arithmetic; input is the child's ArrayData. */
+  def compute(arr: ArrayData): Any
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("sketch", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, childVar => self.dataType match {
+      case _: ArrayType =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+          s" $refName.compute($childVar);"
+      case LongType =>
+        s"${ev.value} = ((java.lang.Long) $refName.compute($childVar)).longValue();"
+      case other =>
+        throw new IllegalStateException(s"unsupported sketch output type $other")
+    })
+  }
+}
+
 /** MinHash signature over a set of shingles (array<string> → array<long>).
   *
   * One 64-bit content hash per shingle, then `numHashes` affine
@@ -50,7 +78,7 @@ private[graft] object SketchHash {
   * (Reference has no sketches; extension surface per BASELINE.json.)
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with SketchCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "minhash_signature"
@@ -60,8 +88,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   private lazy val offsets: Array[Long] =
     Array.tabulate(numHashes)(i => SketchHash.mix64(seed + 2L * i + 1L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def compute(arr: ArrayData): Any = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
@@ -93,7 +120,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * allocation — ~10× faster per row, same estimator properties.
   */
 case class MinHashNgrams(child: Expression, n: Int, numHashes: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with SketchCodegen {
   require(n >= 1, "n must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -104,8 +131,7 @@ case class MinHashNgrams(child: Expression, n: Int, numHashes: Int, seed: Long)
   private lazy val offsets: Array[Long] =
     Array.tabulate(numHashes)(i => SketchHash.mix64(seed + 2L * i + 1L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def compute(arr: ArrayData): Any = {
     val len = arr.numElements()
     val tokenHash = new Array[Long](len)
     var i = 0
@@ -146,13 +172,12 @@ case class MinHashNgrams(child: Expression, n: Int, numHashes: Int, seed: Long)
   * signature bit. Near-duplicate docs land within a small Hamming
   * distance. Same no-shuffle projection profile as MinHash. */
 case class SimHash64(child: Expression, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with SketchCodegen {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def compute(arr: ArrayData): Any = {
     val tally = new Array[Int](64)
     var j = 0
     while (j < arr.numElements()) {
@@ -186,7 +211,7 @@ case class SimHash64(child: Expression, seed: Long)
   * sign(x·r_j) becomes bit j; cosine-similar vectors agree on most
   * bits, so banding the signature buckets near-neighbors together. */
 case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression with SketchCodegen {
   require(numBits >= 1 && numBits <= 64, "numBits must be in [1, 64]")
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -200,9 +225,8 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
         s"hyperplane_signature expects array<float|double>, got $elemType")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def compute(arr: ArrayData): Any = {
     val elemType = child.dataType.asInstanceOf[ArrayType].elementType
-    val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var out = 0L
     var j = 0
