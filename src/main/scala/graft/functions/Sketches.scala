@@ -89,7 +89,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     Array.tabulate(numHashes)(i => SketchHash.mix64(seed + 2L * i + 1L))
 
   override def compute(arr: ArrayData): Any = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // sentinel is unsigned max (-1L): Long.MaxValue sits at the MIDPOINT
+    // of the unsigned order used below, which would freeze any slot
+    // against transformed hashes with the top bit set
+    val sig = Array.fill(numHashes)(-1L)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
@@ -140,7 +143,10 @@ case class MinHashNgrams(child: Expression, n: Int, numHashes: Int, seed: Long)
         if (arr.isNullAt(i)) 0L else SketchHash.hashUtf8(arr.getUTF8String(i), seed)
       i += 1
     }
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // sentinel is unsigned max (-1L): Long.MaxValue sits at the MIDPOINT
+    // of the unsigned order used below, which would freeze any slot
+    // against transformed hashes with the top bit set
+    val sig = Array.fill(numHashes)(-1L)
     val nGrams = math.max(1, len - n + 1)
     var g = 0
     while (g < nGrams) {
@@ -217,17 +223,18 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "hyperplane_signature"
 
-  private def elemAt(arr: ArrayData, i: Int, elemType: DataType): Double =
-    elemType match {
-      case FloatType => arr.getFloat(i).toDouble
-      case DoubleType => arr.getDouble(i)
-      case _ => throw new IllegalArgumentException(
-        s"hyperplane_signature expects array<float|double>, got $elemType")
+  // resolved once per expression, not per element in the hot loop
+  private lazy val elementIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_signature expects array<float|double>, got $other")
     }
 
   override def compute(arr: ArrayData): Any = {
-    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
     val n = arr.numElements()
+    val isFloat = elementIsFloat
     var out = 0L
     var j = 0
     while (j < numBits) {
@@ -236,7 +243,8 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
       val planeSeed = SketchHash.mix64(seed + j)
       while (d < n) {
         val sign = if ((SketchHash.mix64(planeSeed + d) & 1L) == 1L) 1.0 else -1.0
-        dot += elemAt(arr, d, elemType) * sign
+        val e = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        dot += e * sign
         d += 1
       }
       if (dot >= 0) out |= (1L << j)

@@ -69,6 +69,35 @@ object DataQuality {
       runCheck(c, df)
     }
 
+  /** Count of non-null fact foreign keys with no matching dimension
+    * row — an anti-join, so it scales like any key join. */
+  def orphanedKeys(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String): Long =
+    // alias both sides: factKey/dimKey often share a name, and a
+    // same-name === would resolve to a trivially-true self-compare
+    fact.select(col(factKey).as("__fact_key"))
+      .filter(col("__fact_key").isNotNull).distinct()
+      .join(dim.select(col(dimKey).as("__dim_key")).distinct(),
+        col("__fact_key") === col("__dim_key"), "left_anti")
+      .count()
+
+  /** Referential-integrity gate: throws if any fact key misses its
+    * dimension. NOTE the reference pipeline cannot pass this across
+    * months: it rebuilds every dim from the CURRENT month's staging
+    * only (inputs are cleaned between runs, clean_input_s3.py:19-34),
+    * so a multi-month fact references dim rows that no longer exist —
+    * a faithful-parity hazard this check makes visible (SURVEY §5).
+    * The fix at scale is append+dedup dim maintenance; see
+    * StarSchemaWriter's scaladoc. */
+  def referentialCheck(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, name: String): Unit = {
+    val orphans = orphanedKeys(fact, factKey, dim, dimKey)
+    if (orphans > 0)
+      throw QualityViolation(
+        s"referential check '$name' failed: $orphans fact ${factKey} values " +
+          s"have no matching ${dimKey} row")
+  }
+
   /** Run one check against an in-memory DataFrame (engine-level use,
     * no parquet round-trip). */
   def runCheck(c: QualityCheck, df: DataFrame): Unit = {

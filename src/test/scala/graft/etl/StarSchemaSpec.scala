@@ -138,10 +138,11 @@ class StarSchemaSpec extends AnyFunSuite {
     val febIn = Files.createTempDirectory("graft_feb").toString
     for (sub <- Seq("weathers", "stations", "covids")) {
       Files.createDirectories(Paths.get(s"$febIn/$sub"))
-      Files.list(Paths.get(s"$fixtures/$sub")).iterator().asScala.foreach { f =>
+      val listing = Files.list(Paths.get(s"$fixtures/$sub"))
+      try listing.iterator().asScala.foreach { f =>
         Files.copy(f, Paths.get(s"$febIn/$sub/${f.getFileName}"),
           StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally listing.close()
     }
     Files.createDirectories(Paths.get(s"$febIn/events"))
     val febCsv =
@@ -167,5 +168,17 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(fact2.filter(col("month") === 1).count() == 8,
       "idempotent Feb re-run must not clobber January partitions")
     assert(fact2.filter(col("month") === 2).count() == 2)
+    // reference-faithful hazard: dims are rebuilt from the CURRENT
+    // month only (the reference cleans staging between runs), so the
+    // bike dim now holds only February's bikes while January fact rows
+    // still reference the old ones — the referential check sees it
+    val bikes = spark.read.parquet(s"$out/dim_bike_table.parquet")
+    assert(bikes.count() == 2) // 30001, 30002 from February
+    intercept[QualityViolation] {
+      DataQuality.referentialCheck(fact2, "bike_id", bikes, "bike_id", "fact->bike")
+    }
+    // within a single month the integrity holds
+    DataQuality.referentialCheck(
+      fact2.filter(col("month") === 2), "bike_id", bikes, "bike_id", "feb->bike")
   }
 }
