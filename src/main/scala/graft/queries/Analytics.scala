@@ -124,6 +124,78 @@ object Analytics extends QueryModule {
         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       FROM orders GROUP BY 1 ORDER BY order_year"""))
 
+  /** Correlated-aggregate shape (TPC-H Q17): per-key average feeding a
+    * filter on the same table — planned as join-with-reused-aggregate
+    * in Spark, a correlated scalar subquery in the oracle. Threshold
+    * arithmetic is identical double math on both sides (integral
+    * quantities → exact avg), so the comparison can't flip. */
+  private val q27CorrelatedAvg = GraftQuery(
+    "q27_correlated_avg",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("q_thresh"))
+      li.join(perPart, "l_partkey")
+        .filter(col("l_quantity") < col("q_thresh"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem l1
+      WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l1.l_partkey)"""))
+
+  /** String-function battery beyond the reference's surface: case
+    * mapping, padding, translate, reverse, split_part, instr,
+    * levenshtein — all same-named in both engines. */
+  private val q28StringFuncs = GraftQuery(
+    "q28_string_funcs",
+    (s, dir) => Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        reverse(col("c_mktsegment")).as("segment_rev"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("segment_tr"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("seg_dist"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        upper(c_name) AS name_upper,
+        CAST(length(c_name) AS INT) AS name_len,
+        reverse(c_mktsegment) AS segment_rev,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_tr,
+        split_part(c_name, '#', 2) AS name_num,
+        CAST(instr(c_name, '#') AS INT) AS hash_pos,
+        CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS seg_dist
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Date-arithmetic battery: day differences, month arithmetic with
+    * end-of-month clamping, month truncation, last_day. */
+  private val q29DateFuncs = GraftQuery(
+    "q29_date_funcs",
+    (s, dir) => Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .as("days_since_epoch_start"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus_quarter"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+          AS days_since_epoch_start,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end
+      FROM orders ORDER BY o_orderkey"""))
+
   override def queries: Seq[GraftQuery] = Seq(
-    q22ShippingPriority, q23NationRevenue, q24SetOps, q25Rollup, q26Pivot)
+    q22ShippingPriority, q23NationRevenue, q24SetOps, q25Rollup, q26Pivot,
+    q27CorrelatedAvg, q28StringFuncs, q29DateFuncs)
 }
