@@ -195,7 +195,41 @@ object Analytics extends QueryModule {
         last_day(CAST(o_orderdate AS DATE)) AS month_end
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Window-function battery beyond rank/running-sum: offsets,
+    * tiles, frame-bounded first/last, distribution functions — all
+    * over a total per-partition order so both engines tie-break
+    * identically. */
+  private val q30WindowBattery = GraftQuery(
+    "q30_window_battery",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("first_value_so_far", first(col("value")).over(wFrame))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .drop("ts", "value")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+        lag(value, 1) OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        first_value(value) OVER
+          (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value_so_far,
+        round(percent_rank() OVER w, 6) AS pct_rank
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      ORDER BY user_id, event_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     q22ShippingPriority, q23NationRevenue, q24SetOps, q25Rollup, q26Pivot,
-    q27CorrelatedAvg, q28StringFuncs, q29DateFuncs)
+    q27CorrelatedAvg, q28StringFuncs, q29DateFuncs, q30WindowBattery)
 }
