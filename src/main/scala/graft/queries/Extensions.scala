@@ -295,7 +295,48 @@ object Extensions extends QueryModule {
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
-    x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf)
+    x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf,
+    x18DedupKeepFirst, x19ArrayFuncs)
+
+  /** The dedup operator's own output (keep-first semantics), oracle-
+    * checked: the surviving rows are exactly those whose doc_id is the
+    * group minimum of their content hash. */
+  private val x18DedupKeepFirst = GraftQuery(
+    "x18_dedup_keep_first",
+    (s, dir) => Dedup.exactKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+      ORDER BY doc_id"""))
+
+  /** Array-function battery over tokenized text: size, distinct,
+    * sort, slice, containment, set ops — the list-manipulation surface
+    * an LLM pipeline leans on. */
+  private val x19ArrayFuncs = GraftQuery(
+    "x19_array_funcs",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_unique"),
+          element_at(array_sort(array_distinct(toks)), 1).as("first_token_sorted"),
+          concat_ws("|", slice(toks, 1, 3)).as("first3"),
+          array_contains(toks, "spark").cast("boolean").as("mentions_spark"),
+          size(array_intersect(toks, lit(Array("data", "table", "query")))).as("schema_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+        list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token_sorted,
+        array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+        list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+        CAST(len(list_intersect(string_split(text, ' '), ['data','table','query'])) AS INT)
+          AS schema_words
+      FROM documents ORDER BY doc_id"""))
 
   /** IVF-style ANN: deterministic Lloyd-clustered inverted file,
     * nprobe-bounded exact search (spec asserts nprobe=k == brute
