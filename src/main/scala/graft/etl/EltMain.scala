@@ -12,7 +12,11 @@ object EltMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: graft.etl.EltMain <inputDir> <outputDir> [--idempotent]")
-    val Array(inputDir, outputDir) = args.take(2)
+    // absolutize so logs and written _SUCCESS markers carry stable
+    // paths regardless of the caller's working directory (Spark's
+    // glob probing logs a benign FileNotFound per pattern either way)
+    val Array(inputDir, outputDir) =
+      args.take(2).map(p => new java.io.File(p).getAbsolutePath)
     val idempotent = args.contains("--idempotent")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

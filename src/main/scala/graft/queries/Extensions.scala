@@ -296,7 +296,77 @@ object Extensions extends QueryModule {
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
     x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf,
-    x18DedupKeepFirst, x19ArrayFuncs)
+    x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline)
+
+  /** The north-star composition, end-to-end and fully oracle-checked:
+    * exact dedup (keep-first) → quality scoring → language filter →
+    * per-source acceptance stats. The oracle replays the composite
+    * quality formula and the stopword-vote argmax in SQL, reusing the
+    * conventions proven by x4/x5/x18. */
+  private val x20CurationPipeline = GraftQuery(
+    "x20_curation_pipeline",
+    (s, dir) => {
+      val deduped = Dedup.exactKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+      val scored = TextAnalysis.qualityScore(deduped)
+      val withLang = TextAnalysis.withLanguage(scored)
+      withLang
+        .withColumn("accepted",
+          (col("quality_score") >= 0.5 && col("detected_lang") === "en").cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("accepted")).as("n_accepted"),
+          round(avg(col("quality_score")), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val stopArms = graft.ops.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val list = words.map("'" + _ + "'").mkString(",")
+        s"printf('%03d', len(list_intersect(t, [$list]))) || '$lang'"
+      }.mkString(",\n          ")
+      val enList = graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")
+      s"""WITH survivors AS (
+        SELECT * FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+      metrics AS (
+        SELECT *,
+          string_split(lower(text), ' ') AS t,
+          CAST(length(text) AS DOUBLE) AS nc,
+          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+          CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits
+        FROM survivors),
+      scored AS (
+        SELECT *,
+          round(CASE WHEN nc > 0 THEN alpha / nc ELSE 0 END, 4) AS alpha_ratio,
+          round(CASE WHEN nc > 0 THEN digits / nc ELSE 0 END, 4) AS digit_ratio,
+          round(CASE WHEN nt > 0 THEN nc / nt ELSE 0 END, 4) AS mean_token_len,
+          round(CASE WHEN nt > 0 THEN
+            CAST(len(list_intersect(t, [$enList])) AS DOUBLE) / nt ELSE 0 END, 4)
+            AS stopword_ratio
+        FROM metrics),
+      quality AS (
+        SELECT *,
+          round(greatest(0.0, least(1.0,
+            alpha_ratio * 0.4
+            + least(stopword_ratio * 4.0, 1.0) * 0.3
+            + CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN digit_ratio < 0.2 THEN 0.1 ELSE 0.0 END)), 4) AS quality_score,
+          greatest(
+          $stopArms) AS vote
+        FROM scored),
+      flagged AS (
+        SELECT *,
+          CASE WHEN quality_score >= 0.5 AND
+            (CASE WHEN CAST(substr(vote, 1, 3) AS INT) > 0 THEN substr(vote, 4)
+                  ELSE 'und' END) = 'en'
+          THEN 1 ELSE 0 END AS accepted
+        FROM quality)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(accepted) AS BIGINT) AS n_accepted,
+             round(avg(quality_score), 4) AS avg_quality
+      FROM flagged GROUP BY source ORDER BY source"""
+    })
 
   /** The dedup operator's own output (keep-first semantics), oracle-
     * checked: the surviving rows are exactly those whose doc_id is the
