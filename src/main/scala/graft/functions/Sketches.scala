@@ -257,6 +257,78 @@ case class HyperplaneSignature(child: Expression, numBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (string → array<long>): Rabin-Karp
+  * rolling hash over the character stream (k-grams), then the minimum
+  * hash of every window of `w` consecutive k-grams, deduplicated —
+  * the MOSS scheme. Guarantees any shared substring of length
+  * ≥ w + k − 1 contributes at least one common fingerprint, which is
+  * what makes it the containment/plagiarism detector (MinHash
+  * estimates whole-set resemblance instead). Map-only per row. */
+case class WinnowingFingerprint(child: Expression, k: Int, window: Int, seed: Long)
+  extends UnaryExpression {
+  require(k >= 2 && window >= 1, "need k >= 2 and window >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnowing_fingerprint"
+
+  private val B = 0x100000001b3L // rolling base
+  private lazy val Bk: Long = { // B^(k-1) for the leaving character
+    var p = 1L; var i = 0
+    while (i < k - 1) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeString(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("sketch", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, childVar =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $refName.computeString($childVar);")
+  }
+
+  def computeString(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array(SketchHash.mix64(seed ^ n)))
+    // rolling k-gram hashes
+    val grams = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    grams(0) = SketchHash.mix64(h ^ seed)
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xFF) * Bk) * B + (bytes(i) & 0xFF)
+      grams(i - k + 1) = SketchHash.mix64(h ^ seed)
+      i += 1
+    }
+    // winnow: min of each window of `window` gram hashes (rightmost
+    // min on ties, per the MOSS paper), deduplicated preserving order
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var last = 0L
+    var hasLast = false
+    var w0 = 0
+    val nWin = math.max(1, grams.length - window + 1)
+    while (w0 < nWin) {
+      var m = grams(w0)
+      var j = w0 + 1
+      val end = math.min(w0 + window, grams.length)
+      while (j < end) {
+        if (grams(j) + Long.MinValue <= m + Long.MinValue) m = grams(j)
+        j += 1
+      }
+      if (!hasLast || m != last) { out += m; last = m; hasLast = true }
+      w0 += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the sketch expressions (Spark 4 bridges a
   * Catalyst Expression to the public Column via ExpressionUtils). */
 object Sketches {
@@ -273,4 +345,7 @@ object Sketches {
 
   def hyperplaneSignature(embedding: Column, numBits: Int = 16, seed: Long = 42L): Column =
     column(HyperplaneSignature(expression(embedding), numBits, seed))
+
+  def winnowingFingerprint(text: Column, k: Int = 5, window: Int = 4, seed: Long = 42L): Column =
+    column(WinnowingFingerprint(expression(text), k, window, seed))
 }

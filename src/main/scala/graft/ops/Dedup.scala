@@ -230,6 +230,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Containment candidates via winnowing fingerprints (MOSS scheme):
+    * documents sharing ≥ `minShared` fingerprints — the detector for
+    * copied PASSAGES (quotes, boilerplate, partial plagiarism) that
+    * whole-document resemblance sketches miss. Any shared substring of
+    * length ≥ window + k − 1 chars is guaranteed to surface at least
+    * one common fingerprint.
+    *
+    * Shuffle profile: explode to (fingerprint, id) — a few dozen rows
+    * per doc — self-join on the fingerprint value, count per pair.
+    * Hot fingerprints (ubiquitous boilerplate) fan out quadratically
+    * within their group, so fingerprints seen in more than
+    * `maxDocFreq` documents are dropped before the join — they carry
+    * no discriminating signal anyway (classic stop-fingerprint
+    * removal), and the cap bounds each group's fanout at
+    * maxDocFreq² regardless of corpus size.
+    */
+  def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, k: Int = 8, window: Int = 4,
+      maxDocFreq: Int = 20): DataFrame = {
+    val allFps = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(Sketches.winnowingFingerprint(col(textCol), k, window)).as("fp"))
+      .distinct()
+    val rare = allFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val fps = allFps.join(rare.hint("shuffle_hash"), Seq("fp"))
+    val a = fps.select(col("fp"), col("id").as("id_a"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
     * the candidate set, exact cosine verifies. Multi-probe via
     * `bands` signature splits keeps recall high. */

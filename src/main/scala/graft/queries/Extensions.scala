@@ -296,7 +296,19 @@ object Extensions extends QueryModule {
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
     x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf,
-    x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline)
+    x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
+    x21Containment)
+
+  /** Passage-containment candidates via winnowing fingerprints
+    * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,
+    * rows-only; the winnowing guarantee is spec-asserted. */
+  private val x21Containment = GraftQuery(
+    "x21_containment",
+    (s, dir) => Dedup.containmentCandidates(
+      Tables.documents(s, dir), "doc_id", "text",
+      minShared = 5, k = 12, maxDocFreq = 10)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
 
   /** The north-star composition, end-to-end and fully oracle-checked:
     * exact dedup (keep-first) → quality scoring → language filter →

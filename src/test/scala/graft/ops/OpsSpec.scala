@@ -220,4 +220,22 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(one.head._1 == 0L && one.head._2 == 1.0)
   }
+
+  test("winnowing: shared passage guarantees common fingerprints; containment found") {
+    val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val passage = Seq(
+      (1L, s"unique opening words here. $boiler. and a unique ending one"),
+      (2L, s"totally different start text! $boiler? plus another distinct tail"),
+      (3L, "no overlap with anything else whatsoever in this particular string")
+    ).toDF("doc_id", "text")
+    val fps = passage.select(col("doc_id"),
+      Sketches.winnowingFingerprint(col("text"), k = 8, window = 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the shared 68-char passage >> window+k-1 = 11 chars -> must share fingerprints
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    val pairs = Dedup.containmentCandidates(passage, "doc_id", "text", minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
 }
