@@ -33,9 +33,20 @@ object Bench {
       val m = "([a-z]+)(\\d+)".r.findFirstMatchIn(name)
       (m.map(_.group(1)).getOrElse(name), m.map(_.group(2).toInt).getOrElse(0))
     }
+    // Time FULL materialization: fold every output column into one
+    // hash aggregate, so column pruning can't silently skip the
+    // expensive projections the query claims to compute (.count()
+    // lets the scan drop them — x2's md5-of-sorted-tokens timed as a
+    // bare row count).
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cols = df.columns.map(c => col(s"`$c`"))
+      try df.select(xxhash64(cols: _*).as("__h"))
+        .agg(count(lit(1)), sum(col("__h"))).collect()
+      catch { case _: Throwable => df.count() } // un-hashable type fallback
+    }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

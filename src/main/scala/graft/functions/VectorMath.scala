@@ -26,9 +26,15 @@ object VectorMath {
   def norm(v: Column): Column =
     sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖) */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** cos(a, b) = a·b / (‖a‖‖b‖) — a native codegen'd expression
+    * ([[CosineSimilarityExpr]]); bit-identical to the HOF
+    * formulation `dot(a, b) / (norm(a) * norm(b))` but one fused
+    * allocation-free loop, which matters when LSH verification calls
+    * it per candidate pair. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(CosineSimilarityExpr(expression(a), expression(b)))
+  }
 
   /** element-wise sum — building block for averaging/centroids */
   def add(a: Column, b: Column): Column =

@@ -31,12 +31,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup, keep-first semantics: the deduplicated dataset
-    * itself (smallest id per distinct content survives). */
+    * itself (smallest id per distinct content survives).
+    *
+    * Deliberately NOT a `row_number() over (partition by hash)`
+    * window: that funnels every copy of one content through a single
+    * task's sort, and at LLM-corpus scale ubiquitous boilerplate (an
+    * empty page, a license header) has 10⁷+ copies. The min-id
+    * aggregate reduces map-side — each input partition contributes at
+    * most one row per distinct content to the shuffle — and the
+    * semi-join back is keyed on (hash, id), which is near-unique and
+    * therefore skew-free no matter how hot a content is. NULL text
+    * hashes to a sentinel so the null group keeps its first row too
+    * (equi-join would otherwise drop it), matching the window form's
+    * semantics exactly. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val h = coalesce(md5(col(textCol)), lit("__null__"))
+    val keepers = df.select(h.as("__h"), col(idCol).as(idCol))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    df.withColumn("__h", h)
+      .join(keepers.hint("shuffle_hash"), Seq("__h", idCol), "left_semi")
+      .drop("__h")
   }
 
   /** MinHash+LSH candidate pairs: shingle → minhash signature →
@@ -285,15 +299,26 @@ object Dedup {
     // explode the band index, compute chunks from the carried column
     // (see minhashCandidates)
     val banded = sig
-      .select(col("id"), col("vec"), col("sig"),
+      .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("vec").as("vec_b"))
-    // shuffle join (never broadcast — see minhashCandidates)
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
+      .drop("sig")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
+    // shuffle join (never broadcast — see minhashCandidates); dedup
+    // BARE id pairs (a pair may collide in several bands) — dragging
+    // the vectors through the distinct would shuffle |candidates| ×
+    // 2×dims floats (measured 5× the whole query's cost); ids alone
+    // shuffle two longs, the vectors rejoin once per surviving pair
+    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs.hint("shuffle_hash")
+      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("cosine", round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

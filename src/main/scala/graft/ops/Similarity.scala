@@ -79,35 +79,99 @@ object Similarity {
       idCol: String,
       vecCol: String)
 
-  /** IVF (inverted-file) index: k centroids learned with a fixed
-    * number of Lloyd iterations (init = the k lowest-id vectors),
-    * every vector assigned to its nearest centroid. Stable given a
-    * fixed partitioning; exact boundary ties under float re-summation
-    * are the usual k-means caveat.
+  /** Memo of built IVF indexes keyed by session identity + the
+    * semantic hash of the input plan + index parameters — repeated
+    * probes over the same corpus reuse one persisted assignments
+    * table instead of retraining per call (same pattern and caveats
+    * as [[Dedup.minhashCandidates]]'s candidate memo). */
+  private val ivfMemoCapacity = 8
+  private val ivfMemo =
+    new java.util.LinkedHashMap[(Int, Int, String, Int, Int, Int), IvfIndex](
+      ivfMemoCapacity, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), IvfIndex]): Boolean = {
+        val evict = size() > ivfMemoCapacity
+        if (evict) try e.getValue.assignments.unpersist() catch { case _: Throwable => () }
+        evict
+      }
+    }
+
+  /** Drop all memoized IVF indexes (unpersisting each). */
+  def clearIvfCache(): Unit = ivfMemo.synchronized {
+    val it = ivfMemo.values().iterator()
+    while (it.hasNext) { try it.next().assignments.unpersist() catch { case _: Throwable => () } }
+    ivfMemo.clear()
+  }
+
+  /** IVF (inverted-file) index: k centroids learned with `iters`
+    * Lloyd iterations over a bounded, deterministic training sample
+    * (the `trainSample` lowest-id vectors; init = its first k), then
+    * ONE distributed pass assigning every vector to its nearest
+    * centroid.
     *
-    * Scale profile: each iteration is one broadcast of k×dims doubles
-    * + a map-only argmax pass + a VectorAvg aggregation whose buffer
-    * is k×dims — no shuffle ever carries vectors by cluster. The
-    * assignments table is what you'd write partitioned by `cluster`
-    * so probes prune partitions at read time.
-    */
+    * Scale profile: centroid training is how production IVF builds
+    * work at any corpus size — Lloyd never needs the full data, only
+    * a representative sample, so the k×dims×sample arithmetic runs
+    * driver-side in microseconds and the cluster does exactly two
+    * jobs: a TakeOrdered to pull the sample and one map-only argmax
+    * pass over the corpus (the centroid literals ride in the plan —
+    * no join, no shuffle). The persisted assignments table is what
+    * you'd write partitioned by `cluster` so probes prune partitions
+    * at read time. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3): IvfIndex = {
+      k: Int = 16, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(),
+      s"$idCol/$vecCol", k, iters, trainSample)
+    ivfMemo.synchronized {
+      Option(ivfMemo.get(key)).getOrElse {
+        val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
+        ivfMemo.put(key, built)
+        built
+      }
+    }
+  }
+
+  private def ivfIndexUncached(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, trainSample: Int): IvfIndex = {
     // accept array<float|double>: normalize to float once
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType)).as("vec"))
-    var centroids: Array[Array[Double]] = base.orderBy(col("id")).limit(k)
+    val sample: Array[Array[Double]] = base.orderBy(col("id")).limit(trainSample)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = assignClusters(base, centroids)
-      val updated = centroidsTyped(assigned, "cluster", "vec")
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    var centroids = sample.take(k)
+    for (_ <- 0 until iters if centroids.nonEmpty) {
+      val sums = Array.fill(centroids.length)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var i = 0
+        while (i < centroids.length) {
+          val s = cosArr(v, centroids(i))
+          if (s > bestSim) { bestSim = s; best = i }
+          i += 1
+        }
+        var d = 0
+        while (d < v.length && d < sums(best).length) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i) // empty cluster keeps its centroid
+        else sums(i).map(_ / counts(i))
+      }.toArray
     }
     val assignments = assignClusters(base, centroids)
       .select(col("id").as(idCol), col("vec").as(vecCol), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assignments, centroids, idCol, vecCol)
+  }
+
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
   }
 
   /** ANN top-k over an IVF index: probe the `nprobe` clusters whose
@@ -117,16 +181,9 @@ object Similarity {
     * (spec-asserted) and the two paths can't drift apart. */
   def ivfTopK(index: IvfIndex, query: Array[Float],
       topK: Int = 10, nprobe: Int = 4): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      if (na == 0 || nb == 0) -2.0 else dot / math.sqrt(na * nb)
-    }
     val q = query.map(_.toDouble)
     val probes = index.centroids.zipWithIndex
-      .sortBy { case (c, _) => -cos(q, c) }
+      .sortBy { case (c, _) => -cosArr(q, c) }
       .take(nprobe).map(_._2).toSeq
     bruteForceTopK(
       index.assignments.filter(col("cluster").isin(probes: _*)),
@@ -171,6 +228,95 @@ object Similarity {
       .agg(vecAvg(col(vecCol)).as("raw"))
       .select(col("label"),
         transform(col("raw"), x => round(x, 4)).as("centroid"))
+  }
+
+  /** Scalar projection of [[centroidsTyped]]: one row per
+    * (label, dimension) with 1-based `pos` — the driver-comparable
+    * shape (array cells can't be sorted/hashed by a generic
+    * row-compare harness; scalars can). Same aggregation plan — the
+    * posexplode runs over |labels| rows, after the shuffle. */
+  def centroidScalars(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    centroidsTyped(df, labelCol, vecCol)
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("mean"))
+
+  /** Exact batch top-k similarity join: EVERY query row finds its k
+    * nearest corpus rows by cosine — the table-vs-table
+    * generalization of [[bruteForceTopK]].
+    *
+    * Scale profile: the query side is broadcast (bounded probe
+    * batches are the exact-path contract — an unbounded query table
+    * belongs on [[lshBatchTopK]]); scoring is map-only over the
+    * corpus; the per-query top-k shuffles (query_id, neighbor_id,
+    * cosine) scalars, |queries|×|corpus| of them — linear in the
+    * corpus, never materializing vectors past the scoring stage. */
+  def batchTopK(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String,
+      queryVecCol: String, corpusVecCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorMath.cosineSimilarity(col("__cv"), col("__qv")).as("__cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** LSH-bucketed batch top-k: the scale path for table-vs-table ANN
+    * (every document finds its neighbors). Both sides are banded on
+    * their hyperplane signatures; candidates only materialize inside
+    * shared (band, chunk) buckets — the pair count is bounded by
+    * bucket occupancy, never |queries|×|corpus| — then exact cosine
+    * ranks the candidates per query. Recall is tunable via
+    * numBits/bands exactly as in [[Dedup.embeddingNearDuplicates]].
+    */
+  def lshBatchTopK(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, corpusIdCol: String,
+      queryVecCol: String, corpusVecCol: String, k: Int = 10,
+      numBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBits % bands == 0, "bands must divide numBits")
+    val bitsPerBand = numBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    // exchanges before/after the sketch projection — see
+    // Dedup.minhashCandidates (parallelism + stop deferred re-eval)
+    def keyed(df: DataFrame, idCol: String, vecCol: String,
+        idAs: String, vecAs: String): DataFrame =
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+          Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
+        .repartition(col(idAs))
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idAs), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
+        .drop("sig")
+    val q = keyed(queries, queryIdCol, queryVecCol, "query_id", "__qv")
+    val c = keyed(corpus, corpusIdCol, corpusVecCol, "neighbor_id", "__cv")
+    // shuffle join (never broadcast — see Dedup.minhashCandidates);
+    // dedup BARE id pairs, rejoin the vectors once per surviving
+    // candidate — vectors through the distinct would shuffle
+    // |candidates| × 2×dims floats (see embeddingNearDuplicates)
+    val cands = banded(q, "query_id").hint("shuffle_hash")
+      .join(banded(c, "neighbor_id").hint("shuffle_hash"), Seq("band", "chunk"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    cands.hint("shuffle_hash")
+      .join(q.select(col("query_id"), col("__qv")).hint("shuffle_hash"), "query_id")
+      .join(c.select(col("neighbor_id"), col("__cv")).hint("shuffle_hash"), "neighbor_id")
+      .withColumn("__cos", VectorMath.cosineSimilarity(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
   }
 
   /** Reference formulation via posexplode + regroup — shuffles

@@ -51,6 +51,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("x18 keep-first dedup aggregates map-side, no single-partition window sort") {
+    val plan = executedPlan("x18_dedup_keep_first")
+    // the min-id-per-hash form: partial + final HashAggregate around
+    // an exchange, then a semi-join on the near-unique (hash, id) key
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    // the skew hazard the aggregate replaces: a row_number window
+    // funnels every copy of one content through one task's sort
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("row_number"), plan.take(2000))
+  }
+
   test("bucketed join is shuffle-free") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

@@ -221,6 +221,63 @@ class OpsSpec extends AnyFunSuite {
     assert(one.head._1 == 0L && one.head._2 == 1.0)
   }
 
+  test("batch top-k: exact path agrees with single-query brute force") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val batch = Similarity.batchTopK(
+      emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+      }
+    for (qid <- 0L to 2L) {
+      val query = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, k = 5)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == brute, s"query $qid: batch ${batch(qid)} vs brute $brute")
+    }
+  }
+
+  test("lsh batch top-k: every query recovers itself at rank 1; k respected") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val out = Similarity.lshBatchTopK(
+      emb.filter(col("vec_id") < 10), emb,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      // a query vector present in the corpus has an identical
+      // signature — it always shares every band bucket with itself
+      val first = rows.minBy(_.getAs[Int]("rank"))
+      assert(first.getAs[Long]("neighbor_id") == q && first.getAs[Double]("cosine") == 1.0,
+        s"query $q should find itself first: ${rows.toSeq}")
+    }
+  }
+
+  test("embedding near-dup LSH: subset of exact pairs, usable recall") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val exact = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")) >= 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    assert(exact.nonEmpty)
+    val lsh = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = 32, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact cosine verifies every candidate -> precision is 1.0
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh diff exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
