@@ -56,6 +56,10 @@ object StarSchema {
         // long = CAST(seconds AS TIMESTAMP); timestamp_seconds is the
         // explicit Scala form (SURVEY §2.8 F4)
         timestamp_seconds(col("valid_time_gmt")).as("weather_id"))
+      // F13: the explicit schema boundary the reference's README
+      // documents but its code never enforces — duration/stations/
+      // bike ids become ints here, not in some downstream consumer
+      .transform(Schemas.conform(Schemas.fact))
       .orderBy(col("start_time"))
   }
 
@@ -78,6 +82,7 @@ object StarSchema {
         month(st).as("month"),
         year(st).as("year"),
         dayofweek(st).as("weekday"))
+      .transform(Schemas.conform(Schemas.dimTime))
   }
 
   /** User-aggregate dimension (reference spark_elt_emr.py:108-117):
@@ -90,11 +95,14 @@ object StarSchema {
         col("usertype"),
         col("gender"),
         col("birth_year"))
-      .distinct()
+      .distinct() // distinct on the raw values (reference parity), then type
+      .transform(Schemas.conform(Schemas.dimUserAgg))
 
   /** Bike dimension (reference spark_elt_emr.py:120-126). */
   def buildBikeDim(events: DataFrame): DataFrame =
-    events.select(col("bikeid").as("bike_id")).distinct().orderBy(col("bike_id"))
+    events.select(col("bikeid").as("bike_id")).distinct()
+      .transform(Schemas.conform(Schemas.dimBike))
+      .orderBy(col("bike_id")) // typed sort: numeric, not lexicographic
 
   /** Covid dimension (reference spark_elt_emr.py:129-145): projection
     * with MM/dd/yyyy date-key parse; borough counts stay the scanned
@@ -108,6 +116,7 @@ object StarSchema {
       col("qn_case_count"), col("qn_probable_case_count"),
       col("si_case_count"), col("si_probable_case_count"),
       col("incomplete"))
+      .transform(Schemas.conform(Schemas.dimCovid))
 
   /** Weather dimension (reference spark_elt_emr.py:148-163). `dewPt`
     * resolves case-insensitively (P5); `day_ind` lands in `wind`
@@ -125,11 +134,17 @@ object StarSchema {
       col("pressure"),
       col("precip_hrly").as("precip"),
       col("wx_phrase").as("condition"))
+      .transform(Schemas.conform(Schemas.dimWeather))
       .orderBy(col("weather_id"))
 
   /** Station dimension (reference spark_elt_emr.py:166-185): DISTINCT
     * over all 14 projected columns (dedups repeated GBFS snapshots),
-    * `lon` → `longtitude` [sic] kept for output-schema parity. */
+    * `lon` → `longtitude` [sic] kept for output-schema parity.
+    * `rental_methods` arrives as the crawl's stringified Python list
+    * (reference crawl_to_local.py:36-38 pandas-dumps the GBFS JSON:
+    * `"['KEY', 'CREDITCARD']"`) — parsed to a real ArrayType by
+    * swapping the quote style and `from_json`, per the dictionary's
+    * `list` type (README.md:117). */
   def buildStationDim(stations: DataFrame): DataFrame =
     stations.select(
       col("station_id"),
@@ -145,8 +160,11 @@ object StarSchema {
       col("has_kiosk"),
       col("electric_bike_surcharge_waiver"),
       col("eightd_has_key_dispenser"),
-      col("rental_methods"))
+      from_json(translate(col("rental_methods"), "'", "\""),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)).as("rental_methods"))
       .distinct()
+      .transform(Schemas.conform(Schemas.dimStation))
       .orderBy(col("station_id"))
 
   /** All seven output tables from staged inputs. */

@@ -83,6 +83,31 @@ object EventStreams {
       }
   }
 
+  /** Run a streaming query into a partitioned parquet FILE sink with
+    * a checkpoint — the production shape of the reference's
+    * append-mode monthly loads (spark_elt_emr.py:82-83), done with
+    * recovery semantics the reference lacked: the checkpoint's
+    * source log remembers which input files each batch consumed and
+    * the sink's manifest records committed output, so re-running
+    * after a stop (or crash) processes ONLY new files and never
+    * duplicates rows — where the reference's blind re-append
+    * duplicated the whole month. `Trigger.AvailableNow` drains
+    * everything currently available and stops, the
+    * scheduled-incremental cadence (Airflow monthly in the
+    * reference) expressed as a restartable stream. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val writer = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+             else writer).start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query to completion against a static directory
     * (memory sink) and return the result table — the batch-driven
     * harness for tests and local verification. */

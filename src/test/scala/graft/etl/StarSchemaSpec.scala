@@ -74,10 +74,48 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(ud.filter(col("user_agg_id").isNull).count() == 1)
   }
 
-  test("bike dim: sorted distinct bike ids") {
+  test("bike dim: sorted distinct bike ids, typed int per the dictionary") {
     val bikes = StarSchema.buildBikeDim(staging.events)
-      .collect().map(_.getString(0))
-    assert(bikes.toSeq == Seq("30001", "30002", "30003", "40001", "40002"))
+      .collect().map(_.getInt(0))
+    assert(bikes.toSeq == Seq(30001, 30002, 30003, 40001, 40002))
+  }
+
+  test("F13: every output table conforms to the README data dictionary") {
+    val built = StarSchema.buildAll(staging)
+    for ((table, schema) <- Schemas.byTable) {
+      // compare (name, type) — nullability is plan-derived (e.g. the
+      // coalesced wind_gust is provably non-null), not contract
+      val got = built(table).schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      assert(got == want,
+        s"$table schema drifted:\n  got      $got\n  expected $want")
+    }
+  }
+
+  test("F13: typed values survive the casts (no silent null-out)") {
+    val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
+    // every fixture trip has a parseable duration and station ids
+    assert(fact.filter(col("duration").isNull).count() == 0)
+    assert(fact.filter(col("start_station_id").isNull).count() == 0)
+    val cd = StarSchema.buildCovidDim(staging.covids)
+    assert(cd.filter(col("bx_case_count").isNull).count() == 0)
+    val wd = StarSchema.buildWeatherDim(staging.weathers)
+    assert(wd.filter(col("temperature").isNull).count() == 0)
+    assert(wd.filter(col("pressure").isNull).count() == 0)
+    val ud = StarSchema.buildUserAggDim(staging.events)
+    // gender parses everywhere; birth_year is NULL exactly where the
+    // raw value was the empty string (the null-propagation fixture row)
+    assert(ud.filter(col("gender").isNull).count() == 0)
+    assert(ud.filter(col("birth_year").isNull).count() == 1)
+  }
+
+  test("rental_methods is a real array column with the GBFS values") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val sd = StarSchema.buildStationDim(staging.stations)
+    assert(sd.schema("rental_methods").dataType == ArrayType(StringType))
+    val methods = sd.filter(col("station_id") === 72)
+      .select(col("rental_methods")).head().getSeq[String](0)
+    assert(methods == Seq("KEY", "CREDITCARD"))
   }
 
   test("station dim: distinct collapses the duplicated GBFS row") {

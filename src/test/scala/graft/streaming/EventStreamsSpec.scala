@@ -34,6 +34,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("file sink + checkpoint: restart consumes only new files, no dupes; watermark drops late rows") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_sink_src").toString
+    val outDir = Files.createTempDirectory("graft_sink_out").toString
+    val ckDir = Files.createTempDirectory("graft_sink_ck").toString
+    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+    def run(): Unit = {
+      val stream = EventStreams.fromParquetDir(spark, s"$srcDir/*")
+      EventStreams.runToParquet(
+        EventStreams.hourlyTypeCounts(stream), outDir, ckDir,
+        partitionCols = Seq("event_type"))
+    }
+    // batch 1: hours 0 (two rows), 1, 2, plus a 03:30 tail that moves
+    // the 30-min watermark to 03:00 — closing windows 0, 1, 2
+    writeBatch("b1", Seq(
+      (1L, ns(0, 10), 1L, "a", 1.0, "{}"),
+      (2L, ns(0, 40), 2L, "a", 2.0, "{}"),
+      (3L, ns(1, 20), 1L, "a", 10.0, "{}"),
+      (4L, ns(2, 15), 3L, "a", 5.0, "{}"),
+      (5L, ns(3, 30), 1L, "a", 7.0, "{}")))
+    run()
+    val afterFirst = spark.read.parquet(outDir)
+    assert(afterFirst.count() == 3) // hours 0,1,2 closed; [3,4) still open
+    // batch 2: one on-time row (05:40, type b) advancing the watermark
+    // past 04:00, and one LATE row in hour 0 (00:50 < watermark 03:00)
+    // that a blind re-aggregation would count
+    writeBatch("b2", Seq(
+      (6L, ns(5, 40), 2L, "b", 3.0, "{}"),
+      (7L, ns(0, 50), 9L, "a", 99.0, "{}")))
+    run() // same checkpoint: resumes, consuming only b2
+    val out = spark.read.parquet(outDir)
+    // no duplicated windows across the restart
+    assert(out.groupBy("hour_start", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+    // hour 0 unchanged: the late row was dropped by the watermark
+    val h0 = out.filter(hour(col("hour_start")) === 0).head()
+    assert(h0.getAs[Long]("n_events") == 2 && h0.getAs[Double]("total_value") == 3.0)
+    // the formerly-open hour-3 window closed and landed exactly once
+    assert(out.filter(hour(col("hour_start")) === 3).count() == 1)
+  }
+
   test("stateful per-user activity aggregates every event once") {
     val stream = EventStreams.fromParquetDir(spark, eventsDir)
     val got = EventStreams.runToMemory(spark,
