@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{HyperplaneSignature, MinHashNgrams, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarityExpr, HyperplaneSignature, MinHashNgrams, MinHashSignature, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -80,6 +80,12 @@ object GraftFunctions {
         case Seq(vec, bits, seed) =>
           HyperplaneSignature(vec, intArg(bits, "numBits"), longArg(seed, "seed"))
         case _ => throw new IllegalArgumentException("hyperplane_sig(vec[, numBits[, seed]])")
+      }),
+    ("cosine_similarity",
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => CosineSimilarityExpr(a, b)
+        case _ => throw new IllegalArgumentException("cosine_similarity(vecA, vecB)")
       }))
 
   /** Register on an already-built session (temp functions). */

@@ -282,6 +282,62 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Duplicate-cluster formation: connected components over a
+    * candidate-pair edge list, the step that turns pairwise near-dup
+    * findings into keep-one-per-group decisions (pairs alone can't —
+    * A≈B and B≈C must collapse to ONE cluster {A,B,C} even when A
+    * and C never formed a pair).
+    *
+    * Algorithm: iterative min-label propagation — every node starts
+    * labeled with its own id; each round every node takes the min of
+    * its own and its neighbors' labels; converges to min-id-per-
+    * component in O(component diameter) rounds. This is the standard
+    * large-scale CC shape (one shuffle join + aggregate per round, no
+    * driver-side graph): near-dup components are shallow (dup groups,
+    * not social graphs), so a handful of rounds settles even at
+    * corpus scale. The driver-side loop only checks a convergence
+    * COUNT per round — no data is collected.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`,
+    * cluster_id = the smallest id in the component. */
+  def duplicateClusters(pairs: DataFrame, idACol: String, idBCol: String,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: each round's plan references the
+    // previous round's — cached-but-unchecked lineage GROWS
+    // exponentially across iterations until plan construction itself
+    // OOMs. An eager local checkpoint truncates the lineage, so every
+    // round plans against a constant-size scan. (On a cluster with a
+    // fault-tolerance requirement, a reliable `checkpoint()` to the
+    // checkpoint dir is the same call.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("cand")), "dst")
+        .select(col("src").as("id"), col("cand"))
+      val next = neighborLabels
+        .union(labels.select(col("id"), col("cluster_id").as("cand")))
+        .groupBy(col("id"))
+        .agg(min(col("cand")).as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .filter(col("cluster_id") < col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
     * the candidate set, exact cosine verifies. Multi-probe via
     * `bands` signature splits keeps recall high. */

@@ -26,6 +26,26 @@ object TextAnalysis {
         "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9])|(?<=[^a-z0-9])"),
       t => length(trim(t)) > 0))
 
+  /** Corpus vocabulary: the k most frequent tokens with counts — the
+    * frequency table a tokenizer build (BPE seed vocab, stopword
+    * discovery) starts from.
+    *
+    * Scale shape: explode → two-phase hash aggregate (map-side
+    * partial collapses each partition to its distinct tokens before
+    * the shuffle, so the exchange carries |vocab| rows per partition,
+    * not |tokens|) → TakeOrdered for the top-k (never a global
+    * sort). Token frequency is Zipfian — extremely skewed — but
+    * skewed COUNTS are exactly what partial aggregation neutralizes:
+    * the hot token arrives at the reducer as ≤1 row per map
+    * partition. */
+  def topTokens(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Word n-grams (default trigrams) as space-joined strings — the
     * shingle set for Jaccard/MinHash dedup. */
   def wordNgrams(text: Column, n: Int = 3): Column = {

@@ -315,9 +315,11 @@ object Extensions extends QueryModule {
       Tables.embeddings(s, dir), "vec_id", "embedding",
       // the synthetic embeddings are well-spread (max pairwise cosine
       // ≈ 0.5) — 0.4 exercises the operator with non-trivial output;
-      // 32 bits / 8 bands keeps buckets bounded (4-bit chunks) while
-      // pushing recall ≈ 1 in the true near-dup range (cos ≥ 0.9)
-      threshold = 0.4, numBits = 32, bands = 8)
+      // 48 bits / 8 bands (6-bit chunks) keeps buckets sparse — a
+      // random pair collides in a band w.p. 2⁻⁶, so candidates stay
+      // ~0.1× all-pairs — while recall ≈ 0.98 in the true near-dup
+      // range (cos ≥ 0.9)
+      threshold = 0.4, numBits = 48, bands = 8)
       .orderBy(col("id_a"), col("id_b")),
     None)
 
@@ -371,13 +373,106 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Corpus vocabulary top-k — the tokenizer-seed frequency table;
+    * two-phase agg + TakeOrdered, fully SQL-replayable. */
+  private val x25VocabTopK = GraftQuery(
+    "x25_vocab_topk",
+    (s, dir) => TextAnalysis.topTokens(Tables.documents(s, dir), "text", k = 100),
+    Some("""SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents)
+      WHERE length(token) > 0
+      GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""))
+
+  /** Exact interpolated length quantiles per source — corpus shape
+    * stats (Spark `percentile` and DuckDB `quantile_cont` share the
+    * linear-interpolation definition). */
+  private val x26LengthQuantiles = GraftQuery(
+    "x26_length_quantiles",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"))
+      .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS n_docs,
+        round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Sessionization over the events table (30-min inactivity gap) —
+    * native session_window vs a lag/cumulative-sum SQL replay. */
+  private val x27Sessions = GraftQuery(
+    "x27_sessions",
+    (s, dir) => graft.ops.Sessionize.sessionStats(
+      Tables.events(s, dir), "user_id", "ts", "value")
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      marked AS (
+        SELECT user_id, t, value,
+          CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      sess AS (
+        SELECT user_id, t, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, min(t) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS session_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  /** Duplicate-cluster formation: connected components (min-label
+    * propagation) over x7's exact near-dup pairs, oracled by a
+    * DuckDB recursive-CTE reachability replay — A≈B, B≈C collapse to
+    * one cluster even though (A, C) never paired. */
+  private val x28DupClusters = GraftQuery(
+    "x28_dup_clusters",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(graft.functions.VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
+        .filter(col("cosine") >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst)
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
     x10NgramJaccard, x11Centroids, x12AnnLsh, x13MediaFeatures,
     x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf,
     x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
-    x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh)
+    x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
+    x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,

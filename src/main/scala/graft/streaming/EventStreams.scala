@@ -54,6 +54,20 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen,
+    * with state bounded by the watermark — the streaming form of
+    * [[graft.ops.Dedup.exact]] for a continuously-ingesting corpus
+    * (re-crawled pages, replayed files). Key by a content digest
+    * (`md5(text)`) for content dedup or by the event id for replay
+    * protection; state per key is evicted once the watermark passes
+    * it, so the store holds one entry per distinct key per watermark
+    * horizon — bounded no matter how long the stream runs. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserActivity(
       user_id: Long, n_events: Long, total_value: Double, last_seen_epoch: Long)
 

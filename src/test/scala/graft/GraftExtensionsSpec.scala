@@ -43,6 +43,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(n >= 0L && n < 256L) // 8-bit signature
   }
 
+  test("cosine_similarity SQL function: exact values, mixed element types") {
+    GraftFunctions.register(spark)
+    val one = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                                  array(1.0D, 0.0D)) AS c""").head().getDouble(0)
+    assert(one == 1.0)
+    val orth = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 2.0D)) AS c""")
+      .head().getDouble(0)
+    assert(orth == 0.0)
+    // mismatched lengths -> null (zip_with-null-padding parity)
+    assert(spark.sql(
+      """SELECT cosine_similarity(array(1.0D), array(1.0D, 0.0D)) AS c""")
+      .head().isNullAt(0))
+  }
+
   test("bad arguments produce loud errors") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

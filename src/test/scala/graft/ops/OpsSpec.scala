@@ -278,6 +278,49 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("top tokens: frequency-ranked vocabulary with tie-break") {
+    val t = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTokens(t, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 2L)))
+    // ties break alphabetically: c and d both once -> c first
+    val t2 = Seq((1L, "d c")).toDF("doc_id", "text")
+    assert(TextAnalysis.topTokens(t2, "text", k = 1)
+      .as[(String, Long)].collect().toSeq == Seq(("c", 1L)))
+  }
+
+  test("duplicate clusters: transitive pairs collapse, components stay separate") {
+    // chain 1-2, 2-3 plus the separate pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises multiple propagation rounds
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L) && labels.size == 9)
+  }
+
+  test("sessionization: gap splits sessions, boundary event extends the session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val ts = (m: Int) => new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),
+      (1L, ts(40), 4.0),                    // exactly 30 min after ts(10): EXTENDS the session
+      (1L, ts(71), 8.0),                    // 11:11, 31 min after 10:40 -> new session
+      (2L, ts(5), 9.0))                     // other user: own session
+      .toDF("user_id", "ts", "value")
+    val got = Sessionize.sessionStats(ev, "user_id", "ts", "value")
+      .orderBy(col("user_id"), col("session_start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, ts(0), 3L, 7.0),
+      (1L, ts(71), 1L, 8.0),
+      (2L, ts(5), 1L, 9.0)))
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(

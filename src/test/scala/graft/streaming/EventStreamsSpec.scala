@@ -79,6 +79,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.filter(hour(col("hour_start")) === 3).count() == 1)
   }
 
+  test("streaming dedup within watermark keeps one row per key") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_dedup_src").toString
+    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
+    // event 1 appears three times (replayed file / re-crawl shape),
+    // event 2 once; all within one watermark horizon
+    Seq(
+      (1L, ns(0, 10), 1L, "a", 1.0, "{}"),
+      (1L, ns(0, 12), 1L, "a", 1.0, "{}"),
+      (1L, ns(0, 20), 1L, "a", 1.0, "{}"),
+      (2L, ns(0, 15), 2L, "a", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    val stream = EventStreams.fromParquetDir(spark, s"$srcDir/*")
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.dedupWithinWatermark(stream, Seq("event_id")),
+      "dedup_stream")
+    assert(got.count() == 2)
+    assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("stateful per-user activity aggregates every event once") {
     val stream = EventStreams.fromParquetDir(spark, eventsDir)
     val got = EventStreams.runToMemory(spark,
