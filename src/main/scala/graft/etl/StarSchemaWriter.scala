@@ -22,8 +22,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object StarSchemaWriter {
 
   def writeAll(spark: SparkSession, staging: Staging, outputDir: String,
-      idempotent: Boolean = false): Unit = {
+      idempotent: Boolean = false, maintainDims: Boolean = false): Unit = {
     val tables = StarSchema.buildAll(staging)
+      .map { case (name, df) =>
+        name -> (if (maintainDims) mergedWithExisting(spark, name, df, s"$outputDir/$name.parquet") else df)
+      }
     val overwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
     val previousMode = spark.conf.getOption(overwriteModeKey)
     val incrementalMode =
@@ -61,9 +64,37 @@ object StarSchemaWriter {
     }
   }
 
+  /** Dim maintenance (beyond-parity fix): the reference cleans
+    * staging between monthly runs, so each run's overwrite-mode dims
+    * (bike/covid/weather/station/user-agg) silently drop every
+    * previous month's members while old fact rows still reference
+    * them — the cross-month referential break
+    * `DataQuality.referentialCheck` exposes. With `maintainDims`,
+    * this run's dims merge with the rows already on disk — union +
+    * DISTINCT, so a dim member once seen is never dropped and
+    * re-staging a month is idempotent (DISTINCT collapses replays).
+    * The fact and time tables are partition-incremental already and
+    * pass through untouched. */
+  private def mergedWithExisting(spark: SparkSession, name: String,
+      df: DataFrame, path: String): DataFrame = {
+    val accumulating = Set("dim_bike_table", "dim_covid_table",
+      "dim_weather_table", "dim_station", "dim_user_agg_table")
+    if (!accumulating.contains(name)) df
+    else if (!new java.io.File(path).exists()) df
+    else {
+      // align column order, then set-union; localCheckpoint cuts the
+      // self-referential lineage (the plan reads the same path it is
+      // about to overwrite — without materializing first, the write
+      // would truncate its own input)
+      val existing = spark.read.parquet(path).select(df.columns.map(
+        c => org.apache.spark.sql.functions.col(c)): _*)
+      df.unionByName(existing).distinct().localCheckpoint(true)
+    }
+  }
+
   /** Full reference pipeline: stage → build → write (the
     * `process_data` equivalent, spark_elt_emr.py:19-185). */
   def runElt(spark: SparkSession, inputDir: String, outputDir: String,
-      idempotent: Boolean = false): Unit =
-    writeAll(spark, Ingest.stageAll(spark, inputDir), outputDir, idempotent)
+      idempotent: Boolean = false, maintainDims: Boolean = false): Unit =
+    writeAll(spark, Ingest.stageAll(spark, inputDir), outputDir, idempotent, maintainDims)
 }

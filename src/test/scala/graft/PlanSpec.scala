@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("row_number"), plan.take(2000))
   }
 
+  test("x25 vocab: top-k plans as TakeOrdered over a two-phase aggregate") {
+    val plan = executedPlan("x25_vocab_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("x23 batch top-k: bounded query side is broadcast, corpus never shuffles for the join") {
+    val plan = executedPlan("x23_batch_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
   test("bucketed join is shuffle-free") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

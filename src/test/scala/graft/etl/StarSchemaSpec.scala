@@ -218,5 +218,20 @@ class StarSchemaSpec extends AnyFunSuite {
     // within a single month the integrity holds
     DataQuality.referentialCheck(
       fact2.filter(col("month") === 2), "bike_id", bikes, "bike_id", "feb->bike")
+
+    // --- dim maintenance mode: the beyond-parity fix ---
+    val out2 = Files.createTempDirectory("graft_elt_maint").toString
+    StarSchemaWriter.runElt(spark, fixtures, out2, idempotent = true, maintainDims = true)
+    StarSchemaWriter.runElt(spark, febIn, out2, idempotent = true, maintainDims = true)
+    val mFact = spark.read.parquet(s"$out2/bikeshare_fact_table.parquet")
+    val mBikes = spark.read.parquet(s"$out2/dim_bike_table.parquet")
+    // January's bikes survive the February run: referential integrity
+    // holds across months
+    assert(mBikes.count() == 5) // Jan's 30001-30003,40001,40002 ∪ Feb's 30001,30002
+    DataQuality.referentialCheck(mFact, "bike_id", mBikes, "bike_id", "maint fact->bike")
+    // re-running February is still idempotent (DISTINCT collapses it)
+    StarSchemaWriter.runElt(spark, febIn, out2, idempotent = true, maintainDims = true)
+    assert(spark.read.parquet(s"$out2/dim_bike_table.parquet").count() == 5)
+    assert(spark.read.parquet(s"$out2/bikeshare_fact_table.parquet").count() == 10)
   }
 }
