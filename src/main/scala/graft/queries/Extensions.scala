@@ -430,9 +430,12 @@ object Extensions extends QueryModule {
     * propagation) over x7's exact near-dup pairs, oracled by a
     * DuckDB recursive-CTE reachability replay — A≈B, B≈C collapse to
     * one cluster even though (A, C) never paired. */
-  private val x28DupClusters = GraftQuery(
-    "x28_dup_clusters",
-    (s, dir) => {
+  /** Clusters over x7's exact pair set, memoized per (session, dir):
+    * the iterative propagation runs once, x28 and x29 both read it. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+  private def dupClustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    clusterMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
@@ -442,8 +445,12 @@ object Extensions extends QueryModule {
           round(graft.functions.VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
         .filter(col("cosine") >= 0.3)
         .select(col("id_a"), col("id_b"))
-      Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy(col("id"))
-    },
+      Dedup.duplicateClusters(pairs, "id_a", "id_b")
+    })
+
+  private val x28DupClusters = GraftQuery(
+    "x28_dup_clusters",
+    (s, dir) => dupClustersFor(s, dir).orderBy(col("id")),
     Some("""WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -465,6 +472,46 @@ object Extensions extends QueryModule {
         SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst)
       SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id"""))
 
+  /** Semantic dedup end-to-end: near-dup pairs → connected
+    * components → keep the cluster minimum → the deduplicated
+    * corpus, all oracle-checked (the anti-join drops exactly the
+    * non-canonical cluster members the recursive-CTE replay drops). */
+  private val x29SemanticDedup = GraftQuery(
+    "x29_semantic_dedup",
+    (s, dir) => {
+      val drops = dupClustersFor(s, dir)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("vec_id"))
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .join(drops, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id < 200
+        AND vec_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+      ORDER BY vec_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -472,7 +519,8 @@ object Extensions extends QueryModule {
     x14AsofJoin, x15ApproxDistinct, x16StreamingHourly, x17AnnIvf,
     x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
-    x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters)
+    x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
+    x29SemanticDedup)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,
