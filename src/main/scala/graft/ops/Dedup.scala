@@ -263,11 +263,14 @@ object Dedup {
   def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 8, window: Int = 4,
       maxDocFreq: Int = 20): DataFrame = {
+    // per-doc dedup happens INSIDE the row (array_distinct before the
+    // explode) — a (id, fp) `.distinct()` after exploding would be a
+    // full shuffle for what is a purely row-local property
     val allFps = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        explode(Sketches.winnowingFingerprint(col(textCol), k, window)).as("fp"))
-      .distinct()
+        explode(array_distinct(
+          Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
     val rare = allFps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
@@ -313,8 +316,11 @@ object Dedup {
     // round plans against a constant-size scan. (On a cluster with a
     // fault-tolerance requirement, a reliable `checkpoint()` to the
     // checkpoint dir is the same call.)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // seed with min(self, neighbors) — the first propagation round
+    // folded into the initialization aggregate (one round saved)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
