@@ -30,7 +30,8 @@ object EltMain {
     spark.sparkContext.setLogLevel("WARN")
     StarSchemaWriter.runElt(spark, inputDir, outputDir, idempotent)
     DataQuality.validate(spark, outputDir, DataQuality.extendedSuite)
-    println(s"[graft-elt] star schema written to $outputDir; quality checks passed")
+    DataQuality.schemaSuite(spark, outputDir)
+    println(s"[graft-elt] star schema written to $outputDir; quality + schema checks passed")
     spark.stop()
   }
 }

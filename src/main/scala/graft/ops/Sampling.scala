@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling for training-data curation: down-weighting
+  * over-represented sources and carving held-out splits are the last
+  * step of every data pipeline before tokenization.
+  *
+  * Both operators are map-only (a per-row coin flip / hash compare —
+  * no shuffle, no collect), so they scale with the scan.
+  */
+object Sampling {
+
+  /** Deterministic stratified sample: per-stratum keep-fractions via
+    * `sampleBy` (seeded per-row Bernoulli). Strata absent from the
+    * map are dropped — the "down-sample the over-crawled domain"
+    * shape. */
+  def stratified(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic train/holdout split keyed on a CONTENT id hash —
+    * stable across runs, re-partitioning, and re-ingestion, which
+    * `randomSplit` is not (it samples by partition-local position, so
+    * the same document can switch sides when file layout changes —
+    * train/test contamination at corpus scale). Returns
+    * (train, holdout); `holdoutPct` of the id space lands in the
+    * holdout. */
+  def hashSplit(df: DataFrame, idCol: String, holdoutPct: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(holdoutPct >= 0 && holdoutPct <= 100, "holdoutPct in [0, 100]")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100))
+    (df.filter(bucket >= holdoutPct), df.filter(bucket < holdoutPct))
+  }
+}

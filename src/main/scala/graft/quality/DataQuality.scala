@@ -98,6 +98,34 @@ object DataQuality {
           s"have no matching ${dimKey} row")
   }
 
+  /** Schema-contract gate: throws if a table's (name, type) columns
+    * drift from the declared contract ([[graft.etl.Schemas]] for the
+    * star schema). Purely metadata — no job runs — so it belongs at
+    * the head of every pipeline that consumes the table: a silently
+    * widened or re-stringified column is the class of break the
+    * reference's untyped outputs made routine. */
+  def schemaCheck(df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType, name: String): Unit = {
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = expected.fields.map(f => (f.name, f.dataType)).toSeq
+    if (got != want)
+      throw QualityViolation(
+        s"schema check '$name' failed:\n  got      $got\n  expected $want")
+  }
+
+  /** Schema-contract gate over every written star-schema table. */
+  def schemaSuite(spark: SparkSession, outputDir: String): Unit =
+    graft.etl.Schemas.byTable.foreach { case (table, schema) =>
+      // partition columns come back at the end of a hive-partitioned
+      // read — compare as name->type maps for those tables
+      val df = spark.read.parquet(s"$outputDir/$table.parquet")
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val want = schema.fields.map(f => f.name -> f.dataType).toMap
+      if (got != want)
+        throw QualityViolation(
+          s"schema check '$table' failed:\n  got      $got\n  expected $want")
+    }
+
   /** Run one check against an in-memory DataFrame (engine-level use,
     * no parquet round-trip). */
   def runCheck(c: QualityCheck, df: DataFrame): Unit = {

@@ -512,6 +512,25 @@ object Extensions extends QueryModule {
         AND vec_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
       ORDER BY vec_id"""))
 
+  /** Stratified corpus sampling (down-weight one language, keep the
+    * other) + the hash-keyed train/holdout split. Sampling is
+    * engine-seeded Bernoulli and the split uses Spark's xxhash64 —
+    * neither replayable in ANSI SQL → rows-only; the per-stratum
+    * fraction tolerances and split stability are spec-asserted. */
+  private val x30StratifiedSample = GraftQuery(
+    "x30_stratified_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sampled = graft.ops.Sampling.stratified(
+        docs, "lang", Map("en" -> 0.5, "de" -> 0.1))
+      val (train, holdout) = graft.ops.Sampling.hashSplit(sampled, "doc_id", 10)
+      sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_train")), Seq("lang"), "left")
+        .join(holdout.groupBy(col("lang")).agg(count(lit(1)).as("n_holdout")), Seq("lang"), "left")
+        .orderBy(col("lang"))
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -520,7 +539,7 @@ object Extensions extends QueryModule {
     x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
-    x29SemanticDedup)
+    x29SemanticDedup, x30StratifiedSample)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,

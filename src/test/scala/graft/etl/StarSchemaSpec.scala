@@ -142,6 +142,7 @@ class StarSchemaSpec extends AnyFunSuite {
     StarSchemaWriter.runElt(spark, fixtures, out)
     DataQuality.validate(spark, out, DataQuality.referenceSuite)
     DataQuality.validate(spark, out, DataQuality.extendedSuite)
+    DataQuality.schemaSuite(spark, out) // written tables honor the dictionary too
     val fact = spark.read.parquet(s"$out/bikeshare_fact_table.parquet")
     assert(fact.count() == 8)
     // hive partitioning materialized

@@ -321,6 +321,36 @@ class OpsSpec extends AnyFunSuite {
       (2L, ts(5), 1L, 9.0)))
   }
 
+  test("stratified sample: per-stratum fractions within tolerance, deterministic") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val byLang = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratified(docs, "lang", Map("en" -> 0.5, "de" -> 0.1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sampled.keySet.subsetOf(Set("en", "de"))) // unlisted strata dropped
+    for ((lang, frac) <- Seq("en" -> 0.5, "de" -> 0.1); total <- byLang.get(lang)) {
+      val got = sampled.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(got - frac) < 0.15, s"$lang kept $got of expected $frac")
+    }
+    // seeded -> identical on re-run
+    val again = Sampling.stratified(docs, "lang", Map("en" -> 0.5, "de" -> 0.1))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == sampled)
+  }
+
+  test("hash split: disjoint, complete, and stable under repartitioning") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val (train, holdout) = Sampling.hashSplit(docs, "doc_id", 10)
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    val holdIds = holdout.select("doc_id").as[Long].collect().toSet
+    assert((trainIds intersect holdIds).isEmpty)
+    assert(trainIds.size + holdIds.size == docs.count())
+    assert(holdIds.nonEmpty && trainIds.size > holdIds.size)
+    // the property randomSplit lacks: membership survives a relayout
+    val (_, holdoutRepart) = Sampling.hashSplit(docs.repartition(7), "doc_id", 10)
+    assert(holdoutRepart.select("doc_id").as[Long].collect().toSet == holdIds)
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
