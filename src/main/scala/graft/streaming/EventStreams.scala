@@ -54,6 +54,28 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream join: every event enriched with the same user's
+    * purchases from the trailing hour — the two-sided stateful join
+    * class (distinct from stream-static enrichment): BOTH sides
+    * buffer state, and the watermark + time-range condition together
+    * bound it (rows older than watermark + range are evicted), so
+    * state stays proportional to the active window no matter how
+    * long the stream runs. */
+  def eventsWithRecentPurchases(events: DataFrame,
+      range: String = "1 hour", watermark: String = "30 minutes"): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    events
+      .withWatermark("ts", watermark)
+      .join(purchases, expr(
+        s"user_id = p_user AND p_ts <= ts AND p_ts >= ts - interval $range"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts"), col("p_value"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen,
     * with state bounded by the watermark — the streaming form of
     * [[graft.ops.Dedup.exact]] for a continuously-ingesting corpus

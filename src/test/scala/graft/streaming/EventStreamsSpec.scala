@@ -79,6 +79,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.filter(hour(col("hour_start")) === 3).count() == 1)
   }
 
+  test("stream-stream join matches the batch time-range join") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.eventsWithRecentPurchases(stream), "ss_join")
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val batch = ev.join(p, expr(
+      "user_id = p_user AND p_ts <= ts AND p_ts >= ts - interval 1 hour"))
+    // append mode emits a pair once both watermarks pass it; every
+    // emitted pair must exist in the batch join, and the overlap must
+    // be substantial (only tail-of-stream pairs may be withheld)
+    assert(got.count() > 0)
+    val bothKeys = Seq("event_id", "p_ts")
+    assert(got.select(bothKeys.map(col): _*)
+      .join(batch.select(col("event_id"), col("p_ts")), bothKeys, "left_anti")
+      .count() == 0, "streamed pair missing from the batch join")
+    assert(got.count() >= batch.count() / 2)
+  }
+
   test("streaming dedup within watermark keeps one row per key") {
     import java.nio.file.Files
     import spark.implicits._
