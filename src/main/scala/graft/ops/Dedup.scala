@@ -325,19 +325,23 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // the self row carries its previous label in `own` (neighbors
+      // carry null), so ONE aggregation yields both the new label
+      // (min over all candidates) and the previous one (min over the
+      // single non-null own) — the convergence check then needs no
+      // join back against the previous round
       val neighborLabels = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("cand")), "dst")
-        .select(col("src").as("id"), col("cand"))
+        .select(col("src").as("id"), col("cand"),
+          lit(null).cast(edges.schema("src").dataType).as("own"))
       val next = neighborLabels
-        .union(labels.select(col("id"), col("cluster_id").as("cand")))
+        .union(labels.select(col("id"), col("cluster_id").as("cand"),
+          col("cluster_id").as("own")))
         .groupBy(col("id"))
-        .agg(min(col("cand")).as("cluster_id"))
+        .agg(min(col("cand")).as("cluster_id"), min(col("own")).as("prev"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("cluster_id") < col("prev")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
     edges.unpersist()
