@@ -40,7 +40,7 @@ object Bench {
     // bare row count).
     def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       val cols = df.columns.map(c => col(s"`$c`"))
-      try df.select(xxhash64(cols: _*).as("__h"))
+      try df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
         .agg(count(lit(1)), sum(col("__h"))).collect()
       catch { case _: Throwable => df.count() } // un-hashable type fallback
     }

@@ -17,11 +17,11 @@ object Ingest {
   /** P1: blanks → underscores in header names
     * (reference spark_elt_emr.py:33-34). */
   def normalizeSpaces(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(" ", "_")): _*)
+    df.toDF(df.columns.map(_.replace(" ", "_")).toIndexedSeq: _*)
 
   /** P2: lowercase header names (reference spark_elt_emr.py:56-57). */
   def normalizeLower(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
 
   /** S1: trip-history events — gzipped CSV glob, header, all-string. */
   def readEvents(spark: SparkSession, inputDir: String): DataFrame =

@@ -117,5 +117,5 @@ object Schemas {
     * can't express (string → array) must be parsed by the build
     * BEFORE conforming. */
   def conform(schema: StructType)(df: DataFrame): DataFrame =
-    df.select(schema.fields.map(f => col(f.name).try_cast(f.dataType).as(f.name)): _*)
+    df.select(schema.fields.toIndexedSeq.map(f => col(f.name).try_cast(f.dataType).as(f.name)): _*)
 }

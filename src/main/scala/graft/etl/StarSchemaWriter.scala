@@ -87,7 +87,7 @@ object StarSchemaWriter {
       // about to overwrite — without materializing first, the write
       // would truncate its own input)
       val existing = spark.read.parquet(path).select(df.columns.map(
-        c => org.apache.spark.sql.functions.col(c)): _*)
+        c => org.apache.spark.sql.functions.col(c)).toIndexedSeq: _*)
       df.unionByName(existing).distinct().localCheckpoint(true)
     }
   }

@@ -43,7 +43,7 @@ object Skew {
     // but is partition-layout-dependent; xxhash of columns is stable
     // across re-runs and retries)
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
     val saltValues = (0 until saltFactor).toArray
     val smallReplicated = small
       .withColumn("__salt", explode(lit(saltValues)))
