@@ -46,6 +46,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Statistical language-model quality score: per-document mean
+    * log-probability under the corpus's own character-bigram model
+    * (add-one smoothed) — the data-driven complement to the
+    * heuristic [[qualityScore]]: gibberish and wrong-charset docs
+    * score far below the corpus norm without any hand-tuned rule.
+    *
+    * Two passes, both scale-shaped: (1) bigram counts = explode +
+    * two-phase hash aggregate (vocabulary is ≤ charset², tiny, and
+    * Zipf-hot bigrams collapse map-side); the model's two scalars
+    * (total count, vocab size) broadcast with the counts table;
+    * (2) scoring = explode, broadcast-join against the counts, avg
+    * per doc — the corpus never shuffles its text. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The gram build is the classic Generate trap, twice over:
+    // `explode(charShingles(text))` re-evaluates the array per output
+    // row, AND charShingles' lambda embeds the regexp_replace — which
+    // then re-runs over the whole document per element (measured 60 s
+    // for what is a 2 s job). So: normalize once, materialize at an
+    // exchange, explode the INDEX, and take each bigram with a
+    // per-row substr of the carried column — no array, no lambda.
+    // localCheckpoint because the gram table feeds three subplans
+    // (counts, model scalars, scoring join).
+    val grams = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+      .repartition(col("id"))
+      .select(col("id"), col("s"),
+        explode(sequence(lit(1), greatest(length(col("s")) - 1, lit(1)))).as("i"))
+      .select(col("id"), col("s").substr(col("i"), lit(2)).as("g"))
+      .localCheckpoint(true)
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val model = counts.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    grams
+      .join(broadcast(counts), Seq("g"))
+      .crossJoin(broadcast(model))
+      .groupBy(col("id"))
+      .agg(round(avg(
+        log((col("c") + 1).cast("double") / (col("total") + col("vocab")))), 4)
+        .as("mean_logprob"))
+  }
+
   /** Word n-grams (default trigrams) as space-joined strings — the
     * shingle set for Jaccard/MinHash dedup. */
   def wordNgrams(text: Column, n: Int = 3): Column = {

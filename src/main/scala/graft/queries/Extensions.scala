@@ -531,6 +531,29 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Corpus-LM quality: per-doc mean log-prob under the corpus's own
+    * add-one-smoothed char-bigram model — full SQL replay of the
+    * model build and the scoring. */
+  private val x31BigramLogprob = GraftQuery(
+    "x31_bigram_logprob",
+    (s, dir) => TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          unnest(CASE WHEN length(s) < 2 THEN [s]
+            ELSE list_transform(range(1, length(s)), i -> substr(s, i, 2)) END) AS g
+        FROM norm),
+      counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+      model AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts)
+      SELECT doc_id,
+        round(avg(ln(CAST(c + 1 AS DOUBLE) / (total + vocab))), 4) AS mean_logprob
+      FROM grams JOIN counts USING (g), model
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -539,7 +562,7 @@ object Extensions extends QueryModule {
     x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
-    x29SemanticDedup, x30StratifiedSample)
+    x29SemanticDedup, x30StratifiedSample, x31BigramLogprob)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,

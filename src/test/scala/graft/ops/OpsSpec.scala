@@ -351,6 +351,21 @@ class OpsSpec extends AnyFunSuite {
     assert(holdoutRepart.select("doc_id").as[Long].collect().toSet == holdIds)
   }
 
+  test("bigram log-prob: normal text outscores gibberish under the corpus model") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat near the hat"),
+      (2L, "the rat sat on the cat near the bat"),
+      (3L, "zqxj wvkp qzzx jjqw xkvz pqjx")) // charset the corpus barely uses
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(scored.size == 3)
+    assert(scored(1L) > scored(3L) && scored(2L) > scored(3L),
+      s"gibberish must score lowest: $scored")
+    // all log-probs are negative (probabilities < 1)
+    scored.values.foreach(v => assert(v < 0))
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
