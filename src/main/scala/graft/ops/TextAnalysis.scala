@@ -89,6 +89,45 @@ object TextAnalysis {
         .as("mean_logprob"))
   }
 
+  /** TF-IDF top terms per document: each doc's k most
+    * characteristic terms under tf × ln(N/df) — the IR-classic
+    * keyword extractor (and the "what is this doc about" feature a
+    * curation pipeline clusters on).
+    *
+    * Scale shape: one tokenization pass (materialized at an exchange
+    * — never explode a split expression directly, the Generate
+    * re-evaluates it per output row) feeding term frequencies, doc
+    * frequencies and the doc count; a shuffle join on `term`
+    * (document frequency is corpus-sized — NOT broadcast); rank ≤ k
+    * per doc via window (rank-limit pushdown keeps the shuffle
+    * bounded). Ranking on the unrounded double with a term
+    * tie-break; output rounds to 4. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .localCheckpoint(true) // feeds tf, df and the scoring join
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__tfidf").desc, col("term").asc)
+    tf.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("rank"),
+        round(col("__tfidf"), 4).as("tfidf"))
+  }
+
   /** Word n-grams (default trigrams) as space-joined strings — the
     * shingle set for Jaccard/MinHash dedup. */
   def wordNgrams(text: Column, n: Int = 3): Column = {

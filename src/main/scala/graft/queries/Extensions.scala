@@ -554,6 +554,35 @@ object Extensions extends QueryModule {
       FROM grams JOIN counts USING (g), model
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TF-IDF top-3 terms per document — tf, df, N and the ranking all
+    * replayed in SQL; rank on the unrounded score (term tie-break),
+    * round only the output. */
+  private val x32TfidfTerms = GraftQuery(
+    "x32_tfidf_terms",
+    (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM toks WHERE length(term) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+          tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+        FROM tf JOIN dfreq USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+          row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, term, CAST(rank AS INT) AS rank,
+             round(tfidf, 4) AS tfidf
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -562,7 +591,8 @@ object Extensions extends QueryModule {
     x18DedupKeepFirst, x19ArrayFuncs, x20CurationPipeline,
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
-    x29SemanticDedup, x30StratifiedSample, x31BigramLogprob)
+    x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
+    x32TfidfTerms)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,

@@ -366,6 +366,19 @@ class OpsSpec extends AnyFunSuite {
     scored.values.foreach(v => assert(v < 0))
   }
 
+  test("tf-idf: corpus-rare repeated term tops its document") {
+    val docs = Seq(
+      (1L, "spark spark spark runs the engine the engine"),
+      (2L, "the engine runs well and the plan is good"),
+      (3L, "a good plan runs the good engine")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "spark" appears 3x in doc 1 and nowhere else -> max tf-idf there
+    assert(top(1L) == "spark")
+    // terms in every doc (df = N) have tf-idf 0 -> never top
+    assert(top(2L) != "the" && top(3L) != "the")
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
