@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // getOrCreate would reuse the suite session (extensions ignored), so
     // verify the injection path directly against the extension hooks
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must not throw; registers 4 fns
+    new GraftExtensions().apply(ext) // must not throw; registers every descriptor
     GraftFunctions.register(spark)
     val n = spark.sql(
       "SELECT hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 8, 42) AS s")
