@@ -190,6 +190,46 @@ object Similarity {
       index.idCol, index.vecCol, query, topK)
   }
 
+  /** Batch ANN over an IVF index: EVERY query row probes its
+    * `nprobe` closest clusters and ranks the member vectors by exact
+    * cosine — the index-backed similarity join (vs [[lshBatchTopK]]'s
+    * signature-bucket route).
+    *
+    * Scale shape: probe selection is map-only (centroid literals ride
+    * in the plan); the bounded query side broadcasts into a join on
+    * `cluster`, so the corpus side is one scan of the probed
+    * assignment partitions — with assignments written partitioned by
+    * `cluster`, probe pruning happens at read time. nprobe = number
+    * of clusters degenerates to the exact [[batchTopK]]
+    * (spec-asserted), so the approximate and exact paths can't
+    * drift. */
+  def ivfBatchTopK(index: IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        round(VectorMath.cosineSimilarity(col("__qv"), lit(c)), 9).as("sim"),
+        lit(i).as("cluster"))
+    }
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__ranked", reverse(array_sort(array(scored.toIndexedSeq: _*))))
+      .withColumn("cluster", explode(slice(col("__ranked.cluster"), 1, nprobe)))
+      .select(col("query_id"), col("__qv"), col("cluster"))
+    val members = index.assignments
+      .withColumnRenamed(index.idCol, "neighbor_id")
+      .withColumnRenamed(index.vecCol, "__cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    members.join(broadcast(probes), Seq("cluster"))
+      .withColumn("__cos", VectorMath.cosineSimilarity(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
   /** Map-only nearest-centroid assignment: the k centroid literals
     * ride in the plan; argmax via greatest() over (sim, cluster)
     * structs — no join, no shuffle. */

@@ -592,7 +592,22 @@ object Extensions extends QueryModule {
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
     x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
-    x32TfidfTerms)
+    x32TfidfTerms, x33BatchTopKIvf)
+
+  /** Index-backed batch ANN: every query probes its nprobe nearest
+    * IVF clusters (index memoized; built once per session+input).
+    * Approximate by construction → rows-only; nprobe=k == exact is
+    * spec-asserted. */
+  private val x33BatchTopKIvf = GraftQuery(
+    "x33_batch_topk_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfBatchTopK(index, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
 
   /** Passage-containment candidates via winnowing fingerprints
     * (rolling-hash k-grams, MOSS min-sampling) — sketch-based,

@@ -379,6 +379,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2L) != "the" && top(3L) != "the")
   }
 
+  test("IVF batch ANN: full probe equals exact batch top-k; low probe finds self") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val full = rows(Similarity.ivfBatchTopK(index, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 8))
+    val exact = rows(Similarity.batchTopK(queries, emb,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5))
+    assert(full == exact)
+    val one = Similarity.ivfBatchTopK(index, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 1).collect()
+    val firsts = one.filter(_.getAs[Int]("rank") == 1)
+    assert(firsts.length == 5)
+    firsts.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")
+        && r.getAs[Double]("cosine") == 1.0)
+    }
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
