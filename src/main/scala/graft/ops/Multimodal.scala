@@ -94,6 +94,33 @@ object Multimodal {
     }
   }
 
+  /** Resize for image rows — the metadata contract is REAL (width
+    * scales to `targetWidth`, height keeps aspect), the pixel work is
+    * the stub (deterministic byte subsampling at the scale ratio,
+    * standing in for a real scaler). Non-image rows and already-small
+    * images pass through untouched, and the output is again
+    * `MediaRow`, so resize composes with [[extractFeatures]] /
+    * [[sampleFrames]] in one pipeline. Same mapPartitions batch shape
+    * (per-partition scaler init). */
+  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image" || r.width <= targetWidth) r
+        else {
+          val ratio = r.width.toDouble / targetWidth
+          val bytes = if (r.content == null) Array.empty[Byte] else r.content
+          val outLen = math.max(1, (bytes.length / ratio).toInt)
+          val content = Array.tabulate(outLen)(
+            i => bytes(math.min(bytes.length - 1, (i * ratio).toInt)))
+          r.copy(width = targetWidth,
+            height = math.max(1, (r.height / ratio).toInt),
+            content = content)
+        }
+      }
+    }
+  }
+
   /** Frame sampling for video rows: explodes each video into ≤ n frame
     * rows (media_id, frame_idx, frame_bytes). */
   def sampleFrames(media: Dataset[MediaRow], n: Int = 4): DataFrame = {

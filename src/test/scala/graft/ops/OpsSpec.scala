@@ -175,6 +175,24 @@ class OpsSpec extends AnyFunSuite {
     assert(summary.count() == 3)
   }
 
+  test("multimodal resize: scales image metadata, passes others through, composes") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val resized = Multimodal.resize(media, targetWidth = 32)
+    val images = resized.filter(_.kind == "image").collect()
+    assert(images.nonEmpty && images.forall(_.width == 32))
+    // non-image rows untouched (same bytes)
+    val audioBefore = media.filter(_.kind == "audio").collect().map(r => r.media_id -> r.content.toSeq).toMap
+    resized.filter(_.kind == "audio").collect().foreach { r =>
+      assert(r.content.toSeq == audioBefore(r.media_id))
+    }
+    // deterministic and composable with feature extraction
+    val f1 = Multimodal.extractFeatures(resized, dims = 8).collect().map(_.feature.toSeq).toSeq
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.resize(Multimodal.syntheticMedia(spark, 30), 32), dims = 8)
+      .collect().map(_.feature.toSeq).toSeq
+    assert(f1 == f2)
+  }
+
   test("typed VectorAvg centroids match the posexplode formulation") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     val typed = Similarity.centroidsTyped(emb, "label", "embedding")
