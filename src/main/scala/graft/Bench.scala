@@ -38,10 +38,14 @@ object Bench {
     // expensive projections the query claims to compute (.count()
     // lets the scan drop them — x2's md5-of-sorted-tokens timed as a
     // bare row count).
+    // XOR-fold, NOT sum: summing random 64-bit hashes overflows a
+    // checked long near-certainly under Spark 4's default ANSI mode,
+    // and the exception fallback would silently demote every query
+    // back to count()-timing.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       val cols = df.columns.map(c => col(s"`$c`"))
       try df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
-        .agg(count(lit(1)), sum(col("__h"))).collect()
+        .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
       catch { case _: Throwable => df.count() } // un-hashable type fallback
     }
     val results = ordered.map { case (name, fn) =>

@@ -79,8 +79,13 @@ object StarSchemaWriter {
       df: DataFrame, path: String): DataFrame = {
     val accumulating = Set("dim_bike_table", "dim_covid_table",
       "dim_weather_table", "dim_station", "dim_user_agg_table")
+    // existence probe through the Hadoop FS API — java.io.File is
+    // local-only and would silently skip the merge (dims overwritten,
+    // the exact break this flag fixes) on hdfs:// or s3a:// outputs
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!accumulating.contains(name)) df
-    else if (!new java.io.File(path).exists()) df
+    else if (!fs.exists(hPath)) df
     else {
       // align column order, then set-union; localCheckpoint cuts the
       // self-referential lineage (the plan reads the same path it is

@@ -42,8 +42,12 @@ object Dedup {
     * semi-join back is keyed on (hash, id), which is near-unique and
     * therefore skew-free no matter how hot a content is. NULL text
     * hashes to a sentinel so the null group keeps its first row too
-    * (equi-join would otherwise drop it), matching the window form's
-    * semantics exactly. */
+    * (equi-join would otherwise drop it).
+    *
+    * Contract: `idCol` must be non-null and unique (the universal
+    * shape of a corpus id). Rows with a NULL id never win the min
+    * aggregate and are dropped; duplicated (content, id) pairs would
+    * both survive the equality join. */
   def exactKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = coalesce(md5(col(textCol)), lit("__null__"))
     val keepers = df.select(h.as("__h"), col(idCol).as(idCol))
@@ -344,6 +348,14 @@ object Dedup {
       labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
+    // no silent caps: a component whose diameter exceeds maxIters
+    // would come back SPLIT (several cluster_ids for one true
+    // component) — surface it instead of returning wrong clusters
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds " +
+          s"($changed labels still improving) — raise maxIters; near-dup " +
+          "components are normally shallow, so this signals pathological input")
     edges.unpersist()
     labels
   }

@@ -106,10 +106,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        if (r.kind != "image" || r.width <= targetWidth) r
+        val bytes0 = if (r.content == null) Array.empty[Byte] else r.content
+        if (r.kind != "image" || r.width <= targetWidth || bytes0.isEmpty) r
         else {
           val ratio = r.width.toDouble / targetWidth
-          val bytes = if (r.content == null) Array.empty[Byte] else r.content
+          val bytes = bytes0
           val outLen = math.max(1, (bytes.length / ratio).toInt)
           val content = Array.tabulate(outLen)(
             i => bytes(math.min(bytes.length - 1, (i * ratio).toInt)))

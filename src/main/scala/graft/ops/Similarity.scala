@@ -89,11 +89,13 @@ object Similarity {
     new java.util.LinkedHashMap[(Int, Int, String, Int, Int, Int), IvfIndex](
       ivfMemoCapacity, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), IvfIndex]): Boolean = {
-        val evict = size() > ivfMemoCapacity
-        if (evict) try e.getValue.assignments.unpersist() catch { case _: Throwable => () }
-        evict
-      }
+          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), IvfIndex]): Boolean =
+        // deliberately NOT unpersisting on eviction: a caller may
+        // still hold the evicted IvfIndex and be probing it — an
+        // explicit unpersist would silently de-cache it mid-use.
+        // Dropping the reference lets Spark's ContextCleaner reclaim
+        // the cached blocks once the caller lets go.
+        size() > ivfMemoCapacity
     }
 
   /** Drop all memoized IVF indexes (unpersisting each). */
@@ -123,11 +125,15 @@ object Similarity {
     val key = (System.identityHashCode(df.sparkSession),
       df.queryExecution.analyzed.semanticHash(),
       s"$idCol/$vecCol", k, iters, trainSample)
-    ivfMemo.synchronized {
-      Option(ivfMemo.get(key)).getOrElse {
-        val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
-        ivfMemo.put(key, built)
-        built
+    // build OUTSIDE the lock: holding it through the sample collect +
+    // assignment job would serialize unrelated concurrent builds.
+    // Worst case two threads race the same key and one build is
+    // discarded (its cache reclaimed by the ContextCleaner) — cheaper
+    // than a global build mutex.
+    Option(ivfMemo.synchronized(ivfMemo.get(key))).getOrElse {
+      val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
+      ivfMemo.synchronized {
+        Option(ivfMemo.get(key)).getOrElse { ivfMemo.put(key, built); built }
       }
     }
   }

@@ -57,6 +57,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       """SELECT cosine_similarity(array(1.0D), array(1.0D, 0.0D)) AS c""")
       .head().isNullAt(0))
+    // wrong element type fails at ANALYSIS time, not in an executor
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.contains("array<float|double>") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
   }
 
   test("bad arguments produce loud errors") {

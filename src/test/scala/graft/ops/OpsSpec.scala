@@ -185,6 +185,12 @@ class OpsSpec extends AnyFunSuite {
     resized.filter(_.kind == "audio").collect().foreach { r =>
       assert(r.content.toSeq == audioBefore(r.media_id))
     }
+    // empty/null payloads pass through instead of crashing the task
+    val degenerate = Seq(
+      Multimodal.MediaRow(98L, "image", "png", 64, 64, 0L, Array.empty[Byte]),
+      Multimodal.MediaRow(99L, "image", "png", 64, 64, 0L, null)).toDS()
+    val out = Multimodal.resize(degenerate, 32).collect()
+    assert(out.length == 2 && out.forall(r => r.content == null || r.content.isEmpty))
     // deterministic and composable with feature extraction
     val f1 = Multimodal.extractFeatures(resized, dims = 8).collect().map(_.feature.toSeq).toSeq
     val f2 = Multimodal.extractFeatures(
