@@ -42,15 +42,26 @@ object Bench {
     // checked long near-certainly under Spark 4's default ANSI mode,
     // and the exception fallback would silently demote every query
     // back to count()-timing.
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    def materialize(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val cols = df.columns.map(c => col(s"`$c`"))
       try df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
         .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
-      catch { case _: Throwable => df.count() } // un-hashable type fallback
+      catch { // un-hashable type fallback — NEVER silent: a demoted
+        // timing reverts to count(), which column pruning flatters
+        case t: Throwable =>
+          System.err.println(
+            s"[bench] $name: hash-fold materialization failed " +
+              s"(${t.getClass.getSimpleName}: ${t.getMessage}) — timing count() instead")
+          df.count()
+      }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { materialize(name, fn(spark, sfDir)) } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name: query failed " +
+            s"(${t.getClass.getSimpleName}: ${t.getMessage})")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

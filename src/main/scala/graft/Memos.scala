@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stable session identity for memo keys.
+  *
+  * `System.identityHashCode` is NOT unique across a JVM's lifetime —
+  * a collision would hand a caller a memoized DataFrame bound to
+  * another (possibly stopped) session. The classic session exposes a
+  * real UUID; fall back to identity hash only for exotic session
+  * implementations (none exist in this engine's deployments).
+  */
+object SessionKeys {
+  // sessionUUID is private[sql] in the Scala signature but public in
+  // bytecode — same one-line bridge pattern as ColumnBridge
+  private val uuidMethod =
+    try Some(classOf[org.apache.spark.sql.classic.SparkSession].getMethod("sessionUUID"))
+    catch { case _: Throwable => None }
+
+  def of(s: SparkSession): String = s match {
+    case c: org.apache.spark.sql.classic.SparkSession if uuidMethod.isDefined =>
+      uuidMethod.get.invoke(c).asInstanceOf[String]
+    case other => "idhash-" + System.identityHashCode(other)
+  }
+}
+
+/** Tiny synchronized LRU memo with an eviction hook — the shape every
+  * per-session materialized-artifact cache in this engine uses
+  * (candidate pair tables, IVF indexes, settled streaming results).
+  * Bounded so a long-lived session can't pin artifacts forever; the
+  * eviction hook unpersists what the entry had materialized (safe:
+  * Spark recomputes from lineage for any caller still holding the
+  * evicted value).
+  */
+final class BoundedMemo[K, V](capacity: Int, onEvict: V => Unit = (_: V) => ()) {
+  private val map = new java.util.LinkedHashMap[K, V](capacity, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = {
+      val evict = size() > capacity
+      if (evict) try onEvict(e.getValue) catch { case _: Throwable => () }
+      evict
+    }
+  }
+
+  /** Build-under-lock get-or-create: fine when `build` only constructs
+    * a lazy plan. Use [[get]]/[[putIfAbsent]] when the build runs jobs
+    * (holding the lock would serialize unrelated concurrent builds). */
+  def getOrElseUpdate(key: K)(build: => V): V = synchronized {
+    Option(map.get(key)).getOrElse { val v = build; map.put(key, v); v }
+  }
+
+  def get(key: K): Option[V] = synchronized(Option(map.get(key)))
+
+  /** Keeps the first value if two builders raced; returns the winner. */
+  def putIfAbsent(key: K, value: V): V = synchronized {
+    Option(map.get(key)).getOrElse { map.put(key, value); value }
+  }
+
+  /** Drop everything, running `onEach` (then the evict hook is NOT
+    * called — callers pass the same unpersist here). */
+  def clear(onEach: V => Unit = (_: V) => ()): Unit = synchronized {
+    val it = map.values().iterator()
+    while (it.hasNext) { try onEach(it.next()) catch { case _: Throwable => () } }
+    map.clear()
+  }
+}

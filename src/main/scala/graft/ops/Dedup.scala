@@ -76,57 +76,36 @@ object Dedup {
     * mutated in-place mid-session, call [[clearCandidateCache]]; the
     * memo holds at most [[memoCapacity]] entries (oldest unpersisted
     * and dropped). */
-  private val memoCapacity = 16
   private val candidateMemo =
-    new java.util.LinkedHashMap[(Int, Int, String, Int, Int, Int), DataFrame](
-      memoCapacity, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), DataFrame]): Boolean = {
-        val evict = size() > memoCapacity
-        if (evict) try e.getValue.unpersist() catch { case _: Throwable => () }
-        evict
-      }
-    }
+    new graft.BoundedMemo[(String, Int, String, Int, Int, Int), DataFrame](
+      16, _.unpersist(blocking = false))
 
   /** Drop all memoized candidate tables (unpersisting each). */
-  def clearCandidateCache(): Unit = candidateMemo.synchronized {
-    val it = candidateMemo.values().iterator()
-    while (it.hasNext) { try it.next().unpersist() catch { case _: Throwable => () } }
-    candidateMemo.clear()
-  }
+  def clearCandidateCache(): Unit = candidateMemo.clear(_.unpersist())
 
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val key = (System.identityHashCode(df.sparkSession),
+    val key = (graft.SessionKeys.of(df.sparkSession),
       df.queryExecution.analyzed.semanticHash(),
       s"$idCol/$textCol", numHashes, bands, shingleSize)
-    candidateMemo.synchronized {
-      Option(candidateMemo.get(key)).getOrElse {
-        val built = minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize)
-        candidateMemo.put(key, built)
-        built
-      }
-    }
+    candidateMemo.getOrElseUpdate(key)(
+      minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize))
   }
 
   private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // repartition first: a small input (single file locally; coarse
-    // splits on a cluster) would otherwise bottleneck the signature
-    // projection on too few tasks — the sketch is the CPU-heavy part,
-    // so its parallelism must match the cores, not the file count
-    val parts = df.sparkSession.sparkContext.defaultParallelism
     // Two deliberate exchanges around the signature projection:
-    //  - repartition(parts) BEFORE: a small input (one file locally,
+    //  - Parallelism.ensure BEFORE: a small input (one file locally,
     //    coarse splits on a cluster) would run the CPU-heavy sketch
-    //    on too few tasks;
+    //    on too few tasks — but only exchange when actually needed
+    //    (a many-split corpus scan skips the RoundRobin);
     //  - repartition(id) AFTER: materializes the signature at the
     //    shuffle boundary. Without it, whole-stage codegen defers the
     //    column into the Generate's per-output-row loop and
     //    re-evaluates the sketch once per band (measured 32×).
-    val sig = df.repartition(parts).select(
+    val sig = Parallelism.ensure(df).select(
       col(idCol).as("id"),
       Sketches.minhashNgrams(
         TextAnalysis.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
@@ -197,8 +176,9 @@ object Dedup {
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // exchanges before/after the sketch projection — see
-    // minhashCandidates (parallelism + stop deferred re-evaluation)
-    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // minhashCandidates (conditional parallelism + stop deferred
+    // re-evaluation)
+    val sig = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
       .repartition(col("id"))
@@ -270,8 +250,7 @@ object Dedup {
     // per-doc dedup happens INSIDE the row (array_distinct before the
     // explode) — a (id, fp) `.distinct()` after exploding would be a
     // full shuffle for what is a purely row-local property
-    val allFps = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val allFps = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         explode(array_distinct(
           Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
@@ -322,42 +301,45 @@ object Dedup {
     // checkpoint dir is the same call.)
     // seed with min(self, neighbors) — the first propagation round
     // folded into the initialization aggregate (one round saved)
-    var labels = edges.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .select(col("src").as("id"), col("cluster_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // the self row carries its previous label in `own` (neighbors
-      // carry null), so ONE aggregation yields both the new label
-      // (min over all candidates) and the previous one (min over the
-      // single non-null own) — the convergence check then needs no
-      // join back against the previous round
-      val neighborLabels = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("cand")), "dst")
-        .select(col("src").as("id"), col("cand"),
-          lit(null).cast(edges.schema("src").dataType).as("own"))
-      val next = neighborLabels
-        .union(labels.select(col("id"), col("cluster_id").as("cand"),
-          col("cluster_id").as("own")))
-        .groupBy(col("id"))
-        .agg(min(col("cand")).as("cluster_id"), min(col("own")).as("prev"))
+    // unpersist in finally: the non-convergence throw below must not
+    // leave the edge list pinned for the session lifetime
+    try {
+      var labels = edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id"))
         .localCheckpoint(true)
-      changed = next.filter(col("cluster_id") < col("prev")).count()
-      labels = next.select(col("id"), col("cluster_id"))
-      iter += 1
-    }
-    // no silent caps: a component whose diameter exceeds maxIters
-    // would come back SPLIT (several cluster_ids for one true
-    // component) — surface it instead of returning wrong clusters
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters rounds " +
-          s"($changed labels still improving) — raise maxIters; near-dup " +
-          "components are normally shallow, so this signals pathological input")
-    edges.unpersist()
-    labels
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIters) {
+        // the self row carries its previous label in `own` (neighbors
+        // carry null), so ONE aggregation yields both the new label
+        // (min over all candidates) and the previous one (min over the
+        // single non-null own) — the convergence check then needs no
+        // join back against the previous round
+        val neighborLabels = edges
+          .join(labels.select(col("id").as("dst"), col("cluster_id").as("cand")), "dst")
+          .select(col("src").as("id"), col("cand"),
+            lit(null).cast(edges.schema("src").dataType).as("own"))
+        val next = neighborLabels
+          .union(labels.select(col("id"), col("cluster_id").as("cand"),
+            col("cluster_id").as("own")))
+          .groupBy(col("id"))
+          .agg(min(col("cand")).as("cluster_id"), min(col("own")).as("prev"))
+          .localCheckpoint(true)
+        changed = next.filter(col("cluster_id") < col("prev")).count()
+        labels = next.select(col("id"), col("cluster_id"))
+        iter += 1
+      }
+      // no silent caps: a component whose diameter exceeds maxIters
+      // would come back SPLIT (several cluster_ids for one true
+      // component) — surface it instead of returning wrong clusters
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIters rounds " +
+            s"($changed labels still improving) — raise maxIters; near-dup " +
+            "components are normally shallow, so this signals pathological input")
+      labels
+    } finally edges.unpersist()
   }
 
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
@@ -369,8 +351,9 @@ object Dedup {
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
     // exchanges before/after the sketch projection — see
-    // minhashCandidates (parallelism + stop deferred re-evaluation)
-    val sig = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // minhashCandidates (conditional parallelism + stop deferred
+    // re-evaluation)
+    val sig = Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         Sketches.hyperplaneSignature(col(vecCol), numBits).as("sig"))
       .repartition(col("id"))

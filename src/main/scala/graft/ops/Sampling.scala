@@ -12,13 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic stratified sample: per-stratum keep-fractions via
-    * `sampleBy` (seeded per-row Bernoulli). Strata absent from the
-    * map are dropped — the "down-sample the over-crawled domain"
-    * shape. */
+  /** Stratified sample: per-stratum keep-fractions via `sampleBy`
+    * (seeded per-row Bernoulli). Strata absent from the map are
+    * dropped — the "down-sample the over-crawled domain" shape.
+    *
+    * Deterministic only GIVEN A FIXED PARTITIONING: `sampleBy`'s
+    * seeded rand() is evaluated in partition order, so re-partitioned
+    * or re-ingested input can flip individual rows — the same
+    * instability [[hashSplit]]'s scaladoc calls out for randomSplit.
+    * When membership must survive a relayout (resumable pipelines,
+    * split hygiene), use [[stratifiedByHash]]. */
   def stratified(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Stratified sample keyed on a CONTENT id hash — per-stratum
+    * keep-fractions like [[stratified]], but membership is a pure
+    * function of (id, seed): stable across runs, re-partitioning and
+    * re-ingestion, so a resumed pipeline samples the same rows.
+    * Map-only (hash + compare per row, no shuffle). */
+  def stratifiedByHash(df: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val buckets = 1000000L
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(buckets))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(stratumCol) === lit(stratum) &&
+        bucket < lit(math.round(f * buckets)))
+    }
+    df.filter(keep)
+  }
 
   /** Deterministic train/holdout split keyed on a CONTENT id hash —
     * stable across runs, re-partitioning, and re-ingestion, which

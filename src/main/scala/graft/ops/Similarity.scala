@@ -84,26 +84,17 @@ object Similarity {
     * probes over the same corpus reuse one persisted assignments
     * table instead of retraining per call (same pattern and caveats
     * as [[Dedup.minhashCandidates]]'s candidate memo). */
-  private val ivfMemoCapacity = 8
-  private val ivfMemo =
-    new java.util.LinkedHashMap[(Int, Int, String, Int, Int, Int), IvfIndex](
-      ivfMemoCapacity, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, String, Int, Int, Int), IvfIndex]): Boolean =
-        // deliberately NOT unpersisting on eviction: a caller may
-        // still hold the evicted IvfIndex and be probing it — an
-        // explicit unpersist would silently de-cache it mid-use.
-        // Dropping the reference lets Spark's ContextCleaner reclaim
-        // the cached blocks once the caller lets go.
-        size() > ivfMemoCapacity
-    }
+  // unpersist on eviction: Dataset.persist registers the plan in the
+  // session CacheManager, which holds a strong reference until an
+  // explicit unpersist — dropping only OUR reference would leak the
+  // corpus-sized assignment table for the session lifetime. The
+  // non-blocking unpersist is safe for a caller still probing the
+  // evicted index: Spark recomputes the assignments from lineage.
+  private val ivfMemo = new graft.BoundedMemo[(String, Int, String, Int, Int, Int), IvfIndex](
+    8, _.assignments.unpersist(blocking = false))
 
   /** Drop all memoized IVF indexes (unpersisting each). */
-  def clearIvfCache(): Unit = ivfMemo.synchronized {
-    val it = ivfMemo.values().iterator()
-    while (it.hasNext) { try it.next().assignments.unpersist() catch { case _: Throwable => () } }
-    ivfMemo.clear()
-  }
+  def clearIvfCache(): Unit = ivfMemo.clear(_.assignments.unpersist())
 
   /** IVF (inverted-file) index: k centroids learned with `iters`
     * Lloyd iterations over a bounded, deterministic training sample
@@ -122,19 +113,18 @@ object Similarity {
     * at read time. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
-    val key = (System.identityHashCode(df.sparkSession),
+    val key = (graft.SessionKeys.of(df.sparkSession),
       df.queryExecution.analyzed.semanticHash(),
       s"$idCol/$vecCol", k, iters, trainSample)
     // build OUTSIDE the lock: holding it through the sample collect +
     // assignment job would serialize unrelated concurrent builds.
     // Worst case two threads race the same key and one build is
-    // discarded (its cache reclaimed by the ContextCleaner) — cheaper
+    // discarded (a loser's persisted assignments are recomputable
+    // from lineage; the ContextCleaner reclaims its blocks) — cheaper
     // than a global build mutex.
-    Option(ivfMemo.synchronized(ivfMemo.get(key))).getOrElse {
+    ivfMemo.get(key).getOrElse {
       val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
-      ivfMemo.synchronized {
-        Option(ivfMemo.get(key)).getOrElse { ivfMemo.put(key, built); built }
-      }
+      ivfMemo.putIfAbsent(key, built)
     }
   }
 
@@ -331,10 +321,11 @@ object Similarity {
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
     // exchanges before/after the sketch projection — see
-    // Dedup.minhashCandidates (parallelism + stop deferred re-eval)
+    // Dedup.minhashCandidates (conditional parallelism + stop
+    // deferred re-eval)
     def keyed(df: DataFrame, idCol: String, vecCol: String,
         idAs: String, vecAs: String): DataFrame =
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      Parallelism.ensure(df)
         .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
           Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
         .repartition(col(idAs))

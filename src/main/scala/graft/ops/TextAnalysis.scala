@@ -68,10 +68,14 @@ object TextAnalysis {
     // per-row substr of the carried column — no array, no lambda.
     // localCheckpoint because the gram table feeds three subplans
     // (counts, model scalars, scoring join).
-    val grams = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // NULL text is dropped BEFORE the explode: a null doc would emit
+    // one g=NULL gram, which groupBy keeps as a group — inflating the
+    // model's total/vocab scalars and shifting every doc's mean
+    // (an ANSI-SQL replay drops null docs entirely).
+    val grams = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+      .filter(col("s").isNotNull)
       .repartition(col("id"))
       .select(col("id"), col("s"),
         explode(sequence(lit(1), greatest(length(col("s")) - 1, lit(1)))).as("i"))
@@ -105,8 +109,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = Parallelism.ensure(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .repartition(col("id"))
       .select(col("id"), explode(col("toks")).as("term"))

@@ -270,13 +270,12 @@ object Extensions extends QueryModule {
       // the completed run is memoized per (session, sfDir): the
       // micro-batch machinery executes once, repeat calls (bench,
       // verify re-reads) serve the settled memory-sink table
-      val done = x16Results.computeIfAbsent(
-        (System.identityHashCode(s), dir), _ => {
-          val srcDir = streamSrcDir(dir)
-          val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
-          graft.streaming.EventStreams.runToMemory(
-            s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly")
-        })
+      val done = x16Results.getOrElseUpdate((graft.SessionKeys.of(s), dir)) {
+        val srcDir = streamSrcDir(dir)
+        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
+        graft.streaming.EventStreams.runToMemory(
+          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly")
+      }
       done.orderBy(col("hour_start"), col("event_type"))
     },
     Some("""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS w
@@ -300,9 +299,11 @@ object Extensions extends QueryModule {
       dir.toString
     })
 
-  /** Completed streaming results per (session, sfDir) — see x16. */
+  /** Completed streaming results per (session, sfDir) — see x16.
+    * Keyed on the session UUID (identity hashes collide across a JVM
+    * lifetime), bounded so dead sessions' tables age out. */
   private val x16Results =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](8)
 
   /** Embedding near-dup over the FULL corpus via hyperplane-LSH
     * banding — the scale path behind x7's bounded exact baseline:
@@ -431,11 +432,12 @@ object Extensions extends QueryModule {
     * DuckDB recursive-CTE reachability replay — A≈B, B≈C collapse to
     * one cluster even though (A, C) never paired. */
   /** Clusters over x7's exact pair set, memoized per (session, dir):
-    * the iterative propagation runs once, x28 and x29 both read it. */
+    * the iterative propagation runs once, x28 and x29 both read it.
+    * Session-UUID keyed + bounded, like [[x16Results]]. */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](8)
   private def dupClustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    clusterMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+    clusterMemo.getOrElseUpdate((graft.SessionKeys.of(s), dir)) {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
@@ -446,7 +448,7 @@ object Extensions extends QueryModule {
         .filter(col("cosine") >= 0.3)
         .select(col("id_a"), col("id_b"))
       Dedup.duplicateClusters(pairs, "id_a", "id_b")
-    })
+    }
 
   private val x28DupClusters = GraftQuery(
     "x28_dup_clusters",
@@ -513,16 +515,17 @@ object Extensions extends QueryModule {
       ORDER BY vec_id"""))
 
   /** Stratified corpus sampling (down-weight one language, keep the
-    * other) + the hash-keyed train/holdout split. Sampling is
-    * engine-seeded Bernoulli and the split uses Spark's xxhash64 —
-    * neither replayable in ANSI SQL → rows-only; the per-stratum
+    * other) + the hash-keyed train/holdout split. Both stages key on
+    * the content id hash, so membership survives re-partitioning and
+    * re-ingestion (contamination-safe). The hash is Spark's xxhash64
+    * — not replayable in ANSI SQL → rows-only; the per-stratum
     * fraction tolerances and split stability are spec-asserted. */
   private val x30StratifiedSample = GraftQuery(
     "x30_stratified_sample",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sampled = graft.ops.Sampling.stratified(
-        docs, "lang", Map("en" -> 0.5, "de" -> 0.1))
+      val sampled = graft.ops.Sampling.stratifiedByHash(
+        docs, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
       val (train, holdout) = graft.ops.Sampling.hashSplit(sampled, "doc_id", 10)
       sampled.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
         .join(train.groupBy(col("lang")).agg(count(lit(1)).as("n_train")), Seq("lang"), "left")

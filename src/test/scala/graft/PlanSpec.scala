@@ -94,6 +94,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!Bucketing.isShuffleFree(plain))
   }
 
+  test("pre-sketch exchange is conditional: wide input skips the RoundRobin") {
+    import graft.ops.{Dedup, Parallelism}
+    val docs = Tables.documents(spark, sfDir)
+    val parts = spark.sparkContext.defaultParallelism
+    // narrow input (single parquet split) still gets re-spread
+    assert(Parallelism.ensure(docs).rdd.getNumPartitions >= parts)
+    val narrowPlan = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("RoundRobinPartitioning"),
+      s"positive control: narrow input must round-robin\n${narrowPlan.take(2000)}")
+    // a wide input passes through untouched — at 100 TB the corpus
+    // scan already has thousands of splits and must NOT pay an extra
+    // full-corpus exchange before the sketch projection
+    val wide = docs.repartition(parts * 2, col("doc_id"))
+    assert(Parallelism.ensure(wide) eq wide)
+    val widePlan = Dedup.simhashNearDuplicates(wide, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("RoundRobinPartitioning"), widePlan.take(2000))
+    // the load-bearing post-sketch repartition(id) (Generate safety)
+    // is still there on both paths
+    assert(widePlan.contains("hashpartitioning(id"), widePlan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

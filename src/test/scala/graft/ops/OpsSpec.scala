@@ -326,6 +326,56 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L) && labels.size == 9)
   }
 
+  test("duplicate clusters: non-convergence throws instead of returning split clusters") {
+    // a path graph's diameter is its length — min-label propagation
+    // needs ~length rounds, so maxIters = 2 CANNOT converge and must
+    // surface the failure (a silent return would be split clusters)
+    val longChain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // the same deep chain succeeds once maxIters covers the diameter
+    val ok = Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.size == 12 && ok.values.toSet == Set(1L))
+  }
+
+  test("hash-stratified sample: fractions within tolerance, stable under relayout") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val byLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Sampling.stratifiedByHash(docs, "lang", "doc_id", fr)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(Set("en", "de"))) // unlisted strata dropped
+    for ((lang, frac) <- fr; total <- byLang.get(lang)) {
+      val got = counts.getOrElse(lang, 0L).toDouble / total
+      assert(math.abs(got - frac) < 0.15, s"$lang kept $got of expected $frac")
+    }
+    // membership survives a relayout — the property sampleBy lacks
+    val ids = s1.select("doc_id").as[Long].collect().toSet
+    val again = Sampling.stratifiedByHash(docs.repartition(7), "lang", "doc_id", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
+  test("bigram log-prob: NULL text contributes no grams to the corpus model") {
+    val withNull = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val without = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLogProb(withNull, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val b = TextAnalysis.bigramLogProb(without, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // the null doc vanishes (no gram rows) and does NOT shift the
+    // model's total/vocab scalars for the surviving docs
+    assert(a == b)
+  }
+
   test("sessionization: gap splits sessions, boundary event extends the session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     val ts = (m: Int) => new java.sql.Timestamp(base.getTime + m * 60000L)
