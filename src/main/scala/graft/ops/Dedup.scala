@@ -274,15 +274,17 @@ object Dedup {
     * A≈B and B≈C must collapse to ONE cluster {A,B,C} even when A
     * and C never formed a pair).
     *
-    * Algorithm: iterative min-label propagation — every node starts
-    * labeled with its own id; each round every node takes the min of
-    * its own and its neighbors' labels; converges to min-id-per-
-    * component in O(component diameter) rounds. This is the standard
-    * large-scale CC shape (one shuffle join + aggregate per round, no
-    * driver-side graph): near-dup components are shallow (dup groups,
-    * not social graphs), so a handful of rounds settles even at
-    * corpus scale. The driver-side loop only checks a convergence
-    * COUNT per round — no data is collected.
+    * Algorithm: min-label propagation with pointer jumping — every
+    * node starts labeled with its own id; each round every node takes
+    * the min of its own and its neighbors' labels (one hop), then
+    * follows its new label one more hop (label-of-label, the
+    * hash-to-min shortcut). Propagation alone needs O(component
+    * diameter) rounds — a long chain of pairwise near-dups (version
+    * histories, boilerplate drift) stalls it; the shortcut compounds
+    * the hop distance each round, so convergence is O(log diameter).
+    * Each round is two shuffle joins + one aggregate, no driver-side
+    * graph; the driver-side loop only checks a convergence COUNT per
+    * round — no data is collected.
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`,
     * cluster_id = the smallest id in the component. */
@@ -320,11 +322,21 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("cluster_id").as("cand")), "dst")
           .select(col("src").as("id"), col("cand"),
             lit(null).cast(edges.schema("src").dataType).as("own"))
-        val next = neighborLabels
+        val prop = neighborLabels
           .union(labels.select(col("id"), col("cluster_id").as("cand"),
             col("cluster_id").as("own")))
           .groupBy(col("id"))
-          .agg(min(col("cand")).as("cluster_id"), min(col("own")).as("prev"))
+          .agg(min(col("cand")).as("m"), min(col("own")).as("prev"))
+        // pointer jump: adopt m(m(id)). A label is always the id of a
+        // node in the same component, so the inner join is total, and
+        // m is monotone (m(x) ≤ x) so the hop only improves. The two
+        // sides scan the SAME aggregate — one computation via
+        // exchange reuse, no extra checkpoint.
+        val next = prop.as("p")
+          .join(prop.select(col("id").as("mid"), col("m").as("mm")),
+            col("p.m") === col("mid"))
+          .select(col("p.id").as("id"), col("mm").as("cluster_id"),
+            col("p.prev").as("prev"))
           .localCheckpoint(true)
         changed = next.filter(col("cluster_id") < col("prev")).count()
         labels = next.select(col("id"), col("cluster_id"))
@@ -340,6 +352,32 @@ object Dedup {
             "components are normally shallow, so this signals pathological input")
       labels
     } finally edges.unpersist()
+  }
+
+  /** Semantic dedup end-to-end, the composition a real corpus runs:
+    * LSH-bucketed near-dup pairs ([[embeddingNearDuplicates]]) →
+    * connected components ([[duplicateClusters]]) → keep each
+    * cluster's minimum id. Returns the surviving rows of `df`.
+    *
+    * This is the SCALE path: the edge list only ever materializes
+    * inside shared signature buckets (never all-pairs), components
+    * collapse in O(diameter) shuffle rounds, and the survivor filter
+    * is one anti-join — every stage is bounded at 100 TB. Candidate
+    * precision is 1.0 (exact cosine verifies each pair), so with the
+    * LSH edge set ⊆ the exact edge set, LSH clusters REFINE exact
+    * clusters — every exact survivor also survives here (a cluster
+    * minimum stays minimal in any sub-cluster containing it); the
+    * only error mode is keeping an occasional extra near-dup whose
+    * every linking pair the sketch missed (recall-bounded,
+    * spec-asserted). */
+  def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, numBits: Int = 48, bands: Int = 8,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands)
+    val drops = duplicateClusters(pairs, "id_a", "id_b", maxIters)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound

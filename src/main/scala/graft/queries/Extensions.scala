@@ -586,6 +586,60 @@ object Extensions extends QueryModule {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** The scale-safe semantic-dedup composition over the FULL
+    * embeddings table: LSH-bucketed near-dup pairs → connected
+    * components → keep-cluster-minimum survivors — the pipeline a
+    * real corpus runs (x29's recursive-CTE-oracled twin rides a
+    * bounded exact pair source instead; this one's edge list never
+    * leaves its signature buckets). Sketch-driven candidate set →
+    * rows-only; the survivors-⊇-exact-survivors algebra is
+    * spec-asserted on the x29 slice at the same threshold. */
+  private val x34SemanticDedupLsh = GraftQuery(
+    "x34_semantic_dedup_lsh",
+    (s, dir) => Dedup.semanticDedupSurvivors(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      // threshold matches x29's exact composition; 48 bits / 8 bands
+      // keeps buckets sparse (see x22)
+      threshold = 0.3, numBits = 48, bands = 8)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    None)
+
+  /** Exact passage-containment twin (the x7↔x22 baseline/scale-path
+    * pattern applied to containment): shared distinct word-trigram
+    * counts between all pairs of a bounded doc subset, fully
+    * SQL-replayable — pins the "shared passage ⇒ shared shingles"
+    * semantics x21's winnowing path approximates with fingerprints. */
+  private val x35ContainmentExact = GraftQuery(
+    "x35_containment_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      val a = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("shared_ngrams",
+          size(array_intersect(col("grams_a"), col("grams_b"))))
+        .filter(col("shared_ngrams") >= 2)
+        .select(col("id_a"), col("id_b"), col("shared_ngrams"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents WHERE doc_id < 100),
+      g AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM toks)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS shared_ngrams
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) >= 2
+      ORDER BY id_a, id_b"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -595,7 +649,8 @@ object Extensions extends QueryModule {
     x21Containment, x22EmbeddingNearDup, x23BatchTopK, x24BatchTopKLsh,
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
     x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
-    x32TfidfTerms, x33BatchTopKIvf)
+    x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
+    x35ContainmentExact)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

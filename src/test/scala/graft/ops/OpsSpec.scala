@@ -326,19 +326,69 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L) && labels.size == 9)
   }
 
+  test("LSH-fed semantic dedup: survivors ⊇ exact-pair survivors, near-complete recall") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+      .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    // exact composition (the x29 shape): all-pairs cosine edges
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val exactPairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4) >= 0.3)
+      .select("id_a", "id_b")
+    val exactDrops = Dedup.duplicateClusters(exactPairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id")).select(col("id")).as[Long].collect().toSet
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    val exactSurvivors = allIds -- exactDrops
+    // LSH-fed composition at the same threshold: precision 1 ⇒ its
+    // edge set ⊆ the exact edge set ⇒ clusters refine ⇒ every exact
+    // survivor (a cluster minimum, minimal in any sub-cluster) stays.
+    // (At cosine 0.3 — barely above random — hyperplane collision
+    // probability per 6-bit band is only ~0.05, so recall is LOW here
+    // by construction; the algebra is what this threshold checks.)
+    val lshSurvivors = Dedup.semanticDedupSurvivors(
+      emb, "vec_id", "embedding", threshold = 0.3, numBits = 48, bands = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactSurvivors.subsetOf(lshSurvivors),
+      s"lost exact survivors: ${exactSurvivors -- lshSurvivors}")
+    // in the sketch's operating regime (high cosine ⇒ near-collinear
+    // vectors ⇒ bands collide) the compositions nearly coincide:
+    // 4-bit bands at cosine ≥ 0.4 give ~0.8 per-edge recall, and the
+    // hyperplanes are seeded — this is deterministic, not flaky
+    def exactSurvAt(th: Double): Set[Long] = {
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4) >= th)
+        .select("id_a", "id_b")
+      val drops = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("cluster_id")).select(col("id")).as[Long].collect().toSet
+      allIds -- drops
+    }
+    val exactHi = exactSurvAt(0.4)
+    val lshHi = Dedup.semanticDedupSurvivors(
+      emb, "vec_id", "embedding", threshold = 0.4, numBits = 32, bands = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactHi.subsetOf(lshHi), s"lost: ${exactHi -- lshHi}")
+    val drops = allIds.size - exactHi.size
+    val extra = lshHi.size - exactHi.size
+    assert(extra <= math.max(2, drops / 2),
+      s"$extra extra survivors vs $drops exact drops — recall collapsed")
+  }
+
   test("duplicate clusters: non-convergence throws instead of returning split clusters") {
-    // a path graph's diameter is its length — min-label propagation
-    // needs ~length rounds, so maxIters = 2 CANNOT converge and must
-    // surface the failure (a silent return would be split clusters)
-    val longChain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a path graph's diameter is its length — even with pointer
+    // jumping (reach ~2^rounds) a 200-node chain CANNOT converge in
+    // 2 rounds and must surface the failure (a silent return would be
+    // split clusters)
+    val longChain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ex = intercept[IllegalStateException] {
       Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 2)
     }
     assert(ex.getMessage.contains("did not converge"))
-    // the same deep chain succeeds once maxIters covers the diameter
-    val ok = Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 15)
+    // the same deep chain succeeds in O(log diameter) rounds — 10
+    // cover diameter 200 only because of the jump (plain propagation
+    // would need ~200)
+    val ok = Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 10)
       .as[(Long, Long)].collect().toMap
-    assert(ok.size == 12 && ok.values.toSet == Set(1L))
+    assert(ok.size == 200 && ok.values.toSet == Set(1L))
   }
 
   test("hash-stratified sample: fractions within tolerance, stable under relayout") {
