@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * The Spark side is real and tested — schema, partitioning, batch
   * iteration via `mapPartitions` on a typed Dataset (the Scala
   * equivalent of `mapInPandas` batch processing: one decoder
-  * instantiation per partition, rows streamed through it). The codec
-  * itself is STUBBED (`FakeCodec`) — this container has no image/audio
-  * libraries — with a deterministic byte-hash "decode" so tests assert
-  * exact outputs; swap `FakeCodec` for a real JNI/library codec
-  * without touching any of the distributed plumbing.
+  * instantiation per partition, rows streamed through it). IMAGE
+  * decode/resize/features are REAL, via the JDK's own codecs
+  * ([[ImageCodec]]: `javax.imageio` PNG/JPEG decode, `java.awt`
+  * bilinear scaling, luminance-histogram features — zero external
+  * dependencies). Audio/video decode has no JDK codec, so those arms
+  * remain a deterministic stub ([[FakeCodec]], byte-hash features and
+  * byte-slice "frames") behind the same call shape — swap in a
+  * JNI/library codec without touching any distributed plumbing.
+  * Undecodable image bytes also fall back to the stub rather than
+  * failing the task (corrupt blobs are a fact of crawled corpora).
   *
   * At 100 TB: binary payloads dominate row size, so ops that don't
   * need bytes must prune the column (schema keeps media metadata in
@@ -50,10 +55,70 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
-  /** STUB codec — deterministic stand-in for image/audio decode.
-    * Replace with a real library binding; the call shape (bytes in,
-    * fixed-width float feature out) is what a CLIP-style embedder or
-    * mel-spectrogram extractor produces. */
+  /** REAL image codec on the JDK's own machinery — no external
+    * libraries: `javax.imageio` reads PNG/JPEG (and GIF/BMP), AWT
+    * scales, the feature is a normalized luminance histogram (the
+    * deterministic stand-in for a learned embedding — same shape:
+    * pixels in, fixed-width float vector out). All pure-JVM and
+    * headless-safe, so it runs identically in every executor. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException | _: RuntimeException => None }
+
+    /** Normalized luminance histogram over `dims` bins (Rec. 601
+      * integer weights) — sums to 1 over the image's pixels. */
+    def features(img: BufferedImage, dims: Int): Array[Float] = {
+      val hist = new Array[Long](dims)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist((lum * dims) / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = (w.toLong * h).toDouble
+      hist.map(c => (c / total).toFloat)
+    }
+
+    /** Bilinear scale to `targetWidth`, height keeps aspect. */
+    def resizeTo(img: BufferedImage, targetWidth: Int): BufferedImage = {
+      import java.awt.RenderingHints
+      val th = math.max(1,
+        math.round(img.getHeight.toDouble * targetWidth / img.getWidth).toInt)
+      val out = new BufferedImage(targetWidth, th, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetWidth, th, null)
+      } finally g.dispose()
+      out
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for AUDIO/VIDEO decode (the
+    * JDK has no codec for those) and the fallback for undecodable
+    * image bytes. Replace with a real library binding; the call shape
+    * (bytes in, fixed-width float feature out) is what a CLIP-style
+    * embedder or mel-spectrogram extractor produces. */
   object FakeCodec {
     def features(content: Array[Byte], dims: Int): Array[Float] = {
       import graft.functions.SketchHash.mix64
@@ -81,42 +146,59 @@ object Multimodal {
 
   /** Batch feature extraction: one codec per partition, rows streamed
     * through — the mapInPandas-shaped path. The output drops the blob
-    * (features only), so downstream plans never carry bytes. */
+    * (features only), so downstream plans never carry bytes. Image
+    * rows get REAL pixel features ([[ImageCodec]] histogram);
+    * audio/video (and undecodable image bytes) fall to the stub. */
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init would go here (model load, JNI handle)
       rows.map { r =>
         val bytes = if (r.content == null) Array.empty[Byte] else r.content
-        MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
-          FakeCodec.features(bytes, dims))
+        val feature =
+          if (r.kind == "image")
+            ImageCodec.decode(bytes).map(ImageCodec.features(_, dims))
+              .getOrElse(FakeCodec.features(bytes, dims))
+          else FakeCodec.features(bytes, dims)
+        MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feature)
       }
     }
   }
 
-  /** Resize for image rows — the metadata contract is REAL (width
-    * scales to `targetWidth`, height keeps aspect), the pixel work is
-    * the stub (deterministic byte subsampling at the scale ratio,
-    * standing in for a real scaler). Non-image rows and already-small
-    * images pass through untouched, and the output is again
-    * `MediaRow`, so resize composes with [[extractFeatures]] /
-    * [[sampleFrames]] in one pipeline. Same mapPartitions batch shape
-    * (per-partition scaler init). */
+  /** Resize for image rows — REAL pixels: decode via
+    * [[ImageCodec]], bilinear-scale to `targetWidth` (height keeps
+    * aspect), re-encode PNG, and write back the TRUE decoded
+    * dimensions into the metadata columns. Non-image rows and
+    * already-small images pass through untouched; undecodable image
+    * bytes fall back to the deterministic byte-subsample stub (task
+    * never fails on a corrupt blob). Output is again `MediaRow`, so
+    * resize composes with [[extractFeatures]] / [[sampleFrames]] in
+    * one pipeline. Same mapPartitions batch shape (per-partition
+    * scaler init). */
   def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes0 = if (r.content == null) Array.empty[Byte] else r.content
         if (r.kind != "image" || r.width <= targetWidth || bytes0.isEmpty) r
-        else {
-          val ratio = r.width.toDouble / targetWidth
-          val bytes = bytes0
-          val outLen = math.max(1, (bytes.length / ratio).toInt)
-          val content = Array.tabulate(outLen)(
-            i => bytes(math.min(bytes.length - 1, (i * ratio).toInt)))
-          r.copy(width = targetWidth,
-            height = math.max(1, (r.height / ratio).toInt),
-            content = content)
+        else ImageCodec.decode(bytes0) match {
+          case Some(img) if img.getWidth <= targetWidth =>
+            // recorded metadata overstated the decoded size — repair
+            // it from the pixels, keep the bytes
+            r.copy(width = img.getWidth, height = img.getHeight)
+          case Some(img) =>
+            val scaled = ImageCodec.resizeTo(img, targetWidth)
+            r.copy(width = scaled.getWidth, height = scaled.getHeight,
+              content = ImageCodec.encodePng(scaled))
+          case None =>
+            // undecodable: deterministic byte-subsample stand-in
+            val ratio = r.width.toDouble / targetWidth
+            val outLen = math.max(1, (bytes0.length / ratio).toInt)
+            val content = Array.tabulate(outLen)(
+              i => bytes0(math.min(bytes0.length - 1, (i * ratio).toInt)))
+            r.copy(width = targetWidth,
+              height = math.max(1, (r.height / ratio).toInt),
+              content = content)
         }
       }
     }
@@ -146,17 +228,37 @@ object Multimodal {
         avg(col("duration_ms")).as("avg_duration_ms"))
       .orderBy(col("kind"), col("format"))
 
-  /** Deterministic synthetic media table for tests/demos (no media
-    * libs in this container — payloads are seeded byte patterns). */
+  /** Deterministic synthetic media table for tests/demos. Image rows
+    * carry REAL PNGs (seeded pixel noise, encoded by the JDK writer)
+    * so the decode path is exercised end-to-end; audio/video payloads
+    * are seeded byte patterns (no JDK codec to target). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       import graft.functions.SketchHash.mix64
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val fmt = Map("image" -> "png", "audio" -> "wav", "video" -> "mp4")(kind)
-      val len = 64 + (mix64(i) & 0xFF).toInt
-      val content = Array.tabulate(len)(b => (mix64(i * 1000L + b) & 0xFF).toByte)
-      MediaRow(i, kind, fmt, 64 + (i % 8).toInt * 16, 64, if (kind == "video") 4000L else 0L, content)
+      val w = 64 + (i % 8).toInt * 16
+      val h = 64
+      val content =
+        if (kind == "image") {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (mix64(i * 1000003L + y * 4099L + x) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          ImageCodec.encodePng(img)
+        } else {
+          val len = 64 + (mix64(i) & 0xFF).toInt
+          Array.tabulate(len)(b => (mix64(i * 1000L + b) & 0xFF).toByte)
+        }
+      MediaRow(i, kind, fmt, w, h, if (kind == "video") 4000L else 0L, content)
     }
   }
 }

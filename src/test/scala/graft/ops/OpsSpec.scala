@@ -199,6 +199,42 @@ class OpsSpec extends AnyFunSuite {
     assert(f1 == f2)
   }
 
+  test("imageio codec: real PNG decode, true dimensions, real resize round-trip") {
+    import java.awt.image.BufferedImage
+    // a real 100×60 gradient PNG, built and decoded by the JDK codec
+    val img = new BufferedImage(100, 60, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 60; x <- 0 until 100)
+      img.setRGB(x, y, ((x * 255 / 99) << 16) | ((y * 255 / 59) << 8))
+    val png = Multimodal.ImageCodec.encodePng(img)
+    val media = Seq(Multimodal.MediaRow(1L, "image", "png", 100, 60, 0L, png)).toDS()
+    // resize: output bytes are a REAL PNG whose decoded dimensions
+    // match the metadata columns (50 wide, aspect-kept 30 high)
+    val out = Multimodal.resize(media, targetWidth = 50).collect().head
+    assert(out.width == 50 && out.height == 30, s"${out.width}×${out.height}")
+    val decoded = Multimodal.ImageCodec.decode(out.content)
+    assert(decoded.isDefined)
+    assert(decoded.get.getWidth == 50 && decoded.get.getHeight == 30)
+    // features: a normalized luminance histogram over real pixels
+    val feats = Multimodal.extractFeatures(media, dims = 8).collect().head.feature
+    assert(feats.length == 8)
+    assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5)
+    // ...and identical to the driver-side computation on the same image
+    val expected = Multimodal.ImageCodec.features(
+      Multimodal.ImageCodec.decode(png).get, 8)
+    assert(feats.toSeq == expected.toSeq)
+    // metadata overstating the decoded size gets repaired from pixels
+    val lying = Seq(Multimodal.MediaRow(2L, "image", "png", 500, 300, 0L, png)).toDS()
+    val repaired = Multimodal.resize(lying, targetWidth = 200).collect().head
+    assert(repaired.width == 100 && repaired.height == 60)
+    assert(repaired.content.toSeq == png.toSeq) // bytes untouched
+    // corrupt image bytes never fail the task: stub fallback kicks in
+    val corrupt = Seq(Multimodal.MediaRow(3L, "image", "png", 64, 64, 0L,
+      Array.tabulate[Byte](64)(_.toByte))).toDS()
+    val cf = Multimodal.extractFeatures(corrupt, dims = 8).collect().head
+    assert(cf.feature.length == 8)
+    assert(Multimodal.resize(corrupt, 32).collect().head.width == 32)
+  }
+
   test("typed VectorAvg centroids match the posexplode formulation") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     val typed = Similarity.centroidsTyped(emb, "label", "embedding")
