@@ -67,7 +67,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // self-archive: the driver captures a bounded tail of stdout, and
+    // a 65-query JSON line can outgrow it (round 3 lost q1-q3 that
+    // way) — the file copy is complete regardless of capture length
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] archived to $out")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] archive to $out failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

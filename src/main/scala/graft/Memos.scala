@@ -32,25 +32,44 @@ object SessionKeys {
   * Spark recomputes from lineage for any caller still holding the
   * evicted value).
   */
-final class BoundedMemo[K, V](capacity: Int, onEvict: V => Unit = (_: V) => ()) {
+final class BoundedMemo[K, V](capacity: Int, onEvict: V => Unit = (_: V) => (),
+    name: String = "memo") {
   private val map = new java.util.LinkedHashMap[K, V](capacity, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = {
       val evict = size() > capacity
-      if (evict) try onEvict(e.getValue) catch { case _: Throwable => () }
+      if (evict) {
+        System.err.println(s"[memo] $name evict key=${e.getKey}")
+        try onEvict(e.getValue) catch { case _: Throwable => () }
+      }
       evict
     }
   }
+
+  // one stderr line per lookup: the cheapest possible answer to "did
+  // the bench's x8→x10 / x17→x33 reuse actually hit?" (a silent miss
+  // rebuilds a persisted corpus-scale artifact per query)
+  private def trace(outcome: String, key: K): Unit =
+    System.err.println(s"[memo] $name $outcome key=$key")
 
   /** Build-under-lock get-or-create: fine when `build` only constructs
     * a lazy plan. Use [[get]]/[[putIfAbsent]] when the build runs jobs
     * (holding the lock would serialize unrelated concurrent builds). */
   def getOrElseUpdate(key: K)(build: => V): V = synchronized {
-    Option(map.get(key)).getOrElse { val v = build; map.put(key, v); v }
+    Option(map.get(key)) match {
+      case Some(v) => trace("hit", key); v
+      case None => trace("miss", key); val v = build; map.put(key, v); v
+    }
   }
 
-  def get(key: K): Option[V] = synchronized(Option(map.get(key)))
+  def get(key: K): Option[V] = synchronized {
+    val v = Option(map.get(key))
+    trace(if (v.isDefined) "hit" else "miss", key)
+    v
+  }
 
-  /** Keeps the first value if two builders raced; returns the winner. */
+  /** Keeps the first value if two builders raced; returns the winner.
+    * The returned value is the one to use; a caller whose `value` lost
+    * the race must release whatever `value` had materialized. */
   def putIfAbsent(key: K, value: V): V = synchronized {
     Option(map.get(key)).getOrElse { map.put(key, value); value }
   }

@@ -78,7 +78,7 @@ object Dedup {
     * and dropped). */
   private val candidateMemo =
     new graft.BoundedMemo[(String, Int, String, Int, Int, Int), DataFrame](
-      16, _.unpersist(blocking = false))
+      16, _.unpersist(blocking = false), name = "minhash-candidates")
 
   /** Drop all memoized candidate tables (unpersisting each). */
   def clearCandidateCache(): Unit = candidateMemo.clear(_.unpersist())
@@ -88,8 +88,18 @@ object Dedup {
     val key = (graft.SessionKeys.of(df.sparkSession),
       df.queryExecution.analyzed.semanticHash(),
       s"$idCol/$textCol", numHashes, bands, shingleSize)
-    candidateMemo.getOrElseUpdate(key)(
-      minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize))
+    // build OUTSIDE the memo lock (the ivfIndex pattern): the build
+    // plans against the input frame, and planning arbitrary user
+    // frames under a global monitor would serialize unrelated builds
+    candidateMemo.get(key).getOrElse {
+      val built =
+        minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize)
+      val winner = candidateMemo.putIfAbsent(key, built)
+      // a racing builder beat us: release our build's cache
+      // registration, or CacheManager pins it for the session lifetime
+      if (!(winner eq built)) built.unpersist(blocking = false)
+      winner
+    }
   }
 
   private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
@@ -264,6 +274,48 @@ object Dedup {
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
+  /** Cross-corpus containment — the DECONTAMINATION operator: which
+    * training documents share passages with an evaluation set (the
+    * train/test-overlap check every LLM data pipeline runs before
+    * training). Same winnowing scheme as [[containmentCandidates]],
+    * but across two tables: any shared substring of length ≥
+    * window + k − 1 chars between a train doc and an eval doc
+    * surfaces at least one common fingerprint.
+    *
+    * Shuffle profile at 100 TB: the train side explodes to a few
+    * dozen (fingerprint, id) rows per doc — map-only; the EVAL side
+    * is bounded by nature (benchmarks are ~10⁴–10⁶ docs), so its
+    * fingerprint set BROADCASTS and the train corpus never shuffles
+    * at all: one scan, one broadcast-hash join, one aggregate keyed
+    * by the near-unique (train_id, eval_id) pair. Fingerprints
+    * shared by more than `maxEvalDocFreq` eval docs are dropped
+    * first (stop-fingerprint removal, computed on the cheap bounded
+    * side) — ubiquitous boilerplate carries no contamination signal
+    * and would otherwise fan every matching train row out to the
+    * whole eval set. */
+  def crossContainmentCandidates(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      minShared: Int = 2, k: Int = 8, window: Int = 4,
+      maxEvalDocFreq: Int = 20): DataFrame = {
+    def fps(df: DataFrame, as: String) =
+      Parallelism.ensure(df)
+        .select(col(idCol).as(as),
+          explode(array_distinct(
+            Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
+    val evalFps = fps(eval, "eval_id")
+    // stop-fingerprint cap on the bounded side: a window-function
+    // count over eval's own fingerprints (eval is small — this whole
+    // subtree sits inside the broadcast build)
+    val rareEvalFps = evalFps
+      .join(evalFps.groupBy(col("fp")).agg(count(lit(1)).as("edf"))
+        .filter(col("edf") <= maxEvalDocFreq).select("fp"), Seq("fp"))
+    fps(train, "train_id")
+      .join(broadcast(rareEvalFps), Seq("fp"))
+      .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
   }

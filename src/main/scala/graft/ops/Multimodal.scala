@@ -13,13 +13,17 @@ import org.apache.spark.sql.types._
   * instantiation per partition, rows streamed through it). IMAGE
   * decode/resize/features are REAL, via the JDK's own codecs
   * ([[ImageCodec]]: `javax.imageio` PNG/JPEG decode, `java.awt`
-  * bilinear scaling, luminance-histogram features — zero external
-  * dependencies). Audio/video decode has no JDK codec, so those arms
-  * remain a deterministic stub ([[FakeCodec]], byte-hash features and
+  * bilinear scaling, luminance-histogram features). AUDIO decode is
+  * REAL too: `javax.sound.sampled` ships in every JDK and parses
+  * PCM WAV ([[AudioCodec]]: sample-level RMS energy, zero-crossing
+  * rate, amplitude histogram) — zero external dependencies either
+  * way. Only VIDEO decode has no JDK codec; that arm remains a
+  * deterministic stub ([[FakeCodec]], byte-hash features and
   * byte-slice "frames") behind the same call shape — swap in a
   * JNI/library codec without touching any distributed plumbing.
-  * Undecodable image bytes also fall back to the stub rather than
-  * failing the task (corrupt blobs are a fact of crawled corpora).
+  * Undecodable image/audio bytes also fall back to the stub rather
+  * than failing the task (corrupt blobs are a fact of crawled
+  * corpora).
   *
   * At 100 TB: binary payloads dominate row size, so ops that don't
   * need bytes must prune the column (schema keeps media metadata in
@@ -114,11 +118,117 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for AUDIO/VIDEO decode (the
-    * JDK has no codec for those) and the fallback for undecodable
-    * image bytes. Replace with a real library binding; the call shape
-    * (bytes in, fixed-width float feature out) is what a CLIP-style
-    * embedder or mel-spectrogram extractor produces. */
+  /** REAL audio codec on the JDK's own machinery — no external
+    * libraries: `javax.sound.sampled.AudioSystem` parses WAV (and
+    * AIFF/AU) containers and converts to signed 16-bit PCM. Features
+    * are computed from the actual samples: RMS energy, zero-crossing
+    * rate, peak amplitude, and a normalized |amplitude| histogram —
+    * the deterministic stand-in for a learned audio embedding (same
+    * shape: samples in, fixed-width float vector out). */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decoded PCM: channel-averaged (mono-mixed) samples in [−1, 1]
+      * plus the container's sample rate. */
+    final case class Pcm(samples: Array[Double], sampleRate: Float)
+
+    def decode(bytes: Array[Byte]): Option[Pcm] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val channels = math.max(1, fmt.getChannels)
+            // normalize any supported encoding (8-bit, big-endian,
+            // a-law…) to 16-bit signed little-endian PCM
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, channels, channels * 2, fmt.getSampleRate, false)
+            val pcm = AudioSystem.getAudioInputStream(target, in)
+            val data = pcm.readAllBytes()
+            val nFrames = data.length / (2 * channels)
+            if (nFrames == 0) None
+            else {
+              val out = new Array[Double](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var c = 0
+                var acc = 0.0
+                while (c < channels) {
+                  val o = (f * channels + c) * 2
+                  val s = ((data(o) & 0xFF) | (data(o + 1) << 8)).toShort
+                  acc += s / 32768.0
+                  c += 1
+                }
+                out(f) = acc / channels
+                f += 1
+              }
+              Some(Pcm(out, fmt.getSampleRate))
+            }
+          } finally in.close()
+        } catch {
+          // UnsupportedAudioFileException on non-WAV bytes, IOException
+          // on truncated containers — both mean "fall back to the stub"
+          case _: Exception => None
+        }
+
+    /** Sample-derived features: `[rms, zero_crossing_rate, peak,
+      * hist...]` with a `dims − 3`-bin normalized |amplitude|
+      * histogram (sums to 1 over the clip's samples). */
+    def features(pcm: Pcm, dims: Int): Array[Float] = {
+      require(dims >= 4, s"audio features need >= 4 dims, got $dims")
+      val s = pcm.samples
+      val bins = dims - 3
+      val hist = new Array[Long](bins)
+      var sumSq = 0.0
+      var crossings = 0
+      var peak = 0.0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i)
+        sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        if (i > 0 && (v >= 0) != (s(i - 1) >= 0)) crossings += 1
+        hist(math.min(bins - 1, (a * bins).toInt)) += 1
+        i += 1
+      }
+      val rms = math.sqrt(sumSq / s.length)
+      val zcr = if (s.length > 1) crossings.toDouble / (s.length - 1) else 0.0
+      Array(rms.toFloat, zcr.toFloat, peak.toFloat) ++
+        hist.map(c => (c.toDouble / s.length).toFloat)
+    }
+
+    def durationMs(pcm: Pcm): Long =
+      math.round(pcm.samples.length * 1000.0 / pcm.sampleRate)
+
+    /** Mono 16-bit PCM WAV encoder (fixture generator — the decode
+      * path's round-trip partner, like [[ImageCodec.encodePng]]). */
+    def encodeWav(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val clamped = math.max(-1.0, math.min(1.0, samples(i)))
+        val v = math.round(clamped * 32767).toShort
+        data(i * 2) = (v & 0xFF).toByte
+        data(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate, 16, 1, 2, sampleRate, false)
+      val stream = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for VIDEO decode (the one
+    * modality with no JDK codec) and the fallback for undecodable
+    * image/audio bytes. Replace with a real library binding; the call
+    * shape (bytes in, fixed-width float feature out) is what a
+    * CLIP-style embedder or mel-spectrogram extractor produces. */
   object FakeCodec {
     def features(content: Array[Byte], dims: Int): Array[Float] = {
       import graft.functions.SketchHash.mix64
@@ -147,8 +257,9 @@ object Multimodal {
   /** Batch feature extraction: one codec per partition, rows streamed
     * through — the mapInPandas-shaped path. The output drops the blob
     * (features only), so downstream plans never carry bytes. Image
-    * rows get REAL pixel features ([[ImageCodec]] histogram);
-    * audio/video (and undecodable image bytes) fall to the stub. */
+    * rows get REAL pixel features ([[ImageCodec]] histogram), audio
+    * rows REAL sample features ([[AudioCodec]] RMS/ZCR/histogram);
+    * video (and undecodable image/audio bytes) fall to the stub. */
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -158,6 +269,9 @@ object Multimodal {
         val feature =
           if (r.kind == "image")
             ImageCodec.decode(bytes).map(ImageCodec.features(_, dims))
+              .getOrElse(FakeCodec.features(bytes, dims))
+          else if (r.kind == "audio")
+            AudioCodec.decode(bytes).map(AudioCodec.features(_, dims))
               .getOrElse(FakeCodec.features(bytes, dims))
           else FakeCodec.features(bytes, dims)
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feature)
@@ -188,7 +302,11 @@ object Multimodal {
             r.copy(width = img.getWidth, height = img.getHeight)
           case Some(img) =>
             val scaled = ImageCodec.resizeTo(img, targetWidth)
-            r.copy(width = scaled.getWidth, height = scaled.getHeight,
+            // re-encode is PNG whatever the input container was — the
+            // format column must stay truthful or downstream
+            // format-grouped stats report bytes that don't match
+            r.copy(format = "png",
+              width = scaled.getWidth, height = scaled.getHeight,
               content = ImageCodec.encodePng(scaled))
           case None =>
             // undecodable: deterministic byte-subsample stand-in
@@ -230,8 +348,10 @@ object Multimodal {
 
   /** Deterministic synthetic media table for tests/demos. Image rows
     * carry REAL PNGs (seeded pixel noise, encoded by the JDK writer)
-    * so the decode path is exercised end-to-end; audio/video payloads
-    * are seeded byte patterns (no JDK codec to target). */
+    * and audio rows REAL 16-bit PCM WAVs (seeded sine + noise, encoded
+    * by the JDK writer), so both decode paths are exercised
+    * end-to-end; video payloads are seeded byte patterns (no JDK codec
+    * to target). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -240,6 +360,7 @@ object Multimodal {
       val fmt = Map("image" -> "png", "audio" -> "wav", "video" -> "mp4")(kind)
       val w = 64 + (i % 8).toInt * 16
       val h = 64
+      var durationMs = if (kind == "video") 4000L else 0L
       val content =
         if (kind == "image") {
           val img = new java.awt.image.BufferedImage(
@@ -254,11 +375,22 @@ object Multimodal {
             y += 1
           }
           ImageCodec.encodePng(img)
+        } else if (kind == "audio") {
+          // ~0.1–0.13 s of a seeded tone + noise at 8 kHz mono
+          val sampleRate = 8000f
+          val nSamples = 800 + (mix64(i) & 0xFF).toInt
+          val freq = 200.0 + (i % 10).toDouble * 50.0
+          val samples = Array.tabulate(nSamples) { t =>
+            0.5 * math.sin(2 * math.Pi * freq * t / sampleRate) +
+              0.05 * ((mix64(i * 31L + t) & 0xFF) / 255.0 - 0.5)
+          }
+          durationMs = math.round(nSamples * 1000.0 / sampleRate)
+          AudioCodec.encodeWav(samples, sampleRate)
         } else {
           val len = 64 + (mix64(i) & 0xFF).toInt
           Array.tabulate(len)(b => (mix64(i * 1000L + b) & 0xFF).toByte)
         }
-      MediaRow(i, kind, fmt, w, h, if (kind == "video") 4000L else 0L, content)
+      MediaRow(i, kind, fmt, w, h, durationMs, content)
     }
   }
 }

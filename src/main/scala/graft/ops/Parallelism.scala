@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Parallelism guard for CPU-heavy sketch projections.
   *
@@ -18,13 +20,43 @@ object Parallelism {
 
   /** `df` re-spread to `defaultParallelism` partitions, or `df`
     * unchanged if its physical partitioning already has at least that
-    * many. The count comes from the planned RDD — no job runs for the
-    * scan-shaped inputs the sketch operators feed in here (callers
-    * must pass scan/projection frames, not frames whose planning
-    * would materialize shuffle stages). */
+    * many — or if the plan carries its own Exchange (a shuffle
+    * re-spreads to `spark.sql.shuffle.partitions` anyway, and probing
+    * such a plan would be worse than useless: under AQE, forcing an
+    * RDD materializes every query stage eagerly).
+    *
+    * The probe never runs a job and never builds a throwaway RDD
+    * lineage: file-scan split counts come from the already-listed file
+    * index via the scan node's input RDD (driver-side split planning
+    * only); only exotic non-file leaves fall back to `df.rdd`, which
+    * is plain planning for an exchange-free frame. */
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    plannedPartitions(df) match {
+      case Some(n) if n < target => df.repartition(target)
+      case _ => df
+    }
+  }
+
+  /** Planned partition count of an exchange-free frame; None when the
+    * plan shuffles (already re-spread — leave it alone). */
+  private def plannedPartitions(df: DataFrame): Option[Int] = {
+    // sparkPlan (pre-adaptive physical plan): constructing it plans but
+    // never executes, even with AQE on
+    val plan = df.queryExecution.sparkPlan
+    if (plan.exists(_.isInstanceOf[Exchange])) None
+    else {
+      val leaves = plan.collectLeaves()
+      val fileSplits = leaves.collect {
+        // inputRDDs() builds the FileScanRDD from the file index —
+        // driver-side split math, no job
+        case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      }
+      if (fileSplits.length == leaves.length) Some(fileSplits.sum)
+      // non-file leaf somewhere (local/in-memory test frames): the
+      // frame is exchange-free, so .rdd is planning-only — no AQE
+      // stage can fire
+      else Some(df.rdd.getNumPartitions)
+    }
   }
 }

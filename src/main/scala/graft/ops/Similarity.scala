@@ -91,7 +91,7 @@ object Similarity {
   // non-blocking unpersist is safe for a caller still probing the
   // evicted index: Spark recomputes the assignments from lineage.
   private val ivfMemo = new graft.BoundedMemo[(String, Int, String, Int, Int, Int), IvfIndex](
-    8, _.assignments.unpersist(blocking = false))
+    8, _.assignments.unpersist(blocking = false), name = "ivf-index")
 
   /** Drop all memoized IVF indexes (unpersisting each). */
   def clearIvfCache(): Unit = ivfMemo.clear(_.assignments.unpersist())
@@ -119,12 +119,16 @@ object Similarity {
     // build OUTSIDE the lock: holding it through the sample collect +
     // assignment job would serialize unrelated concurrent builds.
     // Worst case two threads race the same key and one build is
-    // discarded (a loser's persisted assignments are recomputable
-    // from lineage; the ContextCleaner reclaims its blocks) — cheaper
-    // than a global build mutex.
+    // discarded — cheaper than a global build mutex.
     ivfMemo.get(key).getOrElse {
       val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
-      ivfMemo.putIfAbsent(key, built)
+      val winner = ivfMemo.putIfAbsent(key, built)
+      // the loser's persisted assignments must be explicitly released:
+      // CacheManager holds a strong reference until unpersist, so the
+      // discarded build would otherwise pin a corpus-sized cache for
+      // the session lifetime
+      if (!(winner eq built)) built.assignments.unpersist(blocking = false)
+      winner
     }
   }
 

@@ -208,7 +208,8 @@ object Extensions extends QueryModule {
     None)
 
   /** Multimodal plumbing: synthetic binary media → per-partition
-    * feature extraction (stub codec) → metadata summary. */
+    * feature extraction (REAL JDK codecs for image pixels and audio
+    * samples; byte-hash stub for video only) → metadata summary. */
   private val x13MediaFeatures = GraftQuery(
     "x13_media_features",
     (s, dir) => {
@@ -270,11 +271,17 @@ object Extensions extends QueryModule {
       // the completed run is memoized per (session, sfDir): the
       // micro-batch machinery executes once, repeat calls (bench,
       // verify re-reads) serve the settled memory-sink table
-      val done = x16Results.getOrElseUpdate((graft.SessionKeys.of(s), dir)) {
+      // build OUTSIDE the memo lock (the ivfIndex pattern): the run
+      // executes a full streaming query — under the monitor it would
+      // block every other memo user for the whole stream run. A racing
+      // duplicate run is settled rows in a memory sink; the loser's
+      // table is dropped with nothing to unpersist.
+      val memoKey = (graft.SessionKeys.of(s), dir)
+      val done = x16Results.get(memoKey).getOrElse {
         val srcDir = streamSrcDir(dir)
         val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
-        graft.streaming.EventStreams.runToMemory(
-          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly")
+        x16Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
+          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly"))
       }
       done.orderBy(col("hour_start"), col("event_type"))
     },
@@ -303,7 +310,8 @@ object Extensions extends QueryModule {
     * Keyed on the session UUID (identity hashes collide across a JVM
     * lifetime), bounded so dead sessions' tables age out. */
   private val x16Results =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](8)
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
+      8, name = "x16-stream")
 
   /** Embedding near-dup over the FULL corpus via hyperplane-LSH
     * banding — the scale path behind x7's bounded exact baseline:
@@ -435,9 +443,16 @@ object Extensions extends QueryModule {
     * the iterative propagation runs once, x28 and x29 both read it.
     * Session-UUID keyed + bounded, like [[x16Results]]. */
   private val clusterMemo =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](8)
-  private def dupClustersFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    clusterMemo.getOrElseUpdate((graft.SessionKeys.of(s), dir)) {
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
+      8, name = "dup-clusters")
+  // build OUTSIDE the memo lock (the ivfIndex pattern): the
+  // propagation loop runs a count() job per round — real jobs must
+  // never run under the memo monitor. A racing loser's labels frame is
+  // a localCheckpoint (RDD blocks, no CacheManager entry) reclaimed by
+  // the ContextCleaner once the loser is dropped.
+  private def dupClustersFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val memoKey = (graft.SessionKeys.of(s), dir)
+    clusterMemo.get(memoKey).getOrElse {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
@@ -447,8 +462,9 @@ object Extensions extends QueryModule {
           round(graft.functions.VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
         .filter(col("cosine") >= 0.3)
         .select(col("id_a"), col("id_b"))
-      Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      clusterMemo.putIfAbsent(memoKey, Dedup.duplicateClusters(pairs, "id_a", "id_b"))
     }
+  }
 
   private val x28DupClusters = GraftQuery(
     "x28_dup_clusters",
@@ -598,8 +614,15 @@ object Extensions extends QueryModule {
     "x34_semantic_dedup_lsh",
     (s, dir) => Dedup.semanticDedupSurvivors(
       Tables.embeddings(s, dir), "vec_id", "embedding",
-      // threshold matches x29's exact composition; 48 bits / 8 bands
-      // keeps buckets sparse (see x22)
+      // threshold = 0.3 is the TEST-CORPUS regime, chosen to mirror
+      // x29's exact composition: the synthetic embeddings are
+      // well-spread (max pairwise cosine ≈ 0.5), so 0.3 is what
+      // produces a non-trivial duplicate graph here. A REAL corpus
+      // wants the operator's 0.95 default — copying 0.3 into
+      // production would cluster-and-drop a large fraction of merely
+      // related documents (the high-threshold behavior is
+      // spec-asserted in OpsSpec). 48 bits / 8 bands keeps buckets
+      // sparse (see x22).
       threshold = 0.3, numBits = 48, bands = 8)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id")),

@@ -436,7 +436,7 @@ object Relational extends QueryModule {
         .select($"event_id".as("Event Id"), $"event_type".as("EVENT TYPE"),
           $"user_id".as("User Id"))
       val normalized = messy.toDF(
-        messy.columns.map(_.replace(" ", "_").toLowerCase): _*)
+        messy.columns.map(_.replace(" ", "_").toLowerCase).toIndexedSeq: _*)
       normalized
         .groupBy($"event_type")
         .agg(countDistinct($"user_id").as("n_users"),

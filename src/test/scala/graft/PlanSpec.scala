@@ -117,6 +117,36 @@ class PlanSpec extends AnyFunSuite {
     assert(widePlan.contains("hashpartitioning(id"), widePlan.take(2000))
   }
 
+  test("x34 semantic dedup: well-split input skips RoundRobin; shuffle-hash pairs; anti-join survivors") {
+    import graft.ops.{Dedup, Parallelism}
+    // mirrors the x22 conditional-exchange assert for the x34
+    // composition (PLANS.md § x34): at 100 TB the corpus scan is
+    // already well-split, and the pipeline must not pay a full-corpus
+    // RoundRobin before the signature projection
+    val emb = Tables.embeddings(spark, sfDir)
+    val parts = spark.sparkContext.defaultParallelism
+    val wide = emb.repartition(parts * 2, col("vec_id"))
+    assert(Parallelism.ensure(wide) eq wide)
+    val pairs = Dedup.embeddingNearDuplicates(
+      wide, "vec_id", "embedding", threshold = 0.3, numBits = 48, bands = 8)
+    pairs.collect()
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("RoundRobinPartitioning"), pairPlan.take(2000))
+    // pair formation is the audited x22 shape: banded shuffle-hash
+    // self-join whose identical sides collapse into one ReusedExchange
+    assert(pairPlan.contains("ShuffledHashJoin"), pairPlan.take(2000))
+    assert(pairPlan.contains("ReusedExchange"), pairPlan.take(2000))
+    // end-to-end: survivors are one LeftAnti against the (tiny)
+    // cluster drop list — the CC rounds are checkpoint-truncated, so
+    // the final plan stays constant-size
+    val survivors = Dedup.semanticDedupSurvivors(
+      wide, "vec_id", "embedding", threshold = 0.3, numBits = 48, bands = 8)
+    survivors.collect()
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("RoundRobinPartitioning"), plan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

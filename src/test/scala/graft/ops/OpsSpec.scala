@@ -235,6 +235,48 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.resize(corrupt, 32).collect().head.width == 32)
   }
 
+  test("audio codec: real WAV decode, sample-derived features, corrupt fallback") {
+    // a 440 Hz 0.5-amplitude mono sine at 8 kHz, encoded and decoded
+    // by the JDK's own javax.sound.sampled machinery
+    val sr = 8000f
+    val n = 8000
+    val samples = Array.tabulate(n)(t => 0.5 * math.sin(2 * math.Pi * 440 * t / sr))
+    val wav = Multimodal.AudioCodec.encodeWav(samples, sr)
+    val pcm = Multimodal.AudioCodec.decode(wav)
+    assert(pcm.isDefined)
+    assert(pcm.get.samples.length == n && pcm.get.sampleRate == sr)
+    // decoded samples match the encoded ones to 16-bit quantization
+    assert(samples.indices.forall(i =>
+      math.abs(pcm.get.samples(i) - samples(i)) < 1.5 / 32768))
+    val feats = Multimodal.AudioCodec.features(pcm.get, 8)
+    assert(feats.length == 8)
+    // RMS of a 0.5-amplitude sine = 0.5/√2; ZCR of a 440 Hz tone at
+    // 8 kHz = 2·440/8000; peak = 0.5 — all properties of the decoded
+    // SAMPLES, unreachable by any byte-hash stub
+    assert(math.abs(feats(0) - 0.5 / math.sqrt(2)) < 1e-3)
+    assert(math.abs(feats(1) - 2 * 440 / 8000.0) < 5e-3)
+    assert(math.abs(feats(2) - 0.5) < 1e-2)
+    assert(math.abs(feats.drop(3).map(_.toDouble).sum - 1.0) < 1e-5)
+    assert(math.abs(Multimodal.AudioCodec.durationMs(pcm.get) - 1000L) <= 1)
+    // the distributed path produces the same features as driver-side math
+    val media = Seq(Multimodal.MediaRow(1L, "audio", "wav", 0, 0, 1000L, wav)).toDS()
+    val distributed = Multimodal.extractFeatures(media, dims = 8).collect().head.feature
+    assert(distributed.toSeq == feats.toSeq)
+    // synthetic audio rows are REAL WAVs: decodable, duration matches metadata
+    val synth = Multimodal.syntheticMedia(spark, 30).filter(_.kind == "audio").collect()
+    assert(synth.nonEmpty)
+    synth.foreach { r =>
+      val p = Multimodal.AudioCodec.decode(r.content)
+      assert(p.isDefined, s"media ${r.media_id} should decode as WAV")
+      assert(Multimodal.AudioCodec.durationMs(p.get) == r.duration_ms)
+    }
+    // corrupt bytes fall back to the stub instead of failing the task
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    val corrupt = Seq(Multimodal.MediaRow(2L, "audio", "wav", 0, 0, 0L, junk)).toDS()
+    val cf = Multimodal.extractFeatures(corrupt, dims = 8).collect().head
+    assert(cf.feature.toSeq == Multimodal.FakeCodec.features(junk, 8).toSeq)
+  }
+
   test("typed VectorAvg centroids match the posexplode formulation") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     val typed = Similarity.centroidsTyped(emb, "label", "embedding")
