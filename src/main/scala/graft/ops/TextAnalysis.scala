@@ -212,6 +212,74 @@ object TextAnalysis {
       .drop("__lang_vote")
   }
 
+  /** Per-document repetition statistics — the Gopher/C4-style
+    * repetitiveness filters (a doc that is one phrase looped is spam
+    * no matter how clean its characters look):
+    *
+    *   - `distinct_ratio`: distinct tokens / tokens (low = loopy);
+    *   - `top_token_ratio`: most frequent token's share of the doc;
+    *   - `dup_bigram_ratio`: 1 − distinct bigrams / bigrams (the
+    *     classic duplicate-n-gram fraction).
+    *
+    * Scale shape: one tokenization pass materialized at an exchange
+    * (never explode a split expression directly — the Generate
+    * re-evaluates it per output row), then two two-phase aggregates
+    * whose keys embed the near-unique doc id — skew-free however hot
+    * a token is — joined back on the id they are both already
+    * partitioned by (no extra exchange). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+    val uni = base
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    // bigrams computed from the CARRIED token array (same Generate
+    // rule); single-token docs collapse to one whole-doc "gram" so
+    // the ratio is well-defined (and the SQL replay mirrors the CASE)
+    val bigrams = when(size(col("toks")) < 2, array(concat_ws(" ", col("toks"))))
+      .otherwise(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+    val bi = base
+      .select(col("id"), explode(bigrams).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    uni.join(bi, "id")
+      .select(col("id").as(idCol),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_token_ratio"),
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4)
+          .as("dup_bigram_ratio"))
+  }
+
+  /** PII scrubbing: emails, IPv4 addresses and phone-number runs
+    * replaced with typed placeholder tags — the redaction pass a
+    * training corpus takes before anything else sees it. Patterns are
+    * deliberately RE2-compatible (character classes, bounded repeats,
+    * non-capturing groups only), so the exact same scrub replays in
+    * RE2-based engines (the oracle does). Plain nested
+    * `regexp_replace` → codegen'd, map-only at any scale. Order
+    * matters: emails first (they contain digits and dots), then IPs
+    * (dotted digits), then the greedy phone-run pattern. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d ()-]{6,}\\d", "<PHONE>")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words signature (same fingerprint ⇔
     * same vocabulary), SQL-expressible for the oracle. */

@@ -663,6 +663,130 @@ object Extensions extends QueryModule {
       WHERE len(list_intersect(a.grams, b.grams)) >= 2
       ORDER BY id_a, id_b"""))
 
+  /** Decontamination at scale: which "training" documents share
+    * winnowed passages with the bounded "evaluation" split — the
+    * train/test-overlap sweep every LLM corpus runs before training.
+    * Sketch-driven candidate set → rows-only; the winnowing
+    * surfacing guarantee and the eval-side stop-fingerprint cap are
+    * spec-asserted, and x37 is the bounded exact twin. */
+  private val x36Decontaminate = GraftQuery(
+    "x36_decontaminate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // k = 20 chars ≈ a 4-word shingle on this corpus: contamination
+      // sweeps fingerprint MULTI-WORD spans (8-char grams are ~1.5
+      // words here and match everywhere in a 40-word vocabulary —
+      // measured: k=8 pairs 81% of train×eval); the 10% eval-side
+      // stop-fingerprint cap drops corpus-wide boilerplate spans
+      Dedup.crossContainmentCandidates(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minShared = 2, k = 20, window = 8,
+        maxEvalDocFreq = 5)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    None)
+
+  /** Exact decontamination twin (the x21↔x35 pattern): shared
+    * distinct word-trigram counts between a bounded train slice and
+    * the eval split, fully SQL-replayable — pins the "shared passage
+    * ⇒ shared shingles" semantics x36 approximates with winnowed
+    * fingerprints. Bounded by contract (the scale path is x36). */
+  private val x37DecontaminateExact = GraftQuery(
+    "x37_decontaminate_exact",
+    (s, dir) => {
+      def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      val docs = Tables.documents(s, dir)
+      val train = grams(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+        .select(col("doc_id").as("train_id"), col("grams").as("grams_t"))
+      val ev = grams(docs.filter(col("doc_id") < 50))
+        .select(col("doc_id").as("eval_id"), col("grams").as("grams_e"))
+      train.crossJoin(ev)
+        .withColumn("shared_ngrams",
+          size(array_intersect(col("grams_t"), col("grams_e"))))
+        .filter(col("shared_ngrams") >= 2)
+        .select(col("train_id"), col("eval_id"), col("shared_ngrams"))
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents WHERE doc_id < 50 OR (doc_id >= 100 AND doc_id < 200)),
+      g AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM toks)
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS shared_ngrams
+      FROM g a JOIN g b ON b.doc_id < 50
+      WHERE a.doc_id >= 100 AND a.doc_id < 200
+        AND len(list_intersect(a.grams, b.grams)) >= 2
+      ORDER BY train_id, eval_id"""))
+
+  /** Repetition filters (Gopher/C4): distinct-token ratio, top-token
+    * share, duplicate-bigram fraction — fully SQL-replayable. */
+  private val x38RepetitionStats = GraftQuery(
+    "x38_repetition_stats",
+    (s, dir) => TextAnalysis.repetitionStats(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        FROM documents),
+      uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+      uagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS top_c
+        FROM uni GROUP BY doc_id),
+      big AS (
+        SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t)),
+            i -> array_to_string(t[i:i+1], ' ')) END AS grams
+        FROM toks),
+      bi AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM big) GROUP BY doc_id, g),
+      bagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               count(*) AS n_distinct_bigrams
+        FROM bi GROUP BY doc_id)
+      SELECT u.doc_id, u.n_tokens,
+        round(CAST(u.n_distinct AS DOUBLE) / u.n_tokens, 4) AS distinct_ratio,
+        round(CAST(u.top_c AS DOUBLE) / u.n_tokens, 4) AS top_token_ratio,
+        round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4)
+          AS dup_bigram_ratio
+      FROM uagg u JOIN bagg b ON u.doc_id = b.doc_id
+      ORDER BY u.doc_id"""))
+
+  /** PII scrubbing (emails / IPv4 / phone runs → typed tags) over a
+    * deterministically PII-seeded projection of the corpus (the
+    * synthetic documents carry no PII of their own), exactly
+    * replayed by RE2 regexp_replace in the oracle. */
+  private val x39PiiScrub = GraftQuery(
+    "x39_pii_scrub",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.scrubPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 000 "),
+          col("doc_id"), lit(" at 10.0.0."), pmod(col("doc_id"), lit(256))))
+          .as("scrubbed"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              text || ' contact user' || doc_id || '@example.com or +1 555 000 '
+                   || doc_id || ' at 10.0.0.' || (doc_id % 256),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\+?\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS scrubbed
+      FROM documents ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -673,7 +797,8 @@ object Extensions extends QueryModule {
     x25VocabTopK, x26LengthQuantiles, x27Sessions, x28DupClusters,
     x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
-    x35ContainmentExact)
+    x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
+    x38RepetitionStats, x39PiiScrub)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

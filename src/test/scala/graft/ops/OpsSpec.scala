@@ -156,6 +156,76 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("cross-containment: planted train/eval overlap surfaces; eval boilerplate capped") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val boiler = "copyright notice all rights reserved by the benchmark suite"
+    val evalDocs = Seq(
+      (1L, s"eval question one $passage end"),
+      (2L, s"eval question two nothing shared here whatsoever $boiler"),
+      (3L, s"eval question three utterly distinct vocabulary choices $boiler"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, s"some training text containing $passage verbatim inside"),
+      (11L, "unrelated corpus entry with its own disjoint material"))
+      .toDF("doc_id", "text")
+    // winnowing guarantee, cross-table: a shared substring of length
+    // >= window + k - 1 chars must surface at least one common
+    // fingerprint — the planted passage is far longer
+    val hits = Dedup.crossContainmentCandidates(train, evalDocs, "doc_id", "text",
+      minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 1L)), s"planted overlap must surface, got $hits")
+    assert(!hits.exists(_._1 == 11L), s"disjoint train doc must not pair, got $hits")
+    // stop-fingerprint cap: boilerplate shared by >maxEvalDocFreq eval
+    // docs is dropped from the probe set, so a train doc that only
+    // matches boilerplate surfaces nothing...
+    val trainBoiler = Seq((20L, s"entry that copied the boilerplate $boiler tail"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.crossContainmentCandidates(trainBoiler, evalDocs,
+      "doc_id", "text", minShared = 1, maxEvalDocFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.isEmpty, s"boilerplate-only matches must be capped, got $capped")
+    // ...while the default cap keeps them (positive control)
+    val uncapped = Dedup.crossContainmentCandidates(trainBoiler, evalDocs,
+      "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((20L, 2L), (20L, 3L)).subsetOf(uncapped), s"got $uncapped")
+  }
+
+  test("repetition stats match hand-computed values") {
+    val docs = Seq((1L, "a a a b"), (2L, "w x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("distinct_ratio") == 0.5)
+    assert(r1.getAs[Double]("top_token_ratio") == 0.75)
+    // bigrams of [a a a b]: "a a","a a","a b" -> 1 - 2/3
+    assert(r1.getAs[Double]("dup_bigram_ratio") == 0.3333)
+    val r2 = out(2L)
+    assert(r2.getAs[Double]("distinct_ratio") == 1.0)
+    assert(r2.getAs[Double]("top_token_ratio") == 0.25)
+    assert(r2.getAs[Double]("dup_bigram_ratio") == 0.0)
+    // single-token doc: one whole-doc "bigram", well-defined ratios
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_tokens") == 1L)
+    assert(r3.getAs[Double]("dup_bigram_ratio") == 0.0)
+  }
+
+  test("pii scrub replaces emails, ips and phone runs with typed tags") {
+    val df = Seq((1L,
+      "mail me at john.doe+spam@mail.example.org or call +1 (555) 010-4477 from 192.168.0.12 ok"))
+      .toDF("doc_id", "text")
+    val s = df.select(TextAnalysis.scrubPii(col("text"))).collect().head.getString(0)
+    assert(s == "mail me at <EMAIL> or call <PHONE> from <IP> ok", s)
+    // clean text passes through untouched
+    val clean = "no personal identifiers in this sentence at all"
+    val c = Seq((1L, clean)).toDF("doc_id", "text")
+      .select(TextAnalysis.scrubPii(col("text"))).collect().head.getString(0)
+    assert(c == clean)
+  }
+
   test("multimodal: deterministic stub features, frame sampling, blob pruning") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media, dims = 8).collect()
