@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for LLM pretraining: documents are concatenated
+  * in a global deterministic order and chunked into fixed
+  * token-budget context windows (docs may span chunk boundaries —
+  * the standard concatenate-then-chunk shape). The assignment for a
+  * doc is a pure function of the global prefix sum of token counts,
+  * so the interesting part at 100 TB is the PREFIX SUM:
+  *
+  * the naive formulation — `sum(n) over (order by id)` with no
+  * partition key — funnels the whole corpus through ONE task's sort
+  * (Spark even warns `WindowExec: No Partition Defined`). This
+  * operator computes the same number with the classic two-phase
+  * distributed prefix sum:
+  *
+  *   1. range-partition + sort by id, then pin the layout with an
+  *      eager localCheckpoint — the frame is (id, n_tokens), two
+  *      longs per doc, so the pinned footprint is negligible next to
+  *      the corpus, and pinning makes the partition indexes seen by
+  *      the totals job and the assignment job IDENTICAL (under AQE a
+  *      re-planned exchange may coalesce differently per job);
+  *   2. per-partition token totals — numPartitions scalars — driver-
+  *      scanned into cumulative partition offsets (a 10⁴-element
+  *      array even on a 100 TB corpus; this is the one driver-side
+  *      step a distributed prefix sum fundamentally needs);
+  *   3. one map-only pass adding the partition offset to a
+  *      partition-local running sum (per-partition imperative state —
+  *      exactly the rare case mapPartitions/RDD exists for).
+  *
+  * The output is partition-layout-INVARIANT: global prefix sums do
+  * not depend on where range boundaries fall (spec-asserted under
+  * forced re-layout), so the assignment is reproducible and fully
+  * SQL-replayable — the oracle is a plain running-sum window.
+  */
+object Packing {
+
+  /** Per-doc chunk assignment under `budget` tokens per chunk:
+    * (idCol, n_tokens, start_offset, start_chunk, end_chunk), where a
+    * doc occupies chunks start_chunk..end_chunk of the concatenated
+    * token stream. Contract: `idCol` non-null, unique, orderable. */
+  def chunkAssignments(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val ranged = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .localCheckpoint(true)
+    // the checkpointed RDD's partitions are the pinned layout both
+    // jobs below see
+    val rows = ranged.rdd
+    val totals = rows
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator(pid -> s)
+      }
+      .collect().toMap
+    val offsets = new Array[Long](rows.getNumPartitions)
+    var acc = 0L
+    for (p <- offsets.indices) { offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val assigned = rows.mapPartitionsWithIndex { (pid, it) =>
+      var local = offsets(pid)
+      it.map { r =>
+        val n = r.getLong(1)
+        val start = local
+        local += n
+        Row(r.get(0), n, start)
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("id", ranged.schema("id").dataType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start_offset", LongType, nullable = false)))
+    spark.createDataFrame(assigned, outSchema)
+      .withColumn("start_chunk", expr(s"start_offset div $budget"))
+      .withColumn("end_chunk",
+        expr(s"(start_offset + greatest(n_tokens, 1) - 1) div $budget"))
+      .select(col("id").as(idCol), col("n_tokens"), col("start_offset"),
+        col("start_chunk"), col("end_chunk"))
+  }
+
+  /** Chunk-level packing summary over an assignment table: how many
+    * docs start in each chunk and how many of the budgeted token
+    * slots the chunk's starting docs claim — the fill/fragmentation
+    * view a packing run is judged by. One two-phase aggregate. */
+  def chunkSummary(assignments: DataFrame): DataFrame =
+    assignments
+      .select(col("start_chunk").as("chunk"), col("n_tokens"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs_starting"),
+        sum(col("n_tokens")).as("tokens_starting"))
+      .orderBy(col("chunk"))
+}

@@ -787,6 +787,107 @@ object Extensions extends QueryModule {
           '\+?\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS scrubbed
       FROM documents ORDER BY doc_id"""))
 
+  /** Sequence packing (concatenate-then-chunk): each doc's chunk
+    * span in the 512-token context stream, computed by the two-phase
+    * distributed prefix sum (never a single-partition window) —
+    * oracle = the naive running-sum window, which DuckDB can afford
+    * at sf scale. Integer division via `div`/`//` on both sides
+    * (double casts would round vs truncate differently). */
+  private val x40SequencePacking = GraftQuery(
+    "x40_sequence_packing",
+    (s, dir) => graft.ops.Packing.chunkAssignments(
+      Tables.documents(s, dir), "doc_id", "text", budget = 512)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS start_offset
+        FROM t)
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // 512 AS start_chunk,
+        (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
+      FROM o ORDER BY doc_id"""))
+
+  /** End-to-end corpus preparation — the composition a pretraining
+    * data pipeline actually ships: exact keep-first dedup →
+    * repetition filters (x38 semantics) → PII scrub (x39 semantics)
+    * → sequence packing of the survivors (x40 semantics). Every
+    * stage is SQL-replayable, so the WHOLE pipeline is hash-checked
+    * end-to-end: dedup survivors via min-id-per-digest, repetition
+    * via the unnest replay, scrub via RE2, packing via the
+    * running-sum window. */
+  private val x41CorpusPrep = GraftQuery(
+    "x41_corpus_prep",
+    (s, dir) => {
+      val deduped = Dedup.exactKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+      val keptIds = TextAnalysis.repetitionStats(deduped, "doc_id", "text")
+        .filter(col("top_token_ratio") <= 0.12 && col("dup_bigram_ratio") <= 0.06)
+        .select("doc_id")
+      val cleaned = deduped
+        .join(keptIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("clean_text"))
+      graft.ops.Packing.chunkAssignments(cleaned, "doc_id", "clean_text", budget = 512)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH survivors AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS clean_text,
+          text
+        FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+      toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        FROM survivors),
+      uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+      uagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS top_c
+        FROM uni GROUP BY doc_id),
+      big AS (
+        SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t)),
+            i -> array_to_string(t[i:i+1], ' ')) END AS grams
+        FROM toks),
+      bi AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS g FROM big) GROUP BY doc_id, g),
+      bagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+               count(*) AS n_distinct_big
+        FROM bi GROUP BY doc_id),
+      kept AS (
+        SELECT s.doc_id, s.clean_text
+        FROM survivors s
+        JOIN uagg u ON s.doc_id = u.doc_id
+        JOIN bagg b ON s.doc_id = b.doc_id
+        WHERE round(CAST(u.top_c AS DOUBLE) / u.n_tok, 4) <= 0.12
+          AND round(1.0 - CAST(b.n_distinct_big AS DOUBLE) / b.n_big, 4) <= 0.06),
+      t2 AS (
+        SELECT doc_id,
+          CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS start_offset
+        FROM t2)
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // 512 AS start_chunk,
+        (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
+      FROM o ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -798,7 +899,7 @@ object Extensions extends QueryModule {
     x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
-    x38RepetitionStats, x39PiiScrub)
+    x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -226,6 +226,38 @@ class OpsSpec extends AnyFunSuite {
     assert(c == clean)
   }
 
+  test("sequence packing: two-phase prefix sum == naive global window; layout-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val out = Packing.chunkAssignments(docs, "doc_id", "text", budget = 512)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // reference: the naive single-partition window prefix sum
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == ref.size)
+    ref.foreach { case (id, (n, start)) =>
+      val (n2, s2, sc, ec) = out(id)
+      assert(n2 == n && s2 == start, s"doc $id: ($n2,$s2) vs ($n,$start)")
+      assert(sc == start / 512 && ec == (start + math.max(n, 1) - 1) / 512)
+    }
+    // layout invariance: a differently-partitioned input yields
+    // identical global offsets (range boundaries don't matter)
+    val shuffled = Packing.chunkAssignments(
+      docs.repartition(7, col("doc_id")), "doc_id", "text", budget = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shuffled == out.map { case (k, v) => k -> v._2 })
+    // conservation: per-chunk starting tokens sum to the corpus total
+    val summary = Packing.chunkSummary(
+      Packing.chunkAssignments(docs, "doc_id", "text", budget = 512))
+    val tot = summary.agg(sum(col("tokens_starting"))).collect().head.getLong(0)
+    assert(tot == ref.values.map(_._1).sum)
+  }
+
   test("multimodal: deterministic stub features, frame sampling, blob pruning") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media, dims = 8).collect()
