@@ -1,20 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The shared session shape for timing mains (Bench/Profile). */
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warmup: touch every table and exercise the scan/shuffle/codegen
-    // machinery once so the first timed query doesn't absorb session
-    // initialization (class loading, codegen compiler, broadcast env).
+  }
+
+  /** Warmup: touch every table and exercise the scan/shuffle/codegen
+    * machinery once so the first timed query doesn't absorb session
+    * initialization (class loading, codegen compiler, broadcast env). */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
     Tables.all.foreach { t =>
       // events needs the nanos-timestamp repair — go through its
       // loader, or the warmup read throws and silently skips the table
@@ -26,34 +29,41 @@ object Bench {
     import org.apache.spark.sql.functions._
     spark.range(1000).groupBy((col("id") % 10).as("k"))
       .agg(sum(col("id"))).orderBy(col("k")).count()
+  }
+
+  /** Time FULL materialization: fold every output column into one
+    * hash aggregate, so column pruning can't silently skip the
+    * expensive projections the query claims to compute (.count()
+    * lets the scan drop them). XOR-fold, NOT sum: summing random
+    * 64-bit hashes overflows a checked long near-certainly under
+    * Spark 4's default ANSI mode, and the exception fallback would
+    * silently demote every query back to count()-timing. */
+  def materialize(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.map(c => col(s"`$c`"))
+    try df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
+    catch { // un-hashable type fallback — NEVER silent: a demoted
+      // timing reverts to count(), which column pruning flatters
+      case t: Throwable =>
+        System.err.println(
+          s"[bench] $name: hash-fold materialization failed " +
+            s"(${t.getClass.getSimpleName}: ${t.getMessage}) — timing count() instead")
+        df.count()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    warmup(spark, sfDir)
     // natural ordering (q1..q21, x1..x13): deterministic output, and
     // queries sharing memoized artifacts (x8 → x10) run in an order
     // that exercises the reuse path
     val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
       val m = "([a-z]+)(\\d+)".r.findFirstMatchIn(name)
       (m.map(_.group(1)).getOrElse(name), m.map(_.group(2).toInt).getOrElse(0))
-    }
-    // Time FULL materialization: fold every output column into one
-    // hash aggregate, so column pruning can't silently skip the
-    // expensive projections the query claims to compute (.count()
-    // lets the scan drop them — x2's md5-of-sorted-tokens timed as a
-    // bare row count).
-    // XOR-fold, NOT sum: summing random 64-bit hashes overflows a
-    // checked long near-certainly under Spark 4's default ANSI mode,
-    // and the exception fallback would silently demote every query
-    // back to count()-timing.
-    def materialize(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val cols = df.columns.map(c => col(s"`$c`"))
-      try df.select(xxhash64(cols.toIndexedSeq: _*).as("__h"))
-        .agg(count(lit(1)), expr("bit_xor(__h)")).collect()
-      catch { // un-hashable type fallback — NEVER silent: a demoted
-        // timing reverts to count(), which column pruning flatters
-        case t: Throwable =>
-          System.err.println(
-            s"[bench] $name: hash-fold materialization failed " +
-              s"(${t.getClass.getSimpleName}: ${t.getMessage}) — timing count() instead")
-          df.count()
-      }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()

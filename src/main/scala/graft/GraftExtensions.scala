@@ -86,6 +86,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSimilarityExpr(a, b)
         case _ => throw new IllegalArgumentException("cosine_similarity(vecA, vecB)")
+      }),
+    ("scrub_pii",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "scrub_pii"),
+      (args: Seq[Expression]) => args match {
+        // the same nested replace chain as TextAnalysis.scrubPii,
+        // built from the shared pattern constants (lockstep by
+        // construction) — plain codegen'd RegExpReplace nodes
+        case Seq(text) =>
+          import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+          def rr(e: Expression, pat: String, tag: String): Expression =
+            RegExpReplace(e, Literal(pat), Literal(tag))
+          rr(rr(rr(text,
+            graft.ops.TextAnalysis.PiiEmailPattern, "<EMAIL>"),
+            graft.ops.TextAnalysis.PiiIpPattern, "<IP>"),
+            graft.ops.TextAnalysis.PiiPhonePattern, "<PHONE>")
+        case _ => throw new IllegalArgumentException("scrub_pii(text)")
       }))
 
   /** Register on an already-built session (temp functions). */

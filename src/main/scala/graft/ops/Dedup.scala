@@ -384,16 +384,36 @@ object Dedup {
         // m is monotone (m(x) ≤ x) so the hop only improves. The two
         // sides scan the SAME aggregate — one computation via
         // exchange reuse, no extra checkpoint.
-        val next = prop.as("p")
+        val nextPlan = prop.as("p")
           .join(prop.select(col("id").as("mid"), col("m").as("mm")),
             col("p.m") === col("mid"))
           .select(col("p.id").as("id"), col("mm").as("cluster_id"),
             col("p.prev").as("prev"))
+        // ONE job per round, not two: the convergence count rides the
+        // checkpoint's materialization in an accumulator instead of a
+        // separate count() job over the checkpointed table. Task
+        // retries can only OVER-count an accumulator, and over-count
+        // merely schedules one more (no-op) round — never a premature
+        // stop — so the fold is convergence-safe.
+        val acc = pairs.sparkSession.sparkContext.longAccumulator(
+          s"graft.cc.changed.$iter")
+        val improvedAt = nextPlan.schema.fieldNames.length
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(nextPlan.schema))
+        val next = nextPlan
+          .withColumn("__improved", col("cluster_id") < col("prev"))
+          .mapPartitions { it =>
+            it.map { r =>
+              if (r.getBoolean(improvedAt)) acc.add(1L)
+              org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
+            }
+          }(enc)
           .localCheckpoint(true)
-        changed = next.filter(col("cluster_id") < col("prev")).count()
+        changed = acc.value
         labels = next.select(col("id"), col("cluster_id"))
         iter += 1
       }
+      System.err.println(s"[cc] converged=${changed == 0} rounds=$iter")
       // no silent caps: a component whose diameter exceeds maxIters
       // would come back SPLIT (several cluster_ids for one true
       // component) — surface it instead of returning wrong clusters

@@ -272,12 +272,16 @@ object TextAnalysis {
     * `regexp_replace` → codegen'd, map-only at any scale. Order
     * matters: emails first (they contain digits and dots), then IPs
     * (dotted digits), then the greedy phone-run pattern. */
+  // pattern constants shared with the SQL surface (GraftFunctions
+  // registers `scrub_pii` from the same strings — keep in lockstep)
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpPattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PiiPhonePattern = "\\+?\\d[\\d ()-]{6,}\\d"
+
   def scrubPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d ()-]{6,}\\d", "<PHONE>")
+    val email = regexp_replace(text, PiiEmailPattern, "<EMAIL>")
+    val ip = regexp_replace(email, PiiIpPattern, "<IP>")
+    regexp_replace(ip, PiiPhonePattern, "<PHONE>")
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set —

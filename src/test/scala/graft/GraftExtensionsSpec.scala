@@ -65,6 +65,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("datatype_mismatch"), e.getMessage)
   }
 
+  test("scrub_pii SQL function matches the Column API scrub") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dirty = "reach me at a.b@example.com, +1 555 010 2233, host 10.0.0.7 done"
+    val viaSql = Seq(Tuple1(dirty)).toDF("text").createOrReplaceTempView("pii_docs")
+    val s = spark.sql("SELECT scrub_pii(text) AS s FROM pii_docs").head().getString(0)
+    assert(s == "reach me at <EMAIL>, <PHONE>, host <IP> done", s)
+    val api = Seq(Tuple1(dirty)).toDF("text")
+      .select(TextAnalysis.scrubPii(col("text"))).head().getString(0)
+    assert(s == api)
+  }
+
   test("bad arguments produce loud errors") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
