@@ -452,6 +452,31 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy TEXT dedup end-to-end (the SlimPajama/Dolma pipeline):
+    * MinHash-LSH candidates → exact n-gram-Jaccard verification →
+    * connected components → keep each cluster's minimum id. Returns
+    * the surviving rows of `df`. The text twin of
+    * [[semanticDedupSurvivors]], with the same survivor algebra:
+    * pair precision is exact (every edge is a verified Jaccard ≥
+    * threshold), so the LSH edge set ⊆ the all-pairs exact edge set
+    * and every exact survivor also survives here; the only error
+    * mode is an occasional extra kept near-dup whose every linking
+    * pair the sketch missed (recall-bounded, spec-asserted).
+    *
+    * 100 TB shape: candidates only materialize inside LSH band
+    * buckets, verification joins text for O(|candidates|) rows,
+    * components collapse in O(log diameter) checkpointed rounds, and
+    * the survivor filter is one anti-join. */
+  def textDedupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleSize: Int = 3,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardNearDuplicates(df, idCol, textCol, threshold, shingleSize)
+    val drops = duplicateClusters(pairs, "id_a", "id_b", maxIters)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
     * the candidate set, exact cosine verifies. Multi-probe via
     * `bands` signature splits keeps recall high. */

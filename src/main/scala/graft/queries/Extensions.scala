@@ -888,6 +888,72 @@ object Extensions extends QueryModule {
         (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
       FROM o ORDER BY doc_id"""))
 
+  /** Fuzzy text dedup at scale (the SlimPajama/Dolma pipeline):
+    * MinHash-LSH candidates → exact trigram-Jaccard verification →
+    * connected components → keep cluster minima, over the FULL
+    * corpus. Sketch-fed candidate set → rows-only; x43 is the
+    * bounded exact twin and the survivor algebra (exact survivors ⊆
+    * fuzzy survivors) is spec-asserted. */
+  private val x42TextDedupFuzzy = GraftQuery(
+    "x42_text_dedup_fuzzy",
+    (s, dir) => Dedup.textDedupSurvivors(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Exact fuzzy-dedup twin (the x28/x29 oracle pattern on TEXT):
+    * all-pairs trigram Jaccard over a bounded doc slice → recursive-
+    * CTE reachability clusters → survivors, fully SQL-replayable —
+    * pins x42's semantics the way x29 pins x34's. */
+  private val x43TextDedupExact = GraftQuery(
+    "x43_text_dedup_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val g = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+        .filter(round(when(col("uni") > 0,
+          col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
+        .select("id_a", "id_b")
+      val drops = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE g AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents WHERE doc_id < 300)),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+          4) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT doc_id, source FROM documents
+      WHERE doc_id < 300
+        AND doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -899,7 +965,8 @@ object Extensions extends QueryModule {
     x29SemanticDedup, x30StratifiedSample, x31BigramLogprob,
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
-    x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep)
+    x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
+    x42TextDedupFuzzy, x43TextDedupExact)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

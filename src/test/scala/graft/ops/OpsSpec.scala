@@ -553,6 +553,35 @@ class OpsSpec extends AnyFunSuite {
       s"$extra extra survivors vs $drops exact drops — recall collapsed")
   }
 
+  test("fuzzy text dedup: survivors ⊇ exact-pair survivors (survivor algebra)") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    // exact all-pairs trigram-Jaccard survivors at the same threshold
+    val g = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+    val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+      .filter(round(when(col("uni") > 0,
+        col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
+      .select("id_a", "id_b")
+    val dropIds = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id")).select("id").as[Long].collect().toSet
+    val exactSurvivors = allIds -- dropIds
+    // the LSH-fed pipeline: every edge is a VERIFIED Jaccard >= 0.7,
+    // so its edge set refines the exact one — exact survivors must
+    // all survive; extras are bounded by sketch recall
+    val fuzzy = Dedup.textDedupSurvivors(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactSurvivors.subsetOf(fuzzy), s"lost: ${exactSurvivors -- fuzzy}")
+    assert(dropIds.nonEmpty, "corpus should contain planted near-dups")
+    val extra = fuzzy.size - exactSurvivors.size
+    assert(extra <= math.max(2, dropIds.size / 2),
+      s"$extra extra survivors vs ${dropIds.size} exact drops — recall collapsed")
+  }
+
   test("duplicate clusters: non-convergence throws instead of returning split clusters") {
     // a path graph's diameter is its length — even with pointer
     // jumping (reach ~2^rounds) a 200-node chain CANNOT converge in
