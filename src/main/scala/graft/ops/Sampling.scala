@@ -44,6 +44,29 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature-flattened source mixture (the multilingual /
+    * multi-domain re-weighting every pretraining mix uses): keep
+    * fraction per stratum ∝ n^(α−1), scaled so the rarest stratum
+    * keeps everything. α=1 → natural distribution (keep all),
+    * α=0 → equal kept counts per stratum (rarest size), 0<α<1 →
+    * partially flattened. Membership is [[stratifiedByHash]] —
+    * stable across relayout/re-ingestion.
+    *
+    * Scale shape: one two-phase count aggregate whose result is
+    * |strata| rows (driver-collected — domains/languages are
+    * bounded), then the map-only hash filter. */
+  def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
+      alpha: Double, seed: Long = 42L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no strata to mix")
+    val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha - 1.0) }
+    val scale = 1.0 / raw.values.max
+    val fractions = raw.map { case (s, f) => s -> math.min(1.0, f * scale) }
+    stratifiedByHash(df, stratumCol, idCol, fractions, seed)
+  }
+
   /** Deterministic train/holdout split keyed on a CONTENT id hash —
     * stable across runs, re-partitioning, and re-ingestion, which
     * `randomSplit` is not (it samples by partition-local position, so

@@ -600,6 +600,30 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.size == 200 && ok.values.toSet == Set(1L))
   }
 
+  test("temperature mixture: alpha=1 keeps all, alpha=0 equalizes strata, monotone between") {
+    import spark.implicits._
+    // skewed synthetic corpus: 1000 / 200 / 50 rows per source
+    val rows = (1L to 1000L).map(i => (i, "big")) ++
+      (1001L to 1200L).map(i => (i, "mid")) ++ (1201L to 1250L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    def kept(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMixture(df, "src", "id", alpha)
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+    val natural = kept(1.0)
+    assert(natural == Map("big" -> 1000L, "mid" -> 200L, "small" -> 50L))
+    // alpha=0: every stratum's EXPECTED kept count is the rarest
+    // stratum's size (hash sampling → tolerance)
+    val flat = kept(0.0)
+    assert(flat("small") == 50L) // rarest keeps everything exactly
+    assert(math.abs(flat("big") - 50L) <= 25, flat.toString)
+    assert(math.abs(flat("mid") - 50L) <= 25, flat.toString)
+    // 0<alpha<1 sits between natural and flat per stratum
+    val half = kept(0.5)
+    assert(half("big") > flat("big") && half("big") < natural("big"), half.toString)
+    // deterministic: same call, same rows
+    assert(kept(0.5) == half)
+  }
+
   test("hash-stratified sample: fractions within tolerance, stable under relayout") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
     val byLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
