@@ -307,12 +307,19 @@ object Dedup {
           explode(array_distinct(
             Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
     val evalFps = fps(eval, "eval_id")
-    // stop-fingerprint cap on the bounded side: a window-function
-    // count over eval's own fingerprints (eval is small — this whole
-    // subtree sits inside the broadcast build)
+    // stop-fingerprint cap on the bounded side. The capped table is
+    // MATERIALIZED (eager localCheckpoint, a distributed job) before
+    // the broadcast: a BroadcastExchange executes its child lineage
+    // as part of the build (repo rule: never leave an expensive
+    // custom Expression under one), and evalFps feeds two subplans
+    // here (probe rows + the doc-frequency aggregate) which would
+    // re-run the winnowing twice — checkpointed, the broadcast scans
+    // settled rows and the eval fingerprints compute exactly once,
+    // in parallel.
     val rareEvalFps = evalFps
       .join(evalFps.groupBy(col("fp")).agg(count(lit(1)).as("edf"))
         .filter(col("edf") <= maxEvalDocFreq).select("fp"), Seq("fp"))
+      .localCheckpoint(true)
     fps(train, "train_id")
       .join(broadcast(rareEvalFps), Seq("fp"))
       .groupBy(col("train_id"), col("eval_id"))
@@ -444,8 +451,18 @@ object Dedup {
     * spec-asserted). */
   def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 48, bands: Int = 8,
+      maxIters: Int = 20): DataFrame =
+    survivorsFromPairs(df, idCol,
+      embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands), maxIters)
+
+  /** Survivors of `df` given a near-dup PAIR table (id_a, id_b, ...):
+    * connected components over the pairs, drop every non-minimum
+    * cluster member, one anti-join. The shared tail of
+    * [[semanticDedupSurvivors]] / [[textDedupSurvivors]] — public so
+    * caller-provided pair sources (a persisted candidate table, a
+    * bounded exact twin) reuse the same survivor algebra. */
+  def survivorsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val pairs = embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands)
     val drops = duplicateClusters(pairs, "id_a", "id_b", maxIters)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
@@ -469,13 +486,9 @@ object Dedup {
     * the survivor filter is one anti-join. */
   def textDedupSurvivors(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
-      maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardNearDuplicates(df, idCol, textCol, threshold, shingleSize)
-    val drops = duplicateClusters(pairs, "id_a", "id_b", maxIters)
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    df.join(drops, Seq(idCol), "left_anti")
-  }
+      maxIters: Int = 20): DataFrame =
+    survivorsFromPairs(df, idCol,
+      ngramJaccardNearDuplicates(df, idCol, textCol, threshold, shingleSize), maxIters)
 
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
     * the candidate set, exact cosine verifies. Multi-probe via

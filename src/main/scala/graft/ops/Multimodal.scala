@@ -270,7 +270,11 @@ object Multimodal {
           if (r.kind == "image")
             ImageCodec.decode(bytes).map(ImageCodec.features(_, dims))
               .getOrElse(FakeCodec.features(bytes, dims))
-          else if (r.kind == "audio")
+          else if (r.kind == "audio" && dims >= 4)
+            // dims < 4 can't carry the rms/zcr/peak+histogram layout —
+            // fall to the stub rather than throwing inside a task
+            // (AudioCodec.features requires >= 4 as its driver-side
+            // contract)
             AudioCodec.decode(bytes).map(AudioCodec.features(_, dims))
               .getOrElse(FakeCodec.features(bytes, dims))
           else FakeCodec.features(bytes, dims)

@@ -38,13 +38,20 @@ object Parallelism {
     }
   }
 
-  /** Planned partition count of an exchange-free frame; None when the
-    * plan shuffles (already re-spread — leave it alone). */
+  /** Planned partition count; None when the plan carries an Exchange
+    * whose width is unknown here (already re-spread to
+    * `shuffle.partitions` — leave it alone). */
   private def plannedPartitions(df: DataFrame): Option[Int] = {
     // sparkPlan (pre-adaptive physical plan): constructing it plans but
     // never executes, even with AQE on
     val plan = df.queryExecution.sparkPlan
-    if (plan.exists(_.isInstanceOf[Exchange])) None
+    // a declared output partitioning (user repartition(n, col),
+    // coalesce(n), SinglePartition...) propagates up the plan — trust
+    // it first, or a coalesce(1)/repartition(2, col) input would slip
+    // past the guard and run the CPU-heavy sketch on 1-2 cores
+    val declared = plan.outputPartitioning.numPartitions
+    if (declared > 0) Some(declared)
+    else if (plan.exists(_.isInstanceOf[Exchange])) None
     else {
       val leaves = plan.collectLeaves()
       val fileSplits = leaves.collect {

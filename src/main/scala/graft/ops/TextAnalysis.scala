@@ -228,26 +228,32 @@ object TextAnalysis {
     * a token is — joined back on the id they are both already
     * partitioned by (no extra exchange). */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // empty tokens are filtered IN THE ARRAY, once, so unigram and
+    // bigram views tokenize identically (and identically to the
+    // oracle's list_filter) — filtering only the unigram explode
+    // would silently skew dup_bigram_ratio on irregular whitespace
     val base = Parallelism.ensure(df)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
       .repartition(col("id"))
     val uni = base
       .select(col("id"), explode(col("toks")).as("tok"))
-      .filter(length(col("tok")) > 0)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_c"))
-    // bigrams computed from the CARRIED token array (same Generate
-    // rule); single-token docs collapse to one whole-doc "gram" so
-    // the ratio is well-defined (and the SQL replay mirrors the CASE)
-    val bigrams = when(size(col("toks")) < 2, array(concat_ws(" ", col("toks"))))
-      .otherwise(transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+    // explode the bigram INDEX and slice the carried array per output
+    // row — never explode a transform(...) expression (GenerateExec
+    // re-evaluates its input per OUTPUT row: the O(T) array build
+    // would rerun T times, the repo's measured Generate trap). The
+    // index form also unifies the short-doc case: size<2 ⇒ the single
+    // i=0 slice is the whole-doc "gram" the SQL CASE mirrors.
     val bi = base
-      .select(col("id"), explode(bigrams).as("g"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 2, lit(0)))).as("i"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(2))).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(
         sum(col("c")).as("n_bigrams"),

@@ -273,15 +273,19 @@ object Extensions extends QueryModule {
       // verify re-reads) serve the settled memory-sink table
       // build OUTSIDE the memo lock (the ivfIndex pattern): the run
       // executes a full streaming query — under the monitor it would
-      // block every other memo user for the whole stream run. A racing
-      // duplicate run is settled rows in a memory sink; the loser's
-      // table is dropped with nothing to unpersist.
+      // block every other memo user for the whole stream run. The
+      // query/sink name is UNIQUE PER ATTEMPT: two racing builders
+      // with one shared name would not be a benign duplicate — the
+      // second start() throws "query with that name is already
+      // active". Each attempt settles into its own memory-sink table;
+      // the losing table is just an orphaned temp view.
       val memoKey = (graft.SessionKeys.of(s), dir)
       val done = x16Results.get(memoKey).getOrElse {
         val srcDir = streamSrcDir(dir)
         val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
+        val attempt = s"x16_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         x16Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
-          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), "x16_hourly"))
+          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), attempt))
       }
       done.orderBy(col("hour_start"), col("event_type"))
     },
@@ -920,10 +924,7 @@ object Extensions extends QueryModule {
         .filter(round(when(col("uni") > 0,
           col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
         .select("id_a", "id_b")
-      val drops = Dedup.duplicateClusters(pairs, "id_a", "id_b")
-        .filter(col("id") =!= col("cluster_id"))
-        .select(col("id").as("doc_id"))
-      docs.join(drops, Seq("doc_id"), "left_anti")
+      Dedup.survivorsFromPairs(docs, "doc_id", pairs)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
