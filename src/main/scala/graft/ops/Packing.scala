@@ -85,8 +85,7 @@ object Packing {
 
   /** Chunk-level packing summary over an assignment table: how many
     * docs start in each chunk and how many of the budgeted token
-    * slots the chunk's starting docs claim — the fill/fragmentation
-    * view a packing run is judged by. One two-phase aggregate. */
+    * slots the chunk's starting docs claim. One two-phase aggregate. */
   def chunkSummary(assignments: DataFrame): DataFrame =
     assignments
       .select(col("start_chunk").as("chunk"), col("n_tokens"))
@@ -94,4 +93,25 @@ object Packing {
       .agg(count(lit(1)).as("n_docs_starting"),
         sum(col("n_tokens")).as("tokens_starting"))
       .orderBy(col("chunk"))
+
+  /** EXACT per-chunk occupancy — a doc's tokens are split across the
+    * chunks its span covers, so every chunk but the last accounts for
+    * exactly `budget` tokens (concatenate-then-chunk leaves no gaps;
+    * spec-asserted). Map-only from the assignment table: explode the
+    * chunk-index span (a doc touches ⌈n/budget⌉+1 chunks at most),
+    * clip its token interval to each chunk's [chunk·B, (chunk+1)·B),
+    * then one two-phase aggregate keyed by chunk. */
+  def chunkOccupancy(assignments: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    assignments
+      .select(col("start_offset"), col("n_tokens"),
+        explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk"))
+      .withColumn("tokens_in_chunk",
+        least(col("start_offset") + col("n_tokens"), (col("chunk") + 1) * budget)
+          - greatest(col("start_offset"), col("chunk") * budget))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens_in_chunk")).as("tokens"))
+      .orderBy(col("chunk"))
+  }
 }

@@ -955,6 +955,39 @@ object Extensions extends QueryModule {
         AND doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
       ORDER BY doc_id"""))
 
+  /** Exact per-chunk occupancy of the x40 packing: doc token
+    * intervals clipped to chunk boundaries — every chunk but the
+    * last holds exactly 512 tokens (no-gap invariant, spec-asserted)
+    * — fully SQL-replayable via the same running-sum window. */
+  private val x44ChunkFill = GraftQuery(
+    "x44_chunk_fill",
+    (s, dir) => graft.ops.Packing.chunkOccupancy(
+      graft.ops.Packing.chunkAssignments(
+        Tables.documents(s, dir), "doc_id", "text", budget = 512),
+      budget = 512),
+    Some("""WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS start_offset
+        FROM t),
+      spans AS (
+        SELECT start_offset, n_tokens,
+          start_offset // 512 AS start_chunk,
+          (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
+        FROM o),
+      exploded AS (
+        SELECT start_offset, n_tokens,
+          unnest(generate_series(start_chunk, end_chunk)) AS chunk
+        FROM spans)
+      SELECT chunk, count(*) AS n_docs,
+        CAST(sum(least(start_offset + n_tokens, (chunk + 1) * 512)
+             - greatest(start_offset, chunk * 512)) AS BIGINT) AS tokens
+      FROM exploded GROUP BY chunk ORDER BY chunk"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -967,7 +1000,7 @@ object Extensions extends QueryModule {
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
-    x42TextDedupFuzzy, x43TextDedupExact)
+    x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -104,6 +104,12 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(narrowPlan.contains("RoundRobinPartitioning"),
       s"positive control: narrow input must round-robin\n${narrowPlan.take(2000)}")
+    // a declared narrow partitioning must NOT slip past the guard:
+    // coalesce(1) carries no Exchange and an explicit repartition(2)
+    // carries one — both would run the sketch near-single-threaded
+    assert(Parallelism.ensure(docs.coalesce(1)).rdd.getNumPartitions >= parts)
+    assert(Parallelism.ensure(docs.repartition(2, col("doc_id")))
+      .rdd.getNumPartitions >= parts)
     // a wide input passes through untouched — at 100 TB the corpus
     // scan already has thousands of splits and must NOT pay an extra
     // full-corpus exchange before the sketch projection

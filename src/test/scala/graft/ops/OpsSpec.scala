@@ -255,7 +255,18 @@ class OpsSpec extends AnyFunSuite {
     val summary = Packing.chunkSummary(
       Packing.chunkAssignments(docs, "doc_id", "text", budget = 512))
     val tot = summary.agg(sum(col("tokens_starting"))).collect().head.getLong(0)
-    assert(tot == ref.values.map(_._1).sum)
+    val corpusTokens = ref.values.map(_._1).sum
+    assert(tot == corpusTokens)
+    // no-gap invariant: exact occupancy fills every chunk but the
+    // last to the budget, and clipped slices conserve the total
+    val occ = Packing.chunkOccupancy(
+      Packing.chunkAssignments(docs, "doc_id", "text", budget = 512), budget = 512)
+      .collect()
+    val lastChunk = occ.map(_.getLong(0)).max
+    occ.filter(_.getLong(0) != lastChunk).foreach { r =>
+      assert(r.getLong(2) == 512L, s"chunk ${r.getLong(0)} holds ${r.getLong(2)}")
+    }
+    assert(occ.map(_.getLong(2)).sum == corpusTokens)
   }
 
   test("multimodal: deterministic stub features, frame sampling, blob pruning") {
