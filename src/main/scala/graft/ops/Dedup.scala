@@ -259,11 +259,23 @@ object Dedup {
       maxDocFreq: Int = 20): DataFrame = {
     // per-doc dedup happens INSIDE the row (array_distinct before the
     // explode) — a (id, fp) `.distinct()` after exploding would be a
-    // full shuffle for what is a purely row-local property
+    // full shuffle for what is a purely row-local property.
+    // The fingerprint array MATERIALIZES at an exchange before the
+    // explode (the minhash-signature pattern). The load-bearing
+    // reason is the TWO consumers below (the df-cap aggregate and the
+    // join back): without the exchange each consumer re-executes the
+    // whole scan+winnowing subtree; with it they share one
+    // ReusedExchange of the computed arrays, so the corpus is read
+    // and sketched exactly once. (Warm-profile note: per-output-row
+    // generator re-eval did NOT show at sf0.1 — CPU was flat — this
+    // is about subtree re-execution, and the exchanged frame
+    // (id, fp-array) is smaller than the text it replaces.)
     val allFps = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
-        explode(array_distinct(
-          Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
+        array_distinct(
+          Sketches.winnowingFingerprint(col(textCol), k, window)).as("fps"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("fps")).as("fp"))
     val rare = allFps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
@@ -301,11 +313,15 @@ object Dedup {
       idCol: String, textCol: String,
       minShared: Int = 2, k: Int = 8, window: Int = 4,
       maxEvalDocFreq: Int = 20): DataFrame = {
+    // materialize-then-explode, see containmentCandidates (the
+    // Generate re-evaluation trap)
     def fps(df: DataFrame, as: String) =
       Parallelism.ensure(df)
         .select(col(idCol).as(as),
-          explode(array_distinct(
-            Sketches.winnowingFingerprint(col(textCol), k, window))).as("fp"))
+          array_distinct(
+            Sketches.winnowingFingerprint(col(textCol), k, window)).as("fps"))
+        .repartition(col(as))
+        .select(col(as), explode(col("fps")).as("fp"))
     val evalFps = fps(eval, "eval_id")
     // stop-fingerprint cap on the bounded side. The capped table is
     // MATERIALIZED (eager localCheckpoint, a distributed job) before
