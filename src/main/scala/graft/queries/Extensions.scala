@@ -643,9 +643,11 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id"),
           array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
-      val a = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+      // re-spread the streamed side of the nested-loop join (see x43)
+      val a = graft.ops.Parallelism.ensure(docs)
+        .select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
       val b = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
-      a.join(b, col("id_a") < col("id_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("shared_ngrams",
           size(array_intersect(col("grams_a"), col("grams_b"))))
         .filter(col("shared_ngrams") >= 2)
@@ -701,11 +703,13 @@ object Extensions extends QueryModule {
       def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
         array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
       val docs = Tables.documents(s, dir)
-      val train = grams(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+      // re-spread the streamed side of the nested-loop join (see x43)
+      val train = graft.ops.Parallelism.ensure(
+        grams(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)))
         .select(col("doc_id").as("train_id"), col("grams").as("grams_t"))
       val ev = grams(docs.filter(col("doc_id") < 50))
         .select(col("doc_id").as("eval_id"), col("grams").as("grams_e"))
-      train.crossJoin(ev)
+      train.crossJoin(broadcast(ev))
         .withColumn("shared_ngrams",
           size(array_intersect(col("grams_t"), col("grams_e"))))
         .filter(col("shared_ngrams") >= 2)
@@ -916,9 +920,15 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       val g = docs.select(col("doc_id"),
         array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
-      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      // the non-equi all-pairs join plans as BroadcastNestedLoop: the
+      // STREAMED side inherits the scan's single split, serializing
+      // 45k per-pair Jaccard evaluations onto one task (measured
+      // 7.7 s single-threaded) — re-spread it; the broadcast side is
+      // 300 gram arrays
+      val a = graft.ops.Parallelism.ensure(g)
+        .select(col("doc_id").as("id_a"), col("grams").as("ga"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
         .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
         .withColumn("uni", size(array_union(col("ga"), col("gb"))))
         .filter(round(when(col("uni") > 0,
