@@ -261,6 +261,11 @@ object Multimodal {
     * rows REAL sample features ([[AudioCodec]] RMS/ZCR/histogram);
     * video (and undecodable image/audio bytes) fall to the stub. */
   def extractFeatures(media: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
+    // driver-side contract: a nonsensical width must fail HERE, not
+    // as an ArrayIndexOutOfBounds inside an executor task (the image
+    // histogram needs >= 1 bin; audio additionally falls to the stub
+    // below 4 — see the dispatch)
+    require(dims >= 1, s"feature dims must be >= 1, got $dims")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec init would go here (model load, JNI handle)

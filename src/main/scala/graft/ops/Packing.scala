@@ -109,6 +109,16 @@ object Packing {
       .withColumn("tokens_in_chunk",
         least(col("start_offset") + col("n_tokens"), (col("chunk") + 1) * budget)
           - greatest(col("start_offset"), col("chunk") * budget))
+      // the budget is not recoverable from the assignment table, so a
+      // caller passing a different one than chunkAssignments used
+      // would get silently wrong (even negative) slices — fail loudly
+      // instead (a negative clip is impossible under a consistent
+      // budget: every exploded chunk overlaps its doc's interval)
+      .withColumn("tokens_in_chunk",
+        when(col("tokens_in_chunk") < 0, raise_error(lit(
+          s"chunkOccupancy: negative token slice — budget $budget does not " +
+            "match the one the assignment table was built with")))
+          .otherwise(col("tokens_in_chunk")))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tokens_in_chunk")).as("tokens"))

@@ -47,11 +47,18 @@ object Parallelism {
     val plan = df.queryExecution.sparkPlan
     // a declared output partitioning (user repartition(n, col),
     // coalesce(n), SinglePartition...) propagates up the plan — trust
-    // it first, or a coalesce(1)/repartition(2, col) input would slip
-    // past the guard and run the CPU-heavy sketch on 1-2 cores
+    // it, or a coalesce(1)/repartition(2, col) input would slip past
+    // the guard and run the CPU-heavy sketch on 1-2 cores. EXCEPT
+    // when the declared width is exactly the session's
+    // shuffle.partitions: that's the config-width exchange every
+    // shuffle produces, and re-spreading on top of it would stack a
+    // second full exchange whenever defaultParallelism >
+    // shuffle.partitions on a cluster (and wreck deliberate hash
+    // co-location for nothing).
     val declared = plan.outputPartitioning.numPartitions
-    if (declared > 0) Some(declared)
-    else if (plan.exists(_.isInstanceOf[Exchange])) None
+    val configWidth = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (declared > 0 && declared != configWidth) Some(declared)
+    else if (declared > 0 || plan.exists(_.isInstanceOf[Exchange])) None
     else {
       val leaves = plan.collectLeaves()
       val fileSplits = leaves.collect {

@@ -58,7 +58,11 @@ object Sampling {
   def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
       alpha: Double, seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // null strata are dropped by stratifiedByHash's equality filter
+    // anyway — excluded here too, or the null-keyed count row would
+    // NPE the driver-side fraction map
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     require(counts.nonEmpty, "no strata to mix")
     val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha - 1.0) }

@@ -290,6 +290,38 @@ object TextAnalysis {
     regexp_replace(ip, PiiPhonePattern, "<PHONE>")
   }
 
+  /** N-gram novelty: per document, the fraction of its distinct
+    * word n-grams that occur in NO other document (df == 1) plus the
+    * mean inverse document frequency — the "is this boilerplate or
+    * original text" signal (low novelty ⇒ template/boilerplate, a
+    * corpus-level complement to the row-local [[repetitionStats]]).
+    *
+    * Scale shape: one shingling pass materialized at an exchange and
+    * checkpointed (it feeds the df aggregate AND the scoring join —
+    * unchecked, the subtree would execute twice); the df table is
+    * corpus-sized, so the join is shuffled on `g`, never broadcast
+    * (the x32 rule); final aggregate keyed by the near-unique doc
+    * id. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = Parallelism.ensure(df)
+      .select(col(idCol).as("id"),
+        array_distinct(wordNgrams(col(textCol), n)).as("gs"))
+      .repartition(col("id"))
+      .select(col("id"), explode(col("gs")).as("g"))
+      .localCheckpoint(true)
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"),
+        round(avg(lit(1.0) / col("df")), 4).as("mean_inv_df"))
+      .select(col("id").as(idCol), col("n_grams"),
+        round(col("n_unique").cast("double") / col("n_grams"), 4)
+          .as("novelty_ratio"),
+        col("mean_inv_df"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words signature (same fingerprint ⇔
     * same vocabulary), SQL-expressible for the oracle. */

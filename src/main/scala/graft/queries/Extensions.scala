@@ -998,6 +998,29 @@ object Extensions extends QueryModule {
              - greatest(start_offset, chunk * 512)) AS BIGINT) AS tokens
       FROM exploded GROUP BY chunk ORDER BY chunk"""))
 
+  /** N-gram novelty scoring (corpus-level boilerplate detection) —
+    * fully SQL-replayable: shingle df table + scoring join. */
+  private val x45NgramNovelty = GraftQuery(
+    "x45_ngram_novelty",
+    (s, dir) => TextAnalysis.ngramNovelty(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+        SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END)) AS gram
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents)),
+      d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+      SELECT g.doc_id,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 4) AS novelty_ratio,
+        round(avg(1.0 / d.df), 4) AS mean_inv_df
+      FROM g JOIN d ON g.gram = d.gram
+      GROUP BY g.doc_id ORDER BY g.doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1010,7 +1033,7 @@ object Extensions extends QueryModule {
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
-    x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill)
+    x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

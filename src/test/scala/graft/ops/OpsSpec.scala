@@ -213,6 +213,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("dup_bigram_ratio") == 0.0)
   }
 
+  test("ngram novelty matches hand-computed df fractions") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 trigrams: {"a b c" (df 2), "b c d" (df 1)}
+    assert(out(1L).getAs[Long]("n_grams") == 2L)
+    assert(out(1L).getAs[Double]("novelty_ratio") == 0.5)
+    assert(out(1L).getAs[Double]("mean_inv_df") == 0.75)
+    // doc 3 shares nothing
+    assert(out(3L).getAs[Double]("novelty_ratio") == 1.0)
+    assert(out(3L).getAs[Double]("mean_inv_df") == 1.0)
+  }
+
   test("pii scrub replaces emails, ips and phone runs with typed tags") {
     val df = Seq((1L,
       "mail me at john.doe+spam@mail.example.org or call +1 (555) 010-4477 from 192.168.0.12 ok"))
@@ -570,9 +584,12 @@ class OpsSpec extends AnyFunSuite {
     // exact all-pairs trigram-Jaccard survivors at the same threshold
     val g = docs.select(col("doc_id"),
       array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
-    val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    // re-spread the nested-loop streamed side (the x43 fix): ~125k
+    // pair intersections would otherwise run on one task
+    val a = Parallelism.ensure(g).select(col("doc_id").as("id_a"), col("grams").as("ga"))
     val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
+    val pairs = a.join(org.apache.spark.sql.functions.broadcast(b),
+      col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("uni", size(array_union(col("ga"), col("gb"))))
       .filter(round(when(col("uni") > 0,
@@ -633,6 +650,10 @@ class OpsSpec extends AnyFunSuite {
     assert(half("big") > flat("big") && half("big") < natural("big"), half.toString)
     // deterministic: same call, same rows
     assert(kept(0.5) == half)
+    // null strata are dropped, not an NPE in the fraction build
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "src"))
+    val noNulls = Sampling.temperatureMixture(withNull, "src", "id", 0.5)
+    assert(noNulls.filter(col("src").isNull).count() == 0)
   }
 
   test("hash-stratified sample: fractions within tolerance, stable under relayout") {
