@@ -1,0 +1,54 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's data-quality posture (spark_check_emr.py's named
+  * scalar checks — see [[DataQuality]]) applied to the LLM corpus
+  * tables: a training-data pipeline gates ingestion on exactly these
+  * invariants before any dedup/curation stage trusts the ids.
+  *
+  * Shape: ONE aggregate per table (map-side partial + single final
+  * row), then the scalar results inline into named check rows — the
+  * whole gate is two scans at any corpus size, not one scan per
+  * check. Output is a driver-comparable relation (check_name,
+  * observed, passed) rather than a throw, so the same suite serves
+  * both as a registered query (SQL-replayable, hash-checked) and as
+  * a gate (`failures == 0`).
+  */
+object CorpusQuality {
+
+  /** Document + embedding invariants as one ordered relation:
+    * (check_name, observed, passed 0/1). `observed` is the violation
+    * count (0 when passing), except `embedding_width_uniform` where
+    * it is the number of distinct embedding widths (1 when passing). */
+  def suite(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    def checkRow(name: String, observed: org.apache.spark.sql.Column,
+        passWhen: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"),
+        observed.cast("long").as("observed"),
+        passWhen(observed).cast("int").as("passed"))
+    val docRows = docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup"),
+      sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
+      sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0)).as("mism"),
+      sum(when(!col("lang").isin("en", "de", "es", "fr", "zh"), 1).otherwise(0))
+        .as("unk"))
+      .select(inline(array(
+        checkRow("doc_id_unique", col("dup"), _ === 0),
+        checkRow("doc_id_not_null", col("nulls"), _ === 0),
+        checkRow("n_chars_consistent", col("mism"), _ === 0),
+        checkRow("lang_known", col("unk"), _ === 0))))
+    val embRows = embeddings.agg(
+      (count(lit(1)) - countDistinct(col("vec_id"))).as("dup"),
+      countDistinct(size(col("embedding"))).as("widths"))
+      .select(inline(array(
+        checkRow("vec_id_unique", col("dup"), _ === 0),
+        checkRow("embedding_width_uniform", col("widths"), _ === 1))))
+    docRows.union(embRows).orderBy(col("check_name"))
+  }
+
+  /** Gate form: count of failing checks (0 = corpus is ingestible). */
+  def failures(docs: DataFrame, embeddings: DataFrame): Long =
+    suite(docs, embeddings).filter(col("passed") === 0).count()
+}

@@ -1021,6 +1021,36 @@ object Extensions extends QueryModule {
       FROM g JOIN d ON g.gram = d.gram
       GROUP BY g.doc_id ORDER BY g.doc_id"""))
 
+  /** Corpus data-quality gate (the reference's check-harness posture
+    * on the LLM tables): two aggregates inline into named check
+    * rows, fully SQL-replayable. */
+  private val x46CorpusChecks = GraftQuery(
+    "x46_corpus_checks",
+    (s, dir) => graft.quality.CorpusQuality.suite(
+      Tables.documents(s, dir), Tables.embeddings(s, dir)),
+    Some("""WITH d AS (
+        SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup,
+          CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+          CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT)
+            AS mism,
+          CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+            THEN 1 ELSE 0 END) AS BIGINT) AS unk
+        FROM documents),
+      e AS (
+        SELECT CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS dup,
+          CAST(count(DISTINCT len(embedding)) AS BIGINT) AS widths
+        FROM embeddings)
+      SELECT * FROM (
+        SELECT 'doc_id_unique' AS check_name, dup AS observed,
+               CAST(dup = 0 AS INT) AS passed FROM d
+        UNION ALL SELECT 'doc_id_not_null', nulls, CAST(nulls = 0 AS INT) FROM d
+        UNION ALL SELECT 'n_chars_consistent', mism, CAST(mism = 0 AS INT) FROM d
+        UNION ALL SELECT 'lang_known', unk, CAST(unk = 0 AS INT) FROM d
+        UNION ALL SELECT 'vec_id_unique', dup, CAST(dup = 0 AS INT) FROM e
+        UNION ALL SELECT 'embedding_width_uniform', widths,
+               CAST(widths = 1 AS INT) FROM e)
+      ORDER BY check_name"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1033,7 +1063,8 @@ object Extensions extends QueryModule {
     x32TfidfTerms, x33BatchTopKIvf, x34SemanticDedupLsh,
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
-    x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty)
+    x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
+    x46CorpusChecks)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -213,6 +213,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("dup_bigram_ratio") == 0.0)
   }
 
+  test("corpus quality suite: green on testdata, catches planted violations") {
+    import graft.quality.CorpusQuality
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    assert(CorpusQuality.failures(docs, emb) == 0L)
+    // plant: one duplicated doc_id, one bad lang + inconsistent n_chars
+    val corrupt = docs.limit(3)
+      .union(docs.limit(1))
+      .union(Seq((9001L, "abc", "xx", "srcX", 99L))
+        .toDF(docs.columns.toIndexedSeq: _*))
+    val out = CorpusQuality.suite(corrupt, emb).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out("doc_id_unique") == ((1L, 0)))
+    assert(out("lang_known") == ((1L, 0)))
+    assert(out("n_chars_consistent") == ((1L, 0)))
+    assert(CorpusQuality.failures(corrupt, emb) == 3L)
+  }
+
   test("ngram novelty matches hand-computed df fractions") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
       .toDF("doc_id", "text")
