@@ -1029,23 +1029,29 @@ object Extensions extends QueryModule {
     (s, dir) => graft.quality.CorpusQuality.suite(
       Tables.documents(s, dir), Tables.embeddings(s, dir)),
     Some("""WITH d AS (
-        SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup,
-          CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-          CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT)
-            AS mism,
-          CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
-            THEN 1 ELSE 0 END) AS BIGINT) AS unk
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS dup,
+          COALESCE(CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT), 0) AS nulls,
+          COALESCE(CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+            AS BIGINT), 0) AS mism,
+          COALESCE(CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+            THEN 1 ELSE 0 END) AS BIGINT), 0) AS unk
         FROM documents),
       e AS (
-        SELECT CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS dup,
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(vec_id) - count(DISTINCT vec_id) AS BIGINT) AS dup,
           CAST(count(DISTINCT len(embedding)) AS BIGINT) AS widths
         FROM embeddings)
       SELECT * FROM (
-        SELECT 'doc_id_unique' AS check_name, dup AS observed,
-               CAST(dup = 0 AS INT) AS passed FROM d
+        SELECT 'documents_nonempty' AS check_name, n_rows AS observed,
+               CAST(n_rows > 0 AS INT) AS passed FROM d
+        UNION ALL SELECT 'doc_id_unique', dup, CAST(dup = 0 AS INT) FROM d
         UNION ALL SELECT 'doc_id_not_null', nulls, CAST(nulls = 0 AS INT) FROM d
         UNION ALL SELECT 'n_chars_consistent', mism, CAST(mism = 0 AS INT) FROM d
         UNION ALL SELECT 'lang_known', unk, CAST(unk = 0 AS INT) FROM d
+        UNION ALL SELECT 'embeddings_nonempty', n_rows,
+               CAST(n_rows > 0 AS INT) FROM e
         UNION ALL SELECT 'vec_id_unique', dup, CAST(dup = 0 AS INT) FROM e
         UNION ALL SELECT 'embedding_width_uniform', widths,
                CAST(widths = 1 AS INT) FROM e)

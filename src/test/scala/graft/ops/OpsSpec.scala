@@ -218,17 +218,27 @@ class OpsSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     assert(CorpusQuality.failures(docs, emb) == 0L)
-    // plant: one duplicated doc_id, one bad lang + inconsistent n_chars
-    val corrupt = docs.limit(3)
-      .union(docs.limit(1))
-      .union(Seq((9001L, "abc", "xx", "srcX", 99L))
-        .toDF(docs.columns.toIndexedSeq: _*))
+    // plant from LITERAL rows (limit() without order guarantees
+    // neither determinism nor containment): a duplicated doc_id, a
+    // NULL doc_id, and a bad-lang + inconsistent-n_chars row
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "alpha beta", "en", "srcA", 10L),
+      org.apache.spark.sql.Row(1L, "gamma delta", "en", "srcA", 11L),
+      org.apache.spark.sql.Row(null, "epsilon", "en", "srcB", 7L),
+      org.apache.spark.sql.Row(9001L, "abc", "xx", "srcX", 99L))
+    val corrupt = spark.createDataFrame(rows, docs.schema)
     val out = CorpusQuality.suite(corrupt, emb).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-    assert(out("doc_id_unique") == ((1L, 0)))
+    assert(out("documents_nonempty") == ((4L, 1)))
+    assert(out("doc_id_unique") == ((1L, 0))) // the NULL id is NOT a dup
+    assert(out("doc_id_not_null") == ((1L, 0)))
     assert(out("lang_known") == ((1L, 0)))
-    assert(out("n_chars_consistent") == ((1L, 0)))
-    assert(CorpusQuality.failures(corrupt, emb) == 3L)
+    assert(out("n_chars_consistent") == ((1L, 0))) // only the 9001 row lies
+    assert(CorpusQuality.failures(corrupt, emb) == 4L)
+    // an EMPTY corpus must fail the gate, never NULL past it
+    val empty = CorpusQuality.suite(docs.filter(lit(false)), emb).collect()
+    empty.foreach(r => assert(!r.isNullAt(1) && !r.isNullAt(2), r.toString))
+    assert(CorpusQuality.failures(docs.filter(lit(false)), emb) == 1L)
   }
 
   test("ngram novelty matches hand-computed df fractions") {
