@@ -153,6 +153,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("RoundRobinPartitioning"), plan.take(2000))
   }
 
+  test("x45 novelty joins shuffled (df is corpus-sized); x40 packing has no one-task window") {
+    val novelty = executedPlan("x45_ngram_novelty")
+    // the document-frequency table scales with the corpus vocabulary —
+    // never broadcast (the x32 rule)
+    assert(novelty.contains("ShuffledHashJoin"), novelty.take(2000))
+    assert(!novelty.contains("BroadcastHashJoin"), novelty.take(2000))
+    // the prefix sum must NOT plan as a no-partition window funneling
+    // the corpus through one task's sort
+    val packing = executedPlan("x40_sequence_packing")
+    assert(!packing.contains("Window"), packing.take(2000))
+    assert(packing.contains("ExistingRDD"), packing.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")
