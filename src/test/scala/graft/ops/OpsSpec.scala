@@ -213,6 +213,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("dup_bigram_ratio") == 0.0)
   }
 
+  test("shard export: hive-partitioned by chunk range, round-trips the packed corpus") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val assignments = Packing.chunkAssignments(docs, "doc_id", "text", budget = 512)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val nShards = CorpusExport.writeShards(docs, assignments, "doc_id", outDir,
+      chunksPerShard = 8)
+    val back = spark.read.parquet(outDir)
+    // every doc lands in exactly the shard its start_chunk dictates
+    val expected = assignments
+      .select(col("doc_id"), expr("start_chunk div 8").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hive partition values are re-inferred on read (int here) — cast
+    val got = back.select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(nShards == expected.values.toSet.size)
+    // hive layout: one directory per shard (partition pruning surface)
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).toSet
+    assert(dirs.size == nShards)
+  }
+
   test("corpus quality suite: green on testdata, catches planted violations") {
     import graft.quality.CorpusQuality
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
