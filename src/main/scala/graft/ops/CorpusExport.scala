@@ -19,17 +19,38 @@ import org.apache.spark.sql.functions._
 object CorpusExport {
 
   /** Join the corpus onto its packing assignments and write
-    * hive-partitioned shards. Returns the shard count. */
+    * hive-partitioned shards. Returns the assignment table's shard
+    * count. Contract: every doc id must have an assignment row — a
+    * missing one fails the write loudly (an inner join would
+    * silently drop corpus data when the id sets diverge); assignment
+    * rows for ids absent from `docs` are ignored (a lookup table may
+    * legitimately outlive a filtered corpus slice). */
   def writeShards(docs: DataFrame, assignments: DataFrame, idCol: String,
       outDir: String, chunksPerShard: Int = 64): Long = {
     require(chunksPerShard > 0, "chunksPerShard must be positive")
-    val sharded = docs
-      .join(assignments.select(col(idCol), col("start_chunk")), Seq(idCol))
+    // the guard rides the kept column, so it cannot be pruned away
+    // and costs no extra job — it evaluates during the write itself
+    val joined = docs
+      .join(assignments.select(col(idCol), col("start_chunk")),
+        Seq(idCol), "left_outer")
+      .withColumn("start_chunk",
+        when(col("start_chunk").isNull, raise_error(lit(
+          "writeShards: document without a packing assignment — " +
+            "docs and assignments must cover the same ids")))
+          .otherwise(col("start_chunk")))
+    val sharded = joined
       .withColumn("shard", expr(s"start_chunk div $chunksPerShard"))
       .repartition(col("shard"))
-      .sortWithinPartitions(col(idCol))
+      // shard FIRST: the dynamic-partition writer requires its sort
+      // prefix on the partition column — ordered by id alone it would
+      // re-sort on shard, and a spilling task's merge does not keep
+      // the id order stable within equal shard keys
+      .sortWithinPartitions(col("shard"), col(idCol))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    docs.sparkSession.read.parquet(outDir)
-      .select(col("shard")).distinct().count()
+    // shard count from the tiny assignment side — never a re-read of
+    // the written output (a second full-output listing job, and an
+    // empty export would crash parquet schema inference)
+    assignments.select(expr(s"start_chunk div $chunksPerShard").as("shard"))
+      .distinct().count()
   }
 }

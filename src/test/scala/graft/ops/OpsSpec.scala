@@ -233,6 +233,19 @@ class OpsSpec extends AnyFunSuite {
     val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("shard=")).toSet
     assert(dirs.size == nShards)
+    // a doc WITHOUT an assignment row fails the export loudly instead
+    // of silently dropping corpus data
+    val minId = assignments.agg(min(col("doc_id"))).collect().head.getLong(0)
+    val partial = assignments.filter(col("doc_id") =!= minId)
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    val ex = intercept[Exception] {
+      CorpusExport.writeShards(docs, partial, "doc_id", outDir2, chunksPerShard = 8)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("without a packing assignment")),
+      messages(ex).mkString(" | "))
   }
 
   test("corpus quality suite: green on testdata, catches planted violations") {
