@@ -74,23 +74,40 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // self-archive: the driver captures a bounded tail of stdout, and
-    // a 65-query JSON line can outgrow it (round 3 lost q1-q3 that
-    // way) — the file copy is complete regardless of capture length
+    // full-name, full-precision line — archived to a file (complete
+    // regardless of the driver's capture length)
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] archived to $out")
     } catch { case t: Throwable =>
       System.err.println(s"[bench] archive to $out failed: ${t.getMessage}")
     }
+    // stdout line LAST, and compact: the driver keeps only the final
+    // 2000 chars of output, and 76 full-name full-precision entries
+    // are ~2.4k chars — rounds 1-4 all came back `parsed: null` from
+    // head-truncation. Short ids ("q1", "x18" — the driver contract's
+    // own example form) at ms precision keep the line ~900 chars with
+    // room to grow; full names live in the archive file above.
+    val shortId = "^([a-z]+\\d+)".r
+    val shortKeys = results.map { case (k, _) =>
+      shortId.findFirstIn(k).getOrElse(k)
+    }
+    val keys = // fall back to full names on any collision — never drop a number
+      if (shortKeys.distinct.length == shortKeys.length) shortKeys
+      else results.map(_._1)
+    val qs = keys.zip(results.map(_._2)).map { case (k, v) =>
+      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val shortTotal = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(
+      s"""{"metric":"total","value":$shortTotal,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
