@@ -343,6 +343,81 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Bloom-filter decontamination: flags train docs sharing winnowed
+    * fingerprints with the eval set, with the eval side compressed
+    * into a Bloom filter instead of a broadcast join table.
+    *
+    * This is the cheapest possible 100 TB shape for "does this doc
+    * touch the eval set at all": the bounded eval side builds one
+    * Bloom filter (distributed aggregate, ~10 bits/fingerprint at
+    * fpp 1%, so even 10⁸ eval fingerprints fit in ~120 MB; typical
+    * eval suites are orders less), and the train corpus is then a
+    * PURE MAP — fingerprints stay inside the row as an array, the
+    * membership count is `size(filter(fps, might_contain))`, no
+    * explode, no join, no shuffle of the big side at all. Compared to
+    * [[crossContainmentCandidates]] it trades per-eval-doc pair
+    * attribution (and an fpp sliver of false positives — NEVER false
+    * negatives) for a plan with zero exchanges on the train side;
+    * use it as the cheap first-pass filter and the join variant for
+    * attribution on the survivors.
+    *
+    * Same stop-fingerprint cap as the join variant: fingerprints in
+    * more than `maxEvalDocFreq` eval docs are boilerplate, not
+    * contamination signal, and are dropped before the filter is
+    * built (so they can't inflate `matched_fingerprints`).
+    *
+    * Output: (train_id, matched_fingerprints) for train docs whose
+    * distinct-fingerprint overlap with the eval union is ≥
+    * `minMatched`. Exact-twin discipline: x37's word-trigram
+    * intersection pins the shared-passage semantics this
+    * approximates. */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      minMatched: Int = 2, k: Int = 8, window: Int = 4,
+      maxEvalDocFreq: Int = 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // bounded side: winnowed fingerprints, stop-capped, distinct.
+    // materialize-then-explode as everywhere (Generate re-eval trap).
+    val evalFps = Parallelism.ensure(eval)
+      .select(col(idCol).as("eval_id"),
+        array_distinct(
+          Sketches.winnowingFingerprint(col(textCol), k, window)).as("fps"))
+      .repartition(col("eval_id"))
+      .select(col("eval_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint(true) // feeds the doc-freq agg AND the filter build
+    val cappedFps = evalFps
+      .join(evalFps.groupBy(col("fp")).agg(count(lit(1)).as("edf"))
+        .filter(col("edf") <= maxEvalDocFreq).select("fp"), Seq("fp"))
+      .select("fp").distinct()
+    // the count is a cheap job on the bounded side and sizes the
+    // filter exactly; stat.bloomFilter aggregates distributed and
+    // only the merged ~n*10-bit filter ever reaches the driver
+    val nFps = cappedFps.count()
+    if (nFps == 0L)
+      return train.select(col(idCol).as("train_id"),
+        lit(0L).as("matched_fingerprints")).filter(lit(false))
+    val bloom = cappedFps.stat.bloomFilter("fp", nFps, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // train side: one codegen'd projection per row — winnowing runs
+    // once, the membership test folds over the in-row array. The
+    // filter rides the plan as a binary literal (task-broadcast).
+    val mightContain: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      f => ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), ColumnBridge.expression(f)))
+    train.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("train_id"),
+        size(filter(array_distinct(
+          Sketches.winnowingFingerprint(col(textCol), k, window)),
+          mightContain)).cast("long").as("matched_fingerprints"))
+      .filter(col("matched_fingerprints") >= minMatched)
+  }
+
   /** Duplicate-cluster formation: connected components over a
     * candidate-pair edge list, the step that turns pairwise near-dup
     * findings into keep-one-per-group decisions (pairs alone can't —

@@ -192,6 +192,59 @@ class OpsSpec extends AnyFunSuite {
     assert(Set((20L, 2L), (20L, 3L)).subsetOf(uncapped), s"got $uncapped")
   }
 
+  test("bloom decontamination: no false negatives vs the join variant; counts exact at tiny fpp") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val evalDocs = Seq(
+      (1L, s"eval question one $passage end"),
+      (2L, "eval question two nothing shared here whatsoever"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, s"some training text containing $passage verbatim inside"),
+      (11L, "unrelated corpus entry with its own disjoint material"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.bloomDecontaminate(train, evalDocs, "doc_id", "text",
+      minMatched = 1, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // superset guarantee: every train doc the JOIN variant pairs must
+    // be flagged by the bloom pass (bloom has no false negatives)
+    val joinIds = Dedup.crossContainmentCandidates(train, evalDocs, "doc_id", "text",
+      minShared = 1).select("train_id").as[Long].collect().toSet
+    assert(joinIds.subsetOf(flagged.keySet),
+      s"join-variant ids $joinIds must all be bloom-flagged, got ${flagged.keySet}")
+    assert(flagged.contains(10L), s"planted overlap must flag, got $flagged")
+    // at fpp 1e-6 on this tiny corpus, counts are exact: compare the
+    // per-doc matched count against a hand-computed intersection of
+    // winnowed fingerprint sets
+    def fpSet(text: String): Set[Long] = {
+      val df = Seq((0L, text)).toDF("id", "t")
+      df.select(explode(array_distinct(
+        Sketches.winnowingFingerprint(col("t"), 8, 4))).as("fp"))
+        .as[Long].collect().toSet
+    }
+    val evalUnion = evalDocs.as[(Long, String)].collect().map(r => fpSet(r._2))
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val trainRows = train.as[(Long, String)].collect().toMap
+    flagged.foreach { case (id, n) =>
+      assert(n == (fpSet(trainRows(id)) & evalUnion).size.toLong,
+        s"doc $id matched-count must equal the exact fp intersection")
+    }
+    // disjoint doc: may only appear via fp collisions — none at 1e-6
+    assert(!flagged.contains(11L), s"disjoint doc flagged: $flagged")
+    // eval-side stop cap applies before the filter is built
+    val boiler = "copyright notice all rights reserved by the benchmark suite"
+    val eval3 = Seq((1L, s"q one $boiler"), (2L, s"q two $boiler"), (3L, s"q three $boiler"))
+      .toDF("doc_id", "text")
+    val trainBoiler = Seq((20L, s"entry that copied the boilerplate $boiler tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.bloomDecontaminate(trainBoiler, eval3, "doc_id", "text",
+      minMatched = 1, maxEvalDocFreq = 1, fpp = 1e-6).count() == 0L)
+    // empty eval set (everything capped away) → empty result, schema intact
+    val none = Dedup.bloomDecontaminate(train, evalDocs.filter(lit(false)),
+      "doc_id", "text")
+    assert(none.columns.toSeq == Seq("train_id", "matched_fingerprints"))
+    assert(none.count() == 0L)
+  }
+
   test("repetition stats match hand-computed values") {
     val docs = Seq((1L, "a a a b"), (2L, "w x y z"), (3L, "solo"))
       .toDF("doc_id", "text")
