@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: how rows are ARRANGED across files decides
+  * how much of a 100 TB table a filtered scan has to read. Parquet
+  * keeps min/max statistics per file and row group; a scan with a
+  * predicate skips any unit whose range excludes the value — but only
+  * if the layout made those ranges narrow. Sorting clusters one
+  * column perfectly and leaves every other column's per-file range at
+  * ~the global range; Z-ORDERING (Morton curve) interleaves the bits
+  * of several columns into one sort key so every participating
+  * column's per-file range shrinks like N^(1/d) — the standard
+  * multi-dimensional clustering trade (one column's perfect locality
+  * traded for useful locality on all of them).
+  *
+  * Cost model: one range-partitioning shuffle + in-partition sort,
+  * paid once at write time, amortized over every future pruned scan —
+  * the same economics as the engine's bucketing (etl/Bucketing.scala)
+  * but aimed at RANGE predicates instead of join co-location.
+  */
+object Layout {
+
+  /** Morton (Z-curve) value: interleaves the low `bits` bits of each
+    * column, LSB-aligned — bit j of column i lands at position
+    * j*d + i, so dimensions alternate bit-for-bit and the resulting
+    * long sorts in Z-order. Columns must be non-negative integers
+    * (cast to long internally); values ≥ 2^bits clamp into the top
+    * stripe (their low bits still interleave — ordering degrades
+    * gracefully rather than wrapping).
+    *
+    * Pure built-in expression tree (shifts/masks/ors — whole-stage
+    * codegen folds it into one projection), so it is both engine- and
+    * oracle-expressible: [[zValueSql]] emits the identical formula in
+    * ANSI SQL.
+    */
+  def zValue(cols: Seq[Column], bits: Int = 21): Column = {
+    require(cols.nonEmpty, "zValue needs at least one column")
+    require(bits * cols.length <= 63,
+      s"bits($bits) * dims(${cols.length}) must fit in a signed long")
+    val d = cols.length
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * d + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The same Morton formula as ANSI SQL over the given column
+    * expressions — for oracle replay (DuckDB shares `>> & << |`
+    * semantics on BIGINT). */
+  def zValueSql(cols: Seq[String], bits: Int = 21): String = {
+    val d = cols.length
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield s"(((CAST($c AS BIGINT) >> $j) & 1) << ${j * d + i})"
+    terms.mkString("(", " | ", ")")
+  }
+
+  /** Re-lays `df` out along the Z-curve of `colNames`: one range
+    * shuffle on the z-value (contiguous curve segments per
+    * partition → per-file min/max tight on EVERY participating
+    * column), then an in-partition sort so row groups inside each
+    * file stay tight too. Write the result with any sink; the z-value
+    * itself is dropped — it is a layout key, not data. */
+  def zorderBy(df: DataFrame, colNames: Seq[String], bits: Int = 21,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val z = zValue(colNames.map(col), bits)
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, z)
+      case None    => df.repartitionByRange(z)
+    }
+    ranged.sortWithinPartitions(z)
+  }
+}

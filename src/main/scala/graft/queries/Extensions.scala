@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -1057,6 +1057,45 @@ object Extensions extends QueryModule {
                CAST(widths = 1 AS INT) FROM e)
       ORDER BY check_name"""))
 
+  /** Bloom-filter decontamination (the broadcast-filter scale path of
+    * x36; see [[Dedup.bloomDecontaminate]]): eval fingerprints
+    * compress into a Bloom filter and the train side is a pure
+    * map — no shuffle of the big side at all. Same winnowing regime
+    * as x36 (k=20 chars ≈ 4-word shingles on this corpus, eval-side
+    * stop-cap 5); fpp 0.001 keeps false-positive matches out of the
+    * minMatched=2 gate at this scale. Sketch-path rows-only; the
+    * shared-passage semantics are pinned by the exact twins x37
+    * (word-trigram intersection) and the OpsSpec superset/exact-count
+    * asserts. */
+  private val x47DecontaminateBloom = GraftQuery(
+    "x47_decontaminate_bloom",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minMatched = 2, k = 20, window = 8,
+        maxEvalDocFreq = 5, fpp = 0.001)
+        .orderBy(col("train_id"))
+    },
+    None)
+
+  /** Z-order (Morton) layout key over (p_partkey, p_size) — the
+    * clustering key [[Layout.zorderBy]] range-shuffles on so per-file
+    * parquet min/max stats stay tight on BOTH columns (see
+    * Layout.scala's scale rationale; locality is spec-asserted in
+    * LayoutSpec). The key computation is a pure shift/mask expression
+    * tree, so the oracle replays the identical formula —
+    * [[Layout.zValueSql]] emits it in ANSI SQL. */
+  private val x48Zorder = GraftQuery(
+    "x48_zorder",
+    (s, dir) => Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        Layout.zValue(Seq(col("p_partkey"), col("p_size")), 21).as("zval"))
+      .orderBy(col("p_partkey")),
+    Some(s"""SELECT p_partkey, p_size,
+        ${Layout.zValueSql(Seq("p_partkey", "p_size"), 21)} AS zval
+      FROM part ORDER BY p_partkey"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1070,7 +1109,7 @@ object Extensions extends QueryModule {
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
-    x46CorpusChecks)
+    x46CorpusChecks, x47DecontaminateBloom, x48Zorder)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).
