@@ -102,38 +102,53 @@ object Dedup {
     }
   }
 
-  private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    // Two deliberate exchanges around the signature projection:
-    //  - Parallelism.ensure BEFORE: a small input (one file locally,
-    //    coarse splits on a cluster) would run the CPU-heavy sketch
-    //    on too few tasks — but only exchange when actually needed
-    //    (a many-split corpus scan skips the RoundRobin);
-    //  - repartition(id) AFTER: materializes the signature at the
-    //    shuffle boundary. Without it, whole-stage codegen defers the
-    //    column into the Generate's per-output-row loop and
-    //    re-evaluates the sketch once per band (measured 32×).
-    val sig = Parallelism.ensure(df).select(
+  /** MinHash signature table (id, sig) — the persistable SIGNATURE
+    * STORE incremental dedup reads instead of re-shingling the
+    * corpus: write this once per corpus snapshot (ideally bucketed,
+    * see [[incrementalMinhashNearDuplicates]]) and each day's delta
+    * dedups against it at signature cost, not text cost.
+    *
+    * Two deliberate exchanges around the signature projection:
+    *  - Parallelism.ensure BEFORE: a small input (one file locally,
+    *    coarse splits on a cluster) would run the CPU-heavy sketch
+    *    on too few tasks — but only exchange when actually needed
+    *    (a many-split corpus scan skips the RoundRobin);
+    *  - repartition(id) AFTER: materializes the signature at the
+    *    shuffle boundary. Without it, whole-stage codegen defers the
+    *    column into the Generate's per-output-row loop and
+    *    re-evaluates the sketch once per band (measured 32×).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, shingleSize: Int = 3): DataFrame =
+    Parallelism.ensure(df).select(
       col(idCol).as("id"),
       Sketches.minhashNgrams(
         TextAnalysis.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
       .repartition(col("id"))
-    // band b = hash of signature slots [b*r, (b+1)*r). Explode the
-    // band INDEX, not an array of band hashes: a generator whose input
-    // embeds `sig` re-evaluates the full signature per band
-    // (GenerateExec does no common-subexpression elimination — a
-    // measured 32× slowdown), while this shape evaluates the signature
-    // once per row in the generate's child and computes each bucket
-    // from the carried column.
-    val banded = sig
+
+  /** LSH banding over a signature table: band b = hash of signature
+    * slots [b*r, (b+1)*r). Explodes the band INDEX, not an array of
+    * band hashes: a generator whose input embeds `sig` re-evaluates
+    * the full signature per band (GenerateExec does no
+    * common-subexpression elimination — a measured 32× slowdown),
+    * while this shape evaluates the signature once per row in the
+    * generate's child and computes each bucket from the carried
+    * column. */
+  private def bandedOf(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
       .drop("sig")
+
+  private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val banded = bandedOf(sig, bands, rowsPerBand)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // Self-join as a SHUFFLE join, never broadcast: a broadcast build
@@ -179,6 +194,71 @@ object Dedup {
       shingleSize: Int = 3): DataFrame =
     minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
       .filter(col("est_jaccard") >= threshold)
+
+  /** Incremental near-dup detection: dedup a new BATCH against an
+    * already-deduped corpus whose [[minhashSignatures]] table was
+    * persisted — the daily-delta pattern. The corpus TEXT is never
+    * touched: only the slim signature store (id + numHashes ints) is
+    * scanned, banded with the same seeded hashes, and joined against
+    * the batch's buckets; shingling — the dominant cost — runs over
+    * the delta only.
+    *
+    * Output: (batch_id, dup_id, est_jaccard, dup_in) where `dup_in`
+    * says whether the match is against the corpus store or another
+    * batch doc (batch-internal pairs are emitted once, smaller id as
+    * batch_id). Determinism contract: identical seeds ⇒ the result
+    * equals the FULL-corpus [[minhashNearDuplicates]] over
+    * store ∪ batch, restricted to pairs touching the batch
+    * (spec-asserted in OpsSpec).
+    *
+    * Scale shape: the store-side banding is a map-only projection
+    * over the signature parquet; the bucket join is shuffle-hash on
+    * (band, bucket) — write the store bucketed by those keys
+    * (etl/Bucketing.scala) and the corpus side of the join is
+    * co-located, leaving ONE shuffle of the (tiny) banded batch.
+    * Broadcasting the batch's bucket keys for a semi-join prune is
+    * deliberately NOT done here: at 10⁶ batch docs × bands that key
+    * set is no longer broadcastable, and the bucketed-store layout
+    * achieves the same scan economy robustly. */
+  def incrementalMinhashNearDuplicates(corpusSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // the delta is bounded (a day's intake): checkpoint once — it
+    // feeds its own banding, the self-pairs, and two signature rejoins
+    val batchSig = minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(true)
+    val batchBanded = bandedOf(batchSig, bands, r)
+    val corpusBanded = bandedOf(corpusSigs.select(col("id"), col("sig")), bands, r)
+    val bAside = batchBanded.select(col("band"), col("bucket"), col("id").as("batch_id"))
+    // batch × corpus candidates (orientation fixed: batch on the left)
+    val bc = bAside.hint("shuffle_hash")
+      .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("dup_id"))
+        .hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("batch_id") =!= col("dup_id"))
+      .select(col("batch_id"), col("dup_id")).distinct()
+      .withColumn("dup_in", lit("corpus"))
+    // batch-internal candidates (each unordered pair once)
+    val bb = bAside.hint("shuffle_hash")
+      .join(batchBanded.select(col("band"), col("bucket"), col("id").as("dup_id"))
+        .hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("batch_id") < col("dup_id"))
+      .select(col("batch_id"), col("dup_id")).distinct()
+      .withColumn("dup_in", lit("batch"))
+    val allSigs = batchSig.unionByName(corpusSigs.select(col("id"), col("sig")))
+    bc.unionByName(bb).hint("shuffle_hash")
+      .join(batchSig.select(col("id").as("batch_id"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "batch_id")
+      .join(allSigs.select(col("id").as("dup_id"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "dup_id")
+      .withColumn("est_jaccard",
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("batch_id"), col("dup_id"), col("est_jaccard"), col("dup_in"))
+  }
 
   /** SimHash near-duplicates: 64-bit signature, banded into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk

@@ -1096,6 +1096,26 @@ object Extensions extends QueryModule {
         ${Layout.zValueSql(Seq("p_partkey", "p_size"), 21)} AS zval
       FROM part ORDER BY p_partkey"""))
 
+  /** Incremental dedup of a delta batch against a persisted MinHash
+    * signature store ([[Dedup.incrementalMinhashNearDuplicates]]):
+    * the corpus text is never re-shingled — only its slim signature
+    * table is banded and joined. Sketch-path rows-only; the
+    * incremental ≡ batch-restricted-full contract is spec-asserted
+    * (OpsSpec), and x8's candidate family pins the banding
+    * semantics. Threshold 0.5 mirrors x8's regime on this corpus. */
+  private val x49DedupIncremental = GraftQuery(
+    "x49_dedup_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text")
+      Dedup.incrementalMinhashNearDuplicates(
+        store, docs.filter(col("doc_id") < 100), "doc_id", "text",
+        threshold = 0.5)
+        .orderBy(col("batch_id"), col("dup_id"), col("dup_in"))
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1109,7 +1129,7 @@ object Extensions extends QueryModule {
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
-    x46CorpusChecks, x47DecontaminateBloom, x48Zorder)
+    x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -45,6 +45,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("incremental minhash == full run restricted to batch-touching pairs") {
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "entirely novel delta document about streaming watermark semantics"))
+      .toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalMinhashNearDuplicates(store, batch, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // orientation + provenance: corpus matches keep the batch doc on
+    // the left and are tagged; batch-internal pairs ordered min-first
+    inc.foreach { case (b, d, _, src) =>
+      assert(Set(2L, 4L, 6L).contains(b), s"batch_id must be from the batch: $b")
+      if (src == "corpus") assert(Set(1L, 3L, 5L).contains(d), s"bad corpus dup: $d")
+      else { assert(Set(2L, 4L, 6L).contains(d) && b < d, s"bad batch pair: ($b,$d)") }
+    }
+    // equivalence with the full-corpus run, restricted to pairs that
+    // touch the batch (same seeds => identical candidates + estimates)
+    Dedup.clearCandidateCache()
+    val full = Dedup.minhashNearDuplicates(docs.unionByName(
+      batch.filter(col("doc_id") === 6L)), "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => Set(a, b).exists(Set(2L, 4L, 6L).contains) }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val incNorm = inc
+      .map { case (a, b, j, _) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(incNorm == full,
+      s"incremental $incNorm must equal batch-restricted full run $full")
+    assert(inc.exists { case (b, d, _, src) => b == 4L && d == 1L && src == "corpus" },
+      s"exact dup of a corpus doc must surface, got ${inc.toSeq}")
+    assert(!inc.exists { case (b, d, _, _) => b == 6L || d == 6L },
+      s"novel doc must not pair, got ${inc.toSeq}")
+  }
+
   test("simhash: identical docs collide; near-dup signatures are close") {
     // banding (4×16 bits) guarantees candidate recall only for
     // hamming ≤ 3 — the exact-dup pair must surface through it
