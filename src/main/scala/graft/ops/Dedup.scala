@@ -206,7 +206,10 @@ object Dedup {
     * Output: (batch_id, dup_id, est_jaccard, dup_in) where `dup_in`
     * says whether the match is against the corpus store or another
     * batch doc (batch-internal pairs are emitted once, smaller id as
-    * batch_id). Determinism contract: identical seeds ⇒ the result
+    * batch_id). A batch doc re-ingested under an id the store already
+    * holds compares against its own stored version and can surface as
+    * (X, X, corpus) — the new-vs-old revision check.
+    * Determinism contract: identical seeds ⇒ the result
     * equals the FULL-corpus [[minhashNearDuplicates]] over
     * store ∪ batch, restricted to pairs touching the batch
     * (spec-asserted in OpsSpec).
@@ -225,6 +228,17 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // loud guard against a store written with a different width: a
+    // 64-wide store probed at numHashes=128 would silently hash
+    // truncated band slices and zip nulls into the estimate — most
+    // real duplicates would fall below threshold with no error. One
+    // row from one split; negligible against the join that follows.
+    corpusSigs.select(size(col("sig")).as("w")).limit(1).collect().headOption
+      .foreach { row =>
+        require(row.getInt(0) == numHashes,
+          s"signature store width ${row.getInt(0)} != numHashes $numHashes — " +
+            "rebuild the store or pass the width it was written with")
+      }
     // the delta is bounded (a day's intake): checkpoint once — it
     // feeds its own banding, the self-pairs, and two signature rejoins
     val batchSig = minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
@@ -232,11 +246,14 @@ object Dedup {
     val batchBanded = bandedOf(batchSig, bands, r)
     val corpusBanded = bandedOf(corpusSigs.select(col("id"), col("sig")), bands, r)
     val bAside = batchBanded.select(col("band"), col("bucket"), col("id").as("batch_id"))
-    // batch × corpus candidates (orientation fixed: batch on the left)
+    // batch × corpus candidates (orientation fixed: batch on the
+    // left). batch_id == dup_id is KEPT: a revised doc re-ingested
+    // under its existing id compares against its own stored version —
+    // the similarity of new-vs-old is exactly what the delta pattern
+    // wants to know.
     val bc = bAside.hint("shuffle_hash")
       .join(corpusBanded.select(col("band"), col("bucket"), col("id").as("dup_id"))
         .hint("shuffle_hash"), Seq("band", "bucket"))
-      .filter(col("batch_id") =!= col("dup_id"))
       .select(col("batch_id"), col("dup_id")).distinct()
       .withColumn("dup_in", lit("corpus"))
     // batch-internal candidates (each unordered pair once)
@@ -246,11 +263,14 @@ object Dedup {
       .filter(col("batch_id") < col("dup_id"))
       .select(col("batch_id"), col("dup_id")).distinct()
       .withColumn("dup_in", lit("batch"))
-    val allSigs = batchSig.unionByName(corpusSigs.select(col("id"), col("sig")))
-    bc.unionByName(bb).hint("shuffle_hash")
+    // sig_b resolves per PROVENANCE (corpus rows against the store,
+    // batch rows against the delta) — a single union lookup would
+    // fan out and mis-score any id present on both sides
+    def scored(cand: DataFrame, bSide: DataFrame): DataFrame = cand
+      .hint("shuffle_hash")
       .join(batchSig.select(col("id").as("batch_id"), col("sig").as("sig_a"))
         .hint("shuffle_hash"), "batch_id")
-      .join(allSigs.select(col("id").as("dup_id"), col("sig").as("sig_b"))
+      .join(bSide.select(col("id").as("dup_id"), col("sig").as("sig_b"))
         .hint("shuffle_hash"), "dup_id")
       .withColumn("est_jaccard",
         round(aggregate(
@@ -258,6 +278,8 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= threshold)
       .select(col("batch_id"), col("dup_id"), col("est_jaccard"), col("dup_in"))
+    scored(bc, corpusSigs.select(col("id"), col("sig")))
+      .unionByName(scored(bb, batchSig))
   }
 
   /** SimHash near-duplicates: 64-bit signature, banded into four
@@ -467,10 +489,14 @@ object Dedup {
       .repartition(col("eval_id"))
       .select(col("eval_id"), explode(col("fps")).as("fp"))
       .localCheckpoint(true) // feeds the doc-freq agg AND the filter build
+    // materialized: the capped set feeds TWO jobs (the sizing count
+    // and the filter build) — without the checkpoint the doc-freq
+    // join/aggregate/distinct would re-execute for each
     val cappedFps = evalFps
       .join(evalFps.groupBy(col("fp")).agg(count(lit(1)).as("edf"))
         .filter(col("edf") <= maxEvalDocFreq).select("fp"), Seq("fp"))
       .select("fp").distinct()
+      .localCheckpoint(true)
     // the count is a cheap job on the bounded side and sizes the
     // filter exactly; stat.bloomFilter aggregates distributed and
     // only the merged ~n*10-bit filter ever reaches the driver

@@ -26,9 +26,11 @@ object Layout {
     * column, LSB-aligned — bit j of column i lands at position
     * j*d + i, so dimensions alternate bit-for-bit and the resulting
     * long sorts in Z-order. Columns must be non-negative integers
-    * (cast to long internally); values ≥ 2^bits clamp into the top
-    * stripe (their low bits still interleave — ordering degrades
-    * gracefully rather than wrapping).
+    * (cast to long internally); values ≥ 2^bits are clamped to
+    * 2^bits − 1 before interleaving, so out-of-range rows gather in
+    * the curve's top corner instead of wrapping in among the small
+    * values (graceful locality degradation, never scrambled
+    * pruning stats).
     *
     * Pure built-in expression tree (shifts/masks/ors — whole-stage
     * codegen folds it into one projection), so it is both engine- and
@@ -40,10 +42,16 @@ object Layout {
     require(bits * cols.length <= 63,
       s"bits($bits) * dims(${cols.length}) must fit in a signed long")
     val d = cols.length
+    val top = (1L << bits) - 1
     val terms = for {
       (c, i) <- cols.zipWithIndex
+      // clamp BEFORE bit extraction: without it a value of 2^bits+k
+      // contributes the same interleave as k — rows from the far end
+      // of the domain would wrap in among the small values and every
+      // file's min/max would span the whole range (pruning gone)
+      v = least(c.cast("long"), lit(top))
       j <- 0 until bits
-    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * d + i)
+    } yield shiftleft(shiftright(v, j).bitwiseAND(lit(1L)), j * d + i)
     terms.reduce(_ bitwiseOR _)
   }
 
@@ -52,10 +60,12 @@ object Layout {
     * semantics on BIGINT). */
   def zValueSql(cols: Seq[String], bits: Int = 21): String = {
     val d = cols.length
+    val top = (1L << bits) - 1
     val terms = for {
       (c, i) <- cols.zipWithIndex
+      v = s"LEAST(CAST($c AS BIGINT), $top)" // same clamp as zValue
       j <- 0 until bits
-    } yield s"(((CAST($c AS BIGINT) >> $j) & 1) << ${j * d + i})"
+    } yield s"((($v >> $j) & 1) << ${j * d + i})"
     terms.mkString("(", " | ", ")")
   }
 

@@ -8,18 +8,23 @@ class LayoutSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
-  /** Reference Morton interleave, independent scalar implementation. */
+  /** Reference Morton interleave, independent scalar implementation
+    * (clamping out-of-range values to the top corner like the op). */
   private def morton(xs: Seq[Long], bits: Int): Long = {
     var z = 0L
     val d = xs.length
+    val top = (1L << bits) - 1
     for (i <- xs.indices; j <- 0 until bits)
-      z |= ((xs(i) >> j) & 1L) << (j * d + i)
+      z |= ((math.min(xs(i), top) >> j) & 1L) << (j * d + i)
     z
   }
 
   test("zValue matches the scalar reference and its own SQL twin") {
     val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (63L, 63L),
-      (1000L, 1L), (123456L, 654321L))
+      (1000L, 1L), (123456L, 654321L),
+      // above 2^21: must CLAMP to the top corner, never wrap in among
+      // the small values (wrapped, (2^21+5, 7) would equal (5, 7))
+      ((1L << 21) + 5L, 7L), (3000000L, 3000000L))
     val df = pts.toDF("x", "y")
     val got = df.select(col("x"), col("y"),
       Layout.zValue(Seq(col("x"), col("y")), 21).as("z"))
@@ -31,6 +36,12 @@ class LayoutSpec extends AnyFunSuite {
     assert(morton(Seq(1L, 0L), 21) == 1L)
     assert(morton(Seq(0L, 1L), 21) == 2L)
     assert(morton(Seq(1L, 1L), 21) == 3L)
+    // clamp, not wrap: the overflowing point lands at the top corner
+    val overflow = got.find(_._1 == (1L << 21) + 5L).get._3
+    assert(overflow == morton(Seq((1L << 21) - 1, 7L), 21),
+      "out-of-range x must clamp to the top stripe")
+    assert(overflow != morton(Seq(5L, 7L), 21),
+      "out-of-range x must NOT wrap onto small values")
     // the generated ANSI formula computes the identical key
     df.createOrReplaceTempView("layout_pts")
     val viaSql = spark.sql(

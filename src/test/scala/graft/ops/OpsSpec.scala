@@ -81,6 +81,33 @@ class OpsSpec extends AnyFunSuite {
       s"novel doc must not pair, got ${inc.toSeq}")
   }
 
+  test("incremental minhash: re-ingested id compares against its stored version, no row fanout") {
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L))
+    val store = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    // id 1 re-ingested with a one-word revision
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashNearDuplicates(store, batch, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the new-vs-old revision pair surfaces exactly once — an id on
+    // both sides must not fan the signature rejoin out
+    assert(out.count { case (b, d, src) => b == 1L && d == 1L && src == "corpus" } == 1,
+      s"revision pair must appear exactly once, got ${out.toSeq}")
+    assert(out.length == 1, s"no other pairs expected, got ${out.toSeq}")
+  }
+
+  test("incremental minhash: mismatched store width fails loudly") {
+    val store64 = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 64)
+    val batch = docs.filter(col("doc_id") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashNearDuplicates(store64, batch, "doc_id", "text",
+        numHashes = 128)
+    }
+    assert(e.getMessage.contains("store width"), e.getMessage)
+  }
+
   test("simhash: identical docs collide; near-dup signatures are close") {
     // banding (4×16 bits) guarantees candidate recall only for
     // hamming ≤ 3 — the exact-dup pair must surface through it
