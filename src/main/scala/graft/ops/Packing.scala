@@ -94,6 +94,53 @@ object Packing {
         sum(col("n_tokens")).as("tokens_starting"))
       .orderBy(col("chunk"))
 
+  /** Materialized packed training sequences: the actual fixed-budget
+    * context windows, each chunk's text assembled from the token
+    * slices of the docs that cover it — the step that turns the
+    * assignment TABLE into trainable SEQUENCES. Output per chunk:
+    * (chunk, n_docs, n_tokens, text) with `text` the
+    * (lowercased, whitespace-normalized) concatenation in global
+    * stream order; every chunk but the last carries exactly `budget`
+    * tokens (x44's no-gap invariant, re-asserted on this output).
+    *
+    * Scale shape: the prefix sum runs over the slim (id, n_tokens)
+    * frame (chunkAssignments); the TEXT only joins back afterwards —
+    * one shuffle join keyed by id, one aggregate keyed by chunk.
+    * Chunk groups are uniform by construction (≤ budget tokens
+    * each), so the final aggregate has zero skew; in-chunk order is
+    * recovered by sorting each group's few (offset, piece) structs,
+    * never by a global sort. Zero-token docs contribute no slice and
+    * are dropped from the content (they never held stream positions).
+    */
+  def packedChunks(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val asg = chunkAssignments(df, idCol, textCol, budget)
+    val slices = asg
+      .select(col(idCol).as("id"), col("start_offset"), col("n_tokens"),
+        explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk"))
+      .withColumn("clip_start", greatest(col("start_offset"), col("chunk") * budget))
+      .withColumn("slice_len",
+        least(col("start_offset") + col("n_tokens"), (col("chunk") + 1) * budget)
+          - col("clip_start"))
+      .filter(col("slice_len") > 0)
+      .withColumn("slice_start", (col("clip_start") - col("start_offset")).cast("int"))
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    slices.hint("shuffle_hash").join(toks.hint("shuffle_hash"), Seq("id"))
+      .withColumn("piece",
+        slice(col("toks"), col("slice_start") + 1, col("slice_len").cast("int")))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("slice_len")).as("n_tokens"),
+        concat_ws(" ", flatten(transform(
+          // clip_start values are disjoint within a chunk, so the
+          // struct sort recovers exact stream order deterministically
+          array_sort(collect_list(struct(col("clip_start"), col("piece")))),
+          p => p.getField("piece")))).as("text"))
+      .orderBy(col("chunk"))
+  }
+
   /** EXACT per-chunk occupancy — a doc's tokens are split across the
     * chunks its span covers, so every chunk but the last accounts for
     * exactly `budget` tokens (concatenate-then-chunk leaves no gaps;

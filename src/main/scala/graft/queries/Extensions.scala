@@ -1116,6 +1116,50 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Materialized packed training sequences ([[graft.ops.Packing.packedChunks]]):
+    * the actual fixed-budget context windows with their assembled
+    * text — turns x40's assignment table into trainable sequences.
+    * The whole path (prefix sum → interval clip → token slice →
+    * in-order concat) replays in ANSI SQL, so the sequences
+    * themselves are hash-checked. */
+  private val x50PackChunks = GraftQuery(
+    "x50_pack_chunks",
+    (s, dir) => graft.ops.Packing.packedChunks(
+      Tables.documents(s, dir), "doc_id", "text", budget = 512),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      o AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+          COALESCE(CAST(sum(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS start_offset
+        FROM t),
+      spans AS (
+        SELECT doc_id, toks, n_tokens, start_offset,
+          start_offset // 512 AS start_chunk,
+          (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
+        FROM o),
+      exploded AS (
+        SELECT doc_id, toks, n_tokens, start_offset,
+          unnest(generate_series(start_chunk, end_chunk)) AS chunk
+        FROM spans),
+      slices AS (
+        SELECT chunk, toks,
+          greatest(start_offset, chunk * 512) AS clip_start,
+          least(start_offset + n_tokens, (chunk + 1) * 512)
+            - greatest(start_offset, chunk * 512) AS slice_len,
+          greatest(start_offset, chunk * 512) - start_offset AS slice_start
+        FROM exploded),
+      pieces AS (
+        SELECT chunk, clip_start, slice_len,
+          array_to_string(toks[CAST(slice_start + 1 AS INT):CAST(slice_start + slice_len AS INT)], ' ') AS piece
+        FROM slices WHERE slice_len > 0)
+      SELECT chunk, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+        string_agg(piece, ' ' ORDER BY clip_start) AS text
+      FROM pieces GROUP BY chunk ORDER BY chunk"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1129,7 +1173,8 @@ object Extensions extends QueryModule {
     x35ContainmentExact, x36Decontaminate, x37DecontaminateExact,
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
-    x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental)
+    x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
+    x50PackChunks)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -462,6 +462,36 @@ class OpsSpec extends AnyFunSuite {
     assert(occ.map(_.getLong(2)).sum == corpusTokens)
   }
 
+  test("packed chunks: exact budget fill, stream-order text, lossless reconstruction") {
+    val fix = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "d e f g h i"),  // 6 tokens — spans chunks 0 and 1
+      (3L, "j"),            // 1 token
+      (4L, "k l m n"))      // 4 tokens — spans chunks 2 and 3
+      .toDF("doc_id", "text")
+    val chunks = Packing.packedChunks(fix, "doc_id", "text", budget = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // stream = a b c | d e f g h i | j | k l m n  (14 tokens, 4 chunks)
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._4).toSeq == Seq("a b c d", "e f g h", "i j k l", "m n"),
+      s"got ${chunks.map(_._4).toSeq}")
+    // every chunk but the last holds exactly the budget
+    chunks.dropRight(1).foreach { case (c, _, n, _) => assert(n == 4L, s"chunk $c: $n") }
+    assert(chunks.last._3 == 2L)
+    // doc spans count once per chunk they touch
+    assert(chunks.map(_._2).toSeq == Seq(2L, 1L, 3L, 1L))
+    // lossless: concatenating all chunks reproduces the full stream
+    assert(chunks.map(_._4).mkString(" ") == "a b c d e f g h i j k l m n")
+    // corpus-scale reconstruction against the raw token stream
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val packed = Packing.packedChunks(docs, "doc_id", "text", budget = 512)
+      .orderBy(col("chunk")).select("text").as[String].collect().mkString(" ")
+    val stream = docs.orderBy(col("doc_id"))
+      .select(concat_ws(" ", TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect().mkString(" ")
+    assert(packed == stream, "packed chunks must reconstruct the token stream")
+  }
+
   test("multimodal: deterministic stub features, frame sampling, blob pruning") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media, dims = 8).collect()
