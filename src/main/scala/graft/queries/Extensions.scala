@@ -1160,6 +1160,85 @@ object Extensions extends QueryModule {
         string_agg(piece, ' ' ORDER BY clip_start) AS text
       FROM pieces GROUP BY chunk ORDER BY chunk"""))
 
+  /** Bounded exact twin of x49 (the x42↔x43 pattern): true word-
+    * trigram Jaccard between a batch slice and a corpus slice, with
+    * the same output shape and orientation contract as the
+    * incremental sketch path (batch doc on the left, provenance
+    * tagged, batch-internal pairs once). Bounded by contract
+    * (doc_id < 300); the scale path is x49. */
+  private val x51DedupIncrementalExact = GraftQuery(
+    "x51_dedup_incremental_exact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val g = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      // re-spread the streamed side of the nested-loop join (see x43)
+      val a = graft.ops.Parallelism.ensure(g.filter(col("doc_id") < 100))
+        .select(col("doc_id").as("batch_id"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("dup_id"), col("grams").as("gb"))
+      a.join(broadcast(b),
+          col("dup_id") >= 100 || col("batch_id") < col("dup_id"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("jaccard", round(when(
+          col("ga").isNotNull && col("gb").isNotNull,
+          col("inter").cast("double")
+            / (size(col("ga")) + size(col("gb")) - col("inter"))).otherwise(0.0), 4))
+        .filter(col("jaccard") >= 0.5)
+        .withColumn("dup_in",
+          when(col("dup_id") < 100, lit("batch")).otherwise(lit("corpus")))
+        .select(col("batch_id"), col("dup_id"), col("jaccard"), col("dup_in"))
+        .orderBy(col("batch_id"), col("dup_id"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents WHERE doc_id < 300))
+      SELECT a.doc_id AS batch_id, b.doc_id AS dup_id,
+        round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+          4) AS jaccard,
+        CASE WHEN b.doc_id < 100 THEN 'batch' ELSE 'corpus' END AS dup_in
+      FROM g a JOIN g b
+        ON a.doc_id < 100 AND (b.doc_id >= 100 OR a.doc_id < b.doc_id)
+      WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+          4) >= 0.5
+      ORDER BY batch_id, dup_id"""))
+
+  /** Int8 embedding quantization ([[Similarity.quantizeInt8]]),
+    * emitted as scalar (vec_id, pos, q, scale) rows for the generic
+    * row-compare harness (the x11 pattern; 1-based pos to match
+    * generate_subscripts). Deterministic — rounding is written as
+    * floor(x/scale + 0.5) on BOTH sides, vector math in explicit
+    * double lambdas. Bounded to vec_id < 500 for oracle-output size
+    * only; the op itself is a map-only single pass. */
+  private val x52QuantizeInt8 = GraftQuery(
+    "x52_quantize_int8",
+    (s, dir) => Similarity.quantizeInt8(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 500), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), round(col("scale"), 6).as("scale"),
+        posexplode(col("qvec")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        col("col").as("q"), col("scale"))
+      .orderBy(col("vec_id"), col("pos")),
+    Some("""WITH s AS (
+        SELECT vec_id,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS sc,
+          embedding
+        FROM embeddings WHERE vec_id < 500)
+      SELECT vec_id, CAST(pos AS INT) AS pos,
+        CASE WHEN sc > 0
+          THEN CAST(floor(CAST(v AS DOUBLE) / sc + 0.5) AS INT) ELSE 0 END AS q,
+        round(sc, 6) AS scale
+      FROM (SELECT vec_id, sc, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS pos
+            FROM s)
+      ORDER BY vec_id, pos"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1174,7 +1253,7 @@ object Extensions extends QueryModule {
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
     x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
-    x50PackChunks)
+    x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

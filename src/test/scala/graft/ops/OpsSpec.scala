@@ -492,6 +492,39 @@ class OpsSpec extends AnyFunSuite {
     assert(packed == stream, "packed chunks must reconstruct the token stream")
   }
 
+  test("int8 quantization: range-bounded, error <= scale/2, cosine preserved, zero-safe") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+      .filter(col("vec_id") < 50)
+    val rows = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("qvec")).toSeq
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble)
+      assert(q.forall(x => x >= -127 && x <= 127), s"q out of int8 range: $q")
+      // element error bound: |q*scale - v| <= scale/2 (+ double eps)
+      q.zip(v).foreach { case (qi, vi) =>
+        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-9,
+          s"error ${math.abs(qi * scale - vi)} exceeds scale/2 ${scale / 2}")
+      }
+      // cosine between original and dequantized survives quantization
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      if (v.exists(_ != 0.0))
+        assert(cos(v, q.map(_ * scale)) > 0.999, "cosine must survive int8")
+    }
+    // zero vector: scale 0, all-zero qvec, no division blowup
+    val z = Similarity.quantizeInt8(
+      Seq((9L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head()
+    assert(z.getAs[Double]("scale") == 0.0)
+    assert(z.getSeq[Int](z.fieldIndex("qvec")).toSeq == Seq(0, 0, 0))
+  }
+
   test("multimodal: deterministic stub features, frame sampling, blob pruning") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val feats = Multimodal.extractFeatures(media, dims = 8).collect()
