@@ -125,7 +125,10 @@ object Packing {
           - col("clip_start"))
       .filter(col("slice_len") > 0)
       .withColumn("slice_start", (col("clip_start") - col("start_offset")).cast("int"))
-    val toks = df.select(col(idCol).as("id"),
+    // re-spread before the whole-corpus tokenization: the projection
+    // otherwise runs at the raw scan's split count (ONE task on a
+    // 1-file table) upstream of the join exchange
+    val toks = Parallelism.ensure(df).select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     slices.hint("shuffle_hash").join(toks.hint("shuffle_hash"), Seq("id"))
       .withColumn("piece",

@@ -697,11 +697,28 @@ object Extensions extends QueryModule {
     * the eval split, fully SQL-replayable — pins the "shared passage
     * ⇒ shared shingles" semantics x36 approximates with winnowed
     * fingerprints. Bounded by contract (the scale path is x36). */
+  /** The distinct word-trigram gram frame every exact twin (x37,
+    * x43, x51) pins its sketch's semantics on — ONE definition per
+    * side (Scala + the DuckDB CTE body below) so a future fix to the
+    * gram expression cannot silently diverge between twins. */
+  private def trigramFrame(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+
+  /** DuckDB replay of [[trigramFrame]] over `documents` rows matching
+    * `where` — splice as the body of a `g AS (...)` CTE. */
+  private def trigramGramsSql(where: String): String =
+    s"""SELECT doc_id,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents WHERE $where)"""
+
   private val x37DecontaminateExact = GraftQuery(
     "x37_decontaminate_exact",
     (s, dir) => {
-      def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
-        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      def grams(d: org.apache.spark.sql.DataFrame) = trigramFrame(d)
       val docs = Tables.documents(s, dir)
       // re-spread the streamed side of the nested-loop join (see x43)
       val train = graft.ops.Parallelism.ensure(
@@ -716,15 +733,8 @@ object Extensions extends QueryModule {
         .select(col("train_id"), col("eval_id"), col("shared_ngrams"))
         .orderBy(col("train_id"), col("eval_id"))
     },
-    Some("""WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-        FROM documents WHERE doc_id < 50 OR (doc_id >= 100 AND doc_id < 200)),
-      g AS (
-        SELECT doc_id,
-          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-            ELSE list_transform(range(1, len(t) - 1),
-              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
-        FROM toks)
+    Some(s"""WITH g AS (
+        ${trigramGramsSql("doc_id < 50 OR (doc_id >= 100 AND doc_id < 200)")})
       SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
         CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS shared_ngrams
       FROM g a JOIN g b ON b.doc_id < 50
@@ -918,8 +928,7 @@ object Extensions extends QueryModule {
     "x43_text_dedup_exact",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val g = docs.select(col("doc_id"),
-        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      val g = trigramFrame(docs)
       // the non-equi all-pairs join plans as BroadcastNestedLoop: the
       // STREAMED side inherits the scan's single split, serializing
       // 45k per-pair Jaccard evaluations onto one task (measured
@@ -938,13 +947,8 @@ object Extensions extends QueryModule {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH RECURSIVE g AS (
-        SELECT doc_id,
-          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-            ELSE list_transform(range(1, len(t) - 1),
-              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-              FROM documents WHERE doc_id < 300)),
+    Some(s"""WITH RECURSIVE g AS (
+        ${trigramGramsSql("doc_id < 300")}),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM g a JOIN g b ON a.doc_id < b.doc_id
@@ -1170,8 +1174,7 @@ object Extensions extends QueryModule {
     "x51_dedup_incremental_exact",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val g = docs.select(col("doc_id"),
-        array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+      val g = trigramFrame(docs)
       // re-spread the streamed side of the nested-loop join (see x43)
       val a = graft.ops.Parallelism.ensure(g.filter(col("doc_id") < 100))
         .select(col("doc_id").as("batch_id"), col("grams").as("ga"))
@@ -1189,13 +1192,8 @@ object Extensions extends QueryModule {
         .select(col("batch_id"), col("dup_id"), col("jaccard"), col("dup_in"))
         .orderBy(col("batch_id"), col("dup_id"))
     },
-    Some("""WITH g AS (
-        SELECT doc_id,
-          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-            ELSE list_transform(range(1, len(t) - 1),
-              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
-        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-              FROM documents WHERE doc_id < 300))
+    Some(s"""WITH g AS (
+        ${trigramGramsSql("doc_id < 300")})
       SELECT a.doc_id AS batch_id, b.doc_id AS dup_id,
         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),

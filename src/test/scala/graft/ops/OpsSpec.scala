@@ -496,18 +496,21 @@ class OpsSpec extends AnyFunSuite {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
       .filter(col("vec_id") < 50)
     val rows = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .withColumn("deq", Similarity.dequantize(col("qvec"), col("scale")))
       .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
       .collect()
     assert(rows.length == 50)
     rows.foreach { r =>
       val scale = r.getAs[Double]("scale")
       val q = r.getSeq[Int](r.fieldIndex("qvec")).toSeq
+      val deq = r.getSeq[Double](r.fieldIndex("deq")).toSeq
       val v = r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble)
       assert(q.forall(x => x >= -127 && x <= 127), s"q out of int8 range: $q")
-      // element error bound: |q*scale - v| <= scale/2 (+ double eps)
-      q.zip(v).foreach { case (qi, vi) =>
-        assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-9,
-          s"error ${math.abs(qi * scale - vi)} exceeds scale/2 ${scale / 2}")
+      // element error bound through the dequantize helper:
+      // |deq - v| <= scale/2 (+ double eps)
+      deq.zip(v).foreach { case (di, vi) =>
+        assert(math.abs(di - vi) <= scale / 2 + 1e-9,
+          s"error ${math.abs(di - vi)} exceeds scale/2 ${scale / 2}")
       }
       // cosine between original and dequantized survives quantization
       def cos(a: Seq[Double], b: Seq[Double]) = {
@@ -515,7 +518,7 @@ class OpsSpec extends AnyFunSuite {
         dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
       }
       if (v.exists(_ != 0.0))
-        assert(cos(v, q.map(_ * scale)) > 0.999, "cosine must survive int8")
+        assert(cos(v, deq) > 0.999, "cosine must survive int8")
     }
     // zero vector: scale 0, all-zero qvec, no division blowup
     val z = Similarity.quantizeInt8(
