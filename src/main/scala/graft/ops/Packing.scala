@@ -94,6 +94,37 @@ object Packing {
         sum(col("n_tokens")).as("tokens_starting"))
       .orderBy(col("chunk"))
 
+  /** Sliding-window chunking with overlap — the long-document
+    * SPLITTING op (RAG passage windows, context-limit handling),
+    * complementing [[packedChunks]]' concatenation: each doc yields
+    * ⌈max(0, n−window)/stride⌉ + 1 windows of up to `window` tokens
+    * starting every `stride` tokens, so consecutive windows share
+    * window − stride tokens and every token is covered.
+    *
+    * Pure map: tokenize once behind an exchange barrier (Generate
+    * trap), explode the WINDOW INDEX, slice the carried token array —
+    * no shuffle beyond the barrier, no state; output order is
+    * (id, window_idx). Fully SQL-replayable. */
+  def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      "stride must be in [1, window] or coverage would gap")
+    val toks = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .repartition(col("id"))
+    toks
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0),
+          greatest(lit(0L), ceil((size(col("toks")) - lit(window)).cast("double")
+            / lit(stride))).cast("int"))).as("w"))
+      .select(col("id").as(idCol), col("w").as("window_idx"),
+        concat_ws(" ", slice(col("toks"), col("w") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("toks")) - col("w") * stride)
+          .as("chunk_tokens"))
+  }
+
   /** Materialized packed training sequences: the actual fixed-budget
     * context windows, each chunk's text assembled from the token
     * slices of the docs that cover it — the step that turns the

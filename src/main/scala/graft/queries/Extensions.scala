@@ -1237,6 +1237,28 @@ object Extensions extends QueryModule {
             FROM s)
       ORDER BY vec_id, pos"""))
 
+  /** Sliding-window chunking ([[graft.ops.Packing.slidingWindows]]):
+    * overlapping token windows per document (window 64, stride 48 →
+    * 16-token overlap), the RAG/long-doc splitting op. Map-only and
+    * fully SQL-replayable — the window texts themselves hash-check. */
+  private val x53SlidingWindows = GraftQuery(
+    "x53_sliding_windows",
+    (s, dir) => graft.ops.Packing.slidingWindows(
+      Tables.documents(s, dir), "doc_id", "text", window = 64, stride = 48)
+      .orderBy(col("doc_id"), col("window_idx")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, toks,
+          unnest(generate_series(0,
+            greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)))) AS w
+        FROM t)
+      SELECT doc_id, CAST(w AS INT) AS window_idx,
+        array_to_string(toks[w*48+1 : w*48+64], ' ') AS chunk_text,
+        CAST(least(64, len(toks) - w*48) AS INT) AS chunk_tokens
+      FROM w ORDER BY doc_id, window_idx"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1251,7 +1273,8 @@ object Extensions extends QueryModule {
     x38RepetitionStats, x39PiiScrub, x40SequencePacking, x41CorpusPrep,
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
     x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
-    x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8)
+    x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
+    x53SlidingWindows)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

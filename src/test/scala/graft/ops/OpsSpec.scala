@@ -492,6 +492,31 @@ class OpsSpec extends AnyFunSuite {
     assert(packed == stream, "packed chunks must reconstruct the token stream")
   }
 
+  test("sliding windows: full coverage, stride overlap, short docs one window") {
+    val fix = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"))                            // shorter than the window
+      .toDF("doc_id", "text")
+    val w = Packing.slidingWindows(fix, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = w.filter(_._1 == 1L).sortBy(_._2)
+    // starts every `stride`: 0, 3, 6 — consecutive windows share
+    // window - stride = 1 token
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"), s"got ${d1.toSeq}")
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4))
+    // coverage: every token appears in at least one window
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 10).forall(i => covered.contains(s"t$i")))
+    // a doc shorter than the window yields exactly one (short) window
+    val d2 = w.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, "a b", 2)), s"got ${d2.toSeq}")
+    // stride > window is rejected (coverage would gap)
+    intercept[IllegalArgumentException] {
+      Packing.slidingWindows(fix, "doc_id", "text", window = 4, stride = 5)
+    }
+  }
+
   test("int8 quantization: range-bounded, error <= scale/2, cosine preserved, zero-safe") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
       .filter(col("vec_id") < 50)
