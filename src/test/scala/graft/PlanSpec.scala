@@ -166,6 +166,41 @@ class PlanSpec extends AnyFunSuite {
     assert(packing.contains("ExistingRDD"), packing.take(2000))
   }
 
+  test("x47: bloom decontamination's train side plans with ZERO exchanges") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    // the returned frame is the train-side pass alone (the eval-side
+    // bloom build already ran eagerly at call time) — the whole point
+    // of the operator is that this plan shuffles nothing
+    val out = Dedup.bloomDecontaminate(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", minMatched = 2, k = 20, window = 8,
+      maxEvalDocFreq = 5, fpp = 0.001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"train side must be map-only, got:\n${plan.take(1200)}")
+    assert(plan.contains("might_contain"), plan.take(1200))
+  }
+
+  test("x49 over a persisted store: corpus text is never re-scanned") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.minhashSignatures(docs.filter(col("doc_id") >= 100), "doc_id", "text")
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    val out = Dedup.incrementalMinhashNearDuplicates(
+      store, docs.filter(col("doc_id") < 100), "doc_id", "text", threshold = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    // the store side reads only (id, sig) from the signature parquet;
+    // the documents table appears nowhere (the batch text was already
+    // consumed into its checkpointed signatures at call time)
+    assert(!plan.contains("documents.parquet"),
+      s"corpus text must not be rescanned, got:\n${plan.take(1200)}")
+    assert(plan.contains("sig"), plan.take(1200))
+    assert(out.count() >= 0) // the pruned plan must still execute
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")
