@@ -473,13 +473,22 @@ object Dedup {
     * `minMatched`. Exact-twin discipline: x37's word-trigram
     * intersection pins the shared-passage semantics this
     * approximates. */
-  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String,
-      minMatched: Int = 2, k: Int = 8, window: Int = 4,
-      maxEvalDocFreq: Int = 20, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
+  /** Memo of built eval-side Bloom filters, keyed by session + the
+    * semantic hash of the eval plan + sketch/cap/fpp params (NOT
+    * minMatched — the filter doesn't depend on it, so threshold
+    * sweeps reuse one build). Values are the serialized filter
+    * bytes: tiny and driver-held, nothing to unpersist on eviction;
+    * `None` records an empty capped set. */
+  private val bloomMemo =
+    new graft.BoundedMemo[(String, Int, String, Int, Int, Int, Double),
+      Option[Array[Byte]]](16, name = "eval-bloom")
+
+  /** Drop all memoized eval Bloom filters. */
+  def clearBloomCache(): Unit = bloomMemo.clear()
+
+  private def buildEvalBloom(eval: DataFrame, idCol: String, textCol: String,
+      k: Int, window: Int, maxEvalDocFreq: Int,
+      fpp: Double): Option[Array[Byte]] = {
     // bounded side: winnowed fingerprints, stop-capped, distinct.
     // materialize-then-explode as everywhere (Generate re-eval trap).
     val evalFps = Parallelism.ensure(eval)
@@ -501,14 +510,34 @@ object Dedup {
     // filter exactly; stat.bloomFilter aggregates distributed and
     // only the merged ~n*10-bit filter ever reaches the driver
     val nFps = cappedFps.count()
-    if (nFps == 0L)
-      return train.select(col(idCol).as("train_id"),
-        lit(0L).as("matched_fingerprints")).filter(lit(false))
-    val bloom = cappedFps.stat.bloomFilter("fp", nFps, fpp)
-    val bytes = {
+    if (nFps == 0L) None
+    else {
+      val bloom = cappedFps.stat.bloomFilter("fp", nFps, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
-      bos.toByteArray
+      Some(bos.toByteArray)
+    }
+  }
+
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      minMatched: Int = 2, k: Int = 8, window: Int = 4,
+      maxEvalDocFreq: Int = 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // build OUTSIDE the memo lock (the ivfIndex pattern — the build
+    // runs real jobs); a race loser's bytes just get garbage-collected
+    val key = (graft.SessionKeys.of(eval.sparkSession),
+      eval.queryExecution.analyzed.semanticHash(),
+      s"$idCol/$textCol", k, window, maxEvalDocFreq, fpp)
+    val maybeBytes = bloomMemo.get(key).getOrElse {
+      bloomMemo.putIfAbsent(key,
+        buildEvalBloom(eval, idCol, textCol, k, window, maxEvalDocFreq, fpp))
+    }
+    val bytes = maybeBytes.getOrElse {
+      return train.select(col(idCol).as("train_id"),
+        lit(0L).as("matched_fingerprints")).filter(lit(false))
     }
     // train side: one codegen'd projection per row — winnowing runs
     // once, the membership test folds over the in-row array. The
