@@ -463,6 +463,13 @@ object Dedup {
     * use it as the cheap first-pass filter and the join variant for
     * attribution on the survivors.
     *
+    * The eval-side filter is MEMOIZED per (eval plan, sketch params)
+    * — same caveat as the candidate memo (Dedup.scala's candidateMemo
+    * doc): the semantic hash keys a parquet scan by its PATH, so if
+    * the eval suite is rewritten in place mid-session, call
+    * [[clearBloomCache]] or the stale filter silently misses
+    * contamination that only the new eval set would flag.
+    *
     * Same stop-fingerprint cap as the join variant: fingerprints in
     * more than `maxEvalDocFreq` eval docs are boilerplate, not
     * contamination signal, and are dropped before the filter is

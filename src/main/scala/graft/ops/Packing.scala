@@ -110,7 +110,9 @@ object Packing {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window,
       "stride must be in [1, window] or coverage would gap")
-    val toks = Parallelism.ensure(df)
+    // the repartition alone is both the spread and the Generate
+    // barrier (an ensure() before it would be collapsed away anyway)
+    val toks = df
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .repartition(col("id"))
     toks

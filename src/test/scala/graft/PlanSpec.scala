@@ -185,7 +185,9 @@ class PlanSpec extends AnyFunSuite {
   test("x49 over a persisted store: corpus text is never re-scanned") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, sfDir)
-    val storeDir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    // fixed path, overwritten per run (repo convention — a
+    // createTempDirectory here would orphan a parquet store per run)
+    val storeDir = "/tmp/graft_sigstore_spec"
     Dedup.minhashSignatures(docs.filter(col("doc_id") >= 100), "doc_id", "text")
       .write.mode("overwrite").parquet(storeDir)
     val store = spark.read.parquet(storeDir)
