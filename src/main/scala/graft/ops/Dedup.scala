@@ -726,6 +726,67 @@ object Dedup {
   /** Embedding-cosine near-duplicates: hyperplane-LSH buckets bound
     * the candidate set, exact cosine verifies. Multi-probe via
     * `bands` signature splits keeps recall high. */
+  /** Cross-document duplicated n-gram SPANS — the span-level exact
+    * substring dedup signal ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, which removes repeated
+    * ≥50-token substrings; the n-gram-positions formulation replaces
+    * their suffix array with joins Spark can run): per document, the
+    * token positions covered by any word n-gram that also appears in
+    * ANOTHER document, merged into maximal spans (gaps-and-islands
+    * over gram start positions — adjacent/overlapping intervals
+    * coalesce). Output per doc: n_tokens, dup_tokens, dup_spans,
+    * dup_ratio — curation either drops high-ratio docs or clips the
+    * spans themselves.
+    *
+    * Scale shape: index-exploded grams (the slice runs on the carried
+    * token array, x31's rule), checkpointed once (they feed the
+    * document-frequency aggregate AND the position semi-join); the df
+    * table is corpus-sized so the join shuffles on the gram key (x32
+    * rule); islands need one window partitioned by the near-unique
+    * doc id. `hashGrams` swaps the 8-word string key for its xxhash64
+    * — the shuffle carries 8 bytes per gram instead of ~50 chars
+    * (false merges need a 64-bit collision AND >1 doc sharing it —
+    * negligible; spec-asserted equal to the text-keyed run). The
+    * registered query keys by TEXT so the ANSI oracle can replay it.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, hashGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))
+    val gramKey =
+      if (hashGrams) xxhash64(concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n))))
+      else concat_ws(" ", slice(col("toks"), col("p") + 1, lit(n)))
+    val grams = base.filter(col("n_tokens") >= n)
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), (col("n_tokens") - n).cast("int"))).as("p"))
+      .select(col("id"), col("p"), gramKey.as("g"))
+      .localCheckpoint(true)
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("df")).filter(col("df") >= 2)
+      .select(col("g"))
+    val dupPos = grams.hint("shuffle_hash")
+      .join(dupGrams.hint("shuffle_hash"), Seq("g"), "leftsemi")
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val islands = dupPos
+      .withColumn("__brk",
+        when(col("p") - lag(col("p"), 1).over(w) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(w))
+    val perDoc = islands.groupBy(col("id"), col("__island"))
+      .agg((max(col("p")) - min(col("p")) + n).cast("long").as("__covered"))
+      .groupBy(col("id"))
+      .agg(sum(col("__covered")).as("dup_tokens"),
+        count(lit(1)).as("dup_spans"))
+    base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("dup_ratio"))
+  }
+
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")

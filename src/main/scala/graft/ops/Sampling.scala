@@ -71,6 +71,29 @@ object Sampling {
     stratifiedByHash(df, stratumCol, idCol, fractions, seed)
   }
 
+  /** Cluster-balanced sample: cap each cluster's contribution at
+    * `maxPerCluster` rows, keeping the lowest ids (deterministic —
+    * no coin flips, so membership is stable by construction). The
+    * "diversify the mix" counterpart to [[temperatureMixture]]: feed
+    * it [[Similarity.kmeansAssign]]'s output and over-dense embedding
+    * clusters (boilerplate, templates) stop dominating the corpus.
+    *
+    * Scale shape: one shuffle on the cluster key for the per-cluster
+    * window; with |clusters| ≪ |rows| the window state is one counter
+    * per cluster per partition. Skewed giant clusters are exactly the
+    * rows being truncated, so the window short-circuits at
+    * maxPerCluster + sort cost of the cluster's rows. */
+  def clusterBalanced(assignments: DataFrame, idCol: String,
+      clusterCol: String, maxPerCluster: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerCluster > 0, "maxPerCluster must be positive")
+    val w = Window.partitionBy(col(clusterCol)).orderBy(col(idCol))
+    assignments
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerCluster)
+      .drop("__rn")
+  }
+
   /** Deterministic train/holdout split keyed on a CONTENT id hash —
     * stable across runs, re-partitioning, and re-ingestion, which
     * `randomSplit` is not (it samples by partition-local position, so

@@ -360,6 +360,99 @@ object Similarity {
         round(col("__cos"), 4).as("cosine"))
   }
 
+  /** Memo of fully-trained k-means centroid sets keyed by session +
+    * input plan + params: x54/x55 (and any probe reusing the same
+    * clustering) train once per session. Values are plain driver
+    * arrays — nothing persisted, so the evict hook is a no-op. */
+  private val kmeansMemo =
+    new graft.BoundedMemo[(String, Int, String, Int, Int), Array[Array[Double]]](
+      16, name = "kmeans")
+
+  /** Fully DISTRIBUTED Lloyd's k-means over an embedding column — the
+    * full-corpus complement to [[ivfIndex]]'s driver-side sample
+    * training (use this when the corpus distribution matters: domain
+    * clustering for data-mixing, cluster-balanced sampling).
+    *
+    * Per iteration the cluster does exactly ONE job: a map-only
+    * nearest-centroid argmax (the k×dims centroid literals ride in the
+    * plan — no join) feeding the typed [[graft.functions.VectorAvg]]
+    * aggregate, whose partial buffers mean the shuffle carries
+    * |k| × dims doubles per partition — at 100 TB each Lloyd round is
+    * one pass over the data and a k-row collect, which is the
+    * theoretical minimum for exact Lloyd.
+    *
+    * Deterministic and replay-exact by construction: init = the k
+    * lowest-id vectors; cosine similarity rounded to 9 decimals before
+    * the argmax (ties break toward the higher cluster index — struct
+    * `greatest` semantics); updated centroids rounded half-away-from-
+    * zero to 6 decimals each round, so an ANSI replay (`round(avg(x),
+    * 6)`) tracks the float-addition-order noise of the distributed
+    * aggregation instead of diverging on it. Empty clusters keep their
+    * previous centroid. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    val key = (graft.SessionKeys.of(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), s"$idCol/$vecCol", k, iters)
+    // training runs jobs: build outside the memo lock (ivfIndex rule)
+    kmeansMemo.get(key).getOrElse(
+      kmeansMemo.putIfAbsent(key, kmeansUncached(df, idCol, vecCol, k, iters)))
+  }
+
+  private def kmeansUncached(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    var centroids: Array[Array[Double]] = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val vecAvg = udaf(graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    for (_ <- 0 until iters if centroids.nonEmpty) {
+      val updated: Map[Int, Array[Double]] =
+        assignClusters(base, centroids)
+          .groupBy(col("cluster")).agg(vecAvg(col("vec")).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map { j =>
+        updated.get(j).filter(_.nonEmpty)
+          .map(_.map(roundHalfAwayFromZero6)).getOrElse(centroids(j))
+      }.toArray
+    }
+    centroids
+  }
+
+  // DuckDB round() semantics (half away from zero) — NOT Math.round
+  // (half toward +inf), which disagrees on negative halves
+  private def roundHalfAwayFromZero6(v: Double): Double =
+    (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)) / 1e6
+
+  /** Final assignment under [[kmeansCentroids]]' trained model: one
+    * map-only argmax pass emitting (id, cluster, cosine-to-centroid).
+    * `cosine` is the 9-decimal argmax score re-rounded to 4 (the
+    * replay must double-round the same way). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    if (centroids.length <= 1) {
+      val c = centroids.headOption.getOrElse(Array.empty[Double])
+      base.select(col("id").as(idCol), lit(0).as("cluster"),
+        round(round(VectorMath.cosineSimilarity(col("vec"), lit(c)), 9), 4)
+          .as("cosine"))
+    } else {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          round(VectorMath.cosineSimilarity(col("vec"), lit(c)), 9).as("sim"),
+          lit(i).as("cluster"))
+      }
+      base.withColumn("__vote", greatest(scored.toIndexedSeq: _*))
+        .select(col("id").as(idCol), col("__vote.cluster").as("cluster"),
+          round(col("__vote.sim"), 4).as("cosine"))
+    }
+  }
+
   /** Reference formulation via posexplode + regroup — shuffles
     * |rows| × dims scalars; kept for cross-checking the typed path. */
   def centroidsExploded(df: DataFrame, labelCol: String, vecCol: String): DataFrame =

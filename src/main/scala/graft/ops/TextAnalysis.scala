@@ -322,6 +322,41 @@ object TextAnalysis {
         col("mean_inv_df"))
   }
 
+  /** Corpus drift: KL divergence of each group's unigram token
+    * distribution from the WHOLE-corpus distribution — the "did this
+    * source/snapshot shift?" monitor every recurring ingestion needs
+    * (a spiking KL flags a crawler gone wrong or a domain takeover
+    * before it poisons the mix). No smoothing is needed: every token
+    * of a group is by definition in the corpus, so q(t) > 0 wherever
+    * p(t) > 0 and the divergence is finite and exact.
+    *
+    * Scale shape: one shuffle to (group, token) counts with map-side
+    * partial aggregation; corpus counts and group totals RE-AGGREGATE
+    * those counts (never a second scan of the text). The per-token
+    * join is corpus-vocabulary-sized, so it shuffles on `token` (the
+    * x32 rule: never broadcast a corpus-sized side); group totals and
+    * the corpus-total scalar are |groups|-sized and broadcast. */
+  def corpusDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("__grp"),
+      explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val tf = toks.groupBy(col("__grp"), col("__tok"))
+      .agg(count(lit(1)).as("cnt_g"))
+    val cf = tf.groupBy(col("__tok")).agg(sum(col("cnt_g")).as("cnt_c"))
+    val gt = tf.groupBy(col("__grp")).agg(sum(col("cnt_g")).as("tot_g"))
+    val ct = tf.agg(sum(col("cnt_g")).as("tot_c"))
+    val p = col("cnt_g").cast("double") / col("tot_g")
+    val q = col("cnt_c").cast("double") / col("tot_c")
+    tf.hint("shuffle_hash").join(cf.hint("shuffle_hash"), "__tok")
+      .join(broadcast(gt), "__grp")
+      .crossJoin(broadcast(ct))
+      .groupBy(col("__grp"), col("tot_g"))
+      .agg(count(lit(1)).as("distinct_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl_divergence"))
+      .select(col("__grp").as(groupCol), col("tot_g").as("n_tokens"),
+        col("distinct_tokens"), col("kl_divergence"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words signature (same fingerprint ⇔
     * same vocabulary), SQL-expressible for the oracle. */

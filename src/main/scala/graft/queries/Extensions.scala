@@ -1259,6 +1259,170 @@ object Extensions extends QueryModule {
         CAST(least(64, len(toks) - w*48) AS INT) AS chunk_tokens
       FROM w ORDER BY doc_id, window_idx"""))
 
+  /** ANSI replay of [[graft.ops.Similarity.kmeansCentroids]] +
+    * [[graft.ops.Similarity.kmeansAssign]]: init = the k lowest-id
+    * vectors; each Lloyd round is an argmax CTE (cosine rounded to 9,
+    * ties to the higher cluster index) + a centroid-update CTE
+    * (`round(avg, 6)` — the same half-away-from-zero quantization the
+    * engine applies driver-side, which is what makes the iteration
+    * replay-exact despite float addition-order differences between
+    * engines). Emits CTE text up to `bfin` (vec_id, cluster, sim). */
+  private def kmeansReplayCtes(k: Int, iters: Int): String = {
+    def assignCte(name: String, from: String): String =
+      s"""$name AS (
+        SELECT vec_id, j, round(
+          list_sum(list_transform(range(1, len(vec) + 1), ii -> vec[ii] * c[ii]))
+          / (nv * sqrt(list_sum(list_transform(c, x -> x * x)))), 9) AS sim
+        FROM nrm CROSS JOIN $from)"""
+    val sb = new StringBuilder
+    sb ++= s"""v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      nrm AS (
+        SELECT vec_id, vec,
+          sqrt(list_sum(list_transform(vec, x -> x * x))) AS nv FROM v),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+          vec AS c
+        FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= $k)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+      ${assignCte(s"a$i", s"c${i - 1}")},
+      b$i AS (
+        SELECT vec_id, j AS cluster FROM a$i
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, j DESC) = 1),
+      u$i AS (
+        SELECT cluster AS j, pos, round(avg(x), 6) AS val FROM (
+          SELECT b$i.cluster, unnest(v.vec) AS x,
+            generate_subscripts(v.vec, 1) AS pos
+          FROM b$i JOIN v USING (vec_id))
+        GROUP BY 1, 2),
+      c$i AS (
+        SELECT p.j, coalesce(u.c, p.c) AS c
+        FROM c${i - 1} p LEFT JOIN (
+          SELECT j, list(val ORDER BY pos) AS c FROM u$i GROUP BY j) u
+          ON p.j = u.j)"""
+    }
+    sb ++= s""",
+      ${assignCte("afin", s"c$iters")},
+      bfin AS (
+        SELECT vec_id, j AS cluster, sim FROM afin
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY sim DESC, j DESC) = 1)"""
+    sb.toString
+  }
+
+  /** Fully distributed Lloyd's k-means (full-corpus training — the
+    * complement to x17's sample-trained IVF): k=4, 2 Lloyd rounds,
+    * final assignment with cosine-to-centroid. The ENTIRE training
+    * iteration replays in ANSI SQL (hash-green), which pins the
+    * distributed aggregation's semantics exactly — see
+    * [[kmeansReplayCtes]]. */
+  private val x54Kmeans = GraftQuery(
+    "x54_kmeans",
+    (s, dir) => Similarity.kmeansAssign(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH ${kmeansReplayCtes(4, 2)}
+      SELECT vec_id, cluster, round(sim, 4) AS cosine FROM bfin
+      ORDER BY vec_id"""))
+
+  /** Cluster-balanced sampling over the k-means assignment: cap every
+    * cluster at 40 rows (lowest ids — deterministic, relayout-stable).
+    * The anti-domination mix step; shares x54's trained model via the
+    * kmeans memo (one training per session+input). */
+  private val x55ClusterSample = GraftQuery(
+    "x55_cluster_sample",
+    (s, dir) => graft.ops.Sampling.clusterBalanced(
+      Similarity.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 4, iters = 2),
+      "vec_id", "cluster", maxPerCluster = 40)
+      .select(col("cluster"), col("vec_id"))
+      .orderBy(col("cluster"), col("vec_id")),
+    Some(s"""WITH ${kmeansReplayCtes(4, 2)}
+      SELECT cluster, vec_id FROM (
+        SELECT cluster, vec_id,
+          row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+        FROM bfin)
+      WHERE rn <= 40 ORDER BY cluster, vec_id"""))
+
+  /** Corpus drift monitor ([[graft.ops.TextAnalysis.corpusDrift]]):
+    * per-source unigram KL divergence from the whole-corpus
+    * distribution. Exact (no smoothing needed — a group's tokens are
+    * a subset of the corpus's), fully SQL-replayable. */
+  private val x56CorpusDrift = GraftQuery(
+    "x56_corpus_drift",
+    (s, dir) => graft.ops.TextAnalysis.corpusDrift(
+      Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH t AS (
+        SELECT source AS grp,
+          unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt_g
+        FROM t WHERE len(token) > 0 GROUP BY 1, 2),
+      cf AS (SELECT token, CAST(sum(cnt_g) AS BIGINT) AS cnt_c
+        FROM tf GROUP BY 1),
+      gt AS (SELECT grp, CAST(sum(cnt_g) AS BIGINT) AS tot_g
+        FROM tf GROUP BY 1),
+      ct AS (SELECT CAST(sum(cnt_g) AS BIGINT) AS tot_c FROM tf)
+      SELECT grp AS source, gt.tot_g AS n_tokens,
+        CAST(count(*) AS BIGINT) AS distinct_tokens,
+        round(sum((CAST(cnt_g AS DOUBLE) / tot_g)
+          * ln((CAST(cnt_g AS DOUBLE) / tot_g)
+            / (CAST(cnt_c AS DOUBLE) / tot_c))), 6) AS kl_divergence
+      FROM tf
+      JOIN cf USING (token) JOIN gt USING (grp) CROSS JOIN ct
+      GROUP BY grp, gt.tot_g
+      ORDER BY source"""))
+
+  /** Duplicated-span detection ([[Dedup.duplicatedSpans]]): per-doc
+    * token positions covered by cross-document 8-gram matches, merged
+    * into maximal spans. Text-keyed here so the whole pipeline —
+    * explode, document frequency, islands — replays in ANSI SQL; the
+    * hash-keyed scale variant is spec-asserted equal. */
+  private val x57DupSpans = GraftQuery(
+    "x57_dup_spans",
+    (s, dir) => Dedup.duplicatedSpans(
+      Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents),
+      b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+      g AS (
+        SELECT doc_id, p, array_to_string(toks[p+1 : p+8], ' ') AS g
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(0, len(toks) - 8)) AS p
+              FROM b WHERE n_tokens >= 8)),
+      d AS (
+        SELECT g FROM (
+          SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+        WHERE df >= 2),
+      dp AS (SELECT doc_id, p FROM g JOIN d USING (g)),
+      isl AS (
+        SELECT doc_id, p,
+          sum(CASE WHEN p - lagp > 8 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM (SELECT doc_id, p,
+                lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+              FROM dp)),
+      per_island AS (
+        SELECT doc_id, island, max(p) - min(p) + 8 AS covered
+        FROM isl GROUP BY 1, 2),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens,
+          CAST(count(*) AS BIGINT) AS dup_spans
+        FROM per_island GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+        COALESCE(per_doc.dup_tokens, 0) AS dup_tokens,
+        COALESCE(per_doc.dup_spans, 0) AS dup_spans,
+        round(CAST(COALESCE(per_doc.dup_tokens, 0) AS DOUBLE) / b.n_tokens,
+          4) AS dup_ratio
+      FROM b LEFT JOIN per_doc USING (doc_id) ORDER BY b.doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1274,7 +1438,8 @@ object Extensions extends QueryModule {
     x42TextDedupFuzzy, x43TextDedupExact, x44ChunkFill, x45NgramNovelty,
     x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
     x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
-    x53SlidingWindows)
+    x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
+    x57DupSpans)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

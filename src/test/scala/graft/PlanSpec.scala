@@ -203,6 +203,17 @@ class PlanSpec extends AnyFunSuite {
     assert(out.count() >= 0) // the pruned plan must still execute
   }
 
+  test("x54: the final k-means assignment pass is map-only (no exchange)") {
+    import graft.ops.Similarity
+    val out = Similarity.kmeansAssign(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", k = 4, iters = 2)
+    // centroid literals ride in the plan: scan → project → argmax, no
+    // join/shuffle — at 100 TB every Lloyd pass scales with the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must be map-only, got:\n${plan.take(1200)}")
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

@@ -1060,6 +1060,100 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: distributed Lloyd groups directions, memoizes the model") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.0f, 0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // init = the 3 lowest-id (axis) vectors; each satellite joins its axis
+    assert(out(0L)._1 == out(3L)._1)
+    assert(out(1L)._1 == out(4L)._1)
+    assert(out(2L)._1 == out(5L)._1)
+    assert(Set(out(0L)._1, out(1L)._1, out(2L)._1) == Set(0, 1, 2))
+    out.values.foreach { case (_, cos) => assert(cos > 0.9) }
+    // model memo: the second training for the same input+params is a hit
+    val c1 = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    val c2 = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
+    assert(c1 eq c2)
+  }
+
+  test("kmeans: an emptied cluster keeps its previous centroid") {
+    // init duplicates (1,0) into both centroids; every vector ties and
+    // goes to the higher index, so cluster 0 empties on round 1 and
+    // must KEEP (1,0) — which then wins back the x-axis vectors in the
+    // final assignment
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 1)
+    assert(centroids(0).toSeq == Seq(1.0, 0.0)) // kept, not zeroed
+    val out = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == 0 && out(1L) == 0 && out(2L) == 1)
+  }
+
+  test("cluster-balanced sample: caps each cluster at the lowest ids") {
+    val assigned = Seq(
+      (10L, 0), (11L, 0), (12L, 0), (13L, 0),
+      (20L, 1), (21L, 1),
+      (30L, 2)
+    ).toDF("vec_id", "cluster")
+    val kept = Sampling.clusterBalanced(assigned, "vec_id", "cluster", maxPerCluster = 2)
+      .select("cluster", "vec_id").as[(Int, Long)].collect().toSet
+    assert(kept == Set((0, 10L), (0, 11L), (1, 20L), (1, 21L), (2, 30L)))
+  }
+
+  test("corpus drift: identical groups diverge by zero, shifted group dominates") {
+    val corpus = Seq(
+      ("a", "alpha beta gamma delta"),
+      ("b", "alpha beta gamma delta"),
+      ("c", "omega omega omega omega")
+    ).toDF("src", "text")
+    val kl = TextAnalysis.corpusDrift(corpus, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // a and b have the same distribution -> identical (and small) KL;
+    // c's tokens are disjoint from the rest -> strictly larger
+    assert(kl("a") == kl("b"))
+    assert(kl("c") > kl("a"))
+    assert(kl.values.forall(_ >= 0.0)) // KL is non-negative
+    val tot = TextAnalysis.corpusDrift(corpus, "src", "text")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(tot == 12L) // every token counted exactly once
+  }
+
+  test("duplicated spans: overlapping grams merge, hash-keyed == text-keyed") {
+    val shared = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (1L, s"$shared unique tail for doc one"),
+      (2L, s"different head text here $shared"),
+      (3L, "no duplicated content in this document at all beyond short words"),
+      (4L, "tiny doc") // < n tokens: no grams, still reported
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // the 10-token shared passage yields 3 overlapping 8-gram starts
+    // in each doc, which must merge into ONE 10-token span
+    assert(out(1L)._2 == 10L && out(1L)._3 == 1L)
+    assert(out(2L)._2 == 10L && out(2L)._3 == 1L)
+    assert(out(3L) == ((11L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 0L, 0L, 0.0)))
+    val hashed = Dedup.duplicatedSpans(corpus, "doc_id", "text", n = 8,
+      hashGrams = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(hashed == out)
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
