@@ -453,6 +453,121 @@ object Similarity {
     }
   }
 
+  /** Product-quantization model: per-subspace codebooks —
+    * `codebooks(s)(code)(dim)`, trained by [[pqTrain]]. */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.headOption.map(_.length).getOrElse(0)
+    def subDim: Int =
+      codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+  }
+
+  private val pqMemo =
+    new graft.BoundedMemo[(String, Int, String, Int, Int, Int), PqModel](
+      16, name = "pq")
+
+  /** Distributed product-quantization training (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * each vector into `m` subvectors and learn an independent k-code
+    * L2 codebook per subspace with Lloyd rounds — the memory-density
+    * complement to [[quantizeInt8]] (m bytes per vector instead of
+    * dims, at recall governed by m×k).
+    *
+    * Scale shape: ALL m subspaces train in ONE distributed job per
+    * iteration — the per-subspace argmin codes are computed in a
+    * single projection (codebook literals ride in the plan), the
+    * subvectors inline-exploded to (subspace, code, sub) and averaged
+    * by the typed [[graft.functions.VectorAvg]] partial aggregate, so
+    * the shuffle carries m×k×subDim doubles per partition and the
+    * driver collects m×k rows per round.
+    *
+    * Replay-exact like [[kmeansCentroids]]: init = subvectors of the
+    * k lowest-id vectors; squared L2 rounded to 9 decimals before the
+    * argmin (ties to the SMALLER code — struct `least` semantics);
+    * updated codes rounded half-away-from-zero to 6 decimals; empty
+    * codes keep their previous centroid. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 16, iters: Int = 2): PqModel = {
+    val key = (graft.SessionKeys.of(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), s"$idCol/$vecCol", m, k, iters)
+    pqMemo.get(key).getOrElse(
+      pqMemo.putIfAbsent(key, pqTrainUncached(df, idCol, vecCol, m, k, iters)))
+  }
+
+  private def pqTrainUncached(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): PqModel = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    val first = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(first.nonEmpty, "pqTrain: empty input")
+    val dims = first(0).length
+    require(dims % m == 0, s"pqTrain: m=$m must divide dims=$dims")
+    val subDim = dims / m
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => first.map(_.slice(s * subDim, (s + 1) * subDim)))
+    val vecAvg = udaf(graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    for (_ <- 0 until iters) {
+      val entries = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          pqCodeCol(col("vec"), codebooks(s), s, subDim).as("code"),
+          slice(col("vec"), s * subDim + 1, subDim).as("sub"))
+      }
+      val updated = base.select(inline(array(entries: _*)))
+        .groupBy(col("s"), col("code")).agg(vecAvg(col("sub")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      codebooks = Array.tabulate(m) { s =>
+        Array.tabulate(codebooks(s).length) { c =>
+          updated.get((s, c)).filter(_.nonEmpty)
+            .map(_.map(roundHalfAwayFromZero6)).getOrElse(codebooks(s)(c))
+        }
+      }
+    }
+    PqModel(codebooks)
+  }
+
+  // argmin code for one subspace: least() over (round(L2², 9), code)
+  // structs — squared distance (monotone, no sqrt), ties to the
+  // smaller code index
+  private def pqCodeCol(vec: Column, codebook: Array[Array[Double]],
+      s: Int, subDim: Int): Column = {
+    val sub = slice(vec, s * subDim + 1, subDim)
+      .cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val scored = codebook.zipWithIndex.map { case (c, i) =>
+      struct(
+        round(aggregate(zip_with(sub, lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 9).as("dist"),
+        lit(i).as("code"))
+    }
+    if (scored.length <= 1) lit(0)
+    else least(scored.toIndexedSeq: _*).getField("code")
+  }
+
+  /** Map-only PQ encoding: each vector → m code bytes (here ints).
+    * The codebook literals ride in the plan — encoding 100 TB of
+    * embeddings is a single shuffle-free pass, same as
+    * [[quantizeInt8]]. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    base.select(col("id").as(idCol),
+      array((0 until model.m).map(s =>
+        pqCodeCol(col("vec"), model.codebooks(s), s, model.subDim)): _*)
+        .as("codes"))
+  }
+
+  /** Lossy PQ reconstruction: codes → concatenated codebook
+    * centroids — for scoring/debugging quantized vectors. */
+  def pqDecode(codes: Array[Int], model: PqModel): Array[Double] =
+    codes.zipWithIndex.flatMap { case (c, s) => model.codebooks(s)(c) }
+
   /** Reference formulation via posexplode + regroup — shuffles
     * |rows| × dims scalars; kept for cross-checking the typed path. */
   def centroidsExploded(df: DataFrame, labelCol: String, vecCol: String): DataFrame =

@@ -357,6 +357,38 @@ object TextAnalysis {
         col("distinct_tokens"), col("kl_divergence"))
   }
 
+  /** Encoding-anomaly scan: per-document counts of the classic
+    * "crawler ate the bytes" signals — U+FFFD replacement characters
+    * (lossy decode), stray C0 control characters (binary leakage;
+    * tab/newline/CR excluded), non-ASCII share, and the `â€`
+    * UTF-8-read-as-Latin-1 mojibake marker (the first two bytes of
+    * every curly quote/dash mis-decode). Map-only, one codegen'd
+    * projection — the counts come from length deltas after literal or
+    * class replacement, no per-char explode.
+    *
+    * The marker patterns are metachar-free, so the ANSI twin can use
+    * plain literal `replace` where this side uses `regexp_replace`
+    * (every match replaced on both engines) — only the C0/ASCII
+    * classes rely on regex, with byte-range classes both RE2 and Java
+    * interpret identically. */
+  def encodingAnomalies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val repl = length(t) - length(regexp_replace(t, "�", ""))
+    val ctrl = length(t) -
+      length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val nonAscii = length(t) - length(regexp_replace(t, "[^\\x00-\\x7F]", ""))
+    val mojibake =
+      (length(t) - length(regexp_replace(t, "â€", ""))) / lit(2)
+    df.select(col(idCol),
+      length(t).as("n_chars"),
+      repl.cast("int").as("repl_chars"),
+      ctrl.cast("int").as("ctrl_chars"),
+      round(nonAscii.cast("double") / greatest(length(t), lit(1)), 4)
+        .as("non_ascii_ratio"),
+      mojibake.cast("int").as("mojibake_hits"),
+      (repl === 0 && ctrl === 0 && mojibake === 0).as("clean"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words signature (same fingerprint ⇔
     * same vocabulary), SQL-expressible for the oracle. */

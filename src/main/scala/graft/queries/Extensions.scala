@@ -1423,6 +1423,110 @@ object Extensions extends QueryModule {
           4) AS dup_ratio
       FROM b LEFT JOIN per_doc USING (doc_id) ORDER BY b.doc_id"""))
 
+  /** Encoding-anomaly scan ([[graft.ops.TextAnalysis
+    * .encodingAnomalies]]): U+FFFD / control-char / mojibake-marker
+    * counts per document, all from length deltas — map-only, fully
+    * SQL-replayable (literal `replace` for the metachar-free markers,
+    * `'g'`-flagged regex for the byte classes). */
+  private val x58EncodingChecks = GraftQuery(
+    "x58_encoding_checks",
+    (s, dir) => graft.ops.TextAnalysis.encodingAnomalies(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(length(text) - length(replace(text, '�', '')) AS INT)
+          AS repl_chars,
+        CAST(length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS INT) AS ctrl_chars,
+        round(CAST(length(text) - length(regexp_replace(text,
+            '[^\x00-\x7F]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1), 4) AS non_ascii_ratio,
+        CAST((length(text) - length(replace(text, 'â€', ''))) // 2 AS INT)
+          AS mojibake_hits,
+        (length(text) = length(replace(text, '�', ''))
+          AND length(text) = length(regexp_replace(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+          AND length(text) = length(replace(text, 'â€', ''))) AS clean
+      FROM documents ORDER BY doc_id"""))
+
+  /** ANSI replay of [[Similarity.pqTrain]] + [[Similarity.pqEncode]]
+    * for ONE subspace `s` (sliced `vec[a:b]`): same CTE skeleton as
+    * [[kmeansReplayCtes]] but with squared-L2 argmin (ties to the
+    * SMALLER code) and per-subspace init from the k lowest-id
+    * subvectors. */
+  private def pqSubspaceCtes(s: Int, k: Int, iters: Int, subDim: Int): String = {
+    val a = s * subDim + 1
+    val b = (s + 1) * subDim
+    def assign(name: String, from: String): String =
+      s"""s${s}_$name AS (
+        SELECT vec_id, code, round(
+          list_sum(list_transform(range(1, $subDim + 1),
+            ii -> (vec[$a + ii - 1] - c[ii]) * (vec[$a + ii - 1] - c[ii]))),
+          9) AS dist
+        FROM v CROSS JOIN s${s}_$from)"""
+    def pick(name: String, from: String, extra: String): String =
+      s"""s${s}_$name AS (
+        SELECT vec_id, code$extra FROM s${s}_$from
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist ASC, code ASC) = 1)"""
+    val sb = new StringBuilder
+    sb ++= s"""s${s}_c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+          vec[$a:$b] AS c
+        FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= $k)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+      ${assign(s"a$i", s"c${i - 1}")},
+      ${pick(s"b$i", s"a$i", "")},
+      s${s}_u$i AS (
+        SELECT code, pos, round(avg(x), 6) AS val FROM (
+          SELECT b.code, unnest(v.vec[$a:$b]) AS x,
+            generate_subscripts(v.vec[$a:$b], 1) AS pos
+          FROM s${s}_b$i b JOIN v USING (vec_id))
+        GROUP BY 1, 2),
+      s${s}_c$i AS (
+        SELECT p.code, coalesce(u.c, p.c) AS c
+        FROM s${s}_c${i - 1} p LEFT JOIN (
+          SELECT code, list(val ORDER BY pos) AS c
+          FROM s${s}_u$i GROUP BY code) u ON p.code = u.code)"""
+    }
+    sb ++= s""",
+      ${assign("af", s"c$iters")},
+      ${pick("bf", "af", s", $s AS subspace")}"""
+    sb.toString
+  }
+
+  /** Product quantization (x59): m=4 subspaces × 8 codes over the
+    * 64-dim embeddings, ONE distributed Lloyd round, exploded to
+    * (vec_id, subspace, code) scalar rows — the entire per-subspace
+    * training + encoding replays in SQL (hash-green), the same
+    * determinism contract as x54. */
+  private val x59PqEncode = GraftQuery(
+    "x59_pq_encode",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+      Similarity.pqEncode(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("subspace"), col("col").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    },
+    Some {
+      val ctes = (0 until 4).map(s => pqSubspaceCtes(s, k = 8, iters = 1,
+        subDim = 16)).mkString(",\n      ")
+      val union = (0 until 4)
+        .map(s => s"SELECT vec_id, subspace, code FROM s${s}_bf")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings),
+      $ctes
+      SELECT vec_id, CAST(subspace AS INT) AS subspace, code
+      FROM ($union) ORDER BY vec_id, subspace"""
+    })
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1439,7 +1543,7 @@ object Extensions extends QueryModule {
     x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
     x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
-    x57DupSpans)
+    x57DupSpans, x58EncodingChecks, x59PqEncode)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

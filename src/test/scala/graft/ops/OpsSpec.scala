@@ -1154,6 +1154,63 @@ class OpsSpec extends AnyFunSuite {
     assert(hashed == out)
   }
 
+  test("encoding anomalies: replacement/control/mojibake counted, clean flagged") {
+    val rows = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "lossy � decode � here"),
+      (3L, "binary\u0001leak\u0007tab\tok"),          // tab is NOT an anomaly
+      (4L, "mojibake quote â€œtextâ€ end"),      // two 'â€' markers
+      (5L, "naïve café résumé")                        // non-ascii but clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingAnomalies(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(5), r.getBoolean(6))).toMap
+    assert(out(1L) == ((0, 0, 0, true)))
+    assert(out(2L) == ((2, 0, 0, false)))
+    assert(out(3L) == ((0, 2, 0, false)))
+    assert(out(4L)._3 == 2 && !out(4L)._4)
+    assert(out(5L) == ((0, 0, 0, true)))
+    val ratios = TextAnalysis.encodingAnomalies(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(ratios(1L) == 0.0 && ratios(5L) > 0.0)
+  }
+
+  test("product quantization: init encodes itself exactly, training reduces error") {
+    val rnd = new scala.util.Random(7)
+    // two tight blobs per subspace half, plus the k init vectors
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.tabulate(8)(d => base + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val init = Similarity.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 4, iters = 0)
+    assert(init.m == 2 && init.k == 4 && init.subDim == 4)
+    // with zero training, the k init vectors quantize to their own code
+    val codes0 = Similarity.pqEncode(vecs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", init)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes0.foreach { case (id, cs) =>
+      assert(cs.forall(_ == id.toInt), s"vec $id -> $cs") }
+    // Lloyd training must not increase total reconstruction error
+    def reconErr(model: Similarity.PqModel): Double = {
+      val rows = Similarity.pqEncode(vecs, "vec_id", "embedding", model)
+        .join(vecs, "vec_id").collect()
+      rows.map { r =>
+        val recon = Similarity.pqDecode(r.getSeq[Int](1).toArray, model)
+        val orig = r.getSeq[Float](2)
+        orig.zip(recon).map { case (o, c) => (o - c) * (o - c) }.sum
+      }.sum
+    }
+    val trained = Similarity.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    assert(reconErr(trained) <= reconErr(init) + 1e-6)
+    // memo: same input+params returns the same model instance
+    assert(trained eq
+      Similarity.pqTrain(vecs, "vec_id", "embedding", m = 2, k = 4, iters = 2))
+    // m must divide dims
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(vecs, "vec_id", "embedding", m = 3, k = 2, iters = 0)
+    }
+  }
+
   test("winnowing: shared passage guarantees common fingerprints; containment found") {
     val boiler = "the quick brown fox jumps over the lazy dog while the band plays on"
     val passage = Seq(
