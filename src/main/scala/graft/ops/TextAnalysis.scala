@@ -389,6 +389,46 @@ object TextAnalysis {
       (repl === 0 && ctrl === 0 && mojibake === 0).as("clean"))
   }
 
+  /** Pairwise vocabulary overlap between corpus slices: Jaccard
+    * similarity of the distinct-token sets of every pair of groups
+    * (sources, languages, snapshots) — the "how much does crawl A
+    * repeat crawl B" matrix a mixture design starts from, and a cheap
+    * cross-source contamination screen.
+    *
+    * Scale shape: one explode → distinct (two-phase aggregate on
+    * (group, token), so the exchange carries each group's vocabulary
+    * once, not its token stream), materialized once for its three
+    * consumers (both self-join sides + the per-group counts); a
+    * shuffle-hash self-join on `token` (vocabulary is corpus-sized —
+    * NOT broadcast). Per-token fanout is bounded by |groups|² — a
+    * token shared by every group emits |groups|²/2 pairs, so the join
+    * output is |vocab|·|groups|²/2 worst-case, aggregated down to
+    * |groups|²/2 rows by a two-phase count. The per-group totals ARE
+    * broadcast (|groups| rows). */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = Parallelism.ensure(df)
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0 && col("grp").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // feeds both self-join sides + the counts
+    val counts = toks.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val a = toks.select(col("grp").as("source_a"), col("token"))
+    val b = toks.select(col("grp").as("source_b"), col("token"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(counts.select(col("grp").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(counts.select(col("grp").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * an order-insensitive bag-of-words signature (same fingerprint ⇔
     * same vocabulary), SQL-expressible for the oracle. */

@@ -62,4 +62,35 @@ object CorpusQuality {
   /** Gate form: count of failing checks (0 = corpus is ingestible). */
   def failures(docs: DataFrame, embeddings: DataFrame): Long =
     suite(docs, embeddings).filter(col("passed") === 0).count()
+
+  /** Winsorized per-group statistics: mean/stddev of `valueCol` after
+    * clamping to the group's [lo, hi] quantiles — the outlier-robust
+    * length/score profile a curation report uses (a handful of
+    * megadocs otherwise dominate a plain mean at corpus scale).
+    *
+    * Two passes, both scale-shaped: (1) per-group exact interpolated
+    * quantiles (two-phase aggregate, |groups| rows out); (2) the
+    * tiny quantile table broadcast back onto the scan, clamp as a
+    * map-only projection, one final two-phase aggregate. The big
+    * side never shuffles. Matches DuckDB `quantile_cont` /
+    * `stddev` (sample) for the oracle; float aggregates round(4). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val v = col(valueCol).cast("double")
+    val q = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile(v, lit(lo)).as("__p_lo"),
+        percentile(v, lit(hi)).as("__p_hi"))
+    df.join(broadcast(q), Seq(groupCol))
+      .withColumn("__w", least(greatest(v, col("__p_lo")), col("__p_hi")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("__p_lo")), 4).as("p_lo"),
+        round(min(col("__p_hi")), 4).as("p_hi"),
+        round(avg(v), 4).as("mean_raw"),
+        round(avg(col("__w")), 4).as("mean_winsorized"),
+        round(stddev(col("__w")), 4).as("stddev_winsorized"))
+  }
 }

@@ -1527,6 +1527,89 @@ object Extensions extends QueryModule {
       FROM ($union) ORDER BY vec_id, subspace"""
     })
 
+  /** Pairwise vocabulary overlap between sources ([[TextAnalysis
+    * .sourceOverlap]]): Jaccard of distinct-token sets for every
+    * source pair — the cross-source repetition matrix a mixture
+    * design starts from. Shuffle-hash self-join on token (vocabulary
+    * is corpus-sized, NOT broadcast); per-source totals broadcast. */
+  private val x60SourceOverlap = GraftQuery(
+    "x60_source_overlap",
+    (s, dir) => TextAnalysis.sourceOverlap(
+      Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH t AS (
+        SELECT DISTINCT source, token FROM (
+          SELECT source,
+            unnest(string_split_regex(lower(text), '\s+')) AS token
+          FROM documents)
+        WHERE len(token) > 0 AND source IS NOT NULL),
+      c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(count(*) AS BIGINT) AS n_common,
+        ca.n AS n_a, cb.n AS n_b,
+        round(CAST(count(*) AS DOUBLE)
+          / (ca.n + cb.n - count(*)), 6) AS jaccard
+      FROM t a JOIN t b ON a.token = b.token AND a.source < b.source
+      JOIN c ca ON ca.source = a.source
+      JOIN c cb ON cb.source = b.source
+      GROUP BY 1, 2, ca.n, cb.n
+      ORDER BY source_a, source_b"""))
+
+  /** Winsorized per-source length stats ([[graft.quality.CorpusQuality
+    * .winsorizedStats]]): mean/stddev of n_chars after clamping to the
+    * source's [p05, p95] — outlier-robust corpus profiling. Quantile
+    * table broadcast back onto the scan; the big side never shuffles. */
+  private val x61WinsorizedStats = GraftQuery(
+    "x61_winsorized_stats",
+    (s, dir) => graft.quality.CorpusQuality.winsorizedStats(
+      Tables.documents(s, dir), "source", "n_chars", lo = 0.05, hi = 0.95)
+      .orderBy(col("source")),
+    Some("""WITH q AS (
+        SELECT source,
+          quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
+          quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
+        FROM documents WHERE source IS NOT NULL GROUP BY source)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        round(min(p_lo), 4) AS p_lo, round(min(p_hi), 4) AS p_hi,
+        round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_raw,
+        round(avg(least(greatest(CAST(n_chars AS DOUBLE), p_lo), p_hi)), 4)
+          AS mean_winsorized,
+        round(stddev(least(greatest(CAST(n_chars AS DOUBLE), p_lo), p_hi)), 4)
+          AS stddev_winsorized
+      FROM documents JOIN q USING (source)
+      GROUP BY source ORDER BY source"""))
+
+  /** Temperature-flattened mixture sample ([[graft.ops.Sampling
+    * .replayableMixture]], α = 1/2): keep-probability √(n_min/n) per
+    * source, decided in EXACT integer arithmetic on a multiplicative
+    * id scramble — the one sampling query whose membership a DuckDB
+    * oracle replays bit-for-bit (the xxhash64 paths x30/x41 stay
+    * rows-only). The corpus side is a map-only filter; only the
+    * |strata|-row count table shuffles. Stratified on `lang` — the
+    * skewed stratum (en dominates ~3×), so the flattening actually
+    * bites: en keeps ~√(n_min/n_en) ≈ 54%, the rarest language
+    * keeps everything. */
+  private val x62MixtureSample = GraftQuery(
+    "x62_mixture_sample",
+    (s, dir) => graft.ops.Sampling.replayableMixture(
+      Tables.documents(s, dir), "lang", "doc_id", alphaHalf = true)
+      .select(col("doc_id"), col("lang"), col("n_stratum").as("n_lang"))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      m AS (SELECT min(n_lang) AS n_min FROM c),
+      b AS (
+        SELECT doc_id, lang,
+          ((doc_id % 2147483648) * 2654435761) % 4294967296 AS bucket
+        FROM documents)
+      SELECT doc_id, lang, n_lang
+      FROM b JOIN c USING (lang) CROSS JOIN m
+      WHERE CAST(bucket AS HUGEINT) * CAST(bucket AS HUGEINT)
+              * CAST(n_lang AS HUGEINT)
+            < CAST(n_min AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT)
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1543,7 +1626,8 @@ object Extensions extends QueryModule {
     x46CorpusChecks, x47DecontaminateBloom, x48Zorder, x49DedupIncremental,
     x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
-    x57DupSpans, x58EncodingChecks, x59PqEncode)
+    x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
+    x61WinsorizedStats, x62MixtureSample)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1228,4 +1228,69 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
+
+  test("source overlap: exact jaccard of vocabulary sets per pair") {
+    val df = Seq(
+      (1L, "a", "alpha beta gamma"),
+      (2L, "a", "beta delta"),
+      (3L, "b", "beta gamma epsilon"),
+      (4L, "c", "zeta eta")
+    ).toDF("doc_id", "src", "text")
+    val got = TextAnalysis.sourceOverlap(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // vocab: a={alpha,beta,gamma,delta} b={beta,gamma,epsilon} c={zeta,eta}
+    assert(got(("a", "b")) == ((2L, 4L, 3L, 0.4))) // {beta,gamma} / 5
+    // disjoint pairs never appear (inner join on token)
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+    // pairs are emitted once, ordered source_a < source_b
+    assert(got.keySet.forall { case (x, y) => x < y })
+  }
+
+  test("winsorized stats: clamping tames the outlier, raw mean keeps it") {
+    val df = (Seq.fill(9)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val r = graft.quality.CorpusQuality
+      .winsorizedStats(df, "grp", "v", lo = 0.05, hi = 0.95)
+      .head()
+    assert(r.getAs[Long]("n") == 10L)
+    // raw mean is dragged to 109; the p95 clamp (interpolated between
+    // 10 and 1000 at rank 8.55: 10 + .55*990 = 554.5) halves the pull
+    assert(r.getAs[Double]("mean_raw") == 109.0)
+    assert(r.getAs[Double]("p_lo") == 10.0)
+    assert(r.getAs[Double]("p_hi") == 554.5)
+    assert(r.getAs[Double]("mean_winsorized") == 64.45) // (9*10 + 554.5)/10
+    // winsorized stddev well below the raw one (which is ~313)
+    assert(r.getAs[Double]("stddev_winsorized") < 200.0)
+  }
+
+  test("replayable mixture: rarest keeps all, flattening monotone, relayout-stable") {
+    val rows = (1L to 1000L).map(i => (i, "big")) ++
+      (1001L to 1200L).map(i => (i, "mid")) ++ (1201L to 1250L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    def kept(alphaHalf: Boolean): Map[String, Long] =
+      Sampling.replayableMixture(df, "src", "id", alphaHalf)
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+    val half = kept(alphaHalf = true)
+    val flat = kept(alphaHalf = false)
+    // rarest stratum: bucket² < 2^64 always → keeps everything exactly
+    assert(half("small") == 50L && flat("small") == 50L)
+    // α=0 expected kept = n_min per stratum (scramble → tolerance)
+    assert(math.abs(flat("big") - 50L) <= 25, flat.toString)
+    assert(math.abs(flat("mid") - 50L) <= 25, flat.toString)
+    // α=1/2 sits between natural and flat: big expects 1000·√(.05)≈224
+    assert(half("big") > flat("big") && half("big") < 1000L, half.toString)
+    // membership is a pure function of (id, stratum sizes): stable
+    // across relayout, and re-running changes nothing
+    val ids = Sampling.replayableMixture(df, "src", "id").select("id")
+      .as[Long].collect().toSet
+    val again = Sampling.replayableMixture(df.repartition(7), "src", "id")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // null strata dropped (count join is inner over non-null strata)
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[String])).toDF("id", "src"))
+    assert(Sampling.replayableMixture(withNull, "src", "id")
+      .filter(col("src").isNull).count() == 0)
+  }
 }
