@@ -329,6 +329,45 @@ case class WinnowingFingerprint(child: Expression, k: Int, window: Int, seed: Lo
     copy(child = newChild)
 }
 
+/** Count-min-sketch point estimate (string → long): probes a
+  * serialized [[org.apache.spark.util.sketch.CountMinSketch]] —
+  * the merge-able fixed-memory frequency table built by Spark's own
+  * `count_min_sketch` aggregate — for the estimated count of the
+  * child string. The sketch rides the plan as a task-broadcast
+  * constructor field (the Bloom-literal posture of
+  * [[graft.ops.Dedup.bloomDecontaminate]]) and deserializes once per
+  * executor, lazily. Probes hash the UTF-8 bytes — exactly what the
+  * aggregate added (`CountMinSketchAgg` adds string columns as their
+  * UTF8String bytes), so estimate(x) ≥ true-count(x) always holds.
+  *
+  * Codegen: one virtual call on a reference object per row — the
+  * surrounding stage stays in whole-stage codegen (same rationale as
+  * [[SketchCodegen]]; the probe side of a frequency query is
+  * top-k-bounded anyway, never corpus-sized). */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cms_estimate"
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+
+  def estimate(s: UTF8String): Long = cms.estimateCount(s.getBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    estimate(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("cms", this, this.getClass.getName)
+    nullSafeCodeGen(ctx, ev, childVar =>
+      s"${ev.value} = $refName.estimate($childVar);")
+  }
+}
+
 /** Column-API surface for the sketch expressions (Spark 4 bridges a
   * Catalyst Expression to the public Column via ExpressionUtils). */
 object Sketches {
@@ -348,4 +387,7 @@ object Sketches {
 
   def winnowingFingerprint(text: Column, k: Int = 5, window: Int = 4, seed: Long = 42L): Column =
     column(WinnowingFingerprint(expression(text), k, window, seed))
+
+  def cmsEstimate(item: Column, sketchBytes: Array[Byte]): Column =
+    column(CmsEstimate(expression(item), sketchBytes))
 }

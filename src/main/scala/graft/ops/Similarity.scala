@@ -230,6 +230,83 @@ object Similarity {
         round(col("__cos"), 4).as("cosine"))
   }
 
+  /** IVF-PQ batch ANN (Jégou et al., TPAMI 2011, §IV): probe `nprobe`
+    * clusters per query, score every member by ASYMMETRIC DISTANCE
+    * over its m PQ codes, keep the best `refine` candidates, then
+    * re-rank those exactly — the memory-bounded scale path that lets
+    * a 100 TB index score candidates from m bytes per vector instead
+    * of the full float row.
+    *
+    * Plan shape: each (bounded) query row precomputes its m×k lookup
+    * table — squared L2 from its subvector to every codebook
+    * centroid — ONCE, and the table broadcasts with the probe rows.
+    * Candidate scoring is then a map-only projection:
+    * `zip_with(codes, lut, element_at)` folds m array lookups per
+    * candidate, no join, no shuffle beyond the one the probe join
+    * already pays. Codes are computed from the assignments frame in
+    * the same projection here (the corpus vector is already in the
+    * row); a production deployment stores `pqEncode` output WITH the
+    * index and joins vectors back by id only for the `refine` set —
+    * the plan's relational shape is identical. Two windows bound the
+    * state: top-`refine` on ADC, then exact top-`topK`.
+    *
+    * Contract (spec-asserted): with nprobe = |clusters| and refine ≥
+    * corpus size the result EQUALS the exact brute-force top-k —
+    * approximation comes only from probe pruning and ADC
+    * candidate cuts, never from the pipeline itself. */
+  def ivfPqBatchTopK(index: IvfIndex, pq: PqModel, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      topK: Int = 10, nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(refine >= topK, "refine must be >= topK")
+    val m = pq.m
+    val subDim = pq.subDim
+    val dec = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    // per-query LUT: lut(s)(code) = ||q_sub − codebook(s)(code)||²
+    val lutCol = array((0 until m).map { s =>
+      val sub = slice(col("__qv"), s * subDim + 1, subDim).cast(dec)
+      array(pq.codebooks(s).map { c =>
+        aggregate(zip_with(sub, lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+    }: _*)
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        round(VectorMath.cosineSimilarity(col("__qv"), lit(c)), 9).as("sim"),
+        lit(i).as("cluster"))
+    }
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__lut", lutCol)
+      .withColumn("__ranked", reverse(array_sort(array(scored.toIndexedSeq: _*))))
+      .withColumn("cluster", explode(slice(col("__ranked.cluster"), 1, nprobe)))
+      .select(col("query_id"), col("__qv"), col("__lut"), col("cluster"))
+    // candidate side: codes from the same projection (vector already
+    // in the row — map-only), then the ADC fold against the query LUT
+    val members = index.assignments
+      .withColumnRenamed(index.idCol, "neighbor_id")
+      .withColumnRenamed(index.vecCol, "__cv")
+      .withColumn("__codes", array((0 until m).map(s =>
+        pqCodeCol(col("__cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), pq.codebooks(s), s, subDim)): _*))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    members.join(broadcast(probes), Seq("cluster"))
+      .withColumn("__adc",
+        aggregate(zip_with(col("__codes"), col("__lut"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc_rank", row_number().over(wAdc))
+      .filter(col("__adc_rank") <= refine)
+      .withColumn("__cos", VectorMath.cosineSimilarity(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
   /** Map-only nearest-centroid assignment: the k centroid literals
     * ride in the plan; argmax via greatest() over (sim, cluster)
     * structs — no join, no shuffle. */

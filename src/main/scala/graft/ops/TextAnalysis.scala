@@ -389,6 +389,44 @@ object TextAnalysis {
       (repl === 0 && ctrl === 0 && mojibake === 0).as("clean"))
   }
 
+  /** Token-frequency estimation under a FIXED memory bound: a
+    * count-min sketch over the token stream (Spark's `count_min_sketch`
+    * aggregate — merge-able, so the build is one two-phase aggregate
+    * whose shuffle carries ONE d×w counter table per map partition,
+    * independent of corpus size), probed for the exact top-k tokens
+    * so the estimate error is visible next to ground truth.
+    *
+    * This is the sketch-family answer to "what are the hot tokens of
+    * a 100 TB stream" when the exact groupBy ([[topTokens]], x25) is
+    * unaffordable or the input is unbounded (streaming): memory is
+    * d=⌈ln(1/(1−confidence))⌉ rows × w=⌈e/eps⌉ counters, full stop.
+    * CMS guarantees est ≥ true always, and est ≤ true + eps·N with
+    * probability ≥ confidence — both bounds spec-asserted. The probe
+    * is a codegen'd [[graft.functions.CmsEstimate]] over the
+    * k-bounded result, with the sketch riding the plan as a literal
+    * (the Bloom posture of x47).
+    *
+    * Exact-twin discipline: the paired hash-green query is x25
+    * (`topTokens`) — identical tokenization, exact counts. */
+  def tokenFrequencySketch(df: DataFrame, textCol: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .localCheckpoint(true) // feeds the sketch build AND the exact top-k
+    val bytes = toks
+      .select(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("exact_n"),
+        graft.functions.Sketches.cmsEstimate(col("token"), bytes).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+  }
+
   /** Pairwise vocabulary overlap between corpus slices: Jaccard
     * similarity of the distinct-token sets of every pair of groups
     * (sources, languages, snapshots) — the "how much does crawl A

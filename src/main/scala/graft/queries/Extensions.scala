@@ -1610,6 +1610,38 @@ object Extensions extends QueryModule {
             < CAST(n_min AS HUGEINT) * CAST(18446744073709551616 AS HUGEINT)
       ORDER BY doc_id"""))
 
+  /** Count-min-sketch token frequencies ([[TextAnalysis
+    * .tokenFrequencySketch]]): fixed-memory frequency table probed at
+    * the exact top-20 tokens. Sketch estimates aren't ANSI-expressible
+    * → rows-only; the paired hash-green query is x25 (identical
+    * tokenization, exact counts), and OpsSpec pins both CMS bounds
+    * (est ≥ true; est ≤ true + eps·N at the default confidence). */
+  private val x63FreqSketch = GraftQuery(
+    "x63_freq_sketch",
+    (s, dir) => TextAnalysis.tokenFrequencySketch(
+      Tables.documents(s, dir), "text", k = 20)
+      .orderBy(col("exact_n").desc, col("token")),
+    None)
+
+  /** IVF-PQ batch ANN ([[Similarity.ivfPqBatchTopK]]): probe pruning
+    * + asymmetric-distance scoring over m=4 PQ codes + exact
+    * re-ranking — the composed scale path of x17 (IVF) and x59 (PQ),
+    * sharing both memoized artifacts inside one run. Approximate by
+    * construction → rows-only; the full-probe/full-refine ≡ exact
+    * brute-force contract is spec-asserted, and x23 is the
+    * hash-green exact twin of the search semantics. */
+  private val x64IvfPqTopK = GraftQuery(
+    "x64_ivfpq_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val pq = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+      Similarity.ivfPqBatchTopK(index, pq, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", topK = 5, nprobe = 3, refine = 20)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1627,7 +1659,7 @@ object Extensions extends QueryModule {
     x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
-    x61WinsorizedStats, x62MixtureSample)
+    x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1060,6 +1060,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: full probe + full refine equals exact; tight refine keeps recall") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val n = emb.count().toInt
+    // contract: probe everything + refine everything ≡ brute force —
+    // ADC only ORDERS the candidate cut, the emitted ranking is exact
+    val full = rows(Similarity.ivfPqBatchTopK(index, pq, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 8, refine = n))
+    val exact = rows(Similarity.batchTopK(queries, emb,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5))
+    assert(full == exact)
+    // ADC candidate cut: a 20-candidate refine still recovers most of
+    // the exact top-5 (deterministic on the fixed test corpus), and
+    // every query finds itself at rank 1 (its own code distance is
+    // minimal by construction)
+    val cut = rows(Similarity.ivfPqBatchTopK(index, pq, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 8, refine = 20))
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val hit = cut.map(t => (t._1, t._2)).count(exactSet)
+    assert(hit >= (0.6 * exact.size).toInt, s"recall too low: $hit/${exact.size}")
+    cut.filter(_._3 == 1).foreach { case (q, nb, _, cos) =>
+      assert(nb == q && cos == 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqBatchTopK(index, pq, queries, "vec_id", "embedding",
+        topK = 10, nprobe = 2, refine = 5)
+    }
+  }
+
   test("kmeans: distributed Lloyd groups directions, memoizes the model") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -1227,6 +1261,25 @@ class OpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("count-min sketch: est >= exact always; tight sketch is exact on small vocab") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, s"alpha beta beta gamma${i % 5} alpha alpha")).toDF("id", "text")
+    val r = TextAnalysis.tokenFrequencySketch(df, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // CMS never underestimates
+    assert(r.values.forall { case (exact, est, over) =>
+      est >= exact && over == est - exact })
+    // exact counts are right (alpha 3/doc, beta 2/doc)
+    assert(r("alpha")._1 == 150L && r("beta")._1 == 100L)
+    // eps=0.001 → width 2719 counters >> 7 distinct tokens: no
+    // collisions, the estimate IS the count
+    assert(r.values.forall { case (exact, est, _) => est == exact })
+    // upper bound est <= exact + eps*N holds for every probe
+    val n = 50L * 6 // total token stream length
+    assert(r.values.forall { case (exact, est, _) => est <= exact + (0.001 * n).ceil.toLong })
   }
 
   test("source overlap: exact jaccard of vocabulary sets per pair") {
