@@ -422,6 +422,11 @@ object TextAnalysis {
     toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token").asc)
       .limit(k)
+      // materialize the k rows BEFORE the probe: keeps Limit adjacent
+      // to Sort so the top-k plans as TakeOrdered (without the
+      // boundary, the optimizer slides the probe projection between
+      // them and the vocabulary gets a full distributed sort instead)
+      .localCheckpoint(true)
       .select(col("token"), col("exact_n"),
         graft.functions.Sketches.cmsEstimate(col("token"), bytes).as("est_n"))
       .withColumn("overcount", col("est_n") - col("exact_n"))

@@ -214,6 +214,60 @@ class PlanSpec extends AnyFunSuite {
       s"assignment must be map-only, got:\n${plan.take(1200)}")
   }
 
+  test("x60 overlap: token self-join shuffled (vocab is corpus-sized), totals broadcast") {
+    val plan = executedPlan("x60_source_overlap")
+    // the x32/x45 rule: a corpus-sized token/term table is never the
+    // build side of a broadcast — the self-join must shuffle on token
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // the |groups|-row totals DO broadcast back onto the pair counts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("x61/x62: the corpus side never shuffles — quantiles/counts broadcast back") {
+    val wins = executedPlan("x61_winsorized_stats")
+    // pass 2 joins the |groups|-row quantile table via broadcast; the
+    // only shuffles are the two grouped aggregates' exchanges
+    assert(wins.contains("BroadcastHashJoin"), wins.take(2000))
+    assert(!wins.contains("SortMergeJoin") && !wins.contains("ShuffledHashJoin"),
+      wins.take(2000))
+    val mix = executedPlan("x62_mixture_sample")
+    // mixture membership is a map-only filter over the scan: stratum
+    // counts and the global min ride in via broadcast joins only
+    assert(mix.contains("BroadcastHashJoin"), mix.take(2000))
+    assert(!mix.contains("SortMergeJoin") && !mix.contains("ShuffledHashJoin"),
+      mix.take(2000))
+  }
+
+  test("x63 freq sketch: probe is cms_estimate over the k-bounded checkpoint, no shuffle") {
+    val df = SparkEntry.queries("x63_freq_sketch")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cms_estimate"), plan.take(2000))
+    // the probe runs over the materialized k-row top-k (checkpoint
+    // boundary = ExistingRDD) — the probe stage itself moves nothing
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition, ENSURE"), plan.take(2000))
+    // and the top-k that fed it plans as TakeOrdered, never a total
+    // sort of the vocabulary (same contract x25 pins for topTokens)
+    val docs = Tables.documents(spark, sfDir)
+    val topk = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+    topk.collect()
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("x64 ivf-pq: probes+LUT broadcast; candidates never build a broadcast") {
+    val plan = executedPlan("x64_ivfpq_topk")
+    // the bounded query batch (with its per-query LUT) is the build
+    // side; the corpus-sized candidate stream stays streamed
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")
