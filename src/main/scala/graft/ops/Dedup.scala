@@ -688,6 +688,49 @@ object Dedup {
     survivorsFromPairs(df, idCol,
       embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands), maxIters)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * partitions the embedding space FIRST, then exact-cosine pairs
+    * form only WITHIN a cluster — the published alternative to
+    * [[semanticDedupSurvivors]]' hyperplane-LSH bucketing. At scale k
+    * grows with the corpus so cluster populations stay bounded and
+    * the per-cluster all-pairs cost is Σ|cluster|² ≪ n², with NO
+    * recall loss inside a cluster (LSH banding can miss a true pair;
+    * a cluster-scoped join cannot). Cross-cluster near-dups are the
+    * paper's accepted miss mode.
+    *
+    * Shape: replay-exact Lloyd ([[Similarity.kmeansAssign]], map-only
+    * after training) → one shuffle-hash self-join keyed by cluster id
+    * (corpus-sized sides — never broadcast) → exact cosine ≥
+    * threshold → [[survivorsFromPairs]] (components + one anti-join).
+    * The cluster key is data-dependent; a hot cluster means k is too
+    * small for the corpus, not a salting problem. */
+  def semanticClusterDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.95,
+      maxIters: Int = 20): DataFrame =
+    survivorsFromPairs(df, idCol,
+      clusterScopedPairs(df, idCol, vecCol, k, iters, threshold), maxIters)
+
+  /** [[semanticClusterDedup]]'s pair stage, public for plan audits
+    * and caller-composed survivor algebra: exact-cosine near-dup
+    * pairs formed WITHIN k-means clusters only — one shuffle-hash
+    * self-join keyed by cluster id. */
+  def clusterScopedPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = Similarity.kmeansAssign(df, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col("cluster"))
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(assigned, "id")
+    val a = keyed.select(col("cluster"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = keyed.select(col("cluster"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4)
+        >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Survivors of `df` given a near-dup PAIR table (id_a, id_b, ...):
     * connected components over the pairs, drop every non-minimum
     * cluster member, one anti-join. The shared tail of

@@ -35,4 +35,20 @@ object Sessionize {
         col("session_window.start").as("session_start"),
         col("n_events"),
         col("session_value"))
+
+  /** Sessions as closed INTERVALS `[min ts, max ts]` — the input to
+    * [[Intervals.overlapJoin]]. `session_end` is the last observed
+    * event (not Spark's `session_window.end`, which pads the gap on —
+    * an interval bound should be data, not configuration). Same one-
+    * shuffle `session_window` plan as [[sessionStats]]. */
+  def sessionIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"))
 }

@@ -1642,6 +1642,95 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** SemDeDup ([[graft.ops.Dedup.semanticClusterDedup]], Abbas et al.
+    * 2023): k-means partitions the space, exact-cosine pairs form
+    * within clusters only, components keep the min id. Threshold 0.3
+    * is the TEST-CORPUS regime (embeddings are well-spread, max cos
+    * ≈ 0.5 — same note as x34); real corpora use the 0.95 default.
+    * Fully hash-green: Lloyd replays via [[kmeansReplayCtes]], the
+    * within-cluster pairs and reachability replay in SQL. */
+  private val x65SemdedupClusters = GraftQuery(
+    "x65_semdedup_clusters",
+    (s, dir) => graft.ops.Dedup.semanticClusterDedup(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    Some(s"""WITH RECURSIVE ${kmeansReplayCtes(4, 2)},
+      p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bfin a JOIN bfin b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN nrm va ON va.vec_id = a.vec_id
+        JOIN nrm vb ON vb.vec_id = b.vec_id
+        WHERE round(
+          list_sum(list_transform(range(1, len(va.vec) + 1),
+            i -> va.vec[i] * vb.vec[i])) / (va.nv * vb.nv), 4) >= 0.3),
+      e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p),
+      reach(id, r) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.src, rr.r FROM e JOIN reach rr ON rr.id = e.dst),
+      cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT id FROM cl WHERE id != cluster_id)
+      ORDER BY vec_id"""))
+
+  /** Binned interval-overlap join ([[graft.ops.Intervals.overlapJoin]]):
+    * click sessions within 15 minutes of a purchase session, across
+    * all users — proximity expressed as overlap of end-padded
+    * intervals, so the generic operator stays pure. The non-equi
+    * predicate never reaches a BroadcastNestedLoop: candidates form
+    * only inside shared 30-minute time bins and each pair is emitted
+    * in exactly one bin (the bin of `max(start)`), no distinct.
+    * Oracle: sessionization replay (x27's window chain, partitioned
+    * by user AND type) + the plain non-equi join DuckDB runs as an
+    * IEJoin. */
+  private val x66IntervalJoin = GraftQuery(
+    "x66_interval_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def sess(t: String, u: String, st: String, en: String) =
+        graft.ops.Sessionize.sessionIntervals(
+          ev.filter(col("event_type") === t), "user_id", "ts")
+          .select(col("user_id").as(u), col("session_start").as(st),
+            col("session_end").as(en),
+            (col("session_end") + expr("INTERVAL 15 MINUTES")).as(s"__p$en"))
+      graft.ops.Intervals.overlapJoin(
+        sess("click", "user_a", "start_a", "end_a"),
+        sess("purchase", "user_b", "start_b", "end_b"),
+        "start_a", "__pend_a", "start_b", "__pend_b", binSeconds = 1800)
+        .select(col("user_a"), col("start_a"), col("end_a"),
+          col("user_b"), col("start_b"), col("end_b"))
+        .orderBy(col("user_a"), col("start_a"), col("user_b"), col("start_b"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      marked AS (
+        SELECT user_id, event_type, t,
+          CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t)),
+      sess AS (
+        SELECT user_id, event_type, t,
+          sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      iv AS (
+        SELECT user_id, event_type, min(t) AS s, max(t) AS e
+        FROM sess GROUP BY user_id, event_type, sid)
+      SELECT a.user_id AS user_a, a.s AS start_a, a.e AS end_a,
+             b.user_id AS user_b, b.s AS start_b, b.e AS end_b
+      FROM iv a JOIN iv b
+        ON a.event_type = 'click' AND b.event_type = 'purchase'
+       AND a.s <= b.e + INTERVAL '15 minutes'
+       AND b.s <= a.e + INTERVAL '15 minutes'
+      ORDER BY user_a, start_a, user_b, start_b"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1659,7 +1748,8 @@ object Extensions extends QueryModule {
     x50PackChunks, x51DedupIncrementalExact, x52QuantizeInt8,
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
-    x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK)
+    x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
+    x65SemdedupClusters, x66IntervalJoin)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

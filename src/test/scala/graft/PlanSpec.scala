@@ -268,6 +268,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("x65 semdedup: assignment map-only; pairs shuffle-hash on cluster; survivors anti-join") {
+    import graft.ops.Dedup
+    // pair stage audited directly (the registered query's final plan
+    // only shows the anti-join tail — CC materializes the pairs
+    // behind a localCheckpoint): the within-cluster self-join must be
+    // shuffle-hash on the cluster key — corpus-sized sides, never
+    // broadcast, never a nested loop
+    val pairs = Dedup.clusterScopedPairs(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.3)
+    pairs.collect()
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    assert(pairPlan.contains("ShuffledHashJoin [cluster"), pairPlan.take(2000))
+    assert(!pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan.take(2000))
+    val plan = executedPlan("x65_semdedup_clusters")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("x66 interval join: binned equi-join, never a nested loop") {
+    val plan = executedPlan("x66_interval_join")
+    // the non-equi overlap predicate rides a bin equi-join:
+    // BroadcastNestedLoopJoin (the naive plan for range predicates,
+    // with its streamed-side single-split hazard) must not appear
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    // pair dedup is the max-start-bin FILTER, not a distinct: no
+    // aggregate over the join output
+    assert(!plan.contains("HashAggregate(keys=[lid"), plan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

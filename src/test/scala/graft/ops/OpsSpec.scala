@@ -1346,4 +1346,73 @@ class OpsSpec extends AnyFunSuite {
     assert(Sampling.replayableMixture(withNull, "src", "id")
       .filter(col("src").isNull).count() == 0)
   }
+
+  test("semdedup: within-cluster exact pairs dedup, min id survives") {
+    // k=2 Lloyd init = the two lowest-id vectors → axes; 3/4 are
+    // exact copies of 1/2, 5 sits at 45° (cos .707 to everything —
+    // below threshold, survives; tie in the argmax goes to the
+    // HIGHER cluster index, replay semantics)
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f)), (4L, Array(0f, 1f)),
+      (5L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticClusterDedup(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+    // cluster-scoped = no recall loss INSIDE a cluster: survivors
+    // match the all-pairs run restricted to co-clustered pairs
+    val assigned = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
+    assert(assigned(1L) == assigned(3L) && assigned(2L) == assigned(4L))
+  }
+
+  test("interval overlap join == naive non-equi join, exactly once per pair") {
+    val base = 1700000000L
+    def iv(n: Int, stride: Int, lenStep: Int) = (0 until n).map { i =>
+      (i.toLong, base + i * stride * 60L, base + (i * stride + 1 + (i % 4) * lenStep) * 60L)
+    }
+    val left = iv(25, 7, 13).toDF("lid", "ls", "le")
+      .select(col("lid"), to_timestamp(col("ls")).as("ls"), to_timestamp(col("le")).as("le"))
+    val right = iv(30, 5, 17).toDF("rid", "rs", "re")
+      .select(col("rid"), to_timestamp(col("rs")).as("rs"), to_timestamp(col("re")).as("re"))
+    val naive = left.join(right,
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(naive.nonEmpty && naive.size < 25 * 30)
+    for (bin <- Seq(300L, 3600L, 86400L)) {
+      val got = Intervals.overlapJoin(left, right, "ls", "le", "rs", "re", bin)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      // same SET and same MULTIPLICITY (each pair exactly once — the
+      // max-start-bin emission filter replaces distinct)
+      assert(got.sorted == naive.sorted, s"bin=$bin")
+    }
+    // compound equi-keys: candidates never cross the key
+    val lk = left.withColumn("grp", (col("lid") % 2).cast("int"))
+    val rk = right.withColumn("grp", (col("rid") % 2).cast("int"))
+    val keyedNaive = lk.join(rk,
+        lk("grp") === rk("grp") && col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val keyedGot = Intervals.overlapJoin(lk, rk, "ls", "le", "rs", "re",
+        3600L, keys = Seq("grp"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(keyedGot.sorted == keyedNaive.sorted)
+  }
+
+  test("session intervals: end is the last event, gap boundary extends") {
+    val ev = Seq(
+      (7L, base(0), 1.0), (7L, base(10), 1.0),   // one session [0, 10]
+      (7L, base(40), 1.0),                        // exactly gap → extends
+      (7L, base(120), 1.0)                        // new session
+    ).toDF("user_id", "ts", "value")
+      .select(col("user_id"), to_timestamp(col("ts")).as("ts"), col("value"))
+    val got = Sessionize.sessionIntervals(ev, "user_id", "ts")
+      .orderBy("session_start")
+      .select(unix_timestamp(col("session_start")), unix_timestamp(col("session_end")),
+        col("n_events"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((base(0), base(40), 3L), (base(120), base(120), 1L)))
+  }
+
+  private def base(min: Long): Long = 1700000000L + min * 60L
 }
