@@ -116,6 +116,44 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Perceptual difference hash (dHash, 64-bit): grayscale-shrink
+      * to 9×8 (aspect deliberately discarded — the hash must be
+      * scale-invariant), one bit per horizontally adjacent thumbnail
+      * pixel pair (left brighter than right). Re-encodes, resizes and
+      * small edits flip few bits; unrelated images differ in ~32.
+      * Needs STRUCTURED content — on pixel noise the thumbnail
+      * comparisons are coin flips under resampling (why
+      * [[Multimodal.syntheticImageCorpus]] draws smooth harmonics,
+      * not the noise [[Multimodal.syntheticMedia]] uses). */
+    def dHash(img: BufferedImage): Long = {
+      import java.awt.RenderingHints
+      val thumb = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+      val g = thumb.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+      } finally g.dispose()
+      def lum(x: Int, y: Int): Int = {
+        val rgb = thumb.getRGB(x, y)
+        (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+      }
+      var sig = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x, y) > lum(x + 1, y)) sig |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      sig
+    }
   }
 
   /** REAL audio codec on the JDK's own machinery — no external
@@ -343,6 +381,96 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Perceptual dHash per image row — the blob is consumed HERE, in
+    * one map-only mapPartitions pass (per-partition codec init), and
+    * only (media_id, 8-byte sig) flows on. Undecodable images are
+    * DROPPED: corrupt bytes have no perceptual identity, and a stub
+    * hash would manufacture false near-dup pairs. */
+  def imageSignatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.content == null) Array.empty[Byte] else r.content
+          ImageCodec.decode(bytes).map(img => (r.media_id, ImageCodec.dHash(img)))
+        }
+      }
+      .toDF("media_id", "sig")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash — the multimodal
+    * member of the dedup family: [[imageSignatures]]' dHash, then the
+    * SimHash banding shape (`Dedup.simhashNearDuplicates`): 4×16-bit
+    * chunks, candidates only materialize inside shared (band, chunk)
+    * buckets, exact Hamming distance verifies. Pigeonhole: Hamming
+    * ≤ 3 ⇒ some band intact ⇒ guaranteed candidate; 4..maxHamming
+    * pairs surface unless the flipped bits straddle all four bands.
+    *
+    * 100 TB shape: decode cost is map-only and the signature frame
+    * is 16 bytes/row — the repartition materializes the expensive
+    * projection at an exchange both join sides reuse; the bucket
+    * join is shuffle-hash, never broadcast. */
+  def imageNearDuplicates(media: Dataset[MediaRow],
+      maxHamming: Int = 4): DataFrame = {
+    val sig = imageSignatures(media).repartition(col("media_id"))
+    val banded = sig
+      .select(col("media_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("shiftright(sig, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("media_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("media_id").as("id_b"), col("sig").as("sig_b"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Deterministic STRUCTURED image corpus with planted near-dups:
+    * smooth two-harmonic luminance patterns (diagonal + horizontal
+    * waves, golden-ratio phases so no two seeds coincide), and every
+    * `i ≡ 1 (mod 4)` row a downscaled re-encode of row `i-1` — the
+    * perceptual-dedup ground truth. Kept separate from
+    * [[syntheticMedia]] (noise images), whose dHashes are
+    * deliberately uncorrelated. */
+  def syntheticImageCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val dup = i % 4 == 1 && i > 0
+      val seed: Long = if (dup) i - 1 else i
+      val w = 64
+      val h = 64
+      val fx = 1 + (seed % 3).toInt
+      val fy = 1 + ((seed / 3) % 3).toInt
+      val ph = seed * 0.6180339887 * 2 * math.Pi % (2 * math.Pi)
+      val amp = 35 + (seed % 5).toInt * 6
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = 128 +
+            amp * math.sin(2 * math.Pi * (fx * x + fy * y) / w + ph) +
+            (90 - amp) * math.cos(2 * math.Pi * fy * x / w - ph)
+          val lum = math.max(0, math.min(255, v.toInt))
+          img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+          x += 1
+        }
+        y += 1
+      }
+      val (bytes, width, height) =
+        if (dup) {
+          val scaled = ImageCodec.resizeTo(img, 48)
+          (ImageCodec.encodePng(scaled), scaled.getWidth, scaled.getHeight)
+        } else (ImageCodec.encodePng(img), w, h)
+      MediaRow(i, "image", "png", width, height, 0L, bytes)
+    }
   }
 
   /** Metadata-only projection — demonstrates that scalar metadata is

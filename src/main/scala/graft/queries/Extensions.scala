@@ -1731,6 +1731,18 @@ object Extensions extends QueryModule {
        AND b.s <= a.e + INTERVAL '15 minutes'
       ORDER BY user_a, start_a, user_b, start_b"""))
 
+  /** Perceptual image dedup ([[graft.ops.Multimodal.imageNearDuplicates]]):
+    * REAL pixels → dHash → simhash-style banded bucket join → exact
+    * Hamming verify, over a structured corpus with planted resized
+    * re-encodes. No ANSI oracle (PNG decode isn't SQL); determinism +
+    * planted-pair recall are OpsSpec-asserted. */
+  private val x67ImageNearDup = GraftQuery(
+    "x67_image_near_dup",
+    (s, dir) => Multimodal.imageNearDuplicates(
+      Multimodal.syntheticImageCorpus(s, 240), maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1749,7 +1761,7 @@ object Extensions extends QueryModule {
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
-    x65SemdedupClusters, x66IntervalJoin)
+    x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -299,6 +299,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate(keys=[lid"), plan.take(2000))
   }
 
+  test("x67 image near-dup: banded bucket join shuffle-hash, decode side shared") {
+    val plan = executedPlan("x67_image_near_dup")
+    // the (band, chunk) bucket join must be shuffle-hash (corpus-sized
+    // sides), with both sides reading ONE exchange over the decoded
+    // signature frame — decode runs once, not per side
+    assert(plan.contains("ShuffledHashJoin [band"), plan.take(2000))
+    assert(plan.contains("ReusedExchange"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

@@ -1415,4 +1415,33 @@ class OpsSpec extends AnyFunSuite {
   }
 
   private def base(min: Long): Long = 1700000000L + min * 60L
+
+  test("image dHash near-dups: planted resized re-encodes surface, corrupt bytes drop") {
+    val corpus = Multimodal.syntheticImageCorpus(spark, 32)
+    val pairs = Multimodal.imageNearDuplicates(corpus, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every i ≡ 1 (mod 4) row is a 48-px re-encode of row i-1 — the
+    // perceptual hash must recover all planted pairs
+    val planted = (1L until 32L by 4).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(pairs), s"missed planted pairs: ${planted -- pairs}")
+    // distinct smooth patterns must NOT collapse: false-positive
+    // pairs stay a small minority of the planted set
+    assert(pairs.size <= planted.size + 3, s"too many pairs: $pairs")
+    // dHash survives its own encode/decode round trip bit-exactly
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, ((x * 16 + y * 7) % 256) * 0x010101)))
+    val h0 = Multimodal.ImageCodec.dHash(img)
+    val decoded = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.encodePng(img)).get
+    assert(Multimodal.ImageCodec.dHash(decoded) == h0)
+    // undecodable image rows are dropped, not stub-hashed (a fake
+    // hash would manufacture near-dup pairs between corrupt blobs)
+    val corrupt = Seq(
+      Multimodal.MediaRow(98L, "image", "png", 8, 8, 0L, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(99L, "image", "png", 8, 8, 0L, Array[Byte](1, 2, 4)))
+      .toDS()
+    assert(Multimodal.imageSignatures(corrupt).count() == 0)
+  }
 }
