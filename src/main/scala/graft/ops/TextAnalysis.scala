@@ -432,6 +432,109 @@ object TextAnalysis {
       .withColumn("overcount", col("est_n") - col("exact_n"))
   }
 
+  /** Heavy-hitter tokens via the [[graft.functions.MisraGries]]
+    * mergeable summary — the fixed-memory TOP-TOKEN query (the
+    * count-min sketch in [[tokenFrequencySketch]] answers point
+    * lookups; Misra–Gries returns the candidates themselves).
+    *
+    * Scale shape: the typed Aggregator reduces map-side, so the
+    * single-partition exchange carries one ≤`capacity`-entry map per
+    * partition — the summary, never the token stream. Estimates are
+    * merge-order-dependent (undercounts bounded by N/capacity,
+    * spec-asserted); rank on them, don't replay them. x25's exact
+    * vocabulary top-k is the hash-green twin. */
+  def heavyHitters(df: DataFrame, textCol: String, capacity: Int = 64,
+      topK: Int = 20): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(mg(col("token")).as("summary"))
+      .select(explode(col("summary")).as(Seq("token", "est")))
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** One greedy left-to-right BPE merge pass over a symbol array,
+    * as a codegen-friendly `aggregate` fold (no UDF): state =
+    * (emitted symbols, one-symbol carry). The carry either fuses
+    * with the next symbol into `l+r` or is emitted unchanged —
+    * equivalent to the classic scan-and-skip because a just-merged
+    * token can never equal `l` again (`r` is non-empty), so it never
+    * re-merges within the pass ("aaa" + (a,a) → ["aa","a"]). */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("acc"),
+      lit(null).cast("string").as("carry"))
+    aggregate(syms, zero,
+      (st, s) =>
+        when(st.getField("carry").isNull,
+          struct(st.getField("acc").as("acc"), s.as("carry")))
+        .when(st.getField("carry") === lit(l) && s === lit(r),
+          struct(concat(st.getField("acc"), array(lit(l + r))).as("acc"),
+            lit(null).cast("string").as("carry")))
+        .otherwise(
+          struct(concat(st.getField("acc"), array(st.getField("carry"))).as("acc"),
+            s.as("carry"))),
+      st =>
+        when(st.getField("carry").isNull, st.getField("acc"))
+          .otherwise(concat(st.getField("acc"), array(st.getField("carry")))))
+  }
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * learn `numMerges` merge rules by repeatedly fusing the corpus's
+    * most frequent adjacent symbol pair. Returns the ordered merge
+    * table (merge_rank, lhs, rhs, cnt) — deterministic: ties break
+    * (cnt desc, lhs, rhs), counts are exact integer sums, so the
+    * whole training replays in ANSI SQL (hash-green).
+    *
+    * Scale shape — the part that matters at 100 TB: the corpus is
+    * touched ONCE (token explode → word-count aggregate); every
+    * merge round then runs on the BOUNDED word vocabulary (weighted
+    * by count), so round cost is O(|vocab| × word length), not
+    * O(corpus). Pair counting is a two-phase aggregate; the argmax
+    * collects a single row; merge application is a map-only
+    * [[applyMerge]] fold. Rounds are `localCheckpoint`ed — lineage
+    * stays constant-size across iterations (the x28/x31 rule).
+    * Word-internal BPE (no cross-word pairs, no end-of-word marker);
+    * overlapping pair occurrences count, as in the reference
+    * implementations. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var vocab = words.select(col("n"), split(col("word"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("n"),
+          explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
+          col("syms"))
+        .select(element_at(col("syms"), col("i") + 1).as("lhs"),
+          element_at(col("syms"), col("i") + 2).as("rhs"), col("n"))
+        .groupBy("lhs", "rhs").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect().headOption
+      top match {
+        case Some(row) =>
+          val (l, rr, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((r + 1, l, rr, c))
+          vocab = vocab
+            .select(col("n"), applyMerge(col("syms"), l, rr).as("syms"))
+            .localCheckpoint(true)
+        case None => exhausted = true // vocabulary fully fused
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
   /** Pairwise vocabulary overlap between corpus slices: Jaccard
     * similarity of the distinct-token sets of every pair of groups
     * (sources, languages, snapshots) — the "how much does crawl A

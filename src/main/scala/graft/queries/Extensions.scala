@@ -1743,6 +1743,81 @@ object Extensions extends QueryModule {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** Misra–Gries heavy hitters ([[graft.ops.TextAnalysis.heavyHitters]]):
+    * fixed-memory mergeable summary, shuffle carries ≤capacity-entry
+    * maps. Estimates are merge-order-dependent (bounds spec-asserted)
+    * → rows-only; x25's exact vocabulary top-k is the hash-green
+    * twin. */
+  private val x68HeavyHitters = GraftQuery(
+    "x68_heavy_hitters",
+    (s, dir) => graft.ops.TextAnalysis.heavyHitters(
+      Tables.documents(s, dir), "text", capacity = 64, topK = 15),
+    None)
+
+  /** ANSI replay of [[graft.ops.TextAnalysis.bpeTrain]]: word counts
+    * once, then per round (pair-count + argmax) plus greedy merge
+    * application as gaps-and-islands — candidate merge positions
+    * grouped into consecutive runs, every even offset within a run
+    * selected (≡ the engine's carry fold: a merged token never
+    * re-merges in its round). Emits CTEs `m1..mN` (the per-round
+    * winning merge) and `v0..vN` (the evolving vocabulary). */
+  private def bpeReplayCtes(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w AS (
+        SELECT word, count(*) AS n FROM (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY word),
+      v0 AS MATERIALIZED (SELECT word, n, string_split(word, '') AS syms FROM w)"""
+    for (r <- 1 to numMerges) {
+      val p = r - 1
+      sb ++= s""",
+      p$r AS MATERIALIZED (
+        SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+        FROM v$p, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        WHERE len(syms) >= 2 GROUP BY 1, 2),
+      m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s$r AS MATERIALIZED (
+        SELECT word, n, i, syms[i] AS sym
+        FROM v$p, unnest(generate_series(1, len(syms))) AS t(i)),
+      mt$r AS (
+        SELECT a.word AS word, a.i AS i
+        FROM s$r a JOIN s$r b ON a.word = b.word AND b.i = a.i + 1, m$r
+        WHERE a.sym = m$r.lhs AND b.sym = m$r.rhs),
+      sel$r AS MATERIALIZED (
+        SELECT word, i FROM (
+          SELECT word, i, min(i) OVER (PARTITION BY word, isl) AS i0
+          FROM (SELECT word, i,
+              i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+            FROM mt$r))
+        WHERE (i - i0) % 2 = 0),
+      v$r AS MATERIALIZED (
+        SELECT s.word AS word, any_value(s.n) AS n,
+          list(CASE WHEN sa.i IS NOT NULL THEN (SELECT lhs || rhs FROM m$r)
+               ELSE s.sym END ORDER BY s.i) AS syms
+        FROM s$r s
+        LEFT JOIN sel$r sa ON sa.word = s.word AND sa.i = s.i
+        LEFT JOIN sel$r sb ON sb.word = s.word AND sb.i = s.i - 1
+        WHERE sb.i IS NULL
+        GROUP BY s.word)"""
+    }
+    sb.toString
+  }
+
+  /** Distributed BPE tokenizer training: the full greedy training
+    * loop — corpus aggregated once, 8 merge rounds over the bounded
+    * vocabulary — replayed merge-for-merge in SQL (hash-green). */
+  private val x69BpeTrain = GraftQuery(
+    "x69_bpe_train",
+    (s, dir) => graft.ops.TextAnalysis.bpeTrain(
+      Tables.documents(s, dir), "text", numMerges = 8),
+    Some(s"""WITH ${bpeReplayCtes(8)}
+      SELECT * FROM (
+        ${(1 to 8).map(r =>
+          s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM m$r")
+          .mkString("\n        UNION ALL ")})
+      ORDER BY merge_rank"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1761,7 +1836,8 @@ object Extensions extends QueryModule {
     x53SlidingWindows, x54Kmeans, x55ClusterSample, x56CorpusDrift,
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
-    x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup)
+    x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
+    x69BpeTrain)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

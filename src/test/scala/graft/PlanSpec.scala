@@ -309,6 +309,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("x68 heavy hitters: partial aggregation map-side — shuffle carries summaries") {
+    val plan = executedPlan("x68_heavy_hitters")
+    // the typed Aggregator must reduce BEFORE the single-partition
+    // exchange: the shuffle carries one ≤capacity-entry map per
+    // partition, never the exploded token stream
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(plan.contains("partial_misragries"), plan.take(2000))
+    assert(plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
+
   test("salted join spreads keys and preserves results") {
     import spark.implicits._
     val big = Tables.events(spark, sfDir).select($"user_id", $"value")

@@ -1444,4 +1444,76 @@ class OpsSpec extends AnyFunSuite {
       .toDS()
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
+
+  test("bpe training matches a plain-scala reference, layout-invariant") {
+    def refBpe(texts: Seq[String], merges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Seq[(Array[String], Long)] = texts
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, g) => (w.split("").filter(_.nonEmpty), g.size.toLong) }
+      (1 to merges).flatMap { r =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).foreach {
+            case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          vocab = vocab.map { case (syms, n) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            var carry: String = null
+            syms.foreach { s =>
+              if (carry == null) carry = s
+              else if (carry == l && s == rr) { acc += (l + rr); carry = null }
+              else { acc += carry; carry = s }
+            }
+            if (carry != null) acc += carry
+            (acc.toArray, n)
+          }
+          Some((r, l, rr, c))
+        }
+      }
+    }
+    val texts = Seq(
+      "low lower lowest low low aaa aaaa",
+      "new newer newest new lower aaa",
+      "wide wider widest new low")
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val expected = refBpe(texts, 6)
+    for (layout <- Seq(corpus, corpus.repartition(7))) {
+      val got = TextAnalysis.bpeTrain(layout, "text", numMerges = 6)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    }
+  }
+
+  test("misra-gries: bounds hold under any layout, heavy tokens always present") {
+    // 50×a, 30×b, 20×c + 40 singletons → N = 140; capacity 8 →
+    // max undercount N/capacity = 17.5
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      (0 until 40).map(i => s"u$i")
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val truth = Map("a" -> 50L, "b" -> 30L, "c" -> 20L)
+    val n = words.size
+    val cap = 8
+    for (layout <- Seq(docs, docs.repartition(11), docs.coalesce(1))) {
+      val got = TextAnalysis.heavyHitters(layout, "text", capacity = cap,
+        topK = cap).as[(String, Long)].collect().toMap
+      // every token with true count > N/capacity must be present
+      truth.filter(_._2 > n.toDouble / cap).keys.foreach(t =>
+        assert(got.contains(t), s"$t missing from $got"))
+      // estimates undercount, by at most N/capacity
+      got.foreach { case (tok, est) =>
+        val t = truth.getOrElse(tok, 1L)
+        assert(est <= t, s"$tok overcounted: $est > $t")
+        assert(t - est <= n.toDouble / cap, s"$tok undercounted past bound")
+      }
+    }
+  }
 }
