@@ -503,6 +503,32 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainRules(df, textCol, numMerges)
+      .toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  private val bpeMemo =
+    new graft.BoundedMemo[(String, Int, String, Int), Seq[(Int, String, String, Long)]](
+      8, name = "bpe-rules")
+
+  /** [[bpeTrain]]'s training loop, returning the learned rules as a
+    * driver-side list (rank, lhs, rhs, cnt) — the input
+    * [[bpeSegment]] applies at corpus scale. The rule table is
+    * ≤numMerges rows: collecting it is the point, not a hot-path
+    * collect. Memoized per (session, input, column, numMerges) —
+    * the train query and the encode query share one training run;
+    * built OUTSIDE the memo lock (the ivfIndex rule: real jobs never
+    * run under the monitor). */
+  def bpeTrainRules(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val key = (graft.SessionKeys.of(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), textCol, numMerges)
+    bpeMemo.get(key).getOrElse(
+      bpeMemo.putIfAbsent(key, bpeTrainRulesUncached(df, textCol, numMerges)))
+  }
+
+  private def bpeTrainRulesUncached(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
     val words = df.select(explode(tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -532,7 +558,33 @@ object TextAnalysis {
       }
       r += 1
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+    merges.toList
+  }
+
+  /** BPE corpus segmentation under trained `rules` ([[bpeTrainRules]],
+    * applied in rank order): subword frequency table (subword, n),
+    * ordered (n desc, subword), top `topK`.
+    *
+    * Scale shape: merges are a function of the WORD alone, so the
+    * rule folds run once per DISTINCT word (the bounded vocabulary,
+    * map-only chained [[applyMerge]]), and the corpus-sized side
+    * only ever carries (word, count) through one aggregate and one
+    * shuffle join vocab-side — the corpus text is never re-folded
+    * row by row. */
+  def bpeSegment(df: DataFrame, textCol: String,
+      rules: Seq[(Int, String, String, Long)], topK: Int = 20): DataFrame = {
+    val wordCounts = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val segmented = rules.sortBy(_._1).foldLeft(
+      wordCounts.withColumn("syms", split(col("word"), ""))) {
+      case (acc, (_, l, r, _)) => acc.withColumn("syms", applyMerge(col("syms"), l, r))
+    }
+    segmented
+      .select(col("n"), explode(col("syms")).as("subword"))
+      .groupBy("subword").agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("subword"))
+      .limit(topK)
   }
 
   /** Pairwise vocabulary overlap between corpus slices: Jaccard

@@ -1818,6 +1818,26 @@ object Extensions extends QueryModule {
           .mkString("\n        UNION ALL ")})
       ORDER BY merge_rank"""))
 
+  /** BPE corpus encoding under the x69-trained rules
+    * ([[graft.ops.TextAnalysis.bpeSegment]]): subword frequency top-20.
+    * Merges are a function of the word alone, so the oracle reads each
+    * word's final segmentation straight from the replay's last
+    * vocabulary state (`v8`) — hash-green, training shared with x69
+    * via the rules memo. */
+  private val x70BpeEncode = GraftQuery(
+    "x70_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = graft.ops.TextAnalysis.bpeTrainRules(docs, "text", numMerges = 8)
+      graft.ops.TextAnalysis.bpeSegment(docs, "text", rules, topK = 20)
+    },
+    Some(s"""WITH ${bpeReplayCtes(8)}
+      SELECT subword, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT unnest(syms) AS subword, n FROM v8)
+      GROUP BY subword
+      ORDER BY n DESC, subword
+      LIMIT 20"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1837,7 +1857,7 @@ object Extensions extends QueryModule {
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
-    x69BpeTrain)
+    x69BpeTrain, x70BpeEncode)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1491,6 +1491,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe segmentation conserves the corpus: subword mass == word mass") {
+    val texts = Seq("low lower lowest low low", "new newer newest new lower")
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrainRules(corpus, "text", numMerges = 5)
+    assert(rules.nonEmpty && rules.map(_._1) == (1 to rules.size))
+    val seg = TextAnalysis.bpeSegment(corpus, "text", rules, topK = 10000)
+      .as[(String, Long)].collect()
+    val words = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    // lossless: total characters are conserved through segmentation
+    assert(seg.map { case (sw, n) => sw.length * n }.sum ==
+      words.map(_.length.toLong).sum)
+    // every subword occurs inside some corpus word
+    seg.foreach { case (sw, _) =>
+      assert(words.exists(_.contains(sw)), s"alien subword $sw") }
+    // the first learned merge is realized somewhere in the output
+    val fused = rules.head._2 + rules.head._3
+    assert(seg.exists { case (sw, _) => sw.contains(fused) }, s"no $fused")
+  }
+
   test("misra-gries: bounds hold under any layout, heavy tokens always present") {
     // 50×a, 30×b, 20×c + 40 singletons → N = 140; capacity 8 →
     // max undercount N/capacity = 17.5
