@@ -210,6 +210,34 @@ object Multimodal {
           case _: Exception => None
         }
 
+    /** Perceptual audio fingerprint (64-bit, energy-delta — the
+      * Haitsma-Kalker "sign of band-energy difference" idea reduced
+      * to the time axis): the clip splits into 65 equal frames, bit
+      * i = energy(frame i+1) > energy(frame i). Invariant to global
+      * gain (energy ORDERING survives volume scaling) and robust to
+      * re-encode dither; needs an amplitude ENVELOPE — on a
+      * constant-envelope tone the comparisons are coin flips, the
+      * audio analog of dHash-on-noise. Degenerate clips (< 130
+      * samples) hash to 0. */
+    def fingerprint(pcm: Pcm): Long = {
+      val frames = 65
+      val s = pcm.samples
+      if (s.length < 2 * frames) return 0L
+      val e = new Array[Double](frames)
+      var i = 0
+      while (i < s.length) {
+        e((i.toLong * frames / s.length).toInt) += s(i) * s(i)
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b + 1) > e(b)) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
     /** Sample-derived features: `[rms, zero_crossing_rate, peak,
       * hist...]` with a `dims − 3`-bin normalized |amplitude|
       * histogram (sums to 1 over the clip's samples). */
@@ -413,8 +441,43 @@ object Multimodal {
     * projection at an exchange both join sides reuse; the bucket
     * join is shuffle-hash, never broadcast. */
   def imageNearDuplicates(media: Dataset[MediaRow],
-      maxHamming: Int = 4): DataFrame = {
-    val sig = imageSignatures(media).repartition(col("media_id"))
+      maxHamming: Int = 4): DataFrame =
+    bandedHammingPairs(imageSignatures(media), maxHamming)
+
+  /** Perceptual dHash per audio row — [[AudioCodec.fingerprint]] over
+    * the decoded PCM, same map-only shape and drop-on-corrupt policy
+    * as [[imageSignatures]]. */
+  def audioSignatures(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.content == null) Array.empty[Byte] else r.content
+          AudioCodec.decode(bytes).map(p => (r.media_id, AudioCodec.fingerprint(p)))
+        }
+      }
+      .toDF("media_id", "sig")
+  }
+
+  /** Audio near-duplicate pairs (gain-shifted re-encodes of the same
+    * clip) — [[audioSignatures]] through the same banded bucket join
+    * as [[imageNearDuplicates]]. */
+  def audioNearDuplicates(media: Dataset[MediaRow],
+      maxHamming: Int = 4): DataFrame =
+    bandedHammingPairs(audioSignatures(media), maxHamming)
+
+  /** Shared tail of the perceptual dedup family: SimHash-style
+    * banding of a 64-bit signature frame (media_id, sig) — 4×16-bit
+    * chunks, candidates only materialize inside shared (band, chunk)
+    * buckets, exact Hamming verifies. Pigeonhole: Hamming ≤ 3 ⇒ some
+    * band intact ⇒ guaranteed candidate; 4..maxHamming pairs surface
+    * unless the flipped bits straddle all four bands. The repartition
+    * materializes the (expensive, decode-bearing) signature
+    * projection at an exchange both join sides reuse; the bucket
+    * join is shuffle-hash, never broadcast. */
+  private def bandedHammingPairs(sigFrame: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val sig = sigFrame.repartition(col("media_id"))
     val banded = sig
       .select(col("media_id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -470,6 +533,35 @@ object Multimodal {
           (ImageCodec.encodePng(scaled), scaled.getWidth, scaled.getHeight)
         } else (ImageCodec.encodePng(img), w, h)
       MediaRow(i, "image", "png", width, height, 0L, bytes)
+    }
+  }
+
+  /** Deterministic STRUCTURED audio corpus with planted near-dups:
+    * seeded tones under a slow seed-dependent amplitude ENVELOPE
+    * (the fingerprint hashes envelope shape — constant-envelope
+    * tones would be the audio analog of dHash-on-noise), and every
+    * `i ≡ 1 (mod 4)` row a gain-scaled (×0.8) re-encode of row
+    * `i-1` — energy ordering survives the gain, so the planted pair
+    * fingerprints nearly coincide. */
+  def syntheticAudioCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val dup = i % 4 == 1 && i > 0
+      val seed: Long = if (dup) i - 1 else i
+      val sampleRate = 8000f
+      val nSamples = 1600 + (seed % 7).toInt * 80
+      val freq = 180.0 + (seed % 12).toDouble * 37.0
+      val envCycles = 1.5 + (seed % 5).toDouble
+      val envPhase = seed * 0.6180339887 * 2 * math.Pi % (2 * math.Pi)
+      val gain = if (dup) 0.8 else 1.0
+      val samples = Array.tabulate(nSamples) { t =>
+        val env = 0.55 + 0.4 * math.sin(
+          2 * math.Pi * envCycles * t / nSamples + envPhase)
+        gain * env * math.sin(2 * math.Pi * freq * t / sampleRate)
+      }
+      MediaRow(i, "audio", "wav", 0, 0,
+        math.round(nSamples * 1000.0 / sampleRate),
+        AudioCodec.encodeWav(samples, sampleRate))
     }
   }
 

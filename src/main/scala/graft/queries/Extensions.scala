@@ -1826,17 +1826,26 @@ object Extensions extends QueryModule {
     * via the rules memo. */
   private val x70BpeEncode = GraftQuery(
     "x70_bpe_encode",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val rules = graft.ops.TextAnalysis.bpeTrainRules(docs, "text", numMerges = 8)
-      graft.ops.TextAnalysis.bpeSegment(docs, "text", rules, topK = 20)
-    },
+    (s, dir) => graft.ops.TextAnalysis.bpeSegment(
+      Tables.documents(s, dir), "text", numMerges = 8, topK = 20),
     Some(s"""WITH ${bpeReplayCtes(8)}
       SELECT subword, CAST(sum(n) AS BIGINT) AS n FROM (
         SELECT unnest(syms) AS subword, n FROM v8)
       GROUP BY subword
       ORDER BY n DESC, subword
       LIMIT 20"""))
+
+  /** Perceptual audio dedup ([[graft.ops.Multimodal.audioNearDuplicates]]):
+    * real WAV decode → energy-delta fingerprint → the same banded
+    * Hamming join as x67, over a corpus with planted gain-scaled
+    * re-encodes. rows-only (WAV decode isn't SQL); OpsSpec asserts
+    * recall, gain invariance and corrupt-drop. */
+  private val x71AudioNearDup = GraftQuery(
+    "x71_audio_near_dup",
+    (s, dir) => Multimodal.audioNearDuplicates(
+      Multimodal.syntheticAudioCorpus(s, 240), maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -1857,7 +1866,7 @@ object Extensions extends QueryModule {
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
-    x69BpeTrain, x70BpeEncode)
+    x69BpeTrain, x70BpeEncode, x71AudioNearDup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

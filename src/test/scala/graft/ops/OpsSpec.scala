@@ -1445,6 +1445,29 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("audio fingerprint near-dups: gain-scaled re-encodes surface, corrupt bytes drop") {
+    val corpus = Multimodal.syntheticAudioCorpus(spark, 32)
+    val pairs = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (1L until 32L by 4).map(i => (i - 1, i)).toSet
+    assert(planted.subsetOf(pairs), s"missed planted pairs: ${planted -- pairs}")
+    assert(pairs.size <= planted.size + 3, s"too many pairs: $pairs")
+    // gain invariance is exact at the fingerprint level: energy
+    // ORDERING survives volume scaling (up to re-encode dither)
+    val tone = Array.tabulate(2000)(t =>
+      (0.5 + 0.4 * math.sin(2 * math.Pi * 3 * t / 2000)) *
+        math.sin(2 * math.Pi * 220 * t / 8000.0))
+    def fp(gain: Double) = Multimodal.AudioCodec.fingerprint(
+      Multimodal.AudioCodec.decode(
+        Multimodal.AudioCodec.encodeWav(tone.map(_ * gain), 8000f)).get)
+    assert(java.lang.Long.bitCount(fp(1.0) ^ fp(0.5)) <= 2)
+    // corrupt audio rows are dropped, not stub-hashed
+    val corrupt = Seq(
+      Multimodal.MediaRow(98L, "audio", "wav", 0, 0, 0L, Array[Byte](82, 73, 70)))
+      .toDS()
+    assert(Multimodal.audioSignatures(corrupt).count() == 0)
+  }
+
   test("bpe training matches a plain-scala reference, layout-invariant") {
     def refBpe(texts: Seq[String], merges: Int): Seq[(Int, String, String, Long)] = {
       var vocab: Seq[(Array[String], Long)] = texts
@@ -1497,7 +1520,7 @@ class OpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val rules = TextAnalysis.bpeTrainRules(corpus, "text", numMerges = 5)
     assert(rules.nonEmpty && rules.map(_._1) == (1 to rules.size))
-    val seg = TextAnalysis.bpeSegment(corpus, "text", rules, topK = 10000)
+    val seg = TextAnalysis.bpeSegment(corpus, "text", numMerges = 5, topK = 10000)
       .as[(String, Long)].collect()
     val words = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
     // lossless: total characters are conserved through segmentation
