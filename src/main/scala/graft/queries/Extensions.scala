@@ -1835,6 +1835,54 @@ object Extensions extends QueryModule {
       ORDER BY n DESC, subword
       LIMIT 20"""))
 
+  /** Completed streaming-session results per (session, sfDir) — the
+    * x16 memo pattern (unique attempt names, build outside the
+    * lock). */
+  private val x72Results =
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
+      8, name = "x72-stream")
+
+  /** STREAMING sessionization ([[graft.streaming.EventStreams.sessionizedStats]]):
+    * watermarked `session_window` run to completion over the staged
+    * events file. HASH-GREEN against the batch replay — the emitted
+    * table is exactly the x27 sessionization restricted to sessions
+    * closed by the final watermark (end + gap ≤ max ts − 30 min),
+    * which pins the append-mode emission semantics, not just row
+    * counts. */
+  private val x72StreamingSessions = GraftQuery(
+    "x72_streaming_sessions",
+    (s, dir) => {
+      val memoKey = (graft.SessionKeys.of(s), dir)
+      val done = x72Results.get(memoKey).getOrElse {
+        val srcDir = streamSrcDir(dir)
+        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
+        val attempt = s"x72_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        x72Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
+          s, graft.streaming.EventStreams.sessionizedStats(stream), attempt))
+      }
+      done.orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS w
+                        FROM events),
+      ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+      marked AS (
+        SELECT user_id, t, value,
+          CASE WHEN lag(t) OVER win IS NULL
+                 OR t - lag(t) OVER win > INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_s
+        FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY t)),
+      sess AS (
+        SELECT user_id, t, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id, min(t) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS session_value
+      FROM sess GROUP BY user_id, sid
+      HAVING max(t) + INTERVAL '30 minutes' <= (SELECT w FROM wm)
+      ORDER BY user_id, session_start"""))
+
   /** Perceptual audio dedup ([[graft.ops.Multimodal.audioNearDuplicates]]):
     * real WAV decode → energy-delta fingerprint → the same banded
     * Hamming join as x67, over a corpus with planted gain-scaled
@@ -1866,7 +1914,7 @@ object Extensions extends QueryModule {
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
-    x69BpeTrain, x70BpeEncode, x71AudioNearDup)
+    x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

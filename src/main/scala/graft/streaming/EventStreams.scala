@@ -54,6 +54,28 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked streaming sessionization — the STATEFUL-MERGING
+    * window class (distinct from the fixed hourly buckets above):
+    * `session_window` keeps one open session per (user, run) in the
+    * state store, merges events landing within `gap` of the
+    * session's current end, and emits a session exactly when the
+    * watermark passes its end (last event + gap) — so state is
+    * bounded by the active-session population, never stream length,
+    * and the emitted table equals the batch sessionization of the
+    * closed prefix (the x27 replay restricted to sessions whose
+    * end + gap ≤ final watermark — that's what makes it
+    * oracle-checkable). */
+  def sessionizedStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream join: every event enriched with the same user's
     * purchases from the trailing hour — the two-sided stateful join
     * class (distinct from stream-static enrichment): BOTH sides

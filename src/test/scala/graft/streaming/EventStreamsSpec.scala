@@ -34,6 +34,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
   }
 
+  test("streaming sessionization equals batch sessions on the closed prefix") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.sessionizedStats(stream), "stream_sessions")
+    val events = Tables.events(spark, sfDir)
+    val wm = events.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      .minusSeconds(30 * 60)
+    val batch = graft.ops.Sessionize.sessionStats(events, "user_id", "ts", "value")
+    // emitted sessions = batch sessions whose end + gap cleared the
+    // final watermark: every emitted row matches batch exactly, and
+    // only tail sessions are withheld
+    val joined = got.alias("s").join(batch.alias("b"),
+      Seq("user_id", "session_start"))
+    assert(got.count() > 0 && got.count() < batch.count())
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.session_value") =!= col("b.session_value")).count() == 0)
+    // nothing emitted from beyond the watermark
+    assert(got.filter(col("session_start").cast("timestamp")
+      .geq(lit(java.sql.Timestamp.from(wm)))).count() == 0)
+  }
+
   test("file sink + checkpoint: restart consumes only new files, no dupes; watermark drops late rows") {
     import java.nio.file.Files
     import spark.implicits._
