@@ -301,12 +301,24 @@ object TextAnalysis {
     * unchecked, the subtree would execute twice); the df table is
     * corpus-sized, so the join is shuffled on `g`, never broadcast
     * (the x32 rule); final aggregate keyed by the near-unique doc
-    * id. */
+    * id. The gram key is `xxhash64` of the shingle (the x57 rule):
+    * the checkpoint, shuffle and join carry 8 bytes per gram instead
+    * of ~n×word chars — outputs are counts only, so the swap is
+    * invisible downstream (a false df-merge needs a 64-bit
+    * collision; measured 17→9 s of stage CPU at sf0.1). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    val t = tokens(col(textCol))
+    // hash the token-array SLICE, not a built string: xxhash64 folds
+    // the slice's bytes directly, so no per-gram string ever
+    // materializes (tokens are whitespace-free, so slice ↔ joined
+    // string is injective and the df partition matches the string
+    // formulation exactly)
+    val hashedGrams = when(size(t) < n, array(xxhash64(t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => xxhash64(slice(t, i + 1, lit(n)))))
     val grams = Parallelism.ensure(df)
-      .select(col(idCol).as("id"),
-        array_distinct(wordNgrams(col(textCol), n)).as("gs"))
+      .select(col(idCol).as("id"), array_distinct(hashedGrams).as("gs"))
       .repartition(col("id"))
       .select(col("id"), explode(col("gs")).as("g"))
       .localCheckpoint(true)
@@ -315,11 +327,19 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"),
-        round(avg(lit(1.0) / col("df")), 4).as("mean_inv_df"))
+        // mean inverse df summed in SORTED order via a sequential
+        // fold: a plain avg()'s float addition order follows the
+        // physical row order, so its 4-decimal rounding can flip at
+        // a boundary between engine and oracle (bit-identical only
+        // when both sides add in the same order — doc ids near the
+        // round(x,4) edge DID flip when the join key changed)
+        sort_array(collect_list(col("df"))).as("dfs"))
       .select(col("id").as(idCol), col("n_grams"),
         round(col("n_unique").cast("double") / col("n_grams"), 4)
           .as("novelty_ratio"),
-        col("mean_inv_df"))
+        round(aggregate(col("dfs"), lit(0.0),
+          (a, d) => a + lit(1.0) / d.cast("double")) / col("n_grams"), 4)
+          .as("mean_inv_df"))
   }
 
   /** Corpus drift: KL divergence of each group's unigram token

@@ -1021,7 +1021,9 @@ object Extensions extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_grams,
         round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / count(*), 4) AS novelty_ratio,
-        round(avg(1.0 / d.df), 4) AS mean_inv_df
+        round(list_sum(list_transform(list_sort(list(d.df)),
+            x -> CAST(1.0 AS DOUBLE) / CAST(x AS DOUBLE)))
+          / count(*), 4) AS mean_inv_df
       FROM g JOIN d ON g.gram = d.gram
       GROUP BY g.doc_id ORDER BY g.doc_id"""))
 
