@@ -1897,6 +1897,45 @@ object Extensions extends QueryModule {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** Corpus snapshot diff ([[graft.ops.Diff.corpusDiff]]): v2 derived
+    * deterministically from the documents table (drop %17, revise
+    * %13, add %29 under shifted ids), classified by content digest
+    * through one full-outer join. Emits the non-unchanged rows —
+    * hash-green. */
+  private val x73CorpusDiff = GraftQuery(
+    "x73_corpus_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("fresh "), col("text")).as("text")))
+      graft.ops.Diff.corpusDiff(docs, v2, "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 17 != 0
+        UNION ALL
+        SELECT doc_id + 100000, 'fresh ' || text
+        FROM documents WHERE doc_id % 29 = 0)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.text != n.text THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM documents o FULL JOIN v2 n ON o.doc_id = n.doc_id
+      WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.text != n.text THEN 'changed'
+             ELSE 'unchanged' END != 'unchanged'
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1916,7 +1955,8 @@ object Extensions extends QueryModule {
     x57DupSpans, x58EncodingChecks, x59PqEncode, x60SourceOverlap,
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
-    x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions)
+    x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
+    x73CorpusDiff)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

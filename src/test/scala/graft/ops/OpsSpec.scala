@@ -1445,6 +1445,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged exactly") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta prime"), (5L, "epsilon"))
+      .toDF("doc_id", "text")
+    val got = Diff.corpusDiff(v1, v2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 5L -> "added"))
+    val summary = Diff.corpusDiffSummary(v1, v2, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("added" -> 1L, "changed" -> 1L,
+      "removed" -> 2L, "unchanged" -> 1L))
+  }
+
   test("audio fingerprint near-dups: gain-scaled re-encodes surface, corrupt bytes drop") {
     val corpus = Multimodal.syntheticAudioCorpus(spark, 32)
     val pairs = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)
