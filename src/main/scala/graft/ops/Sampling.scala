@@ -117,6 +117,35 @@ object Sampling {
       .drop("__n_min")
   }
 
+  /** Weighted sampling WITHOUT replacement, top-k (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir" —
+    * the A-ES scheme): each row gets priority u^(1/w) for a uniform
+    * u, and the k highest priorities form an exact without-
+    * replacement weighted sample. Here u derives from the same
+    * Knuth multiplicative id-hash [[replayableMixture]] uses, so
+    * membership is a pure function of (id, weight): replayable in
+    * SQL, stable under relayout, and re-runnable (rank on
+    * `ln(u)/w` — monotone in u^(1/w), cheaper, no pow).
+    *
+    * Scale shape: priorities are a map-only projection over the
+    * scan; the top-k plans as TakeOrderedAndProject (per-partition
+    * heads, never a global sort). A near-ulp priority tie could in
+    * principle order differently across engines — adjacent order
+    * statistics of n draws sit ~1/n apart, ~10 orders of magnitude
+    * above ln()'s ulp error, so the replay is deterministic in
+    * practice (and the id tiebreak pins exact equality). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val h = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("__pr", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__pr").desc, col(idCol))
+      .limit(k)
+      .drop("__pr")
+  }
+
   /** Cluster-balanced sample: cap each cluster's contribution at
     * `maxPerCluster` rows, keeping the lowest ids (deterministic —
     * no coin flips, so membership is stable by construction). The

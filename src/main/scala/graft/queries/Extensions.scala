@@ -1936,6 +1936,25 @@ object Extensions extends QueryModule {
              ELSE 'unchanged' END != 'unchanged'
       ORDER BY doc_id"""))
 
+  /** Weighted without-replacement sample ([[graft.ops.Sampling
+    * .weightedSample]], A-ES): 60 documents drawn ∝ n_chars. The
+    * selection replays exactly in SQL (shared id-hash uniform +
+    * ln(u)/w ranking); output carries ids only, so near-ulp priority
+    * noise can't reach the hash compare. */
+  private val x74WeightedSample = GraftQuery(
+    "x74_weighted_sample",
+    (s, dir) => graft.ops.Sampling.weightedSample(
+      Tables.documents(s, dir), "doc_id", "n_chars", k = 60)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+          ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pr
+        FROM documents)
+      QUALIFY row_number() OVER (ORDER BY pr DESC, doc_id) <= 60
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1956,7 +1975,7 @@ object Extensions extends QueryModule {
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
-    x73CorpusDiff)
+    x73CorpusDiff, x74WeightedSample)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

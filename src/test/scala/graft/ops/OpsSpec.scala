@@ -1445,6 +1445,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("weighted sample: exact k, relayout-stable, weight-biased, no global sort") {
+    val rows = (1L to 2000L).map(i => (i, if (i <= 200) 1000L else 10L))
+    val df = rows.toDF("id", "w")
+    val sampled = Sampling.weightedSample(df, "id", "w", 100)
+    val got = sampled.select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    // membership is a pure function of (id, weight): relayout changes nothing
+    val again = Sampling.weightedSample(df.repartition(13), "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // 10% of rows hold >90% of total weight — they must dominate
+    assert(got.count(_ <= 200) > 60, s"heavy rows: ${got.count(_ <= 200)}")
+    // top-k plans as per-partition heads, never a global sort
+    sampled.collect()
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged exactly") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
       .toDF("doc_id", "text")
