@@ -53,4 +53,24 @@ object CorpusExport {
     assignments.select(expr(s"start_chunk div $chunksPerShard").as("shard"))
       .distinct().count()
   }
+
+  /** JSONL export — the interchange format most training stacks
+    * ingest directly: one JSON object per line, gzip-compressed,
+    * `maxRecordsPerFile` bounding each shard file (the knob training
+    * loaders parallelize over). Files land in deterministic id order
+    * within each output file (range layout + in-file sort), so a
+    * re-export of identical data is byte-stable per file modulo
+    * parquet→json type formatting. Spark's native json writer —
+    * distributed, no driver collect. */
+  def writeJsonlShards(docs: DataFrame, idCol: String, outDir: String,
+      maxRecordsPerFile: Int = 10000): Unit = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    docs
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .option("compression", "gzip")
+      .json(outDir)
+  }
 }

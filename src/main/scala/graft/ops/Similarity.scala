@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.{Sketches, VectorMath}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -130,6 +130,37 @@ object Similarity {
       if (!(winner eq built)) built.assignments.unpersist(blocking = false)
       winner
     }
+  }
+
+  /** Persist a built [[IvfIndex]] for serving: the assignments table
+    * lands as parquet PARTITIONED BY the cluster id — a probe that
+    * touches `nprobe` of `k` clusters then prunes `k − nprobe`
+    * partition directories at the scan (the `PartitionFilters`
+    * slot), which is the on-disk analog of the in-memory inverted
+    * file. Centroids (k×dims doubles) ride alongside as one small
+    * parquet. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$path/assignments")
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a [[saveIvfIndex]]-persisted index. The assignments frame
+    * reads lazily (cluster pruning pushes to the partitioned scan);
+    * centroids are collected eagerly (k rows). Column names travel
+    * inside the assignments schema, so the loaded index drops into
+    * [[ivfTopK]]/[[ivfBatchTopK]] unchanged. */
+  def loadIvfIndex(spark: SparkSession, path: String,
+      idCol: String, vecCol: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cluster")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assignments"), centroids, idCol, vecCol)
   }
 
   private def ivfIndexUncached(df: DataFrame, idCol: String, vecCol: String,

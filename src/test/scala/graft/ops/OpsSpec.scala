@@ -1445,6 +1445,51 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("jsonl export: gzip line files, record cap respected, round-trips") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+      .select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    CorpusExport.writeJsonlShards(docs, "doc_id", dir, maxRecordsPerFile = 20)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+    // the cap bounds every file; gzip JSONL reads back losslessly
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    files.foreach { f =>
+      val lines = scala.io.Source.fromInputStream(
+        new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f))).getLines().size
+      assert(lines <= 20, s"${f.getName}: $lines lines")
+    }
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.select("doc_id", "text", "lang").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("ivf index survives save/load: identical probes, cluster-pruned scan") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val built = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(built, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir, "vec_id", "embedding")
+    assert(loaded.centroids.length == built.centroids.length)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val a = Similarity.ivfTopK(built, query, topK = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.ivfTopK(loaded, query, topK = 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    // the persisted layout IS the inverted file: a probe reads only
+    // its nprobe cluster directories (partition pruning at the scan)
+    val probed = Similarity.ivfTopK(loaded, query, topK = 10, nprobe = 3)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), plan.take(1500))
+  }
+
   test("weighted sample: exact k, relayout-stable, weight-biased, no global sort") {
     val rows = (1L to 2000L).map(i => (i, if (i <= 200) 1000L else 10L))
     val df = rows.toDF("id", "w")
