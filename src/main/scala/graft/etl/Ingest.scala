@@ -43,6 +43,17 @@ object Ingest {
     normalizeLower(
       spark.read.option("header", "true").csv(s"$inputDir/covids/*.csv.gz"))
 
+  /** Schema-evolution read: parquet snapshots written over time gain
+    * columns (a crawler adds a field; an enrichment lands). With
+    * `mergeSchema` the scan unions every file footer's schema —
+    * missing columns surface as NULLs per file, types must agree
+    * per column name (a true conflict fails loudly, correctly).
+    * Spark's default (first-footer schema) would silently DROP the
+    * new columns from old-reader queries; evolution must be opt-in
+    * per read because footer-merging lists every file's metadata. */
+  def readEvolvedParquet(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** All four staging tables, registered as temp views under the
     * reference's names (S4) so `spark.sql` parity queries also run. */
   def stageAll(spark: SparkSession, inputDir: String): Staging = {

@@ -75,6 +75,33 @@ object Layout {
     * column), then an in-partition sort so row groups inside each
     * file stay tight too. Write the result with any sink; the z-value
     * itself is dropped — it is a layout key, not data. */
+  /** Small-file compaction — the lake-maintenance pass every
+    * streaming/incremental sink eventually needs (thousands of
+    * KB-sized files turn scans into file-listing storms and starve
+    * the scheduler with single-row splits). Output file count =
+    * ceil(actual on-disk bytes / targetFileBytes), measured from the
+    * filesystem listing — a metadata walk, no Spark job; the rewrite
+    * is one round-robin repartition + write. Returns the output file
+    * count. Idempotent: re-compacting compacted output is a no-op
+    * rewrite to the same count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   def zorderBy(df: DataFrame, colNames: Seq[String], bits: Int = 21,
       numPartitions: Option[Int] = None): DataFrame = {
     val z = zValue(colNames.map(col), bits)

@@ -1445,6 +1445,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("compaction: file count targets on-disk bytes, data intact, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val frag = s"$dir/frag"
+    val out = s"$dir/out"
+    val df = spark.range(5000).toDF("id")
+    df.repartition(40).write.parquet(frag)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).length
+    assert(parquetFiles(frag) == 40)
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target half the data per file → exactly 2 output files
+    val n = Layout.compact(spark, frag, out, targetFileBytes = (bytes + 1) / 2)
+    assert(n == 2 && parquetFiles(out) == 2)
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+      (0L until 5000L))
+    // re-compacting compacted output with a big target is one file
+    val out2 = s"$dir/out2"
+    assert(Layout.compact(spark, out, out2, targetFileBytes = 1L << 30) == 1)
+  }
+
+  test("schema evolution: merged read surfaces late columns as nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "alpha")).toDF("id", "text").write.parquet(s"$dir/p=1")
+    Seq((2L, "beta", "en")).toDF("id", "text", "lang").write.parquet(s"$dir/p=2")
+    val merged = graft.etl.Ingest.readEvolvedParquet(spark, dir)
+    assert(merged.columns.toSet == Set("id", "text", "lang", "p"))
+    val rows = merged.select("id", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some("en")))
+    // the default first-footer read would have dropped `lang` — the
+    // merged read is what makes snapshot evolution visible
+  }
+
   test("jsonl export: gzip line files, record cap respected, round-trips") {
     val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
       .select("doc_id", "text", "lang")
