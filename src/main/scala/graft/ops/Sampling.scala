@@ -146,6 +146,37 @@ object Sampling {
       .drop("__pr")
   }
 
+  /** Deterministic mixture SCHEDULE — not which rows to keep (that's
+    * [[replayableMixture]]) but the ORDER a training loader should
+    * consume them in: per-source positions spread evenly by the
+    * smooth-interleave rule `key = rank_in_source / weight_s` with
+    * α=1/2 temperature weights (`weight_s = sqrt(n_s)`), so a source
+    * holding 4× the data appears 2× as often at every point of the
+    * stream and no source ever bursts. Consuming rows in `schedule_key`
+    * order IS the epoch schedule.
+    *
+    * Scale shape: one window shuffle keyed by source (rank within
+    * source), counts broadcast back; the global order never
+    * materializes — the key is the deliverable, and a range-
+    * partitioned write by `schedule_key` hands loaders sorted
+    * shards. Fully replayable: rank and sqrt are deterministic, so
+    * the key is a pure function of (id, source, corpus counts). */
+  def mixtureSchedule(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_source"))
+    val rn = row_number().over(
+      Window.partitionBy(col(sourceCol)).orderBy(col(idCol)))
+    df.join(broadcast(counts), Seq(sourceCol))
+      .withColumn("rank_in_source", rn)
+      .withColumn("schedule_key",
+        round(col("rank_in_source").cast("double") /
+          sqrt(col("n_source").cast("double")), 9))
+      .select(col(idCol), col(sourceCol), col("rank_in_source"),
+        col("schedule_key"))
+  }
+
   /** Cluster-balanced sample: cap each cluster's contribution at
     * `maxPerCluster` rows, keeping the lowest ids (deterministic —
     * no coin flips, so membership is stable by construction). The

@@ -1955,6 +1955,30 @@ object Extensions extends QueryModule {
       QUALIFY row_number() OVER (ORDER BY pr DESC, doc_id) <= 60
       ORDER BY doc_id"""))
 
+  /** Mixture schedule ([[graft.ops.Sampling.mixtureSchedule]]): the
+    * deterministic α=1/2 interleave order a loader consumes. Ordered
+    * by (schedule_key, source, doc_id) — the full total order a
+    * range-partitioned write would lay down. Hash-green (rank + sqrt
+    * replay; key rounded to 9 on both sides). */
+  private val x75MixtureSchedule = GraftQuery(
+    "x75_mixture_schedule",
+    (s, dir) => graft.ops.Sampling.mixtureSchedule(
+      Tables.documents(s, dir), "source", "doc_id")
+      .orderBy(col("schedule_key"), col("source"), col("doc_id")),
+    Some("""WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        FROM documents WHERE source IS NOT NULL GROUP BY source),
+      r AS (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+            AS INT) AS rank_in_source
+        FROM documents)
+      SELECT doc_id, source, rank_in_source,
+        round(CAST(rank_in_source AS DOUBLE) / sqrt(CAST(n_source AS DOUBLE)), 9)
+          AS schedule_key
+      FROM r JOIN c USING (source)
+      ORDER BY schedule_key, source, doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -1975,7 +1999,7 @@ object Extensions extends QueryModule {
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
-    x73CorpusDiff, x74WeightedSample)
+    x73CorpusDiff, x74WeightedSample, x75MixtureSchedule)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1445,6 +1445,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.imageSignatures(corrupt).count() == 0)
   }
 
+  test("mixture schedule: every prefix holds each source's exact weighted share") {
+    val rows = (1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    val sched = Sampling.mixtureSchedule(df, "src", "id")
+      .orderBy("schedule_key", "src", "id")
+      .select("src", "schedule_key").as[(String, Double)].collect()
+    assert(sched.length == 500)
+    // by construction rank/sqrt(n) <= K iff rank <= K*sqrt(n): the
+    // prefix up to any key K holds exactly floor(K*sqrt(n_s)) rows of
+    // each source — a 4x source appears exactly 2x as often, with no
+    // bursts, at EVERY cut point
+    for (k <- Seq(2.0, 5.0, 10.0)) {
+      val prefix = sched.filter(_._2 <= k + 1e-9)
+      val bySrc = prefix.groupBy(_._1).view.mapValues(_.length).toMap
+      assert(bySrc.getOrElse("big", 0) == math.floor(k * math.sqrt(400)).toInt, s"k=$k $bySrc")
+      assert(bySrc.getOrElse("small", 0) == math.floor(k * math.sqrt(100)).toInt, s"k=$k $bySrc")
+    }
+  }
+
   test("compaction: file count targets on-disk bytes, data intact, idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
     val frag = s"$dir/frag"
