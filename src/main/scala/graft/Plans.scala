@@ -43,7 +43,9 @@ object Plans {
     "x65_semdedup_clusters" -> "map-only Lloyd assignment (centroid literals ride the plan); within-cluster pairs via ONE shuffle-hash self-join on the cluster key; CC + anti-join tail shared with x34",
     "x66_interval_join" -> "session intervals explode into covered time bins; shuffle-hash equi-join on the bin, exact overlap + max-start-bin filter — no BroadcastNestedLoop, no distinct",
     "x67_image_near_dup" -> "pixel decode + dHash consumed map-only (16 bytes/row after), one reused exchange feeds both sides of the banded shuffle-hash bucket join, exact Hamming verifies",
-    "x68_heavy_hitters" -> "typed Misra-Gries Aggregator reduces map-side (partial_misragries before the exchange): the SinglePartition shuffle carries one <=capacity-entry map per partition, never the token stream")
+    "x68_heavy_hitters" -> "typed Misra-Gries Aggregator reduces map-side (partial_misragries before the exchange): the SinglePartition shuffle carries one <=capacity-entry map per partition, never the token stream",
+    "x74_weighted_sample" -> "A-ES priorities are a map-only projection over the scan; the weighted top-k plans as TakeOrderedAndProject — per-partition heads, never a global sort",
+    "x75_mixture_schedule" -> "one window shuffle keyed by source (rank within source), counts broadcast back; the interleave key is computed map-side — the global order never materializes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
