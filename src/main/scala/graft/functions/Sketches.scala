@@ -349,6 +349,15 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "cms_estimate"
+
+  // fail at ANALYSIS, not as an executor-side ClassCastException:
+  // eval/codegen assume the child produces UTF8String
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string child, got ${child.dataType.catalogString}")
   override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
     copy(child = newChild)
 

@@ -293,10 +293,25 @@ object Dedup {
     val sig = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-      .repartition(col("id"))
-    // explode the chunk index, compute chunks from the carried column
-    // (see minhashCandidates for why the generator input must not
-    // embed the signature expression)
+    hamming64Pairs(sig, maxHamming)
+  }
+
+  /** Shared tail of every 64-bit-signature dedup (SimHash text,
+    * dHash images, audio fingerprints — `Multimodal` delegates
+    * here): band a (id, sig) frame into 4×16-bit chunks, form
+    * candidates only inside shared (band, chunk) buckets, verify
+    * exact Hamming. Pigeonhole: Hamming ≤ 3 ⇒ some band intact ⇒
+    * guaranteed candidate; 4..maxHamming pairs surface unless the
+    * flipped bits straddle all four bands. The repartition
+    * materializes the (possibly expensive — decode-bearing)
+    * signature projection at an exchange both join sides reuse; the
+    * bucket join is shuffle-hash, never broadcast. The chunk index
+    * is exploded and chunks computed from the carried column (see
+    * minhashCandidates for why the generator input must not embed
+    * the signature expression). */
+  private[ops] def hamming64Pairs(sigFrame: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val sig = sigFrame.repartition(col("id"))
     val banded = sig
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))

@@ -20,15 +20,19 @@ object Diff {
     * schema): (idCol, status ∈ added|removed|changed|unchanged). */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // presence is tracked by an explicit flag, NOT by digest
+    // nullability: md5(NULL text) is NULL, and conflating "row
+    // absent" with "text NULL" would report a doc that is NULL in
+    // both snapshots as 'added'
     val o = oldDf.select(col(idCol).as("id"),
-      md5(col(textCol).cast("binary")).as("h_old"))
+      md5(col(textCol).cast("binary")).as("h_old"), lit(true).as("in_old"))
     val n = newDf.select(col(idCol).as("id"),
-      md5(col(textCol).cast("binary")).as("h_new"))
+      md5(col(textCol).cast("binary")).as("h_new"), lit(true).as("in_new"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
-          .when(col("h_old") =!= col("h_new"), lit("changed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("h_old") <=> col("h_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 

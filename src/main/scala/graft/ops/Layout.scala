@@ -69,12 +69,6 @@ object Layout {
     terms.mkString("(", " | ", ")")
   }
 
-  /** Re-lays `df` out along the Z-curve of `colNames`: one range
-    * shuffle on the z-value (contiguous curve segments per
-    * partition → per-file min/max tight on EVERY participating
-    * column), then an in-partition sort so row groups inside each
-    * file stay tight too. Write the result with any sink; the z-value
-    * itself is dropped — it is a layout key, not data. */
   /** Small-file compaction — the lake-maintenance pass every
     * streaming/incremental sink eventually needs (thousands of
     * KB-sized files turn scans into file-listing storms and starve
@@ -102,6 +96,12 @@ object Layout {
     nFiles
   }
 
+  /** Re-lays `df` out along the Z-curve of `colNames`: one range
+    * shuffle on the z-value (contiguous curve segments per
+    * partition → per-file min/max tight on EVERY participating
+    * column), then an in-partition sort so row groups inside each
+    * file stay tight too. Write the result with any sink; the z-value
+    * itself is dropped — it is a layout key, not data. */
   def zorderBy(df: DataFrame, colNames: Seq[String], bits: Int = 21,
       numPartitions: Option[Int] = None): DataFrame = {
     val z = zValue(colNames.map(col), bits)

@@ -466,33 +466,14 @@ object Multimodal {
       maxHamming: Int = 4): DataFrame =
     bandedHammingPairs(audioSignatures(media), maxHamming)
 
-  /** Shared tail of the perceptual dedup family: SimHash-style
-    * banding of a 64-bit signature frame (media_id, sig) — 4×16-bit
-    * chunks, candidates only materialize inside shared (band, chunk)
-    * buckets, exact Hamming verifies. Pigeonhole: Hamming ≤ 3 ⇒ some
-    * band intact ⇒ guaranteed candidate; 4..maxHamming pairs surface
-    * unless the flipped bits straddle all four bands. The repartition
-    * materializes the (expensive, decode-bearing) signature
-    * projection at an exchange both join sides reuse; the bucket
-    * join is shuffle-hash, never broadcast. */
+  /** Perceptual dedup shares one banding tail with the text SimHash
+    * path ([[Dedup.hamming64Pairs]]) — a single implementation of
+    * the band/bucket-join/Hamming-verify pipeline, so a banding fix
+    * can never silently diverge between modalities. */
   private def bandedHammingPairs(sigFrame: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val sig = sigFrame.repartition(col("media_id"))
-    val banded = sig
-      .select(col("media_id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("chunk", expr("shiftright(sig, band * 16) & 65535"))
-    val a = banded.select(col("band"), col("chunk"),
-      col("media_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"),
-      col("media_id").as("id_b"), col("sig").as("sig_b"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+      maxHamming: Int): DataFrame =
+    Dedup.hamming64Pairs(
+      sigFrame.select(col("media_id").as("id"), col("sig")), maxHamming)
 
   /** Deterministic STRUCTURED image corpus with planted near-dups:
     * smooth two-harmonic luminance patterns (diagonal + horizontal

@@ -136,11 +136,18 @@ object Sampling {
     * practice (and the id tiebreak pins exact equality). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     val h = pmod(
       pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    df.withColumn("__pr", log(u) / col(weightCol).cast("double"))
+    // w <= 0 must fail loudly IN the data pass: ln(u)/w flips sign
+    // for negative weights, which would rank exactly the rows that
+    // should be least likely FIRST — a silently corrupted sample
+    val w = when(col(weightCol) <= 0, raise_error(lit(
+        "weightedSample: weights must be strictly positive")))
+      .otherwise(col(weightCol).cast("double"))
+    df.withColumn("__pr", log(u) / w)
       .orderBy(col("__pr").desc, col(idCol))
       .limit(k)
       .drop("__pr")

@@ -434,7 +434,12 @@ object TextAnalysis {
     val toks = df
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-      .localCheckpoint(true) // feeds the sketch build AND the exact top-k
+    // the stream feeds two consumers (sketch build + exact counts),
+    // but checkpointing IT would materialize one row per corpus
+    // token — the very thing a fixed-memory sketch exists to avoid.
+    // Tokenize twice instead (two scans, each map-only) and
+    // checkpoint only the VOCABULARY-sized count table the probe
+    // side reads
     val bytes = toks
       .select(count_min_sketch(col("token"), lit(eps), lit(confidence),
         lit(seed)).as("cms"))

@@ -1911,7 +1911,10 @@ object Extensions extends QueryModule {
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 29 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          // added ids live on the negative axis: disjoint from real
+          // non-negative doc_ids at ANY scale factor (an offset like
+          // +100000 collides once the corpus outgrows it)
+          .select((-col("doc_id") - 1).as("doc_id"),
             concat(lit("fresh "), col("text")).as("text")))
       graft.ops.Diff.corpusDiff(docs, v2, "doc_id", "text")
         .filter(col("status") =!= "unchanged")
@@ -1922,7 +1925,7 @@ object Extensions extends QueryModule {
           CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
         FROM documents WHERE doc_id % 17 != 0
         UNION ALL
-        SELECT doc_id + 100000, 'fresh ' || text
+        SELECT -doc_id - 1, 'fresh ' || text
         FROM documents WHERE doc_id % 29 = 0)
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         CASE WHEN o.doc_id IS NULL THEN 'added'
