@@ -207,6 +207,38 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group token-budget curation: inside each group (source /
+    * domain / language), keep documents in priority order until the
+    * group's cumulative token count exceeds `budget` — the "give each
+    * domain a token allowance, spend it on the best documents" step
+    * that turns a quality score into an actual training mix. A
+    * document is kept iff the running total THROUGH it fits; the
+    * first over-budget doc and everything after it are dropped (no
+    * partial documents).
+    *
+    * Deterministic: priority-desc with an id tiebreak is a total
+    * order, integer token arithmetic — membership is a pure function
+    * of content, stable under relayout (same contract as
+    * [[hashSplit]]).
+    *
+    * Scale shape: one hash shuffle on the group key; only the three
+    * narrow columns (id, priority, tokens) need flow through the
+    * window — project first, join survivors back to the wide row by
+    * id if the text is needed downstream. A pathological single-group
+    * corpus serializes that group's (narrow) rows onto one task; at
+    * that shape, pre-estimate the priority cutoff with
+    * `approx_percentile` and window only the boundary stratum. */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, priorityCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(priorityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic train/holdout split keyed on a CONTENT id hash —
     * stable across runs, re-partitioning, and re-ingestion, which
     * `randomSplit` is not (it samples by partition-local position, so

@@ -674,6 +674,60 @@ object TextAnalysis {
     import graft.functions.Sketches
     Sketches.minhashNgrams(tokens(text), n = 2, numHashes = numHashes, seed = seed)
   }
+
+  /** BM25 retrieval ranking (Robertson/Okapi; the Lucene `+1` IDF so
+    * scores stay positive): top-k documents for a bag-of-terms query —
+    * the lexical-retrieval primitive next to the engine's dense ANN
+    * family ([[graft.ops.Similarity]]), and the standard hard-negative
+    * miner for embedding training.
+    *
+    * Scale shape: the query term set is tiny, so everything heavy is
+    * map-side — tokenize twice (two scans, each map-only; cheaper than
+    * checkpointing a corpus-token stream, see [[tokenFrequencySketch]]),
+    * reduce to per-doc length and per-(doc, query-term) tf; df, N and
+    * total token count are broadcast single-row/|Q|-row tables. The
+    * score join touches only docs containing ≥1 query term, and top-k
+    * plans as TakeOrdered, never a global sort.
+    *
+    * Determinism contract (hash-green oracle): avgdl is an exact
+    * BIGINT/BIGINT double quotient (a float `avg` would be
+    * order-dependent), each term score is a fixed IEEE expression tree
+    * over integer inputs, and the per-doc sum folds in SORTED order
+    * (`aggregate(sort_array(...))` — the CLAUDE.md float-sum rule).
+    * Rank on the unrounded score with an id tiebreak; round only the
+    * output. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfr"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("dfr") + lit(0.5))
+      / (col("dfr") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    // tf is corpus-scale (every doc holding ≥1 query term) — join it
+    // to dl on the id key, shuffle-hash, never broadcast; only the
+    // |Q|-row df table and the single-row stats ride broadcasts
+    tf.hint("shuffle_hash").join(dl.hint("shuffle_hash"), "id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), termScore.as("ts"))
+      .groupBy(col("id"))
+      .agg(aggregate(sort_array(collect_list(col("ts"))), lit(0.0),
+          (acc, x) => acc + x).as("score"),
+        count(lit(1)).as("terms_matched"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("terms_matched"), round(col("score"), 4).as("bm25"))
+  }
 }
 
 /** Minimal per-language stopword profiles (top function words) —

@@ -1982,6 +1982,77 @@ object Extensions extends QueryModule {
       FROM r JOIN c USING (source)
       ORDER BY schedule_key, source, doc_id"""))
 
+  /** BM25 top-k ([[graft.ops.TextAnalysis.bm25TopK]]): lexical
+    * retrieval over the corpus for a fixed bag-of-terms query — the
+    * sparse twin of the dense ANN family. Hash-green: the full
+    * scoring pipeline (exact avgdl quotient, Lucene +1 idf, sorted
+    * per-doc fold) is replayed in SQL with the identical IEEE
+    * expression tree; rank on the unrounded score, round only the
+    * output. */
+  private val x76Bm25TopK = GraftQuery(
+    "x76_bm25_topk",
+    (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
+      "doc_id", "text", Seq("vector", "stream", "query"), k = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM toks WHERE length(term) > 0),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM tok2 GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok2 WHERE term IN ('vector', 'stream', 'query')
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr
+                FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          ln((CAST(n_docs AS DOUBLE) - dfr + 0.5) / (dfr + 0.5) + 1.0)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75)
+                + 0.75 * (dl / (CAST(tot AS DOUBLE) / n_docs)))) AS ts
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats),
+      agg AS (
+        SELECT doc_id, list_sum(list_sort(list(ts))) AS score,
+               CAST(count(*) AS BIGINT) AS terms_matched
+        FROM scored GROUP BY 1)
+      SELECT doc_id, terms_matched, round(score, 4) AS bm25
+      FROM agg
+      QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10
+      ORDER BY doc_id"""))
+
+  /** Per-source token-budget curation
+    * ([[graft.ops.Sampling.tokenBudget]]): each source spends a fixed
+    * token allowance on its highest-priority documents (n_chars as
+    * the priority stand-in). Hash-green — integer window arithmetic
+    * over a total order. */
+  private val x77TokenBudget = GraftQuery(
+    "x77_token_budget",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(split(lower(col("text")), "\\s+")).as("toks"))
+      graft.ops.Sampling.tokenBudget(docs, "source", "doc_id",
+        "toks", "n_chars", budget = 600L)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, n_chars, toks,
+        CAST(sum(toks) OVER (PARTITION BY source
+          ORDER BY n_chars DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens
+      FROM (
+        SELECT doc_id, source, n_chars,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS toks
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+      QUALIFY cum_tokens <= 600
+      ORDER BY source, doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2002,7 +2073,8 @@ object Extensions extends QueryModule {
     x61WinsorizedStats, x62MixtureSample, x63FreqSketch, x64IvfPqTopK,
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
-    x73CorpusDiff, x74WeightedSample, x75MixtureSchedule)
+    x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
+    x76Bm25TopK, x77TokenBudget)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1691,4 +1691,50 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bm25: tf saturates, rare terms outrank common, top-k is TakeOrdered") {
+    // 'needle' appears in one doc; 'hay' in all. Same tf → the
+    // needle doc must outscore every hay-only doc on a two-term query.
+    val corpus = ((1L, "needle hay hay hay hay") +:
+      (2L to 40L).map(i => (i, "hay hay hay hay hay"))).toDF("doc_id", "text")
+    val ranked = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      Seq("needle", "hay"), k = 5)
+    val rows = ranked.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.head._1 == 1L, s"needle doc not first: ${rows.toSeq}")
+    assert(rows.head._2 == 2L) // matched both terms
+    assert(rows.head._3 > rows(1)._3)
+    // tf saturation: doubling tf must gain less than the first hit
+    // (equal doc lengths, so length-norm cancels and only tf moves)
+    val sat = (Seq((1L, "x y y y"), (2L, "x x y y")) ++ (3L to 20L)
+      .map(i => (i, "y y y y"))).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25TopK(sat, "doc_id", "text", Seq("x"), k = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(2L) < 2 * s(1L), s"tf=2 more than doubled tf=1: $s")
+    // layout-invariant (pure function of content)
+    val again = TextAnalysis.bm25TopK(corpus.repartition(7), "doc_id", "text",
+      Seq("needle", "hay"), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == rows.toSeq)
+    ranked.collect()
+    assert(ranked.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("token budget: best docs kept per group, no partial docs, relayout-stable") {
+    // group g1: priorities 30,20,10 with 40 tokens each; budget 100
+    // keeps exactly the top two (80 ≤ 100, the third would hit 120)
+    val rows = Seq(
+      (1L, "g1", 30L, 40), (2L, "g1", 20L, 40), (3L, "g1", 10L, 40),
+      (4L, "g2", 5L, 90), (5L, "g2", 99L, 90))
+      .toDF("id", "grp", "prio", "toks")
+    val kept = Sampling.tokenBudget(rows, "grp", "id", "toks", "prio", 100L)
+    val got = kept.select("id", "cum_tokens").as[(Long, Long)]
+      .collect().toMap
+    // g1: ids 1,2 (cum 40,80); g2: only the higher-priority id 5 fits
+    assert(got == Map(1L -> 40L, 2L -> 80L, 5L -> 90L), s"got $got")
+    val again = Sampling.tokenBudget(rows.repartition(5), "grp", "id",
+      "toks", "prio", 100L).select("id").as[Long].collect().toSet
+    assert(again == got.keySet)
+  }
 }
