@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the second graph
+  * primitive next to [[Dedup.duplicateClusters]]'s connected
+  * components. PageRank ranks documents by link authority (citation /
+  * hyperlink graphs are a standard corpus-quality prior: pages many
+  * curated pages point at are likelier to be worth training on).
+  *
+  * Reference scope: the reference engine has no graph operators; this
+  * extends the engine the same way the dedup/ANN families do.
+  */
+object Graph {
+
+  /** PageRank with uniform teleport: `iters` synchronous rounds of
+    * rank(v) = (1−d)/N + d · Σ_{(u,v)∈E} rank(u)/outdeg(u).
+    *
+    * Semantics notes:
+    * - Nodes = src ∪ dst of `edges` unless `nodes` is given (isolated
+    *   vertices only exist if passed in explicitly).
+    * - Dangling nodes (no out-edges) leak their damped mass — the
+    *   common simplified-PageRank convention — so ranks sum to < 1 in
+    *   their presence; pass a graph without sinks (or pre-add
+    *   self-loops) when conservation matters.
+    * - Parallel edges are honored (each contributes), matching the
+    *   plain edge-list reading.
+    *
+    * Determinism contract (hash-green oracle): every round's inbound
+    * mass folds in SORTED order (`aggregate(sort_array(...))` — the
+    * CLAUDE.md float-sum rule), all other arithmetic is a fixed IEEE
+    * expression tree over (rank, BIGINT degree, BIGINT N), so the
+    * result is a pure function of the graph, independent of layout.
+    *
+    * Scale shape: the degree-annotated edge list is shuffled ONCE onto
+    * its src key and persisted; each round re-shuffles only the
+    * rank table (nodes-sized, 2 narrow columns) to join it, then
+    * aggregates by dst — the Pregel exchange pattern. Rounds are
+    * eagerly localCheckpointed (constant-size plans, no lineage
+    * growth; on a fault-tolerant cluster the same call is a reliable
+    * `checkpoint()`). The edge cache is released before returning —
+    * legal because the final checkpoint has already materialized. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", nodes: Option[DataFrame] = None,
+      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters > 0, "iters must be positive")
+    require(damping > 0 && damping < 1, "damping in (0, 1)")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodeIds = nodes.getOrElse(
+      e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
+        .distinct()).select(col("id")).localCheckpoint(true)
+    val nRow = broadcast(nodeIds.agg(count(lit(1)).as("n")))
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = nodeIds.crossJoin(nRow)
+        .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val mass = e
+          .join(ranks.select(col("id").as("src"), col("rank")), "src")
+          .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("contrib"))
+          .groupBy(col("id"))
+          .agg(aggregate(sort_array(collect_list(col("contrib"))),
+            lit(0.0), (acc, x) => acc + x).as("mass"))
+        ranks = nodeIds
+          .join(mass, Seq("id"), "left")
+          .crossJoin(nRow)
+          .select(col("id"),
+            ((lit(1.0) - lit(damping)) / col("n")
+              + lit(damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally e.unpersist(blocking = false)
+  }
+}

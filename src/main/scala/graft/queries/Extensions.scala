@@ -2053,6 +2053,127 @@ object Extensions extends QueryModule {
       QUALIFY cum_tokens <= 600
       ORDER BY source, doc_id"""))
 
+  /** PageRank ([[graft.ops.Graph.pageRank]]) over a deterministic
+    * synthetic citation graph (3 out-links per doc via modular
+    * arithmetic — no dangling nodes, so mass is conserved). Oracle:
+    * all 5 synchronous rounds unrolled as MATERIALIZED CTEs (the x69
+    * discipline), same sorted inbound-mass fold per node. */
+  private val x78PageRank = GraftQuery(
+    "x78_pagerank",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = broadcast(docs.agg(count(lit(1)).as("n")))
+      val edges = docs.crossJoin(cnt)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(3))).as("k"), col("n"))
+        .select(col("src"),
+          pmod(col("src") * 31 + col("k"), col("n")).as("dst"))
+      graft.ops.Graph.pageRank(edges,
+          nodes = Some(docs.select(col("doc_id").as("id"))))
+        .select(col("id").as("doc_id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH cnt AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      edges AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id * 31 + k) % n AS dst
+        FROM documents CROSS JOIN cnt
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY 1),
+      e AS MATERIALIZED (
+        SELECT src, dst, outdeg FROM edges JOIN deg USING (src)),
+      r0 AS MATERIALIZED (
+        SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN cnt),
+      r1 AS MATERIALIZED (
+        SELECT nodes.id,
+          (1.0 - 0.85) / n + 0.85 * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst AS id, list_sum(list_sort(list(r.rank / e.outdeg))) AS mass
+          FROM e JOIN r0 r ON e.src = r.id GROUP BY 1) m USING (id)),
+      r2 AS MATERIALIZED (
+        SELECT nodes.id,
+          (1.0 - 0.85) / n + 0.85 * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst AS id, list_sum(list_sort(list(r.rank / e.outdeg))) AS mass
+          FROM e JOIN r1 r ON e.src = r.id GROUP BY 1) m USING (id)),
+      r3 AS MATERIALIZED (
+        SELECT nodes.id,
+          (1.0 - 0.85) / n + 0.85 * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst AS id, list_sum(list_sort(list(r.rank / e.outdeg))) AS mass
+          FROM e JOIN r2 r ON e.src = r.id GROUP BY 1) m USING (id)),
+      r4 AS MATERIALIZED (
+        SELECT nodes.id,
+          (1.0 - 0.85) / n + 0.85 * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst AS id, list_sum(list_sort(list(r.rank / e.outdeg))) AS mass
+          FROM e JOIN r3 r ON e.src = r.id GROUP BY 1) m USING (id)),
+      r5 AS MATERIALIZED (
+        SELECT nodes.id,
+          (1.0 - 0.85) / n + 0.85 * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes CROSS JOIN cnt LEFT JOIN (
+          SELECT e.dst AS id, list_sum(list_sort(list(r.rank / e.outdeg))) AS mass
+          FROM e JOIN r4 r ON e.src = r.id GROUP BY 1) m USING (id))
+      SELECT id AS doc_id, round(rank, 9) AS rank
+      FROM r5 ORDER BY doc_id"""))
+
+  /** Replayed-ingest fixture for x79: the SAME events file staged
+    * twice — the crashed-and-rerun loader / re-crawled shard shape.
+    * Separate from [[streamSrcDir]] so x16/x72 keep their
+    * single-copy semantics. */
+  private val replayStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replayStreamSrcDir(sfDir: String): String =
+    replayStreamDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_replay")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("events_replay.parquet"))
+      dir.toString
+    })
+
+  /** Completed x79 streaming results per (session, sfDir) — same
+    * memo discipline as x16/x72 (build outside the lock via
+    * get/putIfAbsent; running a stream under a memo monitor is the
+    * anti-pattern ADVICE r4 flagged). */
+  private val x79Results =
+    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
+      8, name = "x79-stream")
+
+  /** Streaming exact dedup
+    * ([[graft.streaming.EventStreams.dedupWithinWatermark]]): the
+    * input directory carries a full replay of the events file, and
+    * the deduped stream must emit each event exactly ONCE — the
+    * exactly-once replay-protection contract of a continuously-
+    * ingesting corpus loader, driver-checked hash-green: the oracle
+    * is simply the distinct event set. State is keyed by event_id
+    * and bounded by the 30-minute watermark horizon. */
+  private val x79StreamingDedup = GraftQuery(
+    "x79_streaming_dedup",
+    (s, dir) => {
+      val memoKey = (graft.SessionKeys.of(s), dir)
+      val done = x79Results.get(memoKey).getOrElse {
+        val srcDir = replayStreamSrcDir(dir)
+        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
+        val attempt = s"x79_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        x79Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
+          s, graft.streaming.EventStreams.dedupWithinWatermark(
+            stream, Seq("event_id")), attempt))
+      }
+      done.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        event_type, value, props
+      FROM events ORDER BY event_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2074,7 +2195,7 @@ object Extensions extends QueryModule {
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
-    x76Bm25TopK, x77TokenBudget)
+    x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

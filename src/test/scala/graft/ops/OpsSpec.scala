@@ -1737,4 +1737,27 @@ class OpsSpec extends AnyFunSuite {
       "toks", "prio", 100L).select("id").as[Long].collect().toSet
     assert(again == got.keySet)
   }
+
+  test("pagerank: fixpoint on symmetric graphs, authority ordering, mass conserved") {
+    // 2-cycle: uniform 0.5/0.5 is the exact fixpoint of every round
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val c = Graph.pageRank(cycle, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(c(1L) == 0.5 && c(2L) == 0.5, s"cycle fixpoint broken: $c")
+    // bidirectional star: leaves send ALL their mass to the hub, the
+    // hub spreads 1/4 back — the hub out-ranks every leaf; no
+    // dangling nodes, so total mass stays 1 (up to float dust)
+    val star = ((2L to 5L).map(i => (1L, i)) ++ (2L to 5L).map(i => (i, 1L)))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(star, iters = 10).as[(Long, Double)]
+      .collect().toMap
+    assert((2L to 5L).forall(i => r(1L) > r(i)), s"hub not top: $r")
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass leak: ${r.values.sum}")
+    // leaves are symmetric: identical rank, bit-for-bit
+    assert((3L to 5L).forall(i => r(2L) == r(i)), s"symmetry broken: $r")
+    // pure function of the graph: relayout changes nothing
+    val again = Graph.pageRank(star.repartition(7), iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(again == r)
+  }
 }

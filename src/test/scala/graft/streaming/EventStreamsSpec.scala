@@ -144,6 +144,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("streaming dedup is exactly-once across a restart with a replayed file") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dedup_restart")
+    val srcDir = root.resolve("src").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def ns(h: Int, m: Int): Long = (h * 3600L + m * 60L) * 1000000000L
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$srcDir/$name")
+    // run 1: two events land and commit to the file sink
+    write("b1", Seq(
+      (1L, ns(0, 10), 1L, "a", 1.0, "{}"),
+      (2L, ns(0, 15), 2L, "a", 2.0, "{}")))
+    def runOnce(): Unit = EventStreams.runToParquet(
+      EventStreams.dedupWithinWatermark(
+        EventStreams.fromParquetDir(spark, s"$srcDir/*"), Seq("event_id")),
+      outDir, ckpt)
+    runOnce()
+    // run 2 (restart from the same checkpoint): a NEW file replays
+    // run 1's events alongside one genuinely new event — the replay
+    // must be swallowed by the checkpointed dedup state, the new
+    // event emitted once
+    write("b2", Seq(
+      (1L, ns(0, 10), 1L, "a", 1.0, "{}"),
+      (2L, ns(0, 15), 2L, "a", 2.0, "{}"),
+      (3L, ns(0, 16), 3L, "a", 3.0, "{}")))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 3, s"duplicates leaked: ${got.collect().toSeq}")
+    assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("stateful per-user activity aggregates every event once") {
     val stream = EventStreams.fromParquetDir(spark, eventsDir)
     val got = EventStreams.runToMemory(spark,
