@@ -45,7 +45,9 @@ object Plans {
     "x67_image_near_dup" -> "pixel decode + dHash consumed map-only (16 bytes/row after), one reused exchange feeds both sides of the banded shuffle-hash bucket join, exact Hamming verifies",
     "x68_heavy_hitters" -> "typed Misra-Gries Aggregator reduces map-side (partial_misragries before the exchange): the SinglePartition shuffle carries one <=capacity-entry map per partition, never the token stream",
     "x74_weighted_sample" -> "A-ES priorities are a map-only projection over the scan; the weighted top-k plans as TakeOrderedAndProject — per-partition heads, never a global sort",
-    "x75_mixture_schedule" -> "one window shuffle keyed by source (rank within source), counts broadcast back; the interleave key is computed map-side — the global order never materializes")
+    "x75_mixture_schedule" -> "one window shuffle keyed by source (rank within source), counts broadcast back; the interleave key is computed map-side — the global order never materializes",
+    "x76_bm25_topk" -> "tf/dl reduced map-side; score join shuffle-hash on id over ONLY docs holding a query term; |Q|-row df + single-row corpus stats broadcast; top-k plans as TakeOrdered (x78's per-round plan is checkpoint-truncated by design — see Graph.pageRank scaladoc)",
+    "x77_token_budget" -> "one window shuffle on the group key carrying only the narrow (id, priority, tokens) columns; the budget cut is a map-side filter after the running sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
