@@ -134,23 +134,54 @@ object Sampling {
     * statistics of n draws sit ~1/n apart, ~10 orders of magnitude
     * above ln()'s ulp error, so the replay is deterministic in
     * practice (and the id tiebreak pins exact equality). */
-  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-      k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+  /** A-ES rank key `ln(u)/w` (monotone in u^(1/w)) from the Knuth
+    * multiplicative id-hash — shared by [[weightedSample]] and
+    * [[weightedSamplePerGroup]]. w ≤ 0 fails loudly IN the data
+    * pass: ln(u)/w flips sign for negative weights, which would rank
+    * exactly the rows that should be least likely FIRST — a silently
+    * corrupted sample. */
+  private def aesPriority(idCol: String, weightCol: String): org.apache.spark.sql.Column = {
     val h = pmod(
       pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    // w <= 0 must fail loudly IN the data pass: ln(u)/w flips sign
-    // for negative weights, which would rank exactly the rows that
-    // should be least likely FIRST — a silently corrupted sample
     val w = when(col(weightCol) <= 0, raise_error(lit(
         "weightedSample: weights must be strictly positive")))
       .otherwise(col(weightCol).cast("double"))
-    df.withColumn("__pr", log(u) / w)
+    log(u) / w
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__pr", aesPriority(idCol, weightCol))
       .orderBy(col("__pr").desc, col(idCol))
       .limit(k)
       .drop("__pr")
+  }
+
+  /** Per-group weighted sampling without replacement: [[weightedSample]]
+    * run independently inside every group — "k docs from every
+    * source, weight-biased" in one pass, the stratified form of the
+    * A-ES scheme (same priorities, so a row's rank within its group
+    * is identical to its rank in the global sample).
+    *
+    * Scale shape: one hash shuffle on the group key; the per-group
+    * window truncates at kPerGroup, and WindowGroupLimit pushes the
+    * rank bound below the sort, so no group ever materializes past
+    * its top-k candidates per partition. Membership is a pure
+    * function of (id, weight) — relayout-stable like the flat
+    * variant. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, kPerGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerGroup > 0, "kPerGroup must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pr").desc, col(idCol))
+    df.withColumn("__pr", aesPriority(idCol, weightCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= kPerGroup)
+      .drop("__pr", "__rn")
   }
 
   /** Deterministic mixture SCHEDULE — not which rows to keep (that's

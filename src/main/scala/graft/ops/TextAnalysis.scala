@@ -675,6 +675,29 @@ object TextAnalysis {
     Sketches.minhashNgrams(tokens(text), n = 2, numHashes = numHashes, seed = seed)
   }
 
+  /** Shannon entropy of the character distribution, in nats — the
+    * repetition/quality signal compression-ratio filters approximate
+    * (template and boilerplate pages sit far below natural text;
+    * random bytes far above). Entirely map-only: counts fold INSIDE
+    * the row via higher-order functions (O(|alphabet|·len) per doc,
+    * no explode, no shuffle — entropy rides the scan), so it
+    * composes into any curation pipeline for free at 100 TB.
+    *
+    * Determinism contract: integer-count ratios, a fixed IEEE term
+    * tree, and a SORTED fold over the per-character terms (the
+    * CLAUDE.md float-sum rule) — hash-green against the DuckDB list
+    * replay. */
+  def charEntropy(text: Column): Column = {
+    val cs = split(text, "")
+    val term = (c: Column) => {
+      val p = size(filter(cs, x => x === c)) / size(cs)
+      p * log(p)
+    }
+    negate(aggregate(
+      sort_array(transform(array_distinct(cs), term)),
+      lit(0.0), (acc, x) => acc + x))
+  }
+
   /** BM25 retrieval ranking (Robertson/Okapi; the Lucene `+1` IDF so
     * scores stay positive): top-k documents for a bag-of-terms query —
     * the lexical-retrieval primitive next to the engine's dense ANN

@@ -2174,6 +2174,46 @@ object Extensions extends QueryModule {
         event_type, value, props
       FROM events ORDER BY event_id"""))
 
+  /** Character-entropy quality signal
+    * ([[graft.ops.TextAnalysis.charEntropy]]): per-doc Shannon
+    * entropy computed entirely inside the row (no explode, no
+    * shuffle). Hash-green: integer-count ratios + sorted fold,
+    * replayed with DuckDB's list lambdas. */
+  private val x80CharEntropy = GraftQuery(
+    "x80_char_entropy",
+    (s, dir) => Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("n_chars"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars,
+        round(-(list_sum(list_sort(list_transform(list_distinct(cs),
+          c -> (len(list_filter(cs, x -> x = c)) / len(cs))
+               * ln(len(list_filter(cs, x -> x = c)) / len(cs)))))), 6)
+          AS entropy
+      FROM (SELECT doc_id, n_chars, string_split(text, '') AS cs
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0)
+      ORDER BY doc_id"""))
+
+  /** Stratified A-ES ([[graft.ops.Sampling.weightedSamplePerGroup]]):
+    * 8 weight-biased docs from every source in one pass. Hash-green:
+    * the identical ln(u)/w priority replay, ranked per source. */
+  private val x81WeightedSamplePerGroup = GraftQuery(
+    "x81_weighted_sample_per_group",
+    (s, dir) => graft.ops.Sampling.weightedSamplePerGroup(
+      Tables.documents(s, dir), "source", "doc_id", "n_chars", kPerGroup = 8)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id")),
+    Some("""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          ln((((doc_id % 2147483648) * 2654435761) % 4294967296 + 0.5)
+             / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pr
+        FROM documents)
+      QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY pr DESC, doc_id) <= 8
+      ORDER BY source, doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2195,7 +2235,8 @@ object Extensions extends QueryModule {
     x65SemdedupClusters, x66IntervalJoin, x67ImageNearDup, x68HeavyHitters,
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
-    x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup)
+    x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
+    x80CharEntropy, x81WeightedSamplePerGroup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1738,6 +1738,49 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.keySet)
   }
 
+  test("char entropy: exact on uniform strings, ranks repetition below prose, no shuffle") {
+    val rows = Seq(
+      (1L, "aaaaaaaa"),                  // degenerate: H = 0
+      (2L, "abababab"),                  // uniform 2-symbol: H = ln 2
+      (3L, "the quick brown fox jumps"), // natural text
+      (4L, "aaaaaaaaaaaaaaaaaaaaab"))    // near-degenerate template
+      .toDF("doc_id", "text")
+    val h = rows.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(h(1L) == 0.0)
+    assert(math.abs(h(2L) - math.log(2.0)) < 1e-12, s"H(abab)=${h(2L)}")
+    assert(h(4L) < h(2L) && h(2L) < h(3L), s"ordering broken: $h")
+    // entirely in-row: the plan must carry no Exchange at all
+    val plan = rows.select(TextAnalysis.charEntropy(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("per-group weighted sample: exact k per group, same priorities as flat, rank-bound pushed") {
+    val rows = (1L to 900L).map(i =>
+      (i, s"g${i % 3}", if (i <= 100) 500L else 5L)).toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(rows, "grp", "id", "w", 20)
+    val byGroup = got.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGroup == Map("g0" -> 20L, "g1" -> 20L, "g2" -> 20L), s"$byGroup")
+    // identical priority function: a group's sample = the flat A-ES
+    // sample of that group alone
+    val g1 = rows.filter(col("grp") === "g1")
+    val flat = Sampling.weightedSample(g1, "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    val strat = got.filter(col("grp") === "g1")
+      .select("id").as[Long].collect().toSet
+    assert(strat == flat)
+    // relayout-stable
+    val again = Sampling.weightedSamplePerGroup(rows.repartition(17),
+      "grp", "id", "w", 20).select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+    // the rank bound reaches below the sort (no full-group materialize)
+    got.collect()
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("pagerank: fixpoint on symmetric graphs, authority ordering, mass conserved") {
     // 2-cycle: uniform 0.5/0.5 is the exact fixpoint of every round
     val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
