@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence (funnel) analysis — the classic product
+  * query ("view → click → purchase: where do users drop off?") and,
+  * on a data pipeline, the ingest-health variant (crawled → cleaned →
+  * deduped → packed). First-occurrence semantics: a user reaches step
+  * k at the EARLIEST event of type k that is strictly later than
+  * their step-(k−1) time.
+  *
+  * Scale shape: one type-filtered map + user-keyed aggregate per
+  * step; each refinement joins the (users-sized, 2-column) reached
+  * table back shuffle-hash on the user key — never broadcast (at
+  * corpus scale the user table is big) and never a per-user sorted
+  * window over the full event stream. The final conversion table is
+  * |steps| rows; its window is driver-trivial.
+  */
+object Funnel {
+
+  /** Per-step reach and conversion for `steps` (ordered event types).
+    * Returns (step, step_name, n_users, conv_from_first,
+    * conv_from_prev) — one row per step, integer-ratio conversions
+    * rounded to 6. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val ev = events.select(col(userCol).as("user"),
+      col(typeCol).as("et"), col(tsCol).as("t"))
+    var prev: Option[DataFrame] = None
+    val frames = steps.map { s =>
+      val base = ev.filter(col("et") === s)
+      val reached = prev match {
+        case None =>
+          base.groupBy(col("user")).agg(min(col("t")).as("tprev"))
+        case Some(p) =>
+          base.hint("shuffle_hash").join(p.hint("shuffle_hash"), "user")
+            .filter(col("t") > col("tprev"))
+            .groupBy(col("user")).agg(min(col("t")).as("tprev"))
+      }
+      prev = Some(reached)
+      reached
+    }
+    val counts = frames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(s).as("step_name"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    // |steps| rows: the single-partition window is deliberate
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("conv_from_first",
+        round(col("n_users") / first(col("n_users")).over(w), 6))
+      .withColumn("conv_from_prev",
+        round(col("n_users")
+          / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
+      .orderBy(col("step"))
+  }
+}

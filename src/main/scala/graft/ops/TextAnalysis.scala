@@ -698,6 +698,107 @@ object TextAnalysis {
       lit(0.0), (acc, x) => acc + x))
   }
 
+  /** Collocation mining by pointwise mutual information over adjacent
+    * word pairs: PMI(w1,w2) = ln P(w1,w2) − ln P(w1) − ln P(w2) —
+    * the classic multi-word-expression detector ("new york",
+    * "machine learning") a tokenizer-vocabulary or phrase-merge pass
+    * feeds on. `minCount` suppresses the low-frequency PMI explosion
+    * (a pair seen once with rare words scores arbitrarily high).
+    *
+    * Determinism contract: the score is computed in LOG-DECOMPOSED
+    * form — a fixed left-associated chain of `ln` over integer
+    * counts — which is both order-independent (no float sums over
+    * data) and overflow-free at any corpus size, where the naive
+    * integer product cb·Nu² overflows BIGINT around 10¹⁹ (≈ tens of
+    * billions of tokens — real at 100 TB).
+    *
+    * Scale shape: bigram/unigram counting is explode → two-phase
+    * hash aggregate (map-side partials absorb the Zipf head); the
+    * count-vocabulary joins are shuffle-hash on the word key (vocab
+    * is corpus-sized, never broadcast); only the two single-row
+    * totals broadcast. Top-k plans as TakeOrdered. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val base = Parallelism.ensure(df).select(tokens(col(textCol)).as("ts"))
+    val uni = base.select(explode(col("ts")).as("w"))
+      .filter(length(col("w")) > 0)
+    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nu = uni.agg(count(lit(1)).as("nu"))
+    val bi = base.filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ts")) - 2),
+        i => struct(element_at(col("ts"), i + 1).as("w1"),
+          element_at(col("ts"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    cb.filter(col("cb") >= minCount)
+      .hint("shuffle_hash")
+      .join(cu.select(col("w").as("w1"), col("cu").as("cu1")).hint("shuffle_hash"), "w1")
+      .hint("shuffle_hash")
+      .join(cu.select(col("w").as("w2"), col("cu").as("cu2")).hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .withColumn("__pmi",
+        log(col("cb")) + log(col("nu")) + log(col("nu"))
+          - log(col("nb")) - log(col("cu1")) - log(col("cu2")))
+      .orderBy(col("__pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cb"), round(col("__pmi"), 6).as("pmi"))
+  }
+
+  /** Per-group distinctive terms by Dirichlet-smoothed log-odds
+    * z-score (Monroe, Colaresi & Quinn 2008, "Fightin' Words") —
+    * "what vocabulary distinguishes THIS source from the rest", the
+    * corpus-card diagnostic that raw TF-IDF gets wrong at both
+    * frequency extremes. For term w in group s vs the rest:
+    * δ = ln((c_sw+a)/(N_s+A−c_sw−a)) − ln((c_rw+a)/(N_r+A−c_rw−a)),
+    * z = δ / sqrt(1/(c_sw+a) + 1/(c_rw+a)), with A = a·|V|.
+    *
+    * Deterministic: a fixed IEEE tree over integer counts and the
+    * constant prior — no float aggregation anywhere — so the replay
+    * is hash-green.
+    *
+    * Scale shape: ONE tokenize/explode pass → (group, term) counts
+    * (two-phase aggregate); term totals, group totals and |V| all
+    * re-aggregate from that counts table, never the corpus. The
+    * term-total join is shuffle-hash on the term key (vocab-sized);
+    * the |groups|-row and single-row tables broadcast. Per-group
+    * top-k bounds the window via WindowGroupLimit. */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+      prior: Double = 0.5, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prior > 0, "prior must be positive")
+    val csw = Parallelism.ensure(df)
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c_sw"))
+    val cw = csw.groupBy(col("term")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy(col("grp")).agg(sum(col("c_sw")).as("n_s"))
+    val tot = cw.agg(sum(col("c_w")).as("n_tot"),
+      (count(lit(1)).cast("double") * prior).as("a_tot"))
+    val cRest = col("c_w") - col("c_sw")
+    val nRest = col("n_tot") - col("n_s")
+    val delta =
+      log((col("c_sw") + lit(prior))
+        / (col("n_s") + col("a_tot") - col("c_sw") - lit(prior))) -
+      log((cRest + lit(prior))
+        / (nRest + col("a_tot") - cRest - lit(prior)))
+    val z = delta / sqrt(lit(1.0) / (col("c_sw") + lit(prior))
+      + lit(1.0) / (cRest + lit(prior)))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__z").desc, col("term"))
+    csw.hint("shuffle_hash").join(cw.hint("shuffle_hash"), "term")
+      .join(broadcast(ns), "grp")
+      .crossJoin(broadcast(tot))
+      .withColumn("__z", z)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("grp"), col("term"), col("c_sw"),
+        round(col("__z"), 6).as("z_score"))
+  }
+
   /** BM25 retrieval ranking (Robertson/Okapi; the Lucene `+1` IDF so
     * scores stay positive): top-k documents for a bag-of-terms query —
     * the lexical-retrieval primitive next to the engine's dense ANN

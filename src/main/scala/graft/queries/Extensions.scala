@@ -2214,6 +2214,103 @@ object Extensions extends QueryModule {
         ORDER BY pr DESC, doc_id) <= 8
       ORDER BY source, doc_id"""))
 
+  /** Collocation PMI ([[graft.ops.TextAnalysis.collocations]]): top
+    * adjacent word pairs by pointwise mutual information. Hash-green:
+    * the log-decomposed score is a fixed chain of ln over integer
+    * counts — replayed term-for-term in SQL. */
+  private val x82Collocations = GraftQuery(
+    "x82_collocations",
+    (s, dir) => TextAnalysis.collocations(
+      Tables.documents(s, dir), "text", minCount = 5, k = 20)
+      .orderBy(col("w1"), col("w2")),
+    Some("""WITH t AS (
+        SELECT string_split_regex(lower(text), '\s+') AS ts FROM documents),
+      uni AS (
+        SELECT w FROM (SELECT unnest(ts) AS w FROM t) WHERE length(w) > 0),
+      cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY 1),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+      bi AS (
+        SELECT w1, w2 FROM (
+          SELECT ts[i + 1] AS w1, ts[i + 2] AS w2 FROM (
+            SELECT ts, unnest(range(len(ts) - 1)) AS i
+            FROM t WHERE len(ts) >= 2))
+        WHERE length(w1) > 0 AND length(w2) > 0),
+      cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+             FROM bi GROUP BY 1, 2),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bi),
+      scored AS (
+        SELECT w1, w2, cb,
+          ln(cb) + ln(nu) + ln(nu) - ln(nb) - ln(cu1.cu) - ln(cu2.cu) AS pmi
+        FROM cb
+        JOIN cu cu1 ON cb.w1 = cu1.w
+        JOIN cu cu2 ON cb.w2 = cu2.w
+        CROSS JOIN nb CROSS JOIN nu
+        WHERE cb >= 5)
+      SELECT w1, w2, cb, round(pmi, 6) AS pmi FROM scored
+      QUALIFY row_number() OVER (ORDER BY pmi DESC, w1, w2) <= 20
+      ORDER BY w1, w2"""))
+
+  /** Funnel analysis ([[graft.ops.Funnel.funnel]]): first-occurrence
+    * view → click → purchase reach per user, with step conversions.
+    * Hash-green: timestamps and integer-ratio divisions only. */
+  private val x83Funnel = GraftQuery(
+    "x83_funnel",
+    (s, dir) => graft.ops.Funnel.funnel(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      n AS (
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+      SELECT step, step_name, n_users,
+        round(n_users / first_value(n_users) OVER (ORDER BY step), 6)
+          AS conv_from_first,
+        round(n_users / COALESCE(lag(n_users) OVER (ORDER BY step), n_users), 6)
+          AS conv_from_prev
+      FROM n ORDER BY step"""))
+
+  /** Distinctive terms per source
+    * ([[graft.ops.TextAnalysis.distinctiveTerms]]): Dirichlet
+    * log-odds z-scores, top-5 per source. Hash-green: fixed IEEE
+    * tree over integer counts, mirrored term-for-term. */
+  private val x84DistinctiveTerms = GraftQuery(
+    "x84_distinctive_terms",
+    (s, dir) => TextAnalysis.distinctiveTerms(
+      Tables.documents(s, dir), "source", "text", prior = 0.5, k = 5)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"), col("term")),
+    Some("""WITH toks AS (
+        SELECT source AS grp,
+               unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents WHERE source IS NOT NULL),
+      tok2 AS (SELECT grp, term FROM toks WHERE length(term) > 0),
+      csw AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c_sw
+              FROM tok2 GROUP BY 1, 2),
+      cw AS (SELECT term, CAST(sum(c_sw) AS BIGINT) AS c_w
+             FROM csw GROUP BY 1),
+      ns AS (SELECT grp, CAST(sum(c_sw) AS BIGINT) AS n_s
+             FROM csw GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot,
+                     CAST(count(*) AS DOUBLE) * 0.5 AS a_tot FROM cw),
+      scored AS (
+        SELECT grp, term, c_sw,
+          (ln((c_sw + 0.5) / (n_s + a_tot - c_sw - 0.5))
+           - ln(((c_w - c_sw) + 0.5)
+                / ((n_tot - n_s) + a_tot - (c_w - c_sw) - 0.5)))
+          / sqrt(1.0 / (c_sw + 0.5) + 1.0 / ((c_w - c_sw) + 0.5)) AS z
+        FROM csw JOIN cw USING (term) JOIN ns USING (grp) CROSS JOIN tot)
+      SELECT grp AS source, term, c_sw, round(z, 6) AS z_score FROM scored
+      QUALIFY row_number() OVER (PARTITION BY grp ORDER BY z DESC, term) <= 5
+      ORDER BY source, term"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2236,7 +2333,8 @@ object Extensions extends QueryModule {
     x69BpeTrain, x70BpeEncode, x71AudioNearDup, x72StreamingSessions,
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
-    x80CharEntropy, x81WeightedSamplePerGroup)
+    x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
+    x84DistinctiveTerms)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

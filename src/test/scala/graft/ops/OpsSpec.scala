@@ -1781,6 +1781,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("collocations: planted phrase tops PMI, independent pair scores ~0, minCount gates") {
+    // 'san francisco' always adjacent; 'the' pairs with everything
+    val corpus = (1L to 60L).map(i =>
+      (i, s"the city of san francisco is the city w$i the end"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(corpus, "text", minCount = 5, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val sf = got(("san", "francisco"))
+    assert(sf._1 == 60L)
+    // P(san francisco) = P(san) = P(francisco) ⇒ PMI = −ln P(san) > 0,
+    // and it must beat every 'the *' pair (P(the) is huge)
+    assert(got.keys.forall { case (a, b) =>
+      (a == "san" && b == "francisco") || sf._2 >= got((a, b))._2 },
+      s"planted phrase not top: $got")
+    // pairs below minCount (each w$i appears once) never surface
+    assert(!got.keys.exists { case (a, b) => a.startsWith("w") || b.startsWith("w") })
+  }
+
+  test("funnel: strict ordering, out-of-order events don't count, exact conversions") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      (2L, t(1), "click"), (2L, t(2), "view"),    // click BEFORE view: no step 2
+      (3L, t(1), "view"),
+      (4L, t(1), "view"), (4L, t(2), "click"),
+      (5L, t(1), "purchase"), (5L, t(2), "view"), (5L, t(3), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, "view", 5L, 1.0, 1.0),
+      (2, "click", 3L, 0.6, 0.6),
+      (3, "purchase", 1L, 0.2, round6(1.0 / 3))), s"got ${got.toSeq}")
+  }
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("distinctive terms: planted vocabulary tops its group, shared words never do") {
+    val corpus = ((1L to 30L).map(i => (i, "a", "the data lake zebra holds zebra files")) ++
+      (31L to 60L).map(i => (i, "b", "the data lake quokka holds quokka files")))
+      .toDF("doc_id", "src", "text")
+    val got = TextAnalysis.distinctiveTerms(corpus, "src", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val topA = got.filter(_._1 == "a").maxBy(_._3)
+    val topB = got.filter(_._1 == "b").maxBy(_._3)
+    assert(topA._2 == "zebra" && topA._3 > 0, s"a: ${got.toSeq}")
+    assert(topB._2 == "quokka" && topB._3 > 0, s"b: ${got.toSeq}")
+    // perfectly shared vocabulary never ranks distinctive
+    assert(!got.exists { case (_, t, z) => t == "the" && z > 1.0 })
+    // symmetric corpus ⇒ symmetric scores
+    assert(topA._3 == topB._3)
+  }
+
   test("pagerank: fixpoint on symmetric graphs, authority ordering, mass conserved") {
     // 2-cycle: uniform 0.5/0.5 is the exact fixpoint of every round
     val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
