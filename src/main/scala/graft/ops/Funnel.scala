@@ -57,4 +57,36 @@ object Funnel {
           / coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 6))
       .orderBy(col("step"))
   }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first activity, and each (cohort, k) cell counts the cohort
+    * members active k weeks later — the standard engagement matrix,
+    * and on a data pipeline the re-crawl freshness matrix (how much
+    * of week-w's corpus is still being observed at week w+k).
+    *
+    * Deterministic: dates and integer counts only; retention is a
+    * single BIGINT-ratio division.
+    *
+    * Scale shape: activity reduces to distinct (user, week) in one
+    * exchange (weeks-per-user rows a user, not events); the cohort
+    * table derives from it and rejoins shuffle-hash on the user key;
+    * only the |cohorts|-row size table broadcasts. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val active = events.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val cohort = active.groupBy(col("user"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.hint("shuffle_hash").join(cohort.hint("shuffle_hash"), "user")
+      .withColumn("week_k",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_k"), col("n_active"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+  }
 }

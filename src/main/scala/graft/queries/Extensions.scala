@@ -2181,7 +2181,10 @@ object Extensions extends QueryModule {
     * replayed with DuckDB's list lambdas. */
   private val x80CharEntropy = GraftQuery(
     "x80_char_entropy",
-    (s, dir) => Tables.documents(s, dir)
+    // the entropy fold is the whole cost and the plan is otherwise
+    // exchange-free, so a 1-file scan would run it on ONE task —
+    // re-spread first (measured 7.2 s -> sub-second at sf0.1)
+    (s, dir) => graft.ops.Parallelism.ensure(Tables.documents(s, dir))
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("n_chars"),
         round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
@@ -2311,6 +2314,31 @@ object Extensions extends QueryModule {
       QUALIFY row_number() OVER (PARTITION BY grp ORDER BY z DESC, term) <= 5
       ORDER BY source, term"""))
 
+  /** Weekly cohort retention ([[graft.ops.Funnel.cohortRetention]]):
+    * first-activity-week cohorts × weeks-since. Hash-green: dates
+    * and integer-count ratios only. */
+  private val x85CohortRetention = GraftQuery(
+    "x85_cohort_retention",
+    (s, dir) => graft.ops.Funnel.cohortRetention(
+      Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_k")),
+    Some("""WITH ev AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        FROM events),
+      cohort AS (SELECT u, min(week) AS cohort_week FROM ev GROUP BY 1),
+      sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+                FROM cohort GROUP BY 1),
+      cells AS (
+        SELECT cohort_week,
+          CAST(floor(date_diff('day', cohort_week, week) / 7) AS INT) AS week_k,
+          CAST(count(*) AS BIGINT) AS n_active
+        FROM ev JOIN cohort USING (u) GROUP BY 1, 2)
+      SELECT cohort_week, week_k, n_active,
+        round(n_active / cohort_size, 6) AS retention
+      FROM cells JOIN sizes USING (cohort_week)
+      ORDER BY cohort_week, week_k"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2334,7 +2362,7 @@ object Extensions extends QueryModule {
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
-    x84DistinctiveTerms)
+    x84DistinctiveTerms, x85CohortRetention)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

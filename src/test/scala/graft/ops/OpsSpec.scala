@@ -1836,6 +1836,25 @@ class OpsSpec extends AnyFunSuite {
     assert(topA._3 == topB._3)
   }
 
+  test("cohort retention: exact matrix, k=0 is always full, gaps stay empty") {
+    // week starts (Mondays): 2024-01-01, -08, -15
+    def ts(d: Int, h: Int = 9) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)),          // u1: cohort w0, extra same-week event
+      (1L, ts(15)),                      // u1 returns in w2 (skips w1)
+      (2L, ts(3)),                       // u2: cohort w0, never returns
+      (3L, ts(8)), (3L, ts(16)))         // u3: cohort w1, returns w2 (k=1)
+      .toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => ((r.getDate(0).toString, r.getInt(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 1.0)),      // u1, u2
+      ("2024-01-01", 2) -> ((1L, 0.5)),      // u1 only; w1 cell absent
+      ("2024-01-08", 0) -> ((1L, 1.0)),      // u3
+      ("2024-01-08", 1) -> ((1L, 1.0))), s"got $got")
+  }
+
   test("pagerank: fixpoint on symmetric graphs, authority ordering, mass conserved") {
     // 2-cycle: uniform 0.5/0.5 is the exact fixpoint of every round
     val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
