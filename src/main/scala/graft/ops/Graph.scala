@@ -27,11 +27,22 @@ object Graph {
     * - Parallel edges are honored (each contributes), matching the
     *   plain edge-list reading.
     *
-    * Determinism contract (hash-green oracle): every round's inbound
-    * mass folds in SORTED order (`aggregate(sort_array(...))` — the
-    * CLAUDE.md float-sum rule), all other arithmetic is a fixed IEEE
-    * expression tree over (rank, BIGINT degree, BIGINT N), so the
-    * result is a pure function of the graph, independent of layout.
+    * Determinism contract (`exact = true`, the default): every
+    * round's inbound mass folds in SORTED order
+    * (`aggregate(sort_array(...))` — the CLAUDE.md float-sum rule),
+    * all other arithmetic is a fixed IEEE expression tree over
+    * (rank, BIGINT degree, BIGINT N), so the result is a pure
+    * function of the graph, independent of layout. The cost of that
+    * guarantee: `collect_list` has no map-side reduction, so a hub's
+    * ENTIRE in-neighbor contribution list ships through the shuffle
+    * and buffers on one task — fine for bounded-in-degree graphs and
+    * oracle verification, an OOM/straggler risk on power-law graphs
+    * where hubs reach 10⁷⁺ in-links. Pass `exact = false` for the
+    * scale path: a plain float `sum` with map-side partial
+    * aggregation (constant-size buffers, the standard Pregel
+    * reduce) whose result differs from the exact fold only by
+    * addition-order ulps — immaterial for ranking, just not
+    * bit-replayable.
     *
     * Scale shape: the degree-annotated edge list is shuffled ONCE onto
     * its src key and persisted; each round re-shuffles only the
@@ -43,7 +54,8 @@ object Graph {
     * legal because the final checkpoint has already materialized. */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", nodes: Option[DataFrame] = None,
-      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+      damping: Double = 0.85, iters: Int = 5,
+      exact: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(iters > 0, "iters must be positive")
     require(damping > 0 && damping < 1, "damping in (0, 1)")
@@ -60,12 +72,14 @@ object Graph {
         .select(col("id"), (lit(1.0) / col("n")).as("rank"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
-        val mass = e
+        val contribs = e
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
           .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("contrib"))
-          .groupBy(col("id"))
-          .agg(aggregate(sort_array(collect_list(col("contrib"))),
-            lit(0.0), (acc, x) => acc + x).as("mass"))
+        val mass = contribs.groupBy(col("id"))
+          .agg(if (exact)
+            aggregate(sort_array(collect_list(col("contrib"))),
+              lit(0.0), (acc, x) => acc + x).as("mass")
+          else sum(col("contrib")).as("mass"))
         ranks = nodeIds
           .join(mass, Seq("id"), "left")
           .crossJoin(nRow)

@@ -117,23 +117,6 @@ object Sampling {
       .drop("__n_min")
   }
 
-  /** Weighted sampling WITHOUT replacement, top-k (Efraimidis &
-    * Spirakis 2006, "Weighted random sampling with a reservoir" —
-    * the A-ES scheme): each row gets priority u^(1/w) for a uniform
-    * u, and the k highest priorities form an exact without-
-    * replacement weighted sample. Here u derives from the same
-    * Knuth multiplicative id-hash [[replayableMixture]] uses, so
-    * membership is a pure function of (id, weight): replayable in
-    * SQL, stable under relayout, and re-runnable (rank on
-    * `ln(u)/w` — monotone in u^(1/w), cheaper, no pow).
-    *
-    * Scale shape: priorities are a map-only projection over the
-    * scan; the top-k plans as TakeOrderedAndProject (per-partition
-    * heads, never a global sort). A near-ulp priority tie could in
-    * principle order differently across engines — adjacent order
-    * statistics of n draws sit ~1/n apart, ~10 orders of magnitude
-    * above ln()'s ulp error, so the replay is deterministic in
-    * practice (and the id tiebreak pins exact equality). */
   /** A-ES rank key `ln(u)/w` (monotone in u^(1/w)) from the Knuth
     * multiplicative id-hash — shared by [[weightedSample]] and
     * [[weightedSamplePerGroup]]. w ≤ 0 fails loudly IN the data
@@ -151,6 +134,23 @@ object Sampling {
     log(u) / w
   }
 
+  /** Weighted sampling WITHOUT replacement, top-k (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir" —
+    * the A-ES scheme): each row gets priority u^(1/w) for a uniform
+    * u, and the k highest priorities form an exact without-
+    * replacement weighted sample. Here u derives from the same
+    * Knuth multiplicative id-hash [[replayableMixture]] uses, so
+    * membership is a pure function of (id, weight): replayable in
+    * SQL, stable under relayout, and re-runnable (rank on
+    * `ln(u)/w` — monotone in u^(1/w), cheaper, no pow).
+    *
+    * Scale shape: priorities are a map-only projection over the
+    * scan; the top-k plans as TakeOrderedAndProject (per-partition
+    * heads, never a global sort). A near-ulp priority tie could in
+    * principle order differently across engines — adjacent order
+    * statistics of n draws sit ~1/n apart, ~10 orders of magnitude
+    * above ln()'s ulp error, so the replay is deterministic in
+    * practice (and the id tiebreak pins exact equality). */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -266,7 +266,15 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(priorityCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+    // NULL or non-positive token counts must fail loudly IN the data
+    // pass (same posture as aesPriority): a negative count shrinks
+    // the running sum and lets a doc BELOW the budget cut re-enter —
+    // the keep-set would silently stop being a prefix — and a NULL
+    // rides in free (window sum skips NULLs)
+    val toks = when(col(tokenCol).isNull || col(tokenCol) <= 0,
+        raise_error(lit("tokenBudget: token counts must be strictly positive")))
+      .otherwise(col(tokenCol))
+    df.withColumn("cum_tokens", sum(toks).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 

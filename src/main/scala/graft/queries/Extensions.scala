@@ -2035,7 +2035,7 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir)
         .filter(col("source").isNotNull && col("n_chars").isNotNull)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          size(split(lower(col("text")), "\\s+")).as("toks"))
+          TextAnalysis.tokenCount(col("text")).as("toks"))
       graft.ops.Sampling.tokenBudget(docs, "source", "doc_id",
         "toks", "n_chars", budget = 600L)
         .orderBy(col("source"), col("doc_id"))

@@ -1876,5 +1876,11 @@ class OpsSpec extends AnyFunSuite {
     val again = Graph.pageRank(star.repartition(7), iters = 10)
       .as[(Long, Double)].collect().toMap
     assert(again == r)
+    // the bounded-memory scale path (plain partial-agg sum) agrees
+    // with the exact fold up to addition-order ulps
+    val approx = Graph.pageRank(star, iters = 10, exact = false)
+      .as[(Long, Double)].collect().toMap
+    assert(r.keySet == approx.keySet)
+    r.foreach { case (id, v) => assert(math.abs(approx(id) - v) < 1e-12) }
   }
 }
