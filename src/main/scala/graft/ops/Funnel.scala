@@ -23,9 +23,12 @@ object Funnel {
   /** Per-step reach and conversion for `steps` (ordered event types).
     * Returns (step, step_name, n_users, conv_from_first,
     * conv_from_prev) — one row per step, integer-ratio conversions
-    * rounded to 6. */
+    * rounded to 6. `within` bounds each transition (step k within
+    * the interval of step k−1) — the "converted within 7 days"
+    * form; None leaves transitions unbounded. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
     val ev = events.select(col(userCol).as("user"),
       col(typeCol).as("et"), col(tsCol).as("t"))
@@ -36,8 +39,13 @@ object Funnel {
         case None =>
           base.groupBy(col("user")).agg(min(col("t")).as("tprev"))
         case Some(p) =>
+          // optional conversion window: step k must land within
+          // `within` of step k−1 ("purchase within 7 days of view")
+          val bound = within.map(iv =>
+            col("t") <= col("tprev") + expr(s"interval $iv"))
+            .getOrElse(lit(true))
           base.hint("shuffle_hash").join(p.hint("shuffle_hash"), "user")
-            .filter(col("t") > col("tprev"))
+            .filter(col("t") > col("tprev") && bound)
             .groupBy(col("user")).agg(min(col("t")).as("tprev"))
       }
       prev = Some(reached)
@@ -88,5 +96,34 @@ object Funnel {
       .join(broadcast(sizes), "cohort_week")
       .select(col("cohort_week"), col("week_k"), col("n_active"),
         round(col("n_active") / col("cohort_size"), 6).as("retention"))
+  }
+
+  /** Weekly churn: of the users active in week w, how many are NOT
+    * active in week w+1. A user churns at w when their next active
+    * week is more than 7 days out (or never comes — the final data
+    * week therefore reads 100% churned: right-censoring, not signal;
+    * judge it against the following weeks' baseline or trim it).
+    *
+    * Deterministic: dates and integer-count ratios only.
+    *
+    * Scale shape: distinct (user, week) in one exchange, then a
+    * per-user window over that user's ACTIVE WEEKS (a handful of
+    * narrow rows per user, never the event stream), then a tiny
+    * per-week aggregate. */
+  def weeklyChurn(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val active = events.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("user")).orderBy(col("week"))
+    active
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+      .withColumn("churned",
+        (col("next_week").isNull
+          || datediff(col("next_week"), col("week")) > 7).cast("int"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"), sum(col("churned")).as("n_churned"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        round(col("n_churned") / col("n_active"), 6).as("churn_rate"))
   }
 }

@@ -2339,6 +2339,59 @@ object Extensions extends QueryModule {
       FROM cells JOIN sizes USING (cohort_week)
       ORDER BY cohort_week, week_k"""))
 
+  /** Time-bounded funnel ([[graft.ops.Funnel.funnel]] with `within`):
+    * each step must land within 12 hours of the previous one — the
+    * "converted within the window" form. Hash-green. */
+  private val x86FunnelWithin = GraftQuery(
+    "x86_funnel_within",
+    (s, dir) => graft.ops.Funnel.funnel(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+      within = Some("12 hours")),
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+      s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND t > t1
+               AND t <= t1 + INTERVAL '12 hours' GROUP BY 1),
+      s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND t > t2
+               AND t <= t2 + INTERVAL '12 hours' GROUP BY 1),
+      n AS (
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+      SELECT step, step_name, n_users,
+        round(n_users / first_value(n_users) OVER (ORDER BY step), 6)
+          AS conv_from_first,
+        round(n_users / COALESCE(lag(n_users) OVER (ORDER BY step), n_users), 6)
+          AS conv_from_prev
+      FROM n ORDER BY step"""))
+
+  /** Weekly churn ([[graft.ops.Funnel.weeklyChurn]]): share of each
+    * week's active users absent the following week. Hash-green. */
+  private val x87WeeklyChurn = GraftQuery(
+    "x87_weekly_churn",
+    (s, dir) => graft.ops.Funnel.weeklyChurn(
+      Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("week")),
+    Some("""WITH active AS (
+        SELECT DISTINCT user_id AS u,
+          CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        FROM events),
+      marked AS (
+        SELECT week,
+          CASE WHEN lead(week) OVER (PARTITION BY u ORDER BY week) IS NULL
+                 OR date_diff('day', week,
+                      lead(week) OVER (PARTITION BY u ORDER BY week)) > 7
+               THEN 1 ELSE 0 END AS churned
+        FROM active)
+      SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(churned) AS BIGINT) AS n_churned,
+             round(sum(churned) / count(*), 6) AS churn_rate
+      FROM marked GROUP BY week ORDER BY week"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2362,7 +2415,7 @@ object Extensions extends QueryModule {
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
-    x84DistinctiveTerms, x85CohortRetention)
+    x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

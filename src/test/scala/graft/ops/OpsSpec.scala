@@ -1820,6 +1820,40 @@ class OpsSpec extends AnyFunSuite {
   }
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("funnel within-window: conversions past the bound don't count") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"),    // inside 3h: converts
+      (2L, t(1), "view"), (2L, t(9), "click"))    // 8h later: outside
+      .toDF("user_id", "ts", "event_type")
+    val within = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"), within = Some("3 hours"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(within == Map("view" -> 2L, "click" -> 1L), s"$within")
+    // unbounded keeps both conversions
+    val open = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(open("click") == 2L)
+  }
+
+  test("weekly churn: exact rates, final week fully right-censored") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    // weeks: w0=01-01, w1=01-08, w2=01-15
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(8)), (1L, ts(15)),  // u1 active every week
+      (2L, ts(2)),                             // u2 only w0 → churns at w0
+      (3L, ts(9)))                             // u3 only w1 → churns at w1
+      .toDF("user_id", "ts")
+    val got = Funnel.weeklyChurn(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString,
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 1L, 0.5)),
+      "2024-01-08" -> ((2L, 1L, 0.5)),
+      "2024-01-15" -> ((1L, 1L, 1.0))), s"got $got")  // censored tail
+  }
+
   test("distinctive terms: planted vocabulary tops its group, shared words never do") {
     val corpus = ((1L to 30L).map(i => (i, "a", "the data lake zebra holds zebra files")) ++
       (31L to 60L).map(i => (i, "b", "the data lake quokka holds quokka files")))
