@@ -1889,6 +1889,70 @@ class OpsSpec extends AnyFunSuite {
       ("2024-01-08", 1) -> ((1L, 1.0))), s"got $got")
   }
 
+  test("pagerank matches a plain-scala reference bit-for-bit on a dense random graph") {
+    def ref(edges: Seq[(Long, Long)], d: Double, iters: Int): Map[Long, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.size
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val inbound = edges.groupBy(_._2)
+        rank = nodes.map { v =>
+          val contribs = inbound.getOrElse(v, Nil)
+            .map { case (s, _) => rank(s) / outdeg(s) }.sorted
+          v -> ((1.0 - d) / n + d * contribs.foldLeft(0.0)(_ + _))
+        }.toMap
+      }
+      rank
+    }
+    // deterministic pseudo-random multigraph incl. parallel edges
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 1) % 40), (i, (i * 13 + 1) % 40)))
+    val expected = ref(edges, 0.85, 4)
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    // identical mirrored IEEE trees + sorted folds ⇒ bit equality
+    expected.foreach { case (id, v) =>
+      assert(got(id) == v, s"node $id: ${got(id)} != $v") }
+  }
+
+  test("bm25 matches a plain-scala reference on a varied corpus") {
+    val k1 = 1.2; val b = 0.75
+    def ref(docs: Seq[(Long, String)], q: Seq[String], k: Int): Seq[(Long, Long, Double)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val dl = toks.collect { case (id, ts) if ts.nonEmpty => id -> ts.size.toLong }.toMap
+      val nDocs = dl.size
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val tf = toks.flatMap { case (id, ts) =>
+        ts.filter(q.contains).groupBy(identity).map { case (w, g) =>
+          (id, w) -> g.size.toLong } }.toMap
+      val dfr = q.map(w => w -> tf.keys.count(_._2 == w).toLong).toMap
+      val scored = tf.keys.groupBy(_._1).map { case (id, keys) =>
+        val terms = keys.toSeq.map { case (_, w) =>
+          val idf = math.log((nDocs.toDouble - dfr(w) + 0.5) / (dfr(w) + 0.5) + 1.0)
+          idf * (tf((id, w)) * (k1 + 1.0)) /
+            (tf((id, w)) + k1 * ((1.0 - b) + b * (dl(id) / avgdl)))
+        }.sorted
+        (id, keys.size.toLong, terms.foldLeft(0.0)(_ + _))
+      }.toSeq
+      scored.sortBy { case (id, _, s) => (-s, id) }.take(k)
+        .map { case (id, m, s) => (id, m, s) }
+    }
+    val docs = (1L to 30L).map(i => (i,
+      (1L to (i % 5 + 3)).map(j => s"w${(i * j) % 11}").mkString(" ")))
+    val q = Seq("w0", "w3", "w7")
+    val expected = ref(docs, q, 8)
+    val got = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"), "doc_id",
+      "text", q, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      expected.map(t => (t._1, t._2)), s"\ngot $got\nexp $expected")
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - math.round(e * 1e4) / 1e4) < 1e-9, s"$g vs $e") }
+  }
+
   test("pagerank: fixpoint on symmetric graphs, authority ordering, mass conserved") {
     // 2-cycle: uniform 0.5/0.5 is the exact fixpoint of every round
     val cycle = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
