@@ -93,4 +93,40 @@ object CorpusQuality {
         round(avg(col("__w")), 4).as("mean_winsorized"),
         round(stddev(col("__w")), 4).as("stddev_winsorized"))
   }
+
+  /** Robust per-group outlier scoring by median/MAD z (Iglewicz &
+    * Hoaglin's modified z-score, 1.4826 ≈ 1/Φ⁻¹(3/4) making MAD
+    * consistent with σ under normality): unlike mean/stddev, the
+    * cutoff itself can't be dragged by the outliers it's hunting —
+    * the right length/score gate for corpus curation where a few
+    * monster documents wreck moment-based thresholds.
+    *
+    * Deterministic: both statistics are order statistics
+    * (interpolated percentiles — no float accumulation over data
+    * order), the z is a fixed IEEE tree — hash-green replay.
+    * Degenerate groups (MAD = 0: at least half the values AT the
+    * median) get NULL z; their outlier flag falls back to
+    * value ≠ median.
+    *
+    * Scale shape: two grouped percentile aggregations (each one
+    * exchange over (group, value) pairs), the |groups|-row stats
+    * broadcast back, and the scoring pass is map-only over the
+    * scan. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, "cutoff must be positive")
+    val v = col(valueCol).cast("double")
+    val med = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(percentile(v, lit(0.5)).as("__med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(min(col("__med")).as("__med"),
+        percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    val z = (v - col("__med")) / (lit(1.4826) * col("__mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z", when(col("__mad") > 0, z))
+      .withColumn("is_outlier",
+        when(col("__mad") > 0, abs(z) > cutoff).otherwise(v =!= col("__med")))
+      .drop("__med", "__mad")
+  }
 }

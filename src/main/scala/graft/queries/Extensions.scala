@@ -2392,6 +2392,35 @@ object Extensions extends QueryModule {
              round(sum(churned) / count(*), 6) AS churn_rate
       FROM marked GROUP BY week ORDER BY week"""))
 
+  /** Robust outlier scores
+    * ([[graft.quality.CorpusQuality.robustOutliers]]): per-source
+    * median/MAD z over n_chars. Hash-green: order statistics + a
+    * fixed IEEE tree (quantile_cont ↔ percentile, the x26 pairing). */
+  private val x88RobustOutliers = GraftQuery(
+    "x88_robust_outliers",
+    (s, dir) => graft.quality.CorpusQuality.robustOutliers(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars", cutoff = 3.5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
+      .orderBy(col("doc_id")),
+    Some("""WITH med AS (
+        SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      stats AS (
+        SELECT source, min(med) AS med,
+          quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+        FROM documents JOIN med USING (source) GROUP BY 1)
+      SELECT doc_id, source, n_chars,
+        round(CASE WHEN mad > 0
+          THEN (CAST(n_chars AS DOUBLE) - med) / (1.4826 * mad) END, 6)
+          AS robust_z,
+        CASE WHEN mad > 0
+          THEN abs((CAST(n_chars AS DOUBLE) - med) / (1.4826 * mad)) > 3.5
+          ELSE CAST(n_chars AS DOUBLE) != med END AS is_outlier
+      FROM documents JOIN stats USING (source)
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2415,7 +2444,8 @@ object Extensions extends QueryModule {
     x73CorpusDiff, x74WeightedSample, x75MixtureSchedule,
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
-    x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn)
+    x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
+    x88RobustOutliers)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1820,6 +1820,24 @@ class OpsSpec extends AnyFunSuite {
   }
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
+    val rows = ((1L to 20L).map(i => (i, "g1", 100L + i % 7)) ++
+      Seq((21L, "g1", 10000L)) ++                 // the monster
+      (30L to 39L).map(i => (i, "g2", 50L)) ++    // constant group...
+      Seq((40L, "g2", 51L)))                      // ...one deviator: MAD = 0
+      .toDF("doc_id", "source", "n_chars")
+    val got = graft.quality.CorpusQuality.robustOutliers(
+      rows, "source", "n_chars")
+      .select("doc_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(21L), "monster not flagged")
+    // a mean/std z would be dragged so far by the monster that nothing
+    // else could flag; MAD keeps every normal doc unflagged AND the
+    // monster flagged
+    assert((1L to 20L).forall(i => !got(i)), s"false positives: $got")
+    // degenerate group: MAD = 0 → the deviator flags via the fallback
+    assert(got(40L) && (30L to 39L).forall(i => !got(i)))
+  }
+
   test("funnel within-window: conversions past the bound don't count") {
     def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
     val ev = Seq(
