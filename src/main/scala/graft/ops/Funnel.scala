@@ -126,4 +126,49 @@ object Funnel {
       .select(col("week"), col("n_active"), col("n_churned"),
         round(col("n_churned") / col("n_active"), 6).as("churn_rate"))
   }
+
+  /** Rolling `windowDays`-day unique users per day via per-day HLL
+    * sketches merged across the window — THE scale pattern for
+    * rolling distincts: COUNT(DISTINCT) cannot be merged across
+    * days (each window re-scans its raw events), but sketches union
+    * in O(sketch size), so the event stream is aggregated exactly
+    * ONCE and every window after that touches |days| kilobyte-sized
+    * sketch rows. Datasketches HLL (`hll_sketch_agg`), ~1.6%
+    * relative error at the default lgK=12.
+    *
+    * Sketch estimates are not ANSI-replayable → rows-only at the
+    * driver; [[rollingUniqueUsersExact]] is the hash-green twin and
+    * the spec pins the estimate against it. */
+  def rollingUniqueUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
+      .groupBy(col("day")).agg(hll_sketch_agg(col("user")).as("sk"))
+    val d2 = daily.select(col("day").as("day2"), col("sk"))
+    daily.select(col("day"))
+      .join(d2, col("day2").between(
+        date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_uniques"))
+  }
+
+  /** Exact twin of [[rollingUniqueUsers]]: distinct (day, user) once
+    * (the only event-stream exchange), then the |days|-bounded range
+    * join re-counts each window. Correct at any scale but the window
+    * expansion re-ships each day's user set `windowDays` times —
+    * which is exactly the cost the sketch variant deletes. */
+  def rollingUniqueUsersExact(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    days.join(du.select(col("day").as("day2"), col("user")),
+        col("day2").between(date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user")).as("n_uniques"))
+  }
 }

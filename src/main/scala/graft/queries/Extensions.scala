@@ -2421,6 +2421,33 @@ object Extensions extends QueryModule {
       FROM documents JOIN stats USING (source)
       ORDER BY doc_id"""))
 
+  /** Rolling 7-day uniques, HLL-merged
+    * ([[graft.ops.Funnel.rollingUniqueUsers]]). Sketch estimates
+    * aren't ANSI-replayable → rows-only; x90 is the exact hash-green
+    * twin, and the spec pins the estimate against it. */
+  private val x89RollingUniquesHll = GraftQuery(
+    "x89_rolling_uniques_hll",
+    (s, dir) => graft.ops.Funnel.rollingUniqueUsers(
+      Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("day")),
+    None)
+
+  /** Exact rolling 7-day uniques
+    * ([[graft.ops.Funnel.rollingUniqueUsersExact]]) — x89's
+    * hash-green twin. */
+  private val x90RollingUniquesExact = GraftQuery(
+    "x90_rolling_uniques_exact",
+    (s, dir) => graft.ops.Funnel.rollingUniqueUsersExact(
+      Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("day")),
+    Some("""WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du)
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_uniques
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1 ORDER BY 1"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2445,7 +2472,7 @@ object Extensions extends QueryModule {
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
     x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
-    x88RobustOutliers)
+    x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1820,6 +1820,25 @@ class OpsSpec extends AnyFunSuite {
   }
   private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
 
+  test("rolling uniques: sketch tracks exact within HLL error, windows actually roll") {
+    val ev = graft.Tables.events(spark, graft.SparkTestSession.sfDir)
+    val exact = Funnel.rollingUniqueUsersExact(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val approx = Funnel.rollingUniqueUsers(ev, "user_id", "ts")
+      .as[(java.sql.Date, Double)].collect().toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (day, n) =>
+      val e = approx(day)
+      assert(math.abs(e - n) <= math.max(2.0, 0.03 * n),
+        s"$day: sketch $e vs exact $n") }
+    // the window must exceed any single day (it accumulates)
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count()
+      .as[(java.sql.Date, Long)].collect().toMap
+    val growing = exact.count { case (d, n) => n > daily(d) }
+    assert(growing > exact.size / 2, "rolling windows never exceed daily uniques")
+  }
+
   test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
     val rows = ((1L to 20L).map(i => (i, "g1", 100L + i % 7)) ++
       Seq((21L, "g1", 10000L)) ++                 // the monster
