@@ -154,6 +154,36 @@ object Funnel {
         .as("approx_uniques"))
   }
 
+  /** First-order event-transition matrix: P(next event type | current
+    * event type) over each user's time-ordered stream — the Markov
+    * summary behind "what do users do after an error?" and the
+    * session-model prior a sequence-aware sampler needs. `idCol`
+    * breaks timestamp ties so the per-user order (and therefore the
+    * result) is total and replayable.
+    *
+    * Deterministic: integer pair counts and one BIGINT-ratio division.
+    *
+    * Scale shape: one hash shuffle on the user key for the per-user
+    * window (narrow columns: user, ts, id, type), then a tiny
+    * |types|²-bounded aggregate; the row-count table rejoins
+    * broadcast. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user")).orderBy(col("t"), col("eid"))
+    val pairs = events
+      .select(col(userCol).as("user"), col(tsCol).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .withColumn("prev_type", lag(col("et"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("et").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_prev"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n") / col("n_prev"), 6).as("p"))
+  }
+
   /** Exact twin of [[rollingUniqueUsers]]: distinct (day, user) once
     * (the only event-stream exchange), then the |days|-bounded range
     * join re-counts each window. Correct at any scale but the window

@@ -2448,6 +2448,32 @@ object Extensions extends QueryModule {
       FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Event-transition matrix ([[graft.ops.Funnel.eventTransitions]]):
+    * P(next | current) over per-user time-ordered streams, event_id
+    * breaking timestamp ties. Hash-green: integer pair counts + one
+    * ratio. */
+  private val x91EventTransitions = GraftQuery(
+    "x91_event_transitions",
+    (s, dir) => graft.ops.Funnel.eventTransitions(
+      Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("prev_type"), col("next_type")),
+    Some("""WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+               event_id AS eid, event_type AS et
+        FROM events),
+      seq AS (
+        SELECT et, lag(et) OVER (PARTITION BY u ORDER BY t, eid) AS prev_type
+        FROM ev),
+      pairs AS (
+        SELECT prev_type, et AS next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
+        FROM pairs GROUP BY 1)
+      SELECT prev_type, next_type, n, round(n / n_prev, 6) AS p
+      FROM pairs JOIN tot USING (prev_type)
+      ORDER BY prev_type, next_type"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2472,7 +2498,8 @@ object Extensions extends QueryModule {
     x76Bm25TopK, x77TokenBudget, x78PageRank, x79StreamingDedup,
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
     x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
-    x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact)
+    x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact,
+    x91EventTransitions)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -1839,6 +1839,28 @@ class OpsSpec extends AnyFunSuite {
     assert(growing > exact.size / 2, "rolling windows never exceed daily uniques")
   }
 
+  test("event transitions: exact matrix on a hand sequence, rows are stochastic") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: a→b→a→c  (a→b, b→a, a→c); u2: a→b  — transitions never
+    // cross user boundaries
+    val ev = Seq(
+      (1L, t(1), 10L, "a"), (1L, t(2), 11L, "b"),
+      (1L, t(3), 12L, "a"), (1L, t(4), 13L, "c"),
+      (2L, t(9), 20L, "a"), (2L, t(10), 21L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.eventTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, round6(2.0 / 3))),
+      ("a", "c") -> ((1L, round6(1.0 / 3))),
+      ("b", "a") -> ((1L, 1.0))), s"got $got")
+    // each prev row sums to ~1
+    got.keys.map(_._1).toSet.foreach { p: String =>
+      val s = got.collect { case ((`p`, _), (_, pr)) => pr }.sum
+      assert(math.abs(s - 1.0) < 1e-5, s"row $p sums to $s") }
+  }
+
   test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
     val rows = ((1L to 20L).map(i => (i, "g1", 100L + i % 7)) ++
       Seq((21L, "g1", 10000L)) ++                 // the monster
