@@ -25,7 +25,15 @@ object Funnel {
     * conv_from_prev) — one row per step, integer-ratio conversions
     * rounded to 6. `within` bounds each transition (step k within
     * the interval of step k−1) — the "converted within 7 days"
-    * form; None leaves transitions unbounded. */
+    * form; None leaves transitions unbounded.
+    *
+    * `within` uses FIRST-TOUCH anchoring (the Amplitude-style
+    * convention): the window opens at the user's first step-(k−1)
+    * reach time and never re-anchors, so a user whose anchor event
+    * repeats and who converts inside a LATER anchor's window counts
+    * as not converted. That is a deliberate semantics choice —
+    * any-touch matching is sequential pattern search (per-pair range
+    * joins), a different and far heavier operator. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
       within: Option[String] = None): DataFrame = {
@@ -79,11 +87,26 @@ object Funnel {
     * exchange (weeks-per-user rows a user, not events); the cohort
     * table derives from it and rejoins shuffle-hash on the user key;
     * only the |cohorts|-row size table broadcasts. */
-  def cohortRetention(events: DataFrame, userCol: String,
-      tsCol: String): DataFrame = {
-    val active = events.select(col(userCol).as("user"),
+  /** Distinct (user, activity week) — the shared reduction behind
+    * [[cohortRetention]] and [[weeklyChurn]]; one definition so week
+    * semantics (truncation, timezone) can never diverge between the
+    * two matrices. */
+  private def activeWeeks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events.select(col(userCol).as("user"),
       date_trunc("week", col(tsCol)).cast("date").as("week"))
       .distinct()
+
+  /** Distinct-less (day, user) projection shared by the rolling-
+    * uniques pair — same single-definition rationale as
+    * [[activeWeeks]]. */
+  private def dailyUsers(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events.select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
+
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val active = activeWeeks(events, userCol, tsCol)
     val cohort = active.groupBy(col("user"))
       .agg(min(col("week")).as("cohort_week"))
     val sizes = cohort.groupBy(col("cohort_week"))
@@ -112,9 +135,7 @@ object Funnel {
     * per-week aggregate. */
   def weeklyChurn(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
-    val active = events.select(col(userCol).as("user"),
-      date_trunc("week", col(tsCol)).cast("date").as("week"))
-      .distinct()
+    val active = activeWeeks(events, userCol, tsCol)
     val w = Window.partitionBy(col("user")).orderBy(col("week"))
     active
       .withColumn("next_week", lead(col("week"), 1).over(w))
@@ -142,11 +163,17 @@ object Funnel {
   def rollingUniqueUsers(events: DataFrame, userCol: String,
       tsCol: String, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val daily = events
-      .select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
+    // checkpoint the (|days|-row) sketch table: it feeds BOTH sides
+    // of the range join, and column pruning would otherwise give the
+    // days-only side a canonically different aggregate — no
+    // ReusedExchange, a second full event scan
+    val daily = dailyUsers(events, userCol, tsCol)
       .groupBy(col("day")).agg(hll_sketch_agg(col("user")).as("sk"))
+      .localCheckpoint(true)
     val d2 = daily.select(col("day").as("day2"), col("sk"))
-    daily.select(col("day"))
+    // non-equi join: broadcast the bounded day list explicitly or
+    // join selection is left to size estimates (the x43 lesson)
+    broadcast(daily.select(col("day")))
       .join(d2, col("day2").between(
         date_sub(col("day"), windowDays - 1), col("day")))
       .groupBy(col("day"))
@@ -192,11 +219,13 @@ object Funnel {
   def rollingUniqueUsersExact(events: DataFrame, userCol: String,
       tsCol: String, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val du = events
-      .select(to_date(col(tsCol)).as("day"), col(userCol).as("user"))
-      .distinct()
+    val du = dailyUsers(events, userCol, tsCol).distinct()
     val days = du.select(col("day")).distinct()
-    days.join(du.select(col("day").as("day2"), col("user")),
+    // the |days|-row side of a non-equi join MUST broadcast
+    // explicitly: size estimates deciding otherwise would either
+    // cartesian |days| × |day,user| or broadcast the corpus side
+    broadcast(days)
+      .join(du.select(col("day").as("day2"), col("user")),
         col("day2").between(date_sub(col("day"), windowDays - 1), col("day")))
       .groupBy(col("day"))
       .agg(countDistinct(col("user")).as("n_uniques"))

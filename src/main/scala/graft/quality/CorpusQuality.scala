@@ -106,7 +106,9 @@ object CorpusQuality {
     * order), the z is a fixed IEEE tree — hash-green replay.
     * Degenerate groups (MAD = 0: at least half the values AT the
     * median) get NULL z; their outlier flag falls back to
-    * value ≠ median.
+    * value ≠ median. Rows with a NULL group key are PRESERVED with
+    * NULL z and NULL flag (no statistics exist for them) — a
+    * curation caller never silently loses documents.
     *
     * Scale shape: two grouped percentile aggregations (each one
     * exchange over (group, value) pairs), the |groups|-row stats
@@ -123,10 +125,11 @@ object CorpusQuality {
       .agg(min(col("__med")).as("__med"),
         percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
     val z = (v - col("__med")) / (lit(1.4826) * col("__mad"))
-    df.join(broadcast(mad), Seq(groupCol))
+    df.join(broadcast(mad), Seq(groupCol), "left")
       .withColumn("robust_z", when(col("__mad") > 0, z))
       .withColumn("is_outlier",
-        when(col("__mad") > 0, abs(z) > cutoff).otherwise(v =!= col("__med")))
+        when(col("__mad") > 0, abs(z) > cutoff)
+          .when(col("__mad") === 0, v =!= col("__med")))
       .drop("__med", "__mad")
   }
 }

@@ -2032,8 +2032,11 @@ object Extensions extends QueryModule {
   private val x77TokenBudget = GraftQuery(
     "x77_token_budget",
     (s, dir) => {
+      // text guard: a NULL text would hit tokenBudget's loud
+      // raise_error while the oracle silently excluded the row
       val docs = Tables.documents(s, dir)
-        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .filter(col("source").isNotNull && col("n_chars").isNotNull
+          && col("text").isNotNull)
         .select(col("doc_id"), col("source"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).as("toks"))
       graft.ops.Sampling.tokenBudget(docs, "source", "doc_id",
@@ -2049,7 +2052,8 @@ object Extensions extends QueryModule {
         SELECT doc_id, source, n_chars,
           CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS toks
         FROM documents
-        WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+          AND text IS NOT NULL)
       QUALIFY cum_tokens <= 600
       ORDER BY source, doc_id"""))
 
@@ -2417,8 +2421,9 @@ object Extensions extends QueryModule {
           AS robust_z,
         CASE WHEN mad > 0
           THEN abs((CAST(n_chars AS DOUBLE) - med) / (1.4826 * mad)) > 3.5
-          ELSE CAST(n_chars AS DOUBLE) != med END AS is_outlier
-      FROM documents JOIN stats USING (source)
+          WHEN mad = 0 THEN CAST(n_chars AS DOUBLE) != med
+          END AS is_outlier
+      FROM documents LEFT JOIN stats USING (source)
       ORDER BY doc_id"""))
 
   /** Rolling 7-day uniques, HLL-merged

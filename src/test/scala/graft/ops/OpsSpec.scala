@@ -1877,6 +1877,15 @@ class OpsSpec extends AnyFunSuite {
     assert((1L to 20L).forall(i => !got(i)), s"false positives: $got")
     // degenerate group: MAD = 0 → the deviator flags via the fallback
     assert(got(40L) && (30L to 39L).forall(i => !got(i)))
+    // NULL group keys are preserved with NULL score and flag, never dropped
+    val withNull = rows.unionByName(
+      Seq((99L, null.asInstanceOf[String], 123L)).toDF("doc_id", "source", "n_chars"))
+    val r99 = graft.quality.CorpusQuality.robustOutliers(
+      withNull, "source", "n_chars")
+      .filter(col("doc_id") === 99L).collect()
+    assert(r99.length == 1)
+    assert(r99.head.isNullAt(r99.head.fieldIndex("robust_z")))
+    assert(r99.head.isNullAt(r99.head.fieldIndex("is_outlier")))
   }
 
   test("funnel within-window: conversions past the bound don't count") {
