@@ -114,6 +114,27 @@ object CorpusQuality {
     * exchange over (group, value) pairs), the |groups|-row stats
     * broadcast back, and the scoring pass is map-only over the
     * scan. */
+  /** Per-group percentile-rank normalization: replace a raw score
+    * with its rank position inside its own group, in [0, 1] — the
+    * calibration step before comparing or mixing quality scores
+    * ACROSS sources (a 0.8 from a lenient scorer and a 0.8 from a
+    * harsh one mean different things; their percentiles don't).
+    * `percent_rank` = (rank − 1)/(n − 1): ties share a rank on both
+    * engines, single-row groups get 0.
+    *
+    * Deterministic: percent_rank is a pure function of the value
+    * MULTISET — ties share a rank, so no tiebreak is needed and the
+    * replay is layout-independent by construction.
+    *
+    * Scale shape: one hash shuffle on the group key; only (id,
+    * group, value) flow through the window. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.withColumn("pct_rank", round(percent_rank().over(w), 9))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double = 3.5): DataFrame = {
     require(cutoff > 0, "cutoff must be positive")

@@ -2479,6 +2479,22 @@ object Extensions extends QueryModule {
       FROM pairs JOIN tot USING (prev_type)
       ORDER BY prev_type, next_type"""))
 
+  /** Percentile-rank normalization
+    * ([[graft.quality.CorpusQuality.percentileNormalize]]): n_chars
+    * calibrated to its within-source rank position. Hash-green:
+    * rank arithmetic over the value multiset. */
+  private val x92PercentileNormalize = GraftQuery(
+    "x92_percentile_normalize",
+    (s, dir) => graft.quality.CorpusQuality.percentileNormalize(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source, n_chars,
+        round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 9)
+          AS pct_rank
+      FROM documents ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2504,7 +2520,7 @@ object Extensions extends QueryModule {
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
     x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
     x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact,
-    x91EventTransitions)
+    x91EventTransitions, x92PercentileNormalize)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

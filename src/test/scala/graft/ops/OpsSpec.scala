@@ -1861,6 +1861,22 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-5, s"row $p sums to $s") }
   }
 
+  test("percentile normalization: ties share ranks, extremes pin 0/1, scorers calibrate") {
+    // two "scorers": g1 scores in 0..100, g2 in 0..1 — after
+    // normalization the same relative position gets the same value
+    val rows = (Seq((1L, "g1", 10L), (2L, "g1", 50L), (3L, "g1", 50L),
+      (4L, "g1", 90L)) ++ Seq((11L, "g2", 0L), (12L, "g2", 1L),
+      (13L, "g2", 1L), (14L, "g2", 2L)))
+      .toDF("doc_id", "source", "score")
+    val got = graft.quality.CorpusQuality.percentileNormalize(
+      rows, "source", "score")
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(11L) == 0.0)
+    assert(got(4L) == 1.0 && got(14L) == 1.0)
+    assert(got(2L) == got(3L) && got(2L) == got(12L)) // ties share; scales align
+    assert(got.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
   test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
     val rows = ((1L to 20L).map(i => (i, "g1", 100L + i % 7)) ++
       Seq((21L, "g1", 10000L)) ++                 // the monster
