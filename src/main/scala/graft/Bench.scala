@@ -77,8 +77,9 @@ object Bench {
     val cpuNs = new java.util.concurrent.atomic.LongAdder
     val runMs = new java.util.concurrent.atomic.LongAdder
     val stages = new java.util.concurrent.atomic.LongAdder
-    if (profiling) spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
+    val listener: Option[org.apache.spark.scheduler.SparkListener] =
+      if (!profiling) None
+      else Some(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val m = e.stageInfo.taskMetrics
@@ -88,7 +89,8 @@ object Bench {
           }
         }
       })
-    val results = ordered.map { case (name, fn) =>
+    listener.foreach(spark.sparkContext.addSparkListener)
+    val results = try ordered.map { case (name, fn) =>
       if (profiling) { cpuNs.reset(); runMs.reset(); stages.reset() }
       val t0 = System.nanoTime()
       try { materialize(name, fn(spark, sfDir)) } catch {
@@ -104,6 +106,10 @@ object Bench {
           f"stages=${stages.sum}")
       }
       name -> wall
+    } finally {
+      // a second profiled runBench in this JVM must not double-count:
+      // the LongAdders are shared, so a leaked listener keeps feeding
+      listener.foreach(spark.sparkContext.removeSparkListener)
     }
     val total = results.map(_._2).sum
     // full-name, full-precision line — archived to a file (complete

@@ -94,6 +94,35 @@ object CorpusQuality {
         round(stddev(col("__w")), 4).as("stddev_winsorized"))
   }
 
+  /** Per-group percentile-rank normalization: replace a raw score
+    * with its rank position inside its own group, in [0, 1] — the
+    * calibration step before comparing or mixing quality scores
+    * ACROSS sources (a 0.8 from a lenient scorer and a 0.8 from a
+    * harsh one mean different things; their percentiles don't).
+    * `percent_rank` = (rank − 1)/(n − 1): ties share a rank on both
+    * engines, single-row groups get 0.
+    *
+    * Deterministic: percent_rank is a pure function of the value
+    * MULTISET — ties share a rank, so no tiebreak is needed and the
+    * replay is layout-independent by construction. NULL values get
+    * NULL pct_rank and are EXCLUDED from the rank denominator —
+    * engine-default null ordering differs across engines (Spark ASC
+    * puts NULLs first, DuckDB last), so ranking them would both
+    * misrank and break replay; a NULL score has no rank position.
+    *
+    * Scale shape: one hash shuffle on the (group, value IS NULL)
+    * key; only (id, group, value) flow through the window. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NULL values ride a separate window partition so they can't
+    // perturb the non-null ranks, and emit NULL pct_rank
+    val w = Window.partitionBy(col(groupCol), col(valueCol).isNull)
+      .orderBy(col(valueCol))
+    df.withColumn("pct_rank",
+      when(col(valueCol).isNotNull, round(percent_rank().over(w), 9)))
+  }
+
   /** Robust per-group outlier scoring by median/MAD z (Iglewicz &
     * Hoaglin's modified z-score, 1.4826 ≈ 1/Φ⁻¹(3/4) making MAD
     * consistent with σ under normality): unlike mean/stddev, the
@@ -114,27 +143,6 @@ object CorpusQuality {
     * exchange over (group, value) pairs), the |groups|-row stats
     * broadcast back, and the scoring pass is map-only over the
     * scan. */
-  /** Per-group percentile-rank normalization: replace a raw score
-    * with its rank position inside its own group, in [0, 1] — the
-    * calibration step before comparing or mixing quality scores
-    * ACROSS sources (a 0.8 from a lenient scorer and a 0.8 from a
-    * harsh one mean different things; their percentiles don't).
-    * `percent_rank` = (rank − 1)/(n − 1): ties share a rank on both
-    * engines, single-row groups get 0.
-    *
-    * Deterministic: percent_rank is a pure function of the value
-    * MULTISET — ties share a rank, so no tiebreak is needed and the
-    * replay is layout-independent by construction.
-    *
-    * Scale shape: one hash shuffle on the group key; only (id,
-    * group, value) flow through the window. */
-  def percentileNormalize(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    df.withColumn("pct_rank", round(percent_rank().over(w), 9))
-  }
-
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double = 3.5): DataFrame = {
     require(cutoff > 0, "cutoff must be positive")
