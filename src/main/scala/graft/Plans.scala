@@ -51,7 +51,11 @@ object Plans {
     "x80_char_entropy" -> "entropy folds INSIDE the row (higher-order functions over the char array) — the expression itself needs no exchange (spec-asserted); the carrier query re-spreads an under-split scan first or the whole fold lands on one task (7.2s -> 0.9s warm at sf0.1)",
     "x82_collocations" -> "bigram/unigram counts are two-phase hash aggregates; vocab joins shuffle-hash on the word key (never broadcast); only the two single-row totals broadcast; top-k is TakeOrdered",
     "x84_distinctive_terms" -> "one tokenize/explode pass; term totals, group totals and |V| re-aggregate from the (group,term) counts table — the corpus is never re-scanned; WindowGroupLimit bounds the per-group rank",
-    "x85_cohort_retention" -> "activity reduced to distinct (user, week) in one exchange; cohort table rejoins shuffle-hash on the user key; |cohorts|-row sizes broadcast back")
+    "x85_cohort_retention" -> "activity reduced to distinct (user, week) in one exchange; cohort table rejoins shuffle-hash on the user key; |cohorts|-row sizes broadcast back",
+    "x93_source_cap" -> "one hash shuffle on the group key; rank<=k plans as WindowGroupLimit — each map task pre-prunes to its local top-k before the exchange",
+    "x94_dsir_weights" -> "bigramLogprob's shape: one index-explode gram pass at an exchange; <=B-row bucket models broadcast; scoring join + per-doc sorted fold — corpus text never shuffles",
+    "x95_contamination_verify" -> "bounded eval side broadcast; Levenshtein projection evaluated only AFTER the shared-trigram filter (O(len^2) per pair, never all-pairs)",
+    "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg; winners rejoin on the segment key (exchange reuse); rebuild is one shuffle on doc id")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -460,6 +460,52 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Edit-distance contamination VERIFY — the exact second stage
+    * after a sketch decontamination sweep ([[crossContainmentCandidates]]
+    * / [[bloomDecontaminate]] surface candidates; this confirms or
+    * clears them): candidate (train, eval) pairs come from shared
+    * distinct word trigrams (SQL-replayable, so the whole verdict
+    * is oracle-checkable), then each candidate gets a normalized
+    * Levenshtein similarity 1 − lev/max(len) and a contaminated
+    * flag at `simThreshold`. N-gram overlap alone over-flags
+    * (shared boilerplate phrases ≠ a copied document); edit
+    * distance is the near-verbatim test eval-decontamination
+    * actually wants, but is O(len²) per pair — only ever run it
+    * BEHIND a candidate prefilter, never all-pairs.
+    *
+    * The flag compares the ROUNDED similarity on both engines —
+    * comparing unrounded would let a boundary-straddling pair flip
+    * between engine and oracle.
+    *
+    * Scale shape: the eval side is bounded by contract (an eval
+    * suite, not a corpus) — gram build is map-only, the candidate
+    * join broadcasts eval, and the Levenshtein projection runs only
+    * on pairs that passed the `minShared` gram gate. */
+  def editDistanceContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 2,
+      simThreshold: Double = 0.8): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    def grams(d: DataFrame, idAs: String, textAs: String) =
+      d.select(col(idCol).as(idAs), col(textCol).as(textAs),
+        array_distinct(TextAnalysis.wordNgrams(col(textCol), 3))
+          .as(s"__g_$idAs"))
+    // re-spread the streamed side of the nested-loop join (a 1-file
+    // scan would serialize every pair onto one task)
+    val tr = Parallelism.ensure(grams(train, "train_id", "__t_text"))
+    val ev = grams(eval, "eval_id", "__e_text")
+    tr.crossJoin(broadcast(ev))
+      .withColumn("shared_ngrams",
+        size(array_intersect(col("__g_train_id"), col("__g_eval_id"))))
+      .filter(col("shared_ngrams") >= minShared)
+      .withColumn("edit_sim", round(
+        lit(1.0) - levenshtein(col("__t_text"), col("__e_text")).cast("double")
+          / greatest(length(col("__t_text")), length(col("__e_text"))),
+        4))
+      .withColumn("contaminated", col("edit_sim") >= simThreshold)
+      .select(col("train_id"), col("eval_id"), col("shared_ngrams"),
+        col("edit_sim"), col("contaminated"))
+  }
+
   /** Bloom-filter decontamination: flags train docs sharing winnowed
     * fingerprints with the eval set, with the eval side compressed
     * into a Bloom filter instead of a broadcast join table.
@@ -843,6 +889,68 @@ object Dedup {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 4).as("dup_ratio"))
+  }
+
+  /** Segment-level exact dedup WITH reconstruction (the operator
+    * shape of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — their suffix-array
+    * exact-substring dedup, here at fixed word-window granularity,
+    * which is the distributable form: a suffix array is a global
+    * sequential structure, non-overlapping n-token windows shard):
+    * split every document into consecutive `n`-token segments, keep
+    * only the FIRST corpus-wide occurrence of each distinct segment
+    * (first = smallest (doc id, position) — a total order, so the
+    * keep-set is deterministic and layout-independent), and
+    * re-assemble each document from its surviving segments in
+    * position order. Documents whose every segment was seen earlier
+    * vanish — that is the contract (fully-duplicated docs contribute
+    * zero novel text); exact-dedup them first if emptiness matters.
+    *
+    * Scale shape: tokenization + segment slicing are map-only over
+    * the scan; the first-occurrence winner per segment is a
+    * map-side-combinable min(struct(id, pos)) aggregate keyed by the
+    * segment (uniform text key — no skew beyond genuine boilerplate,
+    * which is exactly what collapses); winners semi-join back on the
+    * same key (exchange reuse), and reconstruction is one shuffle on
+    * the doc id. Nothing is ever all-pairs; memory is bounded by
+    * segments-per-task. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n > 0, "segment length must be positive")
+    // split on raw whitespace, KEEPING case: exact dedup must not
+    // conflate case-variant segments
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val nSegs = greatest(
+      ceil(size(col("toks")).cast("double") / n).cast("int"), lit(1))
+    // explode the segment INDEX and slice from the carried token
+    // array (never explode a computed segment array — the Generate
+    // re-evaluates the whole slicing expression per output row)
+    val segs = base
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), nSegs - 1)).as("seg_idx"))
+      .select(col("id"), col("seg_idx"),
+        concat_ws(" ", slice(col("toks"), col("seg_idx") * n + 1, lit(n)))
+          .as("seg"))
+      .localCheckpoint(true) // feeds the winner agg AND the join back
+    val winners = segs.groupBy(col("seg"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("__w"))
+      .select(col("seg"), col("__w.id").as("__w_id"),
+        col("__w.seg_idx").as("__w_idx"))
+    val kept = segs
+      .hint("shuffle_hash").join(winners.hint("shuffle_hash"), Seq("seg"))
+      .filter(col("id") === col("__w_id") && col("seg_idx") === col("__w_idx"))
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segments_kept"),
+        // collect_list order is nondeterministic — array_sort on the
+        // (seg_idx, seg) struct pins position order before the join
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")),
+          " ").as("clean_text"))
+      .select(col("id").as(idCol), col("n_segments_kept"), col("clean_text"))
   }
 
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,

@@ -119,17 +119,19 @@ object Sampling {
 
   /** A-ES rank key `ln(u)/w` (monotone in u^(1/w)) from the Knuth
     * multiplicative id-hash — shared by [[weightedSample]] and
-    * [[weightedSamplePerGroup]]. w ≤ 0 fails loudly IN the data
-    * pass: ln(u)/w flips sign for negative weights, which would rank
-    * exactly the rows that should be least likely FIRST — a silently
-    * corrupted sample. */
+    * [[weightedSamplePerGroup]]. NULL or w ≤ 0 fails loudly IN the
+    * data pass: ln(u)/w flips sign for negative weights, which would
+    * rank exactly the rows that should be least likely FIRST — and a
+    * NULL weight would otherwise slip through the `<= 0` test as
+    * NULL priority and silently sort last instead of erroring. */
   private def aesPriority(idCol: String, weightCol: String): org.apache.spark.sql.Column = {
     val h = pmod(
       pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    val w = when(col(weightCol) <= 0, raise_error(lit(
-        "weightedSample: weights must be strictly positive")))
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0,
+        raise_error(lit(
+          "weightedSample: weights must be strictly positive")))
       .otherwise(col(weightCol).cast("double"))
     log(u) / w
   }
@@ -276,6 +278,42 @@ object Sampling {
       .otherwise(col(tokenCol))
     df.withColumn("cum_tokens", sum(toks).over(w))
       .filter(col("cum_tokens") <= budget)
+  }
+
+  /** C4-style per-group document cap: keep at most `k` rows per
+    * group, selected by a deterministic id-hash priority — the
+    * "no single host dominates the corpus" rule (C4 caps pages per
+    * domain; The Pile caps per-source shares the same way). A
+    * hash priority, not "first k by id": ids correlate with crawl
+    * order, so an id-ordered cap would keep each domain's OLDEST
+    * pages — the hash makes the kept subset an unbiased size-k
+    * sample of the group, and a pure function of (id) — stable
+    * across runs and relayout, SQL-replayable.
+    *
+    * Rows with a NULL group key form their own group (capped
+    * together), matching SQL window PARTITION BY semantics on both
+    * engines — a cap must never silently drop or duplicate them.
+    *
+    * Scale shape: one hash shuffle on the group key; the rank ≤ k
+    * filter plans as WindowGroupLimit (Spark 3.5+), so each map
+    * task pre-prunes to its local top-k per group before the
+    * exchange — the shuffle carries O(groups × k) per task, not the
+    * full corpus, exactly the property a 100 TB per-domain cap
+    * needs. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    // the shared Knuth multiplicative id-hash (see aesPriority):
+    // pure arithmetic, so the selection replays exactly in ANSI SQL
+    val h = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= k)
+      .drop("__cap_rk")
   }
 
   /** Deterministic train/holdout split keyed on a CONTENT id hash —

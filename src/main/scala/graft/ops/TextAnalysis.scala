@@ -93,6 +93,73 @@ object TextAnalysis {
         .as("mean_logprob"))
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by how target-like its
+    * hashed char-bigram distribution is — the mean log-ratio
+    * ln(p̂_target(b)/p̂_raw(b)) over the doc's bigram buckets, with
+    * add-α smoothing on both models. Feed the scores (exponentiated,
+    * or rank-thresholded) into [[graft.ops.Sampling.weightedSample]]
+    * and the pair IS importance resampling: raw docs drawn toward
+    * the target domain's distribution.
+    *
+    * The bucket hash is pure arithmetic over the two code points
+    * ((c1·31 + c2) mod B) — not a library hash — so the entire
+    * pipeline replays in ANSI SQL: selection bugs surface as oracle
+    * mismatches, not silent distribution drift.
+    *
+    * Deterministic: the per-doc mean folds the bucket log-ratios in
+    * SORTED order (float addition is order-sensitive; a physical
+    * relayout must not flip a rounding-boundary value), divided once
+    * at the end.
+    *
+    * Scale shape: mirror of [[bigramLogProb]] — one normalize +
+    * index-explode pass materialized at an exchange feeding both
+    * models and the scoring join; the bucket table is ≤ B rows
+    * (broadcast), the two totals are scalars (broadcast); scoring
+    * is a broadcast join + one per-doc aggregate. The corpus text
+    * never shuffles. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTargetCol: String, numBuckets: Int = 512,
+      alpha: Double = 0.5): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(alpha > 0, "alpha must be positive (unsmoothed ratios divide by zero)")
+    val smoothDenom = alpha * numBuckets
+    // normalize once, explode the index, substr the carried column —
+    // the same Generate-trap avoidance as bigramLogProb
+    val grams = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(isTargetCol).cast("boolean").as("tgt"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= 2)
+      .repartition(col("id"))
+      .select(col("id"), col("tgt"), col("s"),
+        explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
+      .select(col("id"), col("tgt"),
+        pmod(
+          ascii(col("s").substr(col("i"), lit(1))) * 31
+            + ascii(col("s").substr(col("i") + 1, lit(1))),
+          lit(numBuckets)).as("b"))
+      .localCheckpoint(true) // feeds both models AND the scoring join
+    val counts = grams.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("c_r"))
+    val totals = counts.agg(sum(col("c_t")).as("n_t"),
+      sum(col("c_r")).as("n_r"))
+    val logRatio = log(
+      ((col("c_t") + alpha) / (col("n_t") + smoothDenom)) /
+        ((col("c_r") + alpha) / (col("n_r") + smoothDenom)))
+    grams
+      .join(broadcast(counts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr", logRatio)
+      .groupBy(col("id"))
+      .agg(round(
+        aggregate(sort_array(collect_list(col("__lr"))), lit(0.0),
+          (acc, x) => acc + x) / count(lit(1)),
+        6).as("dsir_logweight"))
+      .select(col("id").as(idCol), col("dsir_logweight"))
+  }
+
   /** TF-IDF top terms per document: each doc's k most
     * characteristic terms under tf × ln(N/df) — the IR-classic
     * keyword extractor (and the "what is this doc about" feature a

@@ -2491,9 +2491,146 @@ object Extensions extends QueryModule {
       "source", "n_chars")
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, source, n_chars,
-        round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 9)
-          AS pct_rank
+        CASE WHEN n_chars IS NULL THEN NULL ELSE
+          round(percent_rank() OVER (
+            PARTITION BY source, (n_chars IS NULL) ORDER BY n_chars), 9)
+        END AS pct_rank
       FROM documents ORDER BY doc_id"""))
+
+  /** C4-style per-source cap ([[graft.ops.Sampling.capPerGroup]]):
+    * at most 25 documents per source, chosen by the shared
+    * arithmetic id-hash priority — an unbiased per-source sample,
+    * not "oldest 25". Hash-green: the Knuth hash and the rank both
+    * replay exactly in SQL. */
+  private val x93SourceCap = GraftQuery(
+    "x93_source_cap",
+    (s, dir) => graft.ops.Sampling.capPerGroup(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 25)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                     doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 25 ORDER BY doc_id"""))
+
+  /** DSIR importance weights ([[graft.ops.TextAnalysis
+    * .importanceWeights]]): every document scored by how src0-like
+    * its hashed char-bigram distribution is — the selection signal
+    * importance resampling feeds to [[graft.ops.Sampling
+    * .weightedSample]]. Hash-green: arithmetic bucket hash, both
+    * smoothed models, and the SORTED per-doc fold all replay in SQL
+    * (ln = DuckDB ln; fold order pinned by list_sort — the x45
+    * float-order rule). */
+  private val x94DsirWeights = GraftQuery(
+    "x94_dsir_weights",
+    (s, dir) => graft.ops.TextAnalysis.importanceWeights(
+      Tables.documents(s, dir)
+        .withColumn("is_target", col("source") === "src0"),
+      "doc_id", "text", "is_target", numBuckets = 512, alpha = 0.5)
+      .orderBy(col("doc_id")),
+    Some("""WITH norm AS (
+        SELECT doc_id, (source = 'src0') AS tgt,
+          regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      grams AS (
+        SELECT doc_id, tgt,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 512)) AS b
+        FROM norm WHERE length(s) >= 2),
+      counts AS (
+        SELECT b,
+          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+        FROM grams GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+               CAST(sum(c_r) AS BIGINT) AS n_r
+        FROM counts),
+      lr AS (
+        SELECT doc_id,
+          ln(((c_t + 0.5) / (n_t + 256.0))
+             / ((c_r + 0.5) / (n_r + 256.0))) AS lr
+        FROM grams JOIN counts USING (b), tot)
+      SELECT doc_id,
+        round(list_sum(list_transform(list_sort(list(lr)), x -> x))
+          / count(*), 6) AS dsir_logweight
+      FROM lr GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Edit-distance contamination verify ([[graft.ops.Dedup
+    * .editDistanceContamination]]): the exact stage after the x36
+    * sketch sweep — shared-trigram candidates between the bounded
+    * train slice and the eval split, each confirmed or cleared by
+    * normalized Levenshtein similarity. Hash-green: candidates AND
+    * the similarity replay in SQL (DuckDB levenshtein = the same
+    * unit-cost edit distance); the flag compares the rounded value
+    * on both sides. */
+  private val x95ContaminationVerify = GraftQuery(
+    "x95_contamination_verify",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Dedup.editDistanceContamination(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minShared = 2, simThreshold = 0.5)
+        .orderBy(col("train_id"), col("eval_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 50 OR (doc_id >= 100 AND doc_id < 200)),
+      g AS (
+        SELECT doc_id, text,
+          list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END) AS grams
+        FROM (SELECT doc_id, text,
+                string_split_regex(lower(text), '\s+') AS t FROM d)),
+      cand AS (
+        SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+          CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS shared_ngrams,
+          round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+            / greatest(length(a.text), length(b.text)), 4) AS edit_sim
+        FROM g a JOIN g b ON b.doc_id < 50
+        WHERE a.doc_id >= 100 AND a.doc_id < 200
+          AND len(list_intersect(a.grams, b.grams)) >= 2)
+      SELECT train_id, eval_id, shared_ngrams, edit_sim,
+        (edit_sim >= 0.5) AS contaminated
+      FROM cand ORDER BY train_id, eval_id"""))
+
+  /** Segment-level exact dedup with reconstruction
+    * ([[graft.ops.Dedup.segmentDedup]], the distributable form of
+    * Lee et al. 2021 exact-substring dedup): 8-token windows,
+    * corpus-wide first occurrence wins, documents rebuilt from
+    * surviving segments. Hash-green: the winner rule is a total
+    * order and the rebuild pins position order on both sides. */
+  private val x96SegmentDedup = GraftQuery(
+    "x96_segment_dedup",
+    (s, dir) => graft.ops.Dedup.segmentDedup(
+      Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t
+        FROM documents),
+      segs AS (
+        SELECT doc_id,
+          unnest(range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)))
+            AS seg_idx,
+          unnest(list_transform(
+            range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
+            i -> array_to_string(t[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')))
+            AS seg
+        FROM toks WHERE len(t) > 0),
+      ranked AS (
+        SELECT doc_id, seg_idx, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM segs)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments_kept,
+        string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -2520,7 +2657,8 @@ object Extensions extends QueryModule {
     x80CharEntropy, x81WeightedSamplePerGroup, x82Collocations, x83Funnel,
     x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
     x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact,
-    x91EventTransitions, x92PercentileNormalize)
+    x91EventTransitions, x92PercentileNormalize, x93SourceCap,
+    x94DsirWeights, x95ContaminationVerify, x96SegmentDedup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

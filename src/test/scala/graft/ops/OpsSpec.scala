@@ -1560,6 +1560,14 @@ class OpsSpec extends AnyFunSuite {
     sampled.collect()
     assert(sampled.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
+    // NULL and non-positive weights fail loudly in the data pass —
+    // a NULL weight must not silently sort last as a NULL priority
+    val nullW = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedSample(nullW, "id", "w", 2).collect()
+    }
+    assert(ex.getMessage.contains("strictly positive"), ex.getMessage)
   }
 
   test("corpus diff classifies added/removed/changed/unchanged exactly") {
@@ -1875,6 +1883,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == 1.0 && got(14L) == 1.0)
     assert(got(2L) == got(3L) && got(2L) == got(12L)) // ties share; scales align
     assert(got.values.forall(p => p >= 0.0 && p <= 1.0))
+    // NULL scores get NULL pct_rank and leave the non-null ranks
+    // untouched (they ride a separate window partition — engine
+    // null-ordering defaults can't perturb the real ranks)
+    val withNull = rows.unionByName(Seq((99L, "g1", null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "source", "score"))
+    val gotN = graft.quality.CorpusQuality.percentileNormalize(
+      withNull, "source", "score")
+      .select("doc_id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(gotN(99L).isEmpty, "NULL score must rank as NULL")
+    assert(gotN(1L).contains(0.0) && gotN(4L).contains(1.0),
+      s"non-null ranks perturbed by a NULL row: $gotN")
   }
 
   test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
@@ -2064,5 +2085,102 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(r.keySet == approx.keySet)
     r.foreach { case (id, v) => assert(math.abs(approx(id) - v) < 1e-12) }
+  }
+
+  test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
+    val rows = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small")) ++
+      (201L to 230L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("id", "grp")
+    val capped = Sampling.capPerGroup(rows, "grp", "id", 20)
+    val byGrp = capped.groupBy("grp").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byGrp(Some("big")) == 20, s"big not capped: $byGrp")
+    assert(byGrp(Some("small")) == 10, "under-k group must keep everything")
+    assert(byGrp(None) == 20, "NULL group must cap as its own group")
+    // membership is a pure function of ids — relayout changes nothing
+    val got = capped.select("id").as[Long].collect().toSet
+    val again = Sampling.capPerGroup(rows.repartition(13), "grp", "id", 20)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // hash selection, not "first k by id": the kept big-group ids
+    // must not be exactly 1..20 (probability ~0 under the hash)
+    val bigKept = capped.filter(col("grp") === "big")
+      .select("id").as[Long].collect().toSet
+    assert(bigKept != (1L to 20L).toSet, "cap kept the oldest ids — not hash-selected")
+  }
+
+  test("dsir importance weights: target-like docs score higher, relayout-stable") {
+    // target domain speaks {aa bb}, raw speaks {cc dd}; a fresh doc in
+    // target vocabulary must out-score a fresh doc in raw vocabulary
+    val rows = ((1L to 20L).map(i => (i, "aa bb aa bb aa bb", true)) ++
+      (21L to 60L).map(i => (i, "cc dd cc dd cc dd", false)) ++
+      Seq((101L, "aa bb aa bb aa bb", false), // target-like raw doc
+        (102L, "cc dd cc dd cc dd", false))) // raw-like raw doc
+      .toDF("id", "text", "is_target")
+    val w = TextAnalysis.importanceWeights(rows, "id", "text", "is_target",
+      numBuckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w(101L) > w(102L),
+      s"target-like doc must out-score raw-like: $w")
+    assert(w(101L) > 0 && w(102L) < 0,
+      s"log-ratio signs should separate the domains: $w")
+    // pure function of the corpus: relayout changes nothing, bit-for-bit
+    val again = TextAnalysis.importanceWeights(rows.repartition(7), "id",
+      "text", "is_target", numBuckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(again == w)
+  }
+
+  test("edit-distance contamination: near-copy flagged, shared-phrase pair cleared") {
+    val eval = Seq(
+      (1L, "the model was evaluated on held out benchmark questions today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // near-verbatim copy (one word changed) — must flag
+      (10L, "the model was evaluated on held out benchmark questions tonight"),
+      // shares a phrase but is a different document — candidate, cleared
+      (11L, "the model was evaluated on a totally different corpus with new material and extra words"),
+      // no shared trigrams — must not even be a candidate
+      (12L, "unrelated text about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceContamination(train, eval, "doc_id", "text",
+      minShared = 2, simThreshold = 0.8)
+      .collect().map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Double]("edit_sim"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.contains(10L) && got(10L)._2, s"near-copy not flagged: $got")
+    assert(got.contains(11L) && !got(11L)._2,
+      s"phrase-sharing pair must be a cleared candidate: $got")
+    assert(!got.contains(12L), s"non-candidate leaked through: $got")
+    assert(got(10L)._1 > 0.85 && got(11L)._1 < 0.6, s"similarity scale off: $got")
+  }
+
+  test("segment dedup: first occurrence wins, docs rebuilt in order, full dup vanishes") {
+    // 8-token segments; doc 1 owns both segments, doc 2 repeats doc 1's
+    // first segment then adds a novel one, doc 3 is a full copy of doc 1
+    val seg1 = "a b c d e f g h"
+    val seg2 = "i j k l m n o p"
+    val seg3 = "q r s t u v w x"
+    val rows = Seq(
+      (1L, s"$seg1 $seg2"),
+      (2L, s"$seg1 $seg3"),
+      (3L, s"$seg1 $seg2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(rows, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((2L, s"$seg1 $seg2")), s"keeper doc altered: $got")
+    assert(got(2L) == ((1L, seg3)), s"repeat segment not stripped: $got")
+    assert(!got.contains(3L), s"fully-duplicated doc must vanish: $got")
+    // partial trailing segment survives and reassembles in position order
+    val tail = Dedup.segmentDedup(
+      Seq((7L, s"$seg3 zz yy")).toDF("doc_id", "text"), "doc_id", "text", n = 8)
+      .collect().map(r => r.getString(2)).head
+    assert(tail == s"$seg3 zz yy", s"trailing partial segment mangled: $tail")
+    // deterministic under relayout
+    val again = Dedup.segmentDedup(rows.repartition(5), "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(again == got)
   }
 }
