@@ -55,7 +55,9 @@ object Plans {
     "x93_source_cap" -> "one hash shuffle on the group key; rank<=k plans as WindowGroupLimit — each map task pre-prunes to its local top-k before the exchange",
     "x94_dsir_weights" -> "bigramLogprob's shape: one index-explode gram pass at an exchange; <=B-row bucket models broadcast; scoring join + per-doc sorted fold — corpus text never shuffles",
     "x95_contamination_verify" -> "bounded eval side broadcast; Levenshtein projection evaluated only AFTER the shared-trigram filter (O(len^2) per pair, never all-pairs)",
-    "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg; winners rejoin on the segment key (exchange reuse); rebuild is one shuffle on doc id")
+    "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg; winners rejoin on the segment key (exchange reuse); rebuild is one shuffle on doc id",
+    "x97_quality_classifier" -> "one feature-build pass at an exchange; each GD round = broadcast(<=B-row w) join + per-doc fold + per-bucket fold; corpus text never shuffles, model state is kilobytes",
+    "x98_cluster_split" -> "CC labels join the corpus (left, build side = |clustered docs| only); split hash is a map-only projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

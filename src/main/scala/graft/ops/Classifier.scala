@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality-classifier training: batch-gradient logistic
+  * regression over hashed char-bigram frequency features — the
+  * fastText/CCNet-style "train a reference-vs-crawl classifier, score
+  * the whole corpus" curation step (Wenzek et al. 2020, CCNet,
+  * arXiv:1911.00359; the LLaMA corpus used the same shape), run as
+  * plain Spark aggregates instead of a separate ML system.
+  *
+  * Every float reduction that crosses rows folds in SORTED order
+  * (margins over bucket id, gradients over doc id), and the model is
+  * pinned to 9 decimals at each iteration boundary (weights, margins,
+  * probabilities) — so training is deterministic, layout-independent,
+  * and replayable in ANSI SQL: the entire training loop is
+  * oracle-checkable, which no black-box ML pipeline gives you.
+  *
+  * Scale shape: the feature table (doc, bucket, frequency) builds in
+  * one index-explode pass materialized at an exchange; each iteration
+  * is one broadcast join (the ≤B-row weight vector) + a per-doc fold
+  * (one shuffle keyed by doc) + a per-bucket fold (one shuffle keyed
+  * by bucket, ≤B output rows). The corpus text never shuffles; model
+  * state is kilobytes. The sorted per-bucket gradient fold collects
+  * each bucket's doc terms into one task — the price of bit-exact
+  * replay; for a pure production run at 100 TB, flip `exact = false`
+  * and the gradient becomes a map-side-combinable plain sum (same
+  * model to ~1e-12, spec-asserted, no longer oracle-replayable).
+  */
+object Classifier {
+
+  /** Left fold of `valCol` in ascending `keyCol` order — the
+    * order-pinned float sum both engines can replay exactly. */
+  private def sortedFold(keyCol: Column, valCol: Column): Column =
+    aggregate(
+      sort_array(collect_list(struct(keyCol.as("k"), valCol.as("v")))),
+      lit(0.0), (acc, s) => acc + s.getField("v"))
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** Train `iters` rounds of batch-gradient logistic regression
+    * (w₀ = 0, rate `eta`) on hashed bigram frequencies with boolean
+    * `labelCol` as the target, then score every document. Output:
+    * (id, label, score) — score is the trained P(target | text),
+    * rounded to 6. Documents shorter than one bigram carry no
+    * features and are dropped (they have no representation; gate
+    * them by length rules instead). */
+  def logRegScores(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int = 64, eta: Double = 0.5,
+      iters: Int = 2, exact: Boolean = true): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(iters >= 1, "at least one iteration")
+    // normalize once, explode the index, bucket from the carried
+    // column — the bigramLogProb Generate-trap shape
+    val grams = Parallelism.ensure(df)
+      .select(col(idCol).as("id"),
+        when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("y"),
+        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= 2)
+      .repartition(col("id"))
+      .select(col("id"), col("y"),
+        explode(sequence(lit(1), length(col("s")) - 1)).as("i"), col("s"))
+      .select(col("id"), col("y"),
+        TextAnalysis.bigramBucket(col("s"), col("i"), numBuckets).as("b"))
+    // frequency features x = count(doc, b) / count(doc): exact
+    // integer division to double — identical on every engine
+    val counts = grams.groupBy(col("id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("id")).agg(sum(col("cnt")).as("n"))
+    val feats = counts.join(totals, Seq("id"))
+      .select(col("id"), col("y"), col("b"),
+        (col("cnt").cast("double") / col("n")).as("x"))
+      .localCheckpoint(true) // feeds every iteration + final scoring
+
+    // margins m = w·x per doc, folded in bucket order and pinned to 9
+    def margins(w: DataFrame): DataFrame =
+      feats.join(broadcast(w), Seq("b"))
+        .withColumn("__v", col("w") * col("x"))
+        .groupBy(col("id"), col("y"))
+        .agg(round(sortedFold(col("b"), col("__v")), 9).as("m"))
+
+    def gradTerm = col("x") * (col("y") - col("p"))
+    // per-bucket gradient: exact = sorted fold (oracle-replayable);
+    // production = plain sum (map-side combine, bounded memory)
+    def gradAgg: Column =
+      if (exact) sortedFold(col("id"), gradTerm) else sum(gradTerm)
+
+    var w: Option[DataFrame] = None // None = the zero vector
+    for (_ <- 1 to iters) {
+      val probs = w match {
+        case None => // σ(0) = 0.5 exactly — no join needed
+          feats.select(col("id"), col("y")).distinct()
+            .withColumn("p", lit(0.5))
+        case Some(wPrev) =>
+          margins(wPrev).withColumn("p", round(sigmoid(col("m")), 9))
+      }
+      val grad = feats
+        .join(probs.select(col("id"), col("p")), Seq("id"))
+        .groupBy(col("b")).agg(gradAgg.as("__grad"))
+      val wNext = w match {
+        case None => grad.select(col("b"),
+          round(lit(eta) * col("__grad"), 9).as("w"))
+        case Some(wPrev) => wPrev.join(grad, Seq("b"))
+          .select(col("b"),
+            round(col("w") + lit(eta) * col("__grad"), 9).as("w"))
+      }
+      // ≤B rows; eager checkpoint truncates the growing lineage
+      // (the duplicateClusters rule) and keeps each round's plan flat
+      w = Some(wNext.localCheckpoint(true))
+    }
+    margins(w.get)
+      .select(col("id").as(idCol), col("y").cast("int").as("label"),
+        round(sigmoid(col("m")), 6).as("score"))
+  }
+}

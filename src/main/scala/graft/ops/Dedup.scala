@@ -891,6 +891,45 @@ object Dedup {
           / col("n_tokens"), 4).as("dup_ratio"))
   }
 
+  /** Cluster-aware train/holdout split — the leakage-safe version of
+    * [[graft.ops.Sampling.hashSplit]]: a plain per-document hash
+    * split puts two near-duplicates on opposite sides of the
+    * train/eval boundary and the eval set silently stops measuring
+    * generalization. Here the split keys on the CLUSTER id (the
+    * connected-component representative of the near-dup graph), so
+    * every member of a duplicate cluster lands on the same side by
+    * construction. Singletons (docs in no pair) key on their own id.
+    *
+    * The split hash is the shared arithmetic Knuth hash — membership
+    * is a pure function of the cluster structure, stable across
+    * relayout and re-ingestion, and SQL-replayable.
+    *
+    * Scale shape: [[duplicateClusters]] (pointer-jumping CC, O(log
+    * diameter) rounds) + one left join from the corpus to the
+    * cluster table (near-dup clusters are a small fraction of a real
+    * corpus — the join's build side is |clustered docs|, not |docs|)
+    * + a map-only hash projection. */
+  def splitByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+      holdoutPct: Int): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100, "holdoutPct in [0, 100]")
+    val key = coalesce(col("cluster_id"), col(idCol))
+    val h = pmod(
+      pmod(key, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", key)
+      .withColumn("split",
+        when(pmod(h, lit(100)) < holdoutPct, lit("holdout"))
+          .otherwise(lit("train")))
+  }
+
+  /** [[splitByCluster]] fed straight from a near-dup pair list. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String, idBCol: String, holdoutPct: Int): DataFrame =
+    splitByCluster(df, idCol, duplicateClusters(pairs, idACol, idBCol),
+      holdoutPct)
+
   /** Segment-level exact dedup WITH reconstruction (the operator
     * shape of Lee et al. 2021, "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499 — their suffix-array

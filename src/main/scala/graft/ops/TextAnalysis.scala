@@ -119,6 +119,17 @@ object TextAnalysis {
     * (broadcast), the two totals are scalars (broadcast); scoring
     * is a broadcast join + one per-doc aggregate. The corpus text
     * never shuffles. */
+  /** The shared hashed char-bigram bucket: pure arithmetic over the
+    * two code points ((c1·31 + c2) mod B) so every consumer
+    * ([[importanceWeights]], [[graft.ops.Classifier]]) replays
+    * bit-identically in ANSI SQL. `s` is the normalized text, `i`
+    * the 1-based gram start index. */
+  private[ops] def bigramBucket(s: Column, i: Column,
+      numBuckets: Int): Column =
+    pmod(
+      ascii(s.substr(i, lit(1))) * 31 + ascii(s.substr(i + 1, lit(1))),
+      lit(numBuckets))
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTargetCol: String, numBuckets: Int = 512,
       alpha: Double = 0.5): DataFrame = {
@@ -135,10 +146,7 @@ object TextAnalysis {
       .select(col("id"), col("tgt"), col("s"),
         explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
       .select(col("id"), col("tgt"),
-        pmod(
-          ascii(col("s").substr(col("i"), lit(1))) * 31
-            + ascii(col("s").substr(col("i") + 1, lit(1))),
-          lit(numBuckets)).as("b"))
+        bigramBucket(col("s"), col("i"), numBuckets).as("b"))
       .localCheckpoint(true) // feeds both models AND the scoring join
     val counts = grams.groupBy(col("b"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),

@@ -2632,6 +2632,126 @@ object Extensions extends QueryModule {
       FROM ranked WHERE rn = 1
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** In-engine quality-classifier training ([[graft.ops.Classifier
+    * .logRegScores]]): two batch-gradient rounds of logistic
+    * regression on hashed bigram frequencies, label = src0, then
+    * score the corpus. Hash-green — the ENTIRE training loop replays
+    * in SQL: sorted folds for every cross-row float sum, model
+    * pinned to 9 decimals at each round boundary, unrolled CTEs
+    * MATERIALIZED (the x69 exponential-inline rule). */
+  private val x97QualityClassifier = GraftQuery(
+    "x97_quality_classifier",
+    (s, dir) => graft.ops.Classifier.logRegScores(
+      Tables.documents(s, dir)
+        .withColumn("is_target", col("source") === "src0"),
+      "doc_id", "text", "is_target", numBuckets = 64, eta = 0.5,
+      iters = 2)
+      .orderBy(col("doc_id")),
+    Some("""WITH norm AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+          regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      grams AS MATERIALIZED (
+        SELECT doc_id, y,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 64)) AS b
+        FROM norm WHERE length(s) >= 2),
+      feats AS MATERIALIZED (
+        SELECT doc_id, y, b,
+          CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+        FROM grams GROUP BY doc_id, y, b),
+      w1 AS MATERIALIZED (
+        SELECT b, round(0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := doc_id, v := x * (y - 0.5)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM feats GROUP BY b),
+      p1 AS MATERIALIZED (
+        SELECT f.doc_id,
+          round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.b, v := w1.w * f.x))),
+            s -> struct_extract(s, 'v'))), 9)))), 9) AS p
+        FROM feats f JOIN w1 ON f.b = w1.b GROUP BY f.doc_id),
+      w2 AS MATERIALIZED (
+        SELECT f.b, round(min(w1.w) + 0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.doc_id,
+                                       v := f.x * (f.y - p1.p)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM feats f JOIN p1 ON f.doc_id = p1.doc_id
+                    JOIN w1 ON f.b = w1.b
+        GROUP BY f.b)
+      SELECT f.doc_id, CAST(f.y AS INT) AS label,
+        round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := f.b, v := w2.w * f.x))),
+          s -> struct_extract(s, 'v'))), 9)))), 6) AS score
+      FROM feats f JOIN w2 ON f.b = w2.b
+      GROUP BY f.doc_id, f.y ORDER BY f.doc_id"""))
+
+  /** Leakage-safe cluster-aware split, EXACT twin ([[graft.ops.Dedup
+    * .splitByCluster]] over the memoized x28/x29 exact cluster
+    * source, bounded by contract): near-dup clusters never straddle
+    * the train/holdout boundary. Hash-green: recursive-CTE
+    * components + the arithmetic split hash replay in SQL. The
+    * scale path is x99. */
+  private val x98ClusterSplit = GraftQuery(
+    "x98_cluster_split",
+    (s, dir) => graft.ops.Dedup.splitByCluster(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label")),
+      "vec_id", dupClustersFor(s, dir), holdoutPct = 20)
+      .orderBy(col("vec_id")),
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      assigned AS (
+        SELECT e.vec_id, e.label,
+          COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+        FROM embeddings e LEFT JOIN clusters c ON c.id = e.vec_id
+        WHERE e.vec_id < 200)
+      SELECT vec_id, label, cluster_id,
+        CASE WHEN ((cluster_id % 2147483648) * 2654435761)
+                  % 4294967296 % 100 < 20
+             THEN 'holdout' ELSE 'train' END AS split
+      FROM assigned ORDER BY vec_id"""))
+
+  /** The scale path of x98: the same leakage-safe split over the
+    * FULL embeddings table with LSH-bucketed near-dup pairs feeding
+    * pointer-jumping components (x34's regime: threshold 0.3 is the
+    * test-corpus setting — see that scaladoc). Sketch-driven
+    * candidate set → rows-only; x98 is the bounded hash-green twin,
+    * and the no-straddle contract is spec-asserted on the LSH
+    * path too. */
+  private val x99ClusterSplitLsh = GraftQuery(
+    "x99_cluster_split_lsh",
+    (s, dir) => graft.ops.Dedup.leakageSafeSplit(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+      "vec_id",
+      graft.ops.Dedup.embeddingNearDuplicates(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, numBits = 48, bands = 8),
+      "id_a", "id_b", holdoutPct = 20)
+      .orderBy(col("vec_id")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -2658,7 +2778,8 @@ object Extensions extends QueryModule {
     x84DistinctiveTerms, x85CohortRetention, x86FunnelWithin, x87WeeklyChurn,
     x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact,
     x91EventTransitions, x92PercentileNormalize, x93SourceCap,
-    x94DsirWeights, x95ContaminationVerify, x96SegmentDedup)
+    x94DsirWeights, x95ContaminationVerify, x96SegmentDedup,
+    x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -332,4 +332,35 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(plain == salted)
   }
+
+  test("x93 cap: rank<=k plans as WindowGroupLimit — map tasks pre-prune before the exchange") {
+    val plan = executedPlan("x93_source_cap")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("x94/x97: bucket models broadcast, corpus-sized gram table never does") {
+    // the ≤B-row count/weight tables are the ONLY broadcast sides —
+    // the gram/feature table scales with the corpus and must stay on
+    // the streamed/shuffled side
+    val dsir = executedPlan("x94_dsir_weights")
+    assert(dsir.contains("BroadcastHashJoin"), dsir.take(2000))
+    val clf = executedPlan("x97_quality_classifier")
+    assert(clf.contains("BroadcastHashJoin"), clf.take(2000))
+    // scoring never RoundRobins a well-split corpus (the localCheckpoint
+    // feeding the rounds is the one deliberate materialization)
+    assert(!clf.contains("CartesianProduct"), clf.take(2000))
+  }
+
+  test("x96 segment dedup: winner agg is partial (map-side combine), no nested loop") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", n = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // min(struct) winner must two-phase (partial_min before the
+    // exchange) — boilerplate-heavy keys collapse map-side
+    assert(plan.contains("partial_min"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }

@@ -2183,4 +2183,68 @@ class OpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("n_segments_kept"), r.getAs[String]("clean_text")))).toMap
     assert(again == got)
   }
+
+  test("logreg classifier: separable domains separate, relayout-stable, approx == exact") {
+    // target domain speaks {aa bb}, raw speaks {cc dd}: two gradient
+    // rounds must push target-vocabulary docs above raw-vocabulary
+    // docs, including UNLABELED target-like docs (generalization)
+    val rows = ((1L to 20L).map(i => (i, "aa bb aa bb aa bb", true)) ++
+      (21L to 60L).map(i => (i, "cc dd cc dd cc dd", false)) ++
+      Seq((101L, "aa bb aa bb aa bb", false),
+        (102L, "cc dd cc dd cc dd", false)))
+      .toDF("id", "text", "is_target")
+    val scored = Classifier.logRegScores(rows, "id", "text", "is_target",
+      numBuckets = 64, eta = 0.5, iters = 2)
+    val got = scored.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("label"), r.getAs[Double]("score")))).toMap
+    assert(got(1L)._1 == 1 && got(21L)._1 == 0)
+    assert(got(101L)._2 > got(102L)._2,
+      s"unlabeled target-like doc must out-score raw-like: $got")
+    assert(got(1L)._2 > 0.5 && got(21L)._2 < 0.5,
+      s"trained scores must separate the domains: $got")
+    assert(got.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+    // training is a pure function of the corpus — relayout-stable
+    val again = Classifier.logRegScores(rows.repartition(7), "id", "text",
+      "is_target", numBuckets = 64, eta = 0.5, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+    // the bounded-memory production gradient (plain partial-agg sum)
+    // trains the same model up to addition-order ulps
+    val approx = Classifier.logRegScores(rows, "id", "text", "is_target",
+      numBuckets = 64, eta = 0.5, iters = 2, exact = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(approx.keySet == again.keySet)
+    approx.foreach { case (id, v) =>
+      assert(math.abs(v - again(id)) < 1e-6, s"approx diverged at $id") }
+  }
+
+  test("cluster-aware split: near-dup clusters never straddle, singletons split by id") {
+    // pairs: {1,2,3} one cluster, {10,11} another; 20, 21 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val got = Dedup.leakageSafeSplit(docs, "id", pairs, "id_a", "id_b",
+      holdoutPct = 50)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(got.size == 7, "split must preserve every document")
+    // every cluster member shares the representative AND the side
+    assert(Set(got(1L), got(2L), got(3L)).size == 1,
+      s"cluster {1,2,3} straddles: $got")
+    assert(got(10L) == got(11L), s"cluster {10,11} straddles: $got")
+    assert(got(1L)._1 == 1L && got(10L)._1 == 10L)
+    // singletons key on their own id
+    assert(got(20L)._1 == 20L && got(21L)._1 == 21L)
+    // membership is a pure function of the cluster graph
+    val again = Dedup.leakageSafeSplit(docs.repartition(5), "id",
+      pairs.repartition(3), "id_a", "id_b", holdoutPct = 50)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(again == got)
+    // holdoutPct 0 / 100 degenerate cases
+    assert(Dedup.leakageSafeSplit(docs, "id", pairs, "id_a", "id_b", 0)
+      .filter(col("split") === "holdout").count() == 0)
+    assert(Dedup.leakageSafeSplit(docs, "id", pairs, "id_a", "id_b", 100)
+      .filter(col("split") === "train").count() == 0)
+  }
 }
