@@ -992,8 +992,35 @@ object Dedup {
       .select(col("id").as(idCol), col("n_segments_kept"), col("clean_text"))
   }
 
+  /** Memo for [[embeddingNearDuplicates]] pair tables — the near-dup
+    * edge list is the shared artifact of a curation session (x22
+    * surfaces it, x34's dedup consumes it, x99's leakage-safe split
+    * consumes it again); one banding+verify pass per (input, params),
+    * not one per consumer. Same caveats as candidateMemo. */
+  private val embPairMemo =
+    new graft.BoundedMemo[(String, Int, String, Double, Int, Int), DataFrame](
+      16, _.unpersist(blocking = false), name = "embedding-near-dup")
+
+  /** Drop all memoized embedding pair tables (unpersisting each). */
+  def clearEmbeddingPairCache(): Unit = embPairMemo.clear(_.unpersist())
+
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
+    val key = (graft.SessionKeys.of(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(),
+      s"$idCol/$vecCol", threshold, numBits, bands)
+    // build OUTSIDE the memo lock (the ivfIndex pattern)
+    embPairMemo.get(key).getOrElse {
+      val built = embeddingNearDuplicatesUncached(
+        df, idCol, vecCol, threshold, numBits, bands)
+      val winner = embPairMemo.putIfAbsent(key, built)
+      if (!(winner eq built)) built.unpersist(blocking = false)
+      winner
+    }
+  }
+
+  private def embeddingNearDuplicatesUncached(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, numBits: Int, bands: Int): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
@@ -1030,5 +1057,10 @@ object Dedup {
       .withColumn("cosine", round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      // the verified edge list is O(|near-dup pairs|) — tiny relative
+      // to the corpus; persisting stops each downstream consumer
+      // (dedup survivors, cluster split, threshold sweeps) from
+      // re-running the banding+verify pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

@@ -108,10 +108,11 @@ object TextAnalysis {
     * pipeline replays in ANSI SQL: selection bugs surface as oracle
     * mismatches, not silent distribution drift.
     *
-    * Deterministic: the per-doc mean folds the bucket log-ratios in
-    * SORTED order (float addition is order-sensitive; a physical
-    * relayout must not flip a rounding-boundary value), divided once
-    * at the end.
+    * Deterministic: the per-doc mean folds cnt·log-ratio terms in
+    * SORTED bucket order (float addition is order-sensitive; a
+    * physical relayout must not flip a rounding-boundary value),
+    * divided once by the exact gram count at the end — identical to
+    * the per-instance mean, at per-distinct-bucket cost.
     *
     * Scale shape: mirror of [[bigramLogProb]] — one normalize +
     * index-explode pass materialized at an exchange feeding both
@@ -147,23 +148,29 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
       .select(col("id"), col("tgt"),
         bigramBucket(col("s"), col("i"), numBuckets).as("b"))
+    // reduce gram INSTANCES to per-doc bucket counts first: the
+    // models, the scoring join and the per-doc fold all run over
+    // (doc × distinct-buckets) rows — several× fewer than gram
+    // instances, same mean (Σ cnt·lr / Σ cnt ≡ instance mean)
+    val docBuckets = grams
+      .groupBy(col("id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds both models AND the scoring join
-    val counts = grams.groupBy(col("b"))
-      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
-        sum(when(col("tgt"), 0L).otherwise(1L)).as("c_r"))
+    val counts = docBuckets.groupBy(col("b"))
+      .agg(sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("c_t"),
+        sum(when(col("tgt"), 0L).otherwise(col("cnt"))).as("c_r"))
     val totals = counts.agg(sum(col("c_t")).as("n_t"),
       sum(col("c_r")).as("n_r"))
     val logRatio = log(
       ((col("c_t") + alpha) / (col("n_t") + smoothDenom)) /
         ((col("c_r") + alpha) / (col("n_r") + smoothDenom)))
-    grams
+    docBuckets
       .join(broadcast(counts), Seq("b"))
       .crossJoin(broadcast(totals))
-      .withColumn("__lr", logRatio)
+      .withColumn("__v", col("cnt") * logRatio)
       .groupBy(col("id"))
       .agg(round(
-        aggregate(sort_array(collect_list(col("__lr"))), lit(0.0),
-          (acc, x) => acc + x) / count(lit(1)),
+        Classifier.sortedFold(col("b"), col("__v")) / sum(col("cnt")),
         6).as("dsir_logweight"))
       .select(col("id").as(idCol), col("dsir_logweight"))
   }

@@ -2541,23 +2541,28 @@ object Extensions extends QueryModule {
             i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
                   + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 512)) AS b
         FROM norm WHERE length(s) >= 2),
+      db AS (
+        SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY doc_id, tgt, b),
       counts AS (
         SELECT b,
-          CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
-          CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS c_r
-        FROM grams GROUP BY b),
+          CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS c_t,
+          CAST(sum(CASE WHEN tgt THEN 0 ELSE cnt END) AS BIGINT) AS c_r
+        FROM db GROUP BY b),
       tot AS (
         SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
                CAST(sum(c_r) AS BIGINT) AS n_r
         FROM counts),
       lr AS (
-        SELECT doc_id,
-          ln(((c_t + 0.5) / (n_t + 256.0))
-             / ((c_r + 0.5) / (n_r + 256.0))) AS lr
-        FROM grams JOIN counts USING (b), tot)
+        SELECT doc_id, b, cnt,
+          cnt * ln(((c_t + 0.5) / (n_t + 256.0))
+                   / ((c_r + 0.5) / (n_r + 256.0))) AS v
+        FROM db JOIN counts USING (b), tot)
       SELECT doc_id,
-        round(list_sum(list_transform(list_sort(list(lr)), x -> x))
-          / count(*), 6) AS dsir_logweight
+        round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := b, v := v))),
+            s -> struct_extract(s, 'v')))
+          / CAST(sum(cnt) AS DOUBLE), 6) AS dsir_logweight
       FROM lr GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Edit-distance contamination verify ([[graft.ops.Dedup
