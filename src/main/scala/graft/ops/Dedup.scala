@@ -641,8 +641,34 @@ object Dedup {
     *
     * Returns (id, cluster_id) for every id appearing in `pairs`,
     * cluster_id = the smallest id in the component. */
+  /** Memo for [[duplicateClusters]] label tables: the cluster
+    * labels of one near-dup pair list are consumed by several
+    * pipeline stages in a session (survivor anti-join, leakage-safe
+    * split, cluster stats) — one pointer-jumping run per (pairs,
+    * maxIters), not one per consumer. Labels are O(|clustered
+    * docs|) rows. Same caveats as candidateMemo. */
+  private val clusterMemo =
+    new graft.BoundedMemo[(String, Int, String, Int), DataFrame](
+      16, _.unpersist(blocking = false), name = "dup-cluster-labels")
+
+  /** Drop all memoized cluster label tables (unpersisting each). */
+  def clearClusterCache(): Unit = clusterMemo.clear(_.unpersist())
+
   def duplicateClusters(pairs: DataFrame, idACol: String, idBCol: String,
       maxIters: Int = 20): DataFrame = {
+    val key = (graft.SessionKeys.of(pairs.sparkSession),
+      pairs.queryExecution.analyzed.semanticHash(),
+      s"$idACol/$idBCol", maxIters)
+    clusterMemo.get(key).getOrElse {
+      val built = duplicateClustersUncached(pairs, idACol, idBCol, maxIters)
+      val winner = clusterMemo.putIfAbsent(key, built)
+      if (!(winner eq built)) built.unpersist(blocking = false)
+      winner
+    }
+  }
+
+  private def duplicateClustersUncached(pairs: DataFrame, idACol: String,
+      idBCol: String, maxIters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))

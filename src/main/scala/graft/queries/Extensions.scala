@@ -2738,6 +2738,78 @@ object Extensions extends QueryModule {
              THEN 'holdout' ELSE 'train' END AS split
       FROM assigned ORDER BY vec_id"""))
 
+  /** End-to-end capped curation — the round-6 operators composed the
+    * way a real pre-training prep runs: exact dedup → segment-level
+    * dedup with reconstruction → per-source cap → per-language token
+    * budget. Every stage is individually hash-green (x18/x96/x93/
+    * x77), so the COMPOSITION carries a full oracle too: a curation
+    * pipeline whose final kept-set is oracle-checkable end-to-end,
+    * not just stage-by-stage. Cap k=10 and budget 1500 are sized so
+    * BOTH gates bind on the test corpus. */
+  private val x100CurationCapped = GraftQuery(
+    "x100_curation_capped",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val deduped = Dedup.exactKeepFirst(docs, "doc_id", "text")
+      val rebuilt = Dedup.segmentDedup(deduped, "doc_id", "text", n = 8)
+      val enriched = rebuilt.join(
+        docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      val capped = graft.ops.Sampling.capPerGroup(
+        enriched, "source", "doc_id", k = 10)
+      val withToks = capped.select(col("doc_id"), col("source"),
+        col("lang"), col("n_segments_kept"),
+        TextAnalysis.tokenCount(col("clean_text")).as("toks"))
+      graft.ops.Sampling.tokenBudget(withToks, "lang", "doc_id",
+        "toks", "n_segments_kept", budget = 1500L)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""WITH survivors AS MATERIALIZED (
+        SELECT d.doc_id, d.text, d.source, d.lang FROM documents d
+        WHERE d.doc_id IN
+          (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+      toks0 AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS t
+        FROM survivors),
+      segs AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)))
+            AS seg_idx,
+          unnest(list_transform(
+            range(0, greatest(CAST(ceil(len(t) / 8.0) AS BIGINT), 1)),
+            i -> array_to_string(t[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')))
+            AS seg
+        FROM toks0 WHERE len(t) > 0),
+      ranked AS (
+        SELECT doc_id, seg_idx, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM segs),
+      rebuilt AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments_kept,
+          string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id),
+      enriched AS (
+        SELECT r.doc_id, s.source, s.lang, r.n_segments_kept,
+               r.clean_text
+        FROM rebuilt r JOIN survivors s USING (doc_id)),
+      capped AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_segments_kept, clean_text FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                     doc_id) AS rk
+          FROM enriched) WHERE rk <= 10),
+      wt AS (
+        SELECT doc_id, source, lang, n_segments_kept,
+          CAST(len(string_split_regex(lower(clean_text), '\s+')) AS INT)
+            AS toks
+        FROM capped)
+      SELECT doc_id, source, lang, n_segments_kept, toks,
+        CAST(sum(toks) OVER (PARTITION BY lang
+          ORDER BY n_segments_kept DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens
+      FROM wt QUALIFY cum_tokens <= 1500
+      ORDER BY lang, doc_id"""))
+
   /** The scale path of x98: the same leakage-safe split over the
     * FULL embeddings table with LSH-bucketed near-dup pairs feeding
     * pointer-jumping components (x34's regime: threshold 0.3 is the
@@ -2784,7 +2856,8 @@ object Extensions extends QueryModule {
     x88RobustOutliers, x89RollingUniquesHll, x90RollingUniquesExact,
     x91EventTransitions, x92PercentileNormalize, x93SourceCap,
     x94DsirWeights, x95ContaminationVerify, x96SegmentDedup,
-    x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh)
+    x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh,
+    x100CurationCapped)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).
