@@ -58,7 +58,9 @@ object Plans {
     "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg; winners rejoin on the segment key (exchange reuse); rebuild is one shuffle on doc id",
     "x97_quality_classifier" -> "one feature-build pass at an exchange; each GD round = broadcast(<=B-row w) join + per-doc fold + per-bucket fold; corpus text never shuffles, model state is kilobytes",
     "x98_cluster_split" -> "CC labels join the corpus (left, build side = |clustered docs| only); split hash is a map-only projection",
-    "x100_curation_capped" -> "four audited stage shapes chained: keep-first semi-join, segment winner agg + rebuild, WindowGroupLimit cap, per-group budget window — no stage widens another's shuffle")
+    "x100_curation_capped" -> "four audited stage shapes chained: keep-first semi-join, segment winner agg + rebuild, WindowGroupLimit cap, per-group budget window — no stage widens another's shuffle",
+    "x101_key_skew" -> "two-phase count agg on the diagnosed key (hot keys collapse map-side) + single-row reduce over the |keys| table",
+    "x102_column_profile" -> "one pruned single-column agg per profiled column, unioned — never a wide multi-distinct Expand")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

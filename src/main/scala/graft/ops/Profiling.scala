@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style data profiling: the per-column statistics a pipeline
+  * operator (or a human) reads before choosing join strategies,
+  * partition counts, and quality gates — row/null counts, exact
+  * distinct cardinality, min/max.
+  *
+  * Scale shape: one single-column aggregation PER PROFILED COLUMN,
+  * unioned — deliberately not one wide multi-distinct aggregate:
+  * Spark plans k exact `count(DISTINCT)`s in one agg through an
+  * Expand (k× the input rows through one shuffle), while k separate
+  * aggs each scan ONE parquet column (pruned at the reader) with a
+  * two-phase partial agg — independent, column-pruned jobs, the same
+  * shape ANALYZE TABLE runs. At 100 TB swap `countDistinct` for
+  * `approx_count_distinct` (HLL, one pass, mergeable) — exact here
+  * because the driver oracle checks exact values.
+  */
+object Profiling {
+
+  /** Profile `cols` of `df`: one output row per column with
+    * (col_name, n_rows, n_non_null, ndv, min_value, max_value) —
+    * min/max cast to string so every column type shares one output
+    * schema (the ANALYZE convention). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_non_null"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_non_null"),
+          col("ndv"), col("min_value"), col("max_value"))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -2810,6 +2810,52 @@ object Extensions extends QueryModule {
       FROM wt QUALIFY cum_tokens <= 1500
       ORDER BY lang, doc_id"""))
 
+  /** Join-key skew diagnosis ([[graft.ops.Skew.keySkewStats]]) over
+    * events.user_id — the measurement that picks plain shuffle vs
+    * AQE skew handling vs salting. Hash-green: exact counts, order-
+    * statistic percentiles (percentile ↔ quantile_cont, the x26
+    * pairing), rounded shares, verdict on the ROUNDED value. */
+  private val x101KeySkew = GraftQuery(
+    "x101_key_skew",
+    (s, dir) => graft.ops.Skew.keySkewStats(
+      Tables.events(s, dir), "user_id", saltThreshold = 0.05),
+    Some("""WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id),
+      a AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(max(c) AS BIGINT) AS top1_cnt,
+          quantile_cont(c, 0.5) AS p50_cnt,
+          quantile_cont(c, 0.99) AS p99_cnt
+        FROM c)
+      SELECT n_rows, n_keys, top1_cnt, p50_cnt, p99_cnt,
+        round(CAST(top1_cnt AS DOUBLE) / n_rows, 4) AS top1_share,
+        round(CAST(top1_cnt AS DOUBLE) / p50_cnt, 4) AS skew_ratio,
+        (round(CAST(top1_cnt AS DOUBLE) / n_rows, 4) >= 0.05)
+          AS needs_salting
+      FROM a"""))
+
+  /** ANALYZE-style column profile ([[graft.ops.Profiling
+    * .columnProfile]]) of the documents table — per-column row/null
+    * counts, exact ndv, min/max as strings. Hash-green: exact
+    * integer stats; min/max on bigint/varchar columns cast to
+    * string identically on both engines. */
+  private val x102ColumnProfile = GraftQuery(
+    "x102_column_profile",
+    (s, dir) => graft.ops.Profiling.columnProfile(
+      Tables.documents(s, dir),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy(col("col_name")),
+    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count($c) AS BIGINT) AS n_non_null,
+          CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+          CAST(min($c) AS VARCHAR) AS min_value,
+          CAST(max($c) AS VARCHAR) AS max_value
+        FROM documents"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+
   /** The scale path of x98: the same leakage-safe split over the
     * FULL embeddings table with LSH-bucketed near-dup pairs feeding
     * pointer-jumping components (x34's regime: threshold 0.3 is the
@@ -2857,7 +2903,7 @@ object Extensions extends QueryModule {
     x91EventTransitions, x92PercentileNormalize, x93SourceCap,
     x94DsirWeights, x95ContaminationVerify, x96SegmentDedup,
     x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh,
-    x100CurationCapped)
+    x100CurationCapped, x101KeySkew, x102ColumnProfile)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

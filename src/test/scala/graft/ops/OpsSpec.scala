@@ -2247,4 +2247,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.leakageSafeSplit(docs, "id", pairs, "id_a", "id_b", 100)
       .filter(col("split") === "train").count() == 0)
   }
+
+  test("key skew stats: hot key measured, verdict flips with threshold, NULL key counted") {
+    // 100 rows on key 1 (the celebrity), 10 keys with 1 row, 5 NULLs
+    val rows = (Seq.fill(100)(Some(1L)) ++ (2L to 11L).map(Some(_)) ++
+      Seq.fill(5)(Option.empty[Long]))
+      .toDF("k")
+    val r = Skew.keySkewStats(rows, "k", saltThreshold = 0.5).head()
+    assert(r.getAs[Long]("n_rows") == 115 && r.getAs[Long]("n_keys") == 12)
+    assert(r.getAs[Long]("top1_cnt") == 100)
+    assert(r.getAs[Double]("top1_share") == math.rint(100.0 / 115 * 10000) / 10000)
+    assert(r.getAs[Double]("p50_cnt") == 1.0, "median key holds one row")
+    assert(r.getAs[Boolean]("needs_salting"), "87% share must trip a 50% threshold")
+    val lax = Skew.keySkewStats(rows, "k", saltThreshold = 0.9).head()
+    assert(!lax.getAs[Boolean]("needs_salting"))
+    // uniform distribution: no salting verdict at any sane threshold
+    val uniform = Skew.keySkewStats(
+      (1L to 100L).toDF("k"), "k", saltThreshold = 0.05).head()
+    assert(!uniform.getAs[Boolean]("needs_salting"))
+    assert(uniform.getAs[Double]("skew_ratio") == 1.0)
+  }
+
+  test("column profile: exact stats per column, nulls and ndv counted") {
+    val rows = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")),
+      (4L, None)).toDF("id", "v")
+    val got = Profiling.columnProfile(rows, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 4L, 4L, "1", "4")))
+    assert(got("v") == ((4L, 3L, 2L, "a", "b")), s"got $got")
+  }
 }
