@@ -716,4 +716,42 @@ object Similarity {
     * for scoring quantized vectors with the same cosine machinery. */
   def dequantize(qvecCol: Column, scaleCol: Column): Column =
     transform(qvecCol, q => q.cast("double") * scaleCol)
+
+  /** Embedding-space outlier screening: distance of every vector to
+    * its group's centroid, robust-z-scored within the group
+    * (median/MAD — [[graft.quality.CorpusQuality.robustOutliers]]) —
+    * the embedding-side data-quality gate: mis-embedded rows, wrong-
+    * modality blobs and encoder failures sit far from every centroid
+    * while the robust statistics ignore them when setting the cutoff.
+    *
+    * Deterministic: centroids are the ROUNDED [[centroidsTyped]]
+    * cells (4 decimals — downstream math is a pure function of
+    * them), the squared-component sum folds in dimension order, and
+    * the z is order statistics over rounded distances — hash-green
+    * replay end-to-end.
+    *
+    * Scale shape: one centroid aggregate (map-side partial,
+    * |labels|×dims scalars broadcast back), one map-only
+    * component-join pass keyed by (label, pos) against the broadcast
+    * centroids, a per-vector fold (shuffle keyed by id), and the
+    * |labels|-row robust stats broadcast for the final map-only
+    * scoring. */
+  def embeddingOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, cutoff: Double = 3.5): DataFrame = {
+    val cents = centroidScalars(df, labelCol, vecCol)
+      .select(col("label"), col("pos"), col("mean").as("__c"))
+    val comps = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)))
+      .select(col("id"), col("label"), (col("pos") + 1).as("pos"),
+        col("col").cast("double").as("__v"))
+    val dists = comps.join(broadcast(cents), Seq("label", "pos"))
+      .withColumn("__d2", (col("__v") - col("__c")) * (col("__v") - col("__c")))
+      .groupBy(col("id"), col("label"))
+      .agg(round(sqrt(Classifier.sortedFold(col("pos"), col("__d2"))), 6)
+        .as("dist"))
+    graft.quality.CorpusQuality.robustOutliers(dists, "label", "dist", cutoff)
+      .select(col("id").as(idCol), col("label"), col("dist"),
+        round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
+  }
 }

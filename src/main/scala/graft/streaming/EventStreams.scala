@@ -33,6 +33,19 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming read of a documents parquet directory — the
+    * ingest-side curation source (file streams need a pinned
+    * schema; inference is batch-only). */
+  def docsFromParquetDir(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(path)
+
   /** Streaming read of an events parquet directory. */
   def fromParquetDir(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2268,6 +2268,27 @@ class OpsSpec extends AnyFunSuite {
     assert(uniform.getAs[Double]("skew_ratio") == 1.0)
   }
 
+  test("embedding outliers: planted far vector flagged, in-cluster vectors clean") {
+    // label 0: 20 vectors near (1,0,...)  plus one planted far point;
+    // label 1: 20 near (0,1,...) — the far point must be the ONLY flag
+    val dims = 8
+    def vec(base: Int, jitter: Float) =
+      Array.tabulate(dims)(i => (if (i == base) 1f else 0f) + (if (i == (base + 1) % dims) jitter else 0f))
+    val rows = ((1L to 20L).map(i => (i, 0, vec(0, (i % 5) * 0.01f))) ++
+      Seq((99L, 0, Array.fill(dims)(5f))) ++ // the mis-embedded row
+      (101L to 120L).map(i => (i, 1, vec(1, (i % 5) * 0.01f))))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingOutliers(rows, "vec_id", "label", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(got(99L), s"planted outlier not flagged: $got")
+    assert(got.count(_._2) == 1, s"false positives: ${got.filter(_._2)}")
+    // pure function of the table: relayout changes nothing
+    val again = Similarity.embeddingOutliers(rows.repartition(7), "vec_id",
+      "label", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(again == got)
+  }
+
   test("column profile: exact stats per column, nulls and ndv counted") {
     val rows = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")),
       (4L, None)).toDF("id", "v")

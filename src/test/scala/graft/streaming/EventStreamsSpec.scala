@@ -193,4 +193,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(joined.filter(col("n_events") =!= col("n")).count() == 0)
     assert(joined.filter(abs(col("total_value") - col("v")) > 0.01).count() == 0)
   }
+
+  test("streaming curation equals the batch pipeline bit-for-bit") {
+    import graft.ops.TextAnalysis
+    // stateless row-level stages (score, gate, scrub) — a completed
+    // stream over a static directory must equal the batch run exactly
+    val docsDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docstream_spec")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+        dir.resolve("documents.parquet"))
+      dir.toString
+    }
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityScore(df)
+        .filter(col("quality_score") >= 0.5)
+        .select(col("doc_id"), col("quality_score"),
+          TextAnalysis.scrubPii(col("text")).as("clean_text"))
+    val streamed = EventStreams.runToMemory(spark,
+      curate(EventStreams.docsFromParquetDir(spark, docsDir)),
+      "curation_spec_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val batch = curate(spark.read.parquet(docsDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed.nonEmpty, "gate must pass some documents")
+    assert(streamed == batch, "stream and batch diverged")
+  }
 }
