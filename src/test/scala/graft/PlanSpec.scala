@@ -351,6 +351,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!clf.contains("CartesianProduct"), clf.take(2000))
   }
 
+  test("x100 composition: cap stays WindowGroupLimit, nothing plans a nested loop") {
+    val plan = executedPlan("x100_curation_capped")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x104 embedding outliers: centroids broadcast back, components never do") {
+    val plan = executedPlan("x104_embedding_outliers")
+    // the |labels|×dims centroid table and the |labels|-row robust
+    // stats are the ONLY broadcast sides; the exploded component
+    // table is corpus×dims and must stay on the streamed side
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("x96 segment dedup: winner agg is partial (map-side combine), no nested loop") {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, sfDir)
