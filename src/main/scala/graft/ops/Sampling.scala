@@ -280,6 +280,56 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Rebalance the corpus toward TARGET mixture proportions: each
+    * stratum keeps `min(1, N·target_s / n_s)` of its rows — the
+    * static-reweighting move every pre-training mix applies
+    * (up-weight the curated source, down-sample the over-crawled
+    * one; DoReMi-style learned weights plug straight into
+    * `targetShares`). A stratum whose target exceeds its supply
+    * keeps everything (the cap-at-1 semantic: sampling can only
+    * remove rows — up-weighting beyond supply is the training
+    * loader's repetition knob, [[mixtureSchedule]]); strata absent
+    * from the map are dropped.
+    *
+    * Membership is a pure function of (id, counts, targets): the
+    * keep-threshold is `floor(fraction·10⁶)` compared against the
+    * arithmetic Knuth id-hash mod 10⁶ — integer compare, no float
+    * boundary, stable under relayout and fully SQL-replayable
+    * (unlike [[stratifiedByHash]]'s xxhash64 buckets).
+    *
+    * Scale shape: one bounded count aggregate collected to the
+    * driver (|strata| rows — the ivfIndex sample-train pattern),
+    * whose thresholds inline as LITERALS: the data pass is then
+    * pure map-only (hash + integer compare per row, no join at
+    * all). The driver-side `floor(min(1, N·s/n)·10⁶)` is the same
+    * IEEE double tree the SQL replay computes — identical
+    * thresholds on both engines. */
+  def rebalanceToTarget(df: DataFrame, stratumCol: String, idCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "give at least one target share")
+    require(targetShares.values.forall(s => s > 0.0 && s <= 1.0),
+      "target shares in (0, 1]")
+    val counts = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val nTotal = counts.values.sum
+    val thr = targetShares.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, s)) =>
+        counts.get(stratum) match {
+          case Some(cnt) if cnt > 0 =>
+            val t = math.floor(
+              math.min(1.0, (nTotal * s) / cnt) * 1000000).toLong
+            when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+          case _ => acc // empty stratum: nothing to keep
+        }
+    }
+    val bucket = pmod(
+      pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)),
+      lit(1000000L))
+    df.filter(bucket < thr) // NULL thr (untargeted stratum) filters out
+  }
+
   /** C4-style per-group document cap: keep at most `k` rows per
     * group, selected by a deterministic id-hash priority — the
     * "no single host dominates the corpus" rule (C4 caps pages per

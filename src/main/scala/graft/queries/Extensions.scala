@@ -2941,6 +2941,38 @@ object Extensions extends QueryModule {
       FROM dists LEFT JOIN stats USING (label)
       ORDER BY vec_id"""))
 
+  /** Target-mixture rebalance ([[graft.ops.Sampling
+    * .rebalanceToTarget]]): keep fractions computed from target
+    * proportions, applied via the arithmetic id-hash — shares sized
+    * so every kept stratum's gate BINDS (0.4 / 0.2 / 0.8 of the
+    * three sources). Hash-green: counts, the floor'd integer
+    * threshold and the Knuth bucket all replay exactly. */
+  private val x105RebalanceMixture = GraftQuery(
+    "x105_rebalance_mixture",
+    (s, dir) => graft.ops.Sampling.rebalanceToTarget(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id",
+      Map("src0" -> 0.02, "src1" -> 0.01, "src2" -> 0.04))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        GROUP BY source),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+      f AS (
+        SELECT source,
+          CAST(floor(least(1.0,
+            (n_total * CASE source WHEN 'src0' THEN 0.02
+                                   WHEN 'src1' THEN 0.01
+                                   WHEN 'src2' THEN 0.04 END) / n)
+            * 1000000) AS BIGINT) AS thr
+        FROM c, t)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN f USING (source)
+      WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+            % 1000000 < thr
+      ORDER BY d.doc_id"""))
+
   /** Join-key skew diagnosis ([[graft.ops.Skew.keySkewStats]]) over
     * events.user_id — the measurement that picks plain shuffle vs
     * AQE skew handling vs salting. Hash-green: exact counts, order-
@@ -3035,7 +3067,7 @@ object Extensions extends QueryModule {
     x94DsirWeights, x95ContaminationVerify, x96SegmentDedup,
     x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh,
     x100CurationCapped, x101KeySkew, x102ColumnProfile,
-    x103StreamingCuration, x104EmbeddingOutliers)
+    x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2268,6 +2268,32 @@ class OpsSpec extends AnyFunSuite {
     assert(uniform.getAs[Double]("skew_ratio") == 1.0)
   }
 
+  test("rebalance to target: fractions honored, cap-at-1 keeps all, relayout-stable") {
+    // a: 1000 rows, b: 100, c: 50, d: 200 (d not targeted -> dropped)
+    val rows = ((1L to 1000L).map(i => (i, "a")) ++
+      (2001L to 2100L).map(i => (i, "b")) ++
+      (3001L to 3050L).map(i => (i, "c")) ++
+      (4001L to 4200L).map(i => (i, "d")))
+      .toDF("id", "grp")
+    // N = 1150 over targeted strata; fractions: a min(1,1150*.10/1000)=.115,
+    // b min(1,1150*.05/100)=.575, c min(1,1150*.20/50)=1 (cap)
+    val kept = Sampling.rebalanceToTarget(rows, "grp", "id",
+      Map("a" -> 0.10, "b" -> 0.05, "c" -> 0.20))
+    val byGrp = kept.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byGrp.contains("d"), "untargeted stratum must drop")
+    assert(byGrp("c") == 50, "cap-at-1 stratum must keep everything")
+    // hash-thinned strata land near fraction*n (hash variance band)
+    assert(math.abs(byGrp("a") - 115.0) < 40, s"a kept ${byGrp("a")}")
+    assert(math.abs(byGrp("b") - 57.5) < 25, s"b kept ${byGrp("b")}")
+    // pure function of (ids, counts, targets): relayout changes nothing
+    val got = kept.select("id").as[Long].collect().toSet
+    val again = Sampling.rebalanceToTarget(rows.repartition(13), "grp", "id",
+      Map("a" -> 0.10, "b" -> 0.05, "c" -> 0.20))
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("embedding outliers: planted far vector flagged, in-cluster vectors clean") {
     // label 0: 20 vectors near (1,0,...)  plus one planted far point;
     // label 1: 20 near (0,1,...) — the far point must be the ONLY flag
