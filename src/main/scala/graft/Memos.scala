@@ -24,6 +24,40 @@ object SessionKeys {
   }
 }
 
+/** Stable INPUT-PLAN identity for memo keys.
+  *
+  * `semanticHash()` is 32 bits: a session that memoizes many distinct
+  * input plans walks into birthday-collision territory, and a
+  * collision here doesn't crash — it silently serves another plan's
+  * cached cluster labels / pair table / trained model. A 128-bit
+  * digest of the canonicalized plan string makes that probability
+  * negligible while staying cheap (one SHA-256 over a plan string per
+  * memo lookup; canonicalization normalizes expression ids, so
+  * semantically-equal plans still share a key).
+  *
+  * The plan STRING alone is not enough: a `LocalRelation` prints only
+  * its output attributes, so two literal frames with the same schema
+  * but different rows stringify identically. Fold each local
+  * relation's row data and the plan's `semanticHash` (a case-class
+  * hash, which DOES see the rows) into the digest so literal inputs
+  * with equal shapes stay distinct.
+  */
+object PlanKeys {
+  def of(df: org.apache.spark.sql.DataFrame): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val plan = df.queryExecution.analyzed.canonicalized
+    md.update(plan.toString.getBytes(utf8))
+    md.update(java.nio.ByteBuffer.allocate(4).putInt(plan.hashCode()).array())
+    plan.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.foreach(row => md.update(row.toString.getBytes(utf8)))
+      case _ => ()
+    }
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+}
+
 /** Tiny synchronized LRU memo with an eviction hook — the shape every
   * per-session materialized-artifact cache in this engine uses
   * (candidate pair tables, IVF indexes, settled streaming results).

@@ -77,7 +77,7 @@ object Dedup {
     * memo holds at most [[memoCapacity]] entries (oldest unpersisted
     * and dropped). */
   private val candidateMemo =
-    new graft.BoundedMemo[(String, Int, String, Int, Int, Int), DataFrame](
+    new graft.BoundedMemo[(String, String, String, Int, Int, Int), DataFrame](
       16, _.unpersist(blocking = false), name = "minhash-candidates")
 
   /** Drop all memoized candidate tables (unpersisting each). */
@@ -86,7 +86,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(),
+      graft.PlanKeys.of(df),
       s"$idCol/$textCol", numHashes, bands, shingleSize)
     // build OUTSIDE the memo lock (the ivfIndex pattern): the build
     // plans against the input frame, and planning arbitrary user
@@ -548,7 +548,7 @@ object Dedup {
     * bytes: tiny and driver-held, nothing to unpersist on eviction;
     * `None` records an empty capped set. */
   private val bloomMemo =
-    new graft.BoundedMemo[(String, Int, String, Int, Int, Int, Double),
+    new graft.BoundedMemo[(String, String, String, Int, Int, Int, Double),
       Option[Array[Byte]]](16, name = "eval-bloom")
 
   /** Drop all memoized eval Bloom filters. */
@@ -597,7 +597,7 @@ object Dedup {
     // build OUTSIDE the memo lock (the ivfIndex pattern — the build
     // runs real jobs); a race loser's bytes just get garbage-collected
     val key = (graft.SessionKeys.of(eval.sparkSession),
-      eval.queryExecution.analyzed.semanticHash(),
+      graft.PlanKeys.of(eval),
       s"$idCol/$textCol", k, window, maxEvalDocFreq, fpp)
     val maybeBytes = bloomMemo.get(key).getOrElse {
       bloomMemo.putIfAbsent(key,
@@ -648,7 +648,7 @@ object Dedup {
     * maxIters), not one per consumer. Labels are O(|clustered
     * docs|) rows. Same caveats as candidateMemo. */
   private val clusterMemo =
-    new graft.BoundedMemo[(String, Int, String, Int), DataFrame](
+    new graft.BoundedMemo[(String, String, String, Int), DataFrame](
       16, _.unpersist(blocking = false), name = "dup-cluster-labels")
 
   /** Drop all memoized cluster label tables (unpersisting each). */
@@ -657,7 +657,7 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idACol: String, idBCol: String,
       maxIters: Int = 20): DataFrame = {
     val key = (graft.SessionKeys.of(pairs.sparkSession),
-      pairs.queryExecution.analyzed.semanticHash(),
+      graft.PlanKeys.of(pairs),
       s"$idACol/$idBCol", maxIters)
     clusterMemo.get(key).getOrElse {
       val built = duplicateClustersUncached(pairs, idACol, idBCol, maxIters)
@@ -1024,7 +1024,7 @@ object Dedup {
     * consumes it again); one banding+verify pass per (input, params),
     * not one per consumer. Same caveats as candidateMemo. */
   private val embPairMemo =
-    new graft.BoundedMemo[(String, Int, String, Double, Int, Int), DataFrame](
+    new graft.BoundedMemo[(String, String, String, Double, Int, Int), DataFrame](
       16, _.unpersist(blocking = false), name = "embedding-near-dup")
 
   /** Drop all memoized embedding pair tables (unpersisting each). */
@@ -1033,7 +1033,7 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(),
+      graft.PlanKeys.of(df),
       s"$idCol/$vecCol", threshold, numBits, bands)
     // build OUTSIDE the memo lock (the ivfIndex pattern)
     embPairMemo.get(key).getOrElse {

@@ -16,14 +16,15 @@ import org.apache.spark.sql.types._
   * bilinear scaling, luminance-histogram features). AUDIO decode is
   * REAL too: `javax.sound.sampled` ships in every JDK and parses
   * PCM WAV ([[AudioCodec]]: sample-level RMS energy, zero-crossing
-  * rate, amplitude histogram) — zero external dependencies either
-  * way. Only VIDEO decode has no JDK codec; that arm remains a
-  * deterministic stub ([[FakeCodec]], byte-hash features and
-  * byte-slice "frames") behind the same call shape — swap in a
-  * JNI/library codec without touching any distributed plumbing.
-  * Undecodable image/audio bytes also fall back to the stub rather
-  * than failing the task (corrupt blobs are a fact of crawled
-  * corpora).
+  * rate, amplitude histogram). VIDEO decode is real for MJPEG-in-AVI
+  * ([[VideoCodec]]: a zero-dep RIFF chunk walk whose `00dc` frames
+  * are JPEGs for the imageio reader — true frames, true dimensions);
+  * other video containers (H.264 in MP4 needs a native codec) and
+  * undecodable bytes of any modality fall back to a deterministic
+  * stub ([[FakeCodec]]) behind the same call shape — swap in a
+  * JNI/library codec without touching any distributed plumbing
+  * (corrupt blobs are a fact of crawled corpora; a task never fails
+  * on one).
   *
   * At 100 TB: binary payloads dominate row size, so ops that don't
   * need bytes must prune the column (schema keeps media metadata in
@@ -114,6 +115,15 @@ object Multimodal {
     def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** JPEG encode — the frame format MJPEG AVIs carry
+      * ([[VideoCodec]]); the JDK ships a JPEG writer alongside the
+      * PNG one. */
+    def encodeJpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
 
@@ -290,9 +300,113 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic stand-in for VIDEO decode (the one
-    * modality with no JDK codec) and the fallback for undecodable
-    * image/audio bytes. Replace with a real library binding; the call
+  /** REAL video codec for the one container a bare JVM can fully
+    * decode: MJPEG-in-AVI. An AVI is a RIFF file — fourcc-tagged
+    * chunks with little-endian u32 sizes, word-aligned — and in the
+    * MJPEG flavor every `00dc`/`00db` chunk inside the `movi` LIST
+    * is a complete JPEG image, so frame decode reuses [[ImageCodec]]
+    * (javax.imageio ships a JPEG reader). Zero external
+    * dependencies: the container walk is plain chunk arithmetic per
+    * the public AVI RIFF layout (Microsoft "AVI RIFF File
+    * Reference"). Bytes that are not a well-formed RIFF/AVI return
+    * None and callers fall back to the deterministic stub — the same
+    * posture as corrupt image/audio blobs. The reference pipeline
+    * has no video operator at all (SURVEY §2); this closes the
+    * builder-brief multimodal arm with a real, testable decode. */
+  object VideoCodec {
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Frame payloads (raw JPEG bytes) in stream order, or None when
+      * the bytes are not a RIFF/AVI container. A TRUNCATED container
+      * yields the frames that fit — crawled media truncates
+      * mid-download, and the intact prefix is still usable. */
+    def frames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (bytes == null || bytes.length < 12 ||
+        fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") None
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          var ok = true
+          while (ok && off + 8 <= end) {
+            val id = fourcc(bytes, off)
+            val size = u32(bytes, off + 4)
+            val dataStart = off + 8
+            // clamp to the buffer: a truncated final chunk keeps its
+            // readable prefix, a corrupt oversized length can't loop
+            val dataEnd = math.min(end.toLong, dataStart.toLong + size).toInt
+            if (dataEnd < dataStart || size > Int.MaxValue.toLong) ok = false
+            else {
+              if (id == "LIST" && dataEnd - dataStart >= 4)
+                walk(dataStart + 4, dataEnd) // skip the list-type fourcc
+              else if ((id.endsWith("dc") || id.endsWith("db")) &&
+                id.take(2).forall(_.isDigit) && dataEnd > dataStart)
+                out += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+              // chunks are word-aligned: odd sizes carry one pad byte;
+              // advance in Long so a near-2GB size can't wrap negative
+              val next = dataStart.toLong + size + (size & 1L)
+              if (next > end.toLong) ok = false else off = next.toInt
+            }
+          }
+        }
+        walk(12, bytes.length)
+        Some(out.toSeq)
+      }
+    }
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    private def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(typ) ++ payload)
+
+    /** Minimal MJPEG-AVI encoder — [[frames]]' round-trip partner
+      * (the fixture-generator role [[ImageCodec.encodePng]] and
+      * [[AudioCodec.encodeWav]] play for their codecs): a real
+      * `hdrl` (avih + one vids/MJPG strl with true width/height/fps)
+      * and a `movi` LIST of `00dc` JPEG chunks. */
+    def encodeAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int,
+        fps: Int = 10): Array[Byte] = {
+      require(fps > 0, "fps must be positive")
+      val n = jpegFrames.length
+      val avih = chunk("avih",
+        le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+          le32(n.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+          le32(width.toLong) ++ le32(height.toLong) ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val strh = chunk("strh",
+        cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+          le32(1) ++ le32(fps.toLong) ++ le32(0) ++ le32(n.toLong) ++
+          le32(0) ++ le32(0xFFFFFFFFL) ++ le32(0) ++
+          le16(0) ++ le16(0) ++ le16(width) ++ le16(height))
+      val strf = chunk("strf", // BITMAPINFOHEADER
+        le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+          le16(1) ++ le16(24) ++ cc("MJPG") ++
+          le32(width.toLong * height * 3) ++
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+  }
+
+  /** STUB codec — deterministic stand-in for bytes no real codec
+    * here can decode (corrupt/foreign blobs of any modality; video
+    * containers other than [[VideoCodec]]'s MJPEG-AVI). The call
     * shape (bytes in, fixed-width float feature out) is what a
     * CLIP-style embedder or mel-spectrogram extractor produces. */
   object FakeCodec {
@@ -348,6 +462,15 @@ object Multimodal {
             // contract)
             AudioCodec.decode(bytes).map(AudioCodec.features(_, dims))
               .getOrElse(FakeCodec.features(bytes, dims))
+          else if (r.kind == "video")
+            // REAL pixels for MJPEG AVIs: the middle frame is the
+            // clip's representative image (first frames are often
+            // title cards/black); non-AVI containers fall to the stub
+            VideoCodec.frames(bytes)
+              .flatMap(fs => fs.lift(fs.length / 2))
+              .flatMap(ImageCodec.decode)
+              .map(ImageCodec.features(_, dims))
+              .getOrElse(FakeCodec.features(bytes, dims))
           else FakeCodec.features(bytes, dims)
         MediaFeatures(r.media_id, r.kind, bytes.length.toLong, feature)
       }
@@ -398,13 +521,23 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: explodes each video into ≤ n frame
-    * rows (media_id, frame_idx, frame_bytes). */
+    * rows (media_id, frame_idx, frame_bytes). MJPEG AVIs yield REAL
+    * frames ([[VideoCodec]]): n evenly spaced JPEG payloads, each
+    * independently decodable by [[ImageCodec]]; other containers fall
+    * to the deterministic byte-slice stub. Map-only either way — the
+    * blob is consumed here and only frame bytes flow on. */
   def sampleFrames(media: Dataset[MediaRow], n: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
       .flatMap { r =>
         val bytes = if (r.content == null) Array.empty[Byte] else r.content
-        FakeCodec.sampleFrames(bytes, n).zipWithIndex.map {
+        val frames = VideoCodec.frames(bytes) match {
+          case Some(fs) if fs.length <= n => fs
+          case Some(fs) => // evenly spaced over the clip, first-aligned
+            (0 until n).map(i => fs((i.toLong * fs.length / n).toInt))
+          case None => FakeCodec.sampleFrames(bytes, n)
+        }
+        frames.zipWithIndex.map {
           case (frame, idx) => (r.media_id, idx, frame)
         }
       }
@@ -557,17 +690,17 @@ object Multimodal {
       .orderBy(col("kind"), col("format"))
 
   /** Deterministic synthetic media table for tests/demos. Image rows
-    * carry REAL PNGs (seeded pixel noise, encoded by the JDK writer)
-    * and audio rows REAL 16-bit PCM WAVs (seeded sine + noise, encoded
-    * by the JDK writer), so both decode paths are exercised
-    * end-to-end; video payloads are seeded byte patterns (no JDK codec
-    * to target). */
+    * carry REAL PNGs (seeded pixel noise, encoded by the JDK writer),
+    * audio rows REAL 16-bit PCM WAVs (seeded sine + noise), and video
+    * rows REAL MJPEG AVIs (seeded-noise JPEG frames in a RIFF
+    * container, [[VideoCodec.encodeAvi]]) — all three decode paths
+    * exercised end-to-end with zero external dependencies. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       import graft.functions.SketchHash.mix64
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val fmt = Map("image" -> "png", "audio" -> "wav", "video" -> "mp4")(kind)
+      val fmt = Map("image" -> "png", "audio" -> "wav", "video" -> "avi")(kind)
       val w = 64 + (i % 8).toInt * 16
       val h = 64
       var durationMs = if (kind == "video") 4000L else 0L
@@ -597,8 +730,26 @@ object Multimodal {
           durationMs = math.round(nSamples * 1000.0 / sampleRate)
           AudioCodec.encodeWav(samples, sampleRate)
         } else {
-          val len = 64 + (mix64(i) & 0xFF).toInt
-          Array.tabulate(len)(b => (mix64(i * 1000L + b) & 0xFF).toByte)
+          // 3–6 frames of seeded pixel noise, JPEG-encoded, in a
+          // real RIFF/AVI container at 10 fps
+          val nFrames = 3 + (mix64(i) & 0x3).toInt
+          val frames = (0 until nFrames).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (mix64(i * 7919L + f * 104729L + y * 4099L + x) & 0xFFFFFF).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            ImageCodec.encodeJpeg(img)
+          }
+          durationMs = nFrames * 100L // 10 fps
+          VideoCodec.encodeAvi(frames, w, h, fps = 10)
         }
       MediaRow(i, kind, fmt, w, h, durationMs, content)
     }

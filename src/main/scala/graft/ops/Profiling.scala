@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Expand (k× the input rows through one shuffle), while k separate
   * aggs each scan ONE parquet column (pruned at the reader) with a
   * two-phase partial agg — independent, column-pruned jobs, the same
-  * shape ANALYZE TABLE runs. At 100 TB swap `countDistinct` for
+  * shape ANALYZE TABLE runs. The column-independent row count is
+  * computed once and broadcast in, not recomputed per column. At
+  * 100 TB swap `countDistinct` for
   * `approx_count_distinct` (HLL, one pass, mergeable) — exact here
   * because the driver oracle checks exact values.
   */
@@ -26,15 +28,22 @@ object Profiling {
     * schema (the ANALYZE convention). */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    // the row count is column-independent: compute it ONCE (parquet
+    // answers count(*) from footer metadata — a zero-column scan)
+    // and broadcast the 1-row frame into every per-column agg,
+    // instead of re-counting all rows k times inside them
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
     cols.map { c =>
       df.agg(
-        count(lit(1)).as("n_rows"),
         count(col(c)).as("n_non_null"),
         countDistinct(col(c)).as("ndv"),
         min(col(c)).cast("string").as("min_value"),
         max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_non_null"),
+        .select(lit(c).as("col_name"), col("n_non_null"),
           col("ndv"), col("min_value"), col("max_value"))
     }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nRows)) // 1-row frame: broadcast, never a shuffle
+      .select(col("col_name"), col("n_rows"), col("n_non_null"),
+        col("ndv"), col("min_value"), col("max_value"))
   }
 }

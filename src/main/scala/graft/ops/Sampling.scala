@@ -301,9 +301,13 @@ object Sampling {
     * driver (|strata| rows — the ivfIndex sample-train pattern),
     * whose thresholds inline as LITERALS: the data pass is then
     * pure map-only (hash + integer compare per row, no join at
-    * all). The driver-side `floor(min(1, N·s/n)·10⁶)` is the same
-    * IEEE double tree the SQL replay computes — identical
-    * thresholds on both engines. */
+    * all). The driver-side `floor(min(1, N·s/n)·10⁶)` is an IEEE
+    * double tree; an ANSI replay matches it only if every literal
+    * in the SQL is CAST to DOUBLE — engines that type bare numeric
+    * literals as DECIMAL (DuckDB) otherwise compute N·s exactly and
+    * can floor one lower at a representation boundary (3 rows,
+    * share 0.1: decimal 99999 vs double 100000 — flips any row
+    * whose Knuth bucket equals the boundary). */
   def rebalanceToTarget(df: DataFrame, stratumCol: String, idCol: String,
       targetShares: Map[String, Double]): DataFrame = {
     require(targetShares.nonEmpty, "give at least one target share")

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Contract ceilings on driver-resident training state. Every
+    * ANN/quantization trainer here ([[ivfIndex]], [[kmeansCentroids]],
+    * [[pqTrain]]) collects a BOUNDED sample or a ≤k-row aggregate to
+    * the driver — that is the production shape (Lloyd needs a
+    * representative sample, not the corpus) — but "bounded" must be
+    * enforced, not assumed: a caller passing `trainSample = n_corpus`
+    * would silently turn the sample collect into a full-corpus
+    * driver OOM at 100 TB. Ceilings sized so the worst case stays
+    * comfortably in driver memory (65 536 vectors × 1 024 float
+    * dims ≈ 512 MB doubles; 4 096 centroids × 1 024 dims ≈ 32 MB). */
+  val MaxTrainSample: Int = 65536
+  val MaxTrainK: Int = 4096
+
   /** Exact cosine top-k for one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int = 10): DataFrame = {
@@ -90,7 +103,7 @@ object Similarity {
   // corpus-sized assignment table for the session lifetime. The
   // non-blocking unpersist is safe for a caller still probing the
   // evicted index: Spark recomputes the assignments from lineage.
-  private val ivfMemo = new graft.BoundedMemo[(String, Int, String, Int, Int, Int), IvfIndex](
+  private val ivfMemo = new graft.BoundedMemo[(String, String, String, Int, Int, Int), IvfIndex](
     8, _.assignments.unpersist(blocking = false), name = "ivf-index")
 
   /** Drop all memoized IVF indexes (unpersisting each). */
@@ -113,8 +126,13 @@ object Similarity {
     * at read time. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
+    require(k >= 1 && k <= MaxTrainK,
+      s"ivfIndex: k=$k outside [1, $MaxTrainK] — centroids are driver-resident")
+    require(trainSample >= k && trainSample <= MaxTrainSample,
+      s"ivfIndex: trainSample=$trainSample outside [k, $MaxTrainSample] — " +
+        "the training sample is collected to the driver")
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(),
+      graft.PlanKeys.of(df),
       s"$idCol/$vecCol", k, iters, trainSample)
     // build OUTSIDE the lock: holding it through the sample collect +
     // assignment job would serialize unrelated concurrent builds.
@@ -473,7 +491,7 @@ object Similarity {
     * clustering) train once per session. Values are plain driver
     * arrays — nothing persisted, so the evict hook is a no-op. */
   private val kmeansMemo =
-    new graft.BoundedMemo[(String, Int, String, Int, Int), Array[Array[Double]]](
+    new graft.BoundedMemo[(String, String, String, Int, Int), Array[Array[Double]]](
       16, name = "kmeans")
 
   /** Fully DISTRIBUTED Lloyd's k-means over an embedding column — the
@@ -499,8 +517,11 @@ object Similarity {
     * previous centroid. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
+    require(k >= 1 && k <= MaxTrainK,
+      s"kmeansCentroids: k=$k outside [1, $MaxTrainK] — the per-round " +
+        "cluster-mean aggregate collects k rows to the driver")
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), s"$idCol/$vecCol", k, iters)
+      graft.PlanKeys.of(df), s"$idCol/$vecCol", k, iters)
     // training runs jobs: build outside the memo lock (ivfIndex rule)
     kmeansMemo.get(key).getOrElse(
       kmeansMemo.putIfAbsent(key, kmeansUncached(df, idCol, vecCol, k, iters)))
@@ -571,7 +592,7 @@ object Similarity {
   }
 
   private val pqMemo =
-    new graft.BoundedMemo[(String, Int, String, Int, Int, Int), PqModel](
+    new graft.BoundedMemo[(String, String, String, Int, Int, Int), PqModel](
       16, name = "pq")
 
   /** Distributed product-quantization training (Jégou et al., "Product
@@ -596,8 +617,13 @@ object Similarity {
     * codes keep their previous centroid. */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, k: Int = 16, iters: Int = 2): PqModel = {
+    require(k >= 1 && k <= MaxTrainK,
+      s"pqTrain: k=$k outside [1, $MaxTrainK] — codebooks (m×k×subDim) " +
+        "and the per-round code-mean aggregate are driver-resident")
+    require(m >= 1 && m.toLong * k <= MaxTrainK.toLong * 16,
+      s"pqTrain: m=$m × k=$k codebook entries exceed the driver contract")
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), s"$idCol/$vecCol", m, k, iters)
+      graft.PlanKeys.of(df), s"$idCol/$vecCol", m, k, iters)
     pqMemo.get(key).getOrElse(
       pqMemo.putIfAbsent(key, pqTrainUncached(df, idCol, vecCol, m, k, iters)))
   }

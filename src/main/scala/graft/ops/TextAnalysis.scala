@@ -622,7 +622,7 @@ object TextAnalysis {
       rules: Seq[(Int, String, String, Long)], segmentedVocab: DataFrame)
 
   private val bpeMemo =
-    new graft.BoundedMemo[(String, Int, String, Int), BpeModel](
+    new graft.BoundedMemo[(String, String, String, Int), BpeModel](
       8, name = "bpe-rules")
 
   /** [[bpeTrain]]'s training loop. Memoized per (session, input,
@@ -633,7 +633,7 @@ object TextAnalysis {
     * ContextCleaner once unreferenced (no CacheManager entry). */
   def bpeModel(df: DataFrame, textCol: String, numMerges: Int): BpeModel = {
     val key = (graft.SessionKeys.of(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), textCol, numMerges)
+      graft.PlanKeys.of(df), textCol, numMerges)
     bpeMemo.get(key).getOrElse(
       bpeMemo.putIfAbsent(key, bpeTrainUncached(df, textCol, numMerges)))
   }

@@ -279,15 +279,10 @@ object Extensions extends QueryModule {
       // second start() throws "query with that name is already
       // active". Each attempt settles into its own memory-sink table;
       // the losing table is just an orphaned temp view.
-      val memoKey = (graft.SessionKeys.of(s), dir)
-      val done = x16Results.get(memoKey).getOrElse {
-        val srcDir = streamSrcDir(dir)
-        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
-        val attempt = s"x16_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        x16Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
-          s, graft.streaming.EventStreams.hourlyTypeCounts(stream), attempt))
-      }
-      done.orderBy(col("hour_start"), col("event_type"))
+      settledStream(x16Results, s, dir, "x16_hourly") {
+        graft.streaming.EventStreams.hourlyTypeCounts(
+          graft.streaming.EventStreams.fromParquetDir(s, streamSrcDir(dir)))
+      }.orderBy(col("hour_start"), col("event_type"))
     },
     Some("""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS w
                         FROM events)
@@ -301,21 +296,73 @@ object Extensions extends QueryModule {
   /** FileStreamSource needs a directory; testdata ships one file per
     * table — stage a per-sfDir copy once. */
   private val streamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage `srcFiles` from `sfDir` into a fresh temp dir registered
+    * for JVM-exit deletion (dir registered BEFORE its files:
+    * deleteOnExit runs in reverse registration order, so files go
+    * first, then the emptied dir) — per-sfDir staging dirs must not
+    * accumulate for the machine lifetime. */
+  private def stagedStreamDir(prefix: String, sfDir: String,
+      srcFiles: (String, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    srcFiles.foreach { case (src, dst) =>
+      val staged = dir.resolve(dst)
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/$src"), staged)
+    }
+    dir.toString
+  }
+
   private def streamSrcDir(sfDir: String): String =
-    streamDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("events.parquet"))
-      dir.toString
-    })
+    streamDirs.computeIfAbsent(sfDir,
+      stagedStreamDir("graft_stream_src", _,
+        "events.parquet" -> "events.parquet"))
+
+  /** A completed memory-sink stream: the settled table PLUS its sink
+    * temp-view name, so eviction and race losers can actually drop
+    * it — a memory sink pins its rows on the driver until the view
+    * is dropped, so "the losing table is just an orphaned temp view"
+    * was a driver-memory leak, one full result per lost race or
+    * evicted entry for the JVM lifetime. */
+  private final case class SettledStream(name: String,
+      table: org.apache.spark.sql.DataFrame)
+
+  private def dropSink(st: SettledStream): Unit =
+    try st.table.sparkSession.catalog.dropTempView(st.name)
+    catch { case _: Throwable => () }
+
+  /** The shared memo discipline for completed streams (x16/x72/x79/
+    * x103): build OUTSIDE the memo lock (running a stream under the
+    * monitor would block every other memo user for the whole run;
+    * sink names are unique per attempt because a shared name makes
+    * the second start() throw), drop the loser's sink table on a
+    * putIfAbsent race, and let the memo's evict hook drop aged-out
+    * tables. */
+  private def settledStream(
+      memo: graft.BoundedMemo[(String, String), SettledStream],
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      namePrefix: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val memoKey = (graft.SessionKeys.of(s), dir)
+    memo.get(memoKey).getOrElse {
+      val attempt =
+        s"${namePrefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val built = SettledStream(attempt,
+        graft.streaming.EventStreams.runToMemory(s, build, attempt))
+      val winner = memo.putIfAbsent(memoKey, built)
+      if (!(winner eq built)) dropSink(built)
+      winner
+    }.table
+  }
 
   /** Completed streaming results per (session, sfDir) — see x16.
     * Keyed on the session UUID (identity hashes collide across a JVM
-    * lifetime), bounded so dead sessions' tables age out. */
+    * lifetime), bounded so dead sessions' tables age out — and now
+    * actually RELEASED on the way out via the [[dropSink]] hook. */
   private val x16Results =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
-      8, name = "x16-stream")
+    new graft.BoundedMemo[(String, String), SettledStream](
+      8, dropSink, name = "x16-stream")
 
   /** Embedding near-dup over the FULL corpus via hyperplane-LSH
     * banding — the scale path behind x7's bounded exact baseline:
@@ -1841,8 +1888,8 @@ object Extensions extends QueryModule {
     * x16 memo pattern (unique attempt names, build outside the
     * lock). */
   private val x72Results =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
-      8, name = "x72-stream")
+    new graft.BoundedMemo[(String, String), SettledStream](
+      8, dropSink, name = "x72-stream")
 
   /** STREAMING sessionization ([[graft.streaming.EventStreams.sessionizedStats]]):
     * watermarked `session_window` run to completion over the staged
@@ -1854,15 +1901,10 @@ object Extensions extends QueryModule {
   private val x72StreamingSessions = GraftQuery(
     "x72_streaming_sessions",
     (s, dir) => {
-      val memoKey = (graft.SessionKeys.of(s), dir)
-      val done = x72Results.get(memoKey).getOrElse {
-        val srcDir = streamSrcDir(dir)
-        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
-        val attempt = s"x72_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        x72Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
-          s, graft.streaming.EventStreams.sessionizedStats(stream), attempt))
-      }
-      done.orderBy(col("user_id"), col("session_start"))
+      settledStream(x72Results, s, dir, "x72_sessions") {
+        graft.streaming.EventStreams.sessionizedStats(
+          graft.streaming.EventStreams.fromParquetDir(s, streamSrcDir(dir)))
+      }.orderBy(col("user_id"), col("session_start"))
     },
     Some("""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes' AS w
                         FROM events),
@@ -2131,24 +2173,18 @@ object Extensions extends QueryModule {
   private val replayStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def replayStreamSrcDir(sfDir: String): String =
-    replayStreamDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_replay")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("events.parquet"))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        dir.resolve("events_replay.parquet"))
-      dir.toString
-    })
+    replayStreamDirs.computeIfAbsent(sfDir,
+      stagedStreamDir("graft_stream_replay", _,
+        "events.parquet" -> "events.parquet",
+        "events.parquet" -> "events_replay.parquet"))
 
   /** Completed x79 streaming results per (session, sfDir) — same
     * memo discipline as x16/x72 (build outside the lock via
     * get/putIfAbsent; running a stream under a memo monitor is the
     * anti-pattern ADVICE r4 flagged). */
   private val x79Results =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
-      8, name = "x79-stream")
+    new graft.BoundedMemo[(String, String), SettledStream](
+      8, dropSink, name = "x79-stream")
 
   /** Streaming exact dedup
     * ([[graft.streaming.EventStreams.dedupWithinWatermark]]): the
@@ -2161,16 +2197,12 @@ object Extensions extends QueryModule {
   private val x79StreamingDedup = GraftQuery(
     "x79_streaming_dedup",
     (s, dir) => {
-      val memoKey = (graft.SessionKeys.of(s), dir)
-      val done = x79Results.get(memoKey).getOrElse {
-        val srcDir = replayStreamSrcDir(dir)
-        val stream = graft.streaming.EventStreams.fromParquetDir(s, srcDir)
-        val attempt = s"x79_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        x79Results.putIfAbsent(memoKey, graft.streaming.EventStreams.runToMemory(
-          s, graft.streaming.EventStreams.dedupWithinWatermark(
-            stream, Seq("event_id")), attempt))
-      }
-      done.select(col("event_id"), col("ts"), col("user_id"),
+      settledStream(x79Results, s, dir, "x79_dedup") {
+        graft.streaming.EventStreams.dedupWithinWatermark(
+          graft.streaming.EventStreams.fromParquetDir(
+            s, replayStreamSrcDir(dir)),
+          Seq("event_id"))
+      }.select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
         .orderBy(col("event_id"))
     },
@@ -2813,18 +2845,14 @@ object Extensions extends QueryModule {
   /** Completed streaming-curation results per (session, sfDir) —
     * the x16/x72 memo pattern. */
   private val x103Results =
-    new graft.BoundedMemo[(String, String), org.apache.spark.sql.DataFrame](
-      8, name = "x103-stream")
+    new graft.BoundedMemo[(String, String), SettledStream](
+      8, dropSink, name = "x103-stream")
   private val docStreamDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docStreamSrcDir(sfDir: String): String =
-    docStreamDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_docstream_src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-        dir.resolve("documents.parquet"))
-      dir.toString
-    })
+    docStreamDirs.computeIfAbsent(sfDir,
+      stagedStreamDir("graft_docstream_src", _,
+        "documents.parquet" -> "documents.parquet"))
 
   /** Streaming ingest-side curation: documents arrive as files, each
     * micro-batch scores ([[graft.ops.TextAnalysis.qualityScore]]),
@@ -2838,11 +2866,10 @@ object Extensions extends QueryModule {
   private val x103StreamingCuration = GraftQuery(
     "x103_streaming_curation",
     (s, dir) => {
-      val memoKey = (graft.SessionKeys.of(s), dir)
-      val done = x103Results.get(memoKey).getOrElse {
+      settledStream(x103Results, s, dir, "x103_curation") {
         val stream = graft.streaming.EventStreams.docsFromParquetDir(
           s, docStreamSrcDir(dir))
-        val curated = TextAnalysis.qualityScore(stream)
+        TextAnalysis.qualityScore(stream)
           // 0.66 ≈ the test corpus's median score — the gate BINDS
           // (scores cluster 0.62-0.83 here; a real corpus keeps the
           // operator's 0.5-class threshold)
@@ -2850,12 +2877,7 @@ object Extensions extends QueryModule {
           .select(col("doc_id"), col("lang"), col("source"),
             col("quality_score"),
             TextAnalysis.scrubPii(col("text")).as("clean_text"))
-        val attempt =
-          s"x103_curation_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        x103Results.putIfAbsent(memoKey,
-          graft.streaming.EventStreams.runToMemory(s, curated, attempt))
-      }
-      done.orderBy(col("doc_id"))
+      }.orderBy(col("doc_id"))
     },
     Some {
       val enList = graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")
@@ -2960,18 +2982,47 @@ object Extensions extends QueryModule {
         GROUP BY source),
       t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
       f AS (
+        -- every literal CAST to DOUBLE: DuckDB types bare numeric
+        -- literals as DECIMAL, and the exact decimal n_total*share
+        -- can floor one lower than the driver's IEEE-double tree
+        -- (e.g. floor(least(1.0,(3*0.1)/3)*1e6): 99999 decimal vs
+        -- 100000 double) — a one-off threshold that flips any row
+        -- whose Knuth bucket sits exactly on the boundary
         SELECT source,
-          CAST(floor(least(1.0,
-            (n_total * CASE source WHEN 'src0' THEN 0.02
-                                   WHEN 'src1' THEN 0.01
-                                   WHEN 'src2' THEN 0.04 END) / n)
-            * 1000000) AS BIGINT) AS thr
+          CAST(floor(least(CAST(1.0 AS DOUBLE),
+            (CAST(n_total AS DOUBLE) *
+             CASE source WHEN 'src0' THEN CAST(0.02 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.01 AS DOUBLE)
+                         WHEN 'src2' THEN CAST(0.04 AS DOUBLE) END)
+            / CAST(n AS DOUBLE))
+            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS thr
         FROM c, t)
       SELECT d.doc_id, d.source
       FROM documents d JOIN f USING (source)
       WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
             % 1000000 < thr
       ORDER BY d.doc_id"""))
+
+  /** The scale path of x97: the SAME training loop with
+    * `exact = false` — the per-bucket gradient becomes a plain
+    * map-side-combinable `sum` instead of the sorted
+    * `collect_list` fold, so no aggregation buffer ever holds a
+    * bucket's full document list (the x63↔x25 twin pattern: x97 is
+    * the bounded hash-green twin; OpsSpec asserts both paths score
+    * within 1e-6 — the granularity of the 6-decimal score — on the
+    * fixture corpus). Addition order is layout-dependent →
+    * rows-only. This is the path a 100 TB run uses: x97's
+    * per-bucket fold collects n/B structs into one task, an
+    * executor OOM at corpus scale. */
+  private val x106QualityClassifierScaled = GraftQuery(
+    "x106_quality_classifier_scaled",
+    (s, dir) => graft.ops.Classifier.logRegScores(
+      Tables.documents(s, dir)
+        .withColumn("is_target", col("source") === "src0"),
+      "doc_id", "text", "is_target", numBuckets = 64, eta = 0.5,
+      iters = 2, exact = false)
+      .orderBy(col("doc_id")),
+    None)
 
   /** Join-key skew diagnosis ([[graft.ops.Skew.keySkewStats]]) over
     * events.user_id — the measurement that picks plain shuffle vs
@@ -3067,7 +3118,8 @@ object Extensions extends QueryModule {
     x94DsirWeights, x95ContaminationVerify, x96SegmentDedup,
     x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh,
     x100CurationCapped, x101KeySkew, x102ColumnProfile,
-    x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture)
+    x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture,
+    x106QualityClassifierScaled)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -572,6 +572,58 @@ class OpsSpec extends AnyFunSuite {
     assert(summary.count() == 3)
   }
 
+  test("video codec: MJPEG-AVI round-trip, true frame dimensions, truncation and corrupt fallback") {
+    import java.awt.image.BufferedImage
+    // 5 real 48×32 JPEG frames with distinct content, in a real AVI
+    val jpegs = (0 until 5).map { f =>
+      val img = new BufferedImage(48, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48)
+        img.setRGB(x, y, ((f * 50) << 16) | ((x * 255 / 47) << 8) | (y * 255 / 31))
+      Multimodal.ImageCodec.encodeJpeg(img)
+    }
+    val avi = Multimodal.VideoCodec.encodeAvi(jpegs, 48, 32, fps = 10)
+    val got = Multimodal.VideoCodec.frames(avi)
+    assert(got.isDefined && got.get.length == 5,
+      s"round-trip lost frames: ${got.map(_.length)}")
+    // every extracted payload is the EXACT jpeg that went in, and
+    // decodes to the true dimensions
+    got.get.zip(jpegs).foreach { case (out, in) =>
+      assert(out.toSeq == in.toSeq, "frame payload altered by container")
+      val img = Multimodal.ImageCodec.decode(out)
+      assert(img.exists(i => i.getWidth == 48 && i.getHeight == 32),
+        "extracted frame must decode at true dimensions")
+    }
+    // truncation mid-frame: the intact prefix still parses
+    val truncated = Multimodal.VideoCodec.frames(
+      avi.take(avi.length - jpegs.last.length / 2))
+    assert(truncated.isDefined && truncated.get.length >= 3,
+      s"truncated container lost its intact prefix: ${truncated.map(_.length)}")
+    // non-AVI bytes: None (callers fall back to the stub)
+    assert(Multimodal.VideoCodec.frames(Array.fill(64)(7.toByte)).isEmpty)
+    assert(Multimodal.VideoCodec.frames(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.VideoCodec.frames(null).isEmpty)
+    // sampleFrames surfaces REAL decodable frames for AVI rows and
+    // still stub-slices corrupt video rows instead of dropping them
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", "avi", 48, 32, 500L, avi),
+      Multimodal.MediaRow(2L, "video", "mp4", 48, 32, 500L,
+        Array.fill(64)(9.toByte))).toDS()
+    val sampled = Multimodal.sampleFrames(rows, n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2))).toSeq
+    val aviFrames = sampled.filter(_._1 == 1L)
+    assert(aviFrames.length == 3)
+    assert(aviFrames.forall { case (_, _, b) =>
+      Multimodal.ImageCodec.decode(b).exists(_.getWidth == 48) })
+    assert(sampled.count(_._1 == 2L) == 3, "corrupt video must stub-slice")
+    // feature extraction: AVI videos get REAL pixel features — a
+    // luminance histogram sums to ~1; the stub's hash features don't
+    val feats = Multimodal.extractFeatures(rows, dims = 8)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(math.abs(feats(1L).map(_.toDouble).sum - 1.0) < 1e-3,
+      s"real video features must be a pixel histogram: ${feats(1L).toSeq}")
+  }
+
   test("multimodal resize: scales image metadata, passes others through, composes") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val resized = Multimodal.resize(media, targetWidth = 32)
@@ -1115,6 +1167,35 @@ class OpsSpec extends AnyFunSuite {
     val c1 = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
     val c2 = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 3, iters = 2)
     assert(c1 eq c2)
+  }
+
+  test("ANN training collects are contract-bounded: oversize k/sample refused") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // the driver-side training state must not silently scale with a
+    // caller-passed parameter: ceilings refuse before any collect
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(vecs, "vec_id", "embedding",
+        k = 2, iters = 1, trainSample = Similarity.MaxTrainSample + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(vecs, "vec_id", "embedding",
+        k = Similarity.MaxTrainK + 1, iters = 1,
+        trainSample = Similarity.MaxTrainSample)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        k = Similarity.MaxTrainK + 1, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 2, k = Similarity.MaxTrainK + 1, iters = 1)
+    }
+    // in-contract params still train (ceilings are ceilings, not caps
+    // on normal use)
+    val c = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 1)
+    assert(c.length == 2)
   }
 
   test("kmeans: an emptied cluster keeps its previous centroid") {
@@ -1896,6 +1977,11 @@ class OpsSpec extends AnyFunSuite {
     assert(gotN(99L).isEmpty, "NULL score must rank as NULL")
     assert(gotN(1L).contains(0.0) && gotN(4L).contains(1.0),
       s"non-null ranks perturbed by a NULL row: $gotN")
+    // denominator exclusion: the middle tie ranks (2-1)/(4-1) over the
+    // FOUR non-null rows — were the NULL counted (5 rows, Spark sorts
+    // NULL first: rank 3), it would shift to (3-1)/(5-1) = 0.5
+    assert(gotN(2L).contains(0.333333333),
+      s"NULL row leaked into the rank denominator: ${gotN(2L)}")
   }
 
   test("robust outliers: monster doc flagged, cutoff not dragged, MAD=0 fallback") {
@@ -2268,6 +2354,37 @@ class OpsSpec extends AnyFunSuite {
     assert(uniform.getAs[Double]("skew_ratio") == 1.0)
   }
 
+  test("salted join: duplicated hot rows spread over >=2 salt buckets, results intact") {
+    // 200 IDENTICAL rows of one hot key — the regime salting exists
+    // for. A whole-row-hash salt would put all 200 in ONE bucket.
+    val hot = Seq.fill(200)((1L, "dup")).toDF("k", "payload")
+      .repartition(8)
+    // fallback salt (physical position): duplicates must spread
+    val fallbackSalts = hot
+      .withColumn("__salt", Skew.saltExpr(hot, None, 8))
+      .select("__salt").distinct().count()
+    assert(fallbackSalts >= 2,
+      s"positional salt left duplicates in $fallbackSalts bucket(s)")
+    // id-derived salt: distinct ids on a hot KEY must spread too
+    val hotIds = (1L to 200L).map(i => (1L, i)).toDF("k", "row_id")
+    val idSalts = hotIds
+      .withColumn("__salt", Skew.saltExpr(hotIds, Some("row_id"), 8))
+      .select("__salt").distinct().count()
+    assert(idSalts >= 2, s"id salt left hot key in $idSalts bucket(s)")
+    // join semantics survive salting: same rows as the plain join,
+    // duplicates preserved (200 matches), left rows without a match kept
+    val dim = Seq((1L, "seg_a")).toDF("k", "seg")
+    val inner = Skew.saltedEquiJoin(hot, dim, "k", saltFactor = 8)
+    assert(inner.count() == 200)
+    assert(inner.select("seg").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("seg_a"))
+    val withMiss = hot.union(Seq((2L, "lonely")).toDF("k", "payload"))
+    val left = Skew.saltedEquiJoin(withMiss, dim, "k", saltFactor = 8,
+      joinType = "left", saltSourceCol = None)
+    assert(left.count() == 201)
+    assert(left.filter(col("k") === 2L && col("seg").isNull).count() == 1)
+  }
+
   test("rebalance to target: fractions honored, cap-at-1 keeps all, relayout-stable") {
     // a: 1000 rows, b: 100, c: 50, d: 200 (d not targeted -> dropped)
     val rows = ((1L to 1000L).map(i => (i, "a")) ++
@@ -2292,6 +2409,37 @@ class OpsSpec extends AnyFunSuite {
       Map("a" -> 0.10, "b" -> 0.05, "c" -> 0.20))
       .select("id").as[Long].collect().toSet
     assert(again == got)
+  }
+
+  test("rebalance to target: threshold is the IEEE-double tree at a representation boundary") {
+    // 3 rows, share 0.1: exact-rational floor(min(1, (3*0.1)/3)*1e6)
+    // = 99999 (0.1 scaled decimal), but the driver's double tree
+    // gives floor(100000.00000000003) = 100000 — a row whose Knuth
+    // bucket is EXACTLY 99999 is kept only under the double tree.
+    // This pins the Scala side to doubles; the x105 oracle CASTs its
+    // literals to DOUBLE to replay the same tree (DuckDB types bare
+    // literals as DECIMAL).
+    val doubleThr =
+      math.floor(math.min(1.0, (3L * 0.1) / 3L) * 1000000).toLong
+    assert(doubleThr == 100000L, s"double tree gave $doubleThr")
+    def bucket(id: Long): Long =
+      math.floorMod(math.floorMod(id, 2147483648L) * 2654435761L,
+        4294967296L) % 1000000L
+    // smallest ids landing exactly on and just above the boundary
+    val boundaryId = Iterator.iterate(0L)(_ + 1)
+      .find(id => bucket(id) == 99999L).get
+    val overId = Iterator.iterate(0L)(_ + 1)
+      .find(id => bucket(id) == 100000L).get
+    val filler = Iterator.iterate(0L)(_ + 1)
+      .filter(id => id != boundaryId && id != overId && bucket(id) > 100001L)
+      .take(1).toSeq.head
+    val rows = Seq(boundaryId, overId, filler).map((_, "s")).toDF("id", "grp")
+    val kept = Sampling.rebalanceToTarget(rows, "grp", "id",
+      Map("s" -> 0.1)).select("id").as[Long].collect().toSet
+    assert(kept.contains(boundaryId),
+      s"bucket-99999 row must pass a double-tree threshold of 100000")
+    assert(!kept.contains(overId),
+      s"bucket-100000 row must fail thr 100000 (strict <)")
   }
 
   test("embedding outliers: planted far vector flagged, in-cluster vectors clean") {
