@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
 object EventStreams {
 
   /** Schema of the events parquet as the streaming source sees it
-    * (ts is TIMESTAMP(NANOS) in the file → read as long when
-    * `nanosAsLong` is on; normalized in [[fromParquetDir]]). */
+    * when the file carries TIMESTAMP(NANOS) (read as long under
+    * `nanosAsLong`; normalized in [[fromParquetDir]]). Generations of
+    * the table that write TIMESTAMP(MICROS) read as a plain
+    * timestamp instead — [[fromParquetDir]] sniffs the file. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -46,13 +48,31 @@ object EventStreams {
         StructField("n_chars", LongType))))
       .parquet(path)
 
-  /** Streaming read of an events parquet directory. */
+  /** Streaming read of an events parquet directory.
+    *
+    * File streams need a pinned schema, and the events table has
+    * shipped with `ts` as both TIMESTAMP(NANOS) (reads as a long
+    * under `nanosAsLong` → needs the /1000 repair) and
+    * TIMESTAMP(MICROS) (reads as a native timestamp — the repair
+    * would collapse every value toward the epoch). Sniff the actual
+    * file type with a batch schema read once, then pin the matching
+    * stream schema — the same both-generations tolerance
+    * `Tables.events` applies on the batch side. */
   def fromParquetDir(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val nanosAsLong =
+      try spark.read.parquet(path).schema("ts").dataType == LongType
+      catch { case _: Throwable => true }
+    if (nanosAsLong)
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(StructType(rawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+        .parquet(path)
   }
 
   /** Watermarked sliding-window counts per event type — the
