@@ -91,4 +91,73 @@ object Graph {
       ranks
     } finally e.unpersist(blocking = false)
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007): every node starts labeled with its own id; each round
+    * it adopts the label carried by the PLURALITY of its in-neighbors,
+    * ties broken toward the SMALLEST label. Nodes with no in-edges
+    * keep their current label. After `iters` rounds the label sets
+    * approximate communities (densely linked regions agree on one
+    * label long before global convergence).
+    *
+    * Unlike classic LPA — whose random tie-breaks and asynchronous
+    * updates make runs irreproducible — every choice here is a
+    * deterministic pure function of the graph: synchronous rounds and
+    * a total (count DESC, label ASC) order via `max(struct(cnt,
+    * -label))`. That makes results replayable across engines and
+    * layouts (the property the oracle checks), at the usual
+    * synchronous-LPA cost of possible label oscillation on bipartite
+    * structures — `iters` bounds that by construction.
+    *
+    * Parallel edges are honored (each contributes one vote), matching
+    * the plain edge-list reading; pass a deduplicated edge list for
+    * simple-graph semantics. `undirected = true` mirrors every edge
+    * so votes flow both ways.
+    *
+    * Scale shape: identical to [[pageRank]] — the edge list shuffles
+    * ONCE onto src and persists; each round re-shuffles only the
+    * (node, label) table to join it, then a two-level aggregation
+    * (count by (dst, label) — map-side combinable — then max-struct
+    * by dst, also combinable) picks winners. Constant-size
+    * aggregation buffers throughout: no collect_list, no per-node
+    * neighbor materialization, so power-law hubs cost shuffle volume
+    * but never buffer memory. Rounds are eagerly localCheckpointed
+    * (flat lineage; a cluster deployment would use reliable
+    * checkpoint()). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 3,
+      nodes: Option[DataFrame] = None,
+      undirected: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters > 0, "iters must be positive")
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e0 = if (undirected)
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    else fwd
+    val nodeIds = nodes.getOrElse(
+      e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
+        .distinct()).select(col("id").cast("long").as("id"))
+      .localCheckpoint(true)
+    val e = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodeIds.select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val votes = e
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val winners = votes.groupBy(col("dst").as("id"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("neg_label")))
+            .as("w"))
+          .select(col("id"), (-col("w.neg_label")).as("new_label"))
+        labels = labels.join(winners, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally e.unpersist(blocking = false)
+  }
 }

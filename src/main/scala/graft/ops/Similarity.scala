@@ -780,4 +780,104 @@ object Similarity {
       .select(col("id").as(idCol), col("label"), col("dist"),
         round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
   }
+
+  /** Greedy k-center coreset (farthest-first traversal, Gonzalez
+    * 1985): start from `seedId`, then `k−1` times select the point
+    * whose distance to its nearest already-chosen center is LARGEST
+    * — a 2-approximation of the optimal k-center cover, and the
+    * classic diversity-first selection for training-data coresets
+    * (each pick is the corpus region current picks explain worst).
+    *
+    * Returns one row per center: (sel_round, center_id, radius),
+    * where radius is the selected point's min squared distance to
+    * the earlier centers at selection time — non-increasing by
+    * construction, and radius of round k+1 would lower-bound the
+    * cover radius of the returned set.
+    *
+    * Determinism contract: every per-center squared distance folds
+    * in ascending dimension order and rounds to 6 decimals before
+    * the min / argmax, and the farthest-point tie-break is (distance
+    * DESC, id ASC) — a pure function of the data, replayable across
+    * engines (the x109 oracle unrolls the same rounds in SQL).
+    *
+    * Scale shape: each round is one map-only pass (min over ≤k
+    * broadcast-literal centers — no shuffle, no state) feeding a
+    * TakeOrdered(1); the driver collects exactly one row per round,
+    * bounded by the `k ≤ 256` contract below. Distances to all
+    * chosen centers are recomputed per round rather than cached —
+    * O(k²·d) arithmetic per point total, the price of keeping every
+    * round checkpoint-free and the scan the only data motion. */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long): DataFrame = {
+    require(k >= 1 && k <= 256,
+      "k in [1, 256] — one 1-row driver collect per round")
+    val spark = df.sparkSession
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def d2(center: Seq[Double]): Column = round(
+      aggregate(sequence(lit(0), size(col("v")) - 1), lit(0.0d),
+        (acc, i) => {
+          val diff = element_at(col("v"), i + 1).cast("double") -
+            element_at(typedLit(center), i + 1)
+          acc + diff * diff
+        }), 6)
+    def vecOf(row: org.apache.spark.sql.Row): Seq[Double] =
+      row.getSeq[Any](row.fieldIndex("v")).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+    val seedRow = base.filter(col("id") === seedId).head()
+    val centers = scala.collection.mutable.ArrayBuffer(
+      (1, seedId, 0.0, vecOf(seedRow)))
+    for (r <- 2 to k) {
+      val dists = centers.toSeq.map(c => d2(c._4))
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val top = base.withColumn("md", minDist)
+        .orderBy(col("md").desc, col("id").asc).head()
+      centers += ((r, top.getLong(top.fieldIndex("id")),
+        top.getDouble(top.fieldIndex("md")), vecOf(top)))
+    }
+    import spark.implicits._
+    centers.toSeq.map { case (r, id, rad, _) => (r, id, rad) }
+      .toDF("sel_round", "center_id", "radius")
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly ±1 variant): out[j] = Σ_i vec[i]·sign(i,j) /
+    * √outDim, with the Rademacher sign matrix derived per-cell from
+    * a Lehmer LCG (Park–Miller constants 48271 / 2³¹−1) over the
+    * (input-dim, output-dim) index pair. No stored matrix and no RNG
+    * stream: sign(i, j) recomputes identically wherever the
+    * projection runs, so the output is a pure function of the vector
+    * — bit-replayable across engines, layouts and retries, and the
+    * integer hash replays in ANSI SQL (the x108 oracle).
+    *
+    * The fold over input dimensions runs in ascending-index order on
+    * a fixed IEEE double tree (codegen'd `aggregate`, no UDF), and
+    * each output coordinate rounds to 4 decimals — the same
+    * replay-determinism contract as [[embeddingOutliers]].
+    *
+    * Scale shape: map-only — one projection of width outDim·d per
+    * row, no shuffle, no state. This is the cheap front half of
+    * dimensionality-reduced near-dup / clustering at 100 TB: project
+    * once (map), then hand the narrow vectors to LSH / k-means so
+    * their shuffles carry outDim ≪ d floats per row. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 97L): DataFrame = {
+    require(outDim > 0 && outDim <= 4096, "outDim in (0, 4096]")
+    require(seed >= 0, "seed must be non-negative (sign-hash arithmetic)")
+    val m = lit(2147483647L)
+    def sign(i: Column, j: Column): Column =
+      (lit(1) - lit(2) * pmod(
+        pmod(i * lit(2654435761L) + j * lit(40503L) + lit(seed), m)
+          * lit(48271L) % m, lit(2))).cast("double")
+    df.select(col(idCol).as("id"),
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        round(
+          aggregate(sequence(lit(0), size(col(vecCol)) - 1), lit(0.0d),
+            (acc, i) => acc +
+              element_at(col(vecCol), i + 1).cast("double") * sign(i, j))
+          / lit(math.sqrt(outDim.toDouble)), 4)).as("projection"))
+  }
 }

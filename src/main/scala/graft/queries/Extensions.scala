@@ -3089,6 +3089,171 @@ object Extensions extends QueryModule {
       .orderBy(col("vec_id")),
     None)
 
+  /** Community detection ([[graft.ops.Graph.labelPropagation]]): 3
+    * synchronous rounds of deterministic plurality-vote label
+    * propagation over a block-structured synthetic graph (each
+    * document links to 3 neighbors inside its 50-id block — the
+    * mirrored edges make votes flow both ways). Hash-green: labels
+    * are pure BIGINT arithmetic — plurality counts with the total
+    * (count DESC, label ASC) tie-break — so the oracle replays the
+    * rounds exactly. The struct-max winner is encoded in SQL as
+    * `max(cnt*1e6 + (999999 - label))` (valid while labels <
+    * 1e6, which doc_id-seeded labels on this corpus are), the same
+    * total order. Rounds unroll as MATERIALIZED CTEs (the x78 /
+    * CLAUDE.md rule — inlined chains go exponential). */
+  private val x107LabelPropagation = GraftQuery(
+    "x107_label_propagation",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(3))).as("k"))
+        .select(col("src"),
+          (expr("src div 50") * 50 +
+            pmod(pmod(col("src"), lit(50)) + col("k") * 7, lit(50))).as("dst"))
+      graft.ops.Graph.labelPropagation(edges, iters = 3)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH edges0 AS MATERIALIZED (
+        SELECT doc_id AS src,
+          (doc_id // 50) * 50 + ((doc_id % 50) + k * 7) % 50 AS dst
+        FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      e AS MATERIALIZED (
+        SELECT src, dst FROM edges0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges0),
+      allnodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+      r0 AS MATERIALIZED (SELECT id, id AS label FROM allnodes),
+      r1 AS MATERIALIZED (
+        SELECT n.id, COALESCE(w.new_label, p.label) AS label
+        FROM allnodes n JOIN r0 p USING (id)
+        LEFT JOIN (
+          SELECT dst AS id,
+            999999 - (max(cnt * 1000000 + (999999 - label)) % 1000000)
+              AS new_label
+          FROM (
+            SELECT e.dst, r.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM e JOIN r0 r ON e.src = r.id GROUP BY 1, 2)
+          GROUP BY 1) w USING (id)),
+      r2 AS MATERIALIZED (
+        SELECT n.id, COALESCE(w.new_label, p.label) AS label
+        FROM allnodes n JOIN r1 p USING (id)
+        LEFT JOIN (
+          SELECT dst AS id,
+            999999 - (max(cnt * 1000000 + (999999 - label)) % 1000000)
+              AS new_label
+          FROM (
+            SELECT e.dst, r.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM e JOIN r1 r ON e.src = r.id GROUP BY 1, 2)
+          GROUP BY 1) w USING (id)),
+      r3 AS MATERIALIZED (
+        SELECT n.id, COALESCE(w.new_label, p.label) AS label
+        FROM allnodes n JOIN r2 p USING (id)
+        LEFT JOIN (
+          SELECT dst AS id,
+            999999 - (max(cnt * 1000000 + (999999 - label)) % 1000000)
+              AS new_label
+          FROM (
+            SELECT e.dst, r.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM e JOIN r2 r ON e.src = r.id GROUP BY 1, 2)
+          GROUP BY 1) w USING (id))
+      SELECT id AS doc_id, label AS community FROM r3 ORDER BY doc_id"""))
+
+  /** Johnson–Lindenstrauss projection
+    * ([[graft.ops.Similarity.randomProjection]]): 64-dim embeddings
+    * → 8 dims with the deterministic Lehmer-LCG ±1 sign matrix,
+    * exploded to (vec_id, dim, value). Hash-green: the sign hash is
+    * pure BIGINT arithmetic the oracle replays term-for-term, and
+    * both engines fold the projection sum in ascending dimension
+    * order on the same IEEE double tree (the x7 cosine precedent),
+    * rounded to 4 decimals. */
+  private val x108RandomProjection = GraftQuery(
+    "x108_random_projection",
+    (s, dir) => Similarity.randomProjection(
+      Tables.embeddings(s, dir), "vec_id", "embedding", outDim = 8)
+      .select(col("id").as("vec_id"),
+        posexplode(col("projection")).as(Seq("dim", "value")))
+      .orderBy(col("vec_id"), col("dim")),
+    Some("""SELECT vec_id, j AS dim,
+        round(list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> CAST(embedding[i] AS DOUBLE) *
+            CAST(1 - 2 * ((((i - 1) * 2654435761 + j * 40503 + 97)
+              % 2147483647) * 48271 % 2147483647 % 2) AS DOUBLE)))
+          / sqrt(8.0), 4) AS value
+      FROM embeddings
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j)
+      ORDER BY vec_id, dim"""))
+
+  /** Coreset selection ([[graft.ops.Similarity.kCenterCoreset]]):
+    * greedy farthest-first traversal picking 5 maximally-spread
+    * embedding vectors from seed vec_id 0. Hash-green: per-center
+    * squared distances fold in ascending dimension order and round
+    * to 6 decimals BEFORE the min/argmax, and the farthest-point
+    * tie-break is (distance DESC, id ASC) on both engines — the
+    * oracle unrolls the 4 selection rounds as MATERIALIZED CTEs,
+    * each `least`-ing the new rounded distance into the carried
+    * minimum (equivalent to the operator's min-over-all-centers:
+    * min is associative over identically-rounded terms). */
+  private val x109KcenterCoreset = GraftQuery(
+    "x109_kcenter_coreset",
+    (s, dir) => Similarity.kCenterCoreset(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 5, seedId = 0L)
+      .orderBy(col("sel_round")),
+    Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      c1 AS MATERIALIZED (SELECT embedding AS c FROM e WHERE vec_id = 0),
+      d1 AS MATERIALIZED (
+        SELECT e.vec_id, round(list_sum(list_transform(
+          range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)))), 6)
+          AS md
+        FROM e CROSS JOIN c1 c),
+      p2 AS MATERIALIZED (
+        SELECT vec_id, md FROM d1 ORDER BY md DESC, vec_id LIMIT 1),
+      c2 AS MATERIALIZED (
+        SELECT e.embedding AS c FROM e JOIN p2 USING (vec_id)),
+      d2 AS MATERIALIZED (
+        SELECT d1.vec_id, least(d1.md, round(list_sum(list_transform(
+          range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)))), 6))
+          AS md
+        FROM d1 JOIN e USING (vec_id) CROSS JOIN c2 c),
+      p3 AS MATERIALIZED (
+        SELECT vec_id, md FROM d2 ORDER BY md DESC, vec_id LIMIT 1),
+      c3 AS MATERIALIZED (
+        SELECT e.embedding AS c FROM e JOIN p3 USING (vec_id)),
+      d3 AS MATERIALIZED (
+        SELECT d2.vec_id, least(d2.md, round(list_sum(list_transform(
+          range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)))), 6))
+          AS md
+        FROM d2 JOIN e USING (vec_id) CROSS JOIN c3 c),
+      p4 AS MATERIALIZED (
+        SELECT vec_id, md FROM d3 ORDER BY md DESC, vec_id LIMIT 1),
+      c4 AS MATERIALIZED (
+        SELECT e.embedding AS c FROM e JOIN p4 USING (vec_id)),
+      d4 AS MATERIALIZED (
+        SELECT d3.vec_id, least(d3.md, round(list_sum(list_transform(
+          range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE))
+             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)))), 6))
+          AS md
+        FROM d3 JOIN e USING (vec_id) CROSS JOIN c4 c),
+      p5 AS MATERIALIZED (
+        SELECT vec_id, md FROM d4 ORDER BY md DESC, vec_id LIMIT 1)
+      SELECT 1 AS sel_round, CAST(0 AS BIGINT) AS center_id,
+        CAST(0.0 AS DOUBLE) AS radius
+      UNION ALL SELECT 2, vec_id, md FROM p2
+      UNION ALL SELECT 3, vec_id, md FROM p3
+      UNION ALL SELECT 4, vec_id, md FROM p4
+      UNION ALL SELECT 5, vec_id, md FROM p5
+      ORDER BY sel_round"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3119,7 +3284,8 @@ object Extensions extends QueryModule {
     x97QualityClassifier, x98ClusterSplit, x99ClusterSplitLsh,
     x100CurationCapped, x101KeySkew, x102ColumnProfile,
     x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture,
-    x106QualityClassifierScaled)
+    x106QualityClassifierScaled, x107LabelPropagation,
+    x108RandomProjection, x109KcenterCoreset)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2173,6 +2173,97 @@ class OpsSpec extends AnyFunSuite {
     r.foreach { case (id, v) => assert(math.abs(approx(id) - v) < 1e-12) }
   }
 
+  test("label propagation: deterministic plurality votes, isolation, relayout-stable") {
+    // star 0–{1..5} (mirrored): round 1 leaves adopt the hub's 0, the
+    // hub adopts min leaf label 1; round 2 leaves adopt the hub's
+    // round-1 label 1, hub adopts the leaves' unanimous round-1 label
+    // 0 — the classic synchronous-LPA bipartite oscillation, bounded
+    // (and made exactly predictable) by the iteration count.
+    // triangle 7-8-9 (mirrored): round 1 each node takes the min of
+    // its two neighbors; round 2 the plurality label 7 wins
+    // everywhere. Worked by hand from the (count DESC, label ASC)
+    // rule; any tie-break or sync drift breaks the exact expectation.
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)) ++
+      Seq((7L, 8L), (8L, 9L), (9L, 7L))).toDF("src", "dst")
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L) :+ 99L).toDF("id")
+    val got = Graph.labelPropagation(edges, iters = 2, nodes = Some(nodes))
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0L, s"hub after 2 rounds: $got")
+    assert((1L to 5L).forall(got(_) == 1L), s"leaves after 2 rounds: $got")
+    assert(Seq(7L, 8L, 9L).forall(got(_) == 7L), s"triangle: $got")
+    // a node with no edges keeps its own label
+    assert(got(99L) == 99L, s"isolated node relabeled: $got")
+    // pure function of the graph: physical relayout changes nothing
+    val again = Graph.labelPropagation(edges.repartition(5), iters = 2,
+      nodes = Some(nodes)).as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // two mirrored triangles converge to per-community min labels
+    val tri2 = (Seq((7L, 8L), (8L, 9L), (9L, 7L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("src", "dst")
+    val comm = Graph.labelPropagation(tri2, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(7L, 8L, 9L).forall(comm(_) == 7L), s"tri A: $comm")
+    assert(Seq(20L, 21L, 22L).forall(comm(_) == 20L), s"tri B: $comm")
+  }
+
+  test("random projection: matches plain-scala reference, relayout-stable") {
+    // mirror of Similarity.randomProjection's Lehmer-LCG sign hash
+    def sign(i: Int, j: Int, seed: Long): Double = {
+      val h1 = (i.toLong * 2654435761L + j.toLong * 40503L + seed) % 2147483647L
+      1.0 - 2.0 * ((h1 * 48271L) % 2147483647L % 2L)
+    }
+    def ref(vec: Array[Float], outDim: Int, seed: Long): Seq[Double] =
+      (0 until outDim).map { j =>
+        val s = vec.indices.foldLeft(0.0)((acc, i) =>
+          acc + vec(i).toDouble * sign(i, j, seed))
+        math.round(s / math.sqrt(outDim.toDouble) * 1e4) / 1e4
+      }
+    val vecs = (0L until 20L).map(id =>
+      (id, Array.tabulate(16)(i => ((id * 31 + i * 7) % 13 - 6).toFloat / 3f)))
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.randomProjection(df, "id", "vec", outDim = 6)
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == ref(v, 6, 97L), s"id $id: ${got(id)}") }
+    // pure map: physical relayout changes nothing
+    val again = Similarity.randomProjection(df.repartition(7), "id", "vec",
+      outDim = 6).as[(Long, Seq[Double])].collect().toMap
+    assert(again == got)
+    // a custom seed changes the matrix (not a constant projection)
+    val other = Similarity.randomProjection(df, "id", "vec", outDim = 6,
+      seed = 1234L).as[(Long, Seq[Double])].collect().toMap
+    assert(vecs.exists { case (id, _) => other(id) != got(id) })
+  }
+
+  test("k-center coreset: one pick per cluster, radii non-increasing, relayout-stable") {
+    // three well-separated 2-D clusters; greedy farthest-first from
+    // seed 1 must land one center in each before refining any
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)), (3L, Array(0f, 0.1f)),
+      (4L, Array(10f, 0f)), (5L, Array(10.1f, 0f)),
+      (6L, Array(0f, 10f)), (7L, Array(0f, 10.2f)))
+    val df = pts.toDF("id", "vec")
+    val got = Similarity.kCenterCoreset(df, "id", "vec", k = 3, seedId = 1L)
+      .orderBy(col("sel_round"))
+      .as[(Int, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got(0)._2 == 1L && got(0)._3 == 0.0)
+    // worked by hand: round 2 takes the farthest point overall (id 7,
+    // d² ≈ 104.04 from seed); round 3 the farthest-from-both (id 5)
+    assert(got(1)._2 == 7L, s"round 2: ${got.toSeq}")
+    assert(got(2)._2 == 5L, s"round 3: ${got.toSeq}")
+    val clusters = Seq(Set(1L, 2L, 3L), Set(4L, 5L), Set(6L, 7L))
+    assert(clusters.forall(c => got.count(g => c(g._2)) == 1),
+      s"not one per cluster: ${got.toSeq}")
+    // selection radii never increase (min-dists only shrink)
+    assert(got(1)._3 >= got(2)._3, s"radii increased: ${got.toSeq}")
+    // pure function of the data: physical relayout changes nothing
+    val again = Similarity.kCenterCoreset(df.repartition(5), "id", "vec",
+      k = 3, seedId = 1L).orderBy(col("sel_round"))
+      .as[(Int, Long, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
