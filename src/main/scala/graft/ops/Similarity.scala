@@ -843,6 +843,77 @@ object Similarity {
       .toDF("sel_round", "center_id", "radius")
   }
 
+  /** Top-principal-component scores via distributed power iteration
+    * — PCA's workhorse direction for embedding-space curation
+    * (variance-dominant axis removal, whitening prep, spectral
+    * outlier screens), computed WITHOUT materializing the d×d
+    * covariance: each round is two narrow passes over the centered
+    * components — y_i = ⟨x_i−μ, w⟩ per row, then z = Σ_i y_i·(x_i−μ)
+    * per dimension (the matrix-free C·w), normalized driver-side
+    * (≤d scalars, bounded by the [[MaxTrainK]]-style contract
+    * below). Output: (id, pc1_score) — each row's projection on the
+    * converged direction.
+    *
+    * Determinism contract (`exact = true`): every cross-row float
+    * sum folds in carrier-key sorted order (the CLAUDE.md keyed-fold
+    * rule) and the weight vector is pinned to 9 decimals at EVERY
+    * round boundary (mean, y, z, normalized w) — each round's inputs
+    * are bit-identical across engines, so the x110 oracle replays
+    * the full iteration hash-green. Sign of the component follows
+    * deterministically from the all-ones init (w₀ = 1/√d).
+    *
+    * `exact = false` is the 100 TB path: plain `sum` with map-side
+    * partial aggregation (constant-size buffers — no per-dimension
+    * collect_list that would buffer n structs on one task), result
+    * differing from the exact fold only by addition-order ulps
+    * (spec-asserted ≤1e-6; x111 registers it rows-only — the
+    * x97↔x106 twin pattern). */
+  def pcaPowerIteration(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 2, exact: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1, 16]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    require(n > 0, "pcaPowerIteration: empty input")
+    def fold(k: Column, v: Column): Column =
+      if (exact) Classifier.sortedFold(k, v) else sum(v)
+    def round9(v: Double): Double =
+      (if (v >= 0) math.floor(v * 1e9 + 0.5) else math.ceil(v * 1e9 - 0.5)) / 1e9
+    val comps = Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("id"), posexplode(col(vecCol)))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").as("v"))
+    val mu = comps.groupBy("dim")
+      .agg(round(fold(col("id"), col("v")) / lit(n.toDouble), 9).as("mu"))
+    // consumed 2×iters+1 times — materialize once (the N-subplans rule)
+    val centered = comps.join(broadcast(mu), "dim")
+      .select(col("id"), col("dim"), (col("v") - col("mu")).as("cv"))
+      .localCheckpoint(true)
+    val dims = centered.select(col("dim")).distinct()
+      .orderBy(col("dim")).collect().map(_.getInt(0))
+    require(dims.length <= MaxTrainK,
+      s"pcaPowerIteration: ${dims.length} dims exceed $MaxTrainK — " +
+        "the weight vector is driver-resident")
+    var w: Seq[(Int, Double)] =
+      dims.toSeq.map(_ -> round9(1.0 / math.sqrt(dims.length.toDouble)))
+    for (_ <- 1 to iters) {
+      val wDf = w.toDF("dim", "w")
+      val y = centered.join(broadcast(wDf), "dim")
+        .groupBy(col("id"))
+        .agg(round(fold(col("dim"), col("cv") * col("w")), 9).as("y"))
+      val z = centered.join(y, "id")
+        .groupBy(col("dim"))
+        .agg(round(fold(col("id"), col("cv") * col("y")), 9).as("z"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+      val norm = math.sqrt(z.foldLeft(0.0)((acc, p) => acc + p._2 * p._2))
+      require(norm > 0, "pcaPowerIteration: zero-variance input")
+      w = z.toSeq.map { case (d0, zv) => d0 -> round9(zv / norm) }
+    }
+    centered.join(broadcast(w.toDF("dim", "w")), "dim")
+      .groupBy(col("id").as(idCol))
+      .agg(round(fold(col("dim"), col("cv") * col("w")), 6).as("pc1_score"))
+  }
+
   /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
     * database-friendly ±1 variant): out[j] = Σ_i vec[i]·sign(i,j) /
     * √outDim, with the Rademacher sign matrix derived per-cell from

@@ -3254,6 +3254,90 @@ object Extensions extends QueryModule {
       UNION ALL SELECT 5, vec_id, md FROM p5
       ORDER BY sel_round"""))
 
+  /** Matrix-free PCA ([[graft.ops.Similarity.pcaPowerIteration]]):
+    * 2 power-iteration rounds toward the embeddings' top principal
+    * component, every row scored by its projection. Hash-green: the
+    * weight vector pins to 9 decimals at every round boundary and
+    * every cross-row sum is a carrier-keyed sorted fold, so the
+    * oracle unrolls mean → (y, z, normalize)×2 → score with the
+    * x94/x97 keyed-fold replay; the driver-side normalize replays as
+    * a dim-sorted list_sum over z² (same sequential IEEE tree as the
+    * operator's foldLeft). */
+  private val x110PcaPowerIteration = GraftQuery(
+    "x110_pca_power_iteration",
+    (s, dir) => Similarity.pcaPowerIteration(
+      Tables.embeddings(s, dir), "vec_id", "embedding", iters = 2)
+      .orderBy(col("vec_id")),
+    Some("""WITH comps AS MATERIALIZED (
+        SELECT vec_id AS id,
+          unnest(range(1, len(embedding) + 1)) AS dim,
+          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM embeddings),
+      nn AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      mu AS MATERIALIZED (
+        SELECT dim, round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := id, v := v))),
+            s -> struct_extract(s, 'v'))) / nn.n, 9) AS mu
+        FROM comps CROSS JOIN nn GROUP BY dim, nn.n),
+      c AS MATERIALIZED (
+        SELECT comps.id, comps.dim, comps.v - mu.mu AS cv
+        FROM comps JOIN mu ON comps.dim = mu.dim),
+      dims AS MATERIALIZED (SELECT DISTINCT dim FROM comps),
+      dcnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS d FROM dims),
+      w0 AS MATERIALIZED (
+        SELECT dim, round(1.0 / sqrt(d), 9) AS w FROM dims CROSS JOIN dcnt),
+      y1 AS MATERIALIZED (
+        SELECT c.id, round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := c.dim, v := c.cv * w.w))),
+            s -> struct_extract(s, 'v'))), 9) AS y
+        FROM c JOIN w0 w ON c.dim = w.dim GROUP BY c.id),
+      z1 AS MATERIALIZED (
+        SELECT c.dim, round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := c.id, v := c.cv * y.y))),
+            s -> struct_extract(s, 'v'))), 9) AS z
+        FROM c JOIN y1 y ON c.id = y.id GROUP BY c.dim),
+      n1 AS MATERIALIZED (
+        SELECT sqrt(list_sum(list_transform(
+          list_sort(list(struct_pack(k := dim, v := z * z))),
+          s -> struct_extract(s, 'v')))) AS nrm FROM z1),
+      w1 AS MATERIALIZED (
+        SELECT dim, round(z / nrm, 9) AS w FROM z1 CROSS JOIN n1),
+      y2 AS MATERIALIZED (
+        SELECT c.id, round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := c.dim, v := c.cv * w.w))),
+            s -> struct_extract(s, 'v'))), 9) AS y
+        FROM c JOIN w1 w ON c.dim = w.dim GROUP BY c.id),
+      z2 AS MATERIALIZED (
+        SELECT c.dim, round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := c.id, v := c.cv * y.y))),
+            s -> struct_extract(s, 'v'))), 9) AS z
+        FROM c JOIN y2 y ON c.id = y.id GROUP BY c.dim),
+      n2 AS MATERIALIZED (
+        SELECT sqrt(list_sum(list_transform(
+          list_sort(list(struct_pack(k := dim, v := z * z))),
+          s -> struct_extract(s, 'v')))) AS nrm FROM z2),
+      w2 AS MATERIALIZED (
+        SELECT dim, round(z / nrm, 9) AS w FROM z2 CROSS JOIN n2)
+      SELECT c.id AS vec_id, round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := c.dim, v := c.cv * w.w))),
+          s -> struct_extract(s, 'v'))), 6) AS pc1_score
+      FROM c JOIN w2 w ON c.dim = w.dim GROUP BY c.id ORDER BY vec_id"""))
+
+  /** The 100 TB path of x110: identical power iteration with plain
+    * map-side-combinable sums instead of carrier-keyed sorted folds
+    * (constant-size aggregation buffers — no per-dimension
+    * collect_list). Addition order is layout-dependent → rows-only;
+    * x110 is the hash-green twin and OpsSpec asserts both paths
+    * agree to 1e-6 (the x97↔x106 pattern). */
+  private val x111PcaScaled = GraftQuery(
+    "x111_pca_scaled",
+    (s, dir) => Similarity.pcaPowerIteration(
+      Tables.embeddings(s, dir), "vec_id", "embedding", iters = 2,
+      exact = false)
+      .orderBy(col("vec_id")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3285,7 +3369,8 @@ object Extensions extends QueryModule {
     x100CurationCapped, x101KeySkew, x102ColumnProfile,
     x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture,
     x106QualityClassifierScaled, x107LabelPropagation,
-    x108RandomProjection, x109KcenterCoreset)
+    x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
+    x111PcaScaled)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

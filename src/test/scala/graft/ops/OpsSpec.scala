@@ -2264,6 +2264,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("pca power iteration: recovers a rank-1 direction, scaled twin agrees, relayout-stable") {
+    // points exactly on the line t·(3,1): centered data is rank-1, so
+    // one matrix-free round already lands on ±(3,1)/√10 and scores
+    // are t·√10 up to the deterministic global sign
+    val pts = (-2 to 2).map(t => ((t + 3).toLong, Array(3f * t, 1f * t)))
+    val df = pts.toDF("id", "vec")
+    val got = Similarity.pcaPowerIteration(df, "id", "vec", iters = 2)
+      .orderBy(col("id")).as[(Long, Double)].collect()
+    val expected = (-2 to 2).map(t => t * math.sqrt(10.0))
+    val sign = math.signum(got(4)._2) * math.signum(expected(4))
+    got.map(_._2).zip(expected).foreach { case (s, e) =>
+      assert(math.abs(s - sign * e) < 1e-4, s"${got.toSeq} vs $expected") }
+    // the bounded-memory scale path (plain partial-agg sums) agrees
+    // with the exact keyed folds up to addition-order ulps
+    val scaled = Similarity.pcaPowerIteration(df, "id", "vec", iters = 2,
+      exact = false).orderBy(col("id")).as[(Long, Double)].collect()
+    got.zip(scaled).foreach { case ((id, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-6, s"id $id: exact $a vs scaled $b") }
+    // pure function of the data: relayout changes nothing, bit-exact
+    val again = Similarity.pcaPowerIteration(df.repartition(3), "id", "vec",
+      iters = 2).orderBy(col("id")).as[(Long, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
