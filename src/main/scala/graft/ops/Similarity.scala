@@ -843,6 +843,90 @@ object Similarity {
       .toDF("sel_round", "center_id", "radius")
   }
 
+  /** Hard-negative mining for contrastive training data: for every
+    * anchor, the top-k most-cosine-similar vectors carrying a
+    * DIFFERENT label — the "looks like a positive, is labeled
+    * otherwise" pairs that contrastive objectives learn the most
+    * from. Output: (anchor_id, rank, neg_id, cosine).
+    *
+    * Exact all-pairs variant: quadratic in the anchor side — bound
+    * the `anchors` frame (this is the oracle/verification path; the
+    * corpus-scale path is [[hardNegativesLsh]], the x112↔x113 twin).
+    * The cross join broadcasts the bounded anchor side explicitly so
+    * the nested-loop streams the corpus with its full scan
+    * parallelism (the x43 lesson), and cosine rounds to 4 BEFORE the
+    * (cosine DESC, neg_id ASC) rank so the selection is exactly
+    * replayable. Self-pairs are excluded by the label test itself
+    * (an anchor shares its own label). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      idCol: String, labelCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__al"), col(vecCol).as("__av"))
+    val c = Parallelism.ensure(corpus).select(col(idCol).as("neg_id"),
+      col(labelCol).as("__nl"), col(vecCol).as("__nv"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cos").desc, col("neg_id").asc)
+    c.join(broadcast(a), col("__al") =!= col("__nl"))
+      .withColumn("__cos",
+        round(VectorMath.cosineSimilarity(col("__av"), col("__nv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        col("__cos").as("cosine"))
+  }
+
+  /** The 100 TB path of [[hardNegatives]]: hyperplane-LSH banded
+    * candidates (same machinery as [[lshBatchTopK]] — bucket joins
+    * on band chunks, never all-pairs), filtered to cross-label pairs
+    * BEFORE the rank so the top-k is over genuine negatives, then
+    * one vector rejoin per surviving candidate. Bare id pairs flow
+    * through the distinct (vectors rejoin after — the
+    * embeddingNearDuplicates shuffle-volume rule); all joins
+    * shuffle-hash (corpus-sized sides never broadcast). Candidate
+    * recall is tunable via numBits/bands; `bands = numBits` (1-bit
+    * chunks) degenerates to any-bit-agreement — effectively full
+    * recall, the configuration the contract spec pins against
+    * [[hardNegatives]]. */
+  def hardNegativesLsh(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int = 5, numBits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBits % bands == 0, "bands must divide numBits")
+    val bitsPerBand = numBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val keyed = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        col(vecCol).as("v"),
+        Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
+      .repartition(col("id"))
+    def banded(idAs: String, lblAs: String): DataFrame =
+      keyed.select(col("id").as(idAs), col("lbl").as(lblAs), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("chunk",
+          expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
+        .drop("sig")
+    val cands = banded("anchor_id", "__al").hint("shuffle_hash")
+      .join(banded("neg_id", "__nl").hint("shuffle_hash"),
+        Seq("band", "chunk"))
+      .filter(col("__al") =!= col("__nl"))
+      .select(col("anchor_id"), col("neg_id")).distinct()
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__cos").desc, col("neg_id").asc)
+    cands.hint("shuffle_hash")
+      .join(keyed.select(col("id").as("anchor_id"), col("v").as("__av"))
+        .hint("shuffle_hash"), "anchor_id")
+      .join(keyed.select(col("id").as("neg_id"), col("v").as("__nv"))
+        .hint("shuffle_hash"), "neg_id")
+      .withColumn("__cos",
+        round(VectorMath.cosineSimilarity(col("__av"), col("__nv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        col("__cos").as("cosine"))
+  }
+
   /** Top-principal-component scores via distributed power iteration
     * — PCA's workhorse direction for embedding-space curation
     * (variance-dominant axis removal, whitening prep, spectral

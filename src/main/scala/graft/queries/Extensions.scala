@@ -3338,6 +3338,61 @@ object Extensions extends QueryModule {
       .orderBy(col("vec_id")),
     None)
 
+  /** Contrastive hard-negative mining
+    * ([[graft.ops.Similarity.hardNegatives]]): for each of the 50
+    * lowest-id anchors, the 3 most-similar vectors with a DIFFERENT
+    * cluster label. Hash-green: exact cosine (the x7 double-lambda
+    * replay) rounded to 4 before the (cosine DESC, neg_id ASC)
+    * row_number — rank selection replays exactly; rank CAST to INT
+    * (DuckDB row_number is BIGINT). */
+  private val x112HardNegatives = GraftQuery(
+    "x112_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "label", "embedding", k = 3)
+        .orderBy(col("anchor_id"), col("rank"))
+    },
+    Some("""WITH a AS MATERIALIZED (
+        SELECT vec_id AS anchor_id, label AS al, embedding AS av
+        FROM embeddings WHERE vec_id < 50),
+      c AS MATERIALIZED (
+        SELECT vec_id AS neg_id, label AS nl, embedding AS nv
+        FROM embeddings),
+      p AS MATERIALIZED (
+        SELECT anchor_id, neg_id,
+          round(
+            list_sum(list_transform(range(1, len(av) + 1),
+              i -> CAST(av[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(av,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(nv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+            AS cosine
+        FROM a JOIN c ON a.al <> c.nl),
+      r AS MATERIALIZED (
+        SELECT anchor_id, neg_id, cosine,
+          CAST(row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC)
+            AS INT) AS rank
+        FROM p)
+      SELECT anchor_id, rank, neg_id, cosine FROM r
+      WHERE rank <= 3 ORDER BY anchor_id, rank"""))
+
+  /** The scale path of x112 ([[graft.ops.Similarity
+    * .hardNegativesLsh]]): banded hyperplane-LSH candidates filtered
+    * to cross-label pairs before the rank, over the FULL embeddings
+    * table. Sketch-driven candidate set → rows-only; x112 is the
+    * bounded hash-green twin, and the full-probe (bands = numBits)
+    * ≡ exact contract is spec-asserted. */
+  private val x113HardNegativesLsh = GraftQuery(
+    "x113_hard_negatives_lsh",
+    (s, dir) => Similarity.hardNegativesLsh(
+      Tables.embeddings(s, dir), "vec_id", "label", "embedding",
+      k = 3, numBits = 16, bands = 4)
+      .orderBy(col("anchor_id"), col("rank")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3370,7 +3425,7 @@ object Extensions extends QueryModule {
     x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture,
     x106QualityClassifierScaled, x107LabelPropagation,
     x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
-    x111PcaScaled)
+    x111PcaScaled, x112HardNegatives, x113HardNegativesLsh)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2288,6 +2288,39 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("hard negatives: cross-label only, full-probe lsh equals exact, relayout-stable") {
+    val vecs = (0L until 40L).map { id =>
+      (id, (id % 4).toInt,
+        Array.tabulate(8)(i => math.sin(id * 2.7 + i * 1.3).toFloat)) }
+    val df = vecs.toDF("id", "label", "vec")
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    val exact = Similarity.hardNegatives(df, df, "id", "label", "vec", k = 4)
+      .orderBy(col("anchor_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect()
+    // every anchor appears with exactly k negatives, all cross-label
+    assert(exact.groupBy(_._1).values.forall(_.length == 4))
+    exact.foreach { case (a, _, n, _) =>
+      assert(labels(a) != labels(n), s"same-label pair ($a, $n)") }
+    // ranks ordered by descending cosine within each anchor
+    exact.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq) }
+    // bands = numBits (1-bit chunks): any-bit agreement ⇒ the
+    // candidate set covers every non-antipodal pair, and top-k
+    // similar pairs are never antipodal ⇒ identical output to exact
+    val lsh = Similarity.hardNegativesLsh(df, "id", "label", "vec", k = 4,
+      numBits = 16, bands = 16)
+      .orderBy(col("anchor_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect()
+    assert(lsh.toSeq == exact.toSeq)
+    // relayout changes nothing (rounded-cosine rank, id tie-breaks)
+    val again = Similarity.hardNegatives(df.repartition(7), df.repartition(3),
+      "id", "label", "vec", k = 4)
+      .orderBy(col("anchor_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect()
+    assert(again.toSeq == exact.toSeq)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
