@@ -832,6 +832,41 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical selection: given near-dup cluster
+    * labels and a per-row score, keep each cluster's HIGHEST-scoring
+    * member (ties toward the smallest id) — the "keep the most
+    * complete / highest-quality copy" refinement of the
+    * keep-cluster-minimum survivor algebra above (real pipelines
+    * keep the best duplicate, not the first: crawls re-fetch pages
+    * as truncated or boilerplate-injected variants, and min-id keeps
+    * whichever happened to be crawled first). Rows absent from
+    * `clusters` are singletons and always survive.
+    *
+    * Deterministic: the winner is a pure (score DESC, id ASC)
+    * row_number over the cluster — integer or pre-rounded scores
+    * make the selection exactly replayable.
+    *
+    * Scale shape: one left join on the id (near-dup labels are a
+    * small fraction of the corpus — broadcast when bounded), then
+    * ONE shuffle on the cluster label where rank ≤ 1 plans as
+    * WindowGroupLimit: map tasks pre-prune to their local best
+    * before the exchange, so the shuffle carries ~one row per
+    * (cluster, map task), not the corpus. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame, clusterIdCol: String = "id",
+      clusterLabelCol: String = "cluster_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = clusters.select(col(clusterIdCol).as("__cid"),
+      col(clusterLabelCol).as("__cl"))
+    val w = Window.partitionBy(col("__lbl"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(lbl, df(idCol) === col("__cid"), "left")
+      .withColumn("__lbl", coalesce(col("__cl"), col(idCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__cid", "__cl", "__lbl", "__rk")
+  }
+
   /** Fuzzy TEXT dedup end-to-end (the SlimPajama/Dolma pipeline):
     * MinHash-LSH candidates → exact n-gram-Jaccard verification →
     * connected components → keep each cluster's minimum id. Returns

@@ -46,4 +46,29 @@ object Profiling {
       .select(col("col_name"), col("n_rows"), col("n_non_null"),
         col("ndv"), col("min_value"), col("max_value"))
   }
+
+  /** Per-group approximate quantiles via Spark's `percentile_approx`
+    * (Greenwald–Khanna sketch): the MERGEABLE quantile summary —
+    * each partition builds a bounded-size sketch, partials merge
+    * associatively, so the shuffle carries kilobyte summaries
+    * instead of every value (x26's exact `percentile` must see the
+    * whole group on one reducer). The quantile analog of the
+    * x89-HLL / x63-CMS family: estimates aren't ANSI-expressible →
+    * rows-only, with x26 the exact twin and the GK rank-error
+    * contract spec-asserted (returned values are genuine data points
+    * within ±n/accuracy ranks of the true order statistic).
+    *
+    * `accuracy` is the GK 1/ε knob: memory ∝ accuracy·log(n),
+    * rank error ≤ n/accuracy. */
+  def approxQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be fractions in [0, 1]")
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+      .select(col(groupCol), posexplode(col("quantiles")).as(Seq("idx", "value")))
+      .withColumn("p", element_at(array(probs.map(lit): _*), col("idx") + 1))
+      .select(col(groupCol), col("p"), col("value"))
+  }
 }

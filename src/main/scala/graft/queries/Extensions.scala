@@ -3393,6 +3393,77 @@ object Extensions extends QueryModule {
       .orderBy(col("anchor_id"), col("rank")),
     None)
 
+  /** Quality-aware canonical selection
+    * ([[graft.ops.Dedup.keepBestPerCluster]]): x43's exact trigram-
+    * Jaccard clusters, but keeping each cluster's LONGEST member
+    * (n_chars DESC, doc_id ASC) instead of the minimum id — the
+    * "keep the most complete copy" dedup refinement. Hash-green:
+    * integer scores, so the winner selection replays exactly over
+    * the same recursive-CTE clusters. */
+  private val x114CanonicalSelection = GraftQuery(
+    "x114_canonical_selection",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val g = trigramFrame(docs)
+      val a = graft.ops.Parallelism.ensure(g)
+        .select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+        .filter(round(when(col("uni") > 0,
+          col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
+        .select("id_a", "id_b")
+      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", clusters)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE g AS (
+        ${trigramGramsSql("doc_id < 300")}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+          4) >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      lbl AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+          COALESCE(c.cluster_id, d.doc_id) AS lbl
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        WHERE d.doc_id < 300),
+      r AS (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (
+            PARTITION BY lbl ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM lbl)
+      SELECT doc_id, source, n_chars FROM r WHERE rk = 1
+      ORDER BY doc_id"""))
+
+  /** Mergeable quantile sketch ([[graft.ops.Profiling
+    * .approxQuantiles]]): per-source n_chars quantiles via the
+    * Greenwald–Khanna `percentile_approx` — kilobyte partial
+    * sketches through the shuffle where x26's exact `percentile`
+    * ships every value. Sketch estimates aren't ANSI-expressible →
+    * rows-only; x26 is the exact hash-green twin and OpsSpec pins
+    * the GK rank-error contract. */
+  private val x115ApproxQuantiles = GraftQuery(
+    "x115_approx_quantiles",
+    (s, dir) => graft.ops.Profiling.approxQuantiles(
+      Tables.documents(s, dir), "source", "n_chars",
+      probs = Seq(0.5, 0.9), accuracy = 10000)
+      .orderBy(col("source"), col("p")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3425,7 +3496,8 @@ object Extensions extends QueryModule {
     x103StreamingCuration, x104EmbeddingOutliers, x105RebalanceMixture,
     x106QualityClassifierScaled, x107LabelPropagation,
     x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
-    x111PcaScaled, x112HardNegatives, x113HardNegativesLsh)
+    x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
+    x114CanonicalSelection, x115ApproxQuantiles)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2321,6 +2321,55 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == exact.toSeq)
   }
 
+  test("keep-best-per-cluster: highest score wins, min-id tie-break, singletons survive") {
+    // cluster 10: ids 1,2,3 (scores 5,9,7) → 2 wins; cluster 20:
+    // ids 4,5 tied at 6 → min id 4 wins; id 9 unclustered → survives
+    val docs = Seq((1L, 5L, "a"), (2L, 9L, "b"), (3L, 7L, "c"),
+      (4L, 6L, "d"), (5L, 6L, "e"), (9L, 1L, "f"))
+      .toDF("id", "score", "payload")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L))
+      .toDF("id", "cluster_id")
+    val got = Dedup.keepBestPerCluster(docs, "id", "score", clusters)
+      .orderBy(col("id")).as[(Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(2L, 4L, 9L), s"kept: ${got.toSeq}")
+    // relayout changes nothing (integer scores, id tie-break)
+    val again = Dedup.keepBestPerCluster(docs.repartition(4), "id", "score",
+      clusters.repartition(3)).orderBy(col("id"))
+      .as[(Long, Long, String)].collect()
+    assert(again.toSeq == got.toSeq)
+    // keep-best over min-id clusters preserves cluster count: one
+    // survivor per cluster plus the singleton
+    assert(got.length == 3)
+  }
+
+  test("approx quantiles: data-point values within GK rank error of the true order statistic") {
+    // two groups with known value sets; accuracy 10000 on n=200 means
+    // rank error ≤ n/accuracy < 1 — the sketch must return the EXACT
+    // order statistic, and always an actual data point
+    val rows = (1L to 200L).map(i => ("a", i * 3)) ++
+      (1L to 50L).map(i => ("b", 1000 - i))
+    val df = rows.toDF("grp", "v")
+    val got = Profiling.approxQuantiles(df, "grp", "v",
+      probs = Seq(0.1, 0.5, 0.9), accuracy = 10000)
+      .as[(String, Double, Long)].collect()
+    val byGroup = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted }
+    got.foreach { case (g, p, v) =>
+      val vs = byGroup(g)
+      assert(vs.contains(v), s"$g p=$p: $v is not a data point")
+      // percentile_approx targets rank ceil(p·n); allow ±1 rank slack
+      val target = math.ceil(p * vs.length).toInt.max(1)
+      val lo = vs((target - 2).max(0)); val hi = vs((target).min(vs.length - 1))
+      assert(v >= lo && v <= hi, s"$g p=$p: $v outside [$lo, $hi]") }
+    // every (group, prob) pair is present
+    assert(got.length == 6)
+    // coarse sketch still returns data points inside the group range
+    val coarse = Profiling.approxQuantiles(df, "grp", "v",
+      probs = Seq(0.5), accuracy = 10)
+      .as[(String, Double, Long)].collect()
+    coarse.foreach { case (g, _, v) => assert(byGroup(g).contains(v)) }
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
