@@ -334,6 +334,113 @@ object Sampling {
     df.filter(bucket < thr) // NULL thr (untargeted stratum) filters out
   }
 
+  /** Repeat-factor corpus reweighting — the UPSAMPLING counterpart
+    * of [[rebalanceToTarget]] (which can only drop rows, capping the
+    * factor at 1): emit `f = n_targeted·share / n_stratum` COPIES of
+    * each targeted stratum — floor(f) copies of every row plus one
+    * extra for the Knuth-bucket fraction of ids, so the output
+    * multiset realizes any fractional factor without RNG. Factors
+    * below 1 degenerate to bucket-thresholded downsampling (base 0),
+    * so one operator covers both directions of a DoReMi-style
+    * mixture change. Untargeted strata drop (pass-through rows
+    * belong in a separate union, as with rebalanceToTarget).
+    *
+    * Output: input columns + `copy` (0-based copy index — training
+    * loaders use it to spread repeats across shards/epochs).
+    *
+    * Determinism/replay: counts are exact integers, the factor tree
+    * is a fixed IEEE double expression, and the fractional extras
+    * are an integer threshold compare on the shared Knuth id-hash
+    * bucket (the x105 membership scheme) — bit-replayable, relayout-
+    * stable, no float boundary in the per-row decision.
+    *
+    * Scale shape: one bounded |strata| count collect (the
+    * rebalanceToTarget contract), then a pure map + bounded explode
+    * — no shuffle; `maxRepeat` caps the explode fan-out so a
+    * mis-sized share can't quadratically blow up the corpus. */
+  def upsampleToTarget(df: DataFrame, stratumCol: String, idCol: String,
+      targetShares: Map[String, Double], maxRepeat: Int = 16): DataFrame = {
+    require(targetShares.nonEmpty, "give at least one target share")
+    require(targetShares.values.forall(s => s > 0.0 && s <= 1.0),
+      "target shares in (0, 1]")
+    require(maxRepeat >= 1, "maxRepeat must be at least 1")
+    val counts = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val nTotal = counts.values.sum
+    val plans = targetShares.flatMap { case (stratum, s) =>
+      counts.get(stratum).filter(_ > 0).map { cnt =>
+        val f = (nTotal * s) / cnt
+        val base = math.floor(f).toLong
+        require(base <= maxRepeat,
+          s"repeat factor $f for stratum '$stratum' exceeds maxRepeat=$maxRepeat")
+        stratum -> ((base, math.floor((f - base) * 1000000).toLong))
+      }
+    }
+    val baseCol = plans.foldLeft(lit(null).cast("long")) {
+      case (acc, (st, (base, _))) =>
+        when(col(stratumCol) === st, lit(base)).otherwise(acc) }
+    val thrCol = plans.foldLeft(lit(null).cast("long")) {
+      case (acc, (st, (_, thr))) =>
+        when(col(stratumCol) === st, lit(thr)).otherwise(acc) }
+    val bucket = pmod(
+      pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)),
+      lit(1000000L))
+    df.withColumn("__copies",
+        baseCol + when(bucket < thrCol, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") > 0) // NULL (untargeted stratum) drops too
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Deterministic per-epoch global shuffle order: assigns every row
+    * a dense 1..n `shuffle_rank` under a pseudorandom permutation
+    * keyed by (id, epoch) — the training-loader shuffle that must be
+    * REPRODUCIBLE (resume mid-epoch, re-shard, audit which sample a
+    * step saw) where `orderBy(rand(seed))` is not (rand is
+    * position-seeded: relayout reshuffles it). The key is the shared
+    * Knuth multiplicative hash over the epoch-offset id — pure
+    * arithmetic, so the full permutation replays in ANSI SQL and is
+    * a pure function of (ids, epoch): epochs decorrelate, runs
+    * agree.
+    *
+    * Scale shape: the global rank is computed WITHOUT a global sort
+    * or a single-partition window — the two-phase decomposition
+    * (the Packing prefix-sum discipline): rows bucket into `parts`
+    * contiguous key ranges (monotone in key, so per-bucket dense
+    * ranks + bucket offsets compose to the exact global rank), the
+    * ≤`parts` bucket counts collect to the driver (bounded
+    * contract), and one hash shuffle on the bucket id ranks each
+    * bucket independently. A range-partitioned write of the result
+    * hands loaders globally-ordered shards (the x75 argument). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(parts >= 1 && parts <= 4096,
+      "parts in [1, 4096] — bucket counts are driver-resident")
+    require(epoch >= 0, "epoch must be non-negative")
+    val span = 4294967296L / parts
+    val keyed = df.withColumn("__k", pmod(
+        (pmod(col(idCol), lit(2147483648L)) + lit(epoch.toLong * 1000003L))
+          * lit(2654435761L),
+        lit(4294967296L)))
+      .withColumn("__p", expr(s"__k div $span"))
+    val counts = keyed.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__p", "__off"))
+    val w = Window.partitionBy(col("__p"))
+      .orderBy(col("__k").asc, col(idCol).asc)
+    keyed.join(offDf, "__p")
+      .withColumn("shuffle_rank", col("__off") + row_number().over(w))
+      .withColumn("epoch", lit(epoch))
+      .drop("__k", "__p", "__off")
+  }
+
   /** C4-style per-group document cap: keep at most `k` rows per
     * group, selected by a deterministic id-hash priority — the
     * "no single host dominates the corpus" rule (C4 caps pages per

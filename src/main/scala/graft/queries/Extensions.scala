@@ -3464,6 +3464,66 @@ object Extensions extends QueryModule {
       .orderBy(col("source"), col("p")),
     None)
 
+  /** Repeat-factor upsampling ([[graft.ops.Sampling
+    * .upsampleToTarget]]): reweight src0/src1 to a 90/10 mixture by
+    * COPYING rows — factor 1.8 for src0 (every row once, the Knuth-
+    * bucket 80% twice), 0.2 for src1 (bucket-thresholded keep).
+    * Hash-green: integer counts, one fixed IEEE double tree for the
+    * factor (shares CAST AS DOUBLE in the oracle — the x105 ADVICE
+    * rule: bare literals are DECIMAL in DuckDB), integer floor
+    * thresholds, arithmetic bucket compare, integer copy indices —
+    * no float boundary anywhere in the per-row decision. */
+  private val x116UpsampleMixture = GraftQuery(
+    "x116_upsample_mixture",
+    (s, dir) => graft.ops.Sampling.upsampleToTarget(
+      Tables.documents(s, dir), "source", "doc_id",
+      Map("src0" -> 0.9, "src1" -> 0.1))
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy")),
+    Some("""WITH counts AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        WHERE source IN ('src0', 'src1') GROUP BY source),
+      tot AS MATERIALIZED (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+      plan AS MATERIALIZED (
+        SELECT source,
+          CAST(floor(f) AS BIGINT) AS base,
+          CAST(floor((f - floor(f)) * 1000000) AS BIGINT) AS thr
+        FROM (
+          SELECT source,
+            (CAST(n_total AS DOUBLE) *
+             CAST(CASE source WHEN 'src0' THEN 0.9 ELSE 0.1 END AS DOUBLE))
+              / n AS f
+          FROM counts CROSS JOIN tot)),
+      d AS MATERIALIZED (
+        SELECT d.doc_id, d.source,
+          p.base + CASE WHEN ((d.doc_id % 2147483648) * 2654435761)
+              % 4294967296 % 1000000 < p.thr
+            THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN plan p USING (source))
+      SELECT doc_id, source, unnest(range(0, copies)) AS copy
+      FROM d WHERE copies > 0
+      ORDER BY doc_id, copy"""))
+
+  /** Reproducible epoch shuffle ([[graft.ops.Sampling
+    * .epochShuffle]]): the epoch-3 global training order of the
+    * documents table. Hash-green: the permutation key is pure
+    * BIGINT arithmetic and the oracle computes the SAME rank with
+    * one global window — equal to the operator's two-phase
+    * (bucket offsets + per-bucket dense ranks) decomposition
+    * because the buckets are contiguous key ranges. */
+  private val x117EpochShuffle = GraftQuery(
+    "x117_epoch_shuffle",
+    (s, dir) => graft.ops.Sampling.epochShuffle(
+      Tables.documents(s, dir), "doc_id", epoch = 3)
+      .select(col("doc_id"), col("epoch"), col("shuffle_rank"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, 3 AS epoch,
+        CAST(row_number() OVER (ORDER BY
+          ((doc_id % 2147483648) + 3 * 1000003) * 2654435761 % 4294967296,
+          doc_id) AS BIGINT) AS shuffle_rank
+      FROM documents ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3497,7 +3557,8 @@ object Extensions extends QueryModule {
     x106QualityClassifierScaled, x107LabelPropagation,
     x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
-    x114CanonicalSelection, x115ApproxQuantiles)
+    x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
+    x117EpochShuffle)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

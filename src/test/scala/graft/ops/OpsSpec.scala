@@ -2370,6 +2370,80 @@ class OpsSpec extends AnyFunSuite {
     coarse.foreach { case (g, _, v) => assert(byGroup(g).contains(v)) }
   }
 
+  test("upsample to target: exact copy multiset, both directions, untargeted drop, relayout-stable") {
+    // mirror of the operator's Knuth bucket + factor decomposition
+    def bucket(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 4294967296L % 1000000L
+    val rows = (0L to 9L).map(i => (i, "a")) ++
+      (100L to 109L).map(i => (i, "b")) ++
+      (200L to 204L).map(i => (i, "c"))
+    val df = rows.toDF("id", "src")
+    // nTotal = 20 (targeted only); f_a = 1.8 → base 1, thr
+    // floor(0.8…·1e6); f_b = 0.2 → base 0, thr floor(0.2…·1e6) —
+    // the same IEEE tree the operator builds
+    def copiesOf(id: Long, f: Double): Long = {
+      val base = math.floor(f).toLong
+      val thr = math.floor((f - base) * 1000000).toLong
+      base + (if (bucket(id) < thr) 1L else 0L)
+    }
+    val expected = (
+      (0L to 9L).flatMap(i => (0L until copiesOf(i, (20 * 0.9) / 10))
+        .map(c => (i, "a", c))) ++
+      (100L to 109L).flatMap(i => (0L until copiesOf(i, (20 * 0.1) / 10))
+        .map(c => (i, "b", c)))).sorted
+    val got = Sampling.upsampleToTarget(df, "src", "id",
+      Map("a" -> 0.9, "b" -> 0.1))
+      .select(col("id"), col("src"), col("copy"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == expected, s"\ngot $got\nexp $expected")
+    // every 'a' row at least once (upsampling never drops the base
+    // copy), no 'c' rows (untargeted), some row genuinely repeated
+    assert((0L to 9L).forall(i => got.count(_._1 == i) >= 1))
+    assert(got.forall(_._2 != "c"))
+    assert(got.groupBy(r => (r._1, r._2)).values.exists(_.size == 2))
+    // relayout changes nothing (pure id-hash membership)
+    val again = Sampling.upsampleToTarget(df.repartition(5), "src", "id",
+      Map("a" -> 0.9, "b" -> 0.1))
+      .select(col("id"), col("src"), col("copy"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(again == got)
+    // a factor beyond maxRepeat is a contract violation, not a blow-up
+    intercept[IllegalArgumentException] {
+      // nTotal = 20, f_a = 20·1.0/10 = 2.0 > maxRepeat
+      Sampling.upsampleToTarget(df, "src", "id",
+        Map("a" -> 1.0, "b" -> 0.5), maxRepeat = 1)
+    }
+  }
+
+  test("epoch shuffle: dense permutation, two-phase equals naive global rank, epochs decorrelate") {
+    val df = (0L until 200L).toDF("id")
+    val got = Sampling.epochShuffle(df, "id", epoch = 2)
+      .select(col("id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    // a dense permutation: ranks are exactly 1..n
+    assert(got.values.toSeq.sorted == (1L to 200L))
+    // the two-phase (bucket offsets + per-bucket ranks) decomposition
+    // equals the naive single-window global rank
+    def key(id: Long, e: Long): Long =
+      ((id % 2147483648L) + e * 1000003L) * 2654435761L % 4294967296L
+    val naive = (0L until 200L).sortBy(i => (key(i, 2), i))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got == naive)
+    // different epochs give genuinely different orders
+    val e3 = Sampling.epochShuffle(df, "id", epoch = 3)
+      .select(col("id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(e3.values.toSeq.sorted == (1L to 200L))
+    assert((0L until 200L).count(i => got(i) != e3(i)) > 150,
+      "epochs should decorrelate the order")
+    // pure function of (ids, epoch): relayout changes nothing —
+    // the property orderBy(rand(seed)) does NOT have
+    val again = Sampling.epochShuffle(df.repartition(7), "id", epoch = 2)
+      .select(col("id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
