@@ -207,4 +207,47 @@ object Packing {
         sum(col("tokens_in_chunk")).as("tokens"))
       .orderBy(col("chunk"))
   }
+
+  /** Padding-waste profile of length-bucketed batching — the number
+    * a throughput plan is built on: per length bucket of width
+    * `bucketSize`, how many tokens a batch REALLY carries versus
+    * what it pads to. Each doc truncates to `maxSeqLen` and pads to
+    * its bucket's actual max length (the dynamic-padding batcher);
+    * `waste_naive` is the same ratio against padding everything to
+    * `maxSeqLen` (the static batcher) — the gap between the two
+    * columns is what bucketing buys at each length range.
+    *
+    * Output per bucket: (bucket_lo, bucket_hi, n_docs, sum_tokens,
+    * max_tokens, waste_bucketed, waste_naive).
+    *
+    * Deterministic/replayable: token counts and bucket arithmetic
+    * are integers; each waste ratio is one double division of two
+    * BIGINTs rounded to 4 — no float accumulation anywhere.
+    *
+    * Scale shape: one map pass + one map-side-combinable aggregation
+    * on the bucket key (≤ maxSeqLen/bucketSize groups) — profiling
+    * the corpus costs one scan regardless of size. */
+  def paddingStats(df: DataFrame, idCol: String, textCol: String,
+      maxSeqLen: Int, bucketSize: Int): DataFrame = {
+    require(maxSeqLen > 0 && bucketSize > 0 && bucketSize <= maxSeqLen,
+      "need 0 < bucketSize <= maxSeqLen")
+    df.select(
+        least(TextAnalysis.tokenCount(col(textCol)).cast("long"),
+          lit(maxSeqLen.toLong)).as("__len"))
+      .withColumn("__b", expr(s"(__len - 1) div $bucketSize"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_tokens"),
+        max(col("__len")).as("max_tokens"))
+      .select(
+        (col("__b") * bucketSize + 1).as("bucket_lo"),
+        ((col("__b") + 1) * bucketSize).as("bucket_hi"),
+        col("n_docs"), col("sum_tokens"), col("max_tokens"),
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("n_docs") * col("max_tokens")).cast("double"), 4)
+          .as("waste_bucketed"),
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("n_docs") * lit(maxSeqLen.toLong)).cast("double"), 4)
+          .as("waste_naive"))
+  }
 }

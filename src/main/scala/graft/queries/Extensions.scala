@@ -3524,6 +3524,57 @@ object Extensions extends QueryModule {
           doc_id) AS BIGINT) AS shuffle_rank
       FROM documents ORDER BY doc_id"""))
 
+  /** The scale path of x114 ([[graft.ops.Dedup.keepBestPerCluster]]
+    * over MinHash-LSH verified clusters, full corpus): candidates
+    * from banded MinHash, exact-Jaccard verified, pointer-jumping
+    * components, then keep each cluster's LONGEST member. Sketch-fed
+    * candidate set → rows-only; x114 is the bounded hash-green twin
+    * and OpsSpec pins the survivor algebra (every exact-path keeper
+    * survives the LSH path — missed edges only split clusters, and
+    * a split cluster keeps its halves' bests). */
+  private val x118CanonicalSelectionLsh = GraftQuery(
+    "x118_canonical_selection_lsh",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardNearDuplicates(
+        docs, "doc_id", "text", threshold = 0.7, shingleSize = 3)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", clusters)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  /** Length-bucket padding-waste profile ([[graft.ops.Packing
+    * .paddingStats]]): per 64-token bucket at maxSeqLen 512, the
+    * real-vs-padded token ratio for dynamic (pad-to-bucket-max) and
+    * static (pad-to-512) batching. Hash-green: integer token counts
+    * and bucket arithmetic; each waste ratio is ONE double division
+    * of two BIGINTs rounded to 4 — no float accumulation. */
+  private val x119PaddingStats = GraftQuery(
+    "x119_padding_stats",
+    (s, dir) => graft.ops.Packing.paddingStats(
+      Tables.documents(s, dir), "doc_id", "text",
+      maxSeqLen = 512, bucketSize = 64)
+      .orderBy(col("bucket_lo")),
+    Some("""WITH t AS (
+        SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT), 512)
+          AS len
+        FROM documents),
+      b AS (
+        SELECT (len - 1) // 64 AS b, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len) AS BIGINT) AS sum_tokens,
+          CAST(max(len) AS BIGINT) AS max_tokens
+        FROM t GROUP BY 1)
+      SELECT b * 64 + 1 AS bucket_lo, (b + 1) * 64 AS bucket_hi,
+        n_docs, sum_tokens, max_tokens,
+        round(CAST(1.0 AS DOUBLE) - CAST(sum_tokens AS DOUBLE)
+          / (n_docs * max_tokens), 4) AS waste_bucketed,
+        round(CAST(1.0 AS DOUBLE) - CAST(sum_tokens AS DOUBLE)
+          / (n_docs * 512), 4) AS waste_naive
+      FROM b ORDER BY bucket_lo"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3558,7 +3609,7 @@ object Extensions extends QueryModule {
     x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
-    x117EpochShuffle)
+    x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -932,6 +932,42 @@ class OpsSpec extends AnyFunSuite {
       s"$extra extra survivors vs ${dropIds.size} exact drops — recall collapsed")
   }
 
+  test("LSH canonical selection: every exact keep-best keeper survives the sketch path") {
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    // exact all-pairs clusters at the same threshold (the x43 shape)
+    val g = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
+    val a = Parallelism.ensure(g).select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    val pairs = a.join(org.apache.spark.sql.functions.broadcast(b),
+      col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+      .filter(round(when(col("uni") > 0,
+        col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
+      .select("id_a", "id_b")
+    val exactKeep = Dedup.keepBestPerCluster(docs, "doc_id", "n_chars",
+      Dedup.duplicateClusters(pairs, "id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    // LSH edges are a verified SUBSET of the exact edges, so LSH
+    // clusters refine exact ones — and an exact cluster's best beats
+    // every member of whichever sub-cluster it lands in, so it must
+    // survive; extras are split-off sub-clusters' bests
+    val lshPairs = Dedup.ngramJaccardNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.7, shingleSize = 3)
+      .select(col("id_a"), col("id_b"))
+    val lshKeep = Dedup.keepBestPerCluster(docs, "doc_id", "n_chars",
+      Dedup.duplicateClusters(lshPairs, "id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKeep.subsetOf(lshKeep), s"lost: ${exactKeep -- lshKeep}")
+    val nDocs = docs.count()
+    val exactDrops = nDocs - exactKeep.size
+    assert(exactDrops > 0, "corpus should contain planted near-dups")
+    val extra = lshKeep.size - exactKeep.size
+    assert(extra <= math.max(2, exactDrops / 2),
+      s"$extra extra keepers vs $exactDrops exact drops — recall collapsed")
+  }
+
   test("duplicate clusters: non-convergence throws instead of returning split clusters") {
     // a path graph's diameter is its length — even with pointer
     // jumping (reach ~2^rounds) a 200-node chain CANNOT converge in
@@ -2442,6 +2478,26 @@ class OpsSpec extends AnyFunSuite {
       .select(col("id"), col("shuffle_rank"))
       .as[(Long, Long)].collect().toMap
     assert(again == got)
+  }
+
+  test("padding stats: hand-computed buckets, truncation at maxSeqLen, dynamic beats static") {
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // lens 10/20/30 → bucket 1-64; 80/100 → 65-128; 600 truncates to
+    // 512 → bucket 449-512
+    val df = Seq((1L, doc(10)), (2L, doc(20)), (3L, doc(30)),
+      (4L, doc(80)), (5L, doc(100)), (6L, doc(600)))
+      .toDF("id", "text")
+    val got = Packing.paddingStats(df, "id", "text",
+      maxSeqLen = 512, bucketSize = 64)
+      .orderBy(col("bucket_lo"))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    def r4(v: Double): Double = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(got.toSeq == Seq(
+      (1L, 64L, 3L, 60L, 30L, r4(1.0 - 60.0 / 90.0), r4(1.0 - 60.0 / (3 * 512.0))),
+      (65L, 128L, 2L, 180L, 100L, r4(1.0 - 180.0 / 200.0), r4(1.0 - 180.0 / (2 * 512.0))),
+      (449L, 512L, 1L, 512L, 512L, 0.0, 0.0)), s"got ${got.toSeq}")
+    // dynamic padding never wastes more than static
+    got.foreach { case (_, _, _, _, _, wb, wn) => assert(wb <= wn + 1e-12) }
   }
 
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
