@@ -60,7 +60,15 @@ object Plans {
     "x98_cluster_split" -> "CC labels join the corpus (left, build side = |clustered docs| only); split hash is a map-only projection",
     "x100_curation_capped" -> "four audited stage shapes chained: keep-first semi-join, segment winner agg + rebuild, WindowGroupLimit cap, per-group budget window — no stage widens another's shuffle",
     "x101_key_skew" -> "two-phase count agg on the diagnosed key (hot keys collapse map-side) + single-row reduce over the |keys| table",
-    "x102_column_profile" -> "one pruned single-column agg per profiled column, unioned — never a wide multi-distinct Expand")
+    "x102_column_profile" -> "one pruned single-column agg per profiled column, unioned — never a wide multi-distinct Expand",
+    "x107_label_propagation" -> "Pregel shape: edges exchange once; each round re-shuffles only the (node,label) table through TWO map-side-combinable aggs (vote count then struct-max) — no collect_list, hub-safe; rounds checkpoint-truncated (flat per-round plan by design)",
+    "x108_random_projection" -> "map-only: the whole JL projection is one codegen'd transform/aggregate projection over the scan — zero exchanges (0.0 MB shuffle measured)",
+    "x110_pca_power_iteration" -> "matrix-free C·w: component explode materialized once (localCheckpoint) feeds mean + 2x(y,z) rounds; <=64-row weight frames broadcast-join; the d-scalar normalize is driver-side — no d×d covariance anywhere",
+    "x113_hard_negatives_lsh" -> "banded signature shuffle self-join with the cross-label filter BEFORE the rank; bare id pairs through the distinct, one vector rejoin per survivor, all joins shuffle-hash (corpus sides never broadcast)",
+    "x114_canonical_selection" -> "cluster labels left-join on the id; keep-best rank<=1 plans as WindowGroupLimit on the cluster-label shuffle — map tasks pre-prune to their local best",
+    "x116_upsample_mixture" -> "pure map + bounded explode: per-stratum (base, threshold) literals ride the plan; membership is an integer compare on the Knuth id-hash — no shuffle, no RNG state",
+    "x117_epoch_shuffle" -> "two-phase global rank: bucket counts collected once (<=parts rows), offsets broadcast-join, per-bucket dense rank windows on the bucket shuffle — no global sort, no single-partition window",
+    "x119_padding_stats" -> "one map pass + one map-side-combinable agg on <=maxSeqLen/bucketSize bucket keys — profiling cost independent of corpus size")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
