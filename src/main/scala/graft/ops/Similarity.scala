@@ -843,6 +843,41 @@ object Similarity {
       .toDF("sel_round", "center_id", "radius")
   }
 
+  /** Pairwise cosine between group centroids — the embedding-space
+    * domain-overlap matrix (which sources/clusters say the same
+    * thing): the number a mixture designer reads before merging,
+    * capping, or cross-deduplicating domains, and the embedding-side
+    * analog of x60's vocabulary-overlap matrix. Output one row per
+    * unordered label pair (label_a < label_b).
+    *
+    * Deterministic: centroids are the ROUNDED [[centroidsTyped]]
+    * cells (4 decimals — the x104 replay contract) and every
+    * dot/norm folds in carrier-keyed dimension order, re-rounded to
+    * 4 — hash-green replayable.
+    *
+    * Scale shape: ONE distributed centroid aggregate (map-side
+    * partial [[graft.functions.VectorAvg]] buffers); everything
+    * after runs on |labels|·dims scalars — the |labels|²·dims
+    * pair join is driver-trivial no matter the corpus size. */
+  def centroidSimilarityMatrix(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = centroidScalars(df, labelCol, vecCol)
+      .select(col("label"), col("pos"), col("mean").cast("double").as("m"))
+    val a = cents.select(col("label").as("label_a"), col("pos"),
+      col("m").as("ma"))
+    val b = cents.select(col("label").as("label_b"), col("pos"),
+      col("m").as("mb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(
+        Classifier.sortedFold(col("pos"), col("ma") * col("mb")).as("__dot"),
+        Classifier.sortedFold(col("pos"), col("ma") * col("ma")).as("__na"),
+        Classifier.sortedFold(col("pos"), col("mb") * col("mb")).as("__nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 4)
+          .as("cosine"))
+  }
+
   /** Hard-negative mining for contrastive training data: for every
     * anchor, the top-k most-cosine-similar vectors carrying a
     * DIFFERENT label — the "looks like a positive, is labeled

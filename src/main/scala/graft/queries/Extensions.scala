@@ -3575,6 +3575,40 @@ object Extensions extends QueryModule {
           / (n_docs * 512), 4) AS waste_naive
       FROM b ORDER BY bucket_lo"""))
 
+  /** Embedding-space domain overlap ([[graft.ops.Similarity
+    * .centroidSimilarityMatrix]]): pairwise cosine between the
+    * cluster-label centroids — the x60 vocabulary-overlap matrix in
+    * embedding space. Hash-green: x104's rounded-centroid replay
+    * (round(avg, 4) cells) + carrier-keyed dimension folds for
+    * dot and norms, re-rounded to 4. */
+  private val x120CentroidSimilarity = GraftQuery(
+    "x120_centroid_similarity",
+    (s, dir) => Similarity.centroidSimilarityMatrix(
+      Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy(col("label_a"), col("label_b")),
+    Some("""WITH cents AS MATERIALIZED (
+        SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 4) AS c FROM (
+          SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+        GROUP BY label, pos),
+      p AS MATERIALIZED (
+        SELECT a.label AS label_a, b.label AS label_b, a.pos,
+          a.c AS ma, b.c AS mb
+        FROM cents a JOIN cents b ON a.pos = b.pos AND a.label < b.label)
+      SELECT label_a, label_b,
+        round(
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := pos, v := ma * mb))),
+            s -> struct_extract(s, 'v')))
+          / (sqrt(list_sum(list_transform(
+               list_sort(list(struct_pack(k := pos, v := ma * ma))),
+               s -> struct_extract(s, 'v'))))
+           * sqrt(list_sum(list_transform(
+               list_sort(list(struct_pack(k := pos, v := mb * mb))),
+               s -> struct_extract(s, 'v'))))), 4) AS cosine
+      FROM p GROUP BY label_a, label_b ORDER BY label_a, label_b"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3609,7 +3643,8 @@ object Extensions extends QueryModule {
     x108RandomProjection, x109KcenterCoreset, x110PcaPowerIteration,
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
-    x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats)
+    x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
+    x120CentroidSimilarity)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

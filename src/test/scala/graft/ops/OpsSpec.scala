@@ -2500,6 +2500,27 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, _, wb, wn) => assert(wb <= wn + 1e-12) }
   }
 
+  test("centroid similarity matrix: aligned labels near 1, orthogonal near 0, one row per pair") {
+    // labels 0/1 point along +x (1 with noise), label 2 along +y
+    val vecs =
+      (0L until 10L).map(i => (i, 0, Array(1f, 0f, 0f))) ++
+      (10L until 20L).map(i => (i, 1, Array(0.9f, 0.05f, 0f))) ++
+      (20L until 30L).map(i => (i, 2, Array(0f, 1f, 0f)))
+    val df = vecs.toDF("id", "label", "vec")
+    val got = Similarity.centroidSimilarityMatrix(df, "label", "vec")
+      .orderBy(col("label_a"), col("label_b"))
+      .as[(Int, Int, Double)].collect()
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((0, 1), (0, 2), (1, 2)))
+    val m = got.map(g => (g._1, g._2) -> g._3).toMap
+    assert(m((0, 1)) > 0.99, s"aligned labels: $m")
+    assert(m((0, 2)) < 0.01 && m((1, 2)) < 0.1, s"orthogonal labels: $m")
+    // pure function of the data: relayout changes nothing
+    val again = Similarity.centroidSimilarityMatrix(df.repartition(5),
+      "label", "vec").orderBy(col("label_a"), col("label_b"))
+      .as[(Int, Int, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
