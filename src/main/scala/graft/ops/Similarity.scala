@@ -843,6 +843,33 @@ object Similarity {
       .toDF("sel_round", "center_id", "radius")
   }
 
+  /** Recall@k of an ANN result against its exact baseline — the
+    * "measure, don't guess" harness for the LSH/IVF/IVF-PQ family:
+    * feed any two (query_id, neighbor_id) top-k tables and get
+    * per-query hit counts and recall, the number that decides
+    * whether a numBits/bands/nprobe setting is usable. Queries the
+    * ANN side missed entirely score 0 (left join from the exact
+    * side — silence never inflates recall).
+    *
+    * Scale shape: one shuffle-hash join on (query_id, neighbor_id)
+    * pairs — |queries|·k rows per side regardless of corpus size —
+    * and a per-query count aggregate. */
+  def annRecall(exactTopK: DataFrame, annTopK: DataFrame,
+      queryIdCol: String = "query_id",
+      neighborIdCol: String = "neighbor_id", k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val e = exactTopK.select(col(queryIdCol).as("query_id"),
+      col(neighborIdCol).as("neighbor_id"))
+    val a = annTopK.select(col(queryIdCol).as("query_id"),
+      col(neighborIdCol).as("neighbor_id"), lit(1).as("__hit"))
+    e.hint("shuffle_hash")
+      .join(a.hint("shuffle_hash"), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 4).as("recall"))
+  }
+
   /** Pairwise cosine between group centroids — the embedding-space
     * domain-overlap matrix (which sources/clusters say the same
     * thing): the number a mixture designer reads before merging,

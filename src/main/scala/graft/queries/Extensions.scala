@@ -3609,6 +3609,28 @@ object Extensions extends QueryModule {
                s -> struct_extract(s, 'v'))))), 4) AS cosine
       FROM p GROUP BY label_a, label_b ORDER BY label_a, label_b"""))
 
+  /** ANN recall measurement ([[graft.ops.Similarity.annRecall]]):
+    * per-query recall@10 of the x24 LSH configuration against the
+    * exact x23 baseline on 50 bounded queries — the harness that
+    * decides whether a numBits/bands setting is usable. ANN-side
+    * membership is sketch-driven → rows-only; OpsSpec pins the
+    * contract (full-probe recall ≡ 1.0 on every query; a
+    * missing-query row scores 0, never inflates). */
+  private val x121AnnRecall = GraftQuery(
+    "x121_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 50)
+      val exact = Similarity.batchTopK(q, emb,
+        "vec_id", "vec_id", "embedding", "embedding", k = 10)
+      val ann = Similarity.lshBatchTopK(q, emb,
+        "vec_id", "vec_id", "embedding", "embedding", k = 10,
+        numBits = 16, bands = 4)
+      Similarity.annRecall(exact, ann, k = 10)
+        .orderBy(col("query_id"))
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3644,7 +3666,7 @@ object Extensions extends QueryModule {
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
-    x120CentroidSimilarity)
+    x120CentroidSimilarity, x121AnnRecall)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

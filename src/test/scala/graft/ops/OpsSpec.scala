@@ -2521,6 +2521,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("ann recall: full probe scores 1.0 everywhere, absent queries score 0, never inflates") {
+    val vecs = (0L until 60L).map(id =>
+      (id, Array.tabulate(8)(i => math.cos(id * 1.9 + i * 0.7).toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 10)
+    val exact = Similarity.batchTopK(q, df, "id", "id", "vec", "vec", k = 5)
+    // full probe: every band chunk is 1 bit → any-bit agreement, and
+    // top-k similar pairs are never antipodal → recall 1.0 per query
+    val full = Similarity.lshBatchTopK(q, df, "id", "id", "vec", "vec",
+      k = 5, numBits = 16, bands = 16)
+    val r = Similarity.annRecall(exact, full, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 10)
+    r.foreach { case (qid, hits, rec) =>
+      assert(hits == 5L && rec == 1.0, s"query $qid: $hits hits, $rec") }
+    // an ANN table that dropped a query entirely scores 0 for it —
+    // the left join never lets silence inflate recall
+    val partial = full.filter(col("query_id") =!= 3L)
+    val byQ = Similarity.annRecall(exact, partial, k = 5)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byQ(3L) == ((0L, 0.0)), s"dropped query: ${byQ(3L)}")
+    assert(byQ.size == 10)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
