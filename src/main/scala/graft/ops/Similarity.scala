@@ -843,6 +843,43 @@ object Similarity {
       .toDF("sel_round", "center_id", "radius")
   }
 
+  /** Late-interaction MaxSim scoring (the ColBERT retrieval rule,
+    * Khattab & Zaharia 2020): a query is a SET of vectors, a
+    * document is a SET of vectors, and score(doc) = Σ_q max_{v∈doc}
+    * cos(q, v) — each query vector finds its best-matching document
+    * vector independently, which is what lets one query term match
+    * one passage sentence. The missing member of the retrieval
+    * family next to single-vector ANN (x6/x23) and sparse BM25
+    * (x76). Output: (doc, maxsim) — one row per document.
+    *
+    * Determinism contract: per-pair cosine rounds to 4 BEFORE the
+    * max (exact comparisons on rounded values), and the final
+    * per-document sum over ≤|Q| maxima is a carrier-keyed sorted
+    * fold re-rounded to 4 — hash-green replayable.
+    *
+    * Scale shape: the bounded query set broadcasts (the batchTopK
+    * exact-path contract — |Q| vectors ride the plan); scoring is
+    * map-only over the corpus vectors; then two map-side-combinable
+    * aggregations (max by (doc, q), fold by doc) whose shuffles
+    * carry scalars, never vectors. */
+  def maxSimScores(queries: DataFrame, corpus: DataFrame,
+      queryIdCol: String, docIdCol: String,
+      queryVecCol: String, corpusVecCol: String): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("__qid"),
+      col(queryVecCol).as("__qv"))
+    val c = Parallelism.ensure(corpus).select(col(docIdCol).as("doc"),
+      col(corpusVecCol).as("__cv"))
+    c.crossJoin(broadcast(q))
+      .select(col("doc"), col("__qid"),
+        round(VectorMath.cosineSimilarity(col("__cv"), col("__qv")), 4)
+          .as("__cos"))
+      .groupBy(col("doc"), col("__qid"))
+      .agg(max(col("__cos")).as("__m"))
+      .groupBy(col("doc"))
+      .agg(round(Classifier.sortedFold(col("__qid"), col("__m")), 4)
+        .as("maxsim"))
+  }
+
   /** Recall@k of an ANN result against its exact baseline — the
     * "measure, don't guess" harness for the LSH/IVF/IVF-PQ family:
     * feed any two (query_id, neighbor_id) top-k tables and get

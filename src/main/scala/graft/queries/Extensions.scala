@@ -3631,6 +3631,42 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Late-interaction retrieval ([[graft.ops.Similarity
+    * .maxSimScores]]): 4 query vectors against label-grouped
+    * multi-vector documents — score = Σ_q max_{v∈doc} cos(q, v),
+    * the ColBERT MaxSim rule. Hash-green: per-pair cosine (the x7
+    * double-lambda replay) rounds to 4 BEFORE the max, and the
+    * per-document sum over the 4 maxima is a carrier-keyed sorted
+    * fold re-rounded to 4. */
+  private val x122MaxsimRetrieval = GraftQuery(
+    "x122_maxsim_retrieval",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.maxSimScores(
+        emb.filter(col("vec_id") < 4), emb,
+        "vec_id", "label", "embedding", "embedding")
+        .orderBy(col("doc"))
+    },
+    Some("""WITH q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < 4),
+      sc AS MATERIALIZED (
+        SELECT e.label AS doc, q.qid,
+          round(
+            list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS c
+        FROM embeddings e CROSS JOIN q),
+      m AS MATERIALIZED (
+        SELECT doc, qid, max(c) AS m FROM sc GROUP BY doc, qid)
+      SELECT doc, round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := qid, v := m))),
+          s2 -> struct_extract(s2, 'v'))), 4) AS maxsim
+      FROM m GROUP BY doc ORDER BY doc"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3666,7 +3702,7 @@ object Extensions extends QueryModule {
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
-    x120CentroidSimilarity, x121AnnRecall)
+    x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2545,6 +2545,30 @@ class OpsSpec extends AnyFunSuite {
     assert(byQ.size == 10)
   }
 
+  test("maxsim: each query term matches its own doc vector — the property centroids lose") {
+    // doc 1 holds an x-axis and a y-axis vector; doc 2 holds two
+    // diagonals. Their CENTROIDS are identical (both diagonal), but
+    // MaxSim separates them: queries {x, y} each find their exact
+    // match in doc 1 (score 1+1=2) and only cos45° in doc 2 (≈1.41)
+    val corpus = Seq(
+      (1, Array(1f, 0f)), (1, Array(0f, 1f)),
+      (2, Array(0.7071f, 0.7071f)), (2, Array(0.7071f, 0.7071f)))
+      .toDF("label", "vec")
+    val queries = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("qid", "qv")
+    val got = Similarity.maxSimScores(queries, corpus,
+      "qid", "label", "qv", "vec")
+      .orderBy(col("doc")).as[(Int, Double)].collect().toMap
+    assert(got(1) == 2.0, s"exact-match doc: $got")
+    assert(math.abs(got(2) - 2 * 0.7071) < 1e-3, s"diagonal doc: $got")
+    assert(got(1) > got(2), "late interaction must beat the shared centroid")
+    // relayout changes nothing (rounded cosines, keyed fold)
+    val again = Similarity.maxSimScores(queries, corpus.repartition(3),
+      "qid", "label", "qv", "vec")
+      .orderBy(col("doc")).as[(Int, Double)].collect().toMap
+    assert(again == got)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
