@@ -261,6 +261,34 @@ object TextAnalysis {
         round(when(nTokens > 0, stopHits.cast("double") / nTokens).otherwise(0.0), 4))
   }
 
+  /** Sentence-structure profile — the readability-style quality
+    * features (Gopher/C4-adjacent rules filter on them: documents
+    * that are one run-on "sentence", token-soup with no sentence
+    * breaks, or comma-spam lists): per document, the non-empty
+    * sentence count under a `[.!?]+` split, mean words per sentence,
+    * and comma density. Sentence segments count only when non-blank
+    * after trim — split-boundary trailing-empty semantics differ
+    * between engines, the filter makes both count the same thing.
+    *
+    * Every metric is a plain codegen'd expression (one map stage, no
+    * shuffle — the [[withQualityMetrics]] contract); ratios round to
+    * 4 from integer counts, so rows replay exactly. */
+  def structureStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val sentences = filter(split(t, "[.!?]+"), s => trim(s) =!= "")
+    val nSent = size(sentences)
+    val nTokens = tokenCount(t)
+    val nCommas = length(t) - length(regexp_replace(t, ",", ""))
+    df
+      .withColumn("n_sentences", nSent)
+      .withColumn("mean_words_per_sentence",
+        round(when(nSent > 0, nTokens.cast("double") / nSent)
+          .otherwise(0.0), 4))
+      .withColumn("comma_density",
+        round(when(nTokens > 0, nCommas.cast("double") / nTokens)
+          .otherwise(0.0), 4))
+  }
+
   /** Composite quality score in [0,1] — deterministic blend of the
     * heuristics (the shape used by C4/Gopher-style filters: enough
     * alpha text, sane token length, some stopwords, not digit spam). */

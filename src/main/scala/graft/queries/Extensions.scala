@@ -3667,6 +3667,37 @@ object Extensions extends QueryModule {
           s2 -> struct_extract(s2, 'v'))), 4) AS maxsim
       FROM m GROUP BY doc ORDER BY doc"""))
 
+  /** Sentence-structure profile ([[graft.ops.TextAnalysis
+    * .structureStats]]): non-empty sentence count, mean words per
+    * sentence, comma density — the readability features
+    * Gopher/C4-style filters gate on. Hash-green: integer counts
+    * with single-division rounded ratios; both engines count only
+    * non-blank trimmed segments, neutralizing split trailing-empty
+    * semantics. */
+  private val x123StructureStats = GraftQuery(
+    "x123_structure_stats",
+    (s, dir) => graft.ops.TextAnalysis.structureStats(
+      Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_sentences"),
+        col("mean_words_per_sentence"), col("comma_density"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+            s -> trim(s) != '')) AS INT) AS n_sentences,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(length(text) - length(replace(text, ',', '')) AS INT)
+            AS n_commas
+        FROM documents)
+      SELECT doc_id, n_sentences,
+        round(CASE WHEN n_sentences > 0
+          THEN CAST(n_tokens AS DOUBLE) / n_sentences ELSE 0.0 END, 4)
+          AS mean_words_per_sentence,
+        round(CASE WHEN n_tokens > 0
+          THEN CAST(n_commas AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+          AS comma_density
+      FROM t ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3702,7 +3733,8 @@ object Extensions extends QueryModule {
     x111PcaScaled, x112HardNegatives, x113HardNegativesLsh,
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
-    x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval)
+    x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
+    x123StructureStats)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

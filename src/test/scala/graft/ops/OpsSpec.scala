@@ -2569,6 +2569,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("structure stats: hand-computed sentences, run-on and comma-spam shapes, blank-only text") {
+    val df = Seq(
+      (1L, "One. Two two! Three three three?"), // 3 sentences, 6 words
+      (2L, "a, b, c"),                           // run-on: 1 sentence, 2 commas
+      (3L, "..."),                               // terminators only: 0 sentences
+      (4L, "no terminator at all"))              // run-on: 1 sentence
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.structureStats(df)
+      .select(col("doc_id"), col("n_sentences"),
+        col("mean_words_per_sentence"), col("comma_density"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Int, Double, Double)].collect()
+    assert(got(0) == ((1L, 3, 2.0, 0.0)), s"${got.toSeq}")
+    assert(got(1) == ((2L, 1, 3.0, 0.6667)), s"${got.toSeq}")
+    assert(got(2)._2 == 0 && got(2)._3 == 0.0, s"${got.toSeq}")
+    assert(got(3) == ((4L, 1, 4.0, 0.0)), s"${got.toSeq}")
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
