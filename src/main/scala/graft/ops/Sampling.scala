@@ -490,4 +490,47 @@ object Sampling {
     val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(100))
     (df.filter(bucket >= holdoutPct), df.filter(bucket < holdoutPct))
   }
+
+  /** Distribution-matched (stratified) train/holdout split: rows
+    * bucket into `buckets` quantile strata of `valueCol` (length,
+    * quality score, …), then split WITHIN each stratum by the
+    * arithmetic Knuth id-hash — so the holdout mirrors the training
+    * distribution by construction (a plain random split leaves the
+    * eval set's difficulty profile to chance; an eval set skewed
+    * easy overstates every model it measures). Returns the input +
+    * `value_bucket` (0-based stratum) + `split`.
+    *
+    * Deterministic/replayable: boundaries are exact interpolated
+    * quantiles (the x26 percentile ↔ quantile_cont pairing) rounded
+    * to 6 before the strictly-greater comparisons, and membership is
+    * the [[graft.ops.Dedup.splitByCluster]] integer hash — no RNG,
+    * relayout-stable, bit-replayable in ANSI SQL.
+    *
+    * Scale shape: ONE quantile aggregate (a ≤buckets−1-scalar
+    * driver collect, bounded by contract), then a pure map — bucket
+    * assignment compares against boundary literals riding the plan,
+    * the split is arithmetic. No window, no shuffle: a global
+    * ntile() would funnel the corpus through one partition's sort;
+    * boundary-compare assignment costs nothing at any size. */
+  def matchedSplit(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int = 10, holdoutPct: Int = 20): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      "buckets in [2, 1000] — boundaries are driver-resident")
+    require(holdoutPct >= 0 && holdoutPct <= 100, "holdoutPct in [0, 100]")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    def r6(v: Double): Double =
+      (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)) / 1e6
+    val bounds = df
+      .agg(percentile(col(valueCol), typedlit(probs)).as("b"))
+      .head().getSeq[Double](0).map(r6)
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol).cast("double") > lit(b), 1).otherwise(0) }
+    val h = pmod(
+      pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)),
+      lit(100L))
+    df.withColumn("value_bucket", bucketCol)
+      .withColumn("split",
+        when(h < holdoutPct, lit("holdout")).otherwise(lit("train")))
+  }
 }

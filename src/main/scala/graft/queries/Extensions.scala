@@ -3698,6 +3698,38 @@ object Extensions extends QueryModule {
           AS comma_density
       FROM t ORDER BY doc_id"""))
 
+  /** Distribution-matched split ([[graft.ops.Sampling
+    * .matchedSplit]]): documents stratified into n_chars deciles,
+    * split 80/20 within each stratum — per (stratum, split) counts.
+    * Hash-green: quantile boundaries via the x26 percentile ↔
+    * quantile_cont pairing rounded to 6 before strictly-greater
+    * compares against integer n_chars, membership the arithmetic
+    * Knuth split hash, output exact counts. */
+  private val x124MatchedSplit = GraftQuery(
+    "x124_matched_split",
+    (s, dir) => graft.ops.Sampling.matchedSplit(
+      Tables.documents(s, dir), "doc_id", "n_chars",
+      buckets = 10, holdoutPct = 20)
+      .groupBy(col("value_bucket"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("value_bucket"), col("split")),
+    Some("""WITH bounds AS MATERIALIZED (
+        SELECT quantile_cont(n_chars,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM documents),
+      a AS MATERIALIZED (
+        SELECT d.doc_id,
+          CAST(len(list_filter(b.bs,
+            x -> CAST(d.n_chars AS DOUBLE) > round(x, 6))) AS INT)
+            AS value_bucket,
+          CASE WHEN ((d.doc_id % 2147483648) * 2654435761)
+              % 4294967296 % 100 < 20
+            THEN 'holdout' ELSE 'train' END AS split
+        FROM documents d CROSS JOIN bounds b)
+      SELECT value_bucket, split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM a GROUP BY value_bucket, split
+      ORDER BY value_bucket, split"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3734,7 +3766,7 @@ object Extensions extends QueryModule {
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
     x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
-    x123StructureStats)
+    x123StructureStats, x124MatchedSplit)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2587,6 +2587,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1, 4.0, 0.0)), s"${got.toSeq}")
   }
 
+  test("matched split: equals plain-scala replay, strata balanced, relayout-stable") {
+    val n = 1000
+    val df = (0L until n.toLong).map(i => (i, i)).toDF("id", "v")
+    // plain-scala mirror: interpolated quantiles, round-6 boundaries,
+    // strictly-greater bucket count, Knuth split hash
+    def quantile(p: Double): Double = {
+      // sorted values are exactly 0..n-1, so value(i) = i
+      val pos = (n - 1) * p
+      val lo = math.floor(pos).toInt
+      val hi = math.min(lo + 1, n - 1)
+      lo + (pos - lo) * (hi - lo)
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val bounds = (1 until 10).map(i => r6(quantile(i / 10.0)))
+    def bucket(v: Long): Int = bounds.count(b => v.toDouble > b)
+    def split(id: Long): String =
+      if (((id % 2147483648L) * 2654435761L) % 4294967296L % 100L < 20L)
+        "holdout" else "train"
+    val expected = (0L until n.toLong)
+      .groupBy(i => (bucket(i), split(i)))
+      .map { case (k, g) => k -> g.size.toLong }
+    val got = Sampling.matchedSplit(df, "id", "v",
+      buckets = 10, holdoutPct = 20)
+      .groupBy(col("value_bucket"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == expected, s"\ngot $got\nexp $expected")
+    // every stratum is present with BOTH splits, and the holdout
+    // share per stratum sits near the 20% target (hash uniformity)
+    (0 until 10).foreach { b =>
+      val h = got.getOrElse((b, "holdout"), 0L)
+      val t = got.getOrElse((b, "train"), 0L)
+      assert(h > 0 && t > 0, s"stratum $b missing a split: $got")
+      val share = h.toDouble / (h + t)
+      assert(share > 0.08 && share < 0.35, s"stratum $b holdout $share") }
+    // relayout changes nothing (boundary literals + id hash)
+    val again = Sampling.matchedSplit(df.repartition(7), "id", "v",
+      buckets = 10, holdoutPct = 20)
+      .groupBy(col("value_bucket"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Int, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(again == got)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
