@@ -421,8 +421,14 @@ object Sampling {
       "parts in [1, 4096] — bucket counts are driver-resident")
     require(epoch >= 0, "epoch must be non-negative")
     val span = 4294967296L / parts
+    // a NULL id would null the key, miss the offsets join and drop
+    // the row SILENTLY — a shuffle must be a permutation, so fail
+    // loudly at evaluation instead (the chunkOccupancy raise pattern)
+    val checkedId = when(col(idCol).isNull,
+      raise_error(lit(s"epochShuffle: NULL $idCol — the shuffle is a " +
+        "permutation of non-null ids"))).otherwise(col(idCol))
     val keyed = df.withColumn("__k", pmod(
-        (pmod(col(idCol), lit(2147483648L)) + lit(epoch.toLong * 1000003L))
+        (pmod(checkedId, lit(2147483648L)) + lit(epoch.toLong * 1000003L))
           * lit(2654435761L),
         lit(4294967296L)))
       .withColumn("__p", expr(s"__k div $span"))
@@ -523,8 +529,13 @@ object Sampling {
     val bounds = df
       .agg(percentile(col(valueCol), typedlit(probs)).as("b"))
       .head().getSeq[Double](0).map(r6)
-    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+    // a NULL value would otherwise count zero boundaries and silently
+    // masquerade as stratum 0 — keep it visibly NULL instead (the x92
+    // NULL-isolation posture); the split hash still assigns a side
+    val rawBucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(valueCol).cast("double") > lit(b), 1).otherwise(0) }
+    val bucketCol =
+      when(col(valueCol).isNull, lit(null).cast("int")).otherwise(rawBucket)
     val h = pmod(
       pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
         lit(4294967296L)),

@@ -827,7 +827,10 @@ object Similarity {
         case d: Double => d
         case n: Number => n.doubleValue()
       }
-    val seedRow = base.filter(col("id") === seedId).head()
+    val seedRows = base.filter(col("id") === seedId).take(1)
+    require(seedRows.nonEmpty,
+      s"kCenterCoreset: seedId $seedId not present in $idCol")
+    val seedRow = seedRows(0)
     val centers = scala.collection.mutable.ArrayBuffer(
       (1, seedId, 0.0, vecOf(seedRow)))
     for (r <- 2 to k) {

@@ -2633,6 +2633,35 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("round-7 edge guards: NULL id fails loudly, NULL value stays NULL, missing seed names itself") {
+    // epochShuffle: a NULL id must raise, not silently drop the row
+    val withNull = Seq(Some(1L), Some(2L), None)
+      .toDF("id")
+    val err = intercept[Exception] {
+      Sampling.epochShuffle(withNull, "id", epoch = 1).collect()
+    }
+    assert(err.getMessage.contains("epochShuffle") ||
+      Option(err.getCause).exists(_.getMessage.contains("epochShuffle")),
+      s"unexpected error: ${err.getMessage}")
+    // matchedSplit: NULL values keep a NULL stratum (never stratum 0)
+    // while still receiving a split side
+    val vals = ((1L to 20L).map(i => (i, Some(i))) :+ (99L, None))
+      .toDF("id", "v")
+    val ms = Sampling.matchedSplit(vals, "id", "v", buckets = 4,
+      holdoutPct = 20)
+      .select(col("id"), col("value_bucket"), col("split")).collect()
+    val nullRow = ms.find(_.getLong(0) == 99L).get
+    assert(nullRow.isNullAt(1), s"NULL value got stratum ${nullRow.get(1)}")
+    assert(Seq("train", "holdout").contains(nullRow.getString(2)))
+    assert(ms.filter(_.getLong(0) != 99L).forall(!_.isNullAt(1)))
+    // kCenterCoreset: a missing seed id names itself in the failure
+    val vecs = (1L to 5L).map(i => (i, Array(i.toFloat, 0f))).toDF("id", "vec")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kCenterCoreset(vecs, "id", "vec", k = 2, seedId = 42L)
+    }
+    assert(e2.getMessage.contains("42"), e2.getMessage)
+  }
+
   test("per-group cap: exact k, relayout-stable, hash-selected, NULL group capped") {
     val rows = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 110L).map(i => (i, "small")) ++
