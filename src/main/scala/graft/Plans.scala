@@ -49,7 +49,7 @@ object Plans {
     "x76_bm25_topk" -> "tf/dl reduced map-side; score join shuffle-hash on id over ONLY docs holding a query term; |Q|-row df + single-row corpus stats broadcast; top-k plans as TakeOrdered (x78's per-round plan is checkpoint-truncated by design — see Graph.pageRank scaladoc)",
     "x77_token_budget" -> "one window shuffle on the group key carrying only the narrow (id, priority, tokens) columns; the budget cut is a map-side filter after the running sum",
     "x80_char_entropy" -> "entropy folds INSIDE the row (higher-order functions over the char array) — the expression itself needs no exchange (spec-asserted); the carrier query re-spreads an under-split scan first or the whole fold lands on one task (7.2s -> 0.9s warm at sf0.1)",
-    "x82_collocations" -> "bigram/unigram counts are two-phase hash aggregates; vocab joins shuffle-hash on the word key (never broadcast); only the two single-row totals broadcast; top-k is TakeOrdered",
+    "x82_collocations" -> "ONE tokenize/explode scan -> (token, successor-or-NULL) pair counts checkpointed; unigram counts are its w1-marginal, bigram counts its non-NULL slice, totals re-aggregate from the count tables; vocab joins shuffle-hash on the word key (never broadcast); only the two single-row totals broadcast; top-k is TakeOrdered",
     "x84_distinctive_terms" -> "one tokenize/explode pass; term totals, group totals and |V| re-aggregate from the (group,term) counts table — the corpus is never re-scanned; WindowGroupLimit bounds the per-group rank",
     "x85_cohort_retention" -> "activity reduced to distinct (user, week) in one exchange; cohort table rejoins shuffle-hash on the user key; |cohorts|-row sizes broadcast back",
     "x93_source_cap" -> "one hash shuffle on the group key; rank<=k plans as WindowGroupLimit — each map task pre-prunes to its local top-k before the exchange",

@@ -822,27 +822,39 @@ object TextAnalysis {
     * integer product cb·Nu² overflows BIGINT around 10¹⁹ (≈ tens of
     * billions of tokens — real at 100 TB).
     *
-    * Scale shape: bigram/unigram counting is explode → two-phase
-    * hash aggregate (map-side partials absorb the Zipf head); the
-    * count-vocabulary joins are shuffle-hash on the word key (vocab
-    * is corpus-sized, never broadcast); only the two single-row
-    * totals broadcast. Top-k plans as TakeOrdered. */
+    * Scale shape: ONE tokenize/explode pass — each token position
+    * emits (w1 = token, w2 = successor-or-NULL), so the unigram
+    * vocabulary is the w1-marginal of the (w1, w2) count table and
+    * the bigram table its non-NULL-w2 slice; every count the PMI
+    * needs re-aggregates from that count table (vocab-sized,
+    * materialized once at an eager localCheckpoint — the r7 plan
+    * rebuilt the unigram aggregate twice from independent full
+    * corpus scans). Counting is two-phase hash aggregate (map-side
+    * partials absorb the Zipf head); the count-vocabulary joins are
+    * shuffle-hash on the word key (vocab is corpus-sized, never
+    * broadcast); only the two single-row totals broadcast. Top-k
+    * plans as TakeOrdered. */
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
       k: Int = 20): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val base = Parallelism.ensure(df).select(tokens(col(textCol)).as("ts"))
-    val uni = base.select(explode(col("ts")).as("w"))
-      .filter(length(col("w")) > 0)
-    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val nu = uni.agg(count(lit(1)).as("nu"))
-    val bi = base.filter(size(col("ts")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("ts")) - 2),
+    // (token, successor) pairs with a NULL sentinel after the last
+    // token: the w1-marginal counts every token position exactly once
+    val pc = base
+      .select(explode(transform(sequence(lit(0), size(col("ts")) - 1),
         i => struct(element_at(col("ts"), i + 1).as("w1"),
-          element_at(col("ts"), i + 2).as("w2")))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val nb = bi.agg(count(lit(1)).as("nb"))
+          when(i + 2 <= size(col("ts")), element_at(col("ts"), i + 2))
+            .as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(length(col("w1")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds cu, cb and (via them) both totals
+    val cu = pc.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+      .select(col("w1").as("w"), col("cu"))
+    val nu = cu.agg(sum(col("cu")).as("nu"))
+    val cb = pc.filter(col("w2").isNotNull && length(col("w2")) > 0)
+      .select(col("w1"), col("w2"), col("c").as("cb"))
+    val nb = cb.agg(sum(col("cb")).as("nb"))
     cb.filter(col("cb") >= minCount)
       .hint("shuffle_hash")
       .join(cu.select(col("w").as("w1"), col("cu").as("cu1")).hint("shuffle_hash"), "w1")

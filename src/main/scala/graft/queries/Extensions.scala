@@ -752,6 +752,29 @@ object Extensions extends QueryModule {
     docs.select(col("doc_id"),
       array_distinct(TextAnalysis.wordNgrams(col("text"), 3)).as("grams"))
 
+  /** Exact all-pairs trigram-Jaccard candidate edges over a bounded
+    * doc slice — the shared pair stage of the x43/x114 exact twins.
+    * The non-equi join plans as BroadcastNestedLoop: the STREAMED
+    * side inherits the scan's single split, serializing 45k per-pair
+    * evaluations onto one task (measured 7.7 s single-threaded) —
+    * `Parallelism.ensure` re-spreads it; the broadcast side is 300
+    * gram arrays. |a ∪ b| = |a| + |b| − |a ∩ b| (gram arrays are
+    * distinct): materializing `array_union` per pair was the suite's
+    * #1 CPU row (r7 verdict) — the oracles already use the identity. */
+  private def trigramJaccardPairs(g: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val a = graft.ops.Parallelism.ensure(g)
+      .select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(col("ga")) + size(col("gb")) - col("inter"))
+      .filter(round(when(col("uni") > 0,
+        col("inter").cast("double") / col("uni")).otherwise(0.0), 4)
+        >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** DuckDB replay of [[trigramFrame]] over `documents` rows matching
     * `where` — splice as the body of a `g AS (...)` CTE. */
   private def trigramGramsSql(where: String): String =
@@ -975,21 +998,7 @@ object Extensions extends QueryModule {
     "x43_text_dedup_exact",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val g = trigramFrame(docs)
-      // the non-equi all-pairs join plans as BroadcastNestedLoop: the
-      // STREAMED side inherits the scan's single split, serializing
-      // 45k per-pair Jaccard evaluations onto one task (measured
-      // 7.7 s single-threaded) — re-spread it; the broadcast side is
-      // 300 gram arrays
-      val a = graft.ops.Parallelism.ensure(g)
-        .select(col("doc_id").as("id_a"), col("grams").as("ga"))
-      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
-      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-        .withColumn("uni", size(array_union(col("ga"), col("gb"))))
-        .filter(round(when(col("uni") > 0,
-          col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
-        .select("id_a", "id_b")
+      val pairs = trigramJaccardPairs(trigramFrame(docs), threshold = 0.7)
       Dedup.survivorsFromPairs(docs, "doc_id", pairs)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
@@ -3404,16 +3413,7 @@ object Extensions extends QueryModule {
     "x114_canonical_selection",
     (s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
-      val g = trigramFrame(docs)
-      val a = graft.ops.Parallelism.ensure(g)
-        .select(col("doc_id").as("id_a"), col("grams").as("ga"))
-      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
-      val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-        .withColumn("uni", size(array_union(col("ga"), col("gb"))))
-        .filter(round(when(col("uni") > 0,
-          col("inter").cast("double") / col("uni")).otherwise(0.0), 4) >= 0.7)
-        .select("id_a", "id_b")
+      val pairs = trigramJaccardPairs(trigramFrame(docs), threshold = 0.7)
       val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
       Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", clusters)
         .select(col("doc_id"), col("source"), col("n_chars"))
