@@ -77,23 +77,76 @@ object Dedup {
     * memo holds at most [[memoCapacity]] entries (oldest unpersisted
     * and dropped). */
   private val candidateMemo =
-    new graft.BoundedMemo[(String, String, String, Int, Int, Int), DataFrame](
+    new graft.BoundedMemo[(String, String, String, Int, Int, Int, Int), DataFrame](
       16, _.unpersist(blocking = false), name = "minhash-candidates")
 
   /** Drop all memoized candidate tables (unpersisting each). */
   def clearCandidateCache(): Unit = candidateMemo.clear(_.unpersist())
 
+  /** Default per-(band, bucket) membership bound for the banded LSH
+    * pair generators — the quadratic escape hatch at 100 TB: one
+    * boilerplate-heavy bucket of n members emits n²/2 candidate
+    * pairs, and boilerplate is exactly the regime dedup targets.
+    * 1000 members (≤ ~500k pairs per degenerate bucket) is far above
+    * anything a healthy banding produces; buckets beyond it switch
+    * to linear star pairing (see [[cappedBucketPairs]]). */
+  val DefaultMaxBucket = 1000
+
+  /** Candidate pairs from shared (band, bucket) membership, with the
+    * quadratic path bounded: buckets of ≤ `cap` members emit ALL
+    * in-bucket pairs (the normal LSH regime); buckets beyond `cap`
+    * emit STAR pairs — every member against the bucket's minimum id
+    * — O(n) instead of O(n²). The star preserves exactly the
+    * bucket-level reachability connected-components dedup consumes
+    * (every member still linked into one component); what it trades
+    * is pair-level completeness inside degenerate buckets: a
+    * non-hub pair that would only have meet in an oversized bucket is
+    * not emitted, and post-verification (est-Jaccard / Hamming
+    * threshold) can therefore split clusters the uncapped plan would
+    * have joined via a non-hub edge. That is the deliberate cost
+    * ceiling — a boilerplate mega-bucket stays linear instead of
+    * emitting n²/2 pairs.
+    *
+    * Plan shape: ONE exchange on the bucket keys feeds the window
+    * (count + min per bucket), and the self-join reuses that
+    * partitioning (no second shuffle of the banded frame; the two
+    * identical sides collapse into a ReusedExchange). Shuffle join,
+    * never broadcast — a broadcast build would evaluate the
+    * signature lineage single-threaded on the driver (measured
+    * 10×+). `banded` must carry an `id` column plus `keys`. */
+  private[ops] def cappedBucketPairs(banded: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"maxBucket must be >= 2, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    val stat = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__bmin", min(col("id")).over(w))
+    val small = stat.filter(col("__bn") <= cap)
+    val a = small.select(keys.map(col) :+ col("id").as("id_a"): _*)
+    val b = small.select(keys.map(col) :+ col("id").as("id_b"): _*)
+    val allPairs = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val starPairs = stat
+      .filter(col("__bn") > cap && col("id") =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val key = (graft.SessionKeys.of(df.sparkSession),
       graft.PlanKeys.of(df),
-      s"$idCol/$textCol", numHashes, bands, shingleSize)
+      s"$idCol/$textCol", numHashes, bands, shingleSize, maxBucket)
     // build OUTSIDE the memo lock (the ivfIndex pattern): the build
     // plans against the input frame, and planning arbitrary user
     // frames under a global monitor would serialize unrelated builds
     candidateMemo.get(key).getOrElse {
-      val built =
-        minhashCandidatesUncached(df, idCol, textCol, numHashes, bands, shingleSize)
+      val built = minhashCandidatesUncached(
+        df, idCol, textCol, numHashes, bands, shingleSize, maxBucket)
       val winner = candidateMemo.putIfAbsent(key, built)
       // a racing builder beat us: release our build's cache
       // registration, or CacheManager pins it for the session lifetime
@@ -144,24 +197,17 @@ object Dedup {
       .drop("sig")
 
   private def minhashCandidatesUncached(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+      numHashes: Int, bands: Int, shingleSize: Int, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val banded = bandedOf(sig, bands, rowsPerBand)
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    // Self-join as a SHUFFLE join, never broadcast: a broadcast build
-    // would evaluate the whole signature lineage single-threaded on
-    // the driver (measured 10×+ slower). Shuffled, the two identical
-    // sides collapse into one ReusedExchange — the signatures are
-    // computed once, in parallel.
-    // distinct over bare id pairs (a pair may collide in several
-    // bands) — the wide signature arrays only join back afterwards.
-    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // bucket self-join with the quadratic path bounded (shuffle join
+    // + ReusedExchange + star pairing beyond maxBucket — see
+    // cappedBucketPairs); distinct over bare id pairs (a pair may
+    // collide in several bands) — the wide signature arrays only
+    // join back afterwards.
+    val pairs = cappedBucketPairs(banded, Seq("band", "bucket"), maxBucket)
     // Rejoin the signatures with SHUFFLE joins: broadcast would either
     // single-thread the signature computation on the driver (if the
     // sig side is built) or re-execute the banding subtree per nested
@@ -191,8 +237,8 @@ object Dedup {
     * clears the threshold. */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
-      shingleSize: Int = 3): DataFrame =
-    minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
+      shingleSize: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, maxBucket)
       .filter(col("est_jaccard") >= threshold)
 
   /** Incremental near-dup detection: dedup a new BATCH against an
@@ -286,14 +332,14 @@ object Dedup {
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
     * equal), exact hamming check on candidates. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // exchanges before/after the sketch projection — see
     // minhashCandidates (conditional parallelism + stop deferred
     // re-evaluation)
     val sig = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
-    hamming64Pairs(sig, maxHamming)
+    hamming64Pairs(sig, maxHamming, maxBucket)
   }
 
   /** Shared tail of every 64-bit-signature dedup (SimHash text,
@@ -310,19 +356,22 @@ object Dedup {
     * minhashCandidates for why the generator input must not embed
     * the signature expression). */
   private[ops] def hamming64Pairs(sigFrame: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = sigFrame.repartition(col("id"))
     val banded = sig
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", expr("shiftright(sig, band * 16) & 65535"))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // shuffle join (never broadcast — see minhashCandidates): the two
-    // identical sides share one ReusedExchange
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .drop("sig")
+    // bucket self-join with the quadratic path bounded (see
+    // cappedBucketPairs); bare id pairs through the distinct, the
+    // (one-long) signatures rejoin once per surviving pair
+    cappedBucketPairs(banded, Seq("band", "chunk"), maxBucket)
+      .hint("shuffle_hash")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -1059,21 +1108,22 @@ object Dedup {
     * consumes it again); one banding+verify pass per (input, params),
     * not one per consumer. Same caveats as candidateMemo. */
   private val embPairMemo =
-    new graft.BoundedMemo[(String, String, String, Double, Int, Int), DataFrame](
+    new graft.BoundedMemo[(String, String, String, Double, Int, Int, Int), DataFrame](
       16, _.unpersist(blocking = false), name = "embedding-near-dup")
 
   /** Drop all memoized embedding pair tables (unpersisting each). */
   def clearEmbeddingPairCache(): Unit = embPairMemo.clear(_.unpersist())
 
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val key = (graft.SessionKeys.of(df.sparkSession),
       graft.PlanKeys.of(df),
-      s"$idCol/$vecCol", threshold, numBits, bands)
+      s"$idCol/$vecCol", threshold, numBits, bands, maxBucket)
     // build OUTSIDE the memo lock (the ivfIndex pattern)
     embPairMemo.get(key).getOrElse {
       val built = embeddingNearDuplicatesUncached(
-        df, idCol, vecCol, threshold, numBits, bands)
+        df, idCol, vecCol, threshold, numBits, bands, maxBucket)
       val winner = embPairMemo.putIfAbsent(key, built)
       if (!(winner eq built)) built.unpersist(blocking = false)
       winner
@@ -1081,7 +1131,8 @@ object Dedup {
   }
 
   private def embeddingNearDuplicatesUncached(df: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, numBits: Int, bands: Int): DataFrame = {
+      vecCol: String, threshold: Double, numBits: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
@@ -1099,17 +1150,13 @@ object Dedup {
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
       .drop("sig")
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
-    // shuffle join (never broadcast — see minhashCandidates); dedup
-    // BARE id pairs (a pair may collide in several bands) — dragging
-    // the vectors through the distinct would shuffle |candidates| ×
-    // 2×dims floats (measured 5× the whole query's cost); ids alone
-    // shuffle two longs, the vectors rejoin once per surviving pair
-    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // bucket self-join with the quadratic path bounded (see
+    // cappedBucketPairs); dedup BARE id pairs (a pair may collide in
+    // several bands) — dragging the vectors through the distinct
+    // would shuffle |candidates| × 2×dims floats (measured 5× the
+    // whole query's cost); ids alone shuffle two longs, the vectors
+    // rejoin once per surviving pair
+    val pairs = cappedBucketPairs(banded, Seq("band", "chunk"), maxBucket)
     pairs.hint("shuffle_hash")
       .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"))
         .hint("shuffle_hash"), "id_a")

@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Ceiling on driver-resident per-stratum state (count maps,
+    * threshold literals): strata are domains / languages / sources —
+    * thousands in real mixes, never row-scoped. The operators that
+    * collect a per-stratum count enforce this so a high-cardinality
+    * stratum column (url, doc_id) fails loudly instead of OOMing the
+    * driver — the Similarity train-collect contract (r7). */
+  val MaxStrata: Int = 65536
+
+  /** Per-stratum counts with the cardinality gate: the aggregate is
+    * LIMITed to MaxStrata+1 rows BEFORE the collect, so the probe
+    * itself stays driver-safe no matter the true cardinality. */
+  private def boundedStratumCounts(df: DataFrame,
+      stratumCol: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"more than $MaxStrata distinct '$stratumCol' strata — stratum " +
+        "columns must be bounded (domain/language/source), not " +
+        "row-scoped (url/doc_id)")
+    rows
+  }
+
   /** Stratified sample: per-stratum keep-fractions via `sampleBy`
     * (seeded per-row Bernoulli). Strata absent from the map are
     * dropped — the "down-sample the over-crawled domain" shape.
@@ -53,17 +75,18 @@ object Sampling {
     * stable across relayout/re-ingestion.
     *
     * Scale shape: one two-phase count aggregate whose result is
-    * |strata| rows (driver-collected — domains/languages are
-    * bounded), then the map-only hash filter. */
+    * |strata| rows (driver-collected behind the [[MaxStrata]] gate —
+    * a row-scoped stratum column fails loudly, not with a driver
+    * OOM), then the map-only hash filter. */
   def temperatureMixture(df: DataFrame, stratumCol: String, idCol: String,
       alpha: Double, seed: Long = 42L): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     // null strata are dropped by stratifiedByHash's equality filter
     // anyway — excluded here too, or the null-keyed count row would
     // NPE the driver-side fraction map
-    val counts = df.filter(col(stratumCol).isNotNull)
-      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val counts = boundedStratumCounts(
+      df.filter(col(stratumCol).isNotNull), stratumCol)
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
     require(counts.nonEmpty, "no strata to mix")
     val raw = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha - 1.0) }
     val scale = 1.0 / raw.values.max
@@ -311,6 +334,9 @@ object Sampling {
   def rebalanceToTarget(df: DataFrame, stratumCol: String, idCol: String,
       targetShares: Map[String, Double]): DataFrame = {
     require(targetShares.nonEmpty, "give at least one target share")
+    require(targetShares.size <= MaxStrata,
+      s"${targetShares.size} target strata exceed MaxStrata=$MaxStrata — " +
+        "the count map and threshold literals are driver-resident")
     require(targetShares.values.forall(s => s > 0.0 && s <= 1.0),
       "target shares in (0, 1]")
     val counts = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
@@ -361,6 +387,9 @@ object Sampling {
   def upsampleToTarget(df: DataFrame, stratumCol: String, idCol: String,
       targetShares: Map[String, Double], maxRepeat: Int = 16): DataFrame = {
     require(targetShares.nonEmpty, "give at least one target share")
+    require(targetShares.size <= MaxStrata,
+      s"${targetShares.size} target strata exceed MaxStrata=$MaxStrata — " +
+        "the count map and threshold literals are driver-resident")
     require(targetShares.values.forall(s => s > 0.0 && s <= 1.0),
       "target shares in (0, 1]")
     require(maxRepeat >= 1, "maxRepeat must be at least 1")

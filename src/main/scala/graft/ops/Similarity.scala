@@ -990,12 +990,29 @@ object Similarity {
     * recall is tunable via numBits/bands; `bands = numBits` (1-bit
     * chunks) degenerates to any-bit-agreement — effectively full
     * recall, the configuration the contract spec pins against
-    * [[hardNegatives]]. */
+    * [[hardNegatives]].
+    *
+    * `maxBucket` bounds the quadratic escape hatch (a crowded
+    * embedding region putting n vectors in one (band, chunk) bucket
+    * emits n² candidate pairs): buckets beyond it keep only the
+    * `maxBucket` members of smallest (xxhash64(id), id) rank — a
+    * deterministic, spread sub-sample. Unlike the dedup generators
+    * (star pairing — [[Dedup.cappedBucketPairs]]) a reachability-
+    * preserving topology is useless here: the consumer is a
+    * per-anchor top-k, so the cap is a straight recall/cost knob on
+    * an already-approximate path; a member dropped from one
+    * oversized bucket still probes via its other bands. Note
+    * `bands = numBits` (the full-recall contract configuration)
+    * makes every bucket hold ~n/2 members by construction — pass
+    * `maxBucket >= n` when exactness against [[hardNegatives]] is
+    * the goal. */
   def hardNegativesLsh(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String, k: Int = 5, numBits: Int = 16, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numBits % bands == 0, "bands must divide numBits")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bitsPerBand = numBits / bands
     val mask = (1L << bitsPerBand) - 1
     val keyed = Parallelism.ensure(df)
@@ -1003,12 +1020,19 @@ object Similarity {
         col(vecCol).as("v"),
         Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
       .repartition(col("id"))
-    def banded(idAs: String, lblAs: String): DataFrame =
-      keyed.select(col("id").as(idAs), col("lbl").as(lblAs), col("sig"),
+    val wCap = Window.partitionBy(col("band"), col("chunk"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    val capped = keyed.select(col("id"), col("lbl"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-        .withColumn("chunk",
-          expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
-        .drop("sig")
+      .withColumn("chunk",
+        expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
+      .drop("sig")
+      .withColumn("__r", row_number().over(wCap))
+      .filter(col("__r") <= maxBucket)
+      .drop("__r")
+    def banded(idAs: String, lblAs: String): DataFrame =
+      capped.select(col("id").as(idAs), col("lbl").as(lblAs),
+        col("band"), col("chunk"))
     val cands = banded("anchor_id", "__al").hint("shuffle_hash")
       .join(banded("neg_id", "__nl").hint("shuffle_hash"),
         Seq("band", "chunk"))

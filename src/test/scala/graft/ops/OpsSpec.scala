@@ -45,6 +45,66 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("band-bucket cap: planted mega-bucket goes linear, reachability kept, normal pairs unchanged") {
+    // 30 identical docs — ONE degenerate bucket in every band (the
+    // boilerplate regime) — alongside the normal near-dup fixtures
+    val boiler = (100L until 130L).map(id => (id,
+      "standard legal boilerplate footer text repeated verbatim across the crawl"))
+    val mixed = (docs.as[(Long, String)].collect().toSeq ++ boiler)
+      .toDF("doc_id", "text")
+    Dedup.clearCandidateCache()
+    val capped = Dedup.minhashCandidates(mixed, "doc_id", "text", maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // beyond the cap the bucket emits STAR pairs: 29 hub edges, not
+    // the C(30,2)=435 an uncapped all-pairs join would produce
+    val mega = capped.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(mega == (101L until 130L).map(b => (100L, b)).toSet,
+      s"mega-bucket pairs not linear/star: ${mega.size}")
+    // reachability preserved: the whole mega-cluster still dedups to
+    // ONE survivor through the survivor algebra
+    val survivors = Dedup.survivorsFromPairs(mixed, "doc_id",
+      Dedup.minhashCandidates(mixed, "doc_id", "text", maxBucket = 10)
+        .filter(col("est_jaccard") >= 0.8)
+        .select("id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.count(_ >= 100L) == 1, s"mega-cluster survivors: $survivors")
+    // pairs in healthy (below-cap) buckets are untouched by the cap
+    assert(capped.contains((1L, 4L)) && capped.contains((1L, 2L)))
+    Dedup.clearCandidateCache()
+    val uncapped = Dedup.minhashCandidates(mixed, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.filter { case (a, b) => a < 100L && b < 100L }
+      == capped.filter { case (a, b) => a < 100L && b < 100L })
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 435)
+    Dedup.clearCandidateCache()
+  }
+
+  test("hard negatives lsh: membership cap is a no-op above bucket sizes, valid output below") {
+    val vecs = (0L until 40L).map { id =>
+      (id, (id % 4).toInt,
+        Array.tabulate(8)(i => math.sin(id * 2.7 + i * 1.3).toFloat)) }
+    val df = vecs.toDF("id", "label", "vec")
+    def run(bands: Int, cap: Int) =
+      Similarity.hardNegativesLsh(df, "id", "label", "vec", k = 4,
+        numBits = 16, bands = bands, maxBucket = cap)
+        .orderBy(col("anchor_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    // cap above every bucket size (1-bit chunks put ~n/2 per bucket):
+    // identical output to the default — the cap is pure guard
+    assert(run(16, cap = 40) == run(16, cap = 1000))
+    // binding cap: output stays well-formed — cross-label negatives,
+    // consecutive ranks from 1 per anchor, cosine descending
+    val labels = vecs.map(v => v._1 -> v._2).toMap
+    val sub = run(4, cap = 5)
+    assert(sub.nonEmpty)
+    sub.foreach { case (a, _, n, _) => assert(labels(a) != labels(n)) }
+    sub.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.length))
+      assert(sorted.map(_._4) == sorted.map(_._4).sortBy(-(_: Double)))
+    }
+  }
+
   test("incremental minhash == full run restricted to batch-touching pairs") {
     val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
     val batch = Seq(
@@ -984,6 +1044,26 @@ class OpsSpec extends AnyFunSuite {
     val ok = Dedup.duplicateClusters(longChain, "id_a", "id_b", maxIters = 10)
       .as[(Long, Long)].collect().toMap
     assert(ok.size == 200 && ok.values.toSet == Set(1L))
+  }
+
+  test("sampling strata ceiling: row-scoped stratum column fails loudly, not with a driver OOM") {
+    // > MaxStrata distinct strata (a doc_id-like column): the count
+    // collect must reject BEFORE materializing the full map
+    val big = spark.range(Sampling.MaxStrata + 10L)
+      .select(col("id"), col("id").cast("string").as("stratum"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(big, "stratum", "id", alpha = 0.5).count() }
+    assert(e.getMessage.contains("MaxStrata")
+      || e.getMessage.contains("strata"), e.getMessage)
+    // the map-driven operators gate on the driver-side map itself
+    val shares = (0 until Sampling.MaxStrata + 1)
+      .map(i => s"s$i" -> 0.5).toMap
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTarget(big, "stratum", "id", shares) }
+    assert(e2.getMessage.contains("MaxStrata"))
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.upsampleToTarget(big, "stratum", "id", shares) }
+    assert(e3.getMessage.contains("MaxStrata"))
   }
 
   test("temperature mixture: alpha=1 keeps all, alpha=0 equalizes strata, monotone between") {
