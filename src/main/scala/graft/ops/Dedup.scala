@@ -640,9 +640,6 @@ object Dedup {
       idCol: String, textCol: String,
       minMatched: Int = 2, k: Int = 8, window: Int = 4,
       maxEvalDocFreq: Int = 20, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     // build OUTSIDE the memo lock (the ivfIndex pattern — the build
     // runs real jobs); a race loser's bytes just get garbage-collected
     val key = (graft.SessionKeys.of(eval.sparkSession),
@@ -652,20 +649,79 @@ object Dedup {
       bloomMemo.putIfAbsent(key,
         buildEvalBloom(eval, idCol, textCol, k, window, maxEvalDocFreq, fpp))
     }
-    val bytes = maybeBytes.getOrElse {
+    bloomDecontaminateWith(train,
+      EvalBloomFilter(maybeBytes, k, window, maxEvalDocFreq, fpp),
+      idCol, textCol, minMatched)
+  }
+
+  /** A built eval-side decontamination filter: the serialized Bloom
+    * bytes (`None` = the capped fingerprint set was empty) plus the
+    * sketch parameters it was built with — carried together so the
+    * train-side pass can never silently probe with mismatched
+    * winnowing params (a k=8 filter probed with k=6 fingerprints
+    * would flag nothing, with no error). */
+  case class EvalBloomFilter(bytes: Option[Array[Byte]], k: Int,
+      window: Int, maxEvalDocFreq: Int, fpp: Double)
+
+  /** Build the eval-side filter as a first-class value — the
+    * persistable form of [[bloomDecontaminate]]'s internal build
+    * (same winnowing, stop-cap and distributed `stat.bloomFilter`
+    * aggregate), for the build-once / reuse-across-daily-batches
+    * pattern: [[saveEvalBloomFilter]] it after the eval suite is
+    * frozen, then each day's intake is ONE map-only
+    * [[bloomDecontaminateWith]] pass with no eval-side jobs at
+    * all — the x49 incremental story for decontamination. */
+  def buildEvalBloomFilter(eval: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 4, maxEvalDocFreq: Int = 20,
+      fpp: Double = 0.01): EvalBloomFilter =
+    EvalBloomFilter(
+      buildEvalBloom(eval, idCol, textCol, k, window, maxEvalDocFreq, fpp),
+      k, window, maxEvalDocFreq, fpp)
+
+  /** Persist a built [[EvalBloomFilter]] as one-row parquet (bytes +
+    * params — ~10 bits per eval fingerprint, a few MB for real eval
+    * suites). The [[saveIvfIndex]] pattern. */
+  def saveEvalBloomFilter(bloom: EvalBloomFilter, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((bloom.bytes, bloom.k, bloom.window, bloom.maxEvalDocFreq,
+        bloom.fpp))
+      .toDF("bytes", "k", "window", "max_eval_doc_freq", "fpp")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveEvalBloomFilter]]-persisted filter (one driver-side
+    * row; params travel with the bytes). */
+  def loadEvalBloomFilter(spark: org.apache.spark.sql.SparkSession,
+      path: String): EvalBloomFilter = {
+    val r = spark.read.parquet(path).head()
+    EvalBloomFilter(Option(r.getAs[Array[Byte]]("bytes")),
+      r.getAs[Int]("k"), r.getAs[Int]("window"),
+      r.getAs[Int]("max_eval_doc_freq"), r.getAs[Double]("fpp"))
+  }
+
+  /** Train-side decontamination pass against a pre-built (possibly
+    * [[loadEvalBloomFilter]]-loaded) filter: one codegen'd
+    * projection per row — winnowing runs once with the FILTER'S OWN
+    * sketch params, the membership test folds over the in-row
+    * fingerprint array, the filter rides the plan as a binary
+    * literal (task-broadcast). Zero exchanges on the train side. */
+  def bloomDecontaminateWith(train: DataFrame, bloom: EvalBloomFilter,
+      idCol: String, textCol: String, minMatched: Int = 2): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val bytes = bloom.bytes.getOrElse {
       return train.select(col(idCol).as("train_id"),
         lit(0L).as("matched_fingerprints")).filter(lit(false))
     }
-    // train side: one codegen'd projection per row — winnowing runs
-    // once, the membership test folds over the in-row array. The
-    // filter rides the plan as a binary literal (task-broadcast).
     val mightContain: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       f => ColumnBridge.column(BloomFilterMightContain(
         Literal(bytes, BinaryType), ColumnBridge.expression(f)))
     train.filter(col(textCol).isNotNull)
       .select(col(idCol).as("train_id"),
         size(filter(array_distinct(
-          Sketches.winnowingFingerprint(col(textCol), k, window)),
+          Sketches.winnowingFingerprint(col(textCol), bloom.k, bloom.window)),
           mightContain)).cast("long").as("matched_fingerprints"))
       .filter(col("matched_fingerprints") >= minMatched)
   }
@@ -1100,6 +1156,64 @@ object Dedup {
             s => s.getField("seg")),
           " ").as("clean_text"))
       .select(col("id").as(idCol), col("n_segments_kept"), col("clean_text"))
+  }
+
+  /** Paragraph-level exact dedup across the corpus — the Dolma /
+    * CCNet line-dedup granularity (Dolma: Soldaini et al. 2024,
+    * arXiv:2402.00159 §4, paragraph dedup via Bloom filter; CCNet:
+    * Wenzek et al. 2020, arXiv:1911.00359 §3.1, per-paragraph hash
+    * dedup): split each document on `delimiter`, DROP every
+    * paragraph whose exact content appears in more than `maxDocFreq`
+    * DISTINCT documents (boilerplate headers / footers / cookie
+    * banners — all copies go, unlike [[segmentDedup]]'s
+    * keep-first-occurrence rule), and re-assemble the survivors in
+    * position order. Documents whose every paragraph is corpus-
+    * boilerplate vanish — the x96 contract. In-document repeats are
+    * kept when the paragraph clears the doc-frequency test (df
+    * counts distinct docs, not occurrences).
+    *
+    * Output: (idCol, n_paragraphs_kept, clean_text).
+    *
+    * Determinism contract: membership is a pure (paragraph, corpus)
+    * predicate — no ordering, no floats — and reconstruction pins
+    * position order via the sorted (para_idx, para) struct fold, so
+    * the x125 oracle replays it hash-green.
+    *
+    * Scale shape: splitting is map-only over the scan; the
+    * doc-frequency is a two-phase count-distinct aggregate keyed by
+    * the md5 of the paragraph (16 bytes shuffled per paragraph, not
+    * the text; boilerplate is the only skewed key and it aggregates,
+    * never joins wide); survivors are one semi-join on the same hash
+    * key (exchange reuse against the aggregate), and reconstruction
+    * is one shuffle on the doc id. The checkpoint materializes the
+    * exploded paragraphs once for the frequency aggregate and the
+    * join back. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Int = 1, delimiter: String = "\n\n"): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val paras = Parallelism.ensure(df)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("para_idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("__ph", md5(col("para")))
+      .localCheckpoint(true) // feeds the df agg AND the join back
+    val keep = paras.groupBy(col("__ph"))
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("__ph"))
+    paras.hint("shuffle_hash")
+      .join(keep.hint("shuffle_hash"), Seq("__ph"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_paragraphs_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")),
+          delimiter).as("clean_text"))
+      .select(col("id").as(idCol), col("n_paragraphs_kept"), col("clean_text"))
   }
 
   /** Memo for [[embeddingNearDuplicates]] pair tables — the near-dup

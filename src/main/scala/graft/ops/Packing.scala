@@ -227,7 +227,7 @@ object Packing {
     * Scale shape: one map pass + one map-side-combinable aggregation
     * on the bucket key (≤ maxSeqLen/bucketSize groups) — profiling
     * the corpus costs one scan regardless of size. */
-  def paddingStats(df: DataFrame, idCol: String, textCol: String,
+  def paddingStats(df: DataFrame, textCol: String,
       maxSeqLen: Int, bucketSize: Int): DataFrame = {
     require(maxSeqLen > 0 && bucketSize > 0 && bucketSize <= maxSeqLen,
       "need 0 < bucketSize <= maxSeqLen")

@@ -917,19 +917,33 @@ object Similarity {
     * analog of x60's vocabulary-overlap matrix. Output one row per
     * unordered label pair (label_a < label_b).
     *
-    * Deterministic: centroids are the ROUNDED [[centroidsTyped]]
-    * cells (4 decimals — the x104 replay contract) and every
-    * dot/norm folds in carrier-keyed dimension order, re-rounded to
-    * 4 — hash-green replayable.
+    * Deterministic: the centroid cells fold per (label, dimension)
+    * in ascending `idCol` order (the x94/x97 keyed-fold rule) before
+    * the 4-decimal round — NOT the partition-order
+    * [[graft.functions.VectorAvg]] sum, whose value at a rounding
+    * boundary can flip when anything upstream re-keys (the x45-class
+    * latent mismatch the r7 advisor flagged); dot/norms then fold in
+    * carrier-keyed dimension order, re-rounded to 4 — hash-green
+    * replayable with zero float-boundary exposure.
     *
-    * Scale shape: ONE distributed centroid aggregate (map-side
-    * partial [[graft.functions.VectorAvg]] buffers); everything
-    * after runs on |labels|·dims scalars — the |labels|²·dims
-    * pair join is driver-trivial no matter the corpus size. */
-  def centroidSimilarityMatrix(df: DataFrame, labelCol: String,
-      vecCol: String): DataFrame = {
-    val cents = centroidScalars(df, labelCol, vecCol)
-      .select(col("label"), col("pos"), col("mean").cast("double").as("m"))
+    * Scale shape: the exact fold collects one (id, value) list per
+    * (label, dimension) group — bounded by rows-per-label, the right
+    * trade for a |labels|²-output DIAGNOSTIC; the production
+    * centroid path stays [[centroidsTyped]] (constant-size
+    * buffers). Everything after the cells runs on |labels|·dims
+    * scalars — the pair join is driver-trivial no matter the corpus
+    * size. */
+  def centroidSimilarityMatrix(df: DataFrame, idCol: String,
+      labelCol: String, vecCol: String): DataFrame = {
+    val cents = df
+      .select(col(labelCol).as("label"), col(idCol).as("__cid"),
+        posexplode(col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))).as(Seq("pos0", "v")))
+      .select(col("label"), col("__cid"), (col("pos0") + 1).as("pos"),
+        col("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(Classifier.sortedFold(col("__cid"), col("v"))
+        / count(lit(1)), 4).as("m"))
     val a = cents.select(col("label").as("label_a"), col("pos"),
       col("m").as("ma"))
     val b = cents.select(col("label").as("label_b"), col("pos"),

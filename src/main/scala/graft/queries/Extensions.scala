@@ -3113,7 +3113,15 @@ object Extensions extends QueryModule {
   private val x107LabelPropagation = GraftQuery(
     "x107_label_propagation",
     (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      // the oracle's struct-max encoding (cnt*1e6 + (999999-label))
+      // silently corrupts the tie-break if any id reaches 1e6 — fail
+      // loudly IN the scan instead of hash-mismatching at a larger SF
+      // (the epochShuffle raise_error pattern; r7 advisor item)
+      val docs = Tables.documents(s, dir).select(
+        when(col("doc_id") >= 1000000L, raise_error(lit(
+          "x107: doc_id >= 1e6 breaks the oracle's packed tie-break " +
+            "encoding — widen the encoding before scaling up")))
+          .otherwise(col("doc_id")).as("doc_id"))
       val edges = docs
         .select(col("doc_id").as("src"),
           explode(sequence(lit(1), lit(3))).as("k"))
@@ -3555,7 +3563,7 @@ object Extensions extends QueryModule {
   private val x119PaddingStats = GraftQuery(
     "x119_padding_stats",
     (s, dir) => graft.ops.Packing.paddingStats(
-      Tables.documents(s, dir), "doc_id", "text",
+      Tables.documents(s, dir), "text",
       maxSeqLen = 512, bucketSize = 64)
       .orderBy(col("bucket_lo")),
     Some("""WITH t AS (
@@ -3578,17 +3586,24 @@ object Extensions extends QueryModule {
   /** Embedding-space domain overlap ([[graft.ops.Similarity
     * .centroidSimilarityMatrix]]): pairwise cosine between the
     * cluster-label centroids — the x60 vocabulary-overlap matrix in
-    * embedding space. Hash-green: x104's rounded-centroid replay
-    * (round(avg, 4) cells) + carrier-keyed dimension folds for
-    * dot and norms, re-rounded to 4. */
+    * embedding space. Hash-green with zero float-boundary exposure:
+    * the centroid cells are vec_id-keyed SORTED-FOLD means (the
+    * x94/x97 rule — the r7 advisor flagged the former round(avg, 4)
+    * cells as the x45-class boundary-flip risk), then carrier-keyed
+    * dimension folds for dot and norms, re-rounded to 4. */
   private val x120CentroidSimilarity = GraftQuery(
     "x120_centroid_similarity",
     (s, dir) => Similarity.centroidSimilarityMatrix(
-      Tables.embeddings(s, dir), "label", "embedding")
+      Tables.embeddings(s, dir), "vec_id", "label", "embedding")
       .orderBy(col("label_a"), col("label_b")),
     Some("""WITH cents AS MATERIALIZED (
-        SELECT label, CAST(pos AS INT) AS pos, round(avg(v), 4) AS c FROM (
-          SELECT label, unnest(embedding) AS v,
+        SELECT label, CAST(pos AS INT) AS pos,
+          round(list_sum(list_transform(
+              list_sort(list(struct_pack(k := vec_id,
+                                         v := CAST(v AS DOUBLE)))),
+              s -> struct_extract(s, 'v')))
+            / CAST(count(*) AS DOUBLE), 4) AS c FROM (
+          SELECT label, vec_id, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS pos
           FROM embeddings)
         GROUP BY label, pos),
@@ -3719,9 +3734,10 @@ object Extensions extends QueryModule {
         FROM documents),
       a AS MATERIALIZED (
         SELECT d.doc_id,
-          CAST(len(list_filter(b.bs,
-            x -> CAST(d.n_chars AS DOUBLE) > round(x, 6))) AS INT)
-            AS value_bucket,
+          CASE WHEN d.n_chars IS NULL THEN NULL
+            ELSE CAST(len(list_filter(b.bs,
+              x -> CAST(d.n_chars AS DOUBLE) > round(x, 6))) AS INT)
+            END AS value_bucket,
           CASE WHEN ((d.doc_id % 2147483648) * 2654435761)
               % 4294967296 % 100 < 20
             THEN 'holdout' ELSE 'train' END AS split
@@ -3729,6 +3745,53 @@ object Extensions extends QueryModule {
       SELECT value_bucket, split, CAST(count(*) AS BIGINT) AS n_docs
       FROM a GROUP BY value_bucket, split
       ORDER BY value_bucket, split"""))
+
+  /** Paragraph-level exact dedup ([[graft.ops.Dedup.paragraphDedup]],
+    * the Dolma/CCNet line-dedup granularity): the corpus is reshaped
+    * into 20-word paragraphs (testdata text is single-line — the
+    * reshape is itself replayed in the oracle), then every paragraph
+    * appearing in more than one distinct document is dropped from ALL
+    * of them and documents re-assemble from the survivors — the
+    * boilerplate-removal semantics x57 only detects and x96's
+    * keep-first rule doesn't express. Hash-green: pure integer/string
+    * predicates, position order pinned on both sides (the x96 zipped-
+    * unnest replay). */
+  private val x125ParagraphDedup = GraftQuery(
+    "x125_paragraph_dedup",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) > 0)
+      val reshaped = toks.select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("t")) / lit(20.0)).cast("int"), lit(1)) - 1),
+            i => concat_ws(" ", slice(col("t"), i * 20 + 1, lit(20)))),
+          "\n\n").as("text"))
+      Dedup.paragraphDedup(reshaped, "doc_id", "text", maxDocFreq = 1)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      paras AS (
+        SELECT doc_id,
+          unnest(range(0, greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1)))
+            AS para_idx,
+          unnest(list_transform(
+            range(0, greatest(CAST(ceil(len(w) / 20.0) AS BIGINT), 1)),
+            i -> array_to_string(
+              w[CAST(i * 20 + 1 AS INT):CAST(i * 20 + 20 AS INT)], ' ')))
+            AS para
+        FROM t WHERE len(w) > 0),
+      keep AS (
+        SELECT para FROM paras GROUP BY para
+        HAVING count(DISTINCT doc_id) <= 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs_kept,
+        string_agg(para, chr(10) || chr(10) ORDER BY para_idx)
+          AS clean_text
+      FROM paras JOIN keep USING (para)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -3766,7 +3829,7 @@ object Extensions extends QueryModule {
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
     x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
-    x123StructureStats, x124MatchedSplit)
+    x123StructureStats, x124MatchedSplit, x125ParagraphDedup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

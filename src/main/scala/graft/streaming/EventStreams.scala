@@ -60,9 +60,20 @@ object EventStreams {
     * `Tables.events` applies on the batch side. */
   def fromParquetDir(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // sniff failures must NOT silently pin the NANOS schema: an empty
+    // source directory at stream start (common for file streams) would
+    // lock MICROS files arriving later onto a LongType read. Default
+    // only when the path genuinely has no parquet yet (documented
+    // NANOS-generation assumption); anything else — missing `ts`,
+    // unreadable files — is a real error and rethrows. (r7 advisor)
     val nanosAsLong =
       try spark.read.parquet(path).schema("ts").dataType == LongType
-      catch { case _: Throwable => true }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null
+              && e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          true // empty dir: no files to sniff — assume the NANOS repair
+      }
     if (nanosAsLong)
       spark.readStream
         .schema(rawSchema)

@@ -45,6 +45,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("paragraph dedup: boilerplate dropped from ALL docs, survivors reconstruct in order") {
+    val corpus = Seq(
+      (1L, "alpha one\n\nBOILER PLATE\n\nalpha two"),
+      (2L, "beta one\n\nBOILER PLATE\n\nbeta two"),
+      (3L, "BOILER PLATE"), // all-boilerplate doc must vanish
+      (4L, "gamma solo\n\ngamma solo") // in-doc repeat: df=1, both kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(corpus, "doc_id", "text", maxDocFreq = 1)
+      .orderBy(col("doc_id")).as[(Long, Long, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L), s"docs: ${got.toSeq}")
+    assert(got(0) == ((1L, 2L, "alpha one\n\nalpha two")))
+    assert(got(1) == ((2L, 2L, "beta one\n\nbeta two")))
+    // df counts DISTINCT docs: the in-doc repeat survives twice, in order
+    assert(got(2) == ((4L, 2L, "gamma solo\n\ngamma solo")))
+    // threshold at the doc-frequency: df=3 boilerplate survives at
+    // maxDocFreq=3, and full documents round-trip unchanged
+    val loose = Dedup.paragraphDedup(corpus, "doc_id", "text", maxDocFreq = 3)
+      .orderBy(col("doc_id")).as[(Long, Long, String)].collect()
+    assert(loose.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(loose(0)._3 == "alpha one\n\nBOILER PLATE\n\nalpha two")
+    assert(loose(2)._3 == "BOILER PLATE")
+  }
+
   test("band-bucket cap: planted mega-bucket goes linear, reachability kept, normal pairs unchanged") {
     // 30 identical docs — ONE degenerate bucket in every band (the
     // boilerplate regime) — alongside the normal near-dup fixtures
@@ -364,6 +387,45 @@ class OpsSpec extends AnyFunSuite {
     // empty eval set (everything capped away) → empty result, schema intact
     val none = Dedup.bloomDecontaminate(train, evalDocs.filter(lit(false)),
       "doc_id", "text")
+    assert(none.columns.toSeq == Seq("train_id", "matched_fingerprints"))
+    assert(none.count() == 0L)
+  }
+
+  test("eval bloom filter: save -> load -> identical flag set; params travel with the bytes") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val evalDocs = Seq(
+      (1L, s"eval question one $passage end"),
+      (2L, "eval question two nothing shared here whatsoever"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, s"some training text containing $passage verbatim inside"),
+      (11L, "unrelated corpus entry with its own disjoint material"))
+      .toDF("doc_id", "text")
+    val built = Dedup.buildEvalBloomFilter(evalDocs, "doc_id", "text",
+      k = 6, window = 3, fpp = 1e-6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Dedup.saveEvalBloomFilter(built, spark, s"$dir/eval_bloom")
+    val loaded = Dedup.loadEvalBloomFilter(spark, s"$dir/eval_bloom")
+    // params round-trip — the loaded filter probes with ITS OWN k/window
+    assert((loaded.k, loaded.window, loaded.maxEvalDocFreq, loaded.fpp)
+      == ((6, 3, 20, 1e-6)))
+    assert(loaded.bytes.get.toSeq == built.bytes.get.toSeq)
+    def flags(f: Dedup.EvalBloomFilter) =
+      Dedup.bloomDecontaminateWith(train, f, "doc_id", "text", minMatched = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(flags(loaded) == flags(built) && flags(loaded).nonEmpty)
+    // the build-once path agrees with the one-shot memoized operator
+    val oneShot = Dedup.bloomDecontaminate(train, evalDocs, "doc_id", "text",
+      minMatched = 1, k = 6, window = 3, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(flags(loaded) == oneShot)
+    // empty-eval filter round-trips as None and yields the empty frame
+    val empty = Dedup.buildEvalBloomFilter(
+      evalDocs.filter(lit(false)), "doc_id", "text")
+    Dedup.saveEvalBloomFilter(empty, spark, s"$dir/empty_bloom")
+    val emptyLoaded = Dedup.loadEvalBloomFilter(spark, s"$dir/empty_bloom")
+    assert(emptyLoaded.bytes.isEmpty)
+    val none = Dedup.bloomDecontaminateWith(train, emptyLoaded, "doc_id", "text")
     assert(none.columns.toSeq == Seq("train_id", "matched_fingerprints"))
     assert(none.count() == 0L)
   }
@@ -2567,7 +2629,7 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq((1L, doc(10)), (2L, doc(20)), (3L, doc(30)),
       (4L, doc(80)), (5L, doc(100)), (6L, doc(600)))
       .toDF("id", "text")
-    val got = Packing.paddingStats(df, "id", "text",
+    val got = Packing.paddingStats(df, "text",
       maxSeqLen = 512, bucketSize = 64)
       .orderBy(col("bucket_lo"))
       .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
@@ -2587,7 +2649,7 @@ class OpsSpec extends AnyFunSuite {
       (10L until 20L).map(i => (i, 1, Array(0.9f, 0.05f, 0f))) ++
       (20L until 30L).map(i => (i, 2, Array(0f, 1f, 0f)))
     val df = vecs.toDF("id", "label", "vec")
-    val got = Similarity.centroidSimilarityMatrix(df, "label", "vec")
+    val got = Similarity.centroidSimilarityMatrix(df, "id", "label", "vec")
       .orderBy(col("label_a"), col("label_b"))
       .as[(Int, Int, Double)].collect()
     assert(got.map(g => (g._1, g._2)).toSeq == Seq((0, 1), (0, 2), (1, 2)))
@@ -2596,7 +2658,7 @@ class OpsSpec extends AnyFunSuite {
     assert(m((0, 2)) < 0.01 && m((1, 2)) < 0.1, s"orthogonal labels: $m")
     // pure function of the data: relayout changes nothing
     val again = Similarity.centroidSimilarityMatrix(df.repartition(5),
-      "label", "vec").orderBy(col("label_a"), col("label_b"))
+      "id", "label", "vec").orderBy(col("label_a"), col("label_b"))
       .as[(Int, Int, Double)].collect()
     assert(again.toSeq == got.toSeq)
   }
