@@ -34,6 +34,8 @@ object Plans {
     "x42_text_dedup_fuzzy" -> "x8's banded minhash candidates -> Jaccard verify on candidates only -> CC rounds -> one anti-join",
     "x47_decontaminate_bloom" -> "train side is ONE map stage: might_contain folds over the in-row fingerprint array — no explode, no join, no exchange on the big side",
     "x125_paragraph_dedup" -> "map-only paragraph split; doc-frequency is a two-phase count-distinct keyed by the paragraph md5 (16 bytes shuffled, boilerplate only aggregates); survivors semi-join on the same key (exchange reuse); one doc-id shuffle rebuilds",
+    "x126_intra_doc_dedup" -> "ENTIRELY in-row: split, first-occurrence filter and re-join are one codegen'd HOF projection — zero shuffle, zero state, rides the scan",
+    "x128_knn_label_transfer" -> "seed set broadcast; corpus scored map-side; both rank<=k stages plan as WindowGroupLimit (map-side pre-prune) so the shuffle carries n*k slim rows, never n*|seeds|",
     "x48_zorder" -> "Morton key is a single codegen'd projection over the scan; the layout op adds one rangepartitioning exchange",
     "x49_dedup_incremental" -> "store side banded map-only from persisted signatures (no text re-shingle); bucket joins shuffle-hash on (band,bucket)",
     "x50_pack_chunks" -> "slim prefix-sum frame + one shuffle join by id + one zero-skew aggregate by chunk; in-chunk order from per-group struct sort, never a global sort",

@@ -1216,6 +1216,60 @@ object Dedup {
       .select(col("id").as(idCol), col("n_paragraphs_kept"), col("clean_text"))
   }
 
+  /** IN-DOCUMENT exact dedup: drop repeated segments WITHIN each
+    * document, keeping the first in-doc occurrence — the cleaner
+    * behind Gopher's duplicate-line-fraction gate (Rae et al. 2021,
+    * arXiv:2112.11446, Table A1 repetition filters): crawled pages
+    * repeat nav bars, cookie banners and footers inside one page,
+    * and repetition is the classic LM degeneration amplifier. The
+    * corpus-wide complement is [[paragraphDedup]] (cross-doc
+    * df-threshold) / [[segmentDedup]] (corpus first-occurrence).
+    *
+    * Output: input columns + (n_segments, n_dropped, clean_text).
+    *
+    * Scale shape: ENTIRELY in-row — split, first-occurrence filter
+    * (`array_position == index`) and re-join are one codegen'd
+    * higher-order-function projection; zero shuffle, zero state,
+    * rides the scan at any corpus size. Deterministic: pure string
+    * positions, no floats, no hashing — replayed term-for-term by
+    * the x126 oracle's indexed list_filter. */
+  def intraDocDedup(df: DataFrame, textCol: String,
+      delimiter: String = "\n\n"): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val paras = split(col(textCol),
+      java.util.regex.Pattern.quote(delimiter))
+    // Spark's filter-lambda index is 0-based, array_position 1-based
+    val kept = filter(paras, (p, i) => array_position(paras, p) === i + 1)
+    df.withColumn("n_segments", size(paras).cast("long"))
+      .withColumn("n_dropped", (size(paras) - size(kept)).cast("long"))
+      .withColumn("clean_text", array_join(kept, delimiter))
+  }
+
+  /** Cross-group duplication attribution: project a near-dup pair
+    * list onto group labels (source, domain, crawl snapshot) and
+    * count pairs per unordered group pair — "who mirrors whom", the
+    * matrix a mixture designer reads before capping or merging
+    * sources, and the pair-level complement of x60/x120's
+    * content-overlap matrices. Diagonal rows (label_a == label_b)
+    * are intra-group duplication.
+    *
+    * Scale shape: two equi-joins of the (slim) pair list against the
+    * (id, label) projection, then a map-side-combinable count on
+    * ≤ |labels|² keys. Feed it [[minhashCandidates]] /
+    * [[embeddingNearDuplicates]] output at corpus scale; the x127
+    * carrier pins semantics with the bounded exact trigram pairs. */
+  def duplicationMatrix(pairs: DataFrame, idACol: String, idBCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val la = labels.select(col(idCol).as(idACol), col(labelCol).as("__la"))
+    val lb = labels.select(col(idCol).as(idBCol), col(labelCol).as("__lb"))
+    pairs.select(col(idACol), col(idBCol))
+      .join(la, idACol).join(lb, idBCol)
+      .select(least(col("__la"), col("__lb")).as("label_a"),
+        greatest(col("__la"), col("__lb")).as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Memo for [[embeddingNearDuplicates]] pair tables — the near-dup
     * edge list is the shared artifact of a curation session (x22
     * surfaces it, x34's dedup consumes it, x99's leakage-safe split

@@ -1067,6 +1067,53 @@ object Similarity {
         col("__cos").as("cosine"))
   }
 
+  /** kNN label transfer — weak supervision by retrieval: predict a
+    * label for every corpus row as the majority vote of its k most-
+    * cosine-similar rows in a small LABELED seed set (the
+    * FineWeb-Edu / DCLM classifier-bootstrap shape: a few thousand
+    * curated seeds label a web-scale corpus, and the transferred
+    * labels train the production quality classifier
+    * [[graft.ops.Classifier.logRegScores]] consumes). Output:
+    * (idCol, pred_label, n_votes).
+    *
+    * Determinism contract: cosine rounds to 4 BEFORE the (cosine
+    * DESC, seed-id ASC) neighbor rank, and the vote winner is a pure
+    * (votes DESC, label ASC) row_number — both total orders, so the
+    * x128 oracle replays the whole pipeline hash-green.
+    *
+    * Scale shape: the seed set broadcasts (bounded by contract, the
+    * [[hardNegatives]] anchor discipline — thousands of rows, never
+    * the corpus); scoring is map-side over the corpus scan, and BOTH
+    * rank-≤-k stages plan as WindowGroupLimit (map tasks pre-prune
+    * to k per corpus id before the exchange), so the shuffle carries
+    * n·k slim rows, never n·|seeds|. The corpus side never joins
+    * wide. */
+  def knnLabelTransfer(corpus: DataFrame, labeled: DataFrame,
+      idCol: String, labelCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val l = labeled.select(col(idCol).as("nn_id"),
+      col(labelCol).as("nn_label"), col(vecCol).as("__lv"))
+    val c = Parallelism.ensure(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("__cv"))
+    val wTop = Window.partitionBy(col("id"))
+      .orderBy(col("__cos").desc, col("nn_id").asc)
+    val votes = c.crossJoin(broadcast(l))
+      .withColumn("__cos",
+        round(VectorMath.cosineSimilarity(col("__cv"), col("__lv")), 4))
+      .withColumn("__rank", row_number().over(wTop))
+      .filter(col("__rank") <= k)
+      .groupBy(col("id"), col("nn_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("id"))
+      .orderBy(col("n_votes").desc, col("nn_label").asc)
+    votes.withColumn("__r", row_number().over(wVote))
+      .filter(col("__r") === 1)
+      .select(col("id").as(idCol), col("nn_label").as("pred_label"),
+        col("n_votes"))
+  }
+
   /** Top-principal-component scores via distributed power iteration
     * — PCA's workhorse direction for embedding-space curation
     * (variance-dominant axis removal, whitening prep, spectral

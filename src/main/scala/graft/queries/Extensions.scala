@@ -3793,6 +3793,109 @@ object Extensions extends QueryModule {
       FROM paras JOIN keep USING (para)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** In-document dedup ([[graft.ops.Dedup.intraDocDedup]], the
+    * Gopher duplicate-line cleaner): keep each segment's FIRST
+    * in-doc occurrence, entirely in-row. The carrier runs at token
+    * granularity (testdata text is line-less; the ~50-word synthetic
+    * vocabulary guarantees real in-doc repeats) — production use is
+    * `delimiter = "\n"`. Hash-green: pure string positions, the
+    * indexed list_filter replay. */
+  private val x126IntraDocDedup = GraftQuery(
+    "x126_intra_doc_dedup",
+    (s, dir) => graft.ops.Dedup.intraDocDedup(
+      Tables.documents(s, dir), "text", delimiter = " ")
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        col("clean_text"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_segments,
+        CAST(len(w) - len(k) AS BIGINT) AS n_dropped,
+        array_to_string(k, ' ') AS clean_text
+      FROM (
+        SELECT doc_id, w,
+          list_filter(w, (x, i) -> list_position(w, x) = i) AS k
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents))
+      ORDER BY doc_id"""))
+
+  /** Cross-source duplication matrix ([[graft.ops.Dedup
+    * .duplicationMatrix]]): the bounded exact trigram-Jaccard pairs
+    * (the x43 stage) projected onto sources — who mirrors whom, with
+    * intra-source duplication on the diagonal. Hash-green: integer
+    * pair counts over string labels; the scale path feeds the same
+    * operator from minhash/embedding candidates. */
+  private val x127SourceDupMatrix = GraftQuery(
+    "x127_source_dup_matrix",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      graft.ops.Dedup.duplicationMatrix(
+        trigramJaccardPairs(trigramFrame(docs), threshold = 0.7),
+        "id_a", "id_b", docs, "doc_id", "source")
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some(s"""WITH g AS (
+        ${trigramGramsSql("doc_id < 300")}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+          4) >= 0.7)
+      SELECT least(da.source, db.source) AS label_a,
+        greatest(da.source, db.source) AS label_b,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs
+      JOIN documents da ON pairs.id_a = da.doc_id
+      JOIN documents db ON pairs.id_b = db.doc_id
+      GROUP BY 1, 2 ORDER BY label_a, label_b"""))
+
+  /** kNN label transfer ([[graft.ops.Similarity.knnLabelTransfer]]):
+    * vec_id < 100 as the labeled seed set, labels transferred onto
+    * the rest of the embeddings table by 5-NN majority vote.
+    * Hash-green: the x112 double-lambda cosine replay rounded before
+    * the neighbor rank, then integer vote counts with a total-order
+    * winner. */
+  private val x128KnnLabelTransfer = GraftQuery(
+    "x128_knn_label_transfer",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnLabelTransfer(
+        emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+        "vec_id", "label", "embedding", k = 5)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH l AS MATERIALIZED (
+        SELECT vec_id AS nn_id, label AS nn_label, embedding AS lv
+        FROM embeddings WHERE vec_id < 100),
+      c AS MATERIALIZED (
+        SELECT vec_id AS id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100),
+      p AS MATERIALIZED (
+        SELECT id, nn_id, nn_label,
+          round(
+            list_sum(list_transform(range(1, len(cv) + 1),
+              i -> CAST(cv[i] AS DOUBLE) * CAST(lv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(cv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(lv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+            AS cos
+        FROM c CROSS JOIN l),
+      topk AS MATERIALIZED (
+        SELECT id, nn_label FROM (
+          SELECT id, nn_label,
+            row_number() OVER (PARTITION BY id
+              ORDER BY cos DESC, nn_id ASC) AS rn
+          FROM p) WHERE rn <= 5),
+      v AS MATERIALIZED (
+        SELECT id, nn_label, CAST(count(*) AS BIGINT) AS n_votes
+        FROM topk GROUP BY 1, 2)
+      SELECT id AS vec_id, nn_label AS pred_label, n_votes FROM (
+        SELECT id, nn_label, n_votes,
+          row_number() OVER (PARTITION BY id
+            ORDER BY n_votes DESC, nn_label ASC) AS rv
+        FROM v) WHERE rv = 1 ORDER BY vec_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3829,7 +3932,8 @@ object Extensions extends QueryModule {
     x114CanonicalSelection, x115ApproxQuantiles, x116UpsampleMixture,
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
     x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
-    x123StructureStats, x124MatchedSplit, x125ParagraphDedup)
+    x123StructureStats, x124MatchedSplit, x125ParagraphDedup,
+    x126IntraDocDedup, x127SourceDupMatrix, x128KnnLabelTransfer)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -68,6 +68,68 @@ class OpsSpec extends AnyFunSuite {
     assert(loose(2)._3 == "BOILER PLATE")
   }
 
+  test("knn label transfer: cluster labels recovered, majority vote, tie toward smallest label") {
+    // seeds: two clean clusters along +x (label 7) and +y (label 3)
+    val seeds = Seq(
+      (1L, 7, Array(1f, 0f, 0f)), (2L, 7, Array(0.95f, 0.05f, 0f)),
+      (3L, 7, Array(0.9f, 0.1f, 0f)),
+      (4L, 3, Array(0f, 1f, 0f)), (5L, 3, Array(0.05f, 0.95f, 0f)),
+      (6L, 3, Array(0.1f, 0.9f, 0f)))
+      .toDF("id", "label", "vec")
+    val corpus = Seq(
+      (100L, 0, Array(0.98f, 0.02f, 0f)), // x-cluster
+      (101L, 0, Array(0.02f, 0.98f, 0f)), // y-cluster
+      (102L, 0, Array(0.7f, 0.7f, 0f)))   // equidistant-ish
+      .toDF("id", "label", "vec")
+    val got = Similarity.knnLabelTransfer(corpus, seeds, "id", "label", "vec", k = 3)
+      .orderBy(col("id")).as[(Long, Int, Long)].collect()
+    assert(got(0) == ((100L, 7, 3L)), s"got ${got.toSeq}")
+    assert(got(1) == ((101L, 3, 3L)))
+    // k=6 on the diagonal vector: 3 votes each — tie breaks to the
+    // SMALLEST label (3), the documented total order
+    val tied = Similarity.knnLabelTransfer(corpus, seeds, "id", "label", "vec", k = 6)
+      .filter(col("id") === 102L).as[(Long, Int, Long)].collect()
+    assert(tied.head == ((102L, 3, 3L)), s"got ${tied.toSeq}")
+    // relayout-stable (rounded cosine + id tie-breaks everywhere)
+    val again = Similarity.knnLabelTransfer(corpus.repartition(5),
+      seeds.repartition(2), "id", "label", "vec", k = 3)
+      .orderBy(col("id")).as[(Long, Int, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("intra-doc dedup: first in-doc occurrence kept in order, cross-doc repeats untouched") {
+    val corpus = Seq(
+      (1L, "nav\n\nbody one\n\nnav\n\nbody two\n\nnav"),
+      (2L, "nav\n\nother content"), // cross-doc repeat of "nav" is NOT dropped
+      (3L, "unique only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.intraDocDedup(corpus, "text")
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"), col("clean_text"))
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 5L, 2L, "nav\n\nbody one\n\nbody two")))
+    assert(got(1) == ((2L, 2L, 0L, "nav\n\nother content")))
+    assert(got(2) == ((3L, 1L, 0L, "unique only")))
+    // pure per-row function: relayout changes nothing
+    val again = Dedup.intraDocDedup(corpus.repartition(3), "text")
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"), col("clean_text"))
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("duplication matrix: unordered label pairs, diagonal = intra-group, counts exact") {
+    val labels = Seq((1L, "src_b"), (2L, "src_a"), (3L, "src_a"),
+      (4L, "src_c"), (5L, "src_b")).toDF("id", "grp")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicationMatrix(pairs, "id_a", "id_b",
+      labels, "id", "grp")
+      .orderBy(col("label_a"), col("label_b"))
+      .as[(String, String, Long)].collect()
+    // (1,2)+(3,1) → a/b twice; (2,3) → a/a intra; (4,5) → b/c
+    assert(got.toSeq == Seq(("src_a", "src_a", 1L), ("src_a", "src_b", 2L),
+      ("src_b", "src_c", 1L)), s"got ${got.toSeq}")
+  }
+
   test("band-bucket cap: planted mega-bucket goes linear, reachability kept, normal pairs unchanged") {
     // 30 identical docs — ONE degenerate bucket in every band (the
     // boilerplate regime) — alongside the normal near-dup fixtures
