@@ -1216,6 +1216,27 @@ object Dedup {
       .select(col("id").as(idCol), col("n_paragraphs_kept"), col("clean_text"))
   }
 
+  /** Duplicate-cluster size histogram — the dedup REPORT: how many
+    * clusters of each size, and how many documents they hold. The
+    * first number a curation run publishes ("38% of the crawl sits
+    * in duplicate clusters; the largest is 40k copies") and the
+    * canary for banding pathologies (a mega-cluster shows up here
+    * before it shows up as a blown shuffle). Input is any
+    * [[duplicateClusters]]-shaped (id, cluster_id) frame; singletons
+    * (ids absent from the pair list) are not represented — derive
+    * them as corpus − Σ n_docs.
+    *
+    * Scale shape: two map-side-combinable counts (cluster sizes,
+    * then the histogram on ≤ max-size keys). Deterministic: pure
+    * integer counts. */
+  def clusterSizeHistogram(clusters: DataFrame,
+      clusterIdCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterIdCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+
   /** IN-DOCUMENT exact dedup: drop repeated segments WITHIN each
     * document, keeping the first in-doc occurrence — the cleaner
     * behind Gopher's duplicate-line-fraction gate (Rae et al. 2021,

@@ -93,6 +93,49 @@ object TextAnalysis {
         .as("mean_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): score every document with the in-corpus
+    * LM ([[bigramLogProb]] here — CCNet uses a KenLM; the bucketing
+    * contract is the same) and label it head / middle / tail by the
+    * PER-GROUP tercile of the score (CCNet buckets per language;
+    * `groupCol` generalizes to source/domain). Downstream keeps
+    * head+middle and drops tail — the classic LM-quality gate; this
+    * operator returns the labeled frame so the keep-set stays a
+    * caller policy. Higher mean_logprob = more probable = lower
+    * perplexity = "head".
+    *
+    * Determinism contract: scores are [[bigramLogProb]]'s rounded-4
+    * means; tercile boundaries round to 6 BEFORE the
+    * strictly-greater compares (the x26/x124 percentile ↔
+    * quantile_cont pairing), so bucket membership is exactly
+    * SQL-replayable.
+    *
+    * Scale shape: scoring is the bigramLogProb plan; boundaries are
+    * one exact-percentile aggregate per group — |groups|·2 scalars,
+    * broadcast back, the corpus never reshuffles for the labeling
+    * (one map pass). Exact `percentile` ships each group's scores to
+    * one reducer — fine for bounded groups (languages/sources); at
+    * extreme per-group cardinality swap in the GK sketch
+    * ([[graft.ops.Profiling.approxQuantiles]]) and accept sketch
+    * boundaries. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scored = bigramLogProb(df, idCol, textCol)
+    val grouped = df.select(col(idCol).as("id"), col(groupCol).as("grp"))
+      .join(scored, Seq("id"))
+    val bounds = grouped.groupBy(col("grp"))
+      .agg(
+        round(percentile(col("mean_logprob"), lit(1.0 / 3)), 6).as("__b13"),
+        round(percentile(col("mean_logprob"), lit(2.0 / 3)), 6).as("__b23"))
+    grouped.join(broadcast(bounds), Seq("grp"))
+      .withColumn("ppl_bucket",
+        when(col("mean_logprob") > col("__b23"), lit("head"))
+          .when(col("mean_logprob") > col("__b13"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("mean_logprob"), col("ppl_bucket"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169): score every document by how target-like its
@@ -729,6 +772,44 @@ object TextAnalysis {
       .groupBy("subword").agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("subword"))
       .limit(topK)
+
+  /** Tokenizer fertility per corpus slice: chars-per-token and
+    * tokens-per-word under the trained BPE ([[bpeModel]]) — the
+    * tokenizer-efficiency numbers a multilingual mix is balanced
+    * with (a language at 2× the fertility pays 2× the compute per
+    * character; cf. the fertility analyses around SentencePiece/BPE
+    * multilingual vocabularies). Output per group: (n_words,
+    * n_subwords, chars_per_token, tokens_per_word).
+    *
+    * Deterministic: integer sums (words, subwords, chars) with two
+    * exact divisions rounded to 4 — no float accumulation; the x131
+    * oracle replays the whole thing on top of the x69/x70 BPE CTE
+    * replay.
+    *
+    * Scale shape: merges are a function of the word alone, so the
+    * per-group stats join GROUP-LEVEL word counts (two-phase
+    * aggregate) against the model's bounded segmented vocabulary —
+    * shuffle-hash on the word key; the corpus token stream never
+    * re-folds. */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String,
+      numMerges: Int = 8): DataFrame = {
+    val segLen = bpeModel(df, textCol, numMerges).segmentedVocab
+      .select(col("word"), size(col("syms")).cast("long").as("__nsub"))
+    val gw = Parallelism.ensure(df)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("__n"))
+    gw.hint("shuffle_hash").join(segLen.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__n")).as("n_words"),
+        sum(col("__n") * col("__nsub")).as("n_subwords"),
+        sum(col("__n") * length(col("word"))).as("__chars"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_subwords"),
+        round(col("__chars").cast("double") / col("n_subwords"), 4)
+          .as("chars_per_token"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"))
+  }
 
   /** Pairwise vocabulary overlap between corpus slices: Jaccard
     * similarity of the distinct-token sets of every pair of groups

@@ -3896,6 +3896,114 @@ object Extensions extends QueryModule {
             ORDER BY n_votes DESC, nn_label ASC) AS rv
         FROM v) WHERE rv = 1 ORDER BY vec_id"""))
 
+  /** CCNet perplexity-bucket gate ([[graft.ops.TextAnalysis
+    * .perplexityBuckets]]): per-source head/middle/tail terciles of
+    * the x31 bigram-LM score, counted per (source, bucket).
+    * Hash-green: x31's rounded-4 scores, boundaries via the x26/x124
+    * percentile ↔ quantile_cont pairing rounded to 6 before
+    * strictly-greater compares, integer counts out. */
+  private val x129PerplexityBuckets = GraftQuery(
+    "x129_perplexity_buckets",
+    (s, dir) => TextAnalysis.perplexityBuckets(
+      Tables.documents(s, dir), "doc_id", "text", "source")
+      .groupBy(col("source"), col("ppl_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("ppl_bucket")),
+    Some("""WITH norm AS MATERIALIZED (
+        SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents),
+      grams AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(CASE WHEN length(s) < 2 THEN [s]
+            ELSE list_transform(range(1, length(s)), i -> substr(s, i, 2)) END) AS g
+        FROM norm),
+      counts AS MATERIALIZED (SELECT g, count(*) AS c FROM grams GROUP BY g),
+      model AS MATERIALIZED (
+        SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+      scored AS MATERIALIZED (
+        SELECT doc_id,
+          round(avg(ln(CAST(c + 1 AS DOUBLE) / (total + vocab))), 4) AS lp
+        FROM grams JOIN counts USING (g), model GROUP BY doc_id),
+      withsrc AS MATERIALIZED (
+        SELECT s.doc_id, d.source, s.lp
+        FROM scored s JOIN documents d USING (doc_id)),
+      bounds AS MATERIALIZED (
+        SELECT source,
+          round(quantile_cont(lp, 0.3333333333333333), 6) AS b13,
+          round(quantile_cont(lp, 0.6666666666666666), 6) AS b23
+        FROM withsrc GROUP BY source)
+      SELECT w.source,
+        CASE WHEN lp > b23 THEN 'head'
+             WHEN lp > b13 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM withsrc w JOIN bounds b USING (source)
+      GROUP BY 1, 2 ORDER BY source, ppl_bucket"""))
+
+  /** Dedup report ([[graft.ops.Dedup.clusterSizeHistogram]]): the
+    * cluster-size histogram of x28's exact embedding clusters — how
+    * many clusters of each size, holding how many docs. Hash-green:
+    * the x28 recursive-CTE clusters + two integer counts. */
+  private val x130ClusterHistogram = GraftQuery(
+    "x130_cluster_histogram",
+    (s, dir) => graft.ops.Dedup.clusterSizeHistogram(dupClustersFor(s, dir))
+      .orderBy(col("cluster_size")),
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < 200 AND b.vec_id < 200
+          AND round(
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(a.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY 1)
+      SELECT cluster_size,
+        CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""))
+
+  /** Tokenizer fertility per source ([[graft.ops.TextAnalysis
+    * .tokenizerFertility]]): chars/token and tokens/word under the
+    * x69-trained 8-merge BPE, per source. Hash-green: the x69/x70
+    * BPE replay CTEs + integer sums + two rounded divisions. */
+  private val x131TokenizerFertility = GraftQuery(
+    "x131_tokenizer_fertility",
+    (s, dir) => TextAnalysis.tokenizerFertility(
+      Tables.documents(s, dir), "source", "text", numMerges = 8)
+      .orderBy(col("source")),
+    Some(s"""WITH ${bpeReplayCtes(8)},
+      sw AS MATERIALIZED (
+        SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents),
+      gw AS MATERIALIZED (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        FROM sw WHERE word <> '' GROUP BY 1, 2),
+      j AS MATERIALIZED (
+        SELECT g.source, g.n, length(g.word) AS wlen, len(v8.syms) AS nsub
+        FROM gw g JOIN v8 ON g.word = v8.word)
+      SELECT source,
+        CAST(sum(n) AS BIGINT) AS n_words,
+        CAST(sum(n * nsub) AS BIGINT) AS n_subwords,
+        round(CAST(sum(n * wlen) AS DOUBLE)
+          / CAST(sum(n * nsub) AS DOUBLE), 4) AS chars_per_token,
+        round(CAST(sum(n * nsub) AS DOUBLE)
+          / CAST(sum(n) AS DOUBLE), 4) AS tokens_per_word
+      FROM j GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -3933,7 +4041,8 @@ object Extensions extends QueryModule {
     x117EpochShuffle, x118CanonicalSelectionLsh, x119PaddingStats,
     x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
     x123StructureStats, x124MatchedSplit, x125ParagraphDedup,
-    x126IntraDocDedup, x127SourceDupMatrix, x128KnnLabelTransfer)
+    x126IntraDocDedup, x127SourceDupMatrix, x128KnnLabelTransfer,
+    x129PerplexityBuckets, x130ClusterHistogram, x131TokenizerFertility)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -68,6 +68,58 @@ class OpsSpec extends AnyFunSuite {
     assert(loose(2)._3 == "BOILER PLATE")
   }
 
+  test("cluster size histogram: hand-computed sizes, doc mass adds up") {
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), // size 3
+      (4L, 20L), (5L, 20L), // size 2
+      (6L, 30L), (7L, 30L), // size 2
+      (8L, 40L)) // size 1 (a cluster row, not a corpus singleton)
+      .toDF("id", "cluster_id")
+    val got = Dedup.clusterSizeHistogram(clusters)
+      .orderBy(col("cluster_size")).as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L)),
+      s"got ${got.toSeq}")
+    // doc mass conservation
+    assert(got.map(_._3).sum == 8L)
+  }
+
+  test("tokenizer fertility: hand-computed on a one-merge BPE") {
+    // corpus: 'ab' x3, 'cd' x1 → the single merge fuses (a,b); 'ab'
+    // segments to 1 subword, 'cd' stays 2
+    val docs = Seq((1L, "g1", "ab ab"), (2L, "g2", "ab cd"))
+      .toDF("id", "grp", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, "grp", "text", numMerges = 1)
+      .orderBy(col("grp")).as[(String, Long, Long, Double, Double)].collect()
+    // g1: 2 words, 2 subwords, 4 chars → 2.0 chars/token, 1.0 tok/word
+    assert(got(0) == (("g1", 2L, 2L, 2.0, 1.0)), s"got ${got.toSeq}")
+    // g2: 2 words, 1+2=3 subwords, 4 chars → 1.3333, 1.5
+    assert(got(1) == (("g2", 2L, 3L, 1.3333, 1.5)), s"got ${got.toSeq}")
+  }
+
+  test("perplexity buckets: per-group terciles follow the score order, relayout-stable") {
+    val docs = (1L to 9L).map { i =>
+      // graded repetitiveness: low ids repeat one common phrase (high
+      // in-corpus bigram probability), high ids add rarer material
+      val common = Seq.fill(10)("the data lake").mkString(" ")
+      val rare = (1L to i).map(j => s"xq${i}z$j").mkString(" ")
+      (i, "g1", s"$common $rare")
+    }.toDF("id", "grp", "text")
+    val got = TextAnalysis.perplexityBuckets(docs, "id", "text", "grp")
+      .orderBy(col("id")).as[(Long, String, Double, String)].collect()
+    assert(got.length == 9)
+    // buckets partition the group into terciles
+    val byBucket = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"$byBucket")
+    // labels are a pure function of the score ORDER: the top third by
+    // mean_logprob is head, the bottom third tail
+    val ranked = got.sortBy(-_._3)
+    assert(ranked.take(3).forall(_._4 == "head"), s"${ranked.toSeq}")
+    assert(ranked.takeRight(3).forall(_._4 == "tail"), s"${ranked.toSeq}")
+    val again = TextAnalysis.perplexityBuckets(docs.repartition(4),
+      "id", "text", "grp")
+      .orderBy(col("id")).as[(Long, String, Double, String)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("knn label transfer: cluster labels recovered, majority vote, tie toward smallest label") {
     // seeds: two clean clusters along +x (label 7) and +y (label 3)
     val seeds = Seq(
