@@ -1360,4 +1360,85 @@ object Dedup {
       // re-running the banding+verify pipeline
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Content-defined chunking (the rsync/LBFS rolling-hash family;
+    * FastCDC is the production variant): a chunk boundary falls
+    * AFTER every position whose trailing `window`-char polynomial
+    * hash is ≡ 0 (mod `mod`), plus a forced boundary at end-of-text.
+    * Because the boundary predicate looks only at a fixed local
+    * window, an insertion early in a document shifts at most one
+    * chunk — every later chunk re-aligns and dedups against the old
+    * version, which is the whole point vs fixed-size blocks.
+    *
+    * Kept STATELESS on purpose: production CDC adds min/max chunk
+    * sizes, but a min-size makes each boundary depend on the
+    * previous one (a sequential scan, and not replayable as set
+    * algebra); the pure predicate keeps the operator one codegen'd
+    * map pass and exactly replayable. Hash arithmetic is exact
+    * integer (base-31 Horner over ASCII codes, max value
+    * 255·Σ31^j ≈ 5.6e13 < 2^53), so boundaries are deterministic on
+    * any engine.
+    *
+    * Returns one row per chunk: (id, chunk_idx, chunk_len,
+    * chunk_hash md5). Scale: the expensive part (per-position window
+    * hash) is per-row array math with zero shuffle; downstream
+    * chunk-hash aggregation shuffles uniform 128-bit keys — the
+    * [[exact]] dedup profile at chunk granularity. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mod: Int = 16): DataFrame = {
+    require(window >= 2 && window <= 16, "window must be in [2,16]")
+    require(mod >= 2, "mod must be >= 2")
+    val s = col(textCol)
+    val n = length(s)
+    // trailing-window Horner hash at 1-based end position i
+    def hashAt(i: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+        (acc, j) => acc * lit(31L) + ascii(s.substr(i - lit(window - 1) + j, lit(1))).cast("long"))
+    val cutPositions = when(n >= window,
+      filter(sequence(lit(window), n), i => hashAt(i) % mod === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = array_sort(array_distinct(concat(cutPositions, array(n))))
+    // materialize the O(len·window) boundary scan at an exchange
+    // BEFORE the Generate: posexplode re-evaluates its child once per
+    // OUTPUT row, so feeding it the raw `bounds` expression would
+    // re-run the whole rolling-hash pass ~n_chunks times per doc
+    // (measured 46.5 s → 1.5 s at sf0.1) — the PERF.md "never let an
+    // expensive expression feed a Generate" rule
+    val withBounds = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), s.as("__s"), bounds.as("__bounds"))
+      .repartition(col("id"))
+    val chunks = zip_with(
+      concat(array(lit(0)),
+        slice(col("__bounds"), lit(1), size(col("__bounds")) - 1)),
+      col("__bounds"),
+      (st, en) => struct(st.as("st"), en.as("en")))
+    withBounds.select(col("id"), col("__s"),
+        posexplode(chunks).as(Seq("__k", "__c")))
+      .select(col("id"), (col("__k") + 1).as("chunk_idx"),
+        (col("__c.en") - col("__c.st")).as("chunk_len"),
+        md5(col("__s").substr(col("__c.st") + 1,
+          col("__c.en") - col("__c.st")).cast("binary")).as("chunk_hash"))
+  }
+
+  /** Per-document CDC dedup profile: chunk with [[cdcChunks]], then
+    * count each document's chunks and how many of them are SHARED
+    * (their hash occurs in ≥2 distinct documents corpus-wide) — the
+    * storage-dedup ratio table. One uniform-key shuffle for the
+    * chunk-hash doc counts, one shuffle-hash join back. */
+  def cdcDedupProfile(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mod: Int = 16): DataFrame = {
+    // one hash-keyed exchange feeds BOTH consumers (the doc-count
+    // aggregate and the join probe): ReusedExchange runs the chunking
+    // subtree once — the "frame consumed by N subplans" rule
+    val chunks = cdcChunks(df, idCol, textCol, window, mod)
+      .repartition(col("chunk_hash"))
+    val docCounts = chunks.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("id")).as("__nd"))
+    chunks.hint("shuffle_hash")
+      .join(docCounts.hint("shuffle_hash"), "chunk_hash")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        max(col("chunk_len")).as("max_chunk_len"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+  }
 }

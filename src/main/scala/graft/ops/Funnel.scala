@@ -230,4 +230,41 @@ object Funnel {
       .groupBy(col("day"))
       .agg(countDistinct(col("user")).as("n_uniques"))
   }
+
+  /** Exponentially time-decayed engagement score per user:
+    * `Σ value · 2^(−age/halfLife)` with age measured from `asOf` —
+    * the recency-weighted activity metric behind retention scoring
+    * and freshness-weighted sampling (the same decay shape DSIR-style
+    * recency reweighting uses on a corpus).
+    *
+    * Determinism contract: age is exact integer microseconds
+    * (unix_micros both engines) divided by exact double constants;
+    * each term is pinned with round(…, 9) BEFORE the sum (the x97
+    * libm-ulp rule, since pow is platform libm), and the per-user sum
+    * folds in (orderCol)-sorted order — the CLAUDE.md keyed sorted
+    * fold, bit-replayable against `list_sum(list_transform(
+    * list_sort(list(struct_pack(...)))))`.
+    *
+    * Scale: one map pass for the terms, one user-keyed aggregate.
+    * The sorted fold buffers per-user terms — bounded by per-user
+    * event counts; the production path at extreme per-user volume is
+    * a plain sum (map-side-combinable) at the cost of the exact
+    * replay, the x110/x111 exact-vs-scaled pairing. */
+  def timeDecayedEngagement(events: DataFrame, userCol: String,
+      orderCol: String, tsCol: String, valueCol: String,
+      asOf: org.apache.spark.sql.Column,
+      halfLifeDays: Double = 7.0): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val ageDays = (unix_micros(asOf) - unix_micros(col(tsCol)))
+      .cast("double") / lit(86400000000.0)
+    val term = round(col(valueCol) *
+      pow(lit(2.0), -(ageDays / lit(halfLifeDays))), 9)
+    events
+      .select(col(userCol).as("user_id"),
+        struct(col(orderCol).as("k"), term.as("v")).as("__kv"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(aggregate(sort_array(collect_list(col("__kv"))), lit(0.0),
+          (a, s) => a + s.getField("v")), 6).as("score"))
+  }
 }

@@ -71,4 +71,34 @@ object Profiling {
       .withColumn("p", element_at(array(probs.map(lit): _*), col("idx") + 1))
       .select(col(groupCol), col("p"), col("value"))
   }
+
+  /** Mergeable per-group profile: sufficient statistics (count, sum,
+    * min, max) of an INTEGER-valued column per group. Each batch's
+    * profile is a |groups|-row frame, and [[mergeStats]]
+    * re-aggregates profiles EXACTLY — integer algebra is associative
+    * and commutative — so daily batches fold into a running corpus
+    * profile without rescanning history (the incremental-stats
+    * analog of the x49/x51 signature store). Float columns need the
+    * sorted-fold discipline instead (CLAUDE.md); this operator pins
+    * the contract by casting to long.
+    *
+    * Scale: the scan side is one map-side-combinable aggregation;
+    * merging is |groups|-sized re-aggregation — never touches raw
+    * data again. */
+  def batchStats(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("long")).as("sum_v"),
+        min(col(valueCol).cast("long")).as("min_v"),
+        max(col(valueCol).cast("long")).as("max_v"))
+
+  /** Fold batch profiles from [[batchStats]] into one: count/sum add,
+    * min/max fold — exact, order-independent. */
+  def mergeStats(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "merge at least one profile")
+    profiles.reduce(_.unionByName(_))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
 }

@@ -44,6 +44,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    * ranked retrieval lists — the standard hybrid-retrieval merge of
+    * a lexical (BM25) and a dense (embedding cosine) ranker:
+    * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, summed over the lists
+    * that retrieved `d`.
+    *
+    * Inputs are (id, rank) frames with ranks already deterministic
+    * (rank on ROUNDED scores with an id tiebreak — the x6/x76
+    * contract). The fusion score is a fixed two-term IEEE sum
+    * (lexical term first), so it replays bit-exact; output rounds to
+    * 6 and re-ranks by the unrounded score with an id tiebreak.
+    *
+    * Scale: both inputs are top-k lists — O(k) rows — so the full
+    * outer join broadcasts; the heavy work stays inside the upstream
+    * rankers, which keep their own scale paths ([[lshBatchTopK]],
+    * [[TextAnalysis.bm25TopK]]'s map-side shape). */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame,
+      idCol: String, rankCol: String, k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val l = lexical.select(col(idCol).as("id"), col(rankCol).as("lex_rank"))
+    val d = dense.select(col(idCol).as("id"), col(rankCol).as("dense_rank"))
+    val lexTerm = when(col("lex_rank").isNotNull,
+      lit(1.0) / (lit(k0.toDouble) + col("lex_rank"))).otherwise(lit(0.0))
+    val denseTerm = when(col("dense_rank").isNotNull,
+      lit(1.0) / (lit(k0.toDouble) + col("dense_rank"))).otherwise(lit(0.0))
+    l.join(d, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("dense_rank"),
+        (lexTerm + denseTerm).as("__rrf"))
+      .orderBy(col("__rrf").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("lex_rank"), col("dense_rank"),
+        round(col("__rrf"), 6).as("rrf"))
+  }
+
+  /** Matryoshka-style truncation evaluation (Kusupati 2022 MRL):
+    * for each probe query, rank the corpus by full-dimension cosine
+    * and by prefix-`dims` cosine, and report recall@k of the
+    * truncated ranking against the full one — the go/no-go table for
+    * shipping truncated embeddings (cheaper ANN, smaller index) at a
+    * known recall cost.
+    *
+    * Determinism: BOTH rankings order by the ROUNDED (4 dp) cosine
+    * with a neighbor-id tiebreak — no unrounded float boundary can
+    * flip a rank between engines. Scale: probes broadcast (bounded
+    * by contract), scoring is one map pass over the corpus computing
+    * both cosines, the two windows share one (query_id) exchange. */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, dims: Int, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQueries >= 1 && nQueries <= 1000,
+      "nQueries is a broadcast probe batch — bounded by contract")
+    require(dims >= 1, "dims must be >= 1")
+    val q = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorMath.cosineSimilarity(col("__cv"), col("__qv")), 4)
+          .as("cos_full"),
+        round(VectorMath.cosineSimilarity(
+          slice(col("__cv"), 1, dims), slice(col("__qv"), 1, dims)), 4)
+          .as("cos_trunc"))
+    def w(c: org.apache.spark.sql.Column) = Window.partitionBy(col("query_id"))
+      .orderBy(c.desc, col("neighbor_id").asc)
+    scored
+      .withColumn("__rf", row_number().over(w(col("cos_full"))))
+      .withColumn("__rt", row_number().over(w(col("cos_trunc"))))
+      .filter(col("__rf") <= k || col("__rt") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("__rf") <= k && col("__rt") <= k, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("query_id"), col("n_common"),
+        round(col("n_common").cast("double") / k, 4).as("recall"))
+  }
+
   /** LSH-bucketed ANN top-k: score only signature-near vectors.
     * Recall is tunable via `numBits` (fewer bits = bigger buckets)
     * and `maxSigHamming` (multi-probe radius). */

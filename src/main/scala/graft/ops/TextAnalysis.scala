@@ -1055,6 +1055,80 @@ object TextAnalysis {
       .limit(k)
       .select(col("id"), col("terms_matched"), round(col("score"), 4).as("bm25"))
   }
+
+  /** Gopher/C4-style rule-chain filter with FIRST-FAIL attribution:
+    * every document is tested against an ordered rule chain
+    * (too-short, too-long, low type-token diversity, low stopword
+    * density) and attributed to the first rule it fails — the
+    * per-rule kill table curation reports publish (which filter
+    * removes how much of each source) next to the retained share.
+    *
+    * Determinism contract: every ratio rule is an INTEGER
+    * cross-multiplication (`100*unique < minUniqPct*n_tok`,
+    * `stopPctDen*stop_hits < n_tok`), so there is no float boundary
+    * anywhere — the verdict replays bit-exact on any engine.
+    *
+    * Scale shape: verdicts are one codegen'd map pass (tokenize,
+    * distinct-count, stopword count are per-row array ops); the only
+    * shuffle is the final (group, verdict) count — |groups|×5 rows.
+    */
+  def filterAttribution(df: DataFrame, groupCol: String,
+      textCol: String,
+      minTokens: Int = 25, maxTokens: Int = 90,
+      minUniquePct: Int = 35, minStopPermille: Int = 20): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val stopHits = size(filter(toks,
+      t => array_contains(lit(Stopwords.en.toArray), t)))
+    val verdict =
+      when(nTok < minTokens, "too_short")
+        .when(nTok > maxTokens, "too_long")
+        .when(nUniq * 100 < nTok * minUniquePct, "low_diversity")
+        .when(stopHits * 1000 < nTok * minStopPermille, "low_stopword")
+        .otherwise("pass")
+    df.select(col(groupCol).as("grp"), nTok.as("__n_tok"),
+        verdict.as("verdict"))
+      .groupBy(col("grp"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_tok")).as("n_tokens"))
+  }
+
+  /** Multi-pattern keyword screening (badword / topic lists): each
+    * document is scored against every category's term list in ONE
+    * map pass — the pattern lists ride inside the expression as
+    * literal arrays (a broadcast by construction), so no doc×pattern
+    * join ever shuffles; a document is flagged for a category when
+    * its hit count (with multiplicity) reaches `flagThreshold`.
+    * Output: per (group, category) flagged-doc and total-hit counts
+    * — integer-only, replays exactly.
+    *
+    * Scale: per-token probe is a hash-set `array_contains` on a
+    * literal array; cost O(tokens × categories). For thousands of
+    * patterns the same contract holds with an Aho-Corasick automaton
+    * compiled into a native Expression — the per-category literal
+    * arrays here are the bounded-list fast path. The explode is
+    * |categories| structs per row, collapsed by a partial-agg-
+    * combinable count before any exchange. */
+  def keywordScreen(df: DataFrame, groupCol: String, textCol: String,
+      categories: Map[String, Seq[String]],
+      flagThreshold: Int = 2): DataFrame = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val catHits = categories.toSeq.sortBy(_._1).map { case (cat, terms) =>
+      struct(lit(cat).as("category"),
+        size(filter(toks,
+          t => array_contains(lit(terms.toArray), t))).as("hits"))
+    }
+    df.select(col(groupCol).as("grp"),
+        explode(array(catHits: _*)).as("__c"))
+      .select(col("grp"), col("__c.category").as("category"),
+        col("__c.hits").as("hits"))
+      .groupBy(col("grp"), col("category"))
+      .agg(sum(when(col("hits") >= flagThreshold, 1L).otherwise(0L))
+          .as("n_docs_flagged"),
+        sum(col("hits").cast("long")).as("total_hits"))
+  }
 }
 
 /** Minimal per-language stopword profiles (top function words) —

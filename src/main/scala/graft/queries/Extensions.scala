@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Funnel, Layout, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -4004,6 +4004,354 @@ object Extensions extends QueryModule {
           / CAST(sum(n) AS DOUBLE), 4) AS tokens_per_word
       FROM j GROUP BY source ORDER BY source"""))
 
+  /** Filter-pipeline attribution ([[graft.ops.TextAnalysis
+    * .filterAttribution]]): Gopher/C4-style rule chain with
+    * first-fail attribution — the per-(source, rule) kill table a
+    * curation run publishes. Hash-green by construction: every rule
+    * is an integer cross-multiplication (no float boundary), outputs
+    * are integer counts. */
+  private val x132FilterAttribution = GraftQuery(
+    "x132_filter_attribution",
+    (s, dir) => TextAnalysis.filterAttribution(
+      Tables.documents(s, dir), "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"), col("verdict")),
+    Some("""WITH t AS (
+        SELECT source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '') AS toks
+        FROM documents),
+      v AS (
+        SELECT source, len(toks) AS n_tok,
+          len(list_distinct(toks)) AS n_uniq,
+          len(list_filter(toks, w -> w IN ('the','a','of','and','to',
+            'in','is','that','it','for','on','with','as','at','by',
+            'this'))) AS stop_hits
+        FROM t)
+      SELECT source,
+        CASE WHEN n_tok < 25 THEN 'too_short'
+             WHEN n_tok > 90 THEN 'too_long'
+             WHEN n_uniq * 100 < n_tok * 35 THEN 'low_diversity'
+             WHEN stop_hits * 1000 < n_tok * 20 THEN 'low_stopword'
+             ELSE 'pass' END AS verdict,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM v GROUP BY 1, 2 ORDER BY source, verdict"""))
+
+  /** Keyword screening ([[graft.ops.TextAnalysis.keywordScreen]]):
+    * three topic lists scored in one map pass, per-(source, category)
+    * flagged-doc and hit totals. Integer counts only — hash-green. */
+  private val x134KeywordScreen = GraftQuery(
+    "x134_keyword_screen",
+    (s, dir) => TextAnalysis.keywordScreen(
+      Tables.documents(s, dir), "source", "text",
+      Map(
+        "engine" -> Seq("spark", "stream", "vector"),
+        "relational" -> Seq("join", "filter", "scan"),
+        "storage" -> Seq("table", "row", "column")),
+      flagThreshold = 2)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"), col("category")),
+    Some("""WITH t AS (
+        SELECT source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '') AS toks
+        FROM documents),
+      c AS (
+        SELECT source, 'engine' AS category,
+          len(list_filter(toks, w -> w IN ('spark','stream','vector'))) AS hits
+        FROM t
+        UNION ALL
+        SELECT source, 'relational',
+          len(list_filter(toks, w -> w IN ('join','filter','scan')))
+        FROM t
+        UNION ALL
+        SELECT source, 'storage',
+          len(list_filter(toks, w -> w IN ('table','row','column')))
+        FROM t)
+      SELECT source, category,
+        CAST(sum(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_flagged,
+        CAST(sum(hits) AS BIGINT) AS total_hits
+      FROM c GROUP BY 1, 2 ORDER BY source, category"""))
+
+  /** Hybrid-retrieval fusion ([[graft.ops.Similarity.rrfFuse]]):
+    * reciprocal-rank fusion of the x76 BM25 lexical top-10 and the
+    * x6 dense cosine top-10 (doc_id and vec_id share the id space in
+    * the synthetic corpus). Ranks re-rank each list's ROUNDED scores
+    * with an id tiebreak (deterministic given the hash-green x6/x76
+    * score contracts); the fusion score is an exact two-term
+    * rational sum. */
+  private val x133RrfFusion = GraftQuery(
+    "x133_rrf_fusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        "doc_id", "text", Seq("vector", "stream", "query"), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("id"))))
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        query, k = 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_id"))))
+        .withColumnRenamed("vec_id", "id")
+      Similarity.rrfFuse(lex, dense, "id", "rank", k0 = 60, topK = 10)
+        .orderBy(col("id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        FROM documents),
+      tok2 AS (SELECT * FROM toks WHERE length(term) > 0),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+             FROM tok2 GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok2 WHERE term IN ('vector', 'stream', 'query')
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr
+                FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id,
+          ln((CAST(n_docs AS DOUBLE) - dfr + 0.5) / (dfr + 0.5) + 1.0)
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * ((1.0 - 0.75)
+                + 0.75 * (dl / (CAST(tot AS DOUBLE) / n_docs)))) AS ts
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats),
+      agg AS (
+        SELECT doc_id, list_sum(list_sort(list(ts))) AS score
+        FROM scored GROUP BY 1),
+      lexsel AS (
+        SELECT doc_id, round(score, 4) AS bm25 FROM agg
+        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10),
+      lex AS (
+        SELECT doc_id AS id, CAST(row_number() OVER (
+          ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+        FROM lexsel),
+      q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+      cos AS (
+        SELECT vec_id,
+          round(
+            list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.e,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cosine
+        FROM embeddings, q),
+      dense AS (
+        SELECT vec_id AS id, CAST(row_number() OVER (
+          ORDER BY cosine DESC, vec_id) AS INT) AS dense_rank
+        FROM cos
+        QUALIFY row_number() OVER (ORDER BY cosine DESC, vec_id) <= 10),
+      fused AS (
+        SELECT coalesce(l.id, d.id) AS id, l.lex_rank, d.dense_rank,
+          (CASE WHEN l.lex_rank IS NOT NULL
+             THEN 1.0 / (60.0 + l.lex_rank) ELSE 0.0 END
+           + CASE WHEN d.dense_rank IS NOT NULL
+             THEN 1.0 / (60.0 + d.dense_rank) ELSE 0.0 END) AS s
+        FROM lex l FULL OUTER JOIN dense d ON l.id = d.id)
+      SELECT id, lex_rank, dense_rank, round(s, 6) AS rrf
+      FROM fused
+      QUALIFY row_number() OVER (ORDER BY s DESC, id) <= 10
+      ORDER BY id"""))
+
+  /** Content-defined chunking dedup profile ([[graft.ops.Dedup
+    * .cdcDedupProfile]]): rolling-hash chunk boundaries (window 8,
+    * mod 16), per-doc chunk counts and the corpus-shared-chunk
+    * count. Hash-green: boundaries are exact integer arithmetic
+    * (base-31 over ASCII < 2^53), chunk hashes are md5, outputs are
+    * integer counts. */
+  private val x135CdcChunking = GraftQuery(
+    "x135_cdc_chunking",
+    (s, dir) => Dedup.cdcDedupProfile(
+      Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (
+        SELECT doc_id, text AS s, length(text) AS n,
+          list_sort(list_distinct(list_append(
+            CASE WHEN length(text) >= 8 THEN
+              list_filter(range(8, length(text)+1), i ->
+                (CAST(list_sum(list_transform(range(0, 8), j ->
+                  ascii(substr(s, i-7+j, 1))
+                    * ([27512614111,887503681,28629151,923521,
+                        29791,961,31,1][j+1])))
+                 AS BIGINT) % 16) = 0)
+            ELSE [] END,
+            length(text)))) AS bounds
+        FROM documents),
+      c AS (
+        SELECT doc_id, s,
+          unnest(list_transform(range(1, len(bounds)+1), k ->
+            struct_pack(idx := k,
+              st := CASE WHEN k = 1 THEN 0 ELSE bounds[k-1] END,
+              en := bounds[k]))) AS ch
+        FROM b),
+      e AS (
+        SELECT doc_id, ch.idx AS chunk_idx,
+          ch.en - ch.st AS chunk_len,
+          md5(substr(s, ch.st + 1, ch.en - ch.st)) AS h
+        FROM c),
+      dc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM e GROUP BY h)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+        CAST(max(chunk_len) AS INT) AS max_chunk_len,
+        CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared_chunks
+      FROM e JOIN dc USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Matryoshka truncation evaluation ([[graft.ops.Similarity
+    * .truncationRecall]]): recall@10 of prefix-16-dim cosine ranking
+    * vs the full 64-dim ranking, per probe query. Hash-green: both
+    * rankings order ROUNDED cosines with id tiebreaks; outputs are
+    * an integer overlap count and its exact /k quotient. */
+  private val x136TruncationRecall = GraftQuery(
+    "x136_truncation_recall",
+    (s, dir) => Similarity.truncationRecall(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      nQueries = 8, dims = 16, k = 10)
+      .orderBy(col("query_id")),
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 8),
+      s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          round(
+            list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_full,
+          round(
+            list_sum(list_transform(range(1, 17),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(e.embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_trunc
+        FROM embeddings e, q),
+      r AS (
+        SELECT query_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_full DESC, neighbor_id) AS rf,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_trunc DESC, neighbor_id) AS rt
+        FROM s)
+      SELECT query_id,
+        CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_common,
+        round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / 10.0, 4) AS recall
+      FROM r GROUP BY query_id ORDER BY query_id"""))
+
+  /** Incremental profile merge ([[graft.ops.Profiling.batchStats]] /
+    * [[graft.ops.Profiling.mergeStats]]): per-source sufficient
+    * statistics computed on two doc_id-parity batches and FOLDED —
+    * the oracle computes the global stats directly, so the pass
+    * asserts merge == direct (exact integer algebra; the mean is one
+    * rounded quotient of exact integers). */
+  private val x137ProfileMerge = GraftQuery(
+    "x137_profile_merge",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val halves = Seq(0, 1).map(p => Profiling.batchStats(
+        docs.filter(pmod(col("doc_id"), lit(2)) === p), "source", "n_chars"))
+      Profiling.mergeStats(halves)
+        .select(col("grp").as("source"), col("n"),
+          col("sum_v").as("sum_chars"), col("min_v").as("min_chars"),
+          col("max_v").as("max_chars"),
+          round(col("sum_v").cast("double") / col("n"), 4).as("mean_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(count(n_chars) AS BIGINT) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(min(n_chars) AS BIGINT) AS min_chars,
+        CAST(max(n_chars) AS BIGINT) AS max_chars,
+        round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4)
+          AS mean_chars
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Small-cell suppression report ([[graft.ops.Privacy
+    * .suppressionReport]]): k=3 over (event_type, hour) release
+    * cells — how many cells a release withholds and how many rows
+    * that hides, per event type. Integer counts only. */
+  private val x138SmallCellSuppression = GraftQuery(
+    "x138_small_cell_suppression",
+    (s, dir) => Privacy.suppressionReport(Tables.events(s, dir),
+      Seq(col("event_type"), date_trunc("hour", col("ts"))),
+      "event_type", k = 3)
+      .orderBy(col("event_type")),
+    Some("""WITH c AS (
+        SELECT event_type,
+          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+          count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_suppressed,
+        CAST(sum(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT)
+          AS rows_suppressed,
+        CAST(sum(CASE WHEN n >= 3 THEN n ELSE 0 END) AS BIGINT)
+          AS rows_released
+      FROM c GROUP BY 1 ORDER BY event_type"""))
+
+  /** Language-ID confusion matrix: the x5 stopword-vote classifier
+    * evaluated against the corpus's labeled `lang` column — the eval
+    * harness for the classifier the pipeline actually filters with.
+    * Hash-green: the x5 vote replay (greatest over printf-encoded
+    * arms) plus integer counts. */
+  private val x139LangConfusion = GraftQuery(
+    "x139_lang_confusion",
+    (s, dir) => TextAnalysis.withLanguage(Tables.documents(s, dir))
+      .groupBy(col("lang"), col("detected_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("detected_lang")),
+    Some {
+      val arms = graft.ops.Stopwords.all.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val list = words.map("'" + _ + "'").mkString(",")
+        s"printf('%03d', len(list_intersect(t, [$list]))) || '$lang'"
+      }.mkString(",\n        ")
+      s"""WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+        FROM documents),
+      scored AS (SELECT doc_id, lang, greatest(
+        $arms) AS v FROM toks)
+      SELECT lang,
+        CASE WHEN CAST(substr(v, 1, 3) AS INT) > 0 THEN substr(v, 4)
+             ELSE 'und' END AS detected_lang,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY 1, 2 ORDER BY lang, detected_lang"""
+    })
+
+  /** Time-decayed engagement ([[graft.ops.Funnel
+    * .timeDecayedEngagement]]): per-user recency-weighted activity,
+    * half-life 7 days anchored at 2024-01-31. Hash-green: round-9
+    * pinned decay terms folded in event_id order (the x94/x97 keyed
+    * sorted fold), final round 6. */
+  private val x140TimeDecay = GraftQuery(
+    "x140_time_decay_engagement",
+    (s, dir) => Funnel.timeDecayedEngagement(Tables.events(s, dir),
+      "user_id", "event_id", "ts", "value",
+      lit("2024-01-31 00:00:00").cast("timestamp"), halfLifeDays = 7.0)
+      .orderBy(col("user_id")),
+    Some("""WITH t AS (
+        SELECT user_id, event_id,
+          round(value * pow(2.0,
+            -(((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                - epoch_us(CAST(ts AS TIMESTAMP)))
+               / 86400000000.0) / 7.0)), 9) AS v
+        FROM events)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := event_id, v := v))),
+          s -> struct_extract(s, 'v'))), 6) AS score
+      FROM t GROUP BY user_id ORDER BY user_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4042,7 +4390,10 @@ object Extensions extends QueryModule {
     x120CentroidSimilarity, x121AnnRecall, x122MaxsimRetrieval,
     x123StructureStats, x124MatchedSplit, x125ParagraphDedup,
     x126IntraDocDedup, x127SourceDupMatrix, x128KnnLabelTransfer,
-    x129PerplexityBuckets, x130ClusterHistogram, x131TokenizerFertility)
+    x129PerplexityBuckets, x130ClusterHistogram, x131TokenizerFertility,
+    x132FilterAttribution, x133RrfFusion, x134KeywordScreen,
+    x135CdcChunking, x136TruncationRecall, x137ProfileMerge,
+    x138SmallCellSuppression, x139LangConfusion, x140TimeDecay)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3218,4 +3218,155 @@ class OpsSpec extends AnyFunSuite {
     assert(got("id") == ((4L, 4L, 4L, "1", "4")))
     assert(got("v") == ((4L, 3L, 2L, "a", "b")), s"got $got")
   }
+
+  test("filter attribution: first failing rule wins, integer-exact boundaries") {
+    val corpus = Seq(
+      ("s", "a"),                                  // 1 token   -> too_short
+      ("s", "one two three four five six seven"),  // 7 tokens  -> too_long
+      ("s", "the the the the"),                    // uniq 1/4  -> low_diversity
+      ("s", "alpha beta gamma delta"),             // 0 stops   -> low_stopword
+      ("s", "the cat sat down")                    // passes all
+    ).toDF("source", "text")
+    val got = TextAnalysis.filterAttribution(corpus, "source", "text",
+      minTokens = 3, maxTokens = 6, minUniquePct = 60, minStopPermille = 200)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "too_short" -> ((1L, 1L)), "too_long" -> ((1L, 7L)),
+      "low_diversity" -> ((1L, 4L)), "low_stopword" -> ((1L, 4L)),
+      "pass" -> ((1L, 4L))), s"got $got")
+    // boundary exactness: 3 tokens is NOT too_short (< is strict)
+    val edge = Seq(("s", "the cat sat")).toDF("source", "text")
+    val v = TextAnalysis.filterAttribution(edge, "source", "text",
+      minTokens = 3, maxTokens = 6, minUniquePct = 60, minStopPermille = 200)
+      .head().getString(1)
+    assert(v == "pass")
+  }
+
+  test("keyword screen: one map pass, multiplicity hits, threshold flags") {
+    val corpus = Seq(
+      ("s", "spark spark table"),   // engine hits 2 (flag), storage 1
+      ("s", "join filter scan"),    // relational 3 (flag)
+      ("s", "nothing matches here") // all zero
+    ).toDF("source", "text")
+    val cats = Map(
+      "engine" -> Seq("spark", "stream"),
+      "relational" -> Seq("join", "filter", "scan"),
+      "storage" -> Seq("table", "row"))
+    val got = TextAnalysis.keywordScreen(corpus, "source", "text", cats,
+      flagThreshold = 2)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "engine" -> ((1L, 2L)),
+      "relational" -> ((1L, 3L)),
+      "storage" -> ((0L, 1L))), s"got $got")
+  }
+
+  test("rrf fusion: both-list docs outrank single-list, exact 1/(k0+r) sum") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(lex, dense, "id", "rank", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))
+    // doc 20 is in both lists -> top; exact score 1/62 + 1/61
+    assert(got.head._1 == 20L)
+    assert(math.abs(got.head._4 - math.rint((1.0/62 + 1.0/61) * 1e6) / 1e6) < 1e-12)
+    // single-list docs scored with the missing term = 0
+    val m = got.map(r => r._1 -> r._4).toMap
+    assert(math.abs(m(10L) - math.rint(1.0/61 * 1e6) / 1e6) < 1e-12)
+    assert(math.abs(m(40L) - math.rint(1.0/62 * 1e6) / 1e6) < 1e-12)
+    // ranks carried through; absent list -> null
+    val row40 = got.find(_._1 == 40L).get
+    assert(row40._2.isEmpty && row40._3.contains(2))
+  }
+
+  test("cdc chunking: chunks reconstruct the text; shared suffix re-aligns; dup doc fully shared") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today and tomorrow"
+    val corpus = Seq(
+      (1L, a),
+      (2L, "PREFIX CHANGED TEXT " + a), // shared suffix must re-align
+      (3L, a)                            // exact dup of 1
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(corpus, "doc_id", "text")
+    // chunk lens partition each doc exactly
+    val lens = chunks.groupBy(col("id")).agg(sum(col("chunk_len")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens == Map(1L -> a.length.toLong,
+      2L -> (a.length + 20).toLong, 3L -> a.length.toLong))
+    // doc 2 shares at least one trailing chunk hash with doc 1
+    val h1 = chunks.filter(col("id") === 1L).select("chunk_hash")
+      .collect().map(_.getString(0)).toSet
+    val h2 = chunks.filter(col("id") === 2L).select("chunk_hash")
+      .collect().map(_.getString(0)).toSet
+    assert(h1.intersect(h2).nonEmpty,
+      "content-defined boundaries must re-align after a prefix edit")
+    // profile: the exact-dup pair is 100% shared
+    val prof = Dedup.cdcDedupProfile(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(3)))).toMap
+    assert(prof(1L)._1 == prof(1L)._2.toInt, s"dup doc fully shared: $prof")
+    assert(prof(3L)._1 == prof(3L)._2.toInt)
+  }
+
+  test("truncation recall: full dims -> 1.0; prefix dims lose the crafted neighbor") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.8f, 0f, 0.6f, 0f)),   // trunc-2 cosine 1.0, full 0.8
+      (2L, Array(0.9f, 0.1f, -0.4f, 0f)), // full ~0.909 (beats 1), trunc ~0.994 (loses to 1)
+      (3L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val full = Similarity.truncationRecall(vecs, "vec_id", "embedding",
+      nQueries = 1, dims = 4, k = 2).head()
+    assert(full.getLong(1) == 2L && full.getDouble(2) == 1.0)
+    val trunc = Similarity.truncationRecall(vecs, "vec_id", "embedding",
+      nQueries = 1, dims = 2, k = 2).head()
+    // full top-2 = {0, 2}; trunc-2 top-2 = {0, 1} -> overlap 1
+    assert(trunc.getLong(1) == 1L && trunc.getDouble(2) == 0.5, s"got $trunc")
+  }
+
+  test("mergeable profile: parity-batch merge equals the direct profile exactly") {
+    val rows = Seq(("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 20L),
+      ("s2", 4L, 7L), ("s2", 5L, 9L)).toDF("source", "id", "v")
+    val direct = Profiling.batchStats(rows, "source", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val merged = Profiling.mergeStats(Seq(0L, 1L).map(p =>
+        Profiling.batchStats(rows.filter(pmod(col("id"), lit(2)) === p),
+          "source", "v")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged == direct, s"merged $merged vs direct $direct")
+    assert(direct("s1") == ((3L, 60L, 10L, 30L)))
+  }
+
+  test("small-cell suppression: below-k cells withheld, accounting adds up") {
+    val rows = (Seq.fill(5)(("A", "c1")) ++ Seq.fill(2)(("A", "c2"))
+      ++ Seq(("B", "c3"))).toDF("t", "cell")
+    val rep = Privacy.suppressionReport(rows,
+      Seq(col("t"), col("cell")), "t", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep("A") == ((2L, 1L, 2L, 5L)), s"got $rep")
+    assert(rep("B") == ((1L, 1L, 1L, 0L)))
+    val released = Privacy.releasableCells(rows,
+      Seq(col("t"), col("cell")), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(released.toSeq == Seq(("A", "c1", 5L)))
+  }
+
+  test("time-decayed engagement: exact half-life powers, sorted-fold sum") {
+    val rows = Seq(
+      (1L, 10L, "2024-01-31 00:00:00", 8.0),  // age 0      -> 8.0
+      (1L, 11L, "2024-01-24 00:00:00", 4.0),  // age 7d     -> 2.0
+      (2L, 12L, "2024-01-17 00:00:00", 4.0)   // age 14d    -> 1.0
+    ).toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Funnel.timeDecayedEngagement(rows, "user_id", "event_id",
+      "ts", "value", lit("2024-01-31 00:00:00").cast("timestamp"),
+      halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 10.0)), s"got $got")
+    assert(got(2L) == ((1L, 1.0)))
+  }
 }
