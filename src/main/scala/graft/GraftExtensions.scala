@@ -87,6 +87,18 @@ object GraftFunctions {
         case Seq(a, b) => CosineSimilarityExpr(a, b)
         case _ => throw new IllegalArgumentException("cosine_similarity(vecA, vecB)")
       }),
+    ("cdc_boundaries",
+      new ExpressionInfo(classOf[graft.functions.CdcBoundaries].getName,
+        "cdc_boundaries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => graft.functions.CdcBoundaries(text, 8, 16)
+        case Seq(text, w) =>
+          graft.functions.CdcBoundaries(text, intArg(w, "window"), 16)
+        case Seq(text, w, m) =>
+          graft.functions.CdcBoundaries(text, intArg(w, "window"), intArg(m, "mod"))
+        case _ => throw new IllegalArgumentException(
+          "cdc_boundaries(text[, window[, mod]])")
+      }),
     ("scrub_pii",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,

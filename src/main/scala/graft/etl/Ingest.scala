@@ -54,6 +54,18 @@ object Ingest {
   def readEvolvedParquet(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** S3+: ORC interchange — the second columnar format Spark ships
+    * natively (vectorized reader, predicate pushdown, column pruning:
+    * the same scan properties the parquet path relies on). Completes
+    * the format matrix for pipelines whose upstream warehouse
+    * (Hive/Trino) emits ORC instead of parquet. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC scan — schema from file footers, splittable stripes. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** All four staging tables, registered as temp views under the
     * reference's names (S4) so `spark.sql` parity queries also run. */
   def stageAll(spark: SparkSession, inputDir: String): Staging = {

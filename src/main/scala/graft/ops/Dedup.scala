@@ -1389,21 +1389,22 @@ object Dedup {
     require(window >= 2 && window <= 16, "window must be in [2,16]")
     require(mod >= 2, "mod must be >= 2")
     val s = col(textCol)
-    val n = length(s)
-    // trailing-window Horner hash at 1-based end position i
-    def hashAt(i: org.apache.spark.sql.Column) =
-      aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
-        (acc, j) => acc * lit(31L) + ascii(s.substr(i - lit(window - 1) + j, lit(1))).cast("long"))
-    val cutPositions = when(n >= window,
-      filter(sequence(lit(window), n), i => hashAt(i) % mod === 0))
-      .otherwise(array().cast("array<int>"))
-    val bounds = array_sort(array_distinct(concat(cutPositions, array(n))))
-    // materialize the O(len·window) boundary scan at an exchange
-    // BEFORE the Generate: posexplode re-evaluates its child once per
-    // OUTPUT row, so feeding it the raw `bounds` expression would
-    // re-run the whole rolling-hash pass ~n_chunks times per doc
-    // (measured 46.5 s → 1.5 s at sf0.1) — the PERF.md "never let an
-    // expensive expression feed a Generate" rule
+    // boundary scan as a native rolling-hash expression
+    // (graft.functions.CdcBoundaries): O(1) per position in one tight
+    // JVM loop vs the O(len·window) interpreted-HOF formulation it
+    // replaced (21 s CPU → sub-second at sf0.1); includes the forced
+    // end-of-text boundary
+    val bounds = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.CdcBoundaries(expression(s), window, mod))
+    }
+    // materialize the boundary scan at an exchange BEFORE the
+    // Generate: posexplode re-evaluates its child once per OUTPUT
+    // row, so feeding it the raw `bounds` expression would re-run
+    // the rolling-hash pass ~n_chunks times per doc (measured 46.5 s
+    // → 1.5 s at sf0.1 back when the scan was the interpreted HOF) —
+    // the PERF.md "never let an expensive expression feed a
+    // Generate" rule
     val withBounds = Parallelism.ensure(df)
       .select(col(idCol).as("id"), s.as("__s"), bounds.as("__bounds"))
       .repartition(col("id"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Funnel, Layout, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Experiments, Funnel, Layout, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -4352,6 +4352,94 @@ object Extensions extends QueryModule {
           s -> struct_extract(s, 'v'))), 6) AS score
       FROM t GROUP BY user_id ORDER BY user_id"""))
 
+  /** Right-to-erasure propagation ([[graft.ops.Privacy.erase]]):
+    * purge every row of the user_id%10==0 subject list from events,
+    * then the post-purge per-type profile. Hash-green: anti-join +
+    * integer counts (the audit-zero proof is OpsSpec's). */
+  private val x141Erasure = GraftQuery(
+    "x141_erasure",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val subjects = ev.select(col("user_id"))
+        .filter(pmod(col("user_id"), lit(10)) === 0).distinct()
+      Privacy.erase(ev, "user_id", subjects, "user_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events WHERE user_id % 10 <> 0
+      GROUP BY 1 ORDER BY event_type"""))
+
+  /** Differentially-private release ([[graft.ops.Privacy
+    * .noisyCounts]]): seeded-Laplace ε=0.5 noise on per-type event
+    * counts. Hash-green: the Knuth-scramble uniform is exact integer
+    * arithmetic over the cell rank, the ln noise is round-9 pinned
+    * before the add (the x97 libm rule), release rounded to 4. */
+  private val x142NoisyCounts = GraftQuery(
+    "x142_noisy_counts",
+    (s, dir) => Privacy.noisyCounts(Tables.events(s, dir),
+      Seq("event_type"), epsilon = 0.5, seed = 42L)
+      .orderBy(col("event_type")),
+    Some("""WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+      r AS (
+        SELECT event_type, n,
+          CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS rk
+        FROM c),
+      u AS (
+        SELECT event_type, n,
+          ((((rk + 42) % 2147483648) * 2654435761) % 4294967296 + 0.5)
+            / 4294967296.0 AS uu
+        FROM r),
+      z AS (
+        SELECT event_type, n,
+          round((-1.0 / 0.5) * sign(uu - 0.5)
+            * ln(1.0 - 2.0 * abs(uu - 0.5)), 9) AS noise
+        FROM u)
+      SELECT event_type, n, noise, round(n + noise, 4) AS noisy_n
+      FROM z ORDER BY event_type"""))
+
+  /** A/B conversion lift ([[graft.ops.Experiments.abConversionLift]]):
+    * user_id-parity arms, purchase conversion, two-proportion pooled
+    * z. Conversion = a high-value purchase (a plain purchase is
+    * degenerate on this data: EVERY user has one, pp=1 divides by
+    * zero in the pooled variance — the operator is honest and loud
+    * about a broken metric). Hash-green: integer counts through a
+    * fixed IEEE tree — division/multiply/sqrt are correctly-rounded
+    * IEEE ops (no libm ulp exists to pin), rounded to 6 on output. */
+  private val x143AbLift = GraftQuery(
+    "x143_ab_lift",
+    (s, dir) => Experiments.abConversionLift(Tables.events(s, dir),
+      "user_id", pmod(col("user_id"), lit(2)),
+      col("event_type") === "purchase" && col("value") > 180.0),
+    Some("""WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+          max(CASE WHEN event_type = 'purchase' AND value > 180.0
+              THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT
+          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+          CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_ctrl,
+          CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treat
+        FROM u)
+      SELECT n_ctrl, n_treat, conv_ctrl, conv_treat,
+        round(CAST(conv_ctrl AS DOUBLE) / n_ctrl, 6) AS p_ctrl,
+        round(CAST(conv_treat AS DOUBLE) / n_treat, 6) AS p_treat,
+        round(CAST(conv_treat AS DOUBLE) / n_treat
+          - CAST(conv_ctrl AS DOUBLE) / n_ctrl, 6) AS lift,
+        round((CAST(conv_treat AS DOUBLE) / n_treat
+            - CAST(conv_ctrl AS DOUBLE) / n_ctrl)
+          / sqrt((CAST(conv_ctrl + conv_treat AS DOUBLE) / (n_ctrl + n_treat))
+            * (1.0 - CAST(conv_ctrl + conv_treat AS DOUBLE) / (n_ctrl + n_treat))
+            * (1.0 / n_ctrl + 1.0 / n_treat)), 6) AS z_score
+      FROM a"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4393,7 +4481,8 @@ object Extensions extends QueryModule {
     x129PerplexityBuckets, x130ClusterHistogram, x131TokenizerFertility,
     x132FilterAttribution, x133RrfFusion, x134KeywordScreen,
     x135CdcChunking, x136TruncationRecall, x137ProfileMerge,
-    x138SmallCellSuppression, x139LangConfusion, x140TimeDecay)
+    x138SmallCellSuppression, x139LangConfusion, x140TimeDecay,
+    x141Erasure, x142NoisyCounts, x143AbLift)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

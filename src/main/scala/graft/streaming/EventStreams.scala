@@ -224,4 +224,42 @@ object EventStreams {
     q.stop()
     spark.table(name)
   }
+
+  final case class GroupProfile(
+      grp: String, n: Long, sum_v: Long, min_v: Long, max_v: Long)
+
+  /** Streaming twin of the mergeable batch profile
+    * ([[graft.ops.Profiling.batchStats]]/`mergeStats`): the same
+    * sufficient statistics (count, sum, min, max of an integer
+    * column) maintained incrementally by `mapGroupsWithState` — each
+    * micro-batch folds into per-group state with the exact integer
+    * algebra `mergeStats` uses, so after any prefix of batches the
+    * emitted state EQUALS the batch profile of everything ingested
+    * so far (the spec asserts the equality). State is constant-size
+    * per group — the 100 TB streaming-profile shape. */
+  def runningProfile(rows: DataFrame, groupCol: String,
+      valueCol: String): Dataset[GroupProfile] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(groupCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[GroupProfile, GroupProfile](
+        GroupStateTimeout.NoTimeout) {
+        case (grp, batch, state: GroupState[GroupProfile]) =>
+          val prev = state.getOption.getOrElse(
+            GroupProfile(grp, 0L, 0L, Long.MaxValue, Long.MinValue))
+          var n = prev.n; var s = prev.sum_v
+          var mn = prev.min_v; var mx = prev.max_v
+          batch.foreach { case (_, v) =>
+            n += 1; s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          val next = GroupProfile(grp, n, s, mn, mx)
+          state.update(next)
+          next
+      }
+  }
 }

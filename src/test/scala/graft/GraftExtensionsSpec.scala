@@ -31,6 +31,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_boundaries SQL function: partition covers the text, end always cut") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny")).toDF("id", "text")
+    docs.createOrReplaceTempView("cdc_docs")
+    val got = spark.sql(
+      "SELECT id, cdc_boundaries(text, 8, 16) AS b FROM cdc_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    got.foreach { case (id, b) =>
+      val n = if (id == 1L) 43 else 4
+      assert(b.last == n, s"final boundary must be len: $b")
+      assert(b == b.sorted && b.distinct == b, s"sorted distinct: $b")
+    }
+    // parity with the operator path: same chunks via Dedup.cdcChunks
+    val lens = graft.ops.Dedup.cdcChunks(docs, "id", "text")
+      .groupBy(col("id")).agg(sum(col("chunk_len")).as("t"), count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(lens(1L)._1 == 43L && lens(2L)._1 == 4L)
+    assert(lens(1L)._2 == got(1L).length && lens(2L)._2 == got(2L).length)
+  }
+
   test("GraftExtensions injects every descriptor into a fresh extensions object") {
     // getOrCreate would reuse the suite session (extensions ignored), so
     // verify the injection path directly against the extension hooks

@@ -26,6 +26,25 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(staging.covids.columns.contains("bx_case_count"))
   }
 
+  test("ORC round-trip: schema and rows survive, filters push to the scan") {
+    import SparkTestSession.sfDir
+    import graft.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    Ingest.writeOrc(docs, dir)
+    val back = Ingest.readOrc(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy(col("doc_id")).collect().map(_.toSeq)
+    val b = back.orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // the ORC reader must receive the pushed predicate like parquet does
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]"),
+      s"plan without pushdown:\n$plan")
+  }
+
   test("fact: row per trip, md5 id, computed partitions") {
     val fact = StarSchema.buildFact(staging.events, staging.covids, staging.weathers)
     assert(fact.count() == 8)

@@ -3355,6 +3355,63 @@ class OpsSpec extends AnyFunSuite {
     assert(released.toSeq == Seq(("A", "c1", 5L)))
   }
 
+  test("erasure: subjects fully purged, audit proves zero residue, others untouched") {
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "c"))
+      .toDF("user_id", "payload")
+    val subjects = Seq(1L, 9L).toDF("uid") // 9 has no rows — audit must still list it
+    val left = Privacy.erase(rows, "user_id", subjects, "uid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((2L, "a"), (3L, "c")))
+    val auditBefore = Privacy.erasureAudit(rows, "user_id", subjects, "uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auditBefore == Map(1L -> 2L, 9L -> 0L))
+    val after = Privacy.erase(rows, "user_id", subjects, "uid")
+    val auditAfter = Privacy.erasureAudit(after, "user_id", subjects, "uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auditAfter == Map(1L -> 0L, 9L -> 0L))
+  }
+
+  test("noisy counts: seeded noise replays, bounded tails, true counts intact") {
+    val rows = Seq.fill(40)("A").zipWithIndex.map { case (t, i) => (t, i) } ++
+      Seq.fill(25)("B").zipWithIndex.map { case (t, i) => (t, i) }
+    val df = rows.toDF("t", "i")
+    val r1 = Privacy.noisyCounts(df, Seq("t"), epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val r2 = Privacy.noisyCounts(df.repartition(7), Seq("t"), epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(r1.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq,
+      "seeded noise must be relayout-stable")
+    val m = r1.map(x => x._1 -> x).toMap
+    assert(m("A")._2 == 40L && m("B")._2 == 25L)
+    // Laplace(2) tail: |noise| beyond ~44 has probability < 1e-9 even
+    // at the scramble's extremes (u bounded away from 0 and 1)
+    r1.foreach { case (_, n, noise, noisy) =>
+      assert(math.abs(noise) < 45.0)
+      assert(math.abs(noisy - (n + noise)) < 1e-3)
+    }
+    assert(r1.map(_._3).distinct.length == r1.length,
+      "cells must not share noise draws")
+  }
+
+  test("ab lift: hand-computed z on a 4-user experiment, per-user conversion dedup") {
+    val rows = Seq(
+      (1L, "view"), (1L, "purchase"), (1L, "purchase"), // ctrl converts once
+      (3L, "view"),                                     // ctrl no conversion
+      (2L, "purchase"),                                 // treat converts
+      (4L, "view"), (4L, "purchase")                    // treat converts
+    ).toDF("user_id", "event_type")
+    val r = Experiments.abConversionLift(rows, "user_id",
+      pmod(col("user_id"), lit(2)), col("event_type") === "purchase").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 2L, 1L)))
+    // arm 0 (even ids 2,4): both convert; arm 1 (odd ids 1,3): one converts
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == -0.5)
+    val pp = 3.0 / 4.0
+    val z = -0.5 / math.sqrt(pp * (1 - pp) * (1.0 / 2 + 1.0 / 2))
+    assert(math.abs(r.getDouble(7) - math.rint(z * 1e6) / 1e6) < 1e-12)
+  }
+
   test("time-decayed engagement: exact half-life powers, sorted-fold sum") {
     val rows = Seq(
       (1L, 10L, "2024-01-31 00:00:00", 8.0),  // age 0      -> 8.0

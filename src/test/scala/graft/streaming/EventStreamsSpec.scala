@@ -219,4 +219,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "gate must pass some documents")
     assert(streamed == batch, "stream and batch diverged")
   }
+
+  test("streaming running profile converges to the batch profile exactly") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_profile_src").toString
+    val b1 = Seq(("a", 10L), ("a", 30L), ("b", 5L))
+    val b2 = Seq(("a", 20L), ("b", 1L), ("c", 7L))
+    b1.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+    b2.toDF("grp", "v").coalesce(1).write.mode("append").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("grp", StringType), StructField("v", LongType)))
+    // one file per micro-batch: groups spanning files must MERGE in
+    // state, not recompute
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.runningProfile(stream, "grp", "v").toDF(),
+      "running_profile", OutputMode.Update)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // the final state per group = the emission with the largest n
+    val finals = got.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.maxBy(_._2) }.toMap
+    val batch = graft.ops.Profiling.batchStats(
+      (b1 ++ b2).toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))).toMap
+    assert(finals == batch, s"finals $finals vs batch $batch")
+    // group "a" spans both files: its state must have been emitted
+    // more than once (incremental merge, not a single-batch compute)
+    assert(got.count(_._1 == "a") >= 2)
+  }
 }
