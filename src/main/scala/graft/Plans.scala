@@ -38,6 +38,7 @@ object Plans {
     "x128_knn_label_transfer" -> "seed set broadcast; corpus scored map-side; both rank<=k stages plan as WindowGroupLimit (map-side pre-prune) so the shuffle carries n*k slim rows, never n*|seeds|",
     "x129_perplexity_buckets" -> "x31's LM plan for scoring; tercile boundaries are one per-group percentile aggregate (|groups|*2 scalars broadcast back) — the corpus never reshuffles for the labeling",
     "x131_tokenizer_fertility" -> "group-level word counts (two-phase agg) shuffle-hash-join the model's bounded segmented vocab on the word key; the corpus token stream never re-folds",
+    "x135_cdc_chunking" -> "native rolling-hash boundary expression materialized at an id exchange BEFORE the posexplode (Generate re-evaluation measured 46.5 s without it); the doc-count aggregate and the join probe both read that exchange (ReusedExchange on the bounds side — only the cheap md5 chunk expansion re-executes per consumer)",
     "x48_zorder" -> "Morton key is a single codegen'd projection over the scan; the layout op adds one rangepartitioning exchange",
     "x49_dedup_incremental" -> "store side banded map-only from persisted signatures (no text re-shingle); bucket joins shuffle-hash on (band,bucket)",
     "x50_pack_chunks" -> "slim prefix-sum frame + one shuffle join by id + one zero-skew aggregate by chunk; in-chunk order from per-group struct sort, never a global sort",

@@ -1421,6 +1421,28 @@ object Dedup {
           col("__c.en") - col("__c.st")).cast("binary")).as("chunk_hash"))
   }
 
+  /** Dedup-candidate recall: the fraction of TRUE near-dup pairs
+    * (an exact-verified pair table) that a candidate generator (LSH
+    * bands, embedding buckets) actually surfaces — the dedup-family
+    * analog of [[Similarity.annRecall]], and the number that decides
+    * a numHashes/bands setting ("measure, don't guess"). Pairs are
+    * normalized to (min,max) order and deduped on both sides, so
+    * either orientation counts once. One shuffle-hash join on bare
+    * id pairs + a single-row aggregate. */
+  def pairRecall(exactPairs: DataFrame, candidatePairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col(idACol), col(idBCol)).as("pa"),
+      greatest(col(idACol), col(idBCol)).as("pb")).distinct()
+    norm(exactPairs).hint("shuffle_hash")
+      .join(norm(candidatePairs).withColumn("__hit", lit(1))
+        .hint("shuffle_hash"), Seq("pa", "pb"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 4).as("recall"))
+  }
+
   /** Per-document CDC dedup profile: chunk with [[cdcChunks]], then
     * count each document's chunks and how many of them are SHARED
     * (their hash occurs in ≥2 distinct documents corpus-wide) — the
@@ -1428,9 +1450,12 @@ object Dedup {
     * chunk-hash doc counts, one shuffle-hash join back. */
   def cdcDedupProfile(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, mod: Int = 16): DataFrame = {
-    // one hash-keyed exchange feeds BOTH consumers (the doc-count
-    // aggregate and the join probe): ReusedExchange runs the chunking
-    // subtree once — the "frame consumed by N subplans" rule
+    // both consumers (the doc-count aggregate and the join probe)
+    // ReusedExchange the id-keyed BOUNDS exchange inside cdcChunks —
+    // the expensive boundary scan runs once; only the cheap md5
+    // chunk expansion re-executes per consumer (verified in
+    // PLANS.md: one `ReusedExchange [id, __s, __bounds]`, two
+    // Generate nodes over it)
     val chunks = cdcChunks(df, idCol, textCol, window, mod)
       .repartition(col("chunk_hash"))
     val docCounts = chunks.groupBy(col("chunk_hash"))

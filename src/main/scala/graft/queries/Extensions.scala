@@ -4440,6 +4440,23 @@ object Extensions extends QueryModule {
             * (1.0 / n_ctrl + 1.0 / n_treat)), 6) AS z_score
       FROM a"""))
 
+  /** Dedup-candidate recall harness ([[graft.ops.Dedup.pairRecall]]):
+    * what fraction of the exact trigram-Jaccard ≥0.7 pairs (the
+    * x43/x127 verified stage, bounded) do the banded MinHash
+    * candidates surface — the x121 "measure, don't guess" number for
+    * the dedup family's numHashes/bands knobs. Rows-only by the twin
+    * rule (the candidate side is a seeded sketch); OpsSpec pins that
+    * a full-probe configuration measures recall 1.0. */
+  private val x144DedupRecall = GraftQuery(
+    "x144_dedup_recall",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val exact = trigramJaccardPairs(trigramFrame(docs), threshold = 0.7)
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.pairRecall(exact, cands)
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4482,7 +4499,7 @@ object Extensions extends QueryModule {
     x132FilterAttribution, x133RrfFusion, x134KeywordScreen,
     x135CdcChunking, x136TruncationRecall, x137ProfileMerge,
     x138SmallCellSuppression, x139LangConfusion, x140TimeDecay,
-    x141Erasure, x142NoisyCounts, x143AbLift)
+    x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3393,6 +3393,19 @@ class OpsSpec extends AnyFunSuite {
       "cells must not share noise draws")
   }
 
+  test("pair recall: orientation-normalized, duplicates counted once, full cover = 1.0") {
+    val exact = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val cands = Seq((2L, 1L), (2L, 1L), (5L, 6L)).toDF("id_a", "id_b")
+    val r = Dedup.pairRecall(exact, cands).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 0.5)))
+    // the real pipeline shape: minhash candidates over the docs
+    // fixture must surface every exact-dup pair -> recall 1.0
+    val exactPairs = Seq((1L, 2L), (1L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val mh = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val full = Dedup.pairRecall(exactPairs, mh).head()
+    assert(full.getDouble(2) == 1.0, s"got $full")
+  }
+
   test("ab lift: hand-computed z on a 4-user experiment, per-user conversion dedup") {
     val rows = Seq(
       (1L, "view"), (1L, "purchase"), (1L, "purchase"), // ctrl converts once
