@@ -1056,6 +1056,52 @@ object TextAnalysis {
       .select(col("id"), col("terms_matched"), round(col("score"), 4).as("bm25"))
   }
 
+  /** Zipf rank-frequency slope per group: the OLS slope of
+    * (ln rank, ln count) over the group's top-`topK` tokens — the
+    * corpus-statistics health number (natural text sits near −1;
+    * token-soup or boilerplate-heavy sources drift shallow/steep,
+    * so a slope shift across snapshots flags a distribution change
+    * the same way x56's KL drift does, from the other end).
+    *
+    * Determinism contract: integer counts; ranks total-ordered by
+    * (count DESC, token ASC); ln values round-9 pinned (libm); the
+    * four OLS sums fold in rank order (the keyed sorted fold) and
+    * the slope is one rounded quotient. Groups must carry ≥ 2 ranked
+    * terms (the OLS denominator is zero otherwise — ANSI division
+    * fails loudly rather than emitting a fake slope).
+    *
+    * Scale: one (group, token) two-phase count, a WindowGroupLimit
+    * rank prune to topK rows per group, then |groups|-sized algebra. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, "topK must be >= 2")
+    val toks = Parallelism.ensure(df)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+    val counts = toks.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("t").asc)
+    val ranked = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+    def fold(v: Column, name: String) =
+      aggregate(sort_array(collect_list(struct(col("rk").as("k"), v.as("v")))),
+        lit(0.0), (a, s) => a + s.getField("v")).as(name)
+    val n = col("n_terms").cast("double")
+    ranked
+      .select(col("grp"), col("rk"),
+        round(log(col("rk").cast("double")), 9).as("x"),
+        round(log(col("cnt").cast("double")), 9).as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        fold(col("x"), "sx"), fold(col("y"), "sy"),
+        fold(col("x") * col("y"), "sxy"), fold(col("x") * col("x"), "sxx"))
+      .select(col("grp"), col("n_terms"),
+        round((n * col("sxy") - col("sx") * col("sy"))
+          / (n * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
+
   /** Gopher/C4-style rule-chain filter with FIRST-FAIL attribution:
     * every document is tested against an ordered rule chain
     * (too-short, too-long, low type-token diversity, low stopword
@@ -1072,21 +1118,33 @@ object TextAnalysis {
     * distinct-count, stopword count are per-row array ops); the only
     * shuffle is the final (group, verdict) count — |groups|×5 rows.
     */
+  /** Per-row verdict of the [[filterAttribution]] rule chain —
+    * exposed so pipelines can GATE on it (`verdict === "pass"`)
+    * with the same integer-exact rules the attribution table
+    * reports. */
+  def filterVerdict(textCol: Column,
+      minTokens: Int = 25, maxTokens: Int = 90,
+      minUniquePct: Int = 35, minStopPermille: Int = 20): Column = {
+    val toks = filter(tokens(textCol), t => length(t) > 0)
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val stopHits = size(filter(toks,
+      t => array_contains(lit(Stopwords.en.toArray), t)))
+    when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(nUniq * 100 < nTok * minUniquePct, "low_diversity")
+      .when(stopHits * 1000 < nTok * minStopPermille, "low_stopword")
+      .otherwise("pass")
+  }
+
   def filterAttribution(df: DataFrame, groupCol: String,
       textCol: String,
       minTokens: Int = 25, maxTokens: Int = 90,
       minUniquePct: Int = 35, minStopPermille: Int = 20): DataFrame = {
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
-    val nUniq = size(array_distinct(toks))
-    val stopHits = size(filter(toks,
-      t => array_contains(lit(Stopwords.en.toArray), t)))
-    val verdict =
-      when(nTok < minTokens, "too_short")
-        .when(nTok > maxTokens, "too_long")
-        .when(nUniq * 100 < nTok * minUniquePct, "low_diversity")
-        .when(stopHits * 1000 < nTok * minStopPermille, "low_stopword")
-        .otherwise("pass")
+    val verdict = filterVerdict(col(textCol),
+      minTokens, maxTokens, minUniquePct, minStopPermille)
     df.select(col(groupCol).as("grp"), nTok.as("__n_tok"),
         verdict.as("verdict"))
       .groupBy(col("grp"), col("verdict"))
@@ -1110,6 +1168,19 @@ object TextAnalysis {
     * arrays here are the bounded-list fast path. The explode is
     * |categories| structs per row, collapsed by a partial-agg-
     * combinable count before any exchange. */
+  /** Per-row MAXIMUM category hit count over [[keywordScreen]]'s
+    * lists — the gating column for screening pipelines
+    * (`keywordMaxHits(...) < flagThreshold` keeps a document). */
+  def keywordMaxHits(textCol: Column,
+      categories: Map[String, Seq[String]]): Column = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    val toks = filter(tokens(textCol), t => length(t) > 0)
+    val hits = categories.toSeq.sortBy(_._1).map { case (_, terms) =>
+      size(filter(toks, t => array_contains(lit(terms.toArray), t)))
+    }
+    if (hits.size == 1) hits.head else greatest(hits: _*)
+  }
+
   def keywordScreen(df: DataFrame, groupCol: String, textCol: String,
       categories: Map[String, Seq[String]],
       flagThreshold: Int = 2): DataFrame = {

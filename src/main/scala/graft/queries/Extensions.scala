@@ -4457,6 +4457,95 @@ object Extensions extends QueryModule {
     },
     None)
 
+  /** Zipf rank-frequency slope per source ([[graft.ops.TextAnalysis
+    * .zipfSlope]]). Hash-green: integer counts, total-ordered ranks,
+    * round-9 pinned ln values, rank-keyed sorted folds, one rounded
+    * OLS quotient. */
+  private val x145ZipfSlope = GraftQuery(
+    "x145_zipf_slope",
+    (s, dir) => TextAnalysis.zipfSlope(
+      Tables.documents(s, dir), "source", "text", topK = 50)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""WITH tok AS (
+        SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS t
+        FROM documents),
+      t2 AS (SELECT * FROM tok WHERE length(t) > 0),
+      c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+            FROM t2 GROUP BY 1, 2),
+      r AS (
+        SELECT source, cnt,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY cnt DESC, t ASC) AS BIGINT) AS rk
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY source
+          ORDER BY cnt DESC, t ASC) <= 50),
+      v AS (
+        SELECT source, rk,
+          round(ln(CAST(rk AS DOUBLE)), 9) AS x,
+          round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+        FROM r),
+      s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+          list_sum(list_transform(list_sort(list(struct_pack(k := rk, v := x))),
+            e -> struct_extract(e, 'v'))) AS sx,
+          list_sum(list_transform(list_sort(list(struct_pack(k := rk, v := y))),
+            e -> struct_extract(e, 'v'))) AS sy,
+          list_sum(list_transform(list_sort(list(struct_pack(k := rk, v := x * y))),
+            e -> struct_extract(e, 'v'))) AS sxy,
+          list_sum(list_transform(list_sort(list(struct_pack(k := rk, v := x * x))),
+            e -> struct_extract(e, 'v'))) AS sxx
+        FROM v GROUP BY source)
+      SELECT source, n_terms,
+        round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+          AS zipf_slope
+      FROM s ORDER BY source"""))
+
+  /** Governance release pipeline (composition of the round-8
+    * operators): rule-chain gate ([[graft.ops.TextAnalysis
+    * .filterVerdict]] == pass) → keyword screen (max category hits
+    * < 4) → exact dedup keep-first → per-source release counts.
+    * Hash-green: every stage is integer/string logic. */
+  private val x146ReleasePipeline = GraftQuery(
+    "x146_release_pipeline",
+    (s, dir) => {
+      val cats = Map(
+        "engine" -> Seq("spark", "stream", "vector"),
+        "relational" -> Seq("join", "filter", "scan"))
+      val gated = Tables.documents(s, dir)
+        .filter(TextAnalysis.filterVerdict(col("text")) === "pass")
+        .filter(TextAnalysis.keywordMaxHits(col("text"), cats) < 4)
+      Dedup.exactKeepFirst(gated, "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, source, text,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '') AS tk
+        FROM documents),
+      gated AS (
+        SELECT doc_id, source, text
+        FROM toks
+        WHERE NOT (len(tk) < 25) AND NOT (len(tk) > 90)
+          AND NOT (len(list_distinct(tk)) * 100 < len(tk) * 35)
+          AND NOT (len(list_filter(tk, w -> w IN ('the','a','of','and',
+            'to','in','is','that','it','for','on','with','as','at',
+            'by','this'))) * 1000 < len(tk) * 20)
+          AND greatest(
+            len(list_filter(tk, w -> w IN ('spark','stream','vector'))),
+            len(list_filter(tk, w -> w IN ('join','filter','scan')))) < 4),
+      survivors AS (
+        SELECT * FROM gated
+        QUALIFY row_number() OVER (PARTITION BY md5(text)
+          ORDER BY doc_id) = 1)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM survivors GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4499,7 +4588,8 @@ object Extensions extends QueryModule {
     x132FilterAttribution, x133RrfFusion, x134KeywordScreen,
     x135CdcChunking, x136TruncationRecall, x137ProfileMerge,
     x138SmallCellSuppression, x139LangConfusion, x140TimeDecay,
-    x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall)
+    x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall,
+    x145ZipfSlope, x146ReleasePipeline)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3393,6 +3393,43 @@ class OpsSpec extends AnyFunSuite {
       "cells must not share noise draws")
   }
 
+  test("zipf slope: exact -1.0 on a perfect 1/rank corpus, relayout-stable") {
+    // counts 12, 6, 4, 3 are exactly 12/rank -> ln-ln line has slope -1
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb")
+      ++ Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val corpus = Seq(("s", text)).toDF("source", "text")
+    val r = TextAnalysis.zipfSlope(corpus, "source", "text", topK = 4).head()
+    assert(r.getLong(1) == 4L && r.getDouble(2) == -1.0, s"got $r")
+    val r2 = TextAnalysis.zipfSlope(corpus.repartition(5), "source", "text",
+      topK = 4).head()
+    assert(r2.getDouble(2) == -1.0)
+  }
+
+  test("release pipeline gates: verdict column, max category hits, dedup composition") {
+    val cats = Map("x" -> Seq("spark"), "y" -> Seq("join", "scan"))
+    val base = "the cat sat on the mat near the door and then it ran away home " * 2
+    val corpus = Seq(
+      (1L, "s", base),                    // passes, survives
+      (2L, "s", base),                    // exact dup of 1 -> dropped
+      (3L, "s", "a b"),                   // too_short -> gated
+      (4L, "s", base + " join scan join scan") // 4 'y' hits -> screened
+    ).toDF("doc_id", "source", "text")
+    val verdicts = corpus.select(col("doc_id"),
+      TextAnalysis.filterVerdict(col("text")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(3L) == "too_short" && verdicts(1L) == "pass")
+    val hits = corpus.select(col("doc_id"),
+      TextAnalysis.keywordMaxHits(col("text"), cats).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hits(4L) == 4 && hits(1L) == 0)
+    val released = corpus
+      .filter(TextAnalysis.filterVerdict(col("text")) === "pass")
+      .filter(TextAnalysis.keywordMaxHits(col("text"), cats) < 4)
+    val survivors = Dedup.exactKeepFirst(released, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L), s"got $survivors")
+  }
+
   test("pair recall: orientation-normalized, duplicates counted once, full cover = 1.0") {
     val exact = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val cands = Seq((2L, 1L), (2L, 1L), (5L, 6L)).toDF("id_a", "id_b")
