@@ -74,7 +74,9 @@ object Plans {
     "x114_canonical_selection" -> "cluster labels left-join on the id; keep-best rank<=1 plans as WindowGroupLimit on the cluster-label shuffle — map tasks pre-prune to their local best",
     "x116_upsample_mixture" -> "pure map + bounded explode: per-stratum (base, threshold) literals ride the plan; membership is an integer compare on the Knuth id-hash — no shuffle, no RNG state",
     "x117_epoch_shuffle" -> "two-phase global rank: bucket counts collected once (<=parts rows), offsets broadcast-join, per-bucket dense rank windows on the bucket shuffle — no global sort, no single-partition window",
-    "x119_padding_stats" -> "one map pass + one map-side-combinable agg on <=maxSeqLen/bucketSize bucket keys — profiling cost independent of corpus size")
+    "x119_padding_stats" -> "one map pass + one map-side-combinable agg on <=maxSeqLen/bucketSize bucket keys — profiling cost independent of corpus size",
+    "x147_entity_resolution" -> "token-blocked equi-join (shuffle-partitioned by token, no cross join); per-side token-df window reuses the blocking exchange; one levenshtein per DISTINCT pair; per-probe best plans as WindowGroupLimit",
+    "x148_bloom_join" -> "might_contain probe sits ON the lineitem scan (upstream of the join exchange) — only Bloom survivors shuffle; the filter build is one distributed aggregate over the small side")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Experiments, Funnel, Layout, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Experiments, Funnel, Joins, Layout, Linkage, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -4546,6 +4546,86 @@ object Extensions extends QueryModule {
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM survivors GROUP BY source ORDER BY source"""))
 
+  /** Blocked fuzzy entity resolution ([[graft.ops.Linkage
+    * .blockedBestMatch]]): a deterministically-dirtied catalog (each
+    * part name loses the last character of its second word — the
+    * OCR/typo shape) is re-linked to the canonical name table by
+    * token blocking + normalized Levenshtein best-match. Hash-green:
+    * the similarity is a rational of two integers rounded at 4, the
+    * assignment tie-break is total (sim DESC, canonical id ASC) —
+    * the x95 levenshtein-replay precedent. The spec pins 100%
+    * re-link accuracy on this perturbation. */
+  private val x147EntityResolution = GraftQuery(
+    "x147_entity_resolution",
+    (s, dir) => {
+      val ents = Tables.part(s, dir)
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).cast("long").as("ent_id"))
+      val w1 = element_at(split(col("name"), " "), 1)
+      val w2 = element_at(split(col("name"), " "), 2)
+      val dirty = ents.select(col("ent_id").as("d_id"),
+        concat_ws(" ", w1, w2.substr(lit(1), length(w2) - 1)).as("d_name"))
+      Linkage.blockedBestMatch(dirty, ents,
+          probeId = "d_id", probeName = "d_name",
+          canonId = "ent_id", canonName = "name")
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH ents AS (
+        SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS ent_id
+        FROM part GROUP BY 1),
+      dirty AS (
+        SELECT ent_id AS probe_id,
+          string_split(name, ' ')[1] || ' ' ||
+          substr(string_split(name, ' ')[2], 1,
+            length(string_split(name, ' ')[2]) - 1) AS probe_name
+        FROM ents),
+      lt AS (SELECT probe_id, probe_name,
+          unnest(list_distinct(string_split(probe_name, ' '))) AS tok
+        FROM dirty),
+      rt AS (SELECT ent_id, name,
+          unnest(list_distinct(string_split(name, ' '))) AS tok
+        FROM ents),
+      cand AS (SELECT DISTINCT l.probe_id, l.probe_name, r.ent_id, r.name
+        FROM lt l JOIN rt r USING (tok)),
+      scored AS (SELECT probe_id, probe_name, ent_id, name,
+          round(1.0 - CAST(levenshtein(probe_name, name) AS DOUBLE)
+            / greatest(length(probe_name), length(name)), 4) AS sim
+        FROM cand)
+      SELECT probe_id, probe_name, ent_id AS matched_id,
+        name AS matched_name, sim
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY probe_id
+        ORDER BY sim DESC, ent_id) = 1
+      ORDER BY probe_id"""))
+
+  /** Bloom semi-join reduction ([[graft.ops.Joins.bloomReducedJoin]]):
+    * lineitem joined to the top-price order slice with the big side
+    * pre-filtered by a Bloom filter of the qualifying order keys
+    * BEFORE the join's exchange — the explicit runtime-filter shape
+    * for selective big-big joins. EXACT despite the sketch (false
+    * positives die in the equi-join), so it oracles as the plain
+    * join; integer-exact measures (count, integral quantity sum)
+    * keep the hash safe. */
+  private val x148BloomJoin = GraftQuery(
+    "x148_bloom_join",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+      val small = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000)
+      Joins.bloomReducedJoin(big, small, "l_orderkey", "o_orderkey",
+          expectedKeys = 20000)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem l
+      JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4589,7 +4669,8 @@ object Extensions extends QueryModule {
     x135CdcChunking, x136TruncationRecall, x137ProfileMerge,
     x138SmallCellSuppression, x139LangConfusion, x140TimeDecay,
     x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall,
-    x145ZipfSlope, x146ReleasePipeline)
+    x145ZipfSlope, x146ReleasePipeline, x147EntityResolution,
+    x148BloomJoin)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

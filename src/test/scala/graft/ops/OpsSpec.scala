@@ -3476,4 +3476,70 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 10.0)), s"got $got")
     assert(got(2L) == ((1L, 1.0)))
   }
+
+  test("linkage: blocked best-match links dirty names, skips blockless probes") {
+    val canon = Seq((1L, "acme corp"), (2L, "globex inc"), (3L, "initech llc"))
+      .toDF("id", "name")
+    val probes = Seq((10L, "acme crop"), (11L, "globex im"), (12L, "zzz qqq"))
+      .toDF("id", "name")
+    val got = Linkage.blockedBestMatch(probes, canon, "id", "name", "id", "name")
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        ((r.getAs[Long]("matched_id"), r.getAs[Double]("sim")))).toMap
+    // "acme crop" ~ "acme corp": lev 2 over len 9 -> 0.7778
+    assert(got(10L) == ((1L, 0.7778)), s"got $got")
+    // "globex im" ~ "globex inc": lev 2 over len 10 -> 0.8
+    assert(got(11L) == ((2L, 0.8)))
+    // probe 12 shares no blocking token with any canonical -> no row at all
+    assert(!got.contains(12L) && got.size == 2)
+  }
+
+  test("linkage: sim ties break toward the smallest canonical id; minSim gates") {
+    val canon = Seq((7L, "ab y"), (5L, "ab x")).toDF("id", "name")
+    val probes = Seq((1L, "ab z")).toDF("id", "name")
+    val best = Linkage.blockedBestMatch(probes, canon, "id", "name", "id", "name")
+      .head()
+    assert(best.getAs[Long]("matched_id") == 5L)
+    assert(Linkage.blockedBestMatch(probes, canon, "id", "name", "id", "name",
+      minSim = 0.9).count() == 0)
+  }
+
+  test("linkage: maxTokenDf drops saturated blocking tokens (the mega-block guard)") {
+    val canon = Seq((1L, "acme corp"), (2L, "beta corp"), (3L, "gamma corp"))
+      .toDF("id", "name")
+    // "corp" appears in 3 canonical rows; with the cap at 2 it stops blocking
+    val viaRare = Seq((10L, "acme corpp")).toDF("id", "name")    // still blocks on "acme"
+    val viaFreqOnly = Seq((11L, "zzz corp")).toDF("id", "name")  // had ONLY "corp"
+    assert(Linkage.blockedBestMatch(viaRare, canon, "id", "name", "id", "name",
+      maxTokenDf = 2).head().getAs[Long]("matched_id") == 1L)
+    assert(Linkage.blockedBestMatch(viaFreqOnly, canon, "id", "name", "id", "name",
+      maxTokenDf = 2).count() == 0)
+  }
+
+  test("bloom-reduced join: exact vs the plain join, prunes most non-keys, guards") {
+    val big = spark.range(0, 1000).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val small = spark.range(0, 1000, 100).toDF("sk") // {0,100,...,900}
+    val reduced = Joins.bloomReducedJoin(big, small, "k", "sk", expectedKeys = 10)
+      .select("k", "payload", "sk")
+    val plain = big.join(small, col("k") === col("sk")).select("k", "payload", "sk")
+    assert(reduced.collect().toSet == plain.collect().toSet)
+    assert(reduced.count() == 10)
+    // semi form: same survivors, big's columns only
+    val semi = Joins.bloomReducedJoin(big, small, "k", "sk",
+      expectedKeys = 10, joinType = "left_semi")
+    assert(semi.columns.toSeq == Seq("k", "payload"))
+    assert(semi.select("k").as[Long].collect().toSet
+      == (0L until 1000L by 100).toSet)
+    // the reduction itself: no false negatives, and ~fpp false positives
+    val kept = Joins.bloomPrefilter(big, small, "k", "sk",
+      expectedKeys = 10, fpp = 0.01).count()
+    assert(kept >= 10 && kept < 100, s"bloom kept $kept of 1000")
+    intercept[IllegalArgumentException] {
+      Joins.bloomReducedJoin(big, small, "k", "sk", 10, joinType = "left_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.bloomReducedJoin(big.withColumn("k", col("k").cast("string")),
+        small, "k", "sk", 10)
+    }
+  }
 }
