@@ -103,7 +103,11 @@ object Plans {
       // whose AQE settling wouldn't reach this one)
       df.queryExecution.toRdd.foreach(_ => ())
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      // collapse huge binary literals (Bloom/CMS sketch bytes riding
+      // the plan) so one constant can't eat the whole 6000-char budget
+      val planTxt = df.queryExecution.executedPlan.toString
+        .replaceAll("0x[0-9A-F]{48,}", "0x<sketch-bytes elided>")
+      sb.append(planTxt.take(6000))
       sb.append("\n```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -379,4 +379,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("x147 linkage: blocked equi-join (no nested loop), best-match pre-prunes as WindowGroupLimit") {
+    val plan = executedPlan("x147_entity_resolution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("x148 bloom join: might_contain probes the big side BEFORE its join exchange") {
+    // elide the filter's hex literal so adjacency is measured over
+    // plan STRUCTURE, not sketch bytes
+    val plan = executedPlan("x148_bloom_join")
+      .replaceAll("0x[0-9A-F]{48,}", "0x<elided>")
+    assert(plan.contains("might_contain"), plan.take(3000))
+    // the probe must sit in the lineitem branch's Filter, adjacent to
+    // its scan — i.e. between the scan and the first exchange/join,
+    // not after the join
+    val probeIdx = plan.indexOf("might_contain")
+    val scanIdx = plan.indexOf("FileScan parquet [l_orderkey")
+    assert(scanIdx > probeIdx && scanIdx - probeIdx < 500,
+      s"probe not adjacent to the big-side scan:\n${plan.take(3000)}")
+  }
 }
