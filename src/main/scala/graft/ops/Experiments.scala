@@ -51,4 +51,37 @@ object Experiments {
       round(p0, 6).as("p_ctrl"), round(p1, 6).as("p_treat"),
       round(p1 - p0, 6).as("lift"), round(z, 6).as("z_score"))
   }
+
+  /** Cohen's kappa between two binary raters — the inter-annotator
+    * agreement readout for heuristic labelers (two quality rules, a
+    * model vs a rule, two redundant human passes) before either label
+    * set is trusted for training. `raterA`/`raterB` must evaluate to
+    * booleans. Returns ONE row: the 2×2 confusion matrix, observed
+    * agreement `po`, chance agreement `pe`, and
+    * `kappa = (po − pe) / (1 − pe)` (ratios rounded to 6; NULL kappa
+    * when pe = 1, i.e. at least one rater is constant — agreement is
+    * then undefined, not 0, and the NULL makes that loud).
+    *
+    * Same determinism/scale contract as [[abConversionLift]]: one
+    * map-side-combinable conditional aggregate to a single row, all
+    * floats derived from integer counts through correctly-rounded
+    * IEEE ops.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean"); val b = raterB.cast("boolean")
+    def cell(pa: Column, pb: Column): Column =
+      sum(when(pa && pb, 1L).otherwise(0L)).cast("long")
+    val agg = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      cell(!a, !b).as("n00"), cell(!a, b).as("n01"),
+      cell(a, !b).as("n10"), cell(a, b).as("n11"))
+    val n = col("n").cast("double")
+    val po = (col("n00") + col("n11")) / n
+    val pa1 = (col("n10") + col("n11")) / n
+    val pb1 = (col("n01") + col("n11")) / n
+    val pe = pa1 * pb1 + (lit(1.0) - pa1) * (lit(1.0) - pb1)
+    agg.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
 }

@@ -267,4 +267,41 @@ object Funnel {
         round(aggregate(sort_array(collect_list(col("__kv"))), lit(0.0),
           (a, s) => a + s.getField("v")), 6).as("score"))
   }
+
+  /** First/last-touch attribution: every conversion event annotated
+    * with the first and the most recent touch event (by the same
+    * user, strictly earlier in `(tsCol, tieCol)` order) — the
+    * marketing-attribution readout over a raw event log. Touches and
+    * conversions are arbitrary predicates, so "purchase attributed to
+    * last click-or-view" and "signup attributed to first referral"
+    * are both one call.
+    *
+    * Plan shape: ONE window shuffle on the user key; the
+    * ignore-nulls first/last carries and the conversion filter all
+    * ride the same sorted partition (no join back to the touch
+    * stream — the x14 as-of union trick generalized to in-stream
+    * attribution). first/last over the same predicate pick fields
+    * from the same row, so type and timestamp always agree.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String,
+      isTouch: org.apache.spark.sql.Column,
+      isConversion: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("first_touch_ts",
+        first(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("first_touch_type",
+        first(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ts",
+        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(isConversion)
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
+        col("first_touch_ts"), col("first_touch_type"),
+        col("last_touch_ts"), col("last_touch_type"))
+  }
 }

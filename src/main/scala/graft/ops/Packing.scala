@@ -250,4 +250,42 @@ object Packing {
           / (col("n_docs") * lit(maxSeqLen.toLong)).cast("double"), 4)
           .as("waste_naive"))
   }
+
+  /** Length-bucketed batch assignment — the inference/training-serving
+    * counterpart of [[paddingStats]]: sequences land in width-`bucketWidth`
+    * length buckets, are ranked inside their bucket by `(length, id)`,
+    * and every `batchSize` consecutive ranks form one batch. Per batch:
+    * size, the padded length (the batch max — what the accelerator
+    * actually pays), token sum, and the padding waste fraction. Batching
+    * similar lengths together is what makes the waste small; the global
+    * (unbucketed) alternative pads everything to the corpus max.
+    *
+    * Scale shape: one shuffle on the bucket key for the in-bucket rank,
+    * then a map-side-combinable aggregate on (bucket, batch) that reuses
+    * the window's partitioning. Bucket count is bounded by maxLen /
+    * bucketWidth, but a single bucket's rank is one task's sort — for a
+    * 100 TB corpus with a degenerate length distribution, narrow
+    * `bucketWidth` first (more buckets = more parallelism); the rank
+    * only needs to be consistent WITHIN a bucket, so buckets never talk
+    * to each other.
+    */
+  def bucketedBatches(df: DataFrame, idCol: String, lenCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "need positive width/batch")
+    import org.apache.spark.sql.expressions.Window
+    val rank = row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col(lenCol), col(idCol)))
+    df.select(col(idCol), col(lenCol))
+      .withColumn("bucket", expr(s"$lenCol div $bucketWidth").cast("long"))
+      .withColumn("batch_ix", floor((rank - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_ix"))
+      .agg(count(lit(1)).cast("long").as("n_seqs"),
+        max(col(lenCol)).cast("long").as("padded_len"),
+        sum(col(lenCol)).cast("long").as("sum_len"))
+      .select(col("bucket"), col("batch_ix"), col("n_seqs"),
+        col("padded_len"), col("sum_len"),
+        round(lit(1.0) - col("sum_len").cast("double")
+          / (col("n_seqs") * col("padded_len")).cast("double"), 6)
+          .as("waste_frac"))
+  }
 }

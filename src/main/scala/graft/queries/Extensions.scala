@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Experiments, Funnel, History, Joins, Layout, Linkage, Multimodal, Privacy, Profiling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Experiments, Funnel, History, Joins, Layout, Linkage, Multimodal, Packing, Privacy, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -4765,6 +4765,102 @@ object Extensions extends QueryModule {
         round(sum_sq_err / n, 6) AS brier
       FROM agg ORDER BY bucket"""))
 
+  /** Inter-labeler agreement ([[graft.ops.Experiments.cohensKappa]]):
+    * two heuristic quality raters (char-length rule vs token-count
+    * rule) scored for chance-corrected agreement before either label
+    * set trains anything. One conditional aggregate to a single row;
+    * all floats derive from the integer confusion matrix through one
+    * IEEE expression tree (the x143 determinism contract). */
+  private val x153CohensKappa = GraftQuery(
+    "x153_cohens_kappa",
+    (s, dir) => Experiments.cohensKappa(Tables.documents(s, dir),
+      raterA = col("n_chars") > 300,
+      raterB = size(split(col("text"), " ")) > 50),
+    Some("""WITH r AS (
+        SELECT (n_chars > 300) AS a,
+               (len(string_split(text, ' ')) > 50) AS b
+        FROM documents),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM r),
+      p AS (
+        SELECT n, n00, n01, n10, n11,
+          (n00 + n11) / CAST(n AS DOUBLE) AS po,
+          ((n10 + n11) / CAST(n AS DOUBLE)) * ((n01 + n11) / CAST(n AS DOUBLE))
+            + (1.0 - (n10 + n11) / CAST(n AS DOUBLE))
+            * (1.0 - (n01 + n11) / CAST(n AS DOUBLE)) AS pe
+        FROM m)
+      SELECT n, n00, n01, n10, n11, round(po, 6) AS po, round(pe, 6) AS pe,
+        round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END, 6) AS kappa
+      FROM p"""))
+
+  /** Length-bucketed batch assignment
+    * ([[graft.ops.Packing.bucketedBatches]]): sequences bucketed by
+    * length band, ranked in-bucket, grouped into fixed-size batches;
+    * per batch the padded length and waste fraction. One shuffle on
+    * the bucket key; the batch aggregate reuses the window's
+    * partitioning. Integer-exact except the final rounded ratio. */
+  private val x154BucketedBatches = GraftQuery(
+    "x154_bucketed_batches",
+    (s, dir) => Packing.bucketedBatches(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        bucketWidth = 100, batchSize = 8)
+      .orderBy(col("bucket"), col("batch_ix")),
+    Some("""WITH b AS (
+        SELECT doc_id, n_chars,
+          CAST(n_chars // 100 AS BIGINT) AS bucket,
+          row_number() OVER (PARTITION BY n_chars // 100
+            ORDER BY n_chars, doc_id) AS rn
+        FROM documents),
+      g AS (
+        SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_ix,
+          CAST(count(*) AS BIGINT) AS n_seqs,
+          CAST(max(n_chars) AS BIGINT) AS padded_len,
+          CAST(sum(n_chars) AS BIGINT) AS sum_len
+        FROM b GROUP BY 1, 2)
+      SELECT bucket, batch_ix, n_seqs, padded_len, sum_len,
+        round(1.0 - CAST(sum_len AS DOUBLE)
+          / CAST(n_seqs * padded_len AS DOUBLE), 6) AS waste_frac
+      FROM g ORDER BY bucket, batch_ix"""))
+
+  /** First/last-touch attribution
+    * ([[graft.ops.Funnel.touchAttribution]]): every purchase
+    * annotated with the user's first and most recent click/view
+    * strictly before it — conditional ignore-nulls carries over ONE
+    * user-keyed window, no join back to the touch stream. Hash-green:
+    * timestamps are exact micros, the (ts, event_id) order is total. */
+  private val x155TouchAttribution = GraftQuery(
+    "x155_touch_attribution",
+    (s, dir) => Funnel.touchAttribution(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        isTouch = col("event_type").isin("click", "view"),
+        isConversion = col("event_type") === "purchase")
+      .orderBy(col("user_id"), col("ts"), col("event_id")),
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      ann AS (
+        SELECT user_id, ts, event_id, event_type,
+          first_value(CASE WHEN event_type IN ('click','view') THEN ts END
+            IGNORE NULLS) OVER w AS first_touch_ts,
+          first_value(CASE WHEN event_type IN ('click','view') THEN event_type
+            END IGNORE NULLS) OVER w AS first_touch_type,
+          last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+            IGNORE NULLS) OVER w AS last_touch_ts,
+          last_value(CASE WHEN event_type IN ('click','view') THEN event_type
+            END IGNORE NULLS) OVER w AS last_touch_type
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT user_id, ts, event_id, event_type,
+        first_touch_ts, first_touch_type, last_touch_ts, last_touch_type
+      FROM ann WHERE event_type = 'purchase'
+      ORDER BY user_id, ts, event_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4810,7 +4906,8 @@ object Extensions extends QueryModule {
     x141Erasure, x142NoisyCounts, x143AbLift, x144DedupRecall,
     x145ZipfSlope, x146ReleasePipeline, x147EntityResolution,
     x148BloomJoin, x149Scd2History, x150RollupReport, x151PivotMatrix,
-    x152Calibration)
+    x152Calibration, x153CohensKappa, x154BucketedBatches,
+    x155TouchAttribution)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3611,4 +3611,71 @@ class OpsSpec extends AnyFunSuite {
       Classifier.calibrationCurve(scored, "id", "score", "label", bins = 1)
     }
   }
+
+  test("cohens kappa: perfect agreement = 1, independence ~ 0, constant rater = NULL") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val p = Experiments.cohensKappa(perfect, col("a"), col("b")).head()
+    assert(p.getAs[Double]("kappa") == 1.0)
+    // 2x2 balanced independence: po = pe = 0.5 -> kappa 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val i = Experiments.cohensKappa(indep, col("a"), col("b")).head()
+    assert(i.getAs[Double]("po") == 0.5 && i.getAs[Double]("pe") == 0.5)
+    assert(i.getAs[Double]("kappa") == 0.0)
+    // one rater constant: chance-correction absorbs it, kappa = 0
+    val oneConst = Seq((true, true), (true, false)).toDF("a", "b")
+    val oc = Experiments.cohensKappa(oneConst, col("a"), col("b")).head()
+    assert(oc.getAs[Double]("kappa") == 0.0)
+    // BOTH raters constant -> pe = 1 -> kappa undefined, NULL not 0/Inf
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val c = Experiments.cohensKappa(const, col("a"), col("b")).head()
+    assert(c.getAs[Double]("pe") == 1.0)
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+  }
+
+  test("bucketed batches: ranks split into batches, waste from batch max, guards") {
+    val seqs = Seq(
+      (1L, 10L), (2L, 12L), (3L, 15L), // bucket 0 (width 100): one batch of 3
+      (4L, 110L), (5L, 120L), (6L, 130L), (7L, 140L) // bucket 1: batch 3 + 1
+    ).toDF("id", "len")
+    val b = Packing.bucketedBatches(seqs, "id", "len", 100, 3)
+      .orderBy("bucket", "batch_ix").collect()
+    assert(b.length == 3)
+    assert(b(0).getAs[Long]("n_seqs") == 3L &&
+      b(0).getAs[Long]("padded_len") == 15L)
+    // bucket 0 waste: 1 - (10+12+15)/(3*15) = 1 - 37/45
+    assert(math.abs(b(0).getAs[Double]("waste_frac") - (1.0 - 37.0 / 45)) < 1e-6)
+    assert(b(1).getAs[Long]("n_seqs") == 3L && b(2).getAs[Long]("n_seqs") == 1L)
+    // a singleton batch pads nothing
+    assert(b(2).getAs[Double]("waste_frac") == 0.0)
+    assertThrows[IllegalArgumentException] {
+      Packing.bucketedBatches(seqs, "id", "len", 0, 3)
+    }
+  }
+
+  test("touch attribution: first/last touch strictly precede, touchless conversion = NULL") {
+    val ev = Seq(
+      (1L, 10L, 1L, "click"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "purchase"),
+      (1L, 40L, 4L, "click"), (1L, 50L, 5L, "purchase"),
+      (2L, 10L, 6L, "purchase") // converts with no prior touch
+    ).toDF("uid", "t", "eid", "et")
+      .withColumn("t", timestamp_micros(col("t")))
+    val a = Funnel.touchAttribution(ev, "uid", "t", "eid", "et",
+        isTouch = col("et").isin("click", "view"),
+        isConversion = col("et") === "purchase")
+      .orderBy("uid", "t").collect()
+    assert(a.length == 3)
+    // first purchase: first touch = click@10, last touch = view@20
+    assert(a(0).getAs[String]("first_touch_type") == "click")
+    assert(a(0).getAs[String]("last_touch_type") == "view")
+    // second purchase: last touch moved to the click@40, first stays
+    assert(a(1).getAs[String]("first_touch_type") == "click")
+    assert(a(1).getAs[String]("last_touch_type") == "click")
+    assert(a(1).getAs[java.sql.Timestamp]("last_touch_ts").getTime / 1000 == 0L ||
+      a(1).getAs[java.sql.Timestamp]("last_touch_ts") != null)
+    // user 2: no touches before converting
+    assert(a(2).isNullAt(a(2).fieldIndex("first_touch_type")))
+    assert(a(2).isNullAt(a(2).fieldIndex("last_touch_ts")))
+  }
 }
