@@ -76,7 +76,11 @@ object Plans {
     "x117_epoch_shuffle" -> "two-phase global rank: bucket counts collected once (<=parts rows), offsets broadcast-join, per-bucket dense rank windows on the bucket shuffle — no global sort, no single-partition window",
     "x119_padding_stats" -> "one map pass + one map-side-combinable agg on <=maxSeqLen/bucketSize bucket keys — profiling cost independent of corpus size",
     "x147_entity_resolution" -> "token-blocked equi-join (shuffle-partitioned by token, no cross join); per-side token-df window reuses the blocking exchange; one levenshtein per DISTINCT pair; per-probe best plans as WindowGroupLimit",
-    "x148_bloom_join" -> "might_contain probe sits ON the lineitem scan (upstream of the join exchange) — only Bloom survivors shuffle; the filter build is one distributed aggregate over the small side")
+    "x148_bloom_join" -> "might_contain probe sits ON the lineitem scan (upstream of the join exchange) — only Bloom survivors shuffle; the filter build is one distributed aggregate over the small side",
+    "x149_scd2_history" -> "ONE exchange on the entity key; the lag filter, version row_number and valid_to lead are consecutive Window nodes over the same sort — no second shuffle",
+    "x150_rollup_report" -> "grouping sets = one Expand over one scan feeding one two-phase aggregate — not three unioned queries",
+    "x154_bucketed_batches" -> "one exchange on the length bucket; the (bucket, batch) aggregate is partial-aggregated on the window's own partitioning",
+    "x155_touch_attribution" -> "all four ignore-nulls carries + the conversion filter ride ONE user-keyed window sort; no join back to the touch stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

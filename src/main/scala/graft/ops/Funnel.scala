@@ -290,18 +290,19 @@ object Funnel {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // all four carries in ONE select so they compile to a single
+    // Window node (one pass per partition); chained withColumn would
+    // plan four Window nodes over the same sort
     events
-      .withColumn("first_touch_ts",
-        first(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
-      .withColumn("first_touch_type",
-        first(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
-      .withColumn("last_touch_ts",
-        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
-      .withColumn("last_touch_type",
-        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
-      .filter(isConversion)
       .select(col(userCol), col(tsCol), col(tieCol), col(typeCol),
-        col("first_touch_ts"), col("first_touch_type"),
-        col("last_touch_ts"), col("last_touch_type"))
+        first(when(isTouch, col(tsCol)), ignoreNulls = true).over(w)
+          .as("first_touch_ts"),
+        first(when(isTouch, col(typeCol)), ignoreNulls = true).over(w)
+          .as("first_touch_type"),
+        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w)
+          .as("last_touch_ts"),
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w)
+          .as("last_touch_type"))
+      .filter(isConversion)
   }
 }

@@ -401,4 +401,48 @@ class PlanSpec extends AnyFunSuite {
     assert(scanIdx > probeIdx && scanIdx - probeIdx < 500,
       s"probe not adjacent to the big-side scan:\n${plan.take(3000)}")
   }
+
+  // node COUNTS must look at the final plan only — AdaptiveSparkPlan's
+  // toString prints the Initial Plan section too, doubling every match
+  private def finalPlanOnly(name: String): String = {
+    val p = executedPlan(name)
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
+  test("x149 scd2: one key exchange feeds the whole lag/version/lead trio") {
+    val plan = finalPlanOnly("x149_scd2_history")
+    // exactly one hashpartitioning exchange (the trailing
+    // rangepartitioning is the driver-contract ORDER BY, not the op's)
+    assert(plan.split("Exchange hashpartitioning\\(user_id").length - 1 == 1,
+      plan.take(3000))
+    // row_number and lead fused into one Window node: 2 Window nodes
+    // total (lag; then version+valid_to together)
+    assert(plan.split("\\n\\s*(?:\\+|:)- Window \\[").length - 1 == 2,
+      plan.take(3000))
+  }
+
+  test("x150 rollup: grouping sets = one Expand + two-phase aggregate, one scan") {
+    val plan = finalPlanOnly("x150_rollup_report")
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(plan.split("FileScan parquet").length - 1 == 1, plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("x154 bucketed batches: batch aggregate rides the rank window's partitioning") {
+    val plan = finalPlanOnly("x154_bucketed_batches")
+    // one hash exchange on the bucket; the (bucket, batch) aggregate
+    // must NOT introduce a second one
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
+  test("x155 attribution: all four touch carries fuse into ONE Window node") {
+    val plan = finalPlanOnly("x155_touch_attribution")
+    assert(plan.split("\\n\\s*(?:\\+|:)- Window \\[").length - 1 == 1,
+      plan.take(3000))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      plan.take(3000))
+  }
 }
