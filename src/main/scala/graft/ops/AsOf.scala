@@ -88,4 +88,50 @@ object AsOf {
 
     if (joinType == "inner") cleaned.filter(col("matched_time").isNotNull) else cleaned
   }
+
+  /** Resample an irregular per-key time series onto a fixed
+    * `stepSeconds` grid with forward fill — the time-series
+    * regularization every downstream feature window assumes (the
+    * batch analog of a stream's "emit latest known value every
+    * tick"). Each key's grid spans its own [first, last] slot; a
+    * slot's value is the LAST observation inside it (by `(tsCol,
+    * tieCol)`), and empty slots carry the previous slot's value
+    * forward. Slots before a key's first observation cannot exist by
+    * construction, so the filled value is never NULL.
+    *
+    * Scale shape: slot reduction is a map-side-combinable
+    * `max(struct(ts, tie, value))` aggregate (no per-slot window
+    * sort); the grid explodes from ONE |keys|-row span frame; fill is
+    * one window over the key partition. Grid size is
+    * span/stepSeconds rows per key — pick the step so key-span ×
+    * density stays bounded (the caller's knob, same contract as
+    * sliding windows).
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val stepUs = stepSeconds * 1000000L
+    val slot = floor(unix_micros(col(tsCol)) / stepUs).cast("long")
+    // last observation per (key, slot): lexicographic struct max —
+    // partial-aggregates map-side, unlike a rank window
+    val slotVals = df
+      .select(col(keyCol).as("k"), slot.as("slot"),
+        struct(col(tsCol).as("t"), col(tieCol).as("tie"),
+          col(valueCol).as("v")).as("obs"))
+      .groupBy(col("k"), col("slot"))
+      .agg(max(col("obs")).as("obs"))
+      .select(col("k"), col("slot"), col("obs.v").as("slot_value"))
+    // one row per key spanning its slot range, exploded to the grid
+    val grid = df
+      .select(col(keyCol).as("k"), slot.as("slot"))
+      .groupBy(col("k"))
+      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = Window.partitionBy(col("k")).orderBy(col("slot"))
+    grid.join(slotVals, Seq("k", "slot"), "left")
+      .select(col("k").as(keyCol),
+        timestamp_micros(col("slot") * stepUs).as("slot_ts"),
+        col("slot_value").isNotNull.cast("int").as("observed"),
+        last(col("slot_value"), ignoreNulls = true).over(w).as("value_ffill"))
+  }
 }

@@ -4861,6 +4861,88 @@ object Extensions extends QueryModule {
       FROM ann WHERE event_type = 'purchase'
       ORDER BY user_id, ts, event_id"""))
 
+  /** Unicode NFC canonicalization
+    * ([[graft.functions.UnicodeNormalize]], the native-Expression
+    * tier — Spark ships no normalizer builtin): decomposed text
+    * (every 'a' turned into a + U+0301 combining acute, the reshape
+    * replayed in both engines) is NFC-composed back; per doc the
+    * decomposed/composed codepoint lengths and the md5 of the
+    * canonical form. Hash-green because NFC is Unicode-standardized:
+    * DuckDB's nfc_normalize produces the identical byte sequence. */
+  private val x156UnicodeNormalize = GraftQuery(
+    "x156_unicode_normalize",
+    (s, dir) => {
+      val dec = regexp_replace(col("text"), "a", "a\u0301")
+      val nfc = graft.functions.TextNormalize.unicodeNormalize(dec)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(dec).cast("long").as("len_decomposed"),
+          length(nfc).cast("long").as("len_nfc"),
+          md5(nfc).as("md5_nfc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dec AS (
+        SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS d
+        FROM documents)
+      SELECT doc_id,
+        CAST(length(d) AS BIGINT) AS len_decomposed,
+        CAST(length(nfc_normalize(d)) AS BIGINT) AS len_nfc,
+        md5(nfc_normalize(d)) AS md5_nfc
+      FROM dec ORDER BY doc_id"""))
+
+  /** DEFLATE compression-ratio quality signal
+    * ([[graft.functions.DeflateRatio]], Gopher-style redundancy
+    * filter): per-doc deflate(bytes)/bytes — sees SEQUENTIAL
+    * redundancy (LZ77) that unigram entropy misses. DEFLATE output is
+    * implementation-defined → rows-only by design; x80 char entropy
+    * is the hash-green distributional cousin and OpsSpec pins the
+    * semantics (repetition compresses, random text doesn't, ratio
+    * ordering). */
+  private val x157CompressionRatio = GraftQuery(
+    "x157_compression_ratio",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(graft.functions.TextNormalize.deflateRatio(col("text")), 4)
+          .as("deflate_ratio"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Fixed-grid resampling with forward fill
+    * ([[graft.ops.AsOf.resampleFfill]]): every user's event values
+    * regularized onto a 6-hour grid — last observation per slot (a
+    * map-side-combinable struct max, no per-slot rank window), empty
+    * slots carry forward. The grid explodes from one |users|-row span
+    * frame. Hash-green: values pass through bit-unchanged, slots are
+    * integer epoch arithmetic. */
+  private val x158ResampleFfill = GraftQuery(
+    "x158_resample_ffill",
+    (s, dir) => AsOf.resampleFfill(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", stepSeconds = 21600L)
+      .orderBy(col("user_id"), col("slot_ts")),
+    Some("""WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, event_id AS eid,
+          value AS v,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS slot
+        FROM events),
+      sv AS (
+        SELECT u, slot, v AS slot_value FROM (
+          SELECT u, slot, v, row_number() OVER (
+            PARTITION BY u, slot ORDER BY t DESC, eid DESC) AS rn
+          FROM ev) WHERE rn = 1),
+      span AS (
+        SELECT u, min(slot) AS lo, max(slot) AS hi FROM ev GROUP BY u),
+      grid AS (
+        SELECT u, unnest(generate_series(lo, hi)) AS slot FROM span),
+      j AS (
+        SELECT g.u, g.slot, sv.slot_value
+        FROM grid g LEFT JOIN sv ON g.u = sv.u AND g.slot = sv.slot)
+      SELECT u AS user_id,
+        make_timestamp(slot * 21600000000) AS slot_ts,
+        CAST(slot_value IS NOT NULL AS INT) AS observed,
+        last_value(slot_value IGNORE NULLS) OVER (
+          PARTITION BY u ORDER BY slot) AS value_ffill
+      FROM j ORDER BY user_id, slot_ts"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4907,7 +4989,8 @@ object Extensions extends QueryModule {
     x145ZipfSlope, x146ReleasePipeline, x147EntityResolution,
     x148BloomJoin, x149Scd2History, x150RollupReport, x151PivotMatrix,
     x152Calibration, x153CohensKappa, x154BucketedBatches,
-    x155TouchAttribution)
+    x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
+    x158ResampleFfill)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

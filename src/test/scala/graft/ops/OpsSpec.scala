@@ -3678,4 +3678,72 @@ class OpsSpec extends AnyFunSuite {
     assert(a(2).isNullAt(a(2).fieldIndex("first_touch_type")))
     assert(a(2).isNullAt(a(2).fieldIndex("last_touch_ts")))
   }
+
+  test("unicode normalize: NFC composes, ASCII passes through, NFKC folds ligatures") {
+    import graft.functions.TextNormalize.unicodeNormalize
+    val t = Seq(
+      (1L, "caf" + "e\u0301"), // e + combining acute (decomposed)
+      (2L, "plain ascii"),
+      (3L, "\uFB01ne")         // fi ligature
+    ).toDF("id", "s")
+    val out = t.select(col("id"),
+        unicodeNormalize(col("s")).as("nfc"),
+        unicodeNormalize(col("s"), "NFKC").as("nfkc"),
+        length(col("s")).as("n0"),
+        length(unicodeNormalize(col("s"))).as("n1"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("nfc") == "caf\u00e9") // composed single codepoint
+    assert(out(0).getAs[Int]("n0") == 5 && out(0).getAs[Int]("n1") == 4)
+    assert(out(1).getAs[String]("nfc") == "plain ascii")
+    // NFC preserves the ligature; NFKC folds it to "fi"
+    assert(out(2).getAs[String]("nfc") == "\uFB01ne")
+    assert(out(2).getAs[String]("nfkc") == "fine")
+    // nulls propagate, bad form rejected at construction
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    assert(withNull.select(unicodeNormalize(col("s"))).head().isNullAt(0))
+    assertThrows[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("s")), "NFX")
+    }
+  }
+
+  test("deflate ratio: repetition compresses far below prose, short strings exceed 1") {
+    import graft.functions.TextNormalize.deflateRatio
+    val t = Seq(
+      (1L, "ab" * 500),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running through fields " * 3),
+      (3L, "xq")
+    ).toDF("id", "s")
+    val m = t.select(col("id"), deflateRatio(col("s")).as("r"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("r")).toMap
+    assert(m(1L) < 0.05)            // pure repetition collapses
+    assert(m(2L) > m(1L) && m(2L) < 1.0) // prose compresses some
+    assert(m(3L) >= 1.0)            // too short: header overhead dominates
+    assertThrows[IllegalArgumentException] {
+      graft.functions.DeflateRatio(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("s")), 0)
+    }
+  }
+
+  test("resample ffill: empty slots carry forward, last obs in slot wins, per-key span") {
+    val ev = Seq(
+      // user 1: two obs in slot 0 (later wins), gap at slot 1, obs at slot 2
+      (1L, 10L * 1000000L, 1L, 1.0), (1L, 20L * 1000000L, 2L, 2.0),
+      (1L, 250L * 1000000L, 3L, 9.0),
+      // user 2: single slot only -> one-row grid
+      (2L, 110L * 1000000L, 4L, 5.0)
+    ).toDF("uid", "tus", "eid", "v")
+      .withColumn("t", timestamp_micros(col("tus"))).drop("tus")
+    val out = AsOf.resampleFfill(ev, "uid", "t", "eid", "v", stepSeconds = 100L)
+      .orderBy("uid", "slot_ts").collect()
+    val u1 = out.filter(_.getAs[Long]("uid") == 1L)
+    assert(u1.length == 3) // slots 0,1,2
+    assert(u1.map(_.getAs[Double]("value_ffill")).toSeq == Seq(2.0, 2.0, 9.0))
+    assert(u1.map(_.getAs[Int]("observed")).toSeq == Seq(1, 0, 1))
+    val u2 = out.filter(_.getAs[Long]("uid") == 2L)
+    assert(u2.length == 1 && u2(0).getAs[Double]("value_ffill") == 5.0)
+    assertThrows[IllegalArgumentException] {
+      AsOf.resampleFfill(ev, "uid", "t", "eid", "v", stepSeconds = 0L)
+    }
+  }
 }
