@@ -268,6 +268,47 @@ object Funnel {
           (a, s) => a + s.getField("v")), 6).as("score"))
   }
 
+  /** Exponentially-weighted daily-volume smoothing per event type —
+    * the drift/anomaly baseline every ingestion monitor keeps: each
+    * day's count against the decay-weighted mean of the trailing
+    * window (`ewma_d = Σ decay^(d-i)·n_i / Σ decay^(d-i)` over
+    * observed days i ≤ d), plus the deviation of today's count from
+    * that baseline. A day with no events contributes nothing (gap
+    * days neither decay nor dilute — the observed-day convention).
+    *
+    * Scale shape: the event stream reduces ONCE to (type, day)
+    * counts — map-side-combinable, the only big-data stage — and the
+    * triangular weighting runs on that bounded frame (|types| ×
+    * |days|², checkpointed so the count aggregate isn't re-executed
+    * for both join sides). Weights/terms are pinned to 9 decimals
+    * before a day-keyed sorted fold (the x140 replay discipline), so
+    * the smoothing is bit-replayable.
+    */
+  def ewmaDailyCounts(events: DataFrame, typeCol: String, tsCol: String,
+      decay: Double = 0.7): DataFrame = {
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
+    val daily = events
+      .select(col(typeCol).as("et"),
+        floor(unix_micros(col(tsCol)) / 86400000000L).cast("long").as("day"))
+      .groupBy(col("et"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true) // consumed by both sides of the self-join
+    val b = daily.select(col("et").as("et_b"), col("day").as("day_b"),
+      col("n").as("n_b"))
+    val gap = col("day") - col("day_b")
+    daily.join(b, col("et") === col("et_b") && col("day_b") <= col("day"))
+      .select(col("et"), col("day"), col("n"), col("day_b"),
+        round(col("n_b") * pow(lit(decay), gap), 9).as("term"),
+        round(pow(lit(decay), gap), 9).as("w"))
+      .groupBy(col("et"), col("day"))
+      .agg(max(col("n")).as("n"),
+        Classifier.sortedFold(col("day_b"), col("term")).as("st"),
+        Classifier.sortedFold(col("day_b"), col("w")).as("sw"))
+      .select(col("et").as(typeCol), col("day"), col("n"),
+        round(col("st") / col("sw"), 6).as("ewma"))
+      .withColumn("deviation", round(col("n") - col("ewma"), 6))
+  }
+
   /** First/last-touch attribution: every conversion event annotated
     * with the first and the most recent touch event (by the same
     * user, strictly earlier in `(tsCol, tieCol)` order) — the

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -269,6 +269,49 @@ object Packing {
     * only needs to be consistent WITHIN a bucket, so buckets never talk
     * to each other.
     */
+  /** Span-corruption mask plan (T5-style, Raffel 2020 §3.1.4): a
+    * deterministic, seedless masking schedule — position `k` of a
+    * document STARTS a span iff an integer hash of `(id, k)` lands in
+    * the 1/`startMod` residue class, and a span covers `spanLen`
+    * consecutive tokens; per document the plan reports token count,
+    * span starts, covered tokens, maximal-run count and mask ratio.
+    * Pure 64-bit integer arithmetic (the x117 multiplicative-hash
+    * shape, key bounded below 1e9 so the product never overflows a
+    * signed 64-bit in ANY engine) → bit-replayable everywhere,
+    * trivially resumable, and the same doc always gets the same mask
+    * regardless of partitioning — the property that makes
+    * deterministic data loading work at 100 TB.
+    *
+    * Scale shape: entirely in-row (higher-order functions over the
+    * token-index range) — zero shuffle, rides the scan.
+    */
+  def maskPlan(df: DataFrame, idCol: String, textCol: String,
+      startMod: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(startMod >= 2 && spanLen >= 1, "need startMod >= 2, spanLen >= 1")
+    val nTok = size(split(col(textCol), " "))
+    // start(k): bounded key, Knuth multiplicative, residue test
+    def isStart(k: Column): Column =
+      (pmod(pmod(col(idCol) * 131L + k, lit(1000000007L)) * 2654435761L,
+        lit(4294967296L)) % startMod) === 0
+    val idx = sequence(lit(0), nTok - 1)
+    val maskedArr = transform(idx, j =>
+      exists(sequence(greatest(lit(0), j - (spanLen - 1)), j), k => isStart(k)))
+    df.select(col(idCol), nTok.cast("long").as("n_tokens"),
+        maskedArr.as("__m"),
+        size(filter(idx, k => isStart(k))).cast("long").as("n_starts"))
+      .select(col(idCol), col("n_tokens"), col("n_starts"),
+        size(filter(col("__m"), m => m)).cast("long").as("n_masked"),
+        // run starts: masked(j) && !masked(j-1); the greatest() guard
+        // keeps element_at's index >= 1 even at j = 0 (ANSI mode
+        // rejects index 0), where the left disjunct already decides
+        size(filter(sequence(lit(0), size(col("__m")) - 1), j =>
+          element_at(col("__m"), j + 1) &&
+            (j === 0 || !element_at(col("__m"), greatest(j, lit(1)))))).cast("long")
+          .as("n_spans"))
+      .withColumn("mask_ratio",
+        round(col("n_masked").cast("double") / col("n_tokens"), 4))
+  }
+
   def bucketedBatches(df: DataFrame, idCol: String, lenCol: String,
       bucketWidth: Int, batchSize: Int): DataFrame = {
     require(bucketWidth > 0 && batchSize > 0, "need positive width/batch")

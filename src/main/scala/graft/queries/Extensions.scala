@@ -4943,6 +4943,77 @@ object Extensions extends QueryModule {
           PARTITION BY u ORDER BY slot) AS value_ffill
       FROM j ORDER BY user_id, slot_ts"""))
 
+  /** Span-corruption mask plan ([[graft.ops.Packing.maskPlan]],
+    * T5-style): deterministic seedless masking schedule from pure
+    * 64-bit integer arithmetic — per doc the span starts, covered
+    * tokens, maximal runs and mask ratio. Entirely in-row (HOFs over
+    * the token-index range, zero shuffle); the same doc masks
+    * identically at any partitioning. Hash-green: both engines run
+    * the identical integer recurrence. */
+  private val x159MaskPlan = GraftQuery(
+    "x159_mask_plan",
+    (s, dir) => Packing.maskPlan(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_tokens,
+          list_transform(range(0, n_tokens), j ->
+            len(list_filter(
+              range(CASE WHEN j - 2 > 0 THEN j - 2 ELSE 0 END, j + 1),
+              k -> ((((doc_id * 131 + k) % 1000000007) * 2654435761)
+                % 4294967296) % 20 = 0)) > 0) AS masked,
+          len(list_filter(range(0, n_tokens),
+            k -> ((((doc_id * 131 + k) % 1000000007) * 2654435761)
+              % 4294967296) % 20 = 0)) AS n_starts
+        FROM t)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_starts AS BIGINT) AS n_starts,
+        CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_masked,
+        CAST(len(list_filter(range(0, len(masked)), j ->
+          masked[j + 1] AND (j = 0 OR NOT masked[j]))) AS BIGINT) AS n_spans,
+        round(CAST(len(list_filter(masked, x -> x)) AS DOUBLE)
+          / n_tokens, 4) AS mask_ratio
+      FROM m ORDER BY doc_id"""))
+
+  /** EWMA ingestion-volume baseline
+    * ([[graft.ops.Funnel.ewmaDailyCounts]]): per event type, each
+    * day's count against the decay-weighted mean of its trailing
+    * observed days, plus the deviation — the drift monitor for a
+    * recurring feed. The event stream reduces once to (type, day);
+    * the triangular weighting runs on that bounded frame with
+    * 9-decimal-pinned terms through day-keyed sorted folds (the x140
+    * replay discipline). */
+  private val x160EwmaDaily = GraftQuery(
+    "x160_ewma_daily",
+    (s, dir) => Funnel.ewmaDailyCounts(
+        Tables.events(s, dir), "event_type", "ts", decay = 0.7)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH daily AS (
+        SELECT event_type AS et,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      terms AS (
+        SELECT a.et, a.day, a.n, b.day AS day_b,
+          round(b.n * pow(0.7, a.day - b.day), 9) AS term,
+          round(pow(0.7, a.day - b.day), 9) AS w
+        FROM daily a JOIN daily b ON a.et = b.et AND b.day <= a.day),
+      agg AS (
+        SELECT et, day, max(n) AS n,
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := day_b, v := term))),
+            s -> struct_extract(s, 'v'))) AS st,
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := day_b, v := w))),
+            s -> struct_extract(s, 'v'))) AS sw
+        FROM terms GROUP BY 1, 2)
+      SELECT et AS event_type, day, n,
+        round(st / sw, 6) AS ewma,
+        round(n - round(st / sw, 6), 6) AS deviation
+      FROM agg ORDER BY event_type, day"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -4990,7 +5061,7 @@ object Extensions extends QueryModule {
     x148BloomJoin, x149Scd2History, x150RollupReport, x151PivotMatrix,
     x152Calibration, x153CohensKappa, x154BucketedBatches,
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
-    x158ResampleFfill)
+    x158ResampleFfill, x159MaskPlan, x160EwmaDaily)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3746,4 +3746,62 @@ class OpsSpec extends AnyFunSuite {
       AsOf.resampleFfill(ev, "uid", "t", "eid", "v", stepSeconds = 0L)
     }
   }
+
+  test("mask plan: scala-reference replay, runs merge overlapping spans, partition-invariant") {
+    val d = Seq((7L, Array.fill(40)("w").mkString(" ")),
+      (8L, "a b c")).toDF("doc_id", "text")
+    val out = Packing.maskPlan(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // plain-scala reference of the same integer recurrence
+    def ref(id: Long, n: Int): (Long, Long, Long) = {
+      def start(k: Int): Boolean =
+        ((id * 131 + k) % 1000000007L) * 2654435761L % 4294967296L % 20 == 0
+      val masked = (0 until n).map(j =>
+        (math.max(0, j - 2) to j).exists(start))
+      val spans = (0 until n).count(j => masked(j) && (j == 0 || !masked(j - 1)))
+      ((0 until n).count(start), masked.count(identity), spans)
+    }
+    for (r <- out) {
+      val (starts, m, spans) =
+        ref(r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens").toInt)
+      assert(r.getAs[Long]("n_starts") == starts)
+      assert(r.getAs[Long]("n_masked") == m)
+      assert(r.getAs[Long]("n_spans") == spans)
+      // overlapping starts merge: runs never exceed starts
+      assert(r.getAs[Long]("n_spans") <= r.getAs[Long]("n_starts") ||
+        r.getAs[Long]("n_starts") == 0)
+    }
+    // partitioning cannot change a per-row plan
+    val re = Packing.maskPlan(d.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq == re.map(_.toString).toSeq)
+    assertThrows[IllegalArgumentException] {
+      Packing.maskPlan(d, "doc_id", "text", startMod = 1)
+    }
+  }
+
+  test("ewma daily: first day equals its count, constant series stays flat, gaps skip") {
+    val ev = Seq(
+      // type A: 4,4,4 on days 0,1,2 -> ewma always 4, deviation 0
+      (1L, 0L, "A"), (2L, 0L, "A"), (3L, 0L, "A"), (4L, 0L, "A"),
+      (5L, 1L, "A"), (6L, 1L, "A"), (7L, 1L, "A"), (8L, 1L, "A"),
+      (9L, 2L, "A"), (10L, 2L, "A"), (11L, 2L, "A"), (12L, 2L, "A"),
+      // type B: day 0 count 1, day 5 count 3 (gap days don't dilute)
+      (13L, 0L, "B"), (14L, 5L, "B"), (15L, 5L, "B"), (16L, 5L, "B")
+    ).toDF("eid", "d", "et")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L)).drop("d")
+    val out = Funnel.ewmaDailyCounts(ev, "et", "t", decay = 0.5)
+      .orderBy("et", "day").collect()
+    val a = out.filter(_.getAs[String]("et") == "A")
+    assert(a.map(_.getAs[Double]("ewma")).forall(_ == 4.0))
+    assert(a.map(_.getAs[Double]("deviation")).forall(_ == 0.0))
+    val b = out.filter(_.getAs[String]("et") == "B")
+    // day 0: baseline = own count
+    assert(b(0).getAs[Double]("ewma") == 1.0)
+    // day 5: w = {0.5^5 for day0, 1 for day5} -> (1*0.03125 + 3)/(1.03125)
+    assert(math.abs(b(1).getAs[Double]("ewma") - (3.03125 / 1.03125)) < 1e-6)
+    assertThrows[IllegalArgumentException] {
+      Funnel.ewmaDailyCounts(ev, "et", "t", decay = 1.0)
+    }
+  }
 }
