@@ -80,7 +80,9 @@ object Plans {
     "x149_scd2_history" -> "ONE exchange on the entity key; the lag filter, version row_number and valid_to lead are consecutive Window nodes over the same sort — no second shuffle",
     "x150_rollup_report" -> "grouping sets = one Expand over one scan feeding one two-phase aggregate — not three unioned queries",
     "x154_bucketed_batches" -> "one exchange on the length bucket; the (bucket, batch) aggregate is partial-aggregated on the window's own partitioning",
-    "x155_touch_attribution" -> "all four ignore-nulls carries + the conversion filter ride ONE user-keyed window sort; no join back to the touch stream")
+    "x155_touch_attribution" -> "all four ignore-nulls carries + the conversion filter ride ONE user-keyed window sort; no join back to the touch stream",
+    "x161_prefix_filter_join" -> "EXACT similarity self-join, no sketch: checkpointed shingle table feeds df-count and sorted collect; prefix explode joins shuffle-hash on the shingle; bare id pairs through the distinct; one checkpointed-array rejoin verifies — no nested loop anywhere",
+    "x162_burstiness" -> "one exchange on the user key; the gap lag window and the per-user aggregate share its sort/partitioning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -404,6 +404,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family, Bayardo 2007 "Scaling Up All Pairs
+    * Similarity Search" / Xiao 2008 PPJoin) — every pair of documents
+    * whose distinct word-`shingleSize`-gram Jaccard (the x43/x10 set
+    * definition) meets `thresholdTenths/10`, with a COMPLETENESS
+    * GUARANTEE the MinHash paths trade away: order each document's
+    * shingles by ascending global frequency (rarest first,
+    * ties by shingle), take the prefix of length
+    * `|s| − ⌈t·|s|⌉ + 1`; any pair with J ≥ t must share a prefix
+    * token, so joining on prefix tokens alone misses nothing.
+    * Verification computes exact Jaccard on the candidates via the
+    * integer test `10·|a∩b| ≥ thresholdTenths·(|a|+|b|−|a∩b|)` — no
+    * float threshold boundary anywhere (the threshold is passed in
+    * TENTHS for exactly this reason; ⌈t·|s|⌉ is the integer
+    * `(thresholdTenths·|s| + 9) div 10`).
+    *
+    * Scale shape: one (token → df) two-phase count, one sorted
+    * collect per doc (the doc's own tokens — bounded by doc length),
+    * prefix explode (a FRACTION (1−t) of each doc's tokens), a
+    * shuffle-hash self-join on the prefix token, bare id pairs
+    * through the distinct, and one array rejoin for verification.
+    * Rare-first ordering is the whole trick: a token of global
+    * frequency d can generate at most C(d,2) candidate pairs, and
+    * frequent tokens only enter a prefix when a doc has nothing
+    * rarer — the length filter `|b| ≥ ⌈t·|a|⌉` prunes the rest. No
+    * sketch, no recall knob, no bucket cap needed for correctness.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdTenths: Int = 7, shingleSize: Int = 3): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 9,
+      s"thresholdTenths must be in [1,9], got $thresholdTenths")
+    val toks = Parallelism.ensure(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(
+          TextAnalysis.wordNgrams(col(textCol), shingleSize))).as("w"))
+      .localCheckpoint(true) // feeds df-count AND the sorted collect
+    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val sorted = toks.hint("shuffle_hash")
+      .join(dfreq.hint("shuffle_hash"), "w")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("d"), col("w")))).as("tw"))
+      .select(col("id"),
+        transform(col("tw"), s => s.getField("w")).as("toks"),
+        size(col("tw")).as("sz"))
+      .localCheckpoint(true) // feeds the prefix explode AND both verify rejoins
+    // prefix length |s| - ceil(t*|s|) + 1, all-integer
+    val p = col("sz") - floor((col("sz") * thresholdTenths + 9) / 10) + 1
+    val pre = sorted.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1), p.cast("int"))).as("w"))
+    val cands = pre.as("a").hint("shuffle_hash")
+      .join(pre.as("b").hint("shuffle_hash"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id")
+          // length filter: J >= t forces t*|a| <= |b| (and symmetric)
+          && col("b.sz") * 10 >= col("a.sz") * thresholdTenths
+          && col("a.sz") * 10 >= col("b.sz") * thresholdTenths)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands.hint("shuffle_hash")
+      .join(sorted.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("sza")).hint("shuffle_hash"), "id_a")
+      .join(sorted.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("szb")).hint("shuffle_hash"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * thresholdTenths)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
   /** Containment candidates via winnowing fingerprints (MOSS scheme):
     * documents sharing ≥ `minShared` fingerprints — the detector for
     * copied PASSAGES (quotes, boilerplate, partial plagiarism) that

@@ -268,6 +268,46 @@ object Funnel {
           (a, s) => a + s.getField("v")), 6).as("score"))
   }
 
+  /** Per-user inter-arrival statistics + burstiness (Goh & Barabási
+    * 2008, B = (σ−μ)/(σ+μ) over the gap distribution): the behavioral
+    * signature separating periodic/bot traffic (B → −1), Poisson
+    * arrivals (B ≈ 0) and bursty humans (B → 1). Gaps are truncated
+    * to integer SECONDS so every sum is exact 64-bit arithmetic
+    * (micros-squared would overflow; documented bound: Σ gap² per
+    * user < 2⁶³ holds for any realistic per-user history), and σ/μ/B
+    * derive from those integer sums through one fixed IEEE tree —
+    * the x143 determinism contract. Emits only users with ≥ 2 gaps
+    * (a variance needs them).
+    *
+    * Scale shape: one window shuffle on the user key for the lag,
+    * then a per-user aggregate riding the same partitioning.
+    */
+  def interArrivalStats(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    // floor-div: the micros delta is < 2^52, so the double division is
+    // boundary-safe and floor() == integer division on both engines
+    val gapS = floor((unix_micros(col(tsCol))
+      - unix_micros(lag(col(tsCol), 1).over(w))) / 1000000L).cast("long")
+    val agg = events
+      .withColumn("gap_s", gapS)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        count(col("gap_s")).cast("long").as("n_gaps"),
+        sum(col("gap_s")).cast("long").as("sg"),
+        sum(col("gap_s") * col("gap_s")).cast("long").as("ssq"))
+      .filter(col("n_gaps") >= 2)
+    val mean = col("sg").cast("double") / col("n_gaps")
+    val variance = greatest(
+      col("ssq").cast("double") / col("n_gaps") - mean * mean, lit(0.0))
+    val sd = sqrt(variance)
+    agg.select(col(userCol), col("n_events"), col("n_gaps"),
+      round(mean, 2).as("mean_gap_s"),
+      round(sd, 2).as("sd_gap_s"),
+      round(when(sd + mean > 0, (sd - mean) / (sd + mean)), 6)
+        .as("burstiness"))
+  }
+
   /** Exponentially-weighted daily-volume smoothing per event type —
     * the drift/anomaly baseline every ingestion monitor keeps: each
     * day's count against the decay-weighted mean of the trailing

@@ -5014,6 +5014,89 @@ object Extensions extends QueryModule {
         round(n - round(st / sw, 6), 6) AS deviation
       FROM agg ORDER BY event_type, day"""))
 
+  /** EXACT set-similarity self-join via prefix filtering
+    * ([[graft.ops.Dedup.prefixFilterJaccardPairs]], Bayardo 2007 /
+    * PPJoin): every trigram-set pair at J ≥ 0.7, with the
+    * completeness guarantee the MinHash candidates (x8/x10/x42) trade
+    * away — rare-first prefixes must collide for any qualifying pair.
+    * Thresholds live in TENTHS so both the prefix length and the
+    * verify test are pure integer arithmetic (no float boundary).
+    * Hash-green: the oracle replays the frequency ordering, prefix
+    * slice, length filter and integer verify. */
+  private val x161PrefixFilterJoin = GraftQuery(
+    "x161_prefix_filter_join",
+    (s, dir) => Dedup.prefixFilterJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        thresholdTenths = 7, shingleSize = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END)) AS w
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+              FROM documents)),
+      df AS (SELECT w, count(*) AS d FROM tok GROUP BY w),
+      sorted AS (
+        SELECT doc_id, list(w ORDER BY d, w) AS toks, count(*) AS sz
+        FROM tok JOIN df USING (w) GROUP BY doc_id),
+      pre AS (
+        SELECT doc_id, sz,
+          unnest(toks[1 : CAST(sz - (sz * 7 + 9) // 10 + 1 AS INT)]) AS w
+        FROM sorted),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+          AND b.sz * 10 >= a.sz * 7 AND a.sz * 10 >= b.sz * 7),
+      ver AS (
+        SELECT id_a, id_b,
+          len(list_intersect(sa.toks, sb.toks)) AS inter,
+          sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)) AS uni
+        FROM cand
+        JOIN sorted sa ON sa.doc_id = cand.id_a
+        JOIN sorted sb ON sb.doc_id = cand.id_b)
+      SELECT id_a, id_b,
+        round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+      FROM ver WHERE inter * 10 >= uni * 7
+      ORDER BY id_a, id_b"""))
+
+  /** Inter-arrival burstiness per user
+    * ([[graft.ops.Funnel.interArrivalStats]], Goh–Barabási B):
+    * gap sums are exact integer seconds, σ/μ/B derive through one
+    * fixed IEEE tree (the x143 contract) — hash-green. One user-keyed
+    * window + an aggregate riding the same partitioning. */
+  private val x162Burstiness = GraftQuery(
+    "x162_burstiness",
+    (s, dir) => Funnel.interArrivalStats(Tables.events(s, dir),
+        "user_id", "ts", "event_id")
+      .orderBy(col("user_id")),
+    Some("""WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t, event_id AS eid
+        FROM events),
+      g AS (
+        SELECT u,
+          (epoch_us(t) - epoch_us(lag(t) OVER (
+            PARTITION BY u ORDER BY t, eid))) // 1000000 AS gap_s
+        FROM ev),
+      agg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(gap_s) AS BIGINT) AS n_gaps,
+          CAST(sum(gap_s) AS BIGINT) AS sg,
+          CAST(sum(gap_s * gap_s) AS BIGINT) AS ssq
+        FROM g GROUP BY u HAVING count(gap_s) >= 2),
+      m AS (
+        SELECT u, n_events, n_gaps,
+          CAST(sg AS DOUBLE) / n_gaps AS mean,
+          sqrt(greatest(CAST(ssq AS DOUBLE) / n_gaps
+            - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps),
+            0.0)) AS sd
+        FROM agg)
+      SELECT u AS user_id, n_events, n_gaps,
+        round(mean, 2) AS mean_gap_s, round(sd, 2) AS sd_gap_s,
+        round(CASE WHEN sd + mean > 0 THEN (sd - mean) / (sd + mean) END, 6)
+          AS burstiness
+      FROM m ORDER BY user_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5061,7 +5144,8 @@ object Extensions extends QueryModule {
     x148BloomJoin, x149Scd2History, x150RollupReport, x151PivotMatrix,
     x152Calibration, x153CohensKappa, x154BucketedBatches,
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
-    x158ResampleFfill, x159MaskPlan, x160EwmaDaily)
+    x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
+    x161PrefixFilterJoin, x162Burstiness)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -438,6 +438,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), plan.take(3000))
   }
 
+  test("x161 prefix-filter join: exact similarity join with zero nested loops") {
+    val plan = executedPlan("x161_prefix_filter_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("x162 burstiness: lag window and per-user aggregate share one exchange") {
+    val plan = finalPlanOnly("x162_burstiness")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+  }
+
   test("x155 attribution: all four touch carries fuse into ONE Window node") {
     val plan = finalPlanOnly("x155_touch_attribution")
     assert(plan.split("\\n\\s*(?:\\+|:)- Window \\[").length - 1 == 1,

@@ -3804,4 +3804,53 @@ class OpsSpec extends AnyFunSuite {
       Funnel.ewmaDailyCounts(ev, "et", "t", decay = 1.0)
     }
   }
+
+  test("prefix-filter join: complete vs brute force, integer threshold, guards") {
+    // brute-force reference: distinct word-trigram Jaccard over all pairs
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split("\\s+").toSeq
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rows = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> grams(r.getAs[String]("text")))
+    val expected = (for {
+      (ia, ga) <- rows; (ib, gb) <- rows if ia < ib
+      inter = (ga & gb).size; uni = ga.size + gb.size - inter
+      if inter * 10 >= uni * 5
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty) // fixture plants exact + near dups
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        thresholdTenths = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the exact-dup pair scores 1.0 exactly
+    val j = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 5)
+      .filter(col("id_a") === 1 && col("id_b") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+    assertThrows[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", thresholdTenths = 0)
+    }
+  }
+
+  test("burstiness: periodic = -1, bursty > 0, single-gap users excluded") {
+    val ev = Seq(
+      // user 1: perfectly periodic (gap 100 s x3) -> sd 0, B = -1
+      (1L, 0L), (1L, 100L), (1L, 200L), (1L, 300L),
+      // user 2: bursty (gaps 1, 1, 998) -> sd >> mean, B > 0
+      (2L, 0L), (2L, 1L), (2L, 2L), (2L, 1000L),
+      // user 3: only two events (one gap) -> excluded
+      (3L, 0L), (3L, 50L)
+    ).zipWithIndex.map { case ((u, s), i) => (u, s * 1000000L, i.toLong) }
+      .toDF("uid", "tus", "eid")
+      .withColumn("t", timestamp_micros(col("tus"))).drop("tus")
+    val out = Funnel.interArrivalStats(ev, "uid", "t", "eid")
+      .orderBy("uid").collect()
+    assert(out.map(_.getAs[Long]("uid")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Double]("burstiness") == -1.0)
+    assert(out(0).getAs[Double]("mean_gap_s") == 100.0)
+    assert(out(0).getAs[Double]("sd_gap_s") == 0.0)
+    assert(out(1).getAs[Double]("burstiness") > 0.0)
+  }
 }
