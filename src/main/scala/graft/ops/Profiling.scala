@@ -101,4 +101,44 @@ object Profiling {
       .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
   }
+
+  /** Footer-metadata statistics: COUNT/MIN/MAX per column answered by
+    * parquet row-group footers via DSv2 AGGREGATE PUSHDOWN — the scan
+    * reads statistics pages, not data pages, so profiling a 100 TB
+    * table costs one footer read per file instead of a full scan
+    * (the plan shows `PushedAggregation: [COUNT(*), MIN(..), ..]`,
+    * spec-asserted). Same answers as [[columnProfile]]'s count/min/max
+    * without touching a single value.
+    *
+    * The v2 reader + pushdown flags are session confs, so they are
+    * set only around PLANNING and restored in a finally — the single
+    * result row (bounded by construction: one row, 1 + 2·|cols|
+    * scalars) is collected eagerly under the flags and handed back as
+    * a local frame; no other query in the session ever sees the
+    * changed confs. MIN/MAX pushdown covers orderable primitive
+    * columns; strings are fine, nested/variant types are not (Spark
+    * falls back to a real scan — still correct, just not
+    * metadata-only).
+    */
+  def metadataStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val conf = spark.conf
+    val oldV1 = conf.get("spark.sql.sources.useV1SourceList")
+    val oldPush = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val aggs = count(lit(1)).cast("long").as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c")))
+      val row = spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+      val out = row.collect() // one row, under the pushdown confs
+      spark.createDataFrame(
+        java.util.Arrays.asList(out: _*), row.schema)
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", oldV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", oldPush)
+    }
+  }
 }

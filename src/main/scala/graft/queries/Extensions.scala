@@ -5097,6 +5097,23 @@ object Extensions extends QueryModule {
           AS burstiness
       FROM m ORDER BY user_id"""))
 
+  /** Footer-metadata profiling ([[graft.ops.Profiling.metadataStats]]):
+    * COUNT/MIN/MAX answered from parquet row-group statistics via
+    * DSv2 aggregate pushdown — the scan reads footers, not data pages
+    * (`PushedAggregation` in the plan, spec-asserted), so this costs
+    * one footer read per file at 100 TB. Hash-green: footer stats
+    * equal the data stats by parquet's own contract. */
+  private val x163MetadataStats = GraftQuery(
+    "x163_metadata_stats",
+    (s, dir) => Profiling.metadataStats(
+      s, s"$dir/documents.parquet", Seq("doc_id", "n_chars")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+        CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+        CAST(max(n_chars) AS BIGINT) AS max_n_chars
+      FROM documents"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5145,7 +5162,7 @@ object Extensions extends QueryModule {
     x152Calibration, x153CohensKappa, x154BucketedBatches,
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
-    x161PrefixFilterJoin, x162Burstiness)
+    x161PrefixFilterJoin, x162Burstiness, x163MetadataStats)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3853,4 +3853,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("sd_gap_s") == 0.0)
     assert(out(1).getAs[Double]("burstiness") > 0.0)
   }
+
+  test("metadata stats: pushdown answers match a real scan, confs restored") {
+    import graft.SparkTestSession.sfDir
+    val path = s"$sfDir/documents.parquet"
+    val got = Profiling.metadataStats(spark, path, Seq("doc_id", "n_chars"))
+      .head()
+    val ref = spark.read.parquet(path)
+      .agg(count(lit(1)), min("doc_id"), max("doc_id"),
+        min("n_chars"), max("n_chars")).head()
+    assert(got.getAs[Long]("n_rows") == ref.getLong(0))
+    assert(got.getAs[Long]("min_doc_id") == ref.getLong(1))
+    assert(got.getAs[Long]("max_doc_id") == ref.getLong(2))
+    assert(got.getAs[Long]("min_n_chars") == ref.getLong(3))
+    assert(got.getAs[Long]("max_n_chars") == ref.getLong(4))
+    // the v2/pushdown flags must not leak into the session
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+    // and the pushdown actually happens: same agg under the flags
+    // plans a footer-only BatchScan
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val oldV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet(path)
+        .agg(count(lit(1)), min("n_chars"), max("n_chars"))
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT(*), MIN(n_chars), MAX(n_chars)]"))
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", oldV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
 }
