@@ -51,4 +51,44 @@ object Sessionize {
         count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_start"), col("session_end"),
         col("n_events"))
+
+  /** Top-k session PATHS — the k-step behavioral patterns (`view >
+    * click > purchase`) that first-order transitions (x91) cannot
+    * see: sessions form by the gaps-and-islands rule (a new session
+    * when the gap STRICTLY exceeds `gapSeconds` — the
+    * [[sessionStats]] boundary convention, replayable in ANSI SQL
+    * unlike `session_window`), each session's first `maxLen` event
+    * types join into a path, and the most common paths surface.
+    *
+    * Scale shape: the lag flag and the running session-id sum share
+    * ONE user-keyed exchange, and the per-session collect groups on
+    * (user, session) — a superset of that partitioning, so no second
+    * shuffle before the small (path → count) aggregate; the final
+    * top-k plans as TakeOrdered, never a total sort. Ties break by
+    * path for a total order.
+    */
+  def topSessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long = 1800L,
+      maxLen: Int = 5, k: Int = 20): DataFrame = {
+    require(gapSeconds > 0 && maxLen >= 1 && k >= 1, "positive gap/len/k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull
+      || unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__ns", newSession)
+      .withColumn("__sid", sum(col("__ns")).over(w))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol).as("et")))).as("evs"))
+      .select(array_join(
+        slice(transform(col("evs"), e => e.getField("et")), 1, maxLen), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

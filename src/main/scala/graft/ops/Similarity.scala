@@ -1297,4 +1297,38 @@ object Similarity {
               element_at(col(vecCol), i + 1).cast("double") * sign(i, j))
           / lit(math.sqrt(outDim.toDouble)), 4)).as("projection"))
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the
+    * feature-scaling profile (mean/std/min/max per coordinate) a
+    * standardization or whitening step reads before transforming
+    * anything, and the drift monitor for an embedding model swap
+    * (a shifted dimension flags a re-embed). float32 components cast
+    * to double exactly; `exact = true` pins the two cross-row sums
+    * with id-keyed sorted folds (oracle-replayable), `exact = false`
+    * is the constant-buffer production twin (x110/x111 discipline).
+    * σ clamps the IEEE `ssq/n − μ²` at 0 so a constant dimension
+    * can't produce sqrt(−1e−17).
+    *
+    * Scale shape: one posexplode + one (dim)-keyed aggregate —
+    * |dims| output rows regardless of corpus size.
+    */
+  def dimensionStats(df: DataFrame, idCol: String, vecCol: String,
+      exact: Boolean = true): DataFrame = {
+    def fold(k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      if (exact) Classifier.sortedFold(k, v) else sum(v)
+    val comps = Parallelism.ensure(df)
+      .select(col(idCol).cast("long").as("id"), posexplode(col(vecCol)))
+      .select(col("id"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").as("v"))
+    val agg = comps.groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        fold(col("id"), col("v")).as("sv"),
+        fold(col("id"), col("v") * col("v")).as("ssq"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val mean = col("sv") / col("n")
+    val sd = sqrt(greatest(col("ssq") / col("n") - mean * mean, lit(0.0)))
+    agg.select(col("dim").cast("long").as("dim"), col("n"),
+      round(mean, 6).as("mean"), round(sd, 6).as("std"),
+      round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
-import graft.ops.{AsOf, Dedup, Experiments, Funnel, History, Joins, Layout, Linkage, Multimodal, Packing, Privacy, Profiling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Experiments, Funnel, History, Joins, Layout, Linkage, Multimodal, Packing, Privacy, Profiling, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline extension operators (BASELINE.json north star):
@@ -5114,6 +5114,73 @@ object Extensions extends QueryModule {
         CAST(max(n_chars) AS BIGINT) AS max_n_chars
       FROM documents"""))
 
+  /** Per-dimension embedding statistics
+    * ([[graft.ops.Similarity.dimensionStats]]): the feature-scaling
+    * profile (mean/std/min/max per coordinate) before any
+    * standardization/whitening, and the drift monitor for an
+    * embedding-model swap. Cross-row sums are id-keyed sorted folds
+    * (x110 discipline; `exact=false` is the constant-buffer twin).
+    * |dims| output rows regardless of corpus size. */
+  private val x164DimensionStats = GraftQuery(
+    "x164_dimension_stats",
+    (s, dir) => Similarity.dimensionStats(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("dim")),
+    Some("""WITH comps AS (
+        SELECT vec_id AS id,
+          unnest(range(1, len(embedding) + 1)) AS dim,
+          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM embeddings),
+      agg AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := id, v := v))),
+            s -> struct_extract(s, 'v'))) AS sv,
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := id, v := v * v))),
+            s -> struct_extract(s, 'v'))) AS ssq,
+          min(v) AS mn, max(v) AS mx
+        FROM comps GROUP BY dim)
+      SELECT CAST(dim AS BIGINT) AS dim, n,
+        round(sv / n, 6) AS mean,
+        round(sqrt(greatest(ssq / n - (sv / n) * (sv / n), 0.0)), 6) AS std,
+        round(mn, 6) AS min_v, round(mx, 6) AS max_v
+      FROM agg ORDER BY dim"""))
+
+  /** Top-k session paths ([[graft.ops.Sessionize.topSessionPaths]]):
+    * k-step behavioral patterns via ANSI-replayable gaps-and-islands
+    * sessions (lag flag + running sum share one user exchange; the
+    * session collect groups on a superset of that partitioning —
+    * no second shuffle; top-k is TakeOrdered). Total (count DESC,
+    * path) order makes the k-cut deterministic. */
+  private val x165SessionPaths = GraftQuery(
+    "x165_session_paths",
+    (s, dir) => Sessionize.topSessionPaths(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type"),
+    Some("""WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+          event_id AS eid, event_type AS et
+        FROM events),
+      f AS (
+        SELECT u, t, eid, et,
+          CASE WHEN lag(t) OVER w IS NULL
+            OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+      s AS (
+        SELECT u, t, eid, et,
+          sum(ns) OVER (PARTITION BY u ORDER BY t, eid) AS sid
+        FROM f),
+      p AS (
+        SELECT u, sid,
+          array_to_string(list(et ORDER BY t, eid)[1:5], '>') AS path
+        FROM s GROUP BY u, sid),
+      c AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM p GROUP BY path)
+      SELECT path, n_sessions FROM c
+      ORDER BY n_sessions DESC, path LIMIT 20"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5162,7 +5229,8 @@ object Extensions extends QueryModule {
     x152Calibration, x153CohensKappa, x154BucketedBatches,
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
-    x161PrefixFilterJoin, x162Burstiness, x163MetadataStats)
+    x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
+    x164DimensionStats, x165SessionPaths)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

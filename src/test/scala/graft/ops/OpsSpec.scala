@@ -3885,4 +3885,51 @@ class OpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     }
   }
+
+  test("dimension stats: hand-checked mean/std, constant dim std 0, approx twin") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)), (3L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val d = Similarity.dimensionStats(vecs, "vec_id", "embedding")
+      .orderBy("dim").collect()
+    assert(d.length == 2)
+    assert(d(0).getAs[Double]("mean") == 3.0)
+    // dim 1: values 1,3,5 -> var = (1+9+25)/3 - 9 = 8/3
+    assert(math.abs(d(0).getAs[Double]("std") - math.sqrt(8.0 / 3)) < 1e-6)
+    assert(d(0).getAs[Double]("min_v") == 1.0 && d(0).getAs[Double]("max_v") == 5.0)
+    // constant dimension: std exactly 0 (clamped, never sqrt(-eps))
+    assert(d(1).getAs[Double]("std") == 0.0)
+    val a = Similarity.dimensionStats(vecs, "vec_id", "embedding", exact = false)
+      .orderBy("dim").collect()
+    d.zip(a).foreach { case (e, ap) =>
+      assert(math.abs(e.getAs[Double]("mean") - ap.getAs[Double]("mean")) < 1e-9)
+      assert(math.abs(e.getAs[Double]("std") - ap.getAs[Double]("std")) < 1e-9)
+    }
+  }
+
+  test("session paths: gap splits sessions, order within session, truncation, top-k ties") {
+    val ev = Seq(
+      // user 1, session 1: view > click > purchase; session 2 (gap 1h): view
+      (1L, 0L, 1L, "view"), (1L, 60L, 2L, "click"), (1L, 120L, 3L, "purchase"),
+      (1L, 7200L, 4L, "view"),
+      // user 2: one session with the same 3-step path
+      (2L, 0L, 5L, "view"), (2L, 60L, 6L, "click"), (2L, 120L, 7L, "purchase")
+    ).toDF("uid", "tsec", "eid", "et")
+      .withColumn("t", timestamp_micros(col("tsec") * 1000000L)).drop("tsec")
+    val p = Sessionize.topSessionPaths(ev, "uid", "t", "eid", "et",
+        gapSeconds = 1800L, maxLen = 5, k = 10)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(p("view>click>purchase") == 2L)
+    assert(p("view") == 1L)
+    // truncation: maxLen 2 collapses the long path
+    val t2 = Sessionize.topSessionPaths(ev, "uid", "t", "eid", "et",
+        gapSeconds = 1800L, maxLen = 2, k = 10)
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(t2("view>click") == 2L)
+    assertThrows[IllegalArgumentException] {
+      Sessionize.topSessionPaths(ev, "uid", "t", "eid", "et", gapSeconds = 0L)
+    }
+  }
 }
