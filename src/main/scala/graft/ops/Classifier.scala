@@ -131,6 +131,49 @@ object Classifier {
     * round(…, 6)) so the squared terms are bit-identical across
     * engines before the order-pinned summation.
     */
+  /** Exact ROC-AUC per group — the Mann-Whitney rank statistic with
+    * tie-averaged ranks: `AUC = (Σ_pos avgrank − n₊(n₊+1)/2) /
+    * (n₊·n₋)`. EXACT and order-independent by construction: ranks
+    * derive from integer counts per distinct score, every term is a
+    * multiple of 0.5 far below 2⁵³, so the float sum is the same in
+    * any order — no sorted fold needed, plain partial aggregation is
+    * already bit-deterministic (unlike mean/variance folds).
+    * NULL AUC when a group lacks both classes (undefined, loudly).
+    *
+    * Scale shape: one (group, score) count aggregate —
+    * map-side-combinable, the only corpus-sized stage — then a window
+    * over DISTINCT scores within each group (bounded by score
+    * granularity: a round(…,4) score has ≤ 10⁴+1 distinct values) and
+    * a per-group reduce. The corpus never sorts; only score GROUPS
+    * do.
+    */
+  def aucByGroup(scored: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored
+      .groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col(labelCol).cast("long")).cast("long").as("pos"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("s"))
+    val ranked = perScore
+      .withColumn("cum", sum(col("cnt")).over(w))
+      // average rank of this score's tie block: cum − (cnt−1)/2
+      .withColumn("avg_rank",
+        col("cum").cast("double") - (col("cnt") - 1).cast("double") / 2)
+    ranked
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("pos").cast("double") * col("avg_rank")).as("rank_sum_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .select(col(groupCol), col("n"), col("n_pos"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("rank_sum_pos")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double") / 2)
+            / (col("n_pos").cast("double") * col("n_neg").cast("double"))), 6)
+          .as("auc"))
+  }
+
   def calibrationCurve(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String, bins: Int = 10, exact: Boolean = true): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")

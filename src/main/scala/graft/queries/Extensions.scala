@@ -5181,6 +5181,50 @@ object Extensions extends QueryModule {
       SELECT path, n_sessions FROM c
       ORDER BY n_sessions DESC, path LIMIT 20"""))
 
+  /** Exact per-language ROC-AUC ([[graft.ops.Classifier.aucByGroup]])
+    * of the x4 stopword score against the lang='en' label — the
+    * discrimination metric next to x152's calibration. Mann-Whitney
+    * tie-averaged ranks from integer counts: every term is an exact
+    * 0.5-multiple, so the sum is bit-deterministic in ANY aggregation
+    * order — no sorted fold needed. Hash-green. */
+  private val x166ClassifierAuc = GraftQuery(
+    "x166_classifier_auc",
+    (s, dir) => {
+      val scored = TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+        .select(col("source"), col("stopword_ratio").as("score"),
+          (col("lang") === "en").cast("int").as("label"))
+      graft.ops.Classifier.aucByGroup(scored, "source", "score", "label")
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH scored AS (
+        SELECT source,
+          round(CAST(len(list_intersect(string_split(lower(text), ' '),
+              [${graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")}]))
+            AS DOUBLE) / len(string_split(text, ' ')), 4) AS score,
+          CAST(lang = 'en' AS INT) AS label
+        FROM documents),
+      per_score AS (
+        SELECT source, score AS s, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(label) AS BIGINT) AS pos
+        FROM scored GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, cnt, pos,
+          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY s) AS DOUBLE)
+            - CAST(cnt - 1 AS DOUBLE) / 2 AS avg_rank
+        FROM per_score),
+      agg AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          sum(CAST(pos AS DOUBLE) * avg_rank) AS rank_sum_pos
+        FROM ranked GROUP BY 1)
+      SELECT source, n, n_pos,
+        round(CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+          (rank_sum_pos
+            - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2)
+          / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)) END, 6)
+          AS auc
+      FROM agg ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5230,7 +5274,7 @@ object Extensions extends QueryModule {
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
-    x164DimensionStats, x165SessionPaths)
+    x164DimensionStats, x165SessionPaths, x166ClassifierAuc)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

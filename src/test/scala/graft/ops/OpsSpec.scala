@@ -3932,4 +3932,27 @@ class OpsSpec extends AnyFunSuite {
       Sessionize.topSessionPaths(ev, "uid", "t", "eid", "et", gapSeconds = 0L)
     }
   }
+
+  test("auc: perfect = 1, reversed = 0, all-ties = 0.5, single class = NULL") {
+    def auc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val df = rows.zipWithIndex
+        .map { case ((s, l), i) => ("g", s, l) }.toDF("g", "score", "label")
+      val r = Classifier.aucByGroup(df, "g", "score", "label").head()
+      if (r.isNullAt(r.fieldIndex("auc"))) None
+      else Some(r.getAs[Double]("auc"))
+    }
+    // positives strictly above negatives
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))).contains(1.0))
+    // reversed
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1))).contains(0.0))
+    // everything tied at one score -> 0.5 exactly (tie-averaged ranks)
+    assert(auc(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0))).contains(0.5))
+    // hand case with a tie straddling classes:
+    // scores 0.1(neg) 0.5(pos) 0.5(neg) 0.9(pos)
+    // ranks: 0.1->1; the two 0.5s share avg rank 2.5; 0.9->4
+    // ranksum_pos = 2.5 + 4 = 6.5; auc = (6.5 - 3)/(2*2) = 0.875
+    assert(auc(Seq((0.1, 0), (0.5, 1), (0.5, 0), (0.9, 1))).contains(0.875))
+    // one-class group: undefined, NULL not NaN
+    assert(auc(Seq((0.9, 1), (0.1, 1))).isEmpty)
+  }
 }
