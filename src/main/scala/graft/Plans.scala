@@ -82,7 +82,10 @@ object Plans {
     "x154_bucketed_batches" -> "one exchange on the length bucket; the (bucket, batch) aggregate is partial-aggregated on the window's own partitioning",
     "x155_touch_attribution" -> "all four ignore-nulls carries + the conversion filter ride ONE user-keyed window sort; no join back to the touch stream",
     "x161_prefix_filter_join" -> "EXACT similarity self-join, no sketch: checkpointed shingle table feeds df-count and sorted collect; prefix explode joins shuffle-hash on the shingle; bare id pairs through the distinct; one checkpointed-array rejoin verifies — no nested loop anywhere",
-    "x162_burstiness" -> "one exchange on the user key; the gap lag window and the per-user aggregate share its sort/partitioning")
+    "x162_burstiness" -> "one exchange on the user key; the gap lag window and the per-user aggregate share its sort/partitioning",
+    "x164_dimension_stats" -> "one posexplode + one dim-keyed two-phase aggregate; |dims| rows out regardless of corpus size",
+    "x165_session_paths" -> "lag flag + running session-id share one user exchange; the per-session collect groups on (user, sid) — a superset of that partitioning, no second shuffle; top-k is TakeOrdered",
+    "x166_classifier_auc" -> "one map-side-combinable (group, score) count; rank window over DISTINCT scores only; per-group reduce — the corpus never sorts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
