@@ -160,4 +160,102 @@ object Graph {
       labels
     } finally e.unpersist(blocking = false)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999): `iters` synchronous
+    * rounds of the mutual-reinforcement pair
+    * auth(v) = Σ_{(u,v)∈E} hub(u), hub(u) = Σ_{(u,v)∈E} auth(v),
+    * each half-update L1-normalized (scores sum to 1 over nodes that
+    * receive any mass). The third link-analysis primitive next to
+    * [[pageRank]] (single-score authority) and
+    * [[labelPropagation]] (communities): HITS separates *catalogs*
+    * (hubs — pages whose value is pointing at good content) from
+    * *content* (authorities) — for corpus curation the authority
+    * score is the trainability prior and the hub score finds index /
+    * link-farm pages to down-weight.
+    *
+    * Semantics notes:
+    * - Nodes = src ∪ dst unless `nodes` is given; nodes with no
+    *   in-links get auth 0.0, nodes with no out-links hub 0.0.
+    * - Parallel edges are honored (each contributes), matching the
+    *   plain edge-list reading.
+    * - L1 normalization (not the classical L2): identical ranking,
+    *   but every normalizer is a plain sum — replayable in ANSI SQL
+    *   without a sqrt over a float sum. Degenerate all-zero rounds
+    *   (empty edge set) keep scores at 0 rather than dividing by 0.
+    *
+    * Determinism contract (`exact = true`): per-node inbound folds
+    * sort their contribution lists ([[pageRank]]'s rule), the GLOBAL
+    * normalizer folds (id, value) pairs in sorted order (the keyed
+    * sorted fold from CLAUDE.md), and both score vectors are pinned
+    * to `round(_, 9)` at every half-round boundary so cross-engine
+    * replay cannot drift (the x97 iterative-float discipline). The
+    * exact global fold collects all N node scores into one array —
+    * fine for verification corpora, a driver-memory risk at 10⁸⁺
+    * nodes. `exact = false` is the scale path: plain float sums with
+    * map-side partial aggregation everywhere (constant-size buffers),
+    * same ranking up to addition-order ulps.
+    *
+    * Scale shape: the edge list is shuffled ONCE onto each join side
+    * and persisted (src-keyed for the hub→auth push, dst-keyed for
+    * the auth→hub pull); each half-round re-shuffles only the
+    * (node, score) table — the Pregel exchange pattern, matching
+    * [[pageRank]]. Rounds are eagerly localCheckpointed (flat
+    * lineage; a cluster deployment would use reliable checkpoint()).
+    * Returns (id, hub, auth). */
+  def hits(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", nodes: Option[DataFrame] = None,
+      iters: Int = 2, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters > 0, "iters must be positive")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodeIds = nodes.getOrElse(
+      e0.select(col("src").as("id")).union(e0.select(col("dst").as("id")))
+        .distinct()).select(col("id").cast("long").as("id"))
+      .localCheckpoint(true)
+    val eBySrc = e0.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e0.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one half-update: push scores across edges (in: (id, s) keyed by
+    // fromCol), fold per toCol, L1-normalize, pin to 9 decimals
+    def halfRound(scores: DataFrame, e: DataFrame,
+        fromCol: String, toCol: String): DataFrame = {
+      val pushed = e
+        .join(scores.select(col("id").as(fromCol), col("s")), fromCol)
+        .select(col(toCol).as("id"), col("s"))
+      val raw = pushed.groupBy(col("id"))
+        .agg(if (exact)
+          aggregate(sort_array(collect_list(col("s"))),
+            lit(0.0), (acc, x) => acc + x).as("raw")
+        else sum(col("s")).as("raw"))
+        .localCheckpoint(true)
+      val total = broadcast(raw.agg(
+        (if (exact)
+          aggregate(
+            sort_array(collect_list(struct(col("id"), col("raw")))),
+            lit(0.0), (acc, s) => acc + s.getField("raw"))
+        else sum(col("raw"))).as("total")))
+      nodeIds.join(raw, Seq("id"), "left").crossJoin(total)
+        .select(col("id"),
+          round(when(col("total") > 0,
+              coalesce(col("raw"), lit(0.0)) / col("total"))
+            .otherwise(lit(0.0)), 9).as("s"))
+        .localCheckpoint(true)
+    }
+
+    try {
+      var hub = nodeIds.select(col("id"), lit(1.0).as("s"))
+        .localCheckpoint(true)
+      var auth = hub
+      for (_ <- 1 to iters) {
+        auth = halfRound(hub, eBySrc, "src", "dst")
+        hub = halfRound(auth, eByDst, "dst", "src")
+      }
+      hub.select(col("id"), col("s").as("hub"))
+        .join(auth.select(col("id"), col("s").as("auth")), Seq("id"))
+    } finally {
+      eBySrc.unpersist(blocking = false)
+      eByDst.unpersist(blocking = false)
+    }
+  }
 }

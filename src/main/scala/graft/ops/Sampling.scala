@@ -476,6 +476,85 @@ object Sampling {
       .drop("__k", "__p", "__off")
   }
 
+  /** Stratified k-fold cross-validation assignment: every row gets a
+    * `fold` in [0, k) such that WITHIN each stratum the fold sizes
+    * differ by at most 1 (the sklearn StratifiedKFold balance
+    * guarantee) and the assignment is a pure function of
+    * (id, stratum) — relayout-stable, re-ingestion-stable, and
+    * replayable in ANSI SQL, none of which a `rand()`-based fold
+    * draw is. Ordering within a stratum follows the shared Knuth
+    * multiplicative id-hash (see [[capPerGroup]]), so folds are an
+    * unbiased interleave, not id-order (ids correlate with crawl
+    * time — id-order folds would put each stratum's oldest rows in
+    * fold 0 and leak a temporal gradient into the CV estimate).
+    *
+    * A plain `pmod(hash, k)` map-only draw is cheaper but only
+    * balances in expectation (±√n noise per fold, which at small
+    * strata — exactly where stratification matters — skews per-fold
+    * class rates); the exact rank costs one hash shuffle and buys
+    * the ±1 guarantee.
+    *
+    * Scale shape: [[epochShuffle]]'s two-phase rank decomposition
+    * with the stratum prepended to the key — rows bucket into
+    * `parts` contiguous hash ranges per stratum, the
+    * ≤ strata × parts (stratum, bucket) counts collect to the driver
+    * (BOUNDED: probed via limit and `require`d ≤ `maxStrata` strata,
+    * the boundedStratumCounts discipline), and the per-bucket windows
+    * sort at most |stratum|/parts rows each — NO stratum ever
+    * funnels through a single task's sort, which a naive
+    * `row_number() OVER (PARTITION BY stratum)` would force.
+    * NULL ids / strata fail loudly ([[epochShuffle]]'s raise_error
+    * rule): a fold assignment must be a total function of the
+    * corpus, and a silent NULL-key drop or a NULL-joined miss would
+    * instead lose rows from every fold. */
+  def stratifiedKfold(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, parts: Int = 32, maxStrata: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    require(parts >= 1 && parts <= 4096,
+      "parts in [1, 4096] — bucket counts are driver-resident")
+    require(maxStrata >= 1, "maxStrata must be positive")
+    val span = 4294967296L / parts
+    val checkedId = when(col(idCol).isNull,
+      raise_error(lit(s"stratifiedKfold: NULL $idCol — folds must " +
+        "cover every row"))).otherwise(col(idCol))
+    val checkedStratum = when(col(strataCol).isNull,
+      raise_error(lit(s"stratifiedKfold: NULL $strataCol — a NULL " +
+        "stratum would silently miss the offsets join; filter or " +
+        "coalesce it first"))).otherwise(col(strataCol))
+    val keyed = df
+      .withColumn("__s", checkedStratum.cast("string"))
+      .withColumn("__k", pmod(
+        pmod(checkedId, lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)))
+      .withColumn("__p", expr(s"__k div $span"))
+    val cap = maxStrata.toLong * parts
+    val rows = keyed.groupBy(col("__s"), col("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .limit((cap + 1).toInt).collect()
+    require(rows.length <= cap &&
+        rows.iterator.map(_.getString(0)).toSet.size <= maxStrata,
+      s"stratifiedKfold: > $maxStrata strata (cap $cap bucket counts) " +
+        "— a high-cardinality stratum column would OOM the driver; " +
+        "raise maxStrata only with the memory to hold the counts")
+    val offsets = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (s, bs) =>
+        val sorted = bs.sortBy(_._2)
+        sorted.map(_._2).zip(
+          sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
+          .map { case (p, off) => (s, p, off) }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("__s", "__p", "__off"))
+    val w = Window.partitionBy(col("__s"), col("__p"))
+      .orderBy(col("__k").asc, col(idCol).asc)
+    keyed.join(offDf, Seq("__s", "__p"))
+      .withColumn("fold",
+        ((col("__off") + row_number().over(w) - 1) % k).cast("int"))
+      .drop("__s", "__k", "__p", "__off")
+  }
+
   /** C4-style per-group document cap: keep at most `k` rows per
     * group, selected by a deterministic id-hash priority — the
     * "no single host dominates the corpus" rule (C4 caps pages per

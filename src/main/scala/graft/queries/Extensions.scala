@@ -5225,6 +5225,116 @@ object Extensions extends QueryModule {
           AS auc
       FROM agg ORDER BY source"""))
 
+  /** HITS hubs & authorities ([[graft.ops.Graph.hits]]) over the
+    * deterministic synthetic citation graph (x78's modular-arithmetic
+    * family, different multiplier — no dangling nodes). Oracle: all
+    * four half-rounds unrolled as MATERIALIZED CTEs — per-node sorted
+    * contribution folds (the x78 rule), keyed sorted global
+    * normalizer folds (the x94 pattern), and a round-9 pin at every
+    * half-round boundary (the x97 iterative-float discipline) so the
+    * two engines feed bit-identical inputs into each round. */
+  private val x167Hits = GraftQuery(
+    "x167_hits",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val cnt = broadcast(docs.agg(count(lit(1)).as("n")))
+      val edges = docs.crossJoin(cnt)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(3))).as("k"), col("n"))
+        .select(col("src"),
+          pmod(col("src") * 17 + col("k"), col("n")).as("dst"))
+      graft.ops.Graph.hits(edges,
+          nodes = Some(docs.select(col("doc_id").as("id"))))
+        .select(col("id").as("doc_id"), col("hub"), col("auth"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH cnt AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      edges AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id * 17 + k) % n AS dst
+        FROM documents CROSS JOIN cnt
+        CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+      h0 AS MATERIALIZED (SELECT id, 1.0 AS s FROM nodes),
+      a1r AS MATERIALIZED (
+        SELECT e.dst AS id, list_sum(list_sort(list(h.s))) AS raw
+        FROM edges e JOIN h0 h ON e.src = h.id GROUP BY 1),
+      a1t AS MATERIALIZED (
+        SELECT list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := raw))),
+          x -> struct_extract(x, 'v'))) AS total FROM a1r),
+      a1 AS MATERIALIZED (
+        SELECT nodes.id, round(CASE WHEN total > 0
+            THEN COALESCE(raw, 0.0) / total ELSE 0.0 END, 9) AS s
+        FROM nodes LEFT JOIN a1r USING (id) CROSS JOIN a1t),
+      h1r AS MATERIALIZED (
+        SELECT e.src AS id, list_sum(list_sort(list(a.s))) AS raw
+        FROM edges e JOIN a1 a ON e.dst = a.id GROUP BY 1),
+      h1t AS MATERIALIZED (
+        SELECT list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := raw))),
+          x -> struct_extract(x, 'v'))) AS total FROM h1r),
+      h1 AS MATERIALIZED (
+        SELECT nodes.id, round(CASE WHEN total > 0
+            THEN COALESCE(raw, 0.0) / total ELSE 0.0 END, 9) AS s
+        FROM nodes LEFT JOIN h1r USING (id) CROSS JOIN h1t),
+      a2r AS MATERIALIZED (
+        SELECT e.dst AS id, list_sum(list_sort(list(h.s))) AS raw
+        FROM edges e JOIN h1 h ON e.src = h.id GROUP BY 1),
+      a2t AS MATERIALIZED (
+        SELECT list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := raw))),
+          x -> struct_extract(x, 'v'))) AS total FROM a2r),
+      a2 AS MATERIALIZED (
+        SELECT nodes.id, round(CASE WHEN total > 0
+            THEN COALESCE(raw, 0.0) / total ELSE 0.0 END, 9) AS s
+        FROM nodes LEFT JOIN a2r USING (id) CROSS JOIN a2t),
+      h2r AS MATERIALIZED (
+        SELECT e.src AS id, list_sum(list_sort(list(a.s))) AS raw
+        FROM edges e JOIN a2 a ON e.dst = a.id GROUP BY 1),
+      h2t AS MATERIALIZED (
+        SELECT list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := raw))),
+          x -> struct_extract(x, 'v'))) AS total FROM h2r),
+      h2 AS MATERIALIZED (
+        SELECT nodes.id, round(CASE WHEN total > 0
+            THEN COALESCE(raw, 0.0) / total ELSE 0.0 END, 9) AS s
+        FROM nodes LEFT JOIN h2r USING (id) CROSS JOIN h2t)
+      SELECT h2.id AS doc_id, h2.s AS hub, a2.s AS auth
+      FROM h2 JOIN a2 ON h2.id = a2.id ORDER BY doc_id"""))
+
+  /** Stratified k-fold CV assignment
+    * ([[graft.ops.Sampling.stratifiedKfold]]), reported as per
+    * (lang, fold) size and length profile — the balance the operator
+    * guarantees (±1 rows per fold within a stratum, matched length
+    * means). Oracle: the two-phase bucketed rank replayed as one
+    * plain per-stratum row_number over the identical Knuth hash
+    * (buckets are contiguous hash ranges, so the decomposition IS
+    * the direct rank); integer sums, one division, round 6. */
+  private val x168KfoldAssign = GraftQuery(
+    "x168_kfold_assign",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("lang").isNotNull && col("doc_id").isNotNull)
+      graft.ops.Sampling.stratifiedKfold(docs, "lang", "doc_id", k = 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("fold"), col("n"), col("sum_chars"),
+          round(col("sum_chars").cast("double") / col("n"), 6)
+            .as("mean_chars"))
+        .orderBy(col("lang"), col("fold"))
+    },
+    Some("""WITH assigned AS (
+        SELECT lang, n_chars,
+          CAST((row_number() OVER (PARTITION BY lang
+            ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+              doc_id) - 1) % 5 AS INT) AS fold
+        FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL)
+      SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+      FROM assigned GROUP BY 1, 2 ORDER BY lang, fold"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5274,7 +5384,8 @@ object Extensions extends QueryModule {
     x155TouchAttribution, x156UnicodeNormalize, x157CompressionRatio,
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
-    x164DimensionStats, x165SessionPaths, x166ClassifierAuc)
+    x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
+    x168KfoldAssign)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

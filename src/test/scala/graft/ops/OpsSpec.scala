@@ -2465,6 +2465,44 @@ class OpsSpec extends AnyFunSuite {
     r.foreach { case (id, v) => assert(math.abs(approx(id) - v) < 1e-12) }
   }
 
+  test("hits: hub/authority separation, L1 norm, relayout-stable, exact-vs-scale twin") {
+    // bipartite catalog/content graph: h1 links both authorities,
+    // h2 links one; a1 is cited twice. Hand-derived round 1:
+    // auth = (a1: 2/3, a2: 1/3), hub = (h1: 0.6, h2: 0.4).
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 10L, 11L, 99L).toDF("id")
+    val got = Graph.hits(edges, iters = 2, nodes = Some(nodes))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // pure hubs carry no authority and vice versa; isolated node = 0/0
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0, s"hub nodes got auth: $got")
+    assert(got(10L)._1 == 0.0 && got(11L)._1 == 0.0, s"auth nodes got hub: $got")
+    assert(got(99L) == ((0.0, 0.0)), s"isolated node scored: $got")
+    // separation: the 2-link hub and the 2-citation authority win
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > 0.0, s"hub order: $got")
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > 0.0, s"auth order: $got")
+    // L1 normalization: each score vector sums to 1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    // round-1 authorities are exactly the pinned thirds
+    val r1 = Graph.hits(edges, iters = 1, nodes = Some(nodes))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(r1(10L) == 0.666666667 && r1(11L) == 0.333333333, s"pin: $r1")
+    // pure function of the graph: relayout changes nothing, bit-for-bit
+    val again = Graph.hits(edges.repartition(5), iters = 2,
+      nodes = Some(nodes)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(again == got)
+    // the bounded-memory scale path agrees up to addition-order ulps
+    val approx = Graph.hits(edges, iters = 2, nodes = Some(nodes),
+      exact = false).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == got.keySet)
+    got.foreach { case (id, (h, a)) =>
+      assert(math.abs(approx(id)._1 - h) < 1e-9 &&
+        math.abs(approx(id)._2 - a) < 1e-9) }
+  }
+
   test("label propagation: deterministic plurality votes, isolation, relayout-stable") {
     // star 0–{1..5} (mirrored): round 1 leaves adopt the hub's 0, the
     // hub adopts min leaf label 1; round 2 leaves adopt the hub's
@@ -2734,6 +2772,49 @@ class OpsSpec extends AnyFunSuite {
       .select(col("id"), col("shuffle_rank"))
       .as[(Long, Long)].collect().toMap
     assert(again == got)
+  }
+
+  test("stratified kfold: ±1 balance, two-phase equals naive rank, parts-invariant, guards") {
+    // 47 rows of 'a' and 10 of 'b': neither divides k=5 evenly
+    val df = ((0L until 47L).map(i => (i, "a")) ++
+      (100L until 110L).map(i => (i, "b"))).toDF("id", "lang")
+    val got = Sampling.stratifiedKfold(df, "lang", "id", k = 5)
+      .select(col("id"), col("lang"), col("fold"))
+      .as[(Long, String, Int)].collect()
+    // total function: every row assigned, folds in [0, k)
+    assert(got.length == 57 && got.forall(r => r._3 >= 0 && r._3 < 5))
+    // the sklearn balance guarantee: within each stratum, sizes ±1
+    for (s <- Seq("a", "b")) {
+      val sizes = got.filter(_._2 == s).groupBy(_._3).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"stratum $s sizes: $sizes")
+    }
+    // two-phase decomposition equals the naive per-stratum rank % k
+    def key(id: Long): Long = (id % 2147483648L) * 2654435761L % 4294967296L
+    val naive = got.map(_._2).distinct.flatMap { s =>
+      got.filter(_._2 == s).map(_._1).sortBy(i => (key(i), i))
+        .zipWithIndex.map { case (id, i) => id -> i % 5 }
+    }.toMap
+    assert(got.map(r => r._1 -> r._3).toMap == naive)
+    // the bucket count is an implementation knob, not a semantic:
+    // parts=1 (single window) and parts=7 agree bit-for-bit
+    val p1 = Sampling.stratifiedKfold(df, "lang", "id", k = 5, parts = 1)
+      .select(col("id"), col("fold")).as[(Long, Int)].collect().toMap
+    val p7 = Sampling.stratifiedKfold(df.repartition(9), "lang", "id",
+      k = 5, parts = 7)
+      .select(col("id"), col("fold")).as[(Long, Int)].collect().toMap
+    assert(p1 == got.map(r => r._1 -> r._3).toMap && p7 == p1)
+    // NULL keys fail loudly — folds must cover every row
+    val withNullId = Seq((Some(1L), "a"), (None: Option[Long], "a"))
+      .toDF("id", "lang")
+    val e1 = intercept[Exception] {
+      Sampling.stratifiedKfold(withNullId, "lang", "id", k = 2).collect() }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("stratifiedKfold"), e1.getMessage)
+    // high-cardinality stratum column is a contract violation, not an OOM
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedKfold((0L until 50L).map(i => (i, s"s$i"))
+        .toDF("id", "lang"), "lang", "id", k = 2, maxStrata = 3)
+    }
   }
 
   test("padding stats: hand-computed buckets, truncation at maxSeqLen, dynamic beats static") {
