@@ -349,6 +349,60 @@ object Funnel {
       .withColumn("deviation", round(col("n") - col("ewma"), 6))
   }
 
+  /** Per-type daily-volume OLS trend: closed-form least-squares
+    * slope / intercept / R² of daily event counts against the day
+    * index — the "is this feed growing, flat, or dying" readout next
+    * to [[ewmaDailyCounts]]'s level baseline (EWMA tells you today's
+    * deviation; the regression tells you the direction and how
+    * linear the ramp is — R² ≈ 1 means steady growth, ≈ 0 means
+    * noise around flat).
+    *
+    * Bit-deterministic WITHOUT sorted folds (the x166 class): days
+    * re-index to x = day − min(day) (small integers), so every OLS
+    * moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT BIGINT sum —
+    * map-side combinable, order-independent — and the slope /
+    * intercept / R² are single divisions of exact integers through a
+    * fixed float tree:
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    * intercept = (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²),
+    * R² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) with the square
+    * taken in double (the integer square can exceed BIGINT).
+    * Single-day groups get NULL slope/intercept/R²; constant-count
+    * groups get NULL R² (0/0), not NaN.
+    *
+    * Scale shape: one map-side-combinable (type, day) count is the
+    * only corpus-sized stage; the moment aggregate runs over the
+    * |types|×|days| daily table and outputs |types| rows. No
+    * windows, no joins except the single-row min-day broadcast. */
+  def volumeTrend(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("et"),
+        floor(unix_micros(col(tsCol)) / 86400000000L).cast("long").as("day"))
+      .groupBy(col("et"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val minDay = broadcast(daily.agg(min(col("day")).as("day0")))
+    val m = daily.crossJoin(minDay)
+      .select(col("et"), (col("day") - col("day0")).as("x"), col("n").as("y"))
+      .groupBy(col("et"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = m("n_days") * m("sxy") - m("sx") * m("sy")
+    val denX = m("n_days") * m("sxx") - m("sx") * m("sx")
+    val denY = m("n_days") * m("syy") - m("sy") * m("sy")
+    m.select(col("et").as(typeCol), col("n_days"), col("sy").as("total"),
+      round(when(denX > 0, num.cast("double") / denX.cast("double")), 6)
+        .as("slope"),
+      round(when(denX > 0,
+        (m("sy") * m("sxx") - m("sx") * m("sxy")).cast("double")
+          / denX.cast("double")), 6).as("intercept"),
+      round(when(denX > 0 && denY > 0,
+        (num.cast("double") * num.cast("double"))
+          / (denX.cast("double") * denY.cast("double"))), 6).as("r2"))
+  }
+
   /** First/last-touch attribution: every conversion event annotated
     * with the first and the most recent touch event (by the same
     * user, strictly earlier in `(tsCol, tieCol)` order) — the

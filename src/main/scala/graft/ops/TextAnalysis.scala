@@ -1200,6 +1200,70 @@ object TextAnalysis {
           .as("n_docs_flagged"),
         sum(col("hits").cast("long")).as("total_hits"))
   }
+
+  /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; Chen & Goodman 1999 eq. 4.24) — the smoothing family
+    * the CCNet/KenLM perplexity gate actually runs, next to [[
+    * bigramLogProb]]'s add-one char model (add-one is the toy;
+    * KN is what production LM filters ship):
+    * `P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · Pcont(w2)`
+    * with `Pcont(w2) = N1+(·,w2) / N1+(·,·)` — the continuation
+    * probability that scores a word by how many CONTEXTS it follows,
+    * not how often it occurs (the "San Francisco" argument:
+    * "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass is tiny and unseen-bigram backoff stops
+    * hallucinating it).
+    *
+    * Returns the top `k` bigrams by raw count (total (n DESC, w1,
+    * w2) order — deterministic cut) with `n` = c12, `p_cont`, and
+    * `p_kn`, rounded to 6. Every input to the float expression is an
+    * exact BIGINT count and the expression tree is fixed and
+    * division-only (no float sums over data), so the result is
+    * hash-replayable in ANSI SQL with no sorted folds — the x166
+    * determinism class.
+    *
+    * Scale shape: ONE tokenize/explode pass over the corpus feeding
+    * ONE map-side-combinable (w1, w2) count — the only corpus-sized
+    * stage; the count table is eagerly localCheckpointed (three
+    * downstream consumers — the x82 lesson) and every marginal
+    * (c1 + N1+(w1,·) in one aggregate, N1+(·,w2), the single-row
+    * N1+(·,·)) re-aggregates from it, vocab²-bounded. The marginal
+    * joins are shuffle-hash on the word key; only the single-row
+    * total broadcasts; top-k plans as TakeOrdered. */
+  def kneserNeyBigrams(df: DataFrame, textCol: String,
+      discount: Double = 0.75, k: Int = 30): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    require(k >= 1, "k must be positive")
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val pairs = Parallelism.ensure(df).select(ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val lw = c.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val rw = c.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val tot = broadcast(c.agg(count(lit(1)).as("n1all")))
+    val d = lit(discount)
+    c.hint("shuffle_hash").join(lw, "w1")
+      .hint("shuffle_hash").join(rw, "w2")
+      .crossJoin(tot)
+      .select(col("w1"), col("w2"), col("c12").as("n"),
+        round(col("n1bw").cast("double") / col("n1all").cast("double"), 6)
+          .as("p_cont"),
+        round(
+          greatest(col("c12").cast("double") - d, lit(0.0))
+              / col("c1").cast("double")
+            + ((d * col("n1fw").cast("double")) / col("c1").cast("double"))
+              * (col("n1bw").cast("double") / col("n1all").cast("double")),
+          6).as("p_kn"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
 
 /** Minimal per-language stopword profiles (top function words) —

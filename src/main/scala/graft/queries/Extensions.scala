@@ -5335,6 +5335,90 @@ object Extensions extends QueryModule {
         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
       FROM assigned GROUP BY 1, 2 ORDER BY lang, fold"""))
 
+  /** Interpolated Kneser–Ney bigram LM
+    * ([[graft.ops.TextAnalysis.kneserNeyBigrams]]) — the production
+    * LM-smoothing twin of x31's add-one toy. Oracle: identical
+    * integer count marginals and the identically-parenthesized
+    * division-only float tree (no float sums over data — the x166
+    * determinism class), total (n DESC, w1, w2) top-k cut. */
+  private val x169KneserNey = GraftQuery(
+    "x169_kneser_ney",
+    (s, dir) => TextAnalysis.kneserNeyBigrams(
+        Tables.documents(s, dir), "text", discount = 0.75, k = 30)
+      .orderBy(col("n").desc, col("w1"), col("w2")),
+    Some("""WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+          t -> length(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+          i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM toks WHERE len(ts) >= 2),
+      c AS (
+        SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM grams GROUP BY 1, 2),
+      lw AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1fw
+        FROM c GROUP BY 1),
+      rw AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c)
+      SELECT w1, w2, c12 AS n,
+        round(CAST(n1bw AS DOUBLE) / CAST(n1all AS DOUBLE), 6) AS p_cont,
+        round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+            / CAST(c1 AS DOUBLE)
+          + ((0.75 * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+            * (CAST(n1bw AS DOUBLE) / CAST(n1all AS DOUBLE)), 6) AS p_kn
+      FROM c JOIN lw USING (w1) JOIN rw USING (w2) CROSS JOIN tot
+      ORDER BY n DESC, w1, w2 LIMIT 30"""))
+
+  /** Per-type daily-volume OLS trend
+    * ([[graft.ops.Funnel.volumeTrend]]) — direction + linearity next
+    * to x160's EWMA level baseline. Oracle: identical exact-BIGINT
+    * OLS moments over min-day-re-indexed days and the identically
+    * parenthesized division-only float tree (x166 determinism
+    * class); sum(BIGINT)→HUGEINT CASTs per the DuckDB rules. */
+  private val x170VolumeTrend = GraftQuery(
+    "x170_volume_trend",
+    (s, dir) => Funnel.volumeTrend(Tables.events(s, dir),
+        "event_type", "ts")
+      .orderBy(col("event_type")),
+    Some("""WITH daily AS (
+        SELECT event_type AS et,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      d0 AS (SELECT min(day) AS day0 FROM daily),
+      xy AS (
+        SELECT et, day - day0 AS x, y FROM daily CROSS JOIN d0),
+      m AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(x * y) AS BIGINT) AS sxy,
+          CAST(sum(x * x) AS BIGINT) AS sxx,
+          CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy GROUP BY 1),
+      f AS (
+        SELECT et, n_days, sy,
+          n_days * sxy - sx * sy AS num,
+          n_days * sxx - sx * sx AS den_x,
+          n_days * syy - sy * sy AS den_y,
+          sy * sxx - sx * sxy AS num_i
+        FROM m)
+      SELECT et AS event_type, n_days, sy AS total,
+        round(CASE WHEN den_x > 0
+          THEN CAST(num AS DOUBLE) / CAST(den_x AS DOUBLE) END, 6)
+          AS slope,
+        round(CASE WHEN den_x > 0
+          THEN CAST(num_i AS DOUBLE) / CAST(den_x AS DOUBLE) END, 6)
+          AS intercept,
+        round(CASE WHEN den_x > 0 AND den_y > 0
+          THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+            / (CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) END, 6)
+          AS r2
+      FROM f ORDER BY event_type"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5385,7 +5469,7 @@ object Extensions extends QueryModule {
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
-    x168KfoldAssign)
+    x168KfoldAssign, x169KneserNey, x170VolumeTrend)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2774,6 +2774,40 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("kneser-ney bigrams: hand-computed smoothing, mass sums to 1 with backoff, top-k cut") {
+    // corpus: "a b a c" + "b a b" → bigram types (a,b):2 (b,a):2
+    // (a,c):1; c1(a)=3 n1fw(a)=2, c1(b)=2 n1fw(b)=1; every word
+    // follows exactly 1 context → p_cont = 1/3 each, n1all = 3
+    val docs = Seq("a b a c", "b a b").toDF("text")
+    val got = TextAnalysis.kneserNeyBigrams(docs, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // hand-derived: p_kn(b|a) = 1.25/3 + (1.5/3)(1/3)   = 0.583333
+    //              p_kn(a|b) = 1.25/2 + (0.75/2)(1/3)   = 0.75
+    //              p_kn(c|a) = 0.25/3 + (1.5/3)(1/3)    = 0.25
+    assert(got(("a", "b")) == ((2L, 0.333333, 0.583333)), s"got $got")
+    assert(got(("b", "a")) == ((2L, 0.333333, 0.75)), s"got $got")
+    assert(got(("a", "c")) == ((1L, 0.333333, 0.25)), s"got $got")
+    // the KN invariant: observed mass + unseen-bigram backoff mass
+    // sums to 1 per context. For w1=b: 0.75 + 2 · (0.75·1/2)·(1/3)
+    val backoffB = (0.75 * 1 / 2.0) * (1.0 / 3)
+    assert(math.abs(got(("b", "a"))._3 + 2 * backoffB - 1.0) < 1e-6)
+    // deterministic top-k: ties on n cut by (w1, w2); k=2 keeps the
+    // two count-2 bigrams
+    val top2 = TextAnalysis.kneserNeyBigrams(docs, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top2 == Set(("a", "b"), ("b", "a")), s"top2 $top2")
+    // relayout-stable (fixed division-only tree, no float sums)
+    val again = TextAnalysis.kneserNeyBigrams(docs.repartition(5), "text",
+      k = 10).collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == got)
+    // empty / single-token docs contribute nothing and don't error
+    val edge = Seq("", "solo", "x y").toDF("text")
+    val e = TextAnalysis.kneserNeyBigrams(edge, "text", k = 5).collect()
+    assert(e.length == 1 && e.head.getString(0) == "x")
+  }
+
   test("stratified kfold: ±1 balance, two-phase equals naive rank, parts-invariant, guards") {
     // 47 rows of 'a' and 10 of 'b': neither divides k=5 evenly
     val df = ((0L until 47L).map(i => (i, "a")) ++
@@ -3859,6 +3893,36 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Packing.maskPlan(d, "doc_id", "text", startMod = 1)
     }
+  }
+
+  test("volume trend: exact OLS on a hand line, flat r2 null, single-day nulls") {
+    val ev = (
+      // type A: counts 1,2,3 on days 0,1,2 — the exact line y = x + 1
+      Seq((1L, 0L, "A")) ++
+      Seq((2L, 1L, "A"), (3L, 1L, "A")) ++
+      Seq((4L, 2L, "A"), (5L, 2L, "A"), (6L, 2L, "A")) ++
+      // type B: flat 2,2 — slope 0, r2 undefined (den_y = 0)
+      Seq((7L, 0L, "B"), (8L, 0L, "B"), (9L, 1L, "B"), (10L, 1L, "B")) ++
+      // type C: one day — no trend at all
+      Seq((11L, 1L, "C"))
+    ).toDF("eid", "d", "et")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L)).drop("d")
+    val got = Funnel.volumeTrend(ev, "et", "t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 6L)
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0 &&
+      a.getDouble(5) == 1.0, s"A: $a")
+    val b = got("B")
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 2.0, s"B: $b")
+    assert(b.isNullAt(5), s"flat series must have NULL r2: $b")
+    val c = got("C")
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5),
+      s"single-day group must be all-NULL trend: $c")
+    // exact integer moments: relayout changes nothing, bit-for-bit
+    val again = Funnel.volumeTrend(ev.repartition(7), "et", "t")
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(again == got.map { case (k, v) => k -> v.toString })
   }
 
   test("ewma daily: first day equals its count, constant series stays flat, gaps skip") {
