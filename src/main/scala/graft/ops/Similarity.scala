@@ -1331,4 +1331,57 @@ object Similarity {
       round(mean, 6).as("mean"), round(sd, 6).as("std"),
       round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"))
   }
+
+  /** Position-discount weights for [[retrievalEval]]: w(i) =
+    * 1/log₂(i+1) for ranks 1..k, each pinned to 9 decimals, plus
+    * their prefix sums (the ideal-DCG table) folded over the PINNED
+    * values. Driver-computed once and shipped as literals into both
+    * the plan and the oracle SQL — the ranking math never touches
+    * engine libm (two engines' log2 can differ in the last ulp;
+    * x45's rounding-boundary lesson says never stack a round() on
+    * top of that). */
+  def ndcgWeights(k: Int): (Seq[Double], Seq[Double]) = {
+    require(k >= 1 && k <= 1000, "k in [1, 1000]")
+    def r9(v: Double): Double = math.floor(v * 1e9 + 0.5) / 1e9
+    val w = (1 to k).map(i => r9(1.0 / (math.log(i + 1.0) / math.log(2.0))))
+    (w, w.scanLeft(0.0)(_ + _).tail.map(r9))
+  }
+
+  /** Ranked-retrieval quality per query — MRR's reciprocal rank and
+    * binary-gain nDCG@k — over an already-ranked candidate table
+    * (query, rank 1.., rel 0/1): the IR-metric readout that closes
+    * the retrieval family's loop (x121 measures ANN recall against
+    * the exact ranks; this measures whether ANY ranking — exact or
+    * approximate — puts the relevant items first).
+    *
+    * Per query: `rr = 1/first-relevant-rank` (0.0 when nothing
+    * relevant lands in the list — the MRR convention), `dcg =
+    * Σ rel_i · w(i)` folded in rank order (keyed sorted fold — the
+    * x94 discipline), `idcg` = the prefix-sum literal at
+    * min(n_rel, k), `ndcg = round(dcg/idcg, 9)` (NULL when the query
+    * has no relevant candidates — 0/0 is "unmeasurable", not 0).
+    * All discount constants come from [[ndcgWeights]] literals, so
+    * the only float work over data is the bounded per-query fold.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the
+    * |queries|×k result table, collect_list bounded by k per group —
+    * no windows, no joins; |queries| rows out. */
+  def retrievalEval(results: DataFrame, queryCol: String,
+      rankCol: String, relCol: String, k: Int): DataFrame = {
+    val (w, psum) = ndcgWeights(k)
+    val rel = col(relCol).cast("int")
+    val term = rel.cast("double") * element_at(typedlit(w), col(rankCol).cast("int"))
+    results.filter(col(rankCol) <= k)
+      .groupBy(col(queryCol).as("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_results"),
+        sum(rel).cast("long").as("n_rel"),
+        min(when(rel === 1, col(rankCol).cast("long"))).as("first_rel"),
+        Classifier.sortedFold(col(rankCol), term).as("dcg"))
+      .select(col("query_id"), col("n_results"), col("n_rel"),
+        coalesce(round(lit(1.0) / col("first_rel"), 9), lit(0.0)).as("rr"),
+        when(col("n_rel") > 0,
+          round(col("dcg") / element_at(typedlit(psum),
+            least(col("n_rel"), lit(k.toLong)).cast("int")), 9))
+          .as("ndcg"))
+  }
 }

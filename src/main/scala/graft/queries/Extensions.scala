@@ -5419,6 +5419,79 @@ object Extensions extends QueryModule {
           AS r2
       FROM f ORDER BY event_type"""))
 
+  /** Ranked-retrieval quality ([[graft.ops.Similarity.retrievalEval]]):
+    * MRR reciprocal ranks + binary-gain nDCG@10 of exact cosine
+    * retrieval (x23's ranks, self-hit excluded and re-ranked) against
+    * same-label relevance. The log₂ position discounts are
+    * driver-pinned literals injected into BOTH the plan and this SQL
+    * ([[graft.ops.Similarity.ndcgWeights]]) — the ranking math never
+    * touches either engine's libm. */
+  private val x171RetrievalEval = {
+    val (wl, pl) = Similarity.ndcgWeights(10)
+    GraftQuery(
+      "x171_retrieval_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val topk = Similarity.batchTopK(emb.filter(col("vec_id") < 20),
+          emb, "vec_id", "vec_id", "embedding", "embedding", k = 11)
+        val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        val reranked = topk.filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+        val withRel = reranked
+          .join(emb.select(col("vec_id").as("qid"),
+            col("label").as("qlabel")), col("query_id") === col("qid"))
+          .join(emb.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), col("neighbor_id") === col("nid"))
+          .select(col("query_id"), col("rk").as("rank"),
+            (col("nlabel") === col("qlabel")).cast("int").as("rel"))
+        Similarity.retrievalEval(withRel, "query_id", "rank", "rel",
+          k = 10).orderBy(col("query_id"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+            label AS qlabel
+          FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+            c.label AS nlabel,
+            list_sum(list_transform(range(1, len(c.embedding) + 1),
+              i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(c.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qe,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM embeddings c, q),
+        ranked AS (
+          SELECT query_id, qlabel, neighbor_id, nlabel,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored),
+        reranked AS (
+          SELECT query_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY rank)
+              AS rk,
+            CAST(nlabel = qlabel AS INT) AS rel
+          FROM ranked
+          WHERE rank <= 11 AND neighbor_id != query_id),
+        wl AS (SELECT CAST([${wl.mkString(", ")}] AS DOUBLE[]) AS w,
+          CAST([${pl.mkString(", ")}] AS DOUBLE[]) AS p),
+        agg AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_results,
+            CAST(sum(rel) AS BIGINT) AS n_rel,
+            min(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+            list_sum(list_transform(
+              list_sort(list(struct_pack(k := rk, v := rel * w[rk]))),
+              s -> struct_extract(s, 'v'))) AS dcg
+          FROM reranked CROSS JOIN wl WHERE rk <= 10
+          GROUP BY query_id)
+        SELECT query_id, n_results, n_rel,
+          COALESCE(round(CAST(1.0 AS DOUBLE) / first_rel, 9), 0.0) AS rr,
+          CASE WHEN n_rel > 0 THEN
+            round(dcg / p[CAST(least(n_rel, 10) AS INT)], 9) END AS ndcg
+        FROM agg CROSS JOIN wl ORDER BY query_id"""))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5469,7 +5542,7 @@ object Extensions extends QueryModule {
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
-    x168KfoldAssign, x169KneserNey, x170VolumeTrend)
+    x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2774,6 +2774,34 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("retrieval eval: hand-checked MRR and nDCG, no-relevant NULL, beyond-k ignored") {
+    val (w, p) = Similarity.ndcgWeights(3)
+    assert(w(0) == 1.0 && w(2) == 0.5 && p(0) == 1.0, s"weights $w $p")
+    val results = Seq(
+      (1L, 1, 0), (1L, 2, 1), (1L, 3, 1),   // relevant at 2, 3
+      (2L, 1, 1), (2L, 2, 0), (2L, 3, 0),   // perfect: relevant first
+      (3L, 1, 0), (3L, 2, 0), (3L, 3, 0),   // nothing relevant
+      (3L, 4, 1)                            // ...but beyond k: ignored
+    ).toDF("query_id", "rank", "rel")
+    val got = Similarity.retrievalEval(results, "query_id", "rank",
+      "rel", k = 3).collect().map(r => r.getLong(0) -> r).toMap
+    // q1: rr = 1/2; dcg = w2 + w3, idcg = p2 (two relevant)
+    assert(got(1L).getDouble(3) == 0.5)
+    val nd1 = got(1L).getDouble(4)
+    assert(math.abs(nd1 - (w(1) + w(2)) / p(1)) < 1e-9, s"q1 ndcg $nd1")
+    // q2: the perfect ranking is exactly 1.0 on both metrics
+    assert(got(2L).getDouble(3) == 1.0 && got(2L).getDouble(4) == 1.0)
+    // q3: rr 0 by the MRR convention; ndcg NULL (unmeasurable, not 0);
+    // the rank-4 relevant row is beyond k and must not leak in
+    assert(got(3L).getDouble(3) == 0.0 && got(3L).isNullAt(4))
+    assert(got(3L).getLong(1) == 3L && got(3L).getLong(2) == 0L)
+    // relayout-stable (literal weights + keyed sorted fold)
+    val again = Similarity.retrievalEval(results.repartition(5),
+      "query_id", "rank", "rel", k = 3).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    assert(again == got.map { case (k2, v) => k2 -> v.toString })
+  }
+
   test("kneser-ney bigrams: hand-computed smoothing, mass sums to 1 with backoff, top-k cut") {
     // corpus: "a b a c" + "b a b" → bigram types (a,b):2 (b,a):2
     // (a,c):1; c1(a)=3 n1fw(a)=2, c1(b)=2 n1fw(b)=1; every word
