@@ -1230,20 +1230,28 @@ object TextAnalysis {
     * N1+(·,·)) re-aggregates from it, vocab²-bounded. The marginal
     * joins are shuffle-hash on the word key; only the single-row
     * total broadcasts; top-k plans as TakeOrdered. */
-  def kneserNeyBigrams(df: DataFrame, textCol: String,
-      discount: Double = 0.75, k: Int = 30): DataFrame = {
-    require(discount > 0 && discount < 1, "discount in (0, 1)")
-    require(k >= 1, "k must be positive")
+  /** Word-bigram type counts (w1, w2, c12) from ONE tokenize/explode
+    * pass — the corpus-sized stage shared by [[kneserNeyBigrams]]
+    * and [[branchingEntropy]]; eagerly localCheckpointed because
+    * every caller fans it into several aggregates (the x82 lesson). */
+  private def wordBigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val ts = filter(tokens(col(textCol)), t => length(t) > 0)
-    val pairs = Parallelism.ensure(df).select(ts.as("ts"))
+    Parallelism.ensure(df).select(ts.as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
         i => struct(element_at(col("ts"), i).as("w1"),
           element_at(col("ts"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c = pairs.groupBy(col("w1"), col("w2"))
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
+  }
+
+  def kneserNeyBigrams(df: DataFrame, textCol: String,
+      discount: Double = 0.75, k: Int = 30): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    require(k >= 1, "k must be positive")
+    val c = wordBigramCounts(df, textCol)
     val lw = c.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
     val rw = c.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
@@ -1262,6 +1270,41 @@ object TextAnalysis {
               * (col("n1bw").cast("double") / col("n1all").cast("double")),
           6).as("p_kn"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Next-token branching entropy per context: H(·|w1) = ln c(w1) −
+    * (Σ_w2 c12·ln c12)/c(w1) — the successor-distribution Shannon
+    * entropy in nats, computed by the integer-count identity (every
+    * `ln` argument is an exact BIGINT — the x31 replay class — and
+    * both engines evaluate the identical tree, so a single-successor
+    * context cancels to 0 under the round-6 pin). Low branching
+    * entropy on a frequent
+    * context is the boilerplate signature — templated text pipes
+    * every occurrence into the same successor ("all rights" →
+    * "reserved") — which makes this the context-level twin of x80's
+    * character entropy and a cheap pre-filter for the x57/x125 span
+    * dedup family. Cross-type term sums fold keyed by w2 (the x94
+    * discipline). Top `k` contexts by (count DESC, w1) — a
+    * deterministic cut. Returns (w1, n_ctx, n_succ, entropy).
+    *
+    * Scale shape: rides [[wordBigramCounts]]'s single corpus pass;
+    * the entropy aggregate groups the vocab²-bounded type table by
+    * w1 — the collect_list inside the sorted fold is bounded by each
+    * context's successor-TYPE count (vocab-bounded, not
+    * corpus-bounded); top-k plans as TakeOrdered. */
+  def branchingEntropy(df: DataFrame, textCol: String,
+      k: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val c = wordBigramCounts(df, textCol)
+    val cd = col("c12").cast("double")
+    c.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("n_ctx"), count(lit(1)).as("n_succ"),
+        Classifier.sortedFold(col("w2"), cd * log(cd)).as("scl"))
+      .select(col("w1"), col("n_ctx"), col("n_succ"),
+        round(log(col("n_ctx").cast("double"))
+          - col("scl") / col("n_ctx").cast("double"), 6).as("entropy"))
+      .orderBy(col("n_ctx").desc, col("w1"))
       .limit(k)
   }
 }

@@ -161,4 +161,56 @@ object CorpusQuality {
           .when(col("__mad") === 0, v =!= col("__med")))
       .drop("__med", "__mad")
   }
+
+  /** Pearson χ² independence audit of two categorical columns (e.g.
+    * lang × source): the per-cell contingency table with expected
+    * counts `e = row_total·col_total/N`, standardized residuals
+    * `(n−e)/√e`, and each cell's χ² contribution `(n−e)²/e` — the
+    * "is the corpus mix confounded" check (a residual ≫ 2 on a
+    * (lang, source) cell means that source over-feeds that language,
+    * so any per-source quality conclusion is entangled with
+    * language). Σ contribution against a χ² table at
+    * (R−1)(C−1) d.o.f. is the global test; the per-cell residuals
+    * are the actionable part, so this returns cells, not a scalar.
+    *
+    * NULL categories form their own level (they ARE a mix property;
+    * dropping them would hide a partially-tagged source): groupBy
+    * keeps the NULL group and the marginal joins are null-safe
+    * (`<=>`), so the output carries the NULL level through. Rows
+    * where BOTH are NULL still count: independence is about the
+    * joint distribution of whatever the corpus contains.
+    *
+    * Determinism: every count is an exact BIGINT (map-side
+    * combinable); expected/residual/contribution are a fixed
+    * division tree over those integers (the x166 class — no float
+    * sums over data, no sorted folds). Zero-expected cells cannot
+    * occur (a level only exists because some row carries it).
+    *
+    * Scale shape: ONE (a, b) count aggregate is the only
+    * corpus-sized stage; marginals re-aggregate from the
+    * levels_a × levels_b cell table; the single-row N and the two
+    * marginal tables broadcast onto it. |cells| rows out. */
+  def chiSquareAudit(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds both marginals and the join
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("row_total"))
+      .select(col("a").as("__ka"), col("row_total"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n")).as("col_total"))
+      .select(col("b").as("__kb"), col("col_total"))
+    val tot = broadcast(cells.agg(sum(col("n")).as("grand")))
+    val e = (col("row_total").cast("double") * col("col_total").cast("double")
+      ) / col("grand").cast("double")
+    val d = col("n").cast("double") - e
+    cells
+      .join(broadcast(ra), col("a") <=> col("__ka"))
+      .join(broadcast(cb), col("b") <=> col("__kb"))
+      .crossJoin(tot)
+      .select(col("a").as(aCol), col("b").as(bCol), col("n"),
+        col("row_total"), col("col_total"),
+        round(e, 6).as("expected"),
+        round(d / sqrt(e), 6).as("residual"),
+        round((d * d) / e, 6).as("chi2_term"))
+  }
 }

@@ -5492,6 +5492,127 @@ object Extensions extends QueryModule {
         FROM agg CROSS JOIN wl ORDER BY query_id"""))
   }
 
+  /** Per-node triangle count + clustering coefficient
+    * ([[graft.ops.Graph.triangleStats]]) over a deterministic
+    * blocked path graph (chords (i,i+1) and (i,i+2) within 50-id
+    * blocks → a triangle strip per block). Oracle: plain ordered
+    * triangle enumeration (x<y<z by id) — orientation-free, so it
+    * cross-checks the operator's degree-ordered orientation rather
+    * than replaying it; integer counts, one division (x166 class). */
+  private val x172TriangleStats = GraftQuery(
+    "x172_triangle_stats",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val e1 = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .filter(expr("doc_id div 50") === expr("(doc_id + 1) div 50"))
+      val e2 = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst"))
+        .filter(expr("doc_id div 50") === expr("(doc_id + 2) div 50"))
+      graft.ops.Graph.triangleStats(e1.union(e2))
+        .orderBy(col("id"))
+    },
+    Some("""WITH edges AS MATERIALIZED (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+        WHERE doc_id // 50 = (doc_id + 1) // 50
+        UNION ALL
+        SELECT doc_id AS src, doc_id + 2 AS dst FROM documents
+        WHERE doc_id // 50 = (doc_id + 2) // 50),
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src != dst),
+      deg AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+        GROUP BY 1),
+      tri AS MATERIALIZED (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM und a
+        JOIN und b ON a.u = b.u AND a.v < b.v
+        JOIN und c ON c.u = a.v AND c.v = b.v),
+      pn AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+          SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+          UNION ALL SELECT z AS id FROM tri)
+        GROUP BY 1)
+      SELECT deg.id, deg.deg,
+        COALESCE(pn.triangles, 0) AS triangles,
+        round(CASE WHEN deg.deg >= 2 THEN
+          (2.0 * CAST(COALESCE(pn.triangles, 0) AS DOUBLE))
+            / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))
+          END, 6) AS coeff
+      FROM deg LEFT JOIN pn USING (id) ORDER BY deg.id"""))
+
+  /** Next-token branching entropy
+    * ([[graft.ops.TextAnalysis.branchingEntropy]]) — the
+    * boilerplate-context detector. Oracle: same integer-count
+    * identity ln c₁ − (Σ c·ln c)/c₁ with the w2-keyed sorted fold
+    * (x94 discipline) and the (count DESC, w1) top-k cut. */
+  private val x173BranchingEntropy = GraftQuery(
+    "x173_branching_entropy",
+    (s, dir) => TextAnalysis.branchingEntropy(
+        Tables.documents(s, dir), "text", k = 30)
+      .orderBy(col("n_ctx").desc, col("w1")),
+    Some("""WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+          t -> length(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+          i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM toks WHERE len(ts) >= 2),
+      c AS (
+        SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM grams GROUP BY 1, 2),
+      agg AS (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS n_ctx,
+          CAST(count(*) AS BIGINT) AS n_succ,
+          list_sum(list_transform(
+            list_sort(list(struct_pack(k := w2,
+              v := CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE))))),
+            s -> struct_extract(s, 'v'))) AS scl
+        FROM c GROUP BY 1)
+      SELECT w1, n_ctx, n_succ,
+        round(ln(CAST(n_ctx AS DOUBLE)) - scl / CAST(n_ctx AS DOUBLE), 6)
+          AS entropy
+      FROM agg ORDER BY n_ctx DESC, w1 LIMIT 30"""))
+
+  /** χ² independence audit of lang × source
+    * ([[graft.quality.CorpusQuality.chiSquareAudit]]) — the
+    * corpus-mix confounding check. Oracle: identical exact-BIGINT
+    * contingency marginals and the identically parenthesized
+    * division tree (x166 class); null-safe joins mirrored with
+    * IS NOT DISTINCT FROM. */
+  private val x174ChiSquare = GraftQuery(
+    "x174_chi_square",
+    (s, dir) => graft.quality.CorpusQuality.chiSquareAudit(
+        Tables.documents(s, dir), "lang", "source")
+      .orderBy(col("lang"), col("source")),
+    Some("""WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      ra AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS row_total
+        FROM cells GROUP BY 1),
+      cb AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS col_total
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM cells),
+      f AS (
+        SELECT cells.lang, cells.source, n, row_total, col_total,
+          (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE))
+            / CAST(grand AS DOUBLE) AS e
+        FROM cells
+        JOIN ra ON cells.lang IS NOT DISTINCT FROM ra.lang
+        JOIN cb ON cells.source IS NOT DISTINCT FROM cb.source
+        CROSS JOIN tot)
+      SELECT lang, source, n, row_total, col_total,
+        round(e, 6) AS expected,
+        round((CAST(n AS DOUBLE) - e) / sqrt(e), 6) AS residual,
+        round(((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)) / e, 6)
+          AS chi2_term
+      FROM f ORDER BY lang, source"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5542,7 +5663,8 @@ object Extensions extends QueryModule {
     x158ResampleFfill, x159MaskPlan, x160EwmaDaily,
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
-    x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval)
+    x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
+    x172TriangleStats, x173BranchingEntropy, x174ChiSquare)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

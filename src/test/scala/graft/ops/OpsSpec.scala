@@ -2503,6 +2503,34 @@ class OpsSpec extends AnyFunSuite {
         math.abs(approx(id)._2 - a) < 1e-9) }
   }
 
+  test("triangle stats: clique/pendant hand counts, multi-edge collapse, relayout-stable") {
+    // K4 on {1..4} plus pendant 4-5: K4 interior nodes have all 3
+    // triangles; node 4's neighborhood opens up (deg 4, still 3
+    // triangles); the pendant has no neighborhood at all
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+    val edges = (k4 :+ ((4L, 5L))).toDF("src", "dst")
+    val got = Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    assert((1L to 3L).forall(got(_) == ((3L, 3L, 1.0))), s"K4: $got")
+    assert(got(4L)._1 == 4L && got(4L)._2 == 3L &&
+      got(4L)._3 == 0.5, s"bridge: ${got(4L)}") // 2·3/(4·3)
+    assert(got(5L)._1 == 1L && got(5L)._2 == 0L &&
+      got(5L)._3.isNaN, s"pendant must be NULL coeff: ${got(5L)}")
+    // direction, multiplicity and self-loops don't create triangles
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 3L)).toDF("src", "dst")
+    val m = Graph.triangleStats(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"collapse: $m")
+    // pure function of the graph: relayout changes nothing
+    val again = Graph.triangleStats(edges.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    val base = Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    assert(again == base)
+  }
+
   test("label propagation: deterministic plurality votes, isolation, relayout-stable") {
     // star 0–{1..5} (mirrored): round 1 leaves adopt the hub's 0, the
     // hub adopts min leaf label 1; round 2 leaves adopt the hub's
@@ -2800,6 +2828,62 @@ class OpsSpec extends AnyFunSuite {
       "query_id", "rank", "rel", k = 3).collect()
       .map(r => r.getLong(0) -> r.toString).toMap
     assert(again == got.map { case (k2, v) => k2 -> v.toString })
+  }
+
+  test("chi-square audit: independent zero, hand residuals, NULL level kept") {
+    import graft.quality.CorpusQuality
+    // skewed 2x2: all marginals 4, N=8 -> e=2 in every cell;
+    // residuals ±1/sqrt(2), each chi2 term 0.5
+    val df = (Seq.fill(3)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y")))
+      .toDF("lang", "source")
+    val got = CorpusQuality.chiSquareAudit(df, "lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got(("a", "x")) == ((3L, 2.0, 0.707107, 0.5)), s"got $got")
+    assert(got(("a", "y")) == ((1L, 2.0, -0.707107, 0.5)), s"got $got")
+    assert(got.values.map(_._4).sum == 2.0)
+    // a perfectly independent table zeroes every cell
+    val ind = (for { l <- Seq("a", "b"); s <- Seq("x", "y") }
+      yield (l, s)).flatMap(p => Seq.fill(2)(p)).toDF("lang", "source")
+    val z = CorpusQuality.chiSquareAudit(ind, "lang", "source").collect()
+    assert(z.length == 4 && z.forall(r =>
+      r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0))
+    // NULL categories form their own level, not a silent drop
+    val withNull = df.union(Seq((null: String, "x")).toDF("lang", "source"))
+    val nl = CorpusQuality.chiSquareAudit(withNull, "lang", "source")
+      .collect()
+    assert(nl.length == 5 && nl.exists(r => r.isNullAt(0) &&
+      r.getLong(2) == 1L && r.getLong(3) == 1L), s"null level: ${nl.toSeq}")
+  }
+
+  test("branching entropy: hand-derived mix, single-successor zero, top-k by context count") {
+    // "a b a c a b": context a → {b:2, c:1}; contexts b, c → single
+    // successor each (the boilerplate signature: entropy exactly 0)
+    val docs = Seq("a b a c a b").toDF("text")
+    val got = TextAnalysis.branchingEntropy(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val expA = math.floor(
+      (math.log(3.0) - (2.0 * math.log(2.0)) / 3.0) * 1e6 + 0.5) / 1e6
+    assert(got("a") == ((3L, 2L, expA)), s"got $got, expA $expA")
+    assert(got("b") == ((1L, 1L, 0.0)) && got("c") == ((1L, 1L, 0.0)))
+    // uniform successors maximize entropy: ln(n)
+    val uni = Seq("x p x q x r").toDF("text")
+    val h = TextAnalysis.branchingEntropy(uni, "text", k = 1)
+      .collect().head
+    assert(h.getString(0) == "x" &&
+      h.getDouble(3) == math.floor(math.log(3.0) * 1e6 + 0.5) / 1e6)
+    // the k-cut orders by context count, tie-broken by w1
+    val top = TextAnalysis.branchingEntropy(docs, "text", k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("a"))
+    // relayout-stable (keyed sorted fold over integer-count ln terms)
+    val again = TextAnalysis.branchingEntropy(docs.repartition(4),
+      "text", k = 10).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == got)
   }
 
   test("kneser-ney bigrams: hand-computed smoothing, mass sums to 1 with backoff, top-k cut") {
