@@ -181,6 +181,67 @@ object Funnel {
         .as("approx_uniques"))
   }
 
+  /** Pairwise audience-overlap matrix between event types: for every
+    * type pair (a < b), how many distinct users touch BOTH, plus the
+    * Jaccard overlap of the two audiences — the "are these surfaces
+    * the same people" readout (near-1 Jaccard means the types are
+    * redundant signals for any per-user model; near-0 means unioning
+    * them genuinely widens coverage).
+    *
+    * `exact = true` (default, the oracle path): one distinct
+    * (type, user) table, self-joined on the user (shuffle-hash; the
+    * per-user work is |types-per-user|², bounded by the type
+    * vocabulary) and counted per pair — exact BIGINT counts, one
+    * division for the Jaccard (x166 class). The cost driver at
+    * 100 TB is the distinct + self-join shuffling the full
+    * (type, user) table TWICE.
+    *
+    * `exact = false` is the mergeable-sketch path (the x89
+    * discipline): ONE aggregation pass builds an HLL sketch per type
+    * (kilobytes each), the pair matrix unions sketches driver-free
+    * on a |types|²-row broadcast cross — the corpus is scanned once
+    * and never joined. Estimates via inclusion–exclusion
+    * (|A∩B| = |A|+|B|−|A∪B|), so small intersections of large
+    * audiences carry the usual subtractive-sketch error (~1.6%
+    * relative per term at default lgK) — not ANSI-replayable →
+    * rows-only; the spec pins it against the exact twin. */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+      userCol: String, exact: Boolean = true): DataFrame = {
+    val tu = events.select(col(typeCol).as("et"), col(userCol).as("u"))
+      .filter(col("et").isNotNull && col("u").isNotNull)
+    if (exact) {
+      val d = tu.distinct().localCheckpoint(true) // both join sides
+      val counts = d.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val b = d.select(col("et").as("et_b"), col("u").as("u_b"))
+      val both = d.hint("shuffle_hash")
+        .join(b, col("u") === col("u_b") && col("et") < col("et_b"))
+        .groupBy(col("et"), col("et_b")).agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(counts.select(col("et").as("__ka"),
+          col("n").as("n_a"))), col("et") === col("__ka"))
+        .join(broadcast(counts.select(col("et").as("__kb"),
+          col("n").as("n_b"))), col("et_b") === col("__kb"))
+        .select(col("et").as("type_a"), col("et_b").as("type_b"),
+          col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+            .as("jaccard"))
+    } else {
+      val sk = tu.groupBy(col("et"))
+        .agg(hll_sketch_agg(col("u")).as("sk"),
+          hll_sketch_estimate(hll_sketch_agg(col("u"))).as("n_est"))
+        .localCheckpoint(true) // |types| rows feed both cross sides
+      val b = sk.select(col("et").as("et_b"), col("sk").as("sk_b"),
+        col("n_est").as("n_b"))
+      val est = col("n_est") + col("n_b") -
+        hll_sketch_estimate(hll_union(col("sk"), col("sk_b")))
+      sk.crossJoin(broadcast(b)).filter(col("et") < col("et_b"))
+        .select(col("et").as("type_a"), col("et_b").as("type_b"),
+          col("n_est").as("n_a"), col("n_b"),
+          greatest(est, lit(0.0)).as("n_both_est"))
+    }
+  }
+
   /** First-order event-transition matrix: P(next event type | current
     * event type) over each user's time-ordered stream — the Markov
     * summary behind "what do users do after an error?" and the

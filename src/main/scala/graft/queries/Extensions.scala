@@ -5613,6 +5613,46 @@ object Extensions extends QueryModule {
           AS chi2_term
       FROM f ORDER BY lang, source"""))
 
+  /** Exact audience-overlap matrix
+    * ([[graft.ops.Funnel.audienceOverlap]], exact path): distinct
+    * users per event-type pair + Jaccard. Integer counts, one
+    * division (x166 class). Hash-green; the x176 sketch path is its
+    * rows-only twin. */
+  private val x175AudienceOverlap = GraftQuery(
+    "x175_audience_overlap",
+    (s, dir) => Funnel.audienceOverlap(Tables.events(s, dir),
+        "event_type", "user_id")
+      .orderBy(col("type_a"), col("type_b")),
+    Some("""WITH d AS (
+        SELECT DISTINCT event_type AS et, user_id AS u FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      counts AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      pairs AS (
+        SELECT a.et AS type_a, b.et AS type_b,
+          CAST(count(*) AS BIGINT) AS n_both
+        FROM d a JOIN d b ON a.u = b.u AND a.et < b.et
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+        round(CAST(n_both AS DOUBLE)
+          / CAST(ca.n + cb.n - n_both AS DOUBLE), 6) AS jaccard
+      FROM pairs
+      JOIN counts ca ON pairs.type_a = ca.et
+      JOIN counts cb ON pairs.type_b = cb.et
+      ORDER BY type_a, type_b"""))
+
+  /** Mergeable-sketch audience overlap (the 100 TB shape: one
+    * aggregation pass, kilobyte HLL sketches, inclusion–exclusion on
+    * a broadcast |types|² cross — the corpus never self-joins).
+    * Sketch estimates aren't ANSI-replayable → rows-only; the spec
+    * pins every pair against x175's exact counts. */
+  private val x176AudienceOverlapHll = GraftQuery(
+    "x176_audience_overlap_hll",
+    (s, dir) => Funnel.audienceOverlap(Tables.events(s, dir),
+        "event_type", "user_id", exact = false)
+      .orderBy(col("type_a"), col("type_b")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5664,7 +5704,8 @@ object Extensions extends QueryModule {
     x161PrefixFilterJoin, x162Burstiness, x163MetadataStats,
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
     x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
-    x172TriangleStats, x173BranchingEntropy, x174ChiSquare)
+    x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
+    x175AudienceOverlap, x176AudienceOverlapHll)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

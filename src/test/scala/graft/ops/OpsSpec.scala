@@ -4007,6 +4007,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audience overlap: hand Jaccard, duplicate events collapse, sketch pins to exact") {
+    // A: users 1-6, B: users 4-10, C: user 1 (twice — dupes collapse)
+    val ev = ((1L to 6L).map(u => ("A", u)) ++
+      (4L to 10L).map(u => ("B", u)) ++
+      Seq(("C", 1L), ("C", 1L))).toDF("et", "u")
+    val got = Funnel.audienceOverlap(ev, "et", "u").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // |A∩B| = {4,5,6}; J = 3/(6+7-3); |A∩C| = {1}; J = 1/6
+    assert(got(("A", "B")) == ((6L, 7L, 3L, 0.3)), s"got $got")
+    assert(got(("A", "C")) == ((6L, 1L, 1L, 0.166667)), s"got $got")
+    // disjoint audiences produce no exact row at all
+    assert(!got.contains(("B", "C")) && got.size == 2)
+    // the sketch path covers EVERY pair; at these cardinalities HLL
+    // is exact, so the estimates pin to the exact counts
+    val est = Funnel.audienceOverlap(ev, "et", "u", exact = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(4)).toMap
+    assert(est.size == 3)
+    assert(math.abs(est(("A", "B")) - 3.0) < 0.2, s"est $est")
+    assert(math.abs(est(("A", "C")) - 1.0) < 0.2, s"est $est")
+    assert(est(("B", "C")) < 0.2, s"disjoint pair should estimate ~0: $est")
+  }
+
   test("volume trend: exact OLS on a hand line, flat r2 null, single-day nulls") {
     val ev = (
       // type A: counts 1,2,3 on days 0,1,2 — the exact line y = x + 1
