@@ -242,6 +242,116 @@ object Funnel {
     }
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014's
+    * data-driven alternative to x155's first/last-touch rules): model
+    * each user's pre-conversion journey as a first-order absorbing
+    * Markov chain (START → channel states → CONV/DROP), compute the
+    * conversion probability from START, then re-compute it with each
+    * channel knocked out (every transition INTO the channel
+    * redirected to DROP). A channel's removal effect
+    * `1 − P_removed/P_full` is the conversion share that would
+    * vanish without it — credit that position-based rules
+    * structurally cannot assign (a middle channel that feeds every
+    * converting path gets zero credit from first- AND last-touch).
+    *
+    * Journey semantics: events restricted to `channels :+ convType`
+    * (the declared state space), ordered per user by (ts, id); the
+    * journey ends at the FIRST `convType` event (→ CONV) or at the
+    * stream's end (→ DROP). A user whose first event converts
+    * contributes START→CONV directly. Users with no in-scope events
+    * don't appear.
+    *
+    * Determinism contract (the x97/x78 iterative discipline):
+    * transition weights are single divisions of exact BIGINT counts,
+    * each absorption round folds its ≤|states| terms keyed by target
+    * state (sorted fold) and pins the round's vector to round(_, 9),
+    * so all `iters` rounds replay bit-identically in ANSI SQL.
+    * `iters` bounds path length considered (journeys longer than
+    * `iters` hops contribute no mass yet — the truncation is part of
+    * the contract, not an approximation knob to tune blindly).
+    *
+    * Scale shape: the per-user window (one hash shuffle on the user
+    * key, narrow columns) and the |states|²-bounded transition count
+    * are the ONLY corpus-sized stages; every absorption round —
+    * (1 + |channels|) variants × `iters` rounds — runs on the tiny
+    * transition matrix (auto-broadcast joins, eagerly checkpointed
+    * so plans stay flat). Returns one row per channel: p_removed,
+    * p_full, removal_effect, share (share = effect / Σ effects). */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, convType: String,
+      channels: Seq[String], iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1, 16]")
+    require(channels.nonEmpty, "channels must be non-empty")
+    require(!channels.contains(convType), "convType is not a channel")
+    val START = "__start"; val CONV = "__conv"; val DROP = "__drop"
+    val w = Window.partitionBy(col("user")).orderBy(col("t"), col("eid"))
+    val wu = Window.partitionBy(col("user"))
+    val ev = events
+      .select(col(userCol).as("user"), col(tsCol).as("t"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .filter(col("et").isin((channels :+ convType).map(c => c: Any): _*))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("conv_rn",
+        min(when(col("et") === convType, col("rn"))).over(wu))
+    val kept = ev.filter(col("conv_rn").isNull || col("rn") < col("conv_rn"))
+    val wk = Window.partitionBy(col("user")).orderBy(col("rn"))
+    val term = when(col("conv_rn").isNotNull, lit(CONV)).otherwise(lit(DROP))
+    val body = kept
+      .withColumn("nxt", lead(col("et"), 1).over(wk))
+      .select(col("et").as("s"), coalesce(col("nxt"), term).as("t2"))
+    val startRows = ev.filter(col("rn") === 1)
+      .select(lit(START).as("s"),
+        when(col("conv_rn") === 1, lit(CONV)).otherwise(col("et")).as("t2"))
+    val trans = body.union(startRows)
+      .groupBy(col("s"), col("t2")).agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("s")).agg(sum(col("n")).as("ns"))
+    val tmat = trans.join(broadcast(totals), "s")
+      .select(col("s"), col("t2"),
+        (col("n").cast("double") / col("ns").cast("double")).as("w"))
+      .localCheckpoint(true)
+    val states = tmat.select(col("s")).distinct().localCheckpoint(true)
+
+    def absorb(removed: Option[String]): DataFrame = {
+      var p = states.select(col("s"),
+        lit(0.0).as("p")).localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val pv = p.select(col("s").as("t2"), col("p").as("pv"))
+        val base = when(col("t2") === CONV, lit(1.0))
+          .when(col("t2") === DROP, lit(0.0))
+        val value = removed
+          .map(c => base.when(col("t2") === c, lit(0.0)))
+          .getOrElse(base)
+          .otherwise(coalesce(col("pv"), lit(0.0)))
+        p = tmat.join(pv, Seq("t2"), "left")
+          .groupBy(col("s"))
+          .agg(round(Classifier.sortedFold(col("t2"), col("w") * value), 9)
+            .as("p"))
+          .localCheckpoint(true)
+      }
+      p
+    }
+
+    val pFull = broadcast(absorb(None).filter(col("s") === START)
+      .select(col("p").as("p_full")))
+    val removed = channels.sorted.map { c =>
+      absorb(Some(c)).filter(col("s") === START)
+        .select(lit(c).as("channel"), col("p").as("p_removed"))
+    }.reduce(_ union _)
+    val re = removed.crossJoin(pFull)
+      .select(col("channel"), col("p_removed"), col("p_full"),
+        round(when(col("p_full") > 0,
+          lit(1.0) - col("p_removed") / col("p_full")), 6)
+          .as("removal_effect"))
+      .localCheckpoint(true)
+    val tot = broadcast(re.agg(Classifier.sortedFold(col("channel"),
+      coalesce(col("removal_effect"), lit(0.0))).as("sum_re")))
+    re.crossJoin(tot)
+      .select(col("channel"), col("p_removed"), col("p_full"),
+        col("removal_effect"),
+        round(when(col("sum_re") > 0,
+          col("removal_effect") / col("sum_re")), 6).as("share"))
+  }
+
   /** First-order event-transition matrix: P(next event type | current
     * event type) over each user's time-ordered stream — the Markov
     * summary behind "what do users do after an error?" and the

@@ -5653,6 +5653,104 @@ object Extensions extends QueryModule {
       .orderBy(col("type_a"), col("type_b")),
     None)
 
+  /** Markov removal-effect attribution
+    * ([[graft.ops.Funnel.markovAttribution]]) — the data-driven
+    * credit model next to x155's positional rules. Oracle: the FULL
+    * pipeline generated and unrolled — journey windows, exact-count
+    * transition weights, then (1 + |channels|) absorption variants ×
+    * 4 rounds as MATERIALIZED CTEs with target-keyed sorted folds
+    * and round-9 pins at every round boundary (the x78/x97
+    * discipline, generated programmatically per channel). */
+  private val x177MarkovAttribution = {
+    val channels = Seq("click", "error", "signup", "view")
+    val conv = "purchase"
+    val iters = 4
+    def rounds(variant: String, removedCase: String): String =
+      (1 to iters).map { r =>
+        val prev = if (r == 1) "p_zero" else s"p_${variant}_${r - 1}"
+        s"""p_${variant}_$r AS MATERIALIZED (
+        SELECT tm.s, round(list_sum(list_transform(list_sort(list(
+          struct_pack(k := tm.t2, v := tm.w * CASE
+            WHEN tm.t2 = '__conv' THEN CAST(1.0 AS DOUBLE)
+            WHEN tm.t2 = '__drop' THEN CAST(0.0 AS DOUBLE)
+            $removedCase
+            ELSE COALESCE(pp.p, CAST(0.0 AS DOUBLE)) END))),
+          x -> struct_extract(x, 'v'))), 9) AS p
+        FROM tm LEFT JOIN $prev pp ON tm.t2 = pp.s
+        GROUP BY tm.s)"""
+      }.mkString(",\n      ")
+    val variantCtes = (rounds("full", "") +: channels.map(c =>
+      rounds(c, s"WHEN tm.t2 = '$c' THEN CAST(0.0 AS DOUBLE)")))
+      .mkString(",\n      ")
+    val removedUnion = channels.map(c =>
+      s"""SELECT '$c' AS channel,
+        (SELECT p FROM p_${c}_$iters WHERE s = '__start') AS p_removed""")
+      .mkString("\n        UNION ALL ")
+    GraftQuery(
+      "x177_markov_attribution",
+      (s, dir) => Funnel.markovAttribution(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", conv, channels,
+          iters = iters)
+        .orderBy(col("channel")),
+      Some(s"""WITH ev AS MATERIALIZED (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+          event_id AS eid, event_type AS et
+        FROM events
+        WHERE event_type IN (${(channels :+ conv)
+          .map("'" + _ + "'").mkString(", ")})),
+      rn AS MATERIALIZED (
+        SELECT u, et,
+          row_number() OVER (PARTITION BY u ORDER BY t, eid) AS rn
+        FROM ev),
+      cr AS MATERIALIZED (
+        SELECT u, min(CASE WHEN et = '$conv' THEN rn END) AS conv_rn
+        FROM rn GROUP BY u),
+      kept AS MATERIALIZED (
+        SELECT rn.u, rn.rn, rn.et, cr.conv_rn
+        FROM rn JOIN cr USING (u)
+        WHERE cr.conv_rn IS NULL OR rn.rn < cr.conv_rn),
+      body AS MATERIALIZED (
+        SELECT et AS s,
+          COALESCE(lead(et) OVER (PARTITION BY u ORDER BY rn),
+            CASE WHEN conv_rn IS NOT NULL THEN '__conv'
+              ELSE '__drop' END) AS t2
+        FROM kept),
+      startrows AS MATERIALIZED (
+        SELECT '__start' AS s,
+          CASE WHEN cr.conv_rn = 1 THEN '__conv' ELSE rn.et END AS t2
+        FROM rn JOIN cr USING (u) WHERE rn.rn = 1),
+      trans AS MATERIALIZED (
+        SELECT s, t2, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT * FROM body UNION ALL SELECT * FROM startrows)
+        GROUP BY 1, 2),
+      tm AS MATERIALIZED (
+        SELECT trans.s, trans.t2,
+          CAST(n AS DOUBLE) / CAST(ns AS DOUBLE) AS w
+        FROM trans JOIN (
+          SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM trans GROUP BY 1
+        ) tot USING (s)),
+      p_zero AS MATERIALIZED (
+        SELECT DISTINCT s, CAST(0.0 AS DOUBLE) AS p FROM tm),
+      $variantCtes,
+      re AS MATERIALIZED (
+        SELECT channel, p_removed, p_full,
+          round(CASE WHEN p_full > 0 THEN
+            CAST(1.0 AS DOUBLE) - p_removed / p_full END, 6)
+            AS removal_effect
+        FROM ($removedUnion)
+        CROSS JOIN (SELECT p AS p_full FROM p_full_$iters
+          WHERE s = '__start')),
+      tt AS (
+        SELECT list_sum(list_transform(list_sort(list(struct_pack(
+          k := channel,
+          v := COALESCE(removal_effect, CAST(0.0 AS DOUBLE))))),
+          x -> struct_extract(x, 'v'))) AS sum_re FROM re)
+      SELECT channel, p_removed, p_full, removal_effect,
+        round(CASE WHEN sum_re > 0 THEN removal_effect / sum_re END, 6)
+          AS share
+      FROM re CROSS JOIN tt ORDER BY channel"""))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5705,7 +5803,7 @@ object Extensions extends QueryModule {
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
     x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
-    x175AudienceOverlap, x176AudienceOverlapHll)
+    x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

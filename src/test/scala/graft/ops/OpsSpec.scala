@@ -4007,6 +4007,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov attribution: hand-solved chain, middle-channel credit, degenerate edges") {
+    // u1: A->buy; u2: B->(drop); u3: A->B->buy; u4: out-of-scope only.
+    // T: START->{A:2/3,B:1/3}, A->{CONV:1/2,B:1/2}, B->{CONV:1/2,DROP:1/2}
+    // p_full(START)=2/3; remove A -> 1/6 (RE 3/4); remove B -> 1/3 (RE 1/2)
+    val ev = Seq(
+      (1L, 1L, "A"), (2L, 1L, "buy"),
+      (3L, 2L, "B"),
+      (4L, 3L, "A"), (5L, 3L, "B"), (6L, 3L, "buy"),
+      (7L, 4L, "noise")
+    ).map { case (eid, u, et) => (eid, u, et) }.toDF("eid", "u", "et")
+      .withColumn("t", timestamp_micros(col("eid") * 1000000L))
+    val got = Funnel.markovAttribution(ev, "u", "t", "eid", "et",
+      "buy", Seq("A", "B")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getDouble(2) == 0.666666667 &&
+      got("B").getDouble(2) == 0.666666667, s"p_full: $got")
+    assert(got("A").getDouble(1) == 0.166666667, s"p_-A: ${got("A")}")
+    assert(got("B").getDouble(1) == 0.333333333, s"p_-B: ${got("B")}")
+    assert(got("A").getDouble(3) == 0.75 && got("B").getDouble(3) == 0.5)
+    // the middle/feeder channel A carries 60% of the credit — the
+    // structure first/last-touch rules can't see
+    assert(got("A").getDouble(4) == 0.6 && got("B").getDouble(4) == 0.4)
+    // relayout-stable (pinned rounds + sorted folds)
+    val again = Funnel.markovAttribution(ev.repartition(5), "u", "t",
+      "eid", "et", "buy", Seq("A", "B")).collect()
+      .map(r => r.getString(0) -> r.toString).toMap
+    assert(again == got.map { case (k, v) => k -> v.toString })
+    // degenerate: the only journey converts on its first event ->
+    // p_full 1, zero removal effects, shares NULL (0/0)
+    val solo = Seq((1L, 1L, "buy")).toDF("eid", "u", "et")
+      .withColumn("t", timestamp_micros(col("eid")))
+    val d = Funnel.markovAttribution(solo, "u", "t", "eid", "et",
+      "buy", Seq("A", "B")).collect().map(r => r.getString(0) -> r).toMap
+    assert(d("A").getDouble(2) == 1.0 && d("A").getDouble(3) == 0.0 &&
+      d("A").isNullAt(4), s"degenerate: $d")
+  }
+
   test("audience overlap: hand Jaccard, duplicate events collapse, sketch pins to exact") {
     // A: users 1-6, B: users 4-10, C: user 1 (twice — dupes collapse)
     val ev = ((1L to 6L).map(u => ("A", u)) ++
