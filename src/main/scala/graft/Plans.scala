@@ -85,7 +85,18 @@ object Plans {
     "x162_burstiness" -> "one exchange on the user key; the gap lag window and the per-user aggregate share its sort/partitioning",
     "x164_dimension_stats" -> "one posexplode + one dim-keyed two-phase aggregate; |dims| rows out regardless of corpus size",
     "x165_session_paths" -> "lag flag + running session-id share one user exchange; the per-session collect groups on (user, sid) — a superset of that partitioning, no second shuffle; top-k is TakeOrdered",
-    "x166_classifier_auc" -> "one map-side-combinable (group, score) count; rank window over DISTINCT scores only; per-group reduce — the corpus never sorts")
+    "x166_classifier_auc" -> "one map-side-combinable (group, score) count; rank window over DISTINCT scores only; per-group reduce — the corpus never sorts",
+    "x167_hits" -> "Pregel shape (the x78 exchange pattern doubled): edges persisted once per join side; each half-round re-shuffles only the (node, score) table; the L1 normalizer is a single-row broadcast; rounds checkpoint-truncated",
+    "x168_kfold_assign" -> "two-phase stratified rank: (stratum, bucket) counts collected once (bounded), offsets broadcast-join, per-(stratum,bucket) rank windows on that shuffle — no stratum ever sorts on one task",
+    "x169_kneser_ney" -> "ONE tokenize/explode scan into ONE map-side-combinable (w1,w2) count, checkpointed; all three marginals re-aggregate from it (vocab²-bounded); marginal joins shuffle-hash on the word key; only the single-row total broadcasts; top-k is TakeOrdered",
+    "x170_volume_trend" -> "one map-side-combinable (type, day) count, then a |types|-row exact-integer moment aggregate; the min-day single row broadcasts — no windows, no sorts",
+    "x171_retrieval_eval" -> "x23's broadcast-query scoring; self-exclusion re-rank as WindowGroupLimit-bounded per-query windows; the metric pass is ONE bounded aggregate with literal discount weights riding the plan",
+    "x172_triangle_stats" -> "degree-ordered orientation (hubs orient inward — wedge cost bounded); wedge and closing-edge joins shuffle-hash on apex/(x,y); per-node explode ships 3 rows per triangle; integer-only until the final division",
+    "x173_branching_entropy" -> "rides x169's checkpointed wordBigramCounts pass; one w1-keyed aggregate over the vocab²-bounded type table; top-k is TakeOrdered",
+    "x174_chi_square" -> "ONE (a,b) count is the only corpus-sized stage; marginals re-aggregate from the cell table and broadcast back onto it with null-safe keys",
+    "x175_audience_overlap" -> "one distinct (type,user) exchange feeds both sides (checkpointed); shuffle-hash self-join on the user key; |types|-row totals broadcast back",
+    "x176_audience_overlap_hll" -> "ONE aggregation pass to kilobyte HLL sketches; the pair matrix is a broadcast |types|² cross with hll_union inclusion–exclusion — the corpus is scanned once and never joined",
+    "x177_markov_attribution" -> "per-user journey window (one user-key exchange, narrow columns) + |states|²-bounded transition count are the only corpus stages; all (1+|channels|)×iters absorption rounds run on the tiny checkpointed matrix with auto-broadcast joins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
