@@ -193,4 +193,57 @@ object Classifier {
         round(col("sum_score") / col("n"), 6).as("mean_score"),
         round(col("sum_sq_err") / col("n"), 6).as("brier"))
   }
+
+  /** Isotonic (PAV) calibration over score bins — the nonparametric
+    * score→probability map next to [[calibrationCurve]]'s diagnostic:
+    * the curve SHOWS the miscalibration, the isotonic fit is the
+    * monotone step function you'd actually apply (Zadrozny & Elkan
+    * 2002; sklearn's IsotonicRegression on binned data).
+    *
+    * Not the sequential pool-adjacent-violators loop: the fit is
+    * computed by the minimax identity — fitted(i) =
+    * max_{j≤i} min_{k≥i} mean(pos, [j..k]) (Robertson, Wright &
+    * Dykstra 1988, Thm 1.4.4) — which is pure joins/aggregates over
+    * the bin table, so it distributes and REPLAYS: every segment
+    * mean is one division of exact BIGINT sums, min/max over doubles
+    * are order-free, rounding only at the output (the x166
+    * determinism class; an iterative PAV would instead need
+    * per-merge pins). Bins absent from the data are skipped exactly
+    * as PAV on the present-bin sequence would.
+    *
+    * Scale shape: ONE map-side-combinable bucket count over the
+    * corpus; everything after runs on the ≤`bins`-row table — the
+    * segment/minimax build is bins³-bounded rows (the `require`
+    * keeps it honest), trivially small. Returns (bucket, n, n_pos,
+    * rate, fitted) with `fitted` monotone non-decreasing. */
+  def isotonicCalibration(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100,
+      "bins in [2, 100] — the minimax segment table is bins^3-bounded")
+    val b = scored
+      .withColumn("bucket",
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col(labelCol).cast("long")).cast("long").as("n_pos"))
+      .localCheckpoint(true) // tiny; feeds segments, anchors, output
+    val segs = b.select(col("bucket").as("j"))
+      .crossJoin(b.select(col("bucket").as("k")))
+      .filter(col("j") <= col("k"))
+      .join(b.select(col("bucket").as("m"), col("n"), col("n_pos")),
+        col("m").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("n")).as("ns"), sum(col("n_pos")).as("ps"))
+      .select(col("j"), col("k"),
+        (col("ps").cast("double") / col("ns").cast("double")).as("avg"))
+    val fitted = b.select(col("bucket").as("i"))
+      .join(segs, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("fit"))
+    b.join(fitted, col("bucket") === col("i"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round(col("fit"), 6).as("fitted"))
+  }
 }

@@ -5751,6 +5751,52 @@ object Extensions extends QueryModule {
       FROM re CROSS JOIN tt ORDER BY channel"""))
   }
 
+  /** Isotonic (PAV) score calibration
+    * ([[graft.ops.Classifier.isotonicCalibration]]) — the applied
+    * monotone fit next to x152's diagnostic curve, computed by the
+    * minimax identity (joins/aggregates, not the sequential PAV
+    * loop). Oracle: the same bins³-bounded segment build — every
+    * mean a division of exact BIGINT sums, min/max order-free (x166
+    * determinism class). */
+  private val x178IsotonicCalibration = GraftQuery(
+    "x178_isotonic_calibration",
+    (s, dir) => {
+      val scored = TextAnalysis.withQualityMetrics(Tables.documents(s, dir))
+        .select(col("stopword_ratio").as("score"),
+          (col("lang") === "en").cast("int").as("label"))
+      graft.ops.Classifier.isotonicCalibration(
+          scored, "score", "label", bins = 10)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH scored AS (
+        SELECT round(CAST(len(list_intersect(string_split(lower(text), ' '),
+              [${graft.ops.Stopwords.en.map("'" + _ + "'").mkString(",")}]))
+            AS DOUBLE) / len(string_split(text, ' ')), 4) AS score,
+          CAST(lang = 'en' AS INT) AS label
+        FROM documents),
+      b AS (
+        SELECT CAST(least(floor(score * 10), 9) AS INT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(label) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      segs AS (
+        SELECT j.bucket AS j, k.bucket AS k,
+          CAST(sum(m.ps) AS DOUBLE) / CAST(sum(m.ns) AS DOUBLE) AS avg
+        FROM b j
+        JOIN b k ON j.bucket <= k.bucket
+        JOIN (SELECT bucket AS mb, n AS ns, n_pos AS ps FROM b) m
+          ON m.mb BETWEEN j.bucket AND k.bucket
+        GROUP BY 1, 2),
+      mins AS (
+        SELECT i.bucket AS i, segs.j, min(segs.avg) AS mn
+        FROM b i JOIN segs ON segs.j <= i.bucket AND segs.k >= i.bucket
+        GROUP BY 1, 2),
+      fit AS (SELECT i, max(mn) AS f FROM mins GROUP BY 1)
+      SELECT b.bucket, b.n, b.n_pos,
+        round(CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate,
+        round(f, 6) AS fitted
+      FROM b JOIN fit ON b.bucket = fit.i ORDER BY b.bucket"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5803,7 +5849,8 @@ object Extensions extends QueryModule {
     x164DimensionStats, x165SessionPaths, x166ClassifierAuc, x167Hits,
     x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
-    x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution)
+    x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
+    x178IsotonicCalibration)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

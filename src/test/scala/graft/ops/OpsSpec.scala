@@ -4007,6 +4007,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic calibration: PAV pooling by hand, monotone output, identity on sorted input") {
+    // bin rates 0.2, 0.6, 0.4, 0.8 (n=5 each): PAV pools the violating
+    // middle pair to (3+2)/10 = 0.5 -> fitted 0.2, 0.5, 0.5, 0.8
+    def mk(binScores: Seq[(Double, Int, Int)]) = // (score, n, pos)
+      binScores.flatMap { case (sc, n, pos) =>
+        Seq.fill(pos)((sc, 1)) ++ Seq.fill(n - pos)((sc, 0))
+      }.toDF("score", "label")
+    val got = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 5, 1), (0.15, 5, 3), (0.25, 5, 2), (0.35, 5, 4))),
+      "score", "label", bins = 10).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(0 -> ((0.2, 0.2)), 1 -> ((0.6, 0.5)),
+      2 -> ((0.4, 0.5)), 3 -> ((0.8, 0.8))), s"got $got")
+    // fully decreasing rates pool into one flat level: the global mean
+    val dec = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 4, 4), (0.15, 4, 2), (0.25, 4, 0))),
+      "score", "label", bins = 10).collect()
+      .map(r => r.getDouble(4)).toSeq
+    assert(dec == Seq(0.5, 0.5, 0.5), s"dec $dec")
+    // already-monotone input passes through untouched, and the fit is
+    // always monotone non-decreasing in the bin
+    val mono = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 4, 0), (0.15, 4, 2), (0.25, 4, 4))),
+      "score", "label", bins = 10).collect().sortBy(_.getInt(0))
+    assert(mono.map(_.getDouble(4)).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(mono.map(_.getDouble(3)).toSeq ==
+      mono.map(_.getDouble(4)).toSeq)
+    // weighted pooling: a heavy violating bin drags the pool toward
+    // itself — (1·1 + 9·0.111111)/10 ≈ 0.2, not the unweighted 0.56
+    val wt = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 1, 1), (0.15, 9, 1))), "score", "label", bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(wt == Map(0 -> 0.2, 1 -> 0.2), s"wt $wt")
+  }
+
   test("markov attribution: hand-solved chain, middle-channel credit, degenerate edges") {
     // u1: A->buy; u2: B->(drop); u3: A->B->buy; u4: out-of-scope only.
     // T: START->{A:2/3,B:1/3}, A->{CONV:1/2,B:1/2}, B->{CONV:1/2,DROP:1/2}
