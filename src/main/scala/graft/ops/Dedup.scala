@@ -1536,4 +1536,51 @@ object Dedup {
         max(col("chunk_len")).as("max_chunk_len"),
         sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
   }
+
+  /** Survivorship "golden record" per duplicate group — the
+    * FIELD-level merge the row-level selectors can't express:
+    * [[canonicalBest]]/x114 keep one member row wholesale; real MDM
+    * survivorship composes the golden row field by field (freshest
+    * address from one duplicate, the non-null phone from another).
+    * Per `keyCol` group this emits: member count, the stable
+    * `golden_id` (min id), the argmax-by-quality member
+    * (`best_id`/`best_quality` — ties to the SMALLEST id via the
+    * max-struct trick), and for each requested column its modal
+    * (plurality) value with ties broken toward the smallest value
+    * (deterministic, the labelPropagation vote rule; a NULL level
+    * participates in the vote but loses ties to any non-null).
+    *
+    * Deterministic: counts, min/max over exact values, no floats at
+    * all. Scale shape: ONE shuffle on the group key for the core
+    * aggregate; each modal column adds one two-phase
+    * (key, value) count (map-side combinable — a hot value
+    * collapses before the exchange) plus a max-count filter join on
+    * the key — all |groups|-bounded after the first aggregate. No
+    * windows, no collects. */
+  def goldenRecord(df: DataFrame, keyCol: String, idCol: String,
+      qualityCol: String, modalCols: Seq[String]): DataFrame = {
+    require(modalCols.nonEmpty, "modalCols must be non-empty")
+    val base = df.select((Seq(col(keyCol).as("__k"),
+      col(idCol).cast("long").as("__id"),
+      col(qualityCol).cast("long").as("__q")) ++ modalCols.map(col)): _*)
+      .localCheckpoint(true) // 1 + |modalCols| aggregate consumers
+    val core = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("__id")).as("golden_id"),
+        max(struct(col("__q"), (-col("__id")).as("neg"))).as("__w"))
+      .select(col("__k"), col("n_members"), col("golden_id"),
+        (-col("__w.neg")).as("best_id"), col("__w.__q").as("best_quality"))
+    val out = modalCols.foldLeft(core) { (acc, mc) =>
+      val cnts = base.groupBy(col("__k"), col(mc))
+        .agg(count(lit(1)).as("__cnt"))
+      val mx = cnts.groupBy(col("__k")).agg(max(col("__cnt")).as("__mx"))
+        .select(col("__k").as("__mk"), col("__mx"))
+      val modal = cnts.join(mx, col("__k") === col("__mk"))
+        .filter(col("__cnt") === col("__mx"))
+        .groupBy(col("__k")).agg(min(col(mc)).as(s"modal_$mc"))
+        .select(col("__k").as("__jk"), col(s"modal_$mc"))
+      acc.join(modal, col("__k") === col("__jk")).drop("__jk")
+    }
+    out.withColumnRenamed("__k", keyCol)
+  }
 }

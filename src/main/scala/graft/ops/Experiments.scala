@@ -67,6 +67,87 @@ object Experiments {
     * floats derived from integer counts through correctly-rounded
     * IEEE ops.
     */
+  /** Poisson(1) inverse-CDF thresholds for [[bootstrapCI]]'s
+    * multiplier draw, each pinned to 9 decimals: P(X ≤ k) for
+    * k = 0..5 (beyond 5 the weight saturates at 6 — P ≈ 5.9e-4 of
+    * draws). Driver-computed literals shipped into both the plan and
+    * the oracle SQL (the [[graft.ops.Similarity.ndcgWeights]]
+    * discipline — no engine libm in the replay path). */
+  def poissonThresholds: Seq[Double] = {
+    def r9(v: Double): Double = math.floor(v * 1e9 + 0.5) / 1e9
+    val e1 = math.exp(-1.0)
+    // cumulative e^-1 * (1 + 1 + 1/2 + 1/6 + 1/24 + 1/120)
+    Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24, 163.0 / 60)
+      .map(c => r9(e1 * c))
+  }
+
+  /** Seeded bootstrap confidence interval for a per-group mean — the
+    * nonparametric uncertainty readout next to [[abConversionLift]]'s
+    * parametric z (use this when the metric is skewed/heavy-tailed
+    * and the normal approximation is exactly what you don't trust).
+    * The Poisson bootstrap (Chamandy et al. 2012 — the distributed
+    * form: each row draws an independent Poisson(1) multiplier per
+    * replica, so no replica ever materializes a resample): replica
+    * means are `Σ w·x / Σ w`, the CI is the [α/2, 1−α/2] empirical
+    * quantile pair of the replica means, taken at index level
+    * (floor((n−1)·q)+1 on the sorted array of surviving means —
+    * exact, no interpolation).
+    *
+    * Replayable by construction: the multiplier is the epochShuffle
+    * Knuth draw keyed by (id, replica) against [[poissonThresholds]]
+    * literals — no RNG state, relayout/re-ingestion stable, ANSI
+    * SQL-replayable; with an integer `valueCol` every replica sum is
+    * an exact BIGINT (map-side combinable) and each mean is one
+    * division (x166 class), so even the sorted-quantile cut
+    * replays bit-for-bit.
+    *
+    * Scale shape: one `reps`-way map-only explode (the multiplier is
+    * arithmetic on (id, rep) — no shuffle to draw it), ONE
+    * map-side-combinable (group, rep) aggregate, then a
+    * |groups|×reps-bounded quantile fold. The corpus shuffles once,
+    * carrying (group, rep, two BIGINT partial sums). */
+  def bootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, reps: Int = 40, alpha: Double = 0.05): DataFrame = {
+    require(reps >= 10 && reps <= 1000, "reps in [10, 1000]")
+    require(alpha > 0 && alpha < 0.5, "alpha in (0, 0.5)")
+    val thr = poissonThresholds
+    val u = pmod(
+      (pmod(col("id"), lit(2147483648L)) + col("rep") * lit(1000003L))
+        * lit(2654435761L), lit(4294967296L)).cast("double") / lit(4294967296.0)
+    val w = thr.zipWithIndex.foldRight(lit(6).cast("long")) {
+      case ((t, k), rest) => when(u < lit(t), lit(k.toLong)).otherwise(rest)
+    }
+    val base = df.select(col(groupCol).as("g"), col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("x"))
+    val repMeans = base
+      .select(col("g"), col("id"), col("x"),
+        explode(sequence(lit(0L), lit(reps.toLong - 1))).as("rep"))
+      .select(col("g"), col("rep"), w.as("w"), col("x"))
+      .groupBy(col("g"), col("rep"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("g"), col("rep"),
+        round(when(col("sw") > 0,
+          col("swx").cast("double") / col("sw").cast("double")), 9)
+          .as("m"))
+    val point = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    // index the sorted means by the SURVIVING replica count (an
+    // all-zero-weight replica of a tiny group yields a NULL mean and
+    // drops) — the index arithmetic stays in-bounds by construction
+    def qIdx(q: Double) =
+      (floor((col("n_reps") - 1) * lit(q)) + 1).cast("int")
+    repMeans.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"),
+        count(col("m")).as("n_reps"))
+      .join(point, "g")
+      .select(col("g").as(groupCol), col("n"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(element_at(col("ms"), qIdx(alpha / 2)), 6).as("ci_lo"),
+        round(element_at(col("ms"), qIdx(1 - alpha / 2)), 6).as("ci_hi"),
+        col("n_reps"))
+  }
+
   def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
     val a = raterA.cast("boolean"); val b = raterB.cast("boolean")
     def cell(pa: Column, pb: Column): Column =

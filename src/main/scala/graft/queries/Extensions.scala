@@ -5797,6 +5797,108 @@ object Extensions extends QueryModule {
         round(f, 6) AS fitted
       FROM b JOIN fit ON b.bucket = fit.i ORDER BY b.bucket"""))
 
+  /** Seeded Poisson-bootstrap CI for per-source mean document length
+    * ([[graft.ops.Experiments.bootstrapCI]]) — nonparametric
+    * uncertainty for a skewed metric. Oracle: identical Knuth
+    * (id, replica) draw against the SAME injected round-9 Poisson
+    * thresholds ([[graft.ops.Experiments.poissonThresholds]] — the
+    * ndcgWeights literal discipline), exact BIGINT replica sums, one
+    * division per mean, index-level quantile cut on the sorted
+    * array. */
+  private val x179BootstrapCi = {
+    val thr = graft.ops.Experiments.poissonThresholds
+    val whens = thr.zipWithIndex
+      .map { case (t, k) => s"WHEN u < ${t} THEN ${k}" }.mkString(" ")
+    GraftQuery(
+      "x179_bootstrap_ci",
+      (s, dir) => graft.ops.Experiments.bootstrapCI(
+          Tables.documents(s, dir), "source", "doc_id", "n_chars",
+          reps = 40)
+        .orderBy(col("source")),
+      Some(s"""WITH base AS (
+        SELECT source AS g, doc_id AS id, n_chars AS x FROM documents),
+      expanded AS (
+        SELECT g, id, x, unnest(range(0, 40)) AS rep FROM base),
+      wts AS (
+        SELECT g, rep, x,
+          CAST(CASE $whens ELSE 6 END AS BIGINT) AS w
+        FROM (
+          SELECT g, rep, x,
+            CAST(((id % 2147483648 + rep * 1000003) * 2654435761)
+              % 4294967296 AS DOUBLE)
+              / CAST(4294967296 AS DOUBLE) AS u
+          FROM expanded)),
+      rm AS (
+        SELECT g, rep,
+          round(CASE WHEN sum(w) > 0 THEN
+            CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END, 9)
+            AS m
+        FROM wts GROUP BY 1, 2),
+      agg AS (
+        SELECT g, list_sort(list(m)) AS ms,
+          CAST(count(m) AS BIGINT) AS n_reps
+        FROM rm WHERE m IS NOT NULL GROUP BY 1),
+      pt AS (
+        SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sx
+        FROM documents GROUP BY 1)
+      SELECT agg.g AS source, n,
+        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        round(ms[CAST(floor((n_reps - 1) * CAST(0.025 AS DOUBLE)) + 1
+          AS INT)], 6) AS ci_lo,
+        round(ms[CAST(floor((n_reps - 1) * CAST(0.975 AS DOUBLE)) + 1
+          AS INT)], 6) AS ci_hi,
+        n_reps
+      FROM agg JOIN pt ON agg.g = pt.g ORDER BY source"""))
+  }
+
+  /** Survivorship golden record per fingerprint group
+    * ([[graft.ops.Dedup.goldenRecord]]) — the FIELD-level merge next
+    * to x114's row-level canonical selection, keyed by x2's
+    * replayable content fingerprint. Oracle: same md5 fingerprint,
+    * argmax replayed as a (q DESC, id) window rank, modal votes as
+    * count/max-filter/min — integer-only, no floats anywhere. */
+  private val x180GoldenRecord = GraftQuery(
+    "x180_golden_record",
+    (s, dir) => Dedup.goldenRecord(
+        Tables.documents(s, dir)
+          .withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+        "fp", "doc_id", "n_chars", Seq("lang", "source"))
+      .orderBy(col("fp")),
+    Some("""WITH f AS (
+        SELECT doc_id AS id, n_chars AS q, lang, source,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(lower(text), ' '))), ' ')) AS k
+        FROM documents),
+      core AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(min(id) AS BIGINT) AS golden_id
+        FROM f GROUP BY 1),
+      best AS (
+        SELECT k, CAST(id AS BIGINT) AS best_id,
+          CAST(q AS BIGINT) AS best_quality
+        FROM f
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY q DESC, id)
+          = 1),
+      cl AS (
+        SELECT k, lang, count(*) AS cnt FROM f GROUP BY 1, 2),
+      ml AS (
+        SELECT cl.k, min(cl.lang) AS modal_lang
+        FROM cl JOIN (SELECT k, max(cnt) AS mx FROM cl GROUP BY 1) x
+          ON cl.k = x.k AND cl.cnt = x.mx
+        GROUP BY 1),
+      cs AS (
+        SELECT k, source, count(*) AS cnt FROM f GROUP BY 1, 2),
+      ms AS (
+        SELECT cs.k, min(cs.source) AS modal_source
+        FROM cs JOIN (SELECT k, max(cnt) AS mx FROM cs GROUP BY 1) x
+          ON cs.k = x.k AND cs.cnt = x.mx
+        GROUP BY 1)
+      SELECT core.k AS fp, n_members, golden_id, best_id, best_quality,
+        modal_lang, modal_source
+      FROM core JOIN best USING (k) JOIN ml USING (k) JOIN ms USING (k)
+      ORDER BY fp"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5850,7 +5952,7 @@ object Extensions extends QueryModule {
     x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
-    x178IsotonicCalibration)
+    x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

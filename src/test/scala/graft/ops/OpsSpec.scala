@@ -4007,6 +4007,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("golden record: field-level survivorship, modal ties to smallest, NULL loses votes") {
+    val rows = Seq(
+      ("k1", 1L, 10L, "en", "a"), ("k1", 2L, 30L, "de", "a"),
+      ("k1", 3L, 30L, "de", "b"),
+      ("k2", 9L, 5L, null, "z"),
+      ("k3", 5L, 1L, "aa", "x"), ("k3", 6L, 1L, "ab", "y"),
+      ("k4", 7L, 1L, null, "x"), ("k4", 8L, 1L, "bb", "y")
+    ).toDF("fp", "doc_id", "n_chars", "lang", "source")
+    val got = Dedup.goldenRecord(rows, "fp", "doc_id", "n_chars",
+      Seq("lang", "source")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k1 = got("k1")
+    // min-id golden anchor; argmax quality with ties to smallest id;
+    // plurality fields merged from DIFFERENT members than the best row
+    assert(k1.getLong(1) == 3L && k1.getLong(2) == 1L &&
+      k1.getLong(3) == 2L && k1.getLong(4) == 30L, s"k1: $k1")
+    assert(k1.getString(5) == "de" && k1.getString(6) == "a", s"k1: $k1")
+    // singleton with a NULL field: the modal IS null
+    assert(got("k2").getLong(1) == 1L && got("k2").isNullAt(5))
+    // exact vote ties break to the smallest value on every field
+    assert(got("k3").getString(5) == "aa" && got("k3").getString(6) == "x"
+      && got("k3").getLong(3) == 5L, s"k3: ${got("k3")}")
+    // a NULL level ties with a value -> the value wins
+    assert(got("k4").getString(5) == "bb", s"k4: ${got("k4")}")
+    // relayout-stable (pure integer aggregation)
+    val again = Dedup.goldenRecord(rows.repartition(5), "fp", "doc_id",
+      "n_chars", Seq("lang", "source")).collect()
+      .map(r => r.getString(0) -> r.toString).toMap
+    assert(again == got.map { case (k, v) => k -> v.toString })
+  }
+
+  test("bootstrap CI: degenerate-exact, brackets the mean, relayout-stable, thresholds pinned") {
+    import graft.ops.Experiments
+    // the Poisson(1) inverse-CDF table is the hand-computable one
+    val t = Experiments.poissonThresholds
+    assert(t.head == 0.367879441 && t(1) == 0.735758882 &&
+      t.size == 6 && t == t.sorted, s"thresholds $t")
+    // constant data: every replica mean is EXACTLY the constant
+    // (c·Σw/Σw), so the CI degenerates to [c, c]
+    val const = (1L to 50L).map(i => ("g", i, 7L)).toDF("src", "id", "x")
+    val c = Experiments.bootstrapCI(const, "src", "id", "x").collect().head
+    assert(c.getDouble(2) == 7.0 && c.getDouble(3) == 7.0 &&
+      c.getDouble(4) == 7.0 && c.getLong(5) == 40L, s"const: $c")
+    // varied data: a proper interval that brackets the point mean
+    val varied = (1L to 200L).map(i => ("g", i, i % 13)).toDF("src", "id", "x")
+    val v = Experiments.bootstrapCI(varied, "src", "id", "x").collect().head
+    assert(v.getDouble(3) < v.getDouble(2) && v.getDouble(2) < v.getDouble(4),
+      s"CI should bracket the mean: $v")
+    assert(v.getDouble(4) - v.getDouble(3) < 3.0,
+      s"CI implausibly wide for n=200: $v")
+    // pure function of (ids, values): relayout changes nothing
+    val again = Experiments.bootstrapCI(varied.repartition(7), "src",
+      "id", "x").collect().head
+    assert(again.toString == v.toString)
+    // two groups are drawn independently and both reported
+    val two = varied.union((1L to 50L).map(i => ("h", i, 100L))
+      .toDF("src", "id", "x"))
+    val rows = Experiments.bootstrapCI(two, "src", "id", "x").collect()
+    assert(rows.length == 2 &&
+      rows.find(_.getString(0) == "h").get.getDouble(2) == 100.0)
+  }
+
   test("isotonic calibration: PAV pooling by hand, monotone output, identity on sorted input") {
     // bin rates 0.2, 0.6, 0.4, 0.8 (n=5 each): PAV pools the violating
     // middle pair to (3+2)/10 = 0.5 -> fitted 0.2, 0.5, 0.5, 0.8
