@@ -141,4 +141,71 @@ object Profiling {
       conf.set("spark.sql.parquet.aggregatePushdown", oldPush)
     }
   }
+
+  /** Population Stability Index between a reference slice and a
+    * current slice of a numeric column — THE production drift gate
+    * (credit-scoring heritage; the "retrain or don't" number):
+    * `PSI = Σ_bins (p_ref − p_cur) · ln(p_ref / p_cur)` over the
+    * reference slice's `buckets` equal-frequency bins. Rule of
+    * thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted. The
+    * numeric-feature counterpart of x56's token-distribution KL —
+    * KL asks "is this text from the same language model", PSI asks
+    * "did the FEATURE distribution my gates were tuned on move".
+    *
+    * Semantics: bin boundaries are the reference's exact
+    * interpolated quantiles (the x26/x124 percentile ↔ quantile_cont
+    * pairing, round-6-pinned, strictly-greater compares); counts are
+    * Laplace-smoothed (+1 per bin) so an empty bin contributes a
+    * finite term instead of ±∞ — with the +`buckets` total
+    * correction, a bin empty on BOTH sides still contributes ~0.
+    * NULLs are excluded from both slices (a NULL is a missingness
+    * signal, not a position in the value distribution — track it
+    * with [[columnProfile]]'s null counts).
+    *
+    * Deterministic: integer bin counts, single divisions, one ln per
+    * bin over rationals of exact BIGINTs (the x31 replay class).
+    *
+    * Scale shape: ONE quantile aggregate on the reference (bounded
+    * driver collect), then each slice is one map-only
+    * boundary-compare + map-side-combinable bin count; the
+    * `buckets`-row frames join broadcast. Returns one row per bin
+    * with the PSI contribution; Σ psi_term is the index. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      "buckets in [2, 1000] — boundaries are driver-resident")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    def r6(v: Double): Double =
+      (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)) / 1e6
+    val bounds = ref.filter(col(valueCol).isNotNull)
+      .agg(percentile(col(valueCol), typedlit(probs)).as("b"))
+      .head().getSeq[Double](0).map(r6)
+    def binCounts(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select(bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(valueCol).cast("double") > lit(b), 1).otherwise(0)
+      }.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val spark = ref.sparkSession
+    val bins = spark.range(0, buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val cr = binCounts(ref).select(col("bucket").as("bk_r"), col("n").as("n_r"))
+    val cc = binCounts(cur).select(col("bucket").as("bk_c"), col("n").as("n_c"))
+    val tr = broadcast(ref.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("nr")))
+    val tc = broadcast(cur.filter(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("nc")))
+    val pRef = (coalesce(col("n_r"), lit(0L)) + 1).cast("double") /
+      (col("nr") + buckets).cast("double")
+    val pCur = (coalesce(col("n_c"), lit(0L)) + 1).cast("double") /
+      (col("nc") + buckets).cast("double")
+    bins
+      .join(broadcast(cr), col("bucket") === col("bk_r"), "left")
+      .join(broadcast(cc), col("bucket") === col("bk_c"), "left")
+      .crossJoin(tr).crossJoin(tc)
+      .select(col("bucket"),
+        coalesce(col("n_r"), lit(0L)).as("n_ref"),
+        coalesce(col("n_c"), lit(0L)).as("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pRef - pCur) * log(pRef / pCur), 6).as("psi_term"))
+  }
 }

@@ -91,4 +91,69 @@ object Sessionize {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /** Ordered-pair episode support (level-2 sequential pattern mining,
+    * the GSP/PrefixSpan entry level): for every event-type pair
+    * (a, b), in how many sessions does an `a` occur strictly BEFORE
+    * a `b` — subsequence order, not adjacency, which is what
+    * separates it from x91's first-order transitions ("users who
+    * error EVENTUALLY purchase" is invisible to a next-step matrix
+    * when a view sits in between).
+    *
+    * Sessions are [[topSessionPaths]]'s gaps-and-islands (same gap,
+    * same (ts, tie) total order). Each session votes each pair at
+    * most ONCE (support is session count, the standard episode
+    * semantics). `maxEvents` truncates each session to its first
+    * `maxEvents` events before pairing — the quadratic guard: the
+    * in-session self-join is O(L²), and one bot mega-session would
+    * otherwise dominate the stage (the banded-LSH bucket-cap
+    * argument applied to sessions); truncation is deterministic
+    * (prefix in session order) and part of the semantics.
+    *
+    * Deterministic: integer session counts and one division for the
+    * support fraction (x166 class).
+    *
+    * Scale shape: one user-key window exchange builds sessions; the
+    * pair join is shuffle-hash on (user, session) with per-session
+    * work capped at maxEvents²; the distinct collapses each
+    * session's votes BEFORE the global pair count (map-side
+    * combinable). \|types\|²-bounded output. */
+  def episodeSupport(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long = 1800L,
+      maxEvents: Int = 50): DataFrame = {
+    require(gapSeconds > 0, "positive gap")
+    require(maxEvents >= 2 && maxEvents <= 1000,
+      "maxEvents in [2, 1000] — the in-session pair join is O(maxEvents²)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull
+      || unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val sess = events
+      .withColumn("__ns", newSession)
+      .withColumn("__sid", sum(col("__ns")).over(w))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(keyCol), col("__sid"))
+          .orderBy(col(tsCol), col(tieCol))))
+      .filter(col("__pos") <= maxEvents)
+      .select(col(keyCol).as("u"), col("__sid").as("sid"),
+        col("__pos").as("pos"), col(typeCol).as("et"))
+      .localCheckpoint(true) // both sides of the in-session join
+    val nSessions = broadcast(sess.select(col("u"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_total")))
+    val b = sess.select(col("u").as("u_b"), col("sid").as("sid_b"),
+      col("pos").as("pos_b"), col("et").as("et_b"))
+    sess.hint("shuffle_hash")
+      .join(b, col("u") === col("u_b") && col("sid") === col("sid_b")
+        && col("pos") < col("pos_b"))
+      .select(col("u"), col("sid"), col("et").as("a"), col("et_b").as("b"))
+      .distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+      .crossJoin(nSessions)
+      .select(col("a"), col("b"), col("n_sessions"),
+        round(col("n_sessions").cast("double")
+          / col("n_total").cast("double"), 6).as("support"))
+  }
 }

@@ -5899,6 +5899,102 @@ object Extensions extends QueryModule {
       FROM core JOIN best USING (k) JOIN ml USING (k) JOIN ms USING (k)
       ORDER BY fp"""))
 
+  /** Ordered-pair episode support
+    * ([[graft.ops.Sessionize.episodeSupport]]) — subsequence-order
+    * pattern mining beyond x91's adjacency and x165's exact paths.
+    * Oracle: x165's session CTEs + positional self-join + per-session
+    * DISTINCT vote, integer counts, one division (x166 class). */
+  private val x181EpisodeSupport = GraftQuery(
+    "x181_episode_support",
+    (s, dir) => Sessionize.episodeSupport(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("a"), col("b")),
+    Some("""WITH ev AS (
+        SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS t,
+          event_id AS eid, event_type AS et
+        FROM events),
+      f AS (
+        SELECT u, t, eid, et,
+          CASE WHEN lag(t) OVER w IS NULL
+            OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+      s AS (
+        SELECT u, t, eid, et,
+          sum(ns) OVER (PARTITION BY u ORDER BY t, eid) AS sid
+        FROM f),
+      p AS (
+        SELECT u, sid, et,
+          row_number() OVER (PARTITION BY u, sid ORDER BY t, eid) AS pos
+        FROM s QUALIFY pos <= 50),
+      n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total
+        FROM (SELECT DISTINCT u, sid FROM p)),
+      pairs AS (
+        SELECT DISTINCT p1.u, p1.sid, p1.et AS a, p2.et AS b
+        FROM p p1 JOIN p p2
+          ON p1.u = p2.u AND p1.sid = p2.sid AND p1.pos < p2.pos),
+      c AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM pairs GROUP BY 1, 2)
+      SELECT a, b, n_sessions,
+        round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+          AS support
+      FROM c CROSS JOIN n ORDER BY a, b"""))
+
+  /** PSI drift between the even- and odd-id corpus halves on
+    * n_chars ([[graft.ops.Profiling.psiDrift]]) — the A/A control
+    * (a near-zero index is the calibration proof; the spec drives
+    * real drift). Oracle: quantile_cont boundaries round-6 (x124
+    * pairing), Laplace-smoothed bin ratios, one ln per bin (x31
+    * class). */
+  private val x183PsiDrift = GraftQuery(
+    "x183_psi_drift",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Profiling.psiDrift(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "n_chars")
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH bounds AS MATERIALIZED (
+        SELECT quantile_cont(n_chars,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      cr AS MATERIALIZED (
+        SELECT CAST(len(list_filter(b.bs,
+            x -> CAST(d.n_chars AS DOUBLE) > round(x, 6))) AS INT)
+            AS bucket,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents d CROSS JOIN bounds b
+        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+      cc AS MATERIALIZED (
+        SELECT CAST(len(list_filter(b.bs,
+            x -> CAST(d.n_chars AS DOUBLE) > round(x, 6))) AS INT)
+            AS bucket,
+          CAST(count(*) AS BIGINT) AS n
+        FROM documents d CROSS JOIN bounds b
+        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM documents
+        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+      tc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM documents
+        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+      bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+      f AS (
+        SELECT bins.bucket,
+          COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur,
+          CAST(COALESCE(cr.n, 0) + 1 AS DOUBLE)
+            / CAST(nr + 10 AS DOUBLE) AS p_r,
+          CAST(COALESCE(cc.n, 0) + 1 AS DOUBLE)
+            / CAST(nc + 10 AS DOUBLE) AS p_c
+        FROM bins
+        LEFT JOIN cr ON bins.bucket = cr.bucket
+        LEFT JOIN cc ON bins.bucket = cc.bucket
+        CROSS JOIN tr CROSS JOIN tc)
+      SELECT bucket, n_ref, n_cur,
+        round(p_r, 6) AS p_ref, round(p_c, 6) AS p_cur,
+        round((p_r - p_c) * ln(p_r / p_c), 6) AS psi_term
+      FROM f ORDER BY bucket"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -5952,7 +6048,8 @@ object Extensions extends QueryModule {
     x168KfoldAssign, x169KneserNey, x170VolumeTrend, x171RetrievalEval,
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
-    x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord)
+    x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
+    x181EpisodeSupport, x183PsiDrift)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

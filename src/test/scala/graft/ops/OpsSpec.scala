@@ -4007,6 +4007,69 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("psi drift: identical slices ~0, planted shift flags, empty-bin finiteness") {
+    import graft.ops.Profiling
+    val ref = (1L to 1000L).map(i => ("r", i.toDouble)).toDF("t", "v")
+    // A/A: same distribution -> every term ~0, index well under 0.1
+    val same = (1L to 1000L).map(i => ("c", i.toDouble)).toDF("t", "v")
+    val aa = Profiling.psiDrift(ref, same, "v").collect()
+    assert(aa.length == 10)
+    assert(math.abs(aa.map(_.getDouble(5)).sum) < 0.001,
+      s"A/A index: ${aa.map(_.getDouble(5)).sum}")
+    // planted shift: the current slice lives in the top decile only
+    val shifted = (901L to 1000L).map(i => ("c", i.toDouble)).toDF("t", "v")
+    val sh = Profiling.psiDrift(ref, shifted, "v").collect()
+      .sortBy(_.getInt(0))
+    val idx = sh.map(_.getDouble(5)).sum
+    assert(idx > 0.25, s"planted shift must flag: $idx")
+    // every empty current bin still contributes a FINITE term
+    assert(sh.forall(r => !r.getDouble(5).isNaN &&
+      !r.getDouble(5).isInfinite))
+    assert(sh.take(9).forall(_.getLong(2) == 0L) &&
+      sh.last.getLong(2) == 100L)
+    // NULLs excluded from both slices, not binned
+    val withNull = ((1L to 1000L).map(i => ("r", Some(i.toDouble))) :+
+      (("r", None: Option[Double]))).toDF("t", "v")
+    val n = Profiling.psiDrift(withNull, same, "v").collect()
+    assert(n.map(_.getLong(1)).sum == 1000L)
+  }
+
+  test("episode support: subsequence pairs per session, gap split, truncation guard") {
+    def ts(sec: Long) = sec * 1000000L
+    val ev = Seq(
+      // u1, one session: A B A C -> distinct ordered pairs
+      // {AB, AA, AC, BA, BC}
+      (1L, 1L, ts(0), "A"), (2L, 1L, ts(10), "B"),
+      (3L, 1L, ts(20), "A"), (4L, 1L, ts(30), "C"),
+      // u2: singleton session, no pairs — still counts in the base
+      (5L, 2L, ts(0), "B"),
+      // u3: A then B two hours later -> DIFFERENT sessions, no pair
+      (6L, 3L, ts(0), "A"), (7L, 3L, ts(7200), "B")
+    ).toDF("eid", "u", "tus", "et")
+      .withColumn("t", timestamp_micros(col("tus"))).drop("tus")
+    val got = Sessionize.episodeSupport(ev, "u", "t", "eid", "et")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // 4 sessions total; only u1's contributes pairs
+    assert(got.keySet == Set(("A", "B"), ("A", "A"), ("A", "C"),
+      ("B", "A"), ("B", "C")), s"got $got")
+    assert(got.values.forall(_ == ((1L, 0.25))), s"got $got")
+    // subsequence, not adjacency: (A,C) spans the B in between;
+    // and the cross-session (A,B) of u3 did NOT vote (still 1)
+    assert(got(("A", "C"))._1 == 1L && got(("A", "B"))._1 == 1L)
+    // truncation: with maxEvents=3, pairs touching position 4 vanish
+    val trunc = Sessionize.episodeSupport(ev, "u", "t", "eid", "et",
+      maxEvents = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(trunc == Set(("A", "B"), ("A", "A"), ("B", "A")),
+      s"trunc $trunc")
+    // relayout-stable
+    val again = Sessionize.episodeSupport(ev.repartition(5), "u", "t",
+      "eid", "et").collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == got)
+  }
+
   test("golden record: field-level survivorship, modal ties to smallest, NULL loses votes") {
     val rows = Seq(
       ("k1", 1L, 10L, "en", "a"), ("k1", 2L, 30L, "de", "a"),
