@@ -5995,6 +5995,58 @@ object Extensions extends QueryModule {
         round((p_r - p_c) * ln(p_r / p_c), 6) AS psi_term
       FROM f ORDER BY bucket"""))
 
+  /** Per-source corpus datasheet — the "Datasheets for Datasets"
+    * (Gebru 2021) summary card a release ships with, composed as ONE
+    * grouped aggregate over one scan: volume (docs/tokens), length
+    * profile (mean + exact interpolated median), language mix, and
+    * the exact-dup rate from x2's content fingerprint. Everything is
+    * integer counts + single divisions except the median (the
+    * x26/x124 percentile ↔ quantile_cont round-6 pairing). A
+    * composition showcase in the x20/x100/x146 line: five report
+    * families, one pass, no joins. */
+  private val x182CorpusDatasheet = GraftQuery(
+    "x182_corpus_datasheet",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(percentile(col("n_chars"), lit(0.5)), 6)
+            .as("median_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          countDistinct(col("fp")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("sum_chars").cast("double")
+            / col("n_docs").cast("double"), 6).as("mean_chars"),
+          col("median_chars"),
+          round(col("n_en").cast("double")
+            / col("n_docs").cast("double"), 6).as("pct_en"),
+          round(lit(1.0) - col("n_unique").cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+        SELECT source, n_chars, lang,
+          CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+            AS toks,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS total_tokens,
+        round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS mean_chars,
+        round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+        round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pct_en,
+        round(CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT fp) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+      FROM base GROUP BY source ORDER BY source"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6049,7 +6101,7 @@ object Extensions extends QueryModule {
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
-    x181EpisodeSupport, x183PsiDrift)
+    x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -459,4 +459,54 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
       plan.take(3000))
   }
+
+  test("x168 kfold: rank windows keyed (stratum, bucket) — never a whole-stratum sort") {
+    val plan = finalPlanOnly("x168_kfold_assign")
+    // the only range exchange is the carrier's presentation ORDER BY;
+    // the rank window itself is hash-keyed on (stratum, bucket)
+    assert(plan.split("Exchange rangepartitioning").length - 1 == 1,
+      plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition,"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(__s"), plan.take(3000))
+    assert(plan.contains("Exchange hashpartitioning(__s"), plan.take(3000))
+  }
+
+  test("x169 kneser-ney: marginal joins shuffle-hash, top-k is TakeOrdered, no sort-merge") {
+    val plan = finalPlanOnly("x169_kneser_ney")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("x170 volume trend: windowless — two combinable aggregates, no sorts anywhere") {
+    val plan = finalPlanOnly("x170_volume_trend")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(3000))
+  }
+
+  test("x172 triangles: no nested loop anywhere; per-node counts rejoin broadcast") {
+    // the wedge/closing shuffle-hash joins materialize inside the
+    // eager checkpoints (their plans are asserted via the op's hints);
+    // the visible tail must stay nested-loop-free with the
+    // |triangles|-bounded side broadcast back onto the degree table
+    val plan = finalPlanOnly("x172_triangle_stats")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x175 audience overlap: exact path self-joins shuffle-hash on the user key") {
+    val plan = finalPlanOnly("x175_audience_overlap")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x183 psi: both slice counts are map-side combinable; bin joins broadcast") {
+    val plan = finalPlanOnly("x183_psi_drift")
+    assert(plan.contains("partial_count"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

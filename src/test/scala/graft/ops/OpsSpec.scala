@@ -4007,6 +4007,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus datasheet: one-aggregate card with hand-checked volume/mix/dup fields") {
+    val docs = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "de", "s1", 10L),   // exact dup of doc 1
+      (3L, "gamma", "en", "s1", 5L),
+      (4L, "delta words here", "fr", "s2", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.queries.Extensions.queries
+      .find(_.name == "x182_corpus_datasheet").get
+    // drive the same aggregate through the op surface used by the query
+    val base = docs.select(col("source"), col("n_chars"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val got = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        countDistinct(col("fp")).as("n_unique"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // s1: 3 docs, 2+2+1 tokens, 2 en, 2 unique fingerprints (the dup
+    // collapses despite differing lang metadata)
+    assert(got("s1") == ((3L, 5L, 2L, 2L)), s"got $got")
+    assert(got("s2") == ((1L, 3L, 0L, 1L)), s"got $got")
+    assert(q.oracle.nonEmpty)
+  }
+
   test("psi drift: identical slices ~0, planted shift flags, empty-bin finiteness") {
     import graft.ops.Profiling
     val ref = (1L to 1000L).map(i => ("r", i.toDouble)).toDF("t", "v")
