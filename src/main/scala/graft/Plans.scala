@@ -96,7 +96,13 @@ object Plans {
     "x174_chi_square" -> "ONE (a,b) count is the only corpus-sized stage; marginals re-aggregate from the cell table and broadcast back onto it with null-safe keys",
     "x175_audience_overlap" -> "one distinct (type,user) exchange feeds both sides (checkpointed); shuffle-hash self-join on the user key; |types|-row totals broadcast back",
     "x176_audience_overlap_hll" -> "ONE aggregation pass to kilobyte HLL sketches; the pair matrix is a broadcast |types|² cross with hll_union inclusion–exclusion — the corpus is scanned once and never joined",
-    "x177_markov_attribution" -> "per-user journey window (one user-key exchange, narrow columns) + |states|²-bounded transition count are the only corpus stages; all (1+|channels|)×iters absorption rounds run on the tiny checkpointed matrix with auto-broadcast joins")
+    "x177_markov_attribution" -> "per-user journey window (one user-key exchange, narrow columns) + |states|²-bounded transition count are the only corpus stages; all (1+|channels|)×iters absorption rounds run on the tiny checkpointed matrix with auto-broadcast joins",
+    "x178_isotonic_calibration" -> "ONE corpus-sized bucket count; the whole minimax PAV build (segments, per-anchor min, max) runs on the ≤bins-row checkpointed table",
+    "x179_bootstrap_ci" -> "reps-way map-only explode (the multiplier is arithmetic — no shuffle to draw it); ONE map-side-combinable (group, rep) aggregate carrying two BIGINT partial sums; quantile cut on the |groups|-row fold",
+    "x180_golden_record" -> "one group-key shuffle for the core aggregate; each modal column a two-phase count (hot values collapse map-side) + a max-count filter join — no windows, no collects",
+    "x181_episode_support" -> "one user-key window exchange builds sessions; the pair join is shuffle-hash on (user, session) with per-session work capped at maxEvents²; the per-session DISTINCT collapses votes before the |types|²-bounded count",
+    "x182_corpus_datasheet" -> "the whole datasheet is ONE grouped aggregate over ONE scan (count, sums, exact distinct, interpolated median) — no joins anywhere",
+    "x183_psi_drift" -> "one bounded quantile collect on the reference; each slice is a map-only boundary compare + combinable bin count; bins-row frames broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
