@@ -1332,6 +1332,80 @@ object Similarity {
       round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"))
   }
 
+  /** Embedding covariance + correlation matrix over the first `dims`
+    * coordinates — the second-moment profile [[dimensionStats]]'s
+    * per-dim variances can't see: off-diagonal structure is what
+    * whitening, Mahalanobis outlier scoring and the "are these dims
+    * redundant" question read. cov(i,j) = S_ij/n − (S_i/n)(S_j/n),
+    * corr from the diagonal; upper triangle only (i ≤ j).
+    *
+    * Determinism contract (`exact = true`): both moment families
+    * fold keyed by the row id (the x94/x164 sorted-fold discipline)
+    * so the result replays bit-for-bit in ANSI SQL; the fold
+    * collects n values per cell — verification-corpus territory,
+    * bounded by keeping `dims` small (the `require`). `exact =
+    * false` is the scale path: plain float sums with map-side
+    * partial aggregation — the shuffle carries dims(dims+1)/2
+    * partials per partition, not the corpus (the [[
+    * graft.functions.VectorAvg]] argument applied to second
+    * moments), at the usual addition-order-ulp cost.
+    *
+    * Scale shape: ONE in-row upper-triangle pair explode feeds ONE
+    * combinable (i, j) aggregate; the per-dim first moments ride a
+    * posexplode into a second combinable aggregate; the d-row diag
+    * rejoins broadcast for the correlation. Rows with NULL or
+    * shorter-than-`dims` vectors are excluded (a partial vector has
+    * no position in the joint distribution). */
+  def covarianceMatrix(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 8, exact: Boolean = true): DataFrame = {
+    require(dims >= 2 && dims <= 64,
+      "dims in [2, 64] — the cell count is dims(dims+1)/2")
+    def fold(k: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      if (exact) Classifier.sortedFold(k, v) else sum(v)
+    val base = Parallelism.ensure(df)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(col(idCol).cast("long").as("id"),
+        transform(slice(col(vecCol), 1, dims),
+          x => x.cast("double")).as("v"))
+      .localCheckpoint(true) // feeds pair + single moment passes
+    val nRow = broadcast(base.agg(count(lit(1)).as("n")))
+    val pairs = base
+      .select(col("id"), explode(flatten(transform(
+        sequence(lit(1), lit(dims)), i => transform(
+          sequence(i, lit(dims)), j => struct(i.as("i"), j.as("j"),
+            (element_at(col("v"), i) * element_at(col("v"), j))
+              .as("p")))))).as("c"))
+      .select(col("id"), col("c.i").as("i"), col("c.j").as("j"),
+        col("c.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(fold(col("id"), col("p")).as("sij"))
+    val singles = base
+      .select(col("id"), posexplode(col("v")))
+      .select(col("id"), (col("pos") + 1).as("d"),
+        col("col").as("x"))
+      .groupBy(col("d")).agg(fold(col("id"), col("x")).as("s"))
+      .localCheckpoint(true) // joined twice (i side and j side)
+    val cov = pairs
+      .join(broadcast(singles.select(col("d").as("di"), col("s").as("si"))),
+        col("i") === col("di"))
+      .join(broadcast(singles.select(col("d").as("dj"), col("s").as("sj"))),
+        col("j") === col("dj"))
+      .crossJoin(nRow)
+      .select(col("i"), col("j"), col("n"),
+        (col("sij") / col("n") - (col("si") / col("n"))
+          * (col("sj") / col("n"))).as("cov"))
+      .localCheckpoint(true) // diag feeds the correlation join
+    val diag = cov.filter(col("i") === col("j"))
+      .select(col("i").as("dd"), col("cov").as("var"))
+    cov
+      .join(broadcast(diag.select(col("dd").as("d1"), col("var").as("v1"))),
+        col("i") === col("d1"))
+      .join(broadcast(diag.select(col("dd").as("d2"), col("var").as("v2"))),
+        col("j") === col("d2"))
+      .select(col("i"), col("j"), col("n"), round(col("cov"), 6).as("cov"),
+        round(when(col("v1") > 0 && col("v2") > 0,
+          col("cov") / sqrt(col("v1") * col("v2"))), 6).as("corr"))
+  }
+
   /** Position-discount weights for [[retrievalEval]]: w(i) =
     * 1/log₂(i+1) for ranks 1..k, each pinned to 9 decimals, plus
     * their prefix sums (the ideal-DCG table) folded over the PINNED

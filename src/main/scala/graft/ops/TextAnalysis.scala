@@ -1293,6 +1293,74 @@ object TextAnalysis {
     * w1 — the collect_list inside the sorted fold is bounded by each
     * context's successor-TYPE count (vocab-bounded, not
     * corpus-bounded); top-k plans as TakeOrdered. */
+  /** Per-document mean log-probability under an interpolated
+    * Kneser–Ney bigram model trained on a SEPARATE slice — the
+    * complete CCNet gate ([[kneserNeyBigrams]] estimates the model;
+    * this scores with it, including the backoff arms a self-scoring
+    * setup never exercises): seen bigram → the full KN mix; seen
+    * context, unseen bigram → the discounted-mass · continuation
+    * backoff; unseen context → the continuation probability alone;
+    * a probability floor keeps fully-unseen words finite (the KenLM
+    * OOV convention). Low mean log-prob = out-of-distribution text
+    * (x129 buckets these into the CCNet head/middle/tail).
+    *
+    * Determinism: model counts are exact BIGINTs, the per-bigram
+    * probability is the x169 fixed division tree, `ln` over those
+    * rationals is the x31 replay class, and per-doc means fold
+    * keyed by bigram POSITION (the x94 discipline) — bit-replayable.
+    *
+    * Scale shape: the model build is [[wordBigramCounts]]'s single
+    * train-slice pass; scoring is one tokenize/explode over the
+    * score slice and three LEFT shuffle-hash joins against the
+    * vocab²-bounded model tables (never broadcast — the vocab is
+    * corpus-scaled); only the single-row N1+(·,·) broadcasts. One
+    * doc-keyed aggregate ends it. Docs with < 2 tokens have no
+    * bigrams and are absent (no distribution to score them under). */
+  def knLogProb(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75,
+      floor: Double = 1e-10): DataFrame = {
+    require(discount > 0 && discount < 1, "discount in (0, 1)")
+    require(floor > 0 && floor < 1, "floor in (0, 1)")
+    val c = wordBigramCounts(train, textCol)
+    val lw = c.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val rw = c.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val tot = broadcast(c.agg(count(lit(1)).as("n1all")))
+    val ts = filter(tokens(col(textCol)), t => length(t) > 0)
+    val grams = Parallelism.ensure(score)
+      .select(col(idCol).as("id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))))
+      .select(col("id"), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1bw"), lit(0L)).cast("double") /
+      col("n1all").cast("double")
+    val backoff = ((d * col("n1fw").cast("double"))
+      / col("c1").cast("double")) * pcont
+    val p = when(col("c12").isNotNull,
+        greatest(col("c12").cast("double") - d, lit(0.0))
+          / col("c1").cast("double") + backoff)
+      .when(col("c1").isNotNull, backoff)
+      .otherwise(pcont)
+    grams
+      .hint("shuffle_hash").join(c, Seq("w1", "w2"), "left")
+      .hint("shuffle_hash").join(lw, Seq("w1"), "left")
+      .hint("shuffle_hash").join(rw, Seq("w2"), "left")
+      .crossJoin(tot)
+      .select(col("id"), col("pos"),
+        log(greatest(p, lit(floor))).as("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Classifier.sortedFold(col("pos"), col("term")).as("s"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(col("s") / col("n_bigrams").cast("double"), 4)
+          .as("mean_logprob"))
+  }
+
   def branchingEntropy(df: DataFrame, textCol: String,
       k: Int = 30): DataFrame = {
     require(k >= 1, "k must be positive")

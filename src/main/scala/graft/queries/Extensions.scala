@@ -6047,6 +6047,126 @@ object Extensions extends QueryModule {
           / CAST(count(*) AS DOUBLE), 6) AS dup_rate
       FROM base GROUP BY source ORDER BY source"""))
 
+  /** Embedding covariance/correlation matrix over the first 8 dims
+    * ([[graft.ops.Similarity.covarianceMatrix]]) — the off-diagonal
+    * structure x164's per-dim profile can't see. Oracle: id-keyed
+    * sorted folds for BOTH moment families (x94/x164 discipline),
+    * identical division tree, null-safe; exact=false is the
+    * constant-buffer scale twin (spec-asserted ≈). */
+  private val x184CovarianceMatrix = GraftQuery(
+    "x184_covariance_matrix",
+    (s, dir) => Similarity.covarianceMatrix(
+        Tables.embeddings(s, dir), "vec_id", "embedding", dims = 8)
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"), col("cov"), col("corr"))
+      .orderBy(col("i"), col("j")),
+    Some("""WITH base AS MATERIALIZED (
+        SELECT vec_id AS id,
+          list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) >= 8),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      comps AS MATERIALIZED (
+        SELECT id, unnest(range(1, 9)) AS d, unnest(v) AS x FROM base),
+      pairs AS MATERIALIZED (
+        SELECT a.id, a.d AS i, b.d AS j, a.x * b.x AS p
+        FROM comps a JOIN comps b ON a.id = b.id AND a.d <= b.d),
+      sij AS MATERIALIZED (
+        SELECT i, j, list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := p))),
+          s -> struct_extract(s, 'v'))) AS sij
+        FROM pairs GROUP BY 1, 2),
+      sm AS MATERIALIZED (
+        SELECT d, list_sum(list_transform(
+          list_sort(list(struct_pack(k := id, v := x))),
+          s -> struct_extract(s, 'v'))) AS s
+        FROM comps GROUP BY 1),
+      cov AS MATERIALIZED (
+        SELECT i, j, n, sij / n - (si.s / n) * (sj.s / n) AS cov
+        FROM sij
+        JOIN sm si ON sij.i = si.d
+        JOIN sm sj ON sij.j = sj.d
+        CROSS JOIN nn),
+      diag AS (SELECT i AS dd, cov AS var FROM cov WHERE i = j)
+      SELECT CAST(cov.i AS INT) AS i, CAST(cov.j AS INT) AS j, n,
+        round(cov.cov, 6) AS cov,
+        round(CASE WHEN d1.var > 0 AND d2.var > 0
+          THEN cov.cov / sqrt(d1.var * d2.var) END, 6) AS corr
+      FROM cov
+      JOIN diag d1 ON cov.i = d1.dd
+      JOIN diag d2 ON cov.j = d2.dd
+      ORDER BY i, j"""))
+
+  /** KN-model document scoring with real backoff
+    * ([[graft.ops.TextAnalysis.knLogProb]]): the model trains on the
+    * even-id half, every doc scores against it — odd docs exercise
+    * the unseen-bigram/unseen-context arms a self-scored corpus
+    * never hits. Oracle: same model marginals, the same three-arm
+    * CASE over the x169 division tree, ln over exact-BIGINT
+    * rationals (x31 class), position-keyed sorted doc folds (x94). */
+  private val x185KnLogprob = GraftQuery(
+    "x185_kn_logprob",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.knLogProb(docs.filter(col("doc_id") % 2 === 0),
+          docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ttoks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+          t -> length(t) > 0) AS ts
+        FROM documents WHERE doc_id % 2 = 0),
+      tgrams AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+          i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM ttoks WHERE len(ts) >= 2),
+      c AS MATERIALIZED (
+        SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM tgrams GROUP BY 1, 2),
+      lw AS MATERIALIZED (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1fw
+        FROM c GROUP BY 1),
+      rw AS MATERIALIZED (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c),
+      stoks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          t -> length(t) > 0) AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(range(1, len(ts))) AS pos,
+          unnest(list_transform(range(1, len(ts)),
+            i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM stoks WHERE len(ts) >= 2),
+      scoredg AS (
+        SELECT doc_id, pos,
+          ln(greatest(
+            CASE WHEN c.c12 IS NOT NULL THEN
+              greatest(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+                / CAST(lw.c1 AS DOUBLE)
+              + ((0.75 * CAST(lw.n1fw AS DOUBLE)) / CAST(lw.c1 AS DOUBLE))
+                * (CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+                  / CAST(tot.n1all AS DOUBLE))
+            WHEN lw.c1 IS NOT NULL THEN
+              ((0.75 * CAST(lw.n1fw AS DOUBLE)) / CAST(lw.c1 AS DOUBLE))
+                * (CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+                  / CAST(tot.n1all AS DOUBLE))
+            ELSE CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+              / CAST(tot.n1all AS DOUBLE)
+            END, 1e-10)) AS term
+        FROM grams
+        LEFT JOIN c ON grams.g.w1 = c.w1 AND grams.g.w2 = c.w2
+        LEFT JOIN lw ON grams.g.w1 = lw.w1
+        LEFT JOIN rw ON grams.g.w2 = rw.w2
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := pos, v := term))),
+          s -> struct_extract(s, 'v')))
+          / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
+      FROM scoredg GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6101,7 +6221,8 @@ object Extensions extends QueryModule {
     x172TriangleStats, x173BranchingEntropy, x174ChiSquare,
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
-    x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift)
+    x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
+    x184CovarianceMatrix, x185KnLogprob)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2886,6 +2886,36 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("kn logprob: all three arms hand-scored — seen, backoff, unseen-context, OOV floor") {
+    def r4(v: Double): Double =
+      (if (v >= 0) math.floor(v * 1e4 + 0.5) else math.ceil(v * 1e4 - 0.5)) / 1e4
+    // model from "a b a c": c1(a)=2 n1fw(a)=2, c1(b)=1 n1fw(b)=1,
+    // pcont = 1/3 for each of a, b, c
+    val train = Seq("a b a c").toDF("text").withColumn("doc_id", lit(0L))
+    val score = Seq(
+      (1L, "a b"),  // seen bigram:       0.25/2 + (1.5/2)(1/3) = 0.375
+      (2L, "b c"),  // seen ctx, unseen:  (0.75/1)(1/3)         = 0.25
+      (3L, "z a"),  // unseen ctx:        pcont(a)              = 1/3
+      (4L, "a z"),  // OOV successor:     floor                 = 1e-10
+      (5L, "solo")  // single token: no bigrams, absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.knLogProb(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"got $got")
+    assert(got(1L) == ((1L, r4(math.log(0.375)))), s"seen: $got")
+    assert(got(2L) == ((1L, r4(math.log(0.25)))), s"backoff: $got")
+    assert(got(3L) == ((1L, r4(math.log(1.0 / 3)))), s"unseen ctx: $got")
+    assert(got(4L) == ((1L, r4(math.log(1e-10)))), s"floor: $got")
+    // in-distribution text outscores out-of-distribution text
+    assert(got(1L)._2 > got(4L)._2)
+    // relayout-stable (position-keyed folds, fixed trees)
+    val again = TextAnalysis.knLogProb(train, score.repartition(4),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(again == got)
+  }
+
   test("kneser-ney bigrams: hand-computed smoothing, mass sums to 1 with backoff, top-k cut") {
     // corpus: "a b a c" + "b a b" → bigram types (a,b):2 (b,a):2
     // (a,c):1; c1(a)=3 n1fw(a)=2, c1(b)=2 n1fw(b)=1; every word
@@ -4005,6 +4035,37 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Packing.maskPlan(d, "doc_id", "text", startMod = 1)
     }
+  }
+
+  test("covariance matrix: perfect correlations by hand, short vectors excluded, scale twin") {
+    // dim2 = 2*dim1 and dim3 = -dim1: corr(1,2)=1, corr(1,3)=-1
+    val vecs = Seq(
+      (1L, Seq(1f, 2f, -1f)), (2L, Seq(3f, 6f, -3f)),
+      (3L, Seq(5f, 10f, -5f)),
+      (4L, Seq(9f))                       // too short: excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(vecs, "vec_id", "embedding",
+      dims = 3).collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 6 && got.values.forall(_._1 == 3L), s"got $got")
+    // hand: var1 = 35/3-9 = 2.666667, cov12 = 70/3-18 = 5.333333
+    assert(got((1, 1))._2 == 2.666667 && got((1, 2))._2 == 5.333333,
+      s"got $got")
+    assert(got((1, 2))._3 == 1.0 && got((2, 3))._3 == -1.0 &&
+      got((1, 3))._3 == -1.0, s"corr: $got")
+    assert(got((1, 1))._3 == 1.0, s"diagonal corr must be 1: $got")
+    // the constant-buffer scale twin agrees up to addition-order ulps
+    val approx = Similarity.covarianceMatrix(vecs, "vec_id", "embedding",
+      dims = 3, exact = false).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    got.foreach { case (k, (_, c, _)) =>
+      assert(math.abs(approx(k) - c) < 1e-9, s"$k: ${approx(k)} vs $c") }
+    // a constant dim zeroes its variance and NULLs its correlations
+    val const = Seq((1L, Seq(1f, 7f)), (2L, Seq(2f, 7f)), (3L, Seq(3f, 7f)))
+      .toDF("vec_id", "embedding")
+    val cz = Similarity.covarianceMatrix(const, "vec_id", "embedding",
+      dims = 2).collect().map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    assert(cz((2, 2)).getDouble(3) == 0.0 && cz((1, 2)).isNullAt(4))
   }
 
   test("corpus datasheet: one-aggregate card with hand-checked volume/mix/dup fields") {
