@@ -162,6 +162,51 @@ object CorpusQuality {
       .drop("__med", "__mad")
   }
 
+  /** Source-concentration profile per group: Herfindahl–Hirschman
+    * index `HHI = Σ share²` and the Gini coefficient of the
+    * within-group source volumes — the "is this language fed by one
+    * crawl" diversity readout (The Pile/Dolma report exactly these
+    * shares; a lang with HHI → 1 means every conclusion about it is
+    * a conclusion about ONE source — the concentration view of what
+    * [[chiSquareAudit]] flags cell-wise). Gini over the ascending
+    * volume vector x: `(2·Σ i·x_i)/(n·Σx) − (n+1)/n`.
+    *
+    * Deterministic: volumes are exact BIGINT counts; Σ i·x_i is an
+    * exact integer computed by an index-fold over the SORTED
+    * (volume, source) array (the x94 keyed-fold discipline with the
+    * rank as the weight — integer arithmetic, so even the fold is
+    * exact); HHI divides exact squares. Single divisions at the end
+    * (x166 class).
+    *
+    * Scale shape: ONE (group, source) count is the only corpus-sized
+    * stage; the concentration fold runs on ≤\|sources\| values per
+    * group (driver-free, bounded by the source vocabulary). */
+  def sourceConcentration(df: DataFrame, groupCol: String,
+      sourceCol: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(groupCol).as("g"), col(sourceCol).as("s"))
+      .groupBy(col("g"), col("s")).agg(count(lit(1)).as("n"))
+    counts.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n")).as("total"),
+        sum(col("n") * col("n")).as("sum_sq"),
+        aggregate(
+          sort_array(collect_list(struct(col("n"), col("s")))),
+          struct(lit(0L).as("i"), lit(0L).as("acc")),
+          (st, x) => struct((st.getField("i") + 1).as("i"),
+            (st.getField("acc") + (st.getField("i") + 1)
+              * x.getField("n")).as("acc")),
+          st => st.getField("acc")).as("rank_sum"))
+      .select(col("g").as(groupCol), col("n_sources"), col("total"),
+        round(col("sum_sq").cast("double")
+          / (col("total") * col("total")).cast("double"), 6).as("hhi"),
+        round((lit(2.0) * col("rank_sum").cast("double"))
+          / (col("n_sources") * col("total")).cast("double")
+          - (col("n_sources") + 1).cast("double")
+            / col("n_sources").cast("double"), 6).as("gini"))
+  }
+
   /** Pearson χ² independence audit of two categorical columns (e.g.
     * lang × source): the per-cell contingency table with expected
     * counts `e = row_total·col_total/N`, standardized residuals

@@ -6167,6 +6167,40 @@ object Extensions extends QueryModule {
           / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
       FROM scoredg GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Source concentration per language
+    * ([[graft.quality.CorpusQuality.sourceConcentration]]) — HHI +
+    * Gini of within-lang source volumes, the diversity twin of
+    * x174's independence residuals. Oracle: identical integer
+    * volumes; the Gini rank-sum replays via DuckDB's indexed lambda
+    * over the same sorted struct list (exact integer fold on both
+    * engines), single divisions at the end. */
+  private val x186SourceConcentration = GraftQuery(
+    "x186_source_concentration",
+    (s, dir) => graft.quality.CorpusQuality.sourceConcentration(
+        Tables.documents(s, dir), "lang", "source")
+      .orderBy(col("lang")),
+    Some("""WITH counts AS (
+        SELECT lang AS g, source AS s, CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_sources,
+          CAST(sum(n) AS BIGINT) AS total,
+          CAST(sum(n * n) AS BIGINT) AS sum_sq,
+          CAST(list_sum(list_transform(
+            list_sort(list(struct_pack(n := n, s := s))),
+            (x, i) -> i * struct_extract(x, 'n'))) AS BIGINT) AS rank_sum
+        FROM counts GROUP BY 1)
+      SELECT g AS lang, n_sources, total,
+        round(CAST(sum_sq AS DOUBLE) / CAST(total * total AS DOUBLE), 6)
+          AS hhi,
+        round((2.0 * CAST(rank_sum AS DOUBLE))
+            / CAST(n_sources * total AS DOUBLE)
+          - CAST(n_sources + 1 AS DOUBLE) / CAST(n_sources AS DOUBLE), 6)
+          AS gini
+      FROM agg ORDER BY lang"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6222,7 +6256,7 @@ object Extensions extends QueryModule {
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
-    x184CovarianceMatrix, x185KnLogprob)
+    x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

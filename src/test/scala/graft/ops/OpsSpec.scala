@@ -2830,6 +2830,33 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map { case (k2, v) => k2 -> v.toString })
   }
 
+  test("source concentration: uniform vs monopoly extremes, hand Gini on a skewed mix") {
+    import graft.quality.CorpusQuality
+    // lang u: 4 sources x 25 docs — uniform: HHI = 1/4, Gini = 0
+    // lang m: one source: HHI = 1, Gini = 0 (no dispersion)
+    // lang s: volumes 10/30/60: HHI = 0.46,
+    //   Gini = 2(1*10+2*30+3*60)/(3*100) - 4/3 = 0.333333
+    val docs = (
+      (1 to 4).flatMap(k => Seq.fill(25)(("u", s"s$k"))) ++
+      Seq.fill(50)(("m", "only")) ++
+      Seq.fill(10)(("s", "a")) ++ Seq.fill(30)(("s", "b")) ++
+      Seq.fill(60)(("s", "c"))
+    ).toDF("lang", "source")
+    val got = CorpusQuality.sourceConcentration(docs, "lang", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("u") == ((4L, 100L, 0.25, 0.0)), s"uniform: $got")
+    assert(got("m") == ((1L, 50L, 1.0, 0.0)), s"monopoly: $got")
+    assert(got("s") == ((3L, 100L, 0.46, 0.333333)), s"skewed: $got")
+    // relayout-stable (integer rank fold over a sorted array)
+    val again = CorpusQuality.sourceConcentration(docs.repartition(7),
+      "lang", "source").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(again == got)
+  }
+
   test("chi-square audit: independent zero, hand residuals, NULL level kept") {
     import graft.quality.CorpusQuality
     // skewed 2x2: all marginals 4, N=8 -> e=2 in every cell;
