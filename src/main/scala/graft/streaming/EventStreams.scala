@@ -142,6 +142,24 @@ object EventStreams {
         col("p_ts"), col("p_value"))
   }
 
+  /** Stream-static enrichment: the streaming fact joined to a STATIC
+    * dimension table — the stateless join class that completes the
+    * streaming join matrix next to [[eventsWithRecentPurchases]]'s
+    * two-sided stateful join. No watermark, no state store: the
+    * static side behaves like a broadcast lookup evaluated per
+    * micro-batch, so an updated dimension snapshot is picked up on
+    * the NEXT batch (re-read per batch by the file source) without
+    * restarting the query — the standard "enrich clicks with the
+    * user dimension" deployment. A left join keeps facts whose
+    * dimension row hasn't arrived yet (late dimension inserts are a
+    * data fact, not a drop reason). */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+      eventKeyCol: String, dimKeyCol: String): DataFrame = {
+    require(events.isStreaming, "events must be a streaming DataFrame")
+    require(!dim.isStreaming, "dim must be a static DataFrame")
+    events.join(dim, col(eventKeyCol) === col(dimKeyCol), "left")
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen,
     * with state bounded by the watermark — the streaming form of
     * [[graft.ops.Dedup.exact]] for a continuously-ingesting corpus

@@ -122,6 +122,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count() >= batch.count() / 2)
   }
 
+  test("stream-static enrichment equals the batch left join; static side needs no state") {
+    val stream = EventStreams.fromParquetDir(spark, eventsDir)
+    // user dimension derived from the corpus: a per-user segment tag
+    val dim = Tables.events(spark, sfDir)
+      .groupBy(col("user_id").as("d_user"))
+      .agg(count(lit(1)).as("d_events"))
+      .withColumn("segment",
+        when(col("d_events") >= 100, "heavy").otherwise("light"))
+    val got = EventStreams.runToMemory(spark,
+      EventStreams.enrichWithDimension(stream, dim, "user_id", "d_user")
+        .select(col("event_id"), col("segment")),
+      "ss_enrich", outputMode = OutputMode.Append())
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("d_user"), "left")
+      .select(col("event_id"), col("segment"))
+    // stateless join: EVERY event is emitted, enriched identically
+    assert(got.count() == batch.count())
+    assert(got.join(batch, Seq("event_id", "segment"), "left_anti")
+      .count() == 0, "streamed enrichment diverges from the batch join")
+    // the guards hold the contract: static-as-stream and vice versa fail
+    intercept[IllegalArgumentException] {
+      EventStreams.enrichWithDimension(dim, dim, "d_user", "d_user")
+    }
+  }
+
   test("streaming dedup within watermark keeps one row per key") {
     import java.nio.file.Files
     import spark.implicits._
