@@ -102,7 +102,10 @@ object Plans {
     "x180_golden_record" -> "one group-key shuffle for the core aggregate; each modal column a two-phase count (hot values collapse map-side) + a max-count filter join — no windows, no collects",
     "x181_episode_support" -> "one user-key window exchange builds sessions; the pair join is shuffle-hash on (user, session) with per-session work capped at maxEvents²; the per-session DISTINCT collapses votes before the |types|²-bounded count",
     "x182_corpus_datasheet" -> "the whole datasheet is ONE grouped aggregate over ONE scan (count, sums, exact distinct, interpolated median) — no joins anywhere",
-    "x183_psi_drift" -> "one bounded quantile collect on the reference; each slice is a map-only boundary compare + combinable bin count; bins-row frames broadcast")
+    "x183_psi_drift" -> "one bounded quantile collect on the reference; each slice is a map-only boundary compare + combinable bin count; bins-row frames broadcast",
+    "x184_covariance_matrix" -> "one in-row upper-triangle pair explode into one combinable (i,j) aggregate; per-dim moments ride a posexplode; the d-row diag rejoins broadcast — the corpus shuffles moment partials, never vectors",
+    "x185_kn_logprob" -> "model marginals re-aggregate from the checkpointed train-pass count; scoring is one tokenize/explode + three LEFT shuffle-hash joins against the vocab²-bounded model (never broadcast); one doc-keyed fold ends it",
+    "x186_source_concentration" -> "one map-side-combinable (group, source) count; the HHI/Gini fold runs on ≤|sources| values per group — |groups| rows out")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
