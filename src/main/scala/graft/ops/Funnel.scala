@@ -352,6 +352,51 @@ object Funnel {
           col("removal_effect") / col("sum_re")), 6).as("share"))
   }
 
+  /** Association rules over per-user behavior (the market-basket
+    * classics on [[audienceOverlap]]'s co-audience counts): for every
+    * DIRECTED type pair a→b, `confidence = P(b|a) = n_both/n_a`
+    * and `lift = P(a,b)/(P(a)·P(b))` against the total user base —
+    * confidence near 1 with lift near 1 is just "b is common";
+    * confidence with HIGH lift is an actual behavioral rule, the
+    * distinction raw overlap can't make. Emits both directions of
+    * each co-audience pair (confidence is asymmetric; lift is shared).
+    *
+    * Deterministic: exact distinct-user BIGINT counts through fixed
+    * division trees (x166 class).
+    *
+    * Scale shape: rides the [[audienceOverlap]] exact path — one
+    * distinct (type, user) table, one shuffle-hash self-join on the
+    * user key, |types|²-bounded everything after; the single-row
+    * user-base count broadcasts. */
+  def associationRules(events: DataFrame, typeCol: String,
+      userCol: String): DataFrame = {
+    val tu = events.select(col(typeCol).as("et"), col(userCol).as("u"))
+      .filter(col("et").isNotNull && col("u").isNotNull)
+    val d = tu.distinct().localCheckpoint(true)
+    val nUsers = broadcast(d.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_users")))
+    val counts = d.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val b = d.select(col("et").as("et_b"), col("u").as("u_b"))
+    val both = d.hint("shuffle_hash")
+      .join(b, col("u") === col("u_b") && col("et") =!= col("et_b"))
+      .groupBy(col("et"), col("et_b")).agg(count(lit(1)).as("n_both"))
+    val nU = col("n_users").cast("double")
+    both
+      .join(broadcast(counts.select(col("et").as("__ka"),
+        col("n").as("n_a"))), col("et") === col("__ka"))
+      .join(broadcast(counts.select(col("et").as("__kb"),
+        col("n").as("n_b"))), col("et_b") === col("__kb"))
+      .crossJoin(nUsers)
+      .select(col("et").as("antecedent"), col("et_b").as("consequent"),
+        col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") / nU, 6).as("support"),
+        round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_both").cast("double") / nU)
+          / ((col("n_a").cast("double") / nU)
+            * (col("n_b").cast("double") / nU)), 6).as("lift"))
+  }
+
   /** First-order event-transition matrix: P(next event type | current
     * event type) over each user's time-ordered stream — the Markov
     * summary behind "what do users do after an error?" and the

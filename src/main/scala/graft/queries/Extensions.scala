@@ -6201,6 +6201,44 @@ object Extensions extends QueryModule {
           AS gini
       FROM agg ORDER BY lang"""))
 
+  /** Directed association rules over user behavior
+    * ([[graft.ops.Funnel.associationRules]]) — confidence + lift on
+    * x175's co-audience counts (the "rule vs merely-common"
+    * separation raw overlap can't make). Oracle: same distinct
+    * self-join, both directions, fixed division trees (x166
+    * class). */
+  private val x187AssociationRules = GraftQuery(
+    "x187_association_rules",
+    (s, dir) => Funnel.associationRules(Tables.events(s, dir),
+        "event_type", "user_id")
+      .orderBy(col("antecedent"), col("consequent")),
+    Some("""WITH d AS (
+        SELECT DISTINCT event_type AS et, user_id AS u FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      nu AS (
+        SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM d),
+      counts AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      pairs AS (
+        SELECT a.et AS antecedent, b.et AS consequent,
+          CAST(count(*) AS BIGINT) AS n_both
+        FROM d a JOIN d b ON a.u = b.u AND a.et != b.et
+        GROUP BY 1, 2)
+      SELECT antecedent, consequent, ca.n AS n_a, cb.n AS n_b, n_both,
+        round(CAST(n_both AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+          AS support,
+        round(CAST(n_both AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+          AS confidence,
+        round((CAST(n_both AS DOUBLE) / CAST(n_users AS DOUBLE))
+          / ((CAST(ca.n AS DOUBLE) / CAST(n_users AS DOUBLE))
+            * (CAST(cb.n AS DOUBLE) / CAST(n_users AS DOUBLE))), 6)
+          AS lift
+      FROM pairs
+      JOIN counts ca ON pairs.antecedent = ca.et
+      JOIN counts cb ON pairs.consequent = cb.et
+      CROSS JOIN nu
+      ORDER BY antecedent, consequent"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6256,7 +6294,8 @@ object Extensions extends QueryModule {
     x175AudienceOverlap, x176AudienceOverlapHll, x177MarkovAttribution,
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
-    x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration)
+    x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
+    x187AssociationRules)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

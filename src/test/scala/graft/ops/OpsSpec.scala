@@ -4318,6 +4318,33 @@ class OpsSpec extends AnyFunSuite {
       d("A").isNullAt(4), s"degenerate: $d")
   }
 
+  test("association rules: asymmetric confidence, lift separates rule from popularity") {
+    // 10 users; A: all 10; B: users 1-5 (all also do A); C: users 1-2
+    val ev = ((1L to 10L).map(u => ("A", u)) ++
+      (1L to 5L).map(u => ("B", u)) ++
+      (1L to 2L).map(u => ("C", u))).toDF("et", "u")
+    val got = Funnel.associationRules(ev, "et", "u").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    // B=>A: confidence 1.0 but lift exactly 1 (A is universal — not
+    // a rule, just popularity); A=>B: confidence 0.5, lift 1
+    assert(got(("B", "A")) == ((5L, 0.5, 1.0, 1.0)), s"got $got")
+    assert(got(("A", "B")) == ((5L, 0.5, 0.5, 1.0)), s"got $got")
+    // C=>B: both C users do B: confidence 1.0, lift 1/(0.5) = 2 —
+    // an actual rule
+    assert(got(("C", "B")) == ((2L, 0.2, 1.0, 2.0)), s"got $got")
+    assert(got(("B", "C")) == ((2L, 0.2, 0.4, 2.0)), s"got $got")
+    // directed: both orientations present, lift shared
+    assert(got.keySet.size == 6)
+    // relayout-stable
+    val again = Funnel.associationRules(ev.repartition(5), "et", "u")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(again == got)
+  }
+
   test("audience overlap: hand Jaccard, duplicate events collapse, sketch pins to exact") {
     // A: users 1-6, B: users 4-10, C: user 1 (twice — dupes collapse)
     val ev = ((1L to 6L).map(u => ("A", u)) ++
