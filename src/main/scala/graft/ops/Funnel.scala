@@ -397,6 +397,78 @@ object Funnel {
             * (col("n_b").cast("double") / nU)), 6).as("lift"))
   }
 
+  /** Theil–Sen robust daily-volume trend — the median-based twin of
+    * [[volumeTrend]]'s OLS: slope = median of all pairwise day
+    * slopes, intercept = median of (y − slope·x). One outage day or
+    * one backfill spike drags an OLS line (its breakdown point is a
+    * single point); Theil–Sen tolerates ~29% corrupted days — the
+    * estimator you gate on when the volume series has incidents in
+    * it, which at 100 TB it always does.
+    *
+    * Determinism: pairwise slopes are single divisions of exact
+    * BIGINT differences (identical doubles on any engine); medians
+    * are taken by EXPLICIT index arithmetic on the sorted array
+    * (odd → middle element, even → the mean of the two middles —
+    * one fixed tree), not an interpolating percentile — so the whole
+    * estimate replays bit-for-bit (x166 class plus a sort).
+    *
+    * Scale shape: one map-side-combinable (type, day) count is the
+    * only corpus-sized stage; the pair join and both median collects
+    * are \|days\|²-bounded per type (the `require` keeps the day
+    * span honest — Theil–Sen is quadratic in days BY DEFINITION;
+    * for multi-year spans pre-aggregate to weeks). Single-day types
+    * report NULL slope/intercept. */
+  def robustTrend(events: DataFrame, typeCol: String, tsCol: String,
+      maxDays: Int = 1000): DataFrame = {
+    require(maxDays >= 2 && maxDays <= 10000,
+      "maxDays in [2, 10000] — the pair set is days² per type")
+    val daily = events
+      .select(col(typeCol).as("et"),
+        floor(unix_micros(col(tsCol)) / 86400000000L).cast("long").as("day"))
+      .groupBy(col("et"), col("day"))
+      .agg(count(lit(1)).cast("long").as("y"))
+    val minDay = broadcast(daily.agg(min(col("day")).as("day0")))
+    val d = daily.crossJoin(minDay)
+      .select(col("et"), (col("day") - col("day0")).as("x"), col("y"))
+      .localCheckpoint(true) // pair sides + residual join
+    val nDaysChk = broadcast(d.groupBy(col("et"))
+      .agg(count(lit(1)).as("n_days")))
+    // loud quadratic guard (the stratifiedKfold discipline)
+    val capped = nDaysChk.filter(col("n_days") > maxDays)
+      .limit(1).collect()
+    require(capped.isEmpty,
+      s"robustTrend: > $maxDays days for type ${capped.headOption
+        .map(_.get(0)).getOrElse("")} — pre-aggregate to weeks")
+    def med(arr: org.apache.spark.sql.Column) = {
+      val n = size(arr)
+      def idx(c: org.apache.spark.sql.Column) = floor(c).cast("int")
+      when(n === 0, lit(null).cast("double"))
+        .when(n % 2 === 1, element_at(arr, idx((n + 1) / 2)))
+        .otherwise((element_at(arr, idx(n / 2))
+          + element_at(arr, idx(n / 2) + 1)) / lit(2.0))
+    }
+    val b = d.select(col("et").as("et_b"), col("x").as("x_b"),
+      col("y").as("y_b"))
+    val slopes = d
+      .join(b, col("et") === col("et_b") && col("x") < col("x_b"))
+      .select(col("et"),
+        ((col("y_b") - col("y")).cast("double")
+          / (col("x_b") - col("x")).cast("double")).as("sl"))
+      .groupBy(col("et"))
+      .agg(med(sort_array(collect_list(col("sl")))).as("slope"))
+    val resid = d.join(broadcast(slopes), Seq("et"), "left")
+      .select(col("et"), col("slope"),
+        (col("y").cast("double") - col("slope") * col("x").cast("double"))
+          .as("r"))
+      .groupBy(col("et"))
+      .agg(min(col("slope")).as("slope"),
+        med(sort_array(collect_list(col("r")))).as("intercept"))
+    nDaysChk.join(resid, Seq("et"), "left")
+      .select(col("et").as(typeCol), col("n_days"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+  }
+
   /** First-order event-transition matrix: P(next event type | current
     * event type) over each user's time-ordered stream — the Markov
     * summary behind "what do users do after an error?" and the

@@ -6239,6 +6239,51 @@ object Extensions extends QueryModule {
       CROSS JOIN nu
       ORDER BY antecedent, consequent"""))
 
+  /** Theil–Sen robust daily trend ([[graft.ops.Funnel.robustTrend]])
+    * — the median-slope twin of x170's OLS (breakdown point ~29% vs
+    * a single point). Oracle: identical pairwise-slope rationals and
+    * EXPLICIT index-arithmetic medians on the sorted arrays (no
+    * interpolating percentile anywhere — bit-replayable). */
+  private val x188RobustTrend = GraftQuery(
+    "x188_robust_trend",
+    (s, dir) => Funnel.robustTrend(Tables.events(s, dir),
+        "event_type", "ts")
+      .orderBy(col("event_type")),
+    Some("""WITH daily AS MATERIALIZED (
+        SELECT event_type AS et,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      d0 AS (SELECT min(day) AS day0 FROM daily),
+      d AS MATERIALIZED (
+        SELECT et, day - day0 AS x, y FROM daily CROSS JOIN d0),
+      nd AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1),
+      slopes AS MATERIALIZED (
+        SELECT a.et,
+          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        FROM d a JOIN d b ON a.et = b.et AND a.x < b.x),
+      sm AS MATERIALIZED (
+        SELECT et, list_sort(list(sl)) AS ms FROM slopes GROUP BY 1),
+      slo AS MATERIALIZED (
+        SELECT et, CASE WHEN len(ms) % 2 = 1 THEN ms[(len(ms) + 1) // 2]
+          ELSE (ms[len(ms) // 2] + ms[len(ms) // 2 + 1]) / 2.0 END
+          AS slope
+        FROM sm),
+      resid AS MATERIALIZED (
+        SELECT d.et, slo.slope,
+          CAST(d.y AS DOUBLE) - slo.slope * CAST(d.x AS DOUBLE) AS r
+        FROM d LEFT JOIN slo ON d.et = slo.et),
+      rm AS (
+        SELECT et, min(slope) AS slope, list_sort(list(r)) AS rs
+        FROM resid GROUP BY 1)
+      SELECT nd.et AS event_type, nd.n_days,
+        round(rm.slope, 6) AS slope,
+        round(CASE WHEN len(rs) % 2 = 1 THEN rs[(len(rs) + 1) // 2]
+          ELSE (rs[len(rs) // 2] + rs[len(rs) // 2 + 1]) / 2.0 END, 6)
+          AS intercept
+      FROM nd LEFT JOIN rm ON nd.et = rm.et ORDER BY event_type"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6295,7 +6340,7 @@ object Extensions extends QueryModule {
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
-    x187AssociationRules)
+    x187AssociationRules, x188RobustTrend)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -4369,6 +4369,43 @@ class OpsSpec extends AnyFunSuite {
     assert(est(("B", "C")) < 0.2, s"disjoint pair should estimate ~0: $est")
   }
 
+  test("robust trend: outlier day cannot drag the median slope, OLS does get dragged") {
+    // type A: the line y = x + 1 on days 0-3, then a 100-event spike
+    def burst(day: Long, n: Int, et: String, base: Long) =
+      (0 until n).map(k => (base + k, day, et))
+    val ev = (burst(0, 1, "A", 0) ++ burst(1, 2, "A", 10) ++
+      burst(2, 3, "A", 20) ++ burst(3, 4, "A", 30) ++
+      burst(4, 100, "A", 40) ++
+      burst(2, 7, "B", 1000)) // single-day type: no trend
+      .toDF("eid", "d", "et")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L))
+    val got = Funnel.robustTrend(ev, "et", "t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // Theil-Sen: 6 of 10 pairwise slopes are exactly 1 -> median 1;
+    // residual median 1 -> the spike is invisible
+    assert(got("A").getLong(1) == 5L && got("A").getDouble(2) == 1.0 &&
+      got("A").getDouble(3) == 1.0, s"A: ${got("A")}")
+    assert(got("B").isNullAt(2) && got("B").isNullAt(3), s"B: ${got("B")}")
+    // the contrast that motivates the estimator: OLS IS dragged
+    val ols = Funnel.volumeTrend(ev, "et", "t").collect()
+      .filter(_.getString(0) == "A").map(_.getDouble(3)).head
+    assert(ols > 10.0, s"OLS should chase the spike: $ols")
+    // even-count median: 2-day series -> the two residuals average
+    val two = (burst(0, 1, "C", 2000) ++ burst(1, 3, "C", 2010))
+      .toDF("eid", "d", "et")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L))
+    val c = Funnel.robustTrend(two, "et", "t").collect().head
+    assert(c.getDouble(2) == 2.0 && c.getDouble(3) == 1.0, s"C: $c")
+    // quadratic guard: a span beyond maxDays fails loudly
+    intercept[IllegalArgumentException] {
+      Funnel.robustTrend(ev, "et", "t", maxDays = 3)
+    }
+    // relayout-stable
+    val again = Funnel.robustTrend(ev.repartition(7), "et", "t")
+      .collect().map(r => r.getString(0) -> r.toString).toMap
+    assert(again == got.map { case (k, v) => k -> v.toString })
+  }
+
   test("volume trend: exact OLS on a hand line, flat r2 null, single-day nulls") {
     val ev = (
       // type A: counts 1,2,3 on days 0,1,2 — the exact line y = x + 1
