@@ -243,6 +243,35 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental IVF maintenance — the x49 daily-delta story applied
+    * to the ANN family: assign NEW vectors to the PERSISTED index's
+    * EXISTING centroids (map-only — the centroid literals ride the
+    * plan; no re-training, no collect of the new batch, no touch of
+    * the existing corpus) and append them into the
+    * cluster-partitioned assignments layout. Day-to-day serving then
+    * re-[[loadIvfIndex]]s a strictly grown index whose probes stay
+    * consistent across appends (existing vectors never move).
+    * Centroid drift is the caller's RETRAIN decision — when the x121
+    * recall harness shows the appended distribution has wandered,
+    * rebuild with [[ivfIndex]]; silently re-centering here would
+    * invalidate every already-written partition.
+    *
+    * Uses the same assignment expression as the initial build (one
+    * shared definition — the two paths cannot drift), so an append
+    * of vectors the index already saw lands them in identical
+    * clusters. */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = loadIvfIndex(spark, path, idCol, vecCol)
+    val base = newVectors.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    assignClusters(base, idx.centroids)
+      .select(col("id").as(idCol), col("vec").as(vecCol), col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
   /** Load a [[saveIvfIndex]]-persisted index. The assignments frame
     * reads lazily (cluster pruning pushes to the partitioned scan);
     * centroids are collected eagerly (k rows). Column names travel

@@ -1917,6 +1917,43 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cluster"), plan.take(1500))
   }
 
+  test("ivf append: map-only grow, centroids frozen, appended vectors findable, clusters agree") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val first = emb.filter(col("vec_id") < 40)
+    val rest = emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    val built = Similarity.ivfIndex(first, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.saveIvfIndex(built, dir)
+    Similarity.appendToIvfIndex(spark, dir, rest, "vec_id", "embedding")
+    val grown = Similarity.loadIvfIndex(spark, dir, "vec_id", "embedding")
+    // strictly grown, centroids untouched (append is NOT a retrain)
+    assert(grown.assignments.count() == 60)
+    assert(grown.centroids.map(_.toSeq).toSeq ==
+      built.centroids.map(_.toSeq).toSeq)
+    // an appended vector is served: full-probe search finds it first
+    val q = emb.filter(col("vec_id") === 50)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val top = Similarity.ivfTopK(grown, q, topK = 1, nprobe = 4)
+      .collect().head
+    assert(top.getLong(0) == 50L, s"appended vector not served: $top")
+    // the shared assignment expression: re-appending vectors the
+    // index already holds lands them in their original clusters
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_app2").toString
+    Similarity.saveIvfIndex(built, dir2)
+    Similarity.appendToIvfIndex(spark, dir2,
+      first.withColumn("vec_id", col("vec_id") + 1000),
+      "vec_id", "embedding")
+    val double = Similarity.loadIvfIndex(spark, dir2, "vec_id", "embedding")
+    val byCluster = double.assignments
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 40L).foreach { i =>
+      assert(byCluster(i) == byCluster(i + 1000),
+        s"clone of $i drifted: ${byCluster(i)} vs ${byCluster(i + 1000)}")
+    }
+  }
+
   test("weighted sample: exact k, relayout-stable, weight-biased, no global sort") {
     val rows = (1L to 2000L).map(i => (i, if (i <= 200) 1000L else 10L))
     val df = rows.toDF("id", "w")
