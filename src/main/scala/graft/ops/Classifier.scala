@@ -33,7 +33,7 @@ object Classifier {
   /** Left fold of `valCol` in ascending `keyCol` order — the
     * order-pinned float sum both engines can replay exactly (also
     * used by [[TextAnalysis.importanceWeights]]). */
-  private[ops] def sortedFold(keyCol: Column, valCol: Column): Column =
+  private[graft] def sortedFold(keyCol: Column, valCol: Column): Column =
     aggregate(
       sort_array(collect_list(struct(keyCol.as("k"), valCol.as("v")))),
       lit(0.0), (acc, s) => acc + s.getField("v"))

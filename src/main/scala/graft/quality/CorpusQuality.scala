@@ -207,6 +207,59 @@ object CorpusQuality {
             / col("n_sources").cast("double"), 6).as("gini"))
   }
 
+  /** Mutual information between two categorical columns, in nats,
+    * with the normalized variant `NMI = I/min(H(A), H(B))` — the
+    * information-theoretic companion to [[chiSquareAudit]] (χ² asks
+    * "is the deviation from independence statistically surprising";
+    * MI asks "how many bits does knowing the source tell you about
+    * the language" — an effect SIZE, stable under corpus growth
+    * where χ² inflates with N). One summary row, not cells.
+    *
+    * `I = Σ_cells (n/N)·ln(n·N / (r·c))` — every ln argument is a
+    * ratio of exact BIGINT products (the x31 replay class; n·N ≤
+    * N² overflows BIGINT beyond ~3·10⁹ rows, so the ratio is formed
+    * in DOUBLE from the exact integers), and the cell terms fold
+    * keyed by (a, b) (the x94 discipline). Entropies fold the same
+    * way over the marginals. Zero cells contribute nothing (0·ln0
+    * = 0 by convention — absent cells simply don't exist here).
+    * NULL categories form their own level, as in the χ² audit.
+    *
+    * Scale shape: identical to [[chiSquareAudit]] — ONE (a, b)
+    * count, marginals re-aggregated from the cell table, single-row
+    * output. */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("rt"))
+      .select(col("a").as("__ka"), col("rt"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("n")).as("ct"))
+      .select(col("b").as("__kb"), col("ct"))
+    val tot = broadcast(cells.agg(sum(col("n")).as("grand")))
+    val nD = col("n").cast("double"); val gD = col("grand").cast("double")
+    val term = (nD / gD) * log((nD * gD)
+      / (col("rt").cast("double") * col("ct").cast("double")))
+    val mi = cells
+      .join(broadcast(ra), col("a") <=> col("__ka"))
+      .join(broadcast(cb), col("b") <=> col("__kb"))
+      .crossJoin(tot)
+      .agg(graft.ops.Classifier.sortedFold(struct(col("a"), col("b")), term).as("mi"),
+        count(lit(1)).as("n_cells"))
+    def entropy(marg: DataFrame, key: String, totCol: String) =
+      broadcast(marg.crossJoin(tot)
+        .agg(graft.ops.Classifier.sortedFold(col(key),
+          -(col(totCol).cast("double") / gD)
+            * log(col(totCol).cast("double") / gD)).as(s"h_$key")))
+    mi.crossJoin(entropy(ra, "__ka", "rt"))
+      .crossJoin(entropy(cb, "__kb", "ct"))
+      .select(col("n_cells"), round(col("mi"), 6).as("mi"),
+        round(col("h___ka"), 6).as("h_a"),
+        round(col("h___kb"), 6).as("h_b"),
+        round(when(least(col("h___ka"), col("h___kb")) > 0,
+          col("mi") / least(col("h___ka"), col("h___kb"))), 6).as("nmi"))
+  }
+
   /** Pearson χ² independence audit of two categorical columns (e.g.
     * lang × source): the per-cell contingency table with expected
     * counts `e = row_total·col_total/N`, standardized residuals

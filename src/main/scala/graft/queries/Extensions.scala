@@ -6284,6 +6284,54 @@ object Extensions extends QueryModule {
           AS intercept
       FROM nd LEFT JOIN rm ON nd.et = rm.et ORDER BY event_type"""))
 
+  /** Mutual information of lang × source
+    * ([[graft.quality.CorpusQuality.mutualInformation]]) — the
+    * effect-size companion to x174's χ² (stable under corpus growth
+    * where χ² inflates with N). Oracle: identical cell/marginal
+    * integer products through the same ln tree, (a,b)-keyed sorted
+    * folds for the MI and entropy sums (x94 discipline). */
+  private val x189MutualInformation = GraftQuery(
+    "x189_mutual_information",
+    (s, dir) => graft.quality.CorpusQuality.mutualInformation(
+        Tables.documents(s, dir), "lang", "source"),
+    Some("""WITH cells AS MATERIALIZED (
+        SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      ra AS MATERIALIZED (
+        SELECT a, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      cb AS MATERIALIZED (
+        SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM cells),
+      mi AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+          list_sum(list_transform(list_sort(list(struct_pack(
+            k := struct_pack(a := cells.a, b := cells.b),
+            v := (CAST(n AS DOUBLE) / CAST(grand AS DOUBLE))
+              * ln((CAST(n AS DOUBLE) * CAST(grand AS DOUBLE))
+                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))))),
+            x -> struct_extract(x, 'v'))) AS mi
+        FROM cells
+        JOIN ra ON cells.a IS NOT DISTINCT FROM ra.a
+        JOIN cb ON cells.b IS NOT DISTINCT FROM cb.b
+        CROSS JOIN tot),
+      ha AS (
+        SELECT list_sum(list_transform(list_sort(list(struct_pack(
+          k := a, v := -(CAST(rt AS DOUBLE) / CAST(grand AS DOUBLE))
+            * ln(CAST(rt AS DOUBLE) / CAST(grand AS DOUBLE))))),
+          x -> struct_extract(x, 'v'))) AS h_a
+        FROM ra CROSS JOIN tot),
+      hb AS (
+        SELECT list_sum(list_transform(list_sort(list(struct_pack(
+          k := b, v := -(CAST(ct AS DOUBLE) / CAST(grand AS DOUBLE))
+            * ln(CAST(ct AS DOUBLE) / CAST(grand AS DOUBLE))))),
+          x -> struct_extract(x, 'v'))) AS h_b
+        FROM cb CROSS JOIN tot)
+      SELECT n_cells, round(mi, 6) AS mi,
+        round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+        round(CASE WHEN least(h_a, h_b) > 0
+          THEN mi / least(h_a, h_b) END, 6) AS nmi
+      FROM mi CROSS JOIN ha CROSS JOIN hb"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6340,7 +6388,7 @@ object Extensions extends QueryModule {
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
-    x187AssociationRules, x188RobustTrend)
+    x187AssociationRules, x188RobustTrend, x189MutualInformation)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -2867,6 +2867,33 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map { case (k2, v) => k2 -> v.toString })
   }
 
+  test("mutual information: zero when independent, ln2/NMI=1 when determined, degenerate NULL") {
+    import graft.quality.CorpusQuality
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    // independent uniform 2x2: every cell term is ln(1) = 0
+    val ind = (for { a <- Seq("a", "b"); s <- Seq("x", "y") }
+      yield (a, s)).flatMap(p => Seq.fill(3)(p)).toDF("lang", "source")
+    val i = CorpusQuality.mutualInformation(ind, "lang", "source")
+      .collect().head
+    assert(i.getLong(0) == 4L && i.getDouble(1) == 0.0 &&
+      i.getDouble(4) == 0.0, s"independent: $i")
+    // a fully determines b (uniform): MI = H = ln 2, NMI = 1
+    val det = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("lang", "source")
+    val d = CorpusQuality.mutualInformation(det, "lang", "source")
+      .collect().head
+    assert(d.getDouble(1) == r6(math.log(2.0)) &&
+      d.getDouble(2) == r6(math.log(2.0)) && d.getDouble(4) == 1.0,
+      s"determined: $d")
+    // one level on a side: its entropy is 0 -> NMI undefined, not 0
+    val deg = Seq.fill(4)(("only", "x")).toDF("lang", "source")
+      .union(Seq.fill(4)(("only", "y")).toDF("lang", "source"))
+    val g = CorpusQuality.mutualInformation(deg, "lang", "source")
+      .collect().head
+    assert(g.getDouble(1) == 0.0 && g.getDouble(2) == 0.0 && g.isNullAt(4),
+      s"degenerate: $g")
+  }
+
   test("source concentration: uniform vs monopoly extremes, hand Gini on a skewed mix") {
     import graft.quality.CorpusQuality
     // lang u: 4 sources x 25 docs — uniform: HHI = 1/4, Gini = 0
