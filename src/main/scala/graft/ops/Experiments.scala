@@ -110,6 +110,12 @@ object Experiments {
       valueCol: String, reps: Int = 40, alpha: Double = 0.05): DataFrame = {
     require(reps >= 10 && reps <= 1000, "reps in [10, 1000]")
     require(alpha > 0 && alpha < 0.5, "alpha in (0, 0.5)")
+    // the exact-BIGINT replica sums are the determinism contract; a
+    // fractional metric would silently TRUNCATE through cast(long)
+    require(Set("long", "int", "integer", "bigint", "smallint", "tinyint")
+      .contains(df.schema(valueCol).dataType.typeName),
+      s"bootstrapCI: $valueCol must be integral — fractional metrics " +
+        "would truncate silently; pre-scale to integer units instead")
     val thr = poissonThresholds
     val u = pmod(
       (pmod(col("id"), lit(2147483648L)) + col("rep") * lit(1000003L))

@@ -283,7 +283,11 @@ object Funnel {
     require(iters >= 1 && iters <= 16, "iters in [1, 16]")
     require(channels.nonEmpty, "channels must be non-empty")
     require(!channels.contains(convType), "convType is not a channel")
+    require(channels.distinct.size == channels.size,
+      "duplicate channels would duplicate removal variants")
     val START = "__start"; val CONV = "__conv"; val DROP = "__drop"
+    require(!(channels :+ convType).exists(Set(START, CONV, DROP)),
+      "channel names may not collide with the reserved chain states")
     val w = Window.partitionBy(col("user")).orderBy(col("t"), col("eid"))
     val wu = Window.partitionBy(col("user"))
     val ev = events

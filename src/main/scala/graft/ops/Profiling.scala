@@ -177,9 +177,13 @@ object Profiling {
     val probs = (1 until buckets).map(_.toDouble / buckets)
     def r6(v: Double): Double =
       (if (v >= 0) math.floor(v * 1e6 + 0.5) else math.ceil(v * 1e6 - 0.5)) / 1e6
-    val bounds = ref.filter(col(valueCol).isNotNull)
+    val boundsRow = ref.filter(col(valueCol).isNotNull)
       .agg(percentile(col(valueCol), typedlit(probs)).as("b"))
-      .head().getSeq[Double](0).map(r6)
+      .head()
+    require(!boundsRow.isNullAt(0),
+      s"psiDrift: reference slice has no non-null $valueCol — no " +
+        "distribution to drift from")
+    val bounds = boundsRow.getSeq[Double](0).map(r6)
     def binCounts(df: DataFrame) = df.filter(col(valueCol).isNotNull)
       .select(bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col(valueCol).cast("double") > lit(b), 1).otherwise(0)

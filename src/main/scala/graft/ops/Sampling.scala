@@ -513,7 +513,9 @@ object Sampling {
     require(k >= 2 && k <= 1000, "k in [2, 1000]")
     require(parts >= 1 && parts <= 4096,
       "parts in [1, 4096] — bucket counts are driver-resident")
-    require(maxStrata >= 1, "maxStrata must be positive")
+    require(maxStrata >= 1 && maxStrata <= 1000000,
+      "maxStrata in [1, 1e6] — the (stratum, bucket) counts are " +
+        "driver-resident")
     val span = 4294967296L / parts
     val checkedId = when(col(idCol).isNull,
       raise_error(lit(s"stratifiedKfold: NULL $idCol — folds must " +

@@ -4210,6 +4210,11 @@ class OpsSpec extends AnyFunSuite {
       (("r", None: Option[Double]))).toDF("t", "v")
     val n = Profiling.psiDrift(withNull, same, "v").collect()
     assert(n.map(_.getLong(1)).sum == 1000L)
+    // an all-NULL (or empty) reference has no distribution: loud error
+    val e = intercept[IllegalArgumentException] {
+      Profiling.psiDrift(ref.filter(col("v") < 0), same, "v")
+    }
+    assert(e.getMessage.contains("no non-null"), e.getMessage)
   }
 
   test("episode support: subsequence pairs per session, gap split, truncation guard") {
@@ -4308,6 +4313,12 @@ class OpsSpec extends AnyFunSuite {
     val rows = Experiments.bootstrapCI(two, "src", "id", "x").collect()
     assert(rows.length == 2 &&
       rows.find(_.getString(0) == "h").get.getDouble(2) == 100.0)
+    // fractional metrics are a contract violation, not a silent truncate
+    val frac = Seq(("g", 1L, 1.5)).toDF("src", "id", "x")
+    val e = intercept[IllegalArgumentException] {
+      Experiments.bootstrapCI(frac, "src", "id", "x")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
   test("isotonic calibration: PAV pooling by hand, monotone output, identity on sorted input") {
@@ -4380,6 +4391,15 @@ class OpsSpec extends AnyFunSuite {
       "buy", Seq("A", "B")).collect().map(r => r.getString(0) -> r).toMap
     assert(d("A").getDouble(2) == 1.0 && d("A").getDouble(3) == 0.0 &&
       d("A").isNullAt(4), s"degenerate: $d")
+    // contract guards: duplicate channels and reserved state names
+    intercept[IllegalArgumentException] {
+      Funnel.markovAttribution(ev, "u", "t", "eid", "et", "buy",
+        Seq("A", "A"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.markovAttribution(ev, "u", "t", "eid", "et", "buy",
+        Seq("A", "__conv"))
+    }
   }
 
   test("association rules: asymmetric confidence, lift separates rule from popularity") {
