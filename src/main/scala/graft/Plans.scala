@@ -105,7 +105,10 @@ object Plans {
     "x183_psi_drift" -> "one bounded quantile collect on the reference; each slice is a map-only boundary compare + combinable bin count; bins-row frames broadcast",
     "x184_covariance_matrix" -> "one in-row upper-triangle pair explode into one combinable (i,j) aggregate; per-dim moments ride a posexplode; the d-row diag rejoins broadcast — the corpus shuffles moment partials, never vectors",
     "x185_kn_logprob" -> "model marginals re-aggregate from the checkpointed train-pass count; scoring is one tokenize/explode + three LEFT shuffle-hash joins against the vocab²-bounded model (never broadcast); one doc-keyed fold ends it",
-    "x186_source_concentration" -> "one map-side-combinable (group, source) count; the HHI/Gini fold runs on ≤|sources| values per group — |groups| rows out")
+    "x186_source_concentration" -> "one map-side-combinable (group, source) count; the HHI/Gini fold runs on ≤|sources| values per group — |groups| rows out",
+    "x187_association_rules" -> "x175's distinct + shuffle-hash user self-join; both rule orientations come from the one |types|²-bounded pair count; totals broadcast",
+    "x188_robust_trend" -> "one combinable (type, day) count; the pair join and both median collects are days²-bounded per type behind the loud maxDays guard",
+    "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
