@@ -557,6 +557,43 @@ object Sampling {
       .drop("__s", "__k", "__p", "__off")
   }
 
+  /** Forward-chaining temporal fold assignment — the time-series CV
+    * split that completes the family ([[stratifiedKfold]] random,
+    * [[matchedSplit]] distribution-matched,
+    * [[graft.ops.Dedup.splitByCluster]] leakage-safe): the day span
+    * divides into `k` equal-width contiguous ranges and every row
+    * gets its range index as `fold`; evaluation k then trains on
+    * folds < k and tests on fold k — the only split that never lets
+    * the model see the future, which a random fold over temporal
+    * data always does (autocorrelation leaks tomorrow into today's
+    * train set and inflates every metric).
+    *
+    * Deterministic and map-only: fold = min(k−1, (day − min_day)·k /
+    * span) in exact integer arithmetic (both boundaries from one
+    * broadcast min/max aggregate) — no quantiles, no RNG, identical
+    * in ANSI SQL. Rows with NULL timestamps fail loudly (a temporal
+    * split cannot place them).
+    *
+    * Scale shape: one single-row min/max broadcast + a map-only
+    * projection; nothing shuffles. */
+  def temporalFolds(df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, "k in [2, 1000]")
+    val checkedTs = when(col(tsCol).isNull,
+      raise_error(lit(s"temporalFolds: NULL $tsCol — a temporal split " +
+        "cannot place an undated row"))).otherwise(col(tsCol))
+    val day = floor(unix_micros(checkedTs) / 86400000000L).cast("long")
+    val bounds = broadcast(df
+      .agg(min(floor(unix_micros(col(tsCol)) / 86400000000L).cast("long"))
+          .as("__d0"),
+        max(floor(unix_micros(col(tsCol)) / 86400000000L).cast("long"))
+          .as("__d1")))
+    df.crossJoin(bounds)
+      .withColumn("fold", least(lit(k - 1),
+        ((day - col("__d0")) * k / (col("__d1") - col("__d0") + 1))
+          .cast("long")).cast("int"))
+      .drop("__d0", "__d1")
+  }
+
   /** C4-style per-group document cap: keep at most `k` rows per
     * group, selected by a deterministic id-hash priority — the
     * "no single host dominates the corpus" rule (C4 caps pages per

@@ -6332,6 +6332,50 @@ object Extensions extends QueryModule {
           THEN mi / least(h_a, h_b) END, 6) AS nmi
       FROM mi CROSS JOIN ha CROSS JOIN hb"""))
 
+  /** Forward-chaining temporal folds
+    * ([[graft.ops.Sampling.temporalFolds]]) — the never-see-the-
+    * future CV split, reported per fold with its day range and the
+    * cumulative train volume evaluation k would see. Oracle: same
+    * integer fold arithmetic (DuckDB `//` ↔ Spark positive-long
+    * truncation), bounded k-row window for the cumulative sum. */
+  private val x190TemporalFolds = GraftQuery(
+    "x190_temporal_folds",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = graft.ops.Sampling.temporalFolds(Tables.events(s, dir), "ts",
+          k = 5)
+        .select(col("fold"),
+          floor(unix_micros(col("ts")) / 86400000000L).cast("long")
+            .as("day"))
+      val perFold = assigned.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"), min(col("day")).as("day_lo"),
+          max(col("day")).as("day_hi"))
+      val w = Window.orderBy(col("fold"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perFold
+        .withColumn("cum_train", coalesce(sum(col("n_rows")).over(w),
+          lit(0L)))
+        .orderBy(col("fold"))
+    },
+    Some("""WITH days AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+      assigned AS (
+        SELECT least(4, ((day - d0) * 5) // (d1 - d0 + 1)) AS fold, day
+        FROM days CROSS JOIN bounds),
+      per_fold AS (
+        SELECT CAST(fold AS INT) AS fold,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(min(day) AS BIGINT) AS day_lo,
+          CAST(max(day) AS BIGINT) AS day_hi
+        FROM assigned GROUP BY 1)
+      SELECT fold, n_rows, day_lo, day_hi,
+        CAST(COALESCE(sum(n_rows) OVER (ORDER BY fold
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_train
+      FROM per_fold ORDER BY fold"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6388,7 +6432,8 @@ object Extensions extends QueryModule {
     x178IsotonicCalibration, x179BootstrapCi, x180GoldenRecord,
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
-    x187AssociationRules, x188RobustTrend, x189MutualInformation)
+    x187AssociationRules, x188RobustTrend, x189MutualInformation,
+    x190TemporalFolds)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

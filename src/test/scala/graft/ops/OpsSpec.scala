@@ -3041,6 +3041,33 @@ class OpsSpec extends AnyFunSuite {
     assert(e.length == 1 && e.head.getString(0) == "x")
   }
 
+  test("temporal folds: contiguous day ranges, no future leakage, degenerate span, NULL ts") {
+    val ev = (0L until 10L).map(d => (d, d))
+      .toDF("id", "d")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L))
+    val got = Sampling.temporalFolds(ev, "t", k = 5)
+      .select(col("fold"), col("d")).as[(Int, Long)].collect()
+    // 10 days / 5 folds: exactly 2 consecutive days each
+    val byFold = got.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byFold == Map(0 -> Seq(0L, 1L), 1 -> Seq(2L, 3L),
+      2 -> Seq(4L, 5L), 3 -> Seq(6L, 7L), 4 -> Seq(8L, 9L)), s"$byFold")
+    // the forward-chaining invariant: fold f ends before f+1 begins
+    (0 to 3).foreach(f =>
+      assert(byFold(f).max < byFold(f + 1).min, "future leaked"))
+    // a single-day span degenerates to one fold, not a crash
+    val one = Sampling.temporalFolds(ev.filter(col("d") === 3), "t", k = 5)
+      .select(col("fold")).as[Int].collect()
+    assert(one.toSeq == Seq(0))
+    // NULL timestamps fail loudly — a temporal split can't place them
+    val withNull = ev.select(col("id"),
+      when(col("id") === 5, lit(null)).otherwise(col("t")).as("t"))
+    val e = intercept[Exception] {
+      Sampling.temporalFolds(withNull, "t", k = 3).collect() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("temporalFolds"), e.getMessage)
+  }
+
   test("stratified kfold: ±1 balance, two-phase equals naive rank, parts-invariant, guards") {
     // 47 rows of 'a' and 10 of 'b': neither divides k=5 evenly
     val df = ((0L until 47L).map(i => (i, "a")) ++
