@@ -1201,6 +1201,62 @@ object TextAnalysis {
         sum(col("hits").cast("long")).as("total_hits"))
   }
 
+  /** Confusable map for [[confusableSkeleton]]: common Cyrillic and
+    * Greek homoglyphs of Latin letters (the Unicode TR39 confusables
+    * the spam/SEO-dedup-evasion literature actually sees), as two
+    * aligned code-point strings for `translate`. Public knowledge;
+    * extend in pairs. */
+  val ConfusablesFrom: String =
+    "аеосрхуіѕјАВЕКМНОРСТХІЅЈοΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  val ConfusablesTo: String =
+    "aeocpxyisjABEKMHOPCTXISJoABEZHIKMNOPTYX"
+
+  /** Zero-width / invisible characters deleted by the skeleton:
+    * ZWSP, ZWNJ, ZWJ, soft hyphen (built from code points — the
+    * characters are invisible in source by definition). */
+  val InvisiblePattern: String =
+    "[" + Seq(0x200B, 0x200C, 0x200D, 0x00AD).map(_.toChar).mkString + "]"
+
+  /** Homoglyph skeleton (Unicode TR39's skeleton idea, minimally):
+    * strip invisible characters, then map confusable Cyrillic/Greek
+    * code points onto their Latin look-alikes. Two texts that render
+    * identically but hash differently — the classic dedup-evasion /
+    * spam trick — collapse to one skeleton. */
+  def confusableSkeleton(text: Column): Column =
+    translate(regexp_replace(text, InvisiblePattern, ""),
+      ConfusablesFrom, ConfusablesTo)
+
+  /** Dedup-evasion audit: per group, how much of the corpus carries
+    * confusable/invisible characters, and how many exact-dup groups
+    * exist only AFTER skeletonization — i.e. duplicates that evade
+    * the x1/x2 content fingerprint by homoglyph substitution (a real
+    * adversarial regime for web corpora: SEO mirrors and spam farms
+    * routinely swap Cyrillic 'о' for Latin 'o' to beat dedup).
+    * `groups_collapsed = distinct(fp) − distinct(fp_skeleton)` > 0
+    * is the evasion signal; a clean corpus reports zeros (the
+    * certificate, not a tautology — the spec plants evaders).
+    *
+    * Deterministic: translate/regexp are pure string maps, counts
+    * exact BIGINTs. Scale shape: one map pass (two fingerprints per
+    * row) + one combinable grouped aggregate with two two-phase
+    * exact distincts. */
+  def evasionAudit(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val skel = confusableSkeleton(col(textCol))
+    df.select(col(groupCol).as("g"),
+        fingerprint(col(textCol)).as("fp"),
+        fingerprint(skel).as("fp_skel"),
+        (skel =!= col(textCol)).cast("long").as("affected"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("affected")).as("n_affected"),
+        countDistinct(col("fp")).as("n_groups"),
+        countDistinct(col("fp_skel")).as("n_groups_skel"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_affected"),
+        col("n_groups"), col("n_groups_skel"),
+        (col("n_groups") - col("n_groups_skel")).as("groups_collapsed"))
+  }
+
   /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser &
     * Ney 1995; Chen & Goodman 1999 eq. 4.24) — the smoothing family
     * the CCNet/KenLM perplexity gate actually runs, next to [[

@@ -6376,6 +6376,41 @@ object Extensions extends QueryModule {
           AS BIGINT) AS cum_train
       FROM per_fold ORDER BY fold"""))
 
+  /** Homoglyph dedup-evasion audit
+    * ([[graft.ops.TextAnalysis.evasionAudit]]) — the adversarial-
+    * robustness certificate for the x1/x2 fingerprint family (a
+    * clean corpus reports zeros; the spec plants Cyrillic/zero-width
+    * evaders and watches the groups collapse). Oracle: identical
+    * confusable map and invisible-character pattern interpolated
+    * into the same translate/regexp/md5 pipeline. */
+  private val x191EvasionAudit = {
+    val from = TextAnalysis.ConfusablesFrom
+    val to = TextAnalysis.ConfusablesTo
+    val inv = TextAnalysis.InvisiblePattern
+    GraftQuery(
+      "x191_evasion_audit",
+      (s, dir) => TextAnalysis.evasionAudit(
+          Tables.documents(s, dir), "text", "source")
+        .orderBy(col("source")),
+      Some(s"""WITH base AS (
+          SELECT source,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp,
+            md5(array_to_string(list_sort(list_distinct(string_split(
+              lower(translate(regexp_replace(text, '$inv', '', 'g'),
+                '$from', '$to')), ' '))), ' ')) AS fp_skel,
+            CAST(translate(regexp_replace(text, '$inv', '', 'g'),
+              '$from', '$to') != text AS BIGINT) AS affected
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(affected) AS BIGINT) AS n_affected,
+          CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+          CAST(count(DISTINCT fp_skel) AS BIGINT) AS n_groups_skel,
+          CAST(count(DISTINCT fp) - count(DISTINCT fp_skel) AS BIGINT)
+            AS groups_collapsed
+        FROM base GROUP BY source ORDER BY source"""))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6433,7 +6468,7 @@ object Extensions extends QueryModule {
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
-    x190TemporalFolds)
+    x190TemporalFolds, x191EvasionAudit)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3007,6 +3007,33 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("evasion audit: planted homoglyph and zero-width dupes collapse, clean corpus zeros") {
+    // doc 2 swaps Latin o/e for Cyrillic о/е; doc 3 injects a ZWSP —
+    // all three render alike and must share one skeleton group
+    val zwsp = 0x200B.toChar
+    val docs = Seq(
+      (1L, "open the door", "s1"),
+      (2L, "\u043Epen the d\u043E\u043Er", "s1"),
+      (3L, s"open the${zwsp} door", "s1"),
+      (4L, "totally different", "s1"),
+      (5L, "clean text here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.evasionAudit(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // s1: 4 docs, 2 carrying evasion chars; 4 distinct raw
+    // fingerprints collapse to 2 skeleton groups
+    assert(got("s1") == ((4L, 2L, 4L, 2L, 2L)), s"got $got")
+    // the clean source is certified clean: zero affected, no collapse
+    assert(got("s2") == ((1L, 0L, 1L, 1L, 0L)), s"got $got")
+    // the skeleton itself: confusables map, invisibles vanish
+    val sk = docs.select(
+      TextAnalysis.confusableSkeleton(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(sk(1) == "open the door" && sk(2) == "open the door", sk.toSeq)
+  }
+
   test("kneser-ney bigrams: hand-computed smoothing, mass sums to 1 with backoff, top-k cut") {
     // corpus: "a b a c" + "b a b" → bigram types (a,b):2 (b,a):2
     // (a,c):1; c1(a)=3 n1fw(a)=2, c1(b)=2 n1fw(b)=1; every word
