@@ -108,7 +108,9 @@ object Plans {
     "x186_source_concentration" -> "one map-side-combinable (group, source) count; the HHI/Gini fold runs on ≤|sources| values per group — |groups| rows out",
     "x187_association_rules" -> "x175's distinct + shuffle-hash user self-join; both rule orientations come from the one |types|²-bounded pair count; totals broadcast",
     "x188_robust_trend" -> "one combinable (type, day) count; the pair join and both median collects are days²-bounded per type behind the loud maxDays guard",
-    "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row")
+    "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row",
+    "x190_temporal_folds" -> "one single-row min/max broadcast + a map-only integer fold projection; the k-row cumulative window is bounded by construction",
+    "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
