@@ -6411,6 +6411,123 @@ object Extensions extends QueryModule {
         FROM base GROUP BY source ORDER BY source"""))
   }
 
+  /** Round-8 capstone composition (the x20/x100/x146 line): evasion-
+    * resistant exact dedup (keep-first on the x191 SKELETON
+    * fingerprint — homoglyph copies collapse before anything else
+    * runs) → x185 KN-model quality gate (trained on the even-id
+    * half, threshold −3.5) → x168 stratified k-fold assignment over
+    * the survivors → per (lang, fold) volume/token report. Every
+    * stage is an already-hash-green fragment; the chain proves they
+    * compose without re-keying drift. */
+  private val x192CurationV2 = {
+    val from = TextAnalysis.ConfusablesFrom
+    val to = TextAnalysis.ConfusablesTo
+    val inv = TextAnalysis.InvisiblePattern
+    GraftQuery(
+    "x192_curation_v2",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withFp = docs.withColumn("fp",
+        TextAnalysis.fingerprint(TextAnalysis.confusableSkeleton(col("text"))))
+      val keep = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val survivors = withFp.join(keep, Seq("fp"))
+        .filter(col("doc_id") === col("keep_id"))
+        .drop("fp", "keep_id")
+      val scores = TextAnalysis.knLogProb(
+        docs.filter(col("doc_id") % 2 === 0), survivors, "doc_id", "text")
+      val gated = survivors
+        .join(scores.select(col("doc_id"), col("mean_logprob")), Seq("doc_id"))
+        .filter(col("mean_logprob") >= lit(-3.5))
+      graft.ops.Sampling.stratifiedKfold(gated, "lang", "doc_id", k = 5)
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+        .orderBy(col("lang"), col("fold"))
+    },
+    Some(s"""WITH skel AS MATERIALIZED (
+        SELECT doc_id, text, lang,
+          md5(array_to_string(list_sort(list_distinct(string_split(
+            lower(translate(regexp_replace(text, '$inv', '', 'g'),
+              '$from', '$to')), ' '))), ' '))
+            AS fp
+        FROM documents),
+      survivors AS MATERIALIZED (
+        SELECT s.doc_id, s.text, s.lang
+        FROM skel s JOIN (
+          SELECT fp, min(doc_id) AS keep_id FROM skel GROUP BY 1) k
+          ON s.fp = k.fp AND s.doc_id = k.keep_id),
+      ttoks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+          t -> length(t) > 0) AS ts
+        FROM documents WHERE doc_id % 2 = 0),
+      tgrams AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+          i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM ttoks WHERE len(ts) >= 2),
+      c AS MATERIALIZED (
+        SELECT g.w1 AS w1, g.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+        FROM tgrams GROUP BY 1, 2),
+      lw AS MATERIALIZED (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+          CAST(count(*) AS BIGINT) AS n1fw
+        FROM c GROUP BY 1),
+      rw AS MATERIALIZED (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM c),
+      stoks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+          t -> length(t) > 0) AS ts
+        FROM survivors),
+      grams AS (
+        SELECT doc_id, unnest(range(1, len(ts))) AS pos,
+          unnest(list_transform(range(1, len(ts)),
+            i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS g
+        FROM stoks WHERE len(ts) >= 2),
+      scoredg AS (
+        SELECT doc_id, pos,
+          ln(greatest(
+            CASE WHEN c.c12 IS NOT NULL THEN
+              greatest(CAST(c.c12 AS DOUBLE) - 0.75, 0.0)
+                / CAST(lw.c1 AS DOUBLE)
+              + ((0.75 * CAST(lw.n1fw AS DOUBLE)) / CAST(lw.c1 AS DOUBLE))
+                * (CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+                  / CAST(tot.n1all AS DOUBLE))
+            WHEN lw.c1 IS NOT NULL THEN
+              ((0.75 * CAST(lw.n1fw AS DOUBLE)) / CAST(lw.c1 AS DOUBLE))
+                * (CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+                  / CAST(tot.n1all AS DOUBLE))
+            ELSE CAST(COALESCE(rw.n1bw, 0) AS DOUBLE)
+              / CAST(tot.n1all AS DOUBLE)
+            END, 1e-10)) AS term
+        FROM grams
+        LEFT JOIN c ON grams.g.w1 = c.w1 AND grams.g.w2 = c.w2
+        LEFT JOIN lw ON grams.g.w1 = lw.w1
+        LEFT JOIN rw ON grams.g.w2 = rw.w2
+        CROSS JOIN tot),
+      ml AS MATERIALIZED (
+        SELECT doc_id,
+          round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := pos, v := term))),
+            s -> struct_extract(s, 'v')))
+            / CAST(count(*) AS DOUBLE), 4) AS mean_logprob
+        FROM scoredg GROUP BY doc_id),
+      gated AS MATERIALIZED (
+        SELECT s.doc_id, s.text, s.lang
+        FROM survivors s JOIN ml ON s.doc_id = ml.doc_id
+        WHERE ml.mean_logprob >= -3.5),
+      assigned AS (
+        SELECT lang, text,
+          CAST((row_number() OVER (PARTITION BY lang
+            ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+              doc_id) - 1) % 5 AS INT) AS fold
+        FROM gated)
+      SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(len(string_split_regex(lower(text), '\\s+')))
+          AS BIGINT) AS total_tokens
+      FROM assigned GROUP BY 1, 2 ORDER BY lang, fold"""))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6468,7 +6585,7 @@ object Extensions extends QueryModule {
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
-    x190TemporalFolds, x191EvasionAudit)
+    x190TemporalFolds, x191EvasionAudit, x192CurationV2)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -502,6 +502,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("x192 curation v2: the chained stages plan with no nested loop, no cartesian") {
+    val plan = finalPlanOnly("x192_curation_v2")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the ONE allowed nested-loop-shaped node is the single-row
+    // model-total broadcast cross the KN scorer rides
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
   test("x183 psi: both slice counts are map-side combinable; bin joins broadcast") {
     val plan = finalPlanOnly("x183_psi_drift")
     assert(plan.contains("partial_count"), plan.take(3000))
