@@ -110,7 +110,8 @@ object Plans {
     "x188_robust_trend" -> "one combinable (type, day) count; the pair join and both median collects are days²-bounded per type behind the loud maxDays guard",
     "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row",
     "x190_temporal_folds" -> "one single-row min/max broadcast + a map-only integer fold projection; the k-row cumulative window is bounded by construction",
-    "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts")
+    "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts",
+    "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
