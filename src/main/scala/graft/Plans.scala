@@ -111,7 +111,8 @@ object Plans {
     "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row",
     "x190_temporal_folds" -> "one single-row min/max broadcast + a map-only integer fold projection; the k-row cumulative window is bounded by construction",
     "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts",
-    "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle")
+    "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle",
+    "x193_stickiness" -> "one checkpointed distinct (day,user) feeds the daily count AND the x90 window expansion; the bounded day list broadcasts into the range join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

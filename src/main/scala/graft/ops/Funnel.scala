@@ -181,6 +181,34 @@ object Funnel {
         .as("approx_uniques"))
   }
 
+  /** DAU/WAU stickiness per day — the engagement-frequency ratio
+    * product analytics reads daily (DAU/MAU at windowDays = 28):
+    * stickiness → 1 means the weekly audience shows up every day,
+    * → 1/windowDays means each user appears once per window. The
+    * ratio view over [[rollingUniqueUsersExact]]'s counts, computed
+    * from ONE shared distinct — not two independent scans.
+    *
+    * Deterministic: exact distinct BIGINT counts, one division
+    * (x166 class). Scale shape: distinct (day, user) once
+    * (checkpointed — both the daily count and the window expansion
+    * read it), the bounded day list broadcasts into the x90 range
+    * join, two combinable aggregates, a |days|-row join. */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2, "windowDays must be >= 2")
+    val du = dailyUsers(events, userCol, tsCol).distinct()
+      .localCheckpoint(true)
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val d2 = du.select(col("day").as("day2"), col("user"))
+    val wau = broadcast(du.select(col("day")).distinct())
+      .join(d2, col("day2").between(
+        date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day")).agg(countDistinct(col("user")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Pairwise audience-overlap matrix between event types: for every
     * type pair (a < b), how many distinct users touch BOTH, plus the
     * Jaccard overlap of the two audiences — the "are these surfaces

@@ -6528,6 +6528,31 @@ object Extensions extends QueryModule {
       FROM assigned GROUP BY 1, 2 ORDER BY lang, fold"""))
   }
 
+  /** DAU/WAU stickiness ([[graft.ops.Funnel.stickiness]]) — the
+    * engagement-frequency ratio over x90's exact rolling uniques,
+    * from one shared distinct. Oracle: the x90 range-join replay +
+    * daily counts + one division. */
+  private val x193Stickiness = GraftQuery(
+    "x193_stickiness",
+    (s, dir) => Funnel.stickiness(Tables.events(s, dir),
+        "user_id", "ts")
+      .orderBy(col("day")),
+    Some("""WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          user_id
+        FROM events),
+      dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+      days AS (SELECT DISTINCT day FROM du),
+      wau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+      SELECT dau.day, dau.dau, wau.wau,
+        round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+          AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6585,7 +6610,7 @@ object Extensions extends QueryModule {
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
-    x190TemporalFolds, x191EvasionAudit, x192CurationV2)
+    x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

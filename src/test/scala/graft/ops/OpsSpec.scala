@@ -4574,6 +4574,29 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got.map { case (k, v) => k -> v.toString })
   }
 
+  test("stickiness: daily regulars score 1, window visitors dilute, hand ratio") {
+    def ts(day: Long, u: Long) = (day * 100 + u, day, u)
+    // u1, u2 active every day 0-6; u3..u6 appear only on day 3
+    val ev = ((0L to 6L).flatMap(d => Seq(ts(d, 1), ts(d, 2))) ++
+      (3L to 6L).map(u => ts(3, u)))
+      .toDF("eid", "d", "u")
+      .withColumn("t", timestamp_micros(col("d") * 86400000000L))
+    val got = Funnel.stickiness(ev, "u", "t").collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 2: DAU 2, WAU 2 (only regulars seen so far) -> 1.0
+    assert(got(2L) == ((2L, 2L, 1.0)), s"got $got")
+    // day 3: DAU 6 (regulars + 4 visitors), WAU 6 -> 1.0
+    assert(got(3L) == ((6L, 6L, 1.0)), s"got $got")
+    // day 6: DAU 2, WAU 6 (visitors still inside the 7-day window)
+    assert(got(6L) == ((2L, 6L, 0.333333)), s"got $got")
+    // relayout-stable (exact distinct counts)
+    val again = Funnel.stickiness(ev.repartition(5), "u", "t").collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == got)
+  }
+
   test("ewma daily: first day equals its count, constant series stays flat, gaps skip") {
     val ev = Seq(
       // type A: 4,4,4 on days 0,1,2 -> ewma always 4, deviation 0
