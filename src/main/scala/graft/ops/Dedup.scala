@@ -107,21 +107,26 @@ object Dedup {
     * ceiling — a boilerplate mega-bucket stays linear instead of
     * emitting n²/2 pairs.
     *
-    * Plan shape: ONE exchange on the bucket keys feeds the window
-    * (count + min per bucket), and the self-join reuses that
-    * partitioning (no second shuffle of the banded frame; the two
-    * identical sides collapse into a ReusedExchange). Shuffle join,
+    * Plan shape: the per-bucket stats (count + min id) come from a
+    * map-side-combinable `groupBy(keys).agg` — NOT a whole-frame
+    * window. A window must shuffle AND SORT every banded row before
+    * emitting anything (no partial aggregation), which a same-VM
+    * control measured at +58% wall on the x34 carrier
+    * (7.94→12.56 s); the groupBy partial-aggregates to a
+    * |buckets|-sized table that joins back on the bucket keys. The
+    * banded frame shuffles on `keys` once for that stats join, and
+    * the small-bucket self-join's two identical sides collapse into
+    * a ReusedExchange of the same subtree. Shuffle joins throughout,
     * never broadcast — a broadcast build would evaluate the
     * signature lineage single-threaded on the driver (measured
     * 10×+). `banded` must carry an `id` column plus `keys`. */
   private[ops] def cappedBucketPairs(banded: DataFrame, keys: Seq[String],
       cap: Int): DataFrame = {
     require(cap >= 2, s"maxBucket must be >= 2, got $cap")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*)
-    val stat = banded
-      .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__bmin", min(col("id")).over(w))
+    val stats = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"), min(col("id")).as("__bmin"))
+    val stat = banded.hint("shuffle_hash")
+      .join(stats.hint("shuffle_hash"), keys)
     val small = stat.filter(col("__bn") <= cap)
     val a = small.select(keys.map(col) :+ col("id").as("id_a"): _*)
     val b = small.select(keys.map(col) :+ col("id").as("id_b"): _*)
@@ -1225,6 +1230,72 @@ object Dedup {
             s => s.getField("seg")),
           " ").as("clean_text"))
       .select(col("id").as(idCol), col("n_segments_kept"), col("clean_text"))
+  }
+
+  /** CHARACTER-granular exact-substring dedup WITH reconstruction —
+    * [[segmentDedup]]'s keep-first rule at the granularity Lee et
+    * al. 2021 (arXiv:2107.06499) actually operate at: consecutive
+    * `n`-CHAR windows (code points, not bytes — Spark `substring` /
+    * DuckDB `substring` agree on code-point positions), first
+    * corpus-wide occurrence of each distinct window wins (first =
+    * smallest (doc id, position), a total order), documents
+    * re-assembled by CONCATENATING surviving windows in position
+    * order. Documents whose every window was seen earlier vanish —
+    * the x96 contract.
+    *
+    * Relation to the family: [[segmentDedup]] (x96) is the same rule
+    * at word-window granularity — whitespace-normalizing, so spacing
+    * variants share segments; char windows are the STRICTEST exact
+    * form (byte-faithful up to code points: a document differing
+    * only in whitespace shares nothing — normalize first if spacing
+    * invariance is wanted). [[paragraphDedup]] (x125) drops by
+    * doc-frequency at paragraph granularity; [[cdcChunks]] (x135)
+    * cuts content-defined variable windows for shift-robust sharing
+    * (an insertion re-aligns CDC chunks but shifts every fixed
+    * window after it — fixed windows trade shift robustness for the
+    * exact replayable position algebra). A true suffix-array dedup
+    * (duplicates at EVERY alignment) is the non-distributable limit
+    * of n→arbitrary-offset; fixed offsets are the shardable form.
+    *
+    * Scale shape: window slicing is map-only (the window INDEX
+    * explodes; the substring slices from the carried text column —
+    * never explode a computed window array, the Generate would
+    * re-evaluate it per row); first-occurrence winners are a
+    * map-side-combinable min(struct(id, idx)) keyed by the md5 of
+    * the window (16 bytes shuffled per window for long windows, and
+    * 128-bit so collisions stay impossible at 10¹² windows where
+    * xxhash64 birthday-collides); the winner join reuses the same
+    * key exchange, reconstruction is one shuffle on the doc id.
+    * Nothing is all-pairs; memory is bounded by windows-per-task. */
+  def charWindowDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 40): DataFrame = {
+    require(n > 0, "window length must be positive")
+    val base = Parallelism.ensure(df)
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) > 0)
+    val nWins = ceil(length(col("txt")).cast("double") / n).cast("int")
+    val wins = base
+      .select(col("id"), col("txt"),
+        explode(sequence(lit(0), nWins - 1)).as("win_idx"))
+      .select(col("id"), col("win_idx"),
+        col("txt").substr(col("win_idx") * n + 1, lit(n)).as("seg"))
+      .withColumn("__h", md5(col("seg")))
+      .localCheckpoint(true) // feeds the winner agg AND the join back
+    val winners = wins.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("win_idx"))).as("__w"))
+      .select(col("__h"), col("__w.id").as("__w_id"),
+        col("__w.win_idx").as("__w_idx"))
+    val kept = wins.hint("shuffle_hash")
+      .join(winners.hint("shuffle_hash"), Seq("__h"))
+      .filter(col("id") === col("__w_id") && col("win_idx") === col("__w_idx"))
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("win_idx"), col("seg")))),
+            s => s.getField("seg")),
+          "").as("clean_text"))
+      .select(col("id").as(idCol), col("n_windows_kept"), col("clean_text"))
   }
 
   /** Paragraph-level exact dedup across the corpus — the Dolma /

@@ -149,8 +149,14 @@ object Experiments {
       .select(col("g").as(groupCol), col("n"),
         round(col("sx").cast("double") / col("n").cast("double"), 6)
           .as("mean"),
-        round(element_at(col("ms"), qIdx(alpha / 2)), 6).as("ci_lo"),
-        round(element_at(col("ms"), qIdx(1 - alpha / 2)), 6).as("ci_hi"),
+        // n_reps = 0 is reachable (a 1-row group where EVERY replica
+        // draws weight 0, p ≈ 0.368^reps): element_at on the empty
+        // array would THROW under ANSI mode — degrade to NULL bounds
+        // instead, the loud-but-alive readout for degenerate groups
+        round(when(col("n_reps") > 0,
+          element_at(col("ms"), qIdx(alpha / 2))), 6).as("ci_lo"),
+        round(when(col("n_reps") > 0,
+          element_at(col("ms"), qIdx(1 - alpha / 2))), 6).as("ci_hi"),
         col("n_reps"))
   }
 

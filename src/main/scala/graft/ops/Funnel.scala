@@ -644,6 +644,21 @@ object Funnel {
     * before a day-keyed sorted fold (the x140 replay discipline), so
     * the smoothing is bit-replayable.
     */
+  /** decay^gap weight table, computed DRIVER-side and pinned to 9
+    * decimals (the ndcgWeights/poissonThresholds rule): gap exponents
+    * are small integers, and the table only needs entries down to the
+    * round(9) underflow point (decay^g < 5e-10 pins to exactly 0.0),
+    * so ~60 literals replace a data-dependent `pow()` that would
+    * otherwise route through each engine's libm right before a
+    * rounding boundary. The SAME literals are injected into the x160
+    * oracle SQL. */
+  def ewmaWeightTable(decay: Double): Array[Double] = {
+    require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
+    val maxG = math.ceil(math.log(5e-10) / math.log(decay)).toInt
+    (0 to maxG).map(g => BigDecimal(math.pow(decay, g))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
+  }
+
   def ewmaDailyCounts(events: DataFrame, typeCol: String, tsCol: String,
       decay: Double = 0.7): DataFrame = {
     require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
@@ -656,10 +671,14 @@ object Funnel {
     val b = daily.select(col("et").as("et_b"), col("day").as("day_b"),
       col("n").as("n_b"))
     val gap = col("day") - col("day_b")
+    val wTab = ewmaWeightTable(decay)
+    val wOf = when(gap < wTab.length,
+      element_at(array(wTab.toIndexedSeq.map(lit): _*),
+        (gap + 1).cast("int"))).otherwise(lit(0.0))
     daily.join(b, col("et") === col("et_b") && col("day_b") <= col("day"))
       .select(col("et"), col("day"), col("n"), col("day_b"),
-        round(col("n_b") * pow(lit(decay), gap), 9).as("term"),
-        round(pow(lit(decay), gap), 9).as("w"))
+        round(col("n_b") * wOf, 9).as("term"),
+        wOf.as("w"))
       .groupBy(col("et"), col("day"))
       .agg(max(col("n")).as("n"),
         Classifier.sortedFold(col("day_b"), col("term")).as("st"),

@@ -531,6 +531,12 @@ object Sampling {
         lit(4294967296L)))
       .withColumn("__p", expr(s"__k div $span"))
     val cap = maxStrata.toLong * parts
+    // both params pass their individual bounds at the maxima yet the
+    // product can exceed Int.MaxValue — the (cap+1).toInt probe limit
+    // would wrap negative and fail with Spark's error, not ours
+    require(cap < Int.MaxValue,
+      s"stratifiedKfold: maxStrata × parts = $cap exceeds the " +
+        "driver-resident probe limit (Int.MaxValue) — lower one of them")
     val rows = keyed.groupBy(col("__s"), col("__p"))
       .agg(count(lit(1)).as("__n"))
       .limit((cap + 1).toInt).collect()

@@ -1181,6 +1181,42 @@ object TextAnalysis {
     if (hits.size == 1) hits.head else greatest(hits: _*)
   }
 
+  /** Whole-token multi-pattern hit count via the native Aho–Corasick
+    * expression ([[graft.functions.AhoCorasickCount]]) — the
+    * thousand-pattern upgrade path [[keywordScreen]]'s scaladoc
+    * names: O(text) per row INDEPENDENT of pattern count, where the
+    * literal-array `array_contains` probe is O(tokens × patterns)
+    * (each probe linear-scans the literal list). Token semantics
+    * replicate [[keywordMaxHits]] exactly and are spec-asserted
+    * equal: the token stream re-joins on single spaces with one
+    * leading/trailing pad, every pattern is space-padded, so a hit
+    * is precisely a whole-token equality — overlap counting makes
+    * consecutive duplicate tokens each count. Terms are deduped
+    * (`array_contains` is a membership test; the automaton would
+    * otherwise count a repeated term twice). */
+  def keywordHitsAuto(textCol: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(terms.nonEmpty, "terms must be non-empty")
+    val joined = concat(lit(" "),
+      array_join(filter(tokens(textCol), t => length(t) > 0), " "), lit(" "))
+    ColumnBridge.column(graft.functions.AhoCorasickCount(
+      ColumnBridge.expression(joined),
+      terms.distinct.map(t => " " + t + " ")))
+  }
+
+  /** [[keywordMaxHits]] on the Aho–Corasick path: per-row MAXIMUM
+    * category hit count, one automaton per category, one shared
+    * token join. Equal output to the `array_contains` path by the
+    * [[keywordHitsAuto]] contract. */
+  def keywordMaxHitsAuto(textCol: Column,
+      categories: Map[String, Seq[String]]): Column = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    val hits = categories.toSeq.sortBy(_._1).map { case (_, terms) =>
+      keywordHitsAuto(textCol, terms)
+    }
+    if (hits.size == 1) hits.head else greatest(hits: _*)
+  }
+
   def keywordScreen(df: DataFrame, groupCol: String, textCol: String,
       categories: Map[String, Seq[String]],
       flagThreshold: Int = 2): DataFrame = {

@@ -4990,16 +4990,22 @@ object Extensions extends QueryModule {
     (s, dir) => Funnel.ewmaDailyCounts(
         Tables.events(s, dir), "event_type", "ts", decay = 0.7)
       .orderBy(col("event_type"), col("day")),
-    Some("""WITH daily AS (
+    Some(s"""WITH daily AS (
         SELECT event_type AS et,
           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
           CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2),
+      wt AS (SELECT CAST([${Funnel.ewmaWeightTable(0.7).mkString(", ")}]
+          AS DOUBLE[]) AS tab),
       terms AS (
         SELECT a.et, a.day, a.n, b.day AS day_b,
-          round(b.n * pow(0.7, a.day - b.day), 9) AS term,
-          round(pow(0.7, a.day - b.day), 9) AS w
-        FROM daily a JOIN daily b ON a.et = b.et AND b.day <= a.day),
+          round(b.n * (CASE WHEN a.day - b.day < len(tab)
+            THEN tab[CAST(a.day - b.day AS INT) + 1]
+            ELSE CAST(0 AS DOUBLE) END), 9) AS term,
+          (CASE WHEN a.day - b.day < len(tab)
+            THEN tab[CAST(a.day - b.day AS INT) + 1]
+            ELSE CAST(0 AS DOUBLE) END) AS w
+        FROM daily a JOIN daily b ON a.et = b.et AND b.day <= a.day, wt),
       agg AS (
         SELECT et, day, max(n) AS n,
           list_sum(list_transform(
@@ -6438,6 +6444,11 @@ object Extensions extends QueryModule {
       val gated = survivors
         .join(scores.select(col("doc_id"), col("mean_logprob")), Seq("doc_id"))
         .filter(col("mean_logprob") >= lit(-3.5))
+        // x168's defensive guard, mirrored in the oracle's WHERE: one
+        // NULL-lang row would raise_error inside stratifiedKfold and
+        // fail the whole capstone — degrade predictably instead on
+        // partially-tagged corpora
+        .filter(col("lang").isNotNull && col("doc_id").isNotNull)
       graft.ops.Sampling.stratifiedKfold(gated, "lang", "doc_id", k = 5)
         .groupBy(col("lang"), col("fold"))
         .agg(count(lit(1)).as("n"),
@@ -6515,7 +6526,8 @@ object Extensions extends QueryModule {
       gated AS MATERIALIZED (
         SELECT s.doc_id, s.text, s.lang
         FROM survivors s JOIN ml ON s.doc_id = ml.doc_id
-        WHERE ml.mean_logprob >= -3.5),
+        WHERE ml.mean_logprob >= -3.5
+          AND s.lang IS NOT NULL AND s.doc_id IS NOT NULL),
       assigned AS (
         SELECT lang, text,
           CAST((row_number() OVER (PARTITION BY lang
@@ -6552,6 +6564,82 @@ object Extensions extends QueryModule {
         round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
           AS stickiness
       FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"""))
+
+  /** Character-granular exact-substring dedup with reconstruction
+    * ([[graft.ops.Dedup.charWindowDedup]] — the x96 keep-first rule
+    * at Lee et al. 2021's char granularity, 40-char windows):
+    * corpus-wide first occurrence per distinct window wins, docs
+    * rebuilt by concatenation. Hash-green: the winner rule is a
+    * total order, Spark/DuckDB substring agree on code-point
+    * positions, and the rebuild pins position order on both sides
+    * (the x96 replay at char granularity). */
+  private val x194CharWindowDedup = GraftQuery(
+    "x194_char_window_dedup",
+    (s, dir) => graft.ops.Dedup.charWindowDedup(
+      Tables.documents(s, dir), "doc_id", "text", n = 40)
+      .orderBy(col("doc_id")),
+    Some("""WITH base AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0),
+      wins AS (
+        SELECT doc_id, text,
+          unnest(range(0, CAST(ceil(len / CAST(40 AS DOUBLE)) AS BIGINT)))
+            AS win_idx
+        FROM base),
+      segs AS MATERIALIZED (
+        SELECT doc_id, win_idx,
+          substring(text, CAST(win_idx * 40 + 1 AS INT), 40) AS seg
+        FROM wins),
+      ranked AS (
+        SELECT doc_id, win_idx, seg,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, win_idx) AS rn
+        FROM segs)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows_kept,
+        string_agg(seg, '' ORDER BY win_idx) AS clean_text
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Keyword gating on the Aho–Corasick native path
+    * ([[graft.ops.TextAnalysis.keywordMaxHitsAuto]] over
+    * [[graft.functions.AhoCorasickCount]]): per-source count of docs
+    * whose MAX category hit count clears the x134 flag threshold,
+    * plus the max-hit total — the same three lists probed by the
+    * automaton, whose whole-token contract equals the literal-array
+    * path, so the oracle replays with plain IN-list filters. Integer
+    * counts — hash-green; this row pins the native expression's
+    * semantics at corpus scale where the OpsSpec pins them per-row. */
+  private val x195KeywordScreenAuto = GraftQuery(
+    "x195_keyword_screen_auto",
+    (s, dir) => {
+      val cats = Map(
+        "engine" -> Seq("spark", "stream", "vector"),
+        "relational" -> Seq("join", "filter", "scan"),
+        "storage" -> Seq("table", "row", "column"))
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.keywordMaxHitsAuto(col("text"), cats)
+            .cast("long").as("mh"))
+        .groupBy(col("source"))
+        .agg(sum(when(col("mh") >= 2, 1L).otherwise(0L)).as("n_docs_flagged"),
+          sum(col("mh")).as("total_max_hits"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+        SELECT source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '') AS toks
+        FROM documents),
+      v AS (
+        SELECT source, greatest(
+          len(list_filter(toks, w -> w IN ('spark','stream','vector'))),
+          len(list_filter(toks, w -> w IN ('join','filter','scan'))),
+          len(list_filter(toks, w -> w IN ('table','row','column')))) AS mh
+        FROM t)
+      SELECT source,
+        CAST(sum(CASE WHEN mh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs_flagged,
+        CAST(sum(mh) AS BIGINT) AS total_max_hits
+      FROM v GROUP BY 1 ORDER BY source"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -6610,7 +6698,8 @@ object Extensions extends QueryModule {
     x181EpisodeSupport, x182CorpusDatasheet, x183PsiDrift,
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
-    x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness)
+    x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
+    x194CharWindowDedup, x195KeywordScreenAuto)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -157,7 +157,10 @@ object EventStreams {
       eventKeyCol: String, dimKeyCol: String): DataFrame = {
     require(events.isStreaming, "events must be a streaming DataFrame")
     require(!dim.isStreaming, "dim must be a static DataFrame")
-    events.join(dim, col(eventKeyCol) === col(dimKeyCol), "left")
+    // dataset-qualified key refs: when fact and dimension share the
+    // key's NAME (user_id = user_id, the common case) a bare col() is
+    // ambiguous once the join combines the inputs and analysis fails
+    events.join(dim, events(eventKeyCol) === dim(dimKeyCol), "left")
   }
 
   /** Streaming exact dedup: drop rows whose key was already seen,

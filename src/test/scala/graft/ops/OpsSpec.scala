@@ -3417,6 +3417,49 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("char window dedup: reconstruction exact, first occurrence wins, whitespace-faithful") {
+    // 10-char windows; w1/w2/w3 are exactly one window each
+    val w1 = "aaaaabbbbb"
+    val w2 = "cccccddddd"
+    val w3 = "eeeeefffff"
+    val rows = Seq(
+      (1L, w1 + w2),        // owns both windows
+      (2L, w1 + w3),        // repeats doc 1's first window, adds a novel one
+      (3L, w1 + w2),        // full copy — must vanish
+      (4L, "short"))        // single partial window, unique
+      .toDF("doc_id", "text")
+    val got = Dedup.charWindowDedup(rows, "doc_id", "text", n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((2L, w1 + w2)), s"keeper doc altered: $got")
+    assert(got(2L) == ((1L, w3)), s"repeat window not stripped: $got")
+    assert(!got.contains(3L), s"fully-duplicated doc must vanish: $got")
+    assert(got(4L) == ((1L, "short")), s"partial window mangled: $got")
+    // unlike segmentDedup, char windows are whitespace-FAITHFUL: a
+    // spacing difference INSIDE a window shifts every later window,
+    // so the variant shares nothing and survives whole (a space on
+    // the exact window boundary would still dedup the prefix — the
+    // fixed-offset contract)
+    val spaced = Seq((1L, w1 + w2), (9L, "aaaaa bbbbb" + w2))
+      .toDF("doc_id", "text")
+    val sp = Dedup.charWindowDedup(spaced, "doc_id", "text", n = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sp(9L) == "aaaaa bbbbb" + w2, s"spacing variant must survive: $sp")
+    // trailing partial window reassembles in position order; a doc
+    // reconstructs to its exact text when nothing collides
+    val exact = "The quick brown fox jumps over the lazy dog — twice."
+    val solo = Dedup.charWindowDedup(
+      Seq((7L, exact)).toDF("doc_id", "text"), "doc_id", "text", n = 7)
+      .collect().head
+    assert(solo.getString(2) == exact, s"reconstruction broken: $solo")
+    assert(solo.getLong(1) == math.ceil(exact.length / 7.0).toLong)
+    // deterministic under relayout
+    val again = Dedup.charWindowDedup(rows.repartition(5), "doc_id", "text", n = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(again == got)
+  }
+
   test("logreg classifier: separable domains separate, relayout-stable, approx == exact") {
     // target domain speaks {aa bb}, raw speaks {cc dd}: two gradient
     // rounds must push target-vocabulary docs above raw-vocabulary
@@ -3663,6 +3706,59 @@ class OpsSpec extends AnyFunSuite {
       "engine" -> ((1L, 2L)),
       "relational" -> ((1L, 3L)),
       "storage" -> ((0L, 1L))), s"got $got")
+  }
+
+  test("aho-corasick keyword hits: equals the list_filter path, 1k-pattern complexity win") {
+    val texts = Seq(
+      "spark spark table", "join filter scan", "nothing matches here",
+      "spark", "", "spark spark spark", "scan scan join table spark",
+      "The SPARK Table", "a  b   spark", "sparkly spark sparks")
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val cats = Map(
+      "engine" -> Seq("spark", "stream"),
+      "relational" -> Seq("join", "filter", "scan"),
+      "storage" -> Seq("table", "row", "table")) // dup term: membership kept
+    def refHits(terms: Seq[String]) =
+      size(filter(filter(TextAnalysis.tokens(col("text")), t => length(t) > 0),
+        t => array_contains(lit(terms.toArray), t)))
+    // per-category, per-row equality with the array_contains path —
+    // consecutive duplicates, case folding, multi-space, substrings
+    // ("sparkly"/"sparks" must NOT hit), empty text all covered
+    cats.foreach { case (name, terms) =>
+      corpus.select(col("id"), refHits(terms).as("ref"),
+        TextAnalysis.keywordHitsAuto(col("text"), terms).as("ac"))
+        .collect().foreach(r =>
+          assert(r.getInt(1) == r.getInt(2),
+            s"$name row ${r.getLong(0)}: ref=${r.getInt(1)} ac=${r.getInt(2)}"))
+    }
+    // max-hits parity (the gating column x134-class screens filter on)
+    corpus.select(
+        TextAnalysis.keywordMaxHits(col("text"), cats).as("ref"),
+        TextAnalysis.keywordMaxHitsAuto(col("text"), cats).as("ac"))
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // 1k-pattern case: identical totals, and the O(text) automaton
+    // beats the O(tokens × patterns) literal-array scan outright
+    val pats = (0 until 1000).map(i => f"term$i%04d")
+    val big = (0 until 2000).map { i =>
+      (i.toLong, (0 until 50).map { j =>
+        if ((i + j) % 7 == 0) f"term${(i * 31 + j) % 1000}%04d"
+        else s"w${j}x$i"
+      }.mkString(" "))
+    }.toDF("id", "text").localCheckpoint(true)
+    def sumOf(c: org.apache.spark.sql.Column): (Long, Double) = {
+      big.agg(sum(c.cast("long"))).head() // warm: codegen + JIT
+      val t0 = System.nanoTime()
+      val s = big.agg(sum(c.cast("long"))).head().getLong(0)
+      (s, (System.nanoTime() - t0) / 1e6)
+    }
+    val (acSum, acMs) = sumOf(TextAnalysis.keywordHitsAuto(col("text"), pats))
+    val (refSum, refMs) = sumOf(refHits(pats))
+    assert(acSum == refSum, s"1k-pattern totals differ: ac=$acSum ref=$refSum")
+    assert(acSum > 0, "fixture produced no hits — the parity check is vacuous")
+    info(f"1k patterns over 2000 docs: AC $acMs%.0f ms vs list_filter $refMs%.0f ms")
+    assert(acMs < refMs,
+      f"automaton ($acMs%.0f ms) did not beat the 1k-term literal scan ($refMs%.0f ms)")
   }
 
   test("rrf fusion: both-list docs outrank single-list, exact 1/(k0+r) sum") {
