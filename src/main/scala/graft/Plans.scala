@@ -114,7 +114,8 @@ object Plans {
     "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle",
     "x193_stickiness" -> "one checkpointed distinct (day,user) feeds the daily count AND the x90 window expansion; the bounded day list broadcasts into the range join",
     "x194_char_window_dedup" -> "x96's shape at char granularity: window winners via map-side-combinable min(struct) agg keyed by md5(window); winners rejoin on the same key (exchange reuse); rebuild is one shuffle on doc id",
-    "x195_keyword_screen_auto" -> "the Aho–Corasick probe is ONE codegen'd projection riding the scan (automaton literal in the plan); the per-source flag/total rollup is one two-phase aggregate — no joins, no explode")
+    "x195_keyword_screen_auto" -> "the Aho–Corasick probe is ONE codegen'd projection riding the scan (automaton literal in the plan); the per-source flag/total rollup is one two-phase aggregate — no joins, no explode",
+    "x196_phrase_screen" -> "four phrase automata in one projection over the scan; per-source aggregate FIRST, category melt on the |sources|-row result (the Generate never re-evaluates the automata)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

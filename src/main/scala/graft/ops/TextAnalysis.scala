@@ -1217,6 +1217,67 @@ object TextAnalysis {
     if (hits.size == 1) hits.head else greatest(hits: _*)
   }
 
+  /** [[keywordScreen]] on the Aho–Corasick path — same output
+    * contract (per (group, category) flagged-doc and hit totals),
+    * probe cost O(text × categories) instead of
+    * O(tokens × patterns × categories). The per-category hit columns
+    * are computed in ONE projection over the scan and aggregated per
+    * group BEFORE the category melt, so the explode runs on
+    * |groups|-sized rows (never re-evaluating the automata per
+    * output row — the Generate re-evaluation rule). Spec-asserted
+    * equal to [[keywordScreen]] on the same lists. */
+  def keywordScreenAuto(df: DataFrame, groupCol: String, textCol: String,
+      categories: Map[String, Seq[String]],
+      flagThreshold: Int = 2): DataFrame = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    val cats = categories.toSeq.sortBy(_._1)
+    val hitCols = cats.zipWithIndex.map { case ((_, terms), i) =>
+      keywordHitsAuto(col(textCol), terms).as(s"__h_$i")
+    }
+    val aggCols = cats.indices.flatMap { i =>
+      Seq(sum(when(col(s"__h_$i") >= flagThreshold, 1L).otherwise(0L))
+          .as(s"__f_$i"),
+        sum(col(s"__h_$i").cast("long")).as(s"__t_$i"))
+    }
+    val aggd = df.select((col(groupCol).as("grp") +: hitCols): _*)
+      .groupBy(col("grp"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    aggd.select(col("grp"),
+        explode(array(cats.zipWithIndex.map { case ((cat, _), i) =>
+          struct(lit(cat).as("category"),
+            col(s"__f_$i").as("n_docs_flagged"),
+            col(s"__t_$i").as("total_hits"))
+        }: _*)).as("__c"))
+      .select(col("grp"), col("__c.category").as("category"),
+        col("__c.n_docs_flagged").as("n_docs_flagged"),
+        col("__c.total_hits").as("total_hits"))
+  }
+
+  /** PHRASE occurrence counting — the capability the whole-token
+    * paths ([[keywordScreen]]/[[keywordMaxHits]]) structurally lack:
+    * a multi-word phrase never equals any single token. The
+    * [[graft.functions.AhoCorasickCount]] substring mode over the
+    * whitespace-normalized text (lowercased, runs of whitespace
+    * collapsed to single spaces, one space padded on each end) with
+    * the phrase space-padded counts every occurrence, OVERLAPS
+    * INCLUDED — adjacent repeats share a delimiter space
+    * ("table table table" holds "table table" twice), which
+    * replace()-style non-overlapping counts miss. Exactly
+    * SQL-replayable by a brute-force position scan (the x196
+    * oracle). Phrase whitespace is normalized the same way
+    * driver-side. Map-only: rides the scan, no shuffle. */
+  def phraseHits(textCol: Column, phrases: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val norm = concat(lit(" "),
+      regexp_replace(lower(textCol), "\\s+", " "), lit(" "))
+    val pats = phrases.map(p =>
+        " " + p.trim.toLowerCase.split("\\s+").mkString(" ") + " ")
+      .distinct
+    ColumnBridge.column(graft.functions.AhoCorasickCount(
+      ColumnBridge.expression(norm), pats))
+  }
+
   def keywordScreen(df: DataFrame, groupCol: String, textCol: String,
       categories: Map[String, Seq[String]],
       flagThreshold: Int = 2): DataFrame = {

@@ -6641,6 +6641,66 @@ object Extensions extends QueryModule {
         CAST(sum(mh) AS BIGINT) AS total_max_hits
       FROM v GROUP BY 1 ORDER BY source"""))
 
+  /** Phrase screening ([[graft.ops.TextAnalysis.phraseHits]] —
+    * Aho–Corasick substring mode): per-(source, phrase) doc and
+    * occurrence totals for multi-word phrases, the semantics no
+    * whole-token probe can express. Overlapping occurrences count
+    * ("table table table" holds "table table" twice — adjacent
+    * repeats share the delimiter space), so the oracle replays with
+    * a brute-force all-positions scan (list_filter over range +
+    * substring equality), NOT a replace()-based non-overlap count.
+    * SQL arms are generated programmatically per phrase (the x177
+    * unrolled-variant discipline) so the pattern lengths can't
+    * drift. Integer counts — hash-green. */
+  private val x196PhraseScreen = {
+    val phrases = Seq("fast table", "scan scan", "table table",
+      "value table")
+    val arms = phrases.map { p =>
+      val pad = " " + p + " "
+      val L = pad.length
+      s"""SELECT source, '$p' AS phrase,
+          len(list_filter(range(1, length(s) - $L + 2),
+            i -> substring(s, CAST(i AS INT), $L) = ' $p ')) AS hits
+        FROM n"""
+    }.mkString("\n        UNION ALL\n        ")
+    GraftQuery(
+      "x196_phrase_screen",
+      (s, dir) => {
+        val hitCols = phrases.zipWithIndex.map { case (p, i) =>
+          TextAnalysis.phraseHits(col("text"), Seq(p)).as(s"__p_$i")
+        }
+        val aggCols = phrases.indices.flatMap { i =>
+          Seq(sum(when(col(s"__p_$i") >= 1, 1L).otherwise(0L)).as(s"__d_$i"),
+            sum(col(s"__p_$i").cast("long")).as(s"__t_$i"))
+        }
+        Tables.documents(s, dir)
+          .select((col("source") +: hitCols): _*)
+          .groupBy(col("source"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(col("source"),
+            explode(array(phrases.zipWithIndex.map { case (p, i) =>
+              struct(lit(p).as("phrase"),
+                col(s"__d_$i").as("n_docs_hit"),
+                col(s"__t_$i").as("total_occurrences"))
+            }: _*)).as("__c"))
+          .select(col("source"), col("__c.phrase").as("phrase"),
+            col("__c.n_docs_hit").as("n_docs_hit"),
+            col("__c.total_occurrences").as("total_occurrences"))
+          .orderBy(col("source"), col("phrase"))
+      },
+      Some(s"""WITH n AS MATERIALIZED (
+          SELECT source,
+            ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS s
+          FROM documents),
+        c AS (
+        $arms)
+        SELECT source, phrase,
+          CAST(sum(CASE WHEN hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_hit,
+          CAST(sum(hits) AS BIGINT) AS total_occurrences
+        FROM c GROUP BY 1, 2 ORDER BY source, phrase"""))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6699,7 +6759,7 @@ object Extensions extends QueryModule {
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
-    x194CharWindowDedup, x195KeywordScreenAuto)
+    x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -3761,6 +3761,41 @@ class OpsSpec extends AnyFunSuite {
       f"automaton ($acMs%.0f ms) did not beat the 1k-term literal scan ($refMs%.0f ms)")
   }
 
+  test("keyword screen auto + phrase hits: screen parity, overlapping phrase counts") {
+    // keywordScreenAuto must equal keywordScreen row-for-row on the
+    // x134-shaped fixture
+    val corpus = Seq(
+      ("s", "spark spark table"),
+      ("s", "join filter scan"),
+      ("t", "nothing matches here"),
+      ("t", "spark stream spark")).toDF("source", "text")
+    val cats = Map(
+      "engine" -> Seq("spark", "stream"),
+      "relational" -> Seq("join", "filter", "scan"),
+      "storage" -> Seq("table", "row"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("grp"), col("category"))
+        .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows(TextAnalysis.keywordScreenAuto(corpus, "source", "text", cats,
+        flagThreshold = 2))
+      == rows(TextAnalysis.keywordScreen(corpus, "source", "text", cats,
+        flagThreshold = 2)))
+    // phrase hits: multi-word matching with OVERLAPS — adjacent
+    // repeats share the delimiter space
+    val docs = Seq(
+      (1L, "table table table"),        // "table table" twice (overlap)
+      (2L, "a  Table\ttable b"),        // case + whitespace normalize -> 1
+      (3L, "tabletable table"),         // no whole-phrase boundary -> 0
+      (4L, "fast table table table"))   // "fast table" 1, "table table" 2
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        TextAnalysis.phraseHits(col("text"), Seq("table table")).as("tt"),
+        TextAnalysis.phraseHits(col("text"), Seq("fast  table")).as("ft"))
+      .orderBy(col("id")).as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, 0), (2L, 1, 0), (3L, 0, 0), (4L, 2, 1)),
+      s"phrase counts wrong: $got")
+  }
+
   test("rrf fusion: both-list docs outrank single-list, exact 1/(k0+r) sum") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val dense = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
