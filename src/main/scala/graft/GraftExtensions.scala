@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   SELECT minhash_ngrams(split(lower(text), '\\s+'), 3, 128, 42) FROM docs
   *   SELECT simhash64(split(lower(text), '\\s+'), 42) FROM docs
   *   SELECT hyperplane_sig(embedding, 16, 42) FROM embeddings
+  *   SELECT aho_corasick_count(text, 'spark', 'stream') FROM docs
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -40,6 +41,12 @@ object GraftFunctions {
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be a long literal, got $other")
+  }
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   /** (name, info, builder) triples for every SQL-exposed function. */
@@ -98,6 +105,20 @@ object GraftFunctions {
           graft.functions.CdcBoundaries(text, intArg(w, "window"), intArg(m, "mod"))
         case _ => throw new IllegalArgumentException(
           "cdc_boundaries(text[, window[, mod]])")
+      }),
+    ("aho_corasick_count",
+      new ExpressionInfo(classOf[graft.functions.AhoCorasickCount].getName,
+        "aho_corasick_count"),
+      // patterns are raw substrings — NO token padding: SQL callers
+      // choose their own boundary convention (pad with spaces for the
+      // keywordHitsAuto whole-token semantics). The pattern list must
+      // be literal: the automaton compiles once per plan.
+      (args: Seq[Expression]) => args match {
+        case text +: pats if pats.nonEmpty =>
+          graft.functions.AhoCorasickCount(text,
+            pats.map(p => strArg(p, "pattern")).distinct)
+        case _ => throw new IllegalArgumentException(
+          "aho_corasick_count(text, pattern[, pattern...])")
       }),
     ("scrub_pii",
       new ExpressionInfo(

@@ -61,7 +61,7 @@ object Plans {
     "x93_source_cap" -> "one hash shuffle on the group key; rank<=k plans as WindowGroupLimit — each map task pre-prunes to its local top-k before the exchange",
     "x94_dsir_weights" -> "bigramLogprob's shape: one index-explode gram pass at an exchange; <=B-row bucket models broadcast; scoring join + per-doc sorted fold — corpus text never shuffles",
     "x95_contamination_verify" -> "bounded eval side broadcast; Levenshtein projection evaluated only AFTER the shared-trigram filter (O(len^2) per pair, never all-pairs)",
-    "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg; winners rejoin on the segment key (exchange reuse); rebuild is one shuffle on doc id",
+    "x96_segment_dedup" -> "segment winners via map-side-combinable min(struct) agg whose min row IS the kept row — no join back (r10: the former join re-exchanged both sides on three keys); rebuild is one shuffle on doc id — two shuffles total",
     "x97_quality_classifier" -> "one feature-build pass at an exchange; each GD round = broadcast(<=B-row w) join + per-doc fold + per-bucket fold; corpus text never shuffles, model state is kilobytes",
     "x98_cluster_split" -> "CC labels join the corpus (left, build side = |clustered docs| only); split hash is a map-only projection",
     "x100_curation_capped" -> "four audited stage shapes chained: keep-first semi-join, segment winner agg + rebuild, WindowGroupLimit cap, per-group budget window — no stage widens another's shuffle",
@@ -113,9 +113,10 @@ object Plans {
     "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts",
     "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle",
     "x193_stickiness" -> "one checkpointed distinct (day,user) feeds the daily count AND the x90 window expansion; the bounded day list broadcasts into the range join",
-    "x194_char_window_dedup" -> "x96's shape at char granularity: window winners via map-side-combinable min(struct) agg keyed by md5(window); winners rejoin on the same key (exchange reuse); rebuild is one shuffle on doc id",
+    "x194_char_window_dedup" -> "x96's shape at char granularity: window winners via map-side-combinable min(struct(id, idx, seg)) agg keyed by md5(window) — the min row IS the kept row, no join back (r10); rebuild is one shuffle on doc id — two shuffles total",
     "x195_keyword_screen_auto" -> "the Aho–Corasick probe is ONE codegen'd projection riding the scan (automaton literal in the plan); the per-source flag/total rollup is one two-phase aggregate — no joins, no explode",
-    "x196_phrase_screen" -> "four phrase automata in one projection over the scan; per-source aggregate FIRST, category melt on the |sources|-row result (the Generate never re-evaluates the automata)")
+    "x196_phrase_screen" -> "four phrase automata in one projection over the scan; per-source aggregate FIRST, category melt on the |sources|-row result (the Generate never re-evaluates the automata)",
+    "x197_anchor_window_dedup" -> "anchor scan (native rolling-hash expression) materialized at an id exchange BEFORE the Generate; winner agg and attribution join move only (id, pos, md5) rows on the uniform 128-bit key — window text never shuffles; the per-row winner verdict is a projection, so Catalyst has no filter to fold into the join keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

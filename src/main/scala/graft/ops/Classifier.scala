@@ -57,7 +57,7 @@ object Classifier {
     val grams = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("y"),
-        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+        regexp_replace(lower(col(textCol)), graft.ops.TextAnalysis.WhitespaceClass, " ").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= 2)
       .repartition(col("id"))
       .select(col("id"), col("y"),

@@ -1189,17 +1189,23 @@ object Dedup {
     * the scan; the first-occurrence winner per segment is a
     * map-side-combinable min(struct(id, pos)) aggregate keyed by the
     * segment (uniform text key — no skew beyond genuine boilerplate,
-    * which is exactly what collapses); winners semi-join back on the
-    * same key (exchange reuse), and reconstruction is one shuffle on
-    * the doc id. Nothing is ever all-pairs; memory is bounded by
-    * segments-per-task. */
+    * which is exactly what collapses); the winner rows ARE the kept
+    * rows — no join back at all (the min struct is the surviving
+    * (id, pos), and the segment text is the group key), so the whole
+    * operator is two shuffles: the winner aggregate and the doc-id
+    * reconstruction. (r9 verdict: the former join-back formulation
+    * claimed exchange reuse the planner never delivered — Catalyst
+    * folded the post-join id/idx filters into the join keys, forcing
+    * a three-key re-exchange of BOTH sides; the join selected
+    * exactly the winner rows the aggregate already held.) Nothing is
+    * ever all-pairs; memory is bounded by segments-per-task. */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
     require(n > 0, "segment length must be positive")
     // split on raw whitespace, KEEPING case: exact dedup must not
     // conflate case-variant segments
     val base = Parallelism.ensure(df)
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col(idCol).as("id"), split(col(textCol), graft.ops.TextAnalysis.WhitespaceClass).as("toks"))
       .filter(size(col("toks")) > 0)
     val nSegs = greatest(
       ceil(size(col("toks")).cast("double") / n).cast("int"), lit(1))
@@ -1212,14 +1218,12 @@ object Dedup {
       .select(col("id"), col("seg_idx"),
         concat_ws(" ", slice(col("toks"), col("seg_idx") * n + 1, lit(n)))
           .as("seg"))
-      .localCheckpoint(true) // feeds the winner agg AND the join back
-    val winners = segs.groupBy(col("seg"))
+    // first (id, seg_idx) per distinct segment — (id, seg_idx) is
+    // unique per row, so the min struct IS the surviving row
+    val kept = segs.groupBy(col("seg"))
       .agg(min(struct(col("id"), col("seg_idx"))).as("__w"))
-      .select(col("seg"), col("__w.id").as("__w_id"),
-        col("__w.seg_idx").as("__w_idx"))
-    val kept = segs
-      .hint("shuffle_hash").join(winners.hint("shuffle_hash"), Seq("seg"))
-      .filter(col("id") === col("__w_id") && col("seg_idx") === col("__w_idx"))
+      .select(col("__w.id").as("id"), col("__w.seg_idx").as("seg_idx"),
+        col("seg"))
     kept.groupBy(col("id"))
       .agg(count(lit(1)).as("n_segments_kept"),
         // collect_list order is nondeterministic — array_sort on the
@@ -1253,7 +1257,9 @@ object Dedup {
     * cuts content-defined variable windows for shift-robust sharing
     * (an insertion re-aligns CDC chunks but shifts every fixed
     * window after it — fixed windows trade shift robustness for the
-    * exact replayable position algebra). A true suffix-array dedup
+    * exact replayable position algebra; [[anchorWindowProfile]]
+    * (x197) closes that hole with content-anchored exact windows).
+    * A true suffix-array dedup
     * (duplicates at EVERY alignment) is the non-distributable limit
     * of n→arbitrary-offset; fixed offsets are the shardable form.
     *
@@ -1261,12 +1267,20 @@ object Dedup {
     * explodes; the substring slices from the carried text column —
     * never explode a computed window array, the Generate would
     * re-evaluate it per row); first-occurrence winners are a
-    * map-side-combinable min(struct(id, idx)) keyed by the md5 of
-    * the window (16 bytes shuffled per window for long windows, and
-    * 128-bit so collisions stay impossible at 10¹² windows where
-    * xxhash64 birthday-collides); the winner join reuses the same
-    * key exchange, reconstruction is one shuffle on the doc id.
-    * Nothing is all-pairs; memory is bounded by windows-per-task. */
+    * map-side-combinable min(struct(id, idx, seg)) keyed by the md5
+    * of the window (128-bit so collisions stay impossible at 10¹²
+    * windows where xxhash64 birthday-collides). (id, idx) is unique
+    * per row, so the min struct IS the surviving row and carries its
+    * own window text — no join back at all; the whole operator is
+    * two shuffles, the winner aggregate (duplicated windows collapse
+    * map-side, so the exchange carries ≤ the deduplicated corpus)
+    * and the doc-id reconstruction. (r9 verdict: the former
+    * join-back formulation claimed exchange reuse the planner never
+    * delivered — Catalyst folded the post-join id/idx filters into
+    * the join keys, forcing a three-key re-exchange of BOTH sides;
+    * the join selected exactly the winner rows the aggregate already
+    * held.) Nothing is all-pairs; memory is bounded by
+    * windows-per-task. */
   def charWindowDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 40): DataFrame = {
     require(n > 0, "window length must be positive")
@@ -1280,14 +1294,10 @@ object Dedup {
       .select(col("id"), col("win_idx"),
         col("txt").substr(col("win_idx") * n + 1, lit(n)).as("seg"))
       .withColumn("__h", md5(col("seg")))
-      .localCheckpoint(true) // feeds the winner agg AND the join back
-    val winners = wins.groupBy(col("__h"))
-      .agg(min(struct(col("id"), col("win_idx"))).as("__w"))
-      .select(col("__h"), col("__w.id").as("__w_id"),
-        col("__w.win_idx").as("__w_idx"))
-    val kept = wins.hint("shuffle_hash")
-      .join(winners.hint("shuffle_hash"), Seq("__h"))
-      .filter(col("id") === col("__w_id") && col("win_idx") === col("__w_idx"))
+    val kept = wins.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("win_idx"), col("seg"))).as("__w"))
+      .select(col("__w.id").as("id"), col("__w.win_idx").as("win_idx"),
+        col("__w.seg").as("seg"))
     kept.groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows_kept"),
         array_join(
@@ -1296,6 +1306,89 @@ object Dedup {
             s => s.getField("seg")),
           "").as("clean_text"))
       .select(col("id").as(idCol), col("n_windows_kept"), col("clean_text"))
+  }
+
+  /** Shift-robust EXACT duplicate-content profile at char
+    * granularity — closes [[charWindowDedup]]'s alignment hole: x194's
+    * fixed `n`-char grid only catches ALIGNED duplication (a single
+    * inserted character shifts every later window and the duplicate
+    * survives). A staggered second grid at offset n/2 would NOT fix
+    * this — grid windows of two copies share content only when the
+    * relative shift is a multiple of the grid step, and an insertion
+    * shifts by 1 — so this operator anchors windows to CONTENT
+    * instead: every position whose trailing `window`-char rolling
+    * hash ≡ 0 (mod `mod`) (the [[cdcChunks]] boundary predicate,
+    * same native expression) starts an `n`-char verification window,
+    * and the window's full text is verified EXACTLY via its md5.
+    * Anchors move with the content, so an insertion early in a
+    * document leaves every later anchor+window pair intact and the
+    * duplication is caught at any alignment. Recall is
+    * anchor-conditioned (a shared run is caught iff it contains an
+    * anchor with its window inside the run — expected for runs ≳
+    * window + n + mod chars at anchor density 1/mod); every HIT is
+    * exact, never fuzzy — the [[cdcChunks]] shift-robustness with
+    * x194's exact-equality verdict.
+    *
+    * Output per doc (docs with ≥1 anchored window): `n_windows`,
+    * `n_dup_windows` (windows whose exact content occurred EARLIER —
+    * first = smallest (id, pos), the x194 total order), and `dup_doc`
+    * = 1 when a strict majority of the doc's windows were seen
+    * before. Deterministic: integer rolling-hash arithmetic (base-31
+    * over ASCII < 2^53), md5 equality, integer counts — replays
+    * hash-green with the same substring/row_number algebra as x194.
+    *
+    * Scale shape: the anchor scan is the O(len) native expression,
+    * materialized at an exchange before the Generate (the cdcChunks
+    * rule); emitted window text is ~n/mod × corpus (2.5× at the
+    * defaults) but exists only INSIDE the map stage — the winner
+    * aggregate and the join back both move (id, pos, md5) rows
+    * (~28 bytes per window), never text; both are keyed by the
+    * uniform 128-bit hash, map-side combinable, skew-free. Unlike
+    * x194 the join back is NOT redundant here: non-winner rows must
+    * be attributed to their documents, so the per-row winner verdict
+    * is a projection (never a filter — nothing for Catalyst to fold
+    * into the join keys). */
+  def anchorWindowProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 40, window: Int = 8, mod: Int = 16): DataFrame = {
+    require(n > window, "verification window n must exceed the anchor k-gram")
+    require(window >= 2 && window <= 16, "window must be in [2,16]")
+    require(mod >= 2, "mod must be >= 2")
+    val s = col(textCol)
+    val bounds = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.CdcBoundaries(expression(s), window, mod))
+    }
+    val withB = Parallelism.ensure(df)
+      .filter(length(s) > 0)
+      .select(col(idCol).as("id"), s.as("__s"), bounds.as("__bounds"))
+      .repartition(col("id"))
+    // anchor = boundary position b (1-based end of the matching
+    // k-gram) whose n-char window fits: b + n <= len. The forced
+    // end-of-text boundary can never fit, so it drops out without
+    // special-casing.
+    val wins = withB
+      .select(col("id"), col("__s"),
+        explode(filter(col("__bounds"),
+          b => b + n <= length(col("__s")))).as("pos"))
+      .select(col("id"), col("pos"),
+        md5(col("__s").substr(col("pos") + 1, lit(n))).as("__h"))
+    val winners = wins.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    // hint ONLY the winners side: the build-side hash map must hold
+    // the deduplicated windows (|winners| ≤ |wins|, and ≪ on the
+    // dup-heavy corpora this operator exists for), never the full
+    // window stream
+    val verdicts = wins
+      .join(winners.hint("shuffle_hash"), Seq("__h"))
+      .select(col("id"),
+        when(col("id") === col("__w.id") && col("pos") === col("__w.pos"),
+          0L).otherwise(1L).as("__dup"))
+    verdicts.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__dup")).as("n_dup_windows"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
+        when(col("n_dup_windows") * 2 > col("n_windows"), 1)
+          .otherwise(0).cast("int").as("dup_doc"))
   }
 
   /** Paragraph-level exact dedup across the corpus — the Dolma /

@@ -655,6 +655,16 @@ object Funnel {
   def ewmaWeightTable(decay: Double): Array[Double] = {
     require(decay > 0.0 && decay < 1.0, "decay must be in (0,1)")
     val maxG = math.ceil(math.log(5e-10) / math.log(decay)).toInt
+    // the table is injected as LITERALS into both the Spark plan
+    // (array(lit…)) and the oracle SQL string: decay→1 grows it as
+    // ln(5e-10)/ln(decay) (~21k entries at 0.999) — a plan/codegen
+    // blowup, not a bigger array. Fail loudly at the size where the
+    // literal-table technique stops being the right tool.
+    require(maxG <= 512,
+      s"decay=$decay needs ${maxG + 1} weight-table literals " +
+        "(limit 512, ~= decay <= 0.95) — the table is injected into " +
+        "the plan AND the oracle SQL; for slower decays use a " +
+        "windowed/recursive EWMA instead")
     (0 to maxG).map(g => BigDecimal(math.pow(decay, g))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray
   }

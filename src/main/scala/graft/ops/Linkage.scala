@@ -97,7 +97,7 @@ object Linkage {
       nameCol: String, maxTokenDf: Int): DataFrame = {
     val toks = df.select(col(idCol).as("__id"), col(nameCol).as("__name"))
       .withColumn("__tok", explode(array_distinct(
-        filter(split(lower(col("__name")), "\\s+"), t => length(t) > 0))))
+        filter(split(lower(col("__name")), graft.ops.TextAnalysis.WhitespaceClass), t => length(t) > 0))))
     val dfw = Window.partitionBy(col("__tok"))
     toks
       .withColumn("__df", count(lit(1)).over(dfw))

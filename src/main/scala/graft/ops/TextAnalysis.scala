@@ -11,8 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace character class, PINNED to an explicit set instead of
+    * each engine's `\s` default: Java regex `\s` includes vertical tab
+    * \x0B, DuckDB's RE2 `\s` does not — a document containing \x0B
+    * would tokenize differently on the two sides and hash-mismatch
+    * (latent data-dependent divergence; current testdata carries no
+    * \x0B so pinning changes no hashes). Oracles keep writing `\s+`:
+    * this class IS RE2's `\s`. */
+  val WhitespaceClass: String = "[ \\t\\n\\f\\r]+"
+
   /** Whitespace tokenization (lowercased). */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  def tokens(text: Column): Column = split(lower(text), WhitespaceClass)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -74,7 +83,7 @@ object TextAnalysis {
     // (an ANSI-SQL replay drops null docs entirely).
     val grams = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
-        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+        regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
       .filter(col("s").isNotNull)
       .repartition(col("id"))
       .select(col("id"), col("s"),
@@ -184,7 +193,7 @@ object TextAnalysis {
     // the same Generate-trap avoidance as bigramLogProb
     val grams = Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(isTargetCol).cast("boolean").as("tgt"),
-        regexp_replace(lower(col(textCol)), "\\s+", " ").as("s"))
+        regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= 2)
       .repartition(col("id"))
       .select(col("id"), col("tgt"), col("s"),
@@ -269,7 +278,7 @@ object TextAnalysis {
   /** Character n-gram shingles (default 5-gram) over the normalized
     * text — finer-grained dedup signal than word shingles. */
   def charShingles(text: Column, n: Int = 5): Column = {
-    val s = regexp_replace(lower(text), "\\s+", " ")
+    val s = regexp_replace(lower(text), WhitespaceClass, " ")
     when(length(s) < n, array(s))
       .otherwise(transform(
         sequence(lit(1), length(s) - (n - 1)),
@@ -1171,12 +1180,27 @@ object TextAnalysis {
   /** Per-row MAXIMUM category hit count over [[keywordScreen]]'s
     * lists — the gating column for screening pipelines
     * (`keywordMaxHits(...) < flagThreshold` keeps a document). */
+  /** Pattern count above which [[keywordScreen]]/[[keywordMaxHits]]
+    * dispatch a category to the Aho–Corasick native path: the
+    * literal-array probe is O(tokens × patterns) (each probe
+    * linear-scans the list), the automaton O(text) independent of
+    * pattern count — the OpsSpec 1k-pattern measurement has the
+    * automaton ahead well below this point, and at 64 the literal
+    * array is already 64 probes per token. Callers never need to pick
+    * a path by hand; the two are spec-asserted equal. */
+  val AhoDispatchThreshold: Int = 64
+
   def keywordMaxHits(textCol: Column,
       categories: Map[String, Seq[String]]): Column = {
     require(categories.nonEmpty, "categories must be non-empty")
     val toks = filter(tokens(textCol), t => length(t) > 0)
     val hits = categories.toSeq.sortBy(_._1).map { case (_, terms) =>
-      size(filter(toks, t => array_contains(lit(terms.toArray), t)))
+      // per-category dispatch: big lists ride the automaton (same
+      // IntegerType, same whole-token contract — spec-asserted equal)
+      if (terms.distinct.size >= AhoDispatchThreshold)
+        keywordHitsAuto(textCol, terms)
+      else
+        size(filter(toks, t => array_contains(lit(terms.toArray), t)))
     }
     if (hits.size == 1) hits.head else greatest(hits: _*)
   }
@@ -1197,6 +1221,13 @@ object TextAnalysis {
   def keywordHitsAuto(textCol: Column, terms: Seq[String]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(terms.nonEmpty, "terms must be non-empty")
+    // a space-padded multi-word pattern would match a token SEQUENCE
+    // in the joined stream — something the array_contains contract
+    // this path claims to replicate can never match. Fail loudly and
+    // point phrase callers at the operator built for them.
+    require(terms.forall(t => !t.exists(_.isWhitespace)),
+      "keyword terms must be single tokens (no whitespace) — " +
+        "use phraseHits for multi-word phrases")
     val joined = concat(lit(" "),
       array_join(filter(tokens(textCol), t => length(t) > 0), " "), lit(" "))
     ColumnBridge.column(graft.functions.AhoCorasickCount(
@@ -1270,9 +1301,9 @@ object TextAnalysis {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(phrases.nonEmpty, "phrases must be non-empty")
     val norm = concat(lit(" "),
-      regexp_replace(lower(textCol), "\\s+", " "), lit(" "))
+      regexp_replace(lower(textCol), WhitespaceClass, " "), lit(" "))
     val pats = phrases.map(p =>
-        " " + p.trim.toLowerCase.split("\\s+").mkString(" ") + " ")
+        " " + p.trim.toLowerCase.split(WhitespaceClass).mkString(" ") + " ")
       .distinct
     ColumnBridge.column(graft.functions.AhoCorasickCount(
       ColumnBridge.expression(norm), pats))
@@ -1282,6 +1313,15 @@ object TextAnalysis {
       categories: Map[String, Seq[String]],
       flagThreshold: Int = 2): DataFrame = {
     require(categories.nonEmpty, "categories must be non-empty")
+    // auto-dispatch: once ANY category crosses the automaton
+    // threshold, take the whole screen through keywordScreenAuto —
+    // identical output contract, and its agg-before-melt shape keeps
+    // the (now expensive) hit expressions out of the Generate, per
+    // the "never let an expensive expression feed a Generate" rule
+    if (categories.valuesIterator
+        .exists(_.distinct.size >= AhoDispatchThreshold))
+      return keywordScreenAuto(df, groupCol, textCol, categories,
+        flagThreshold)
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val catHits = categories.toSeq.sortBy(_._1).map { case (cat, terms) =>
       struct(lit(cat).as("category"),

@@ -6701,6 +6701,51 @@ object Extensions extends QueryModule {
         FROM c GROUP BY 1, 2 ORDER BY source, phrase"""))
   }
 
+  /** Shift-robust exact duplicate-content profile
+    * ([[graft.ops.Dedup.anchorWindowProfile]] — content-defined
+    * anchors via the x135 rolling-hash predicate, 40-char exact
+    * verification windows, x194's first-occurrence total order):
+    * catches the UNALIGNED duplication x194's fixed grid provably
+    * misses (a 1-char insertion shifts every later grid window).
+    * Hash-green: anchor positions are exact base-31 integer
+    * arithmetic (the x135 replay), window identity is md5/substring
+    * equality, outputs are integer counts and a majority flag. */
+  private val x197AnchorWindowDedup = GraftQuery(
+    "x197_anchor_window_dedup",
+    (s, dir) => graft.ops.Dedup.anchorWindowProfile(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 40, window = 8, mod = 16)
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (
+        SELECT doc_id, text AS s, length(text) AS len,
+          CASE WHEN length(text) >= 8 THEN
+            list_filter(range(8, length(text)+1), i ->
+              (CAST(list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(s, i-7+j, 1))
+                  * ([27512614111,887503681,28629151,923521,
+                      29791,961,31,1][j+1])))
+               AS BIGINT) % 16) = 0)
+          ELSE [] END AS anchors
+        FROM documents WHERE length(text) > 0),
+      w AS MATERIALIZED (
+        SELECT doc_id, s,
+          unnest(list_filter(anchors, a -> a + 40 <= len)) AS pos
+        FROM b),
+      e AS MATERIALIZED (
+        SELECT doc_id, pos,
+          substring(s, CAST(pos + 1 AS INT), 40) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM e)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_windows,
+        CAST(CASE WHEN 2 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+          > count(*) THEN 1 ELSE 0 END AS INT) AS dup_doc
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -6759,7 +6804,8 @@ object Extensions extends QueryModule {
     x184CovarianceMatrix, x185KnLogprob, x186SourceConcentration,
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
-    x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen)
+    x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
+    x197AnchorWindowDedup)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

