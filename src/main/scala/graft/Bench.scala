@@ -9,10 +9,14 @@ object Bench {
   case class QStat(name: String, wall: Double, cpu: Double,
       shuffleMb: Double, nStages: Long)
 
-  /** Wall not explained by CPU work — machine contention / scheduling
-    * latency, not the plan. r9's floor of 5.0 s with ratio 0.5 missed
-    * every actual contention row that round (x58 3.4/1.6, x59 3.9/2.9,
-    * x44 1.7/0.9, x163 2.5/0.4 — all hand-adjudicated as noise):
+  /** Wall not explained by EXECUTOR CPU — usually machine contention /
+    * scheduling latency, but also any genuinely driver-bound query
+    * (planning/codegen blowups spend wall the executors never see), so
+    * the flag means "adjudicate this row" (ProfileQuery separates the
+    * two: contention vanishes on a quiet rerun, driver-bound work
+    * doesn't), NOT "dismiss as noise". r9's floor of 5.0 s with ratio
+    * 0.5 missed every actual contention row that round (x58 3.4/1.6,
+    * x59 3.9/2.9, x44 1.7/0.9, x163 2.5/0.4 — all hand-adjudicated):
     * floor 1.5 s, ratio 0.75 covers all four signatures. */
   def isContention(wall: Double, cpu: Double): Boolean =
     wall > 1.5 && cpu < wall * 0.75
@@ -217,10 +221,14 @@ object Bench {
       else results.map(_.name)
     // self-adjudication IN the artifact: name the contention suspects
     // (wall≫cpu) and the low-parallelism suspects (x45-shaped) so the
-    // judge doesn't re-run them; caps keep the budget honest
+    // judge doesn't re-run them; caps keep the budget honest. Key by
+    // the SAME resolved keys as the queries map — short ids would
+    // emit duplicate JSON keys on a collision and silently drop a
+    // flagged row from the adjudication record
+    val keyOf = results.map(_.name).zip(keys).toMap
     def flagJson(flagged: Seq[QStat], cap: Int): String =
       flagged.sortBy(-_.wall).take(cap).map { s =>
-        s"\"" + shortId.findFirstIn(s.name).getOrElse(s.name) +
+        s"\"" + keyOf(s.name) +
           "\":[" + r3(s.wall) + "," + r3(s.cpu) + "]"
       }.mkString("{", ",", "}")
     val contJson = flagJson(

@@ -115,8 +115,13 @@ object GraftFunctions {
       // be literal: the automaton compiles once per plan.
       (args: Seq[Expression]) => args match {
         case text +: pats if pats.nonEmpty =>
-          graft.functions.AhoCorasickCount(text,
-            pats.map(p => strArg(p, "pattern")).distinct)
+          val ps = pats.map(p => strArg(p, "pattern")).distinct
+          // fail at PLAN time, not first task eval: the automaton's
+          // own nonEmpty require only fires when the @transient lazy
+          // build is forced inside an executor
+          if (ps.exists(_.isEmpty)) throw new IllegalArgumentException(
+            "aho_corasick_count patterns must be non-empty strings")
+          graft.functions.AhoCorasickCount(text, ps)
         case _ => throw new IllegalArgumentException(
           "aho_corasick_count(text, pattern[, pattern...])")
       }),

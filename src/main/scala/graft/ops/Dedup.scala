@@ -1372,6 +1372,13 @@ object Dedup {
           b => b + n <= length(col("__s")))).as("pos"))
       .select(col("id"), col("pos"),
         md5(col("__s").substr(col("pos") + 1, lit(n))).as("__h"))
+      // feeds the winner agg AND the attribution join: without a
+      // materialization only the repartition exchange below is
+      // reused and the Generate + per-window substr/md5 (the
+      // operator's dominant map cost, ~n/mod × corpus hashed) would
+      // execute once per consumer; the checkpointed rows are the
+      // narrow (id, pos, md5) triple, never text
+      .localCheckpoint(true)
     val winners = wins.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("pos"))).as("__w"))
     // hint ONLY the winners side: the build-side hash map must hold

@@ -1190,6 +1190,14 @@ object TextAnalysis {
     * a path by hand; the two are spec-asserted equal. */
   val AhoDispatchThreshold: Int = 64
 
+  /** A term list the automaton path can replicate EXACTLY: non-empty
+    * single tokens. Multi-word or empty terms are well-defined on the
+    * literal path (they simply never match a token), so lists
+    * carrying them stay there instead of throwing cross-category
+    * collateral from [[keywordHitsAuto]]'s guard. */
+  private def autoCompatible(terms: Seq[String]): Boolean =
+    terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace))
+
   def keywordMaxHits(textCol: Column,
       categories: Map[String, Seq[String]]): Column = {
     require(categories.nonEmpty, "categories must be non-empty")
@@ -1197,7 +1205,7 @@ object TextAnalysis {
     val hits = categories.toSeq.sortBy(_._1).map { case (_, terms) =>
       // per-category dispatch: big lists ride the automaton (same
       // IntegerType, same whole-token contract — spec-asserted equal)
-      if (terms.distinct.size >= AhoDispatchThreshold)
+      if (autoCompatible(terms) && terms.distinct.size >= AhoDispatchThreshold)
         keywordHitsAuto(textCol, terms)
       else
         size(filter(toks, t => array_contains(lit(terms.toArray), t)))
@@ -1220,7 +1228,6 @@ object TextAnalysis {
     * otherwise count a repeated term twice). */
   def keywordHitsAuto(textCol: Column, terms: Seq[String]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(terms.nonEmpty, "terms must be non-empty")
     // a space-padded multi-word pattern would match a token SEQUENCE
     // in the joined stream — something the array_contains contract
     // this path claims to replicate can never match. Fail loudly and
@@ -1228,11 +1235,17 @@ object TextAnalysis {
     require(terms.forall(t => !t.exists(_.isWhitespace)),
       "keyword terms must be single tokens (no whitespace) — " +
         "use phraseHits for multi-word phrases")
+    // an empty term can never equal a token (the stream filters
+    // length > 0), but its padded pattern "  " WOULD match the
+    // empty-document stream " " + "" + " " — drop empties to keep
+    // exact array_contains parity
+    val clean = terms.filter(_.nonEmpty).distinct
+    require(clean.nonEmpty, "terms must contain a non-empty token")
     val joined = concat(lit(" "),
       array_join(filter(tokens(textCol), t => length(t) > 0), " "), lit(" "))
     ColumnBridge.column(graft.functions.AhoCorasickCount(
       ColumnBridge.expression(joined),
-      terms.distinct.map(t => " " + t + " ")))
+      clean.map(t => " " + t + " ")))
   }
 
   /** [[keywordMaxHits]] on the Aho–Corasick path: per-row MAXIMUM
@@ -1317,9 +1330,14 @@ object TextAnalysis {
     // threshold, take the whole screen through keywordScreenAuto —
     // identical output contract, and its agg-before-melt shape keeps
     // the (now expensive) hit expressions out of the Generate, per
-    // the "never let an expensive expression feed a Generate" rule
-    if (categories.valuesIterator
-        .exists(_.distinct.size >= AhoDispatchThreshold))
+    // the "never let an expensive expression feed a Generate" rule.
+    // Only when EVERY category is automaton-compatible: a multi-word
+    // or empty term elsewhere in the map is well-defined here (it
+    // never matches a token) and must not throw because an unrelated
+    // list grew past the threshold.
+    if (categories.valuesIterator.forall(autoCompatible) &&
+        categories.valuesIterator
+          .exists(_.distinct.size >= AhoDispatchThreshold))
       return keywordScreenAuto(df, groupCol, textCol, categories,
         flagThreshold)
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)

@@ -95,6 +95,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT aho_corasick_count(text, text) FROM ac_docs").collect()
     }
     assert(err.getMessage.contains("string literal"))
+    // ...and so must an empty pattern (the automaton's own require
+    // would otherwise only fire inside the first task)
+    val empty = intercept[Exception] {
+      spark.sql("SELECT aho_corasick_count(text, '') FROM ac_docs").collect()
+    }
+    assert(empty.getMessage.contains("non-empty"))
   }
 
   test("cosine_similarity SQL function: exact values, mixed element types") {

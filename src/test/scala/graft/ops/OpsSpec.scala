@@ -3856,6 +3856,31 @@ class OpsSpec extends AnyFunSuite {
       TextAnalysis.keywordHitsAuto(col("text"), Seq("fast table"))
     }
     assert(e.getMessage.contains("phraseHits"))
+    // empty terms are dropped (array_contains parity: "" never equals
+    // a token, but its padded pattern would match empty documents);
+    // all-empty lists fail loudly
+    val blank = Seq(("a", ""), ("b", "spark")).toDF("id", "text")
+    val eq = blank.select(
+      TextAnalysis.keywordHitsAuto(col("text"), Seq("spark", "")).as("w"),
+      TextAnalysis.keywordHitsAuto(col("text"), Seq("spark")).as("wo"))
+      .collect()
+    eq.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"empty term changed counts: $r"))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.keywordHitsAuto(col("text"), Seq(""))
+    }
+    // a multi-word term in a SMALL category must not throw when an
+    // unrelated category crosses the dispatch threshold — the screen
+    // stays on the literal path where the term is well-defined
+    // (never matches a token)
+    val mixed = Map("big" -> bigTerms, "aux" -> Seq("data set", "join"))
+    val mixedRows = rows(
+      TextAnalysis.keywordScreen(corpus, "source", "text", mixed))
+    val auxRows = mixedRows.filter(_._2 == "aux")
+    assert(auxRows.nonEmpty && auxRows == rows(
+      TextAnalysis.keywordScreen(corpus, "source", "text",
+        Map("big" -> Seq("spark", "stream", "term0007"),
+          "aux" -> Seq("data set", "join")))).filter(_._2 == "aux"))
   }
 
   test("keyword screen auto + phrase hits: screen parity, overlapping phrase counts") {
