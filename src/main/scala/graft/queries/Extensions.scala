@@ -6435,10 +6435,13 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir)
       val withFp = docs.withColumn("fp",
         TextAnalysis.fingerprint(TextAnalysis.confusableSkeleton(col("text"))))
-      val keep = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
-      val survivors = withFp.join(keep, Seq("fp"))
-        .filter(col("doc_id") === col("keep_id"))
-        .drop("fp", "keep_id")
+      // the exactKeepFirst idiom: left-semi on (fp, winner id) —
+      // never join-then-filter, which Catalyst folds into widened
+      // join keys (the r10 x96/x194 lesson)
+      val keep = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val survivors = withFp
+        .join(keep.hint("shuffle_hash"), Seq("fp", "doc_id"), "left_semi")
+        .drop("fp")
       val scores = TextAnalysis.knLogProb(
         docs.filter(col("doc_id") % 2 === 0), survivors, "doc_id", "text")
       val gated = survivors
