@@ -110,6 +110,68 @@ class PropertySpec extends AnyFunSuite {
     assert(nearMean + 8 < otherMean, s"near $nearMean vs other $otherMean")
   }
 
+  test("anchor window profile matches a brute-force reference on random corpora") {
+    // x197's correctness otherwise rests on the DuckDB oracle plus one
+    // planted fixture — this drives the whole operator (rolling-hash
+    // anchors, window fit, first-occurrence total order, majority
+    // flag) against an independent sequential implementation on
+    // randomized corpora with planted cross-doc duplication
+    val n = 20; val window = 8; val mod = 8
+    def refAnchors(s: String): Seq[Int] =
+      if (s.length < window) Seq.empty
+      else (window to s.length).filter { i =>
+        val h = (i - window until i)
+          .foldLeft(0L)((acc, j) => acc * 31L + s.charAt(j).toLong)
+        h % mod == 0
+      }
+    def refProfile(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Int)] = {
+      val wins = for {
+        (id, s) <- docs if s.nonEmpty
+        pos <- refAnchors(s) if pos + n <= s.length
+      } yield (id, pos, s.substring(pos, pos + n))
+      val winner = wins.groupBy(_._3)
+        .map { case (seg, rows) => seg -> rows.map(r => (r._1, r._2)).min }
+      wins.groupBy(_._1).map { case (id, rows) =>
+        val nW = rows.size.toLong
+        val nDup = rows.count { case (i, p, seg) => winner(seg) != ((i, p)) }.toLong
+        id -> ((nW, nDup, if (nDup * 2 > nW) 1 else 0))
+      }
+    }
+    // small alphabet -> anchors and genuine window collisions are
+    // frequent; half the docs splice a run copied from another doc
+    val alphabet = Gen.oneOf('a', 'b', 'c', 'd', ' ')
+    val corpusGen = for {
+      k <- Gen.choose(8, 20)
+      base <- Gen.listOfN(k, for {
+        len <- Gen.choose(0, 240)
+        cs <- Gen.listOfN(len, alphabet)
+      } yield cs.mkString)
+      splices <- Gen.listOfN(k, Gen.choose(0, 1000))
+    } yield base.zipWithIndex.map { case (s, i) =>
+      val donor = base((i + 1) % k)
+      val text =
+        if (i % 2 == 1 && donor.length > 80)
+          s.take(splices(i) % (s.length + 1)) + donor.substring(10, 80) +
+            s.drop(splices(i) % (s.length + 1))
+        else s
+      (i.toLong, text)
+    }
+    samples(corpusGen, 6).zipWithIndex.foreach { case (docs, si) =>
+      val got = graft.ops.Dedup.anchorWindowProfile(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n, window, mod)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Int]("dup_doc")))).toMap
+      val want = refProfile(docs)
+      assert(got == want,
+        s"sample $si: spark=$got ref=$want docs=${docs.map(_._2.length)}")
+      // the property is non-vacuous: planted splices must produce
+      // duplicated windows somewhere in most samples
+      if (want.values.map(_._2).sum == 0)
+        info(s"sample $si had no duplicated windows (short docs)")
+    }
+  }
+
   test("winnowing guarantee holds on random shared substrings") {
     // any shared substring of length >= window + k - 1 must yield a
     // common fingerprint (the MOSS guarantee) — random docs, random
