@@ -1373,7 +1373,7 @@ object Dedup {
       .select(col("id"), col("pos"),
         md5(col("__s").substr(col("pos") + 1, lit(n))).as("__h"))
       // feeds the winner agg AND the attribution join: without a
-      // materialization only the repartition exchange below is
+      // materialization only the repartition exchange above is
       // reused and the Generate + per-window substr/md5 (the
       // operator's dominant map cost, ~n/mod × corpus hashed) would
       // execute once per consumer; the checkpointed rows are the

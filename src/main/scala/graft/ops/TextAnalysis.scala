@@ -1275,10 +1275,21 @@ object TextAnalysis {
       flagThreshold: Int = 2): DataFrame = {
     require(categories.nonEmpty, "categories must be non-empty")
     val cats = categories.toSeq.sortBy(_._1)
-    val hitCols = cats.zipWithIndex.map { case ((_, terms), i) =>
-      keywordHitsAuto(col(textCol), terms).as(s"__h_$i")
-    }
-    val aggCols = cats.indices.flatMap { i =>
+    screenAggMelt(df, groupCol, cats.map(_._1),
+      cats.map { case (_, terms) => keywordHitsAuto(col(textCol), terms) },
+      flagThreshold)
+  }
+
+  /** Shared agg-before-melt screen shape: per-category hit columns in
+    * ONE projection over the scan, aggregated per group BEFORE the
+    * category melt, so the explode runs on |groups|-sized rows and
+    * never re-evaluates a hit expression per output row (the Generate
+    * re-evaluation rule). */
+  private def screenAggMelt(df: DataFrame, groupCol: String,
+      catNames: Seq[String], hitExprs: Seq[Column],
+      flagThreshold: Int): DataFrame = {
+    val hitCols = hitExprs.zipWithIndex.map { case (e, i) => e.as(s"__h_$i") }
+    val aggCols = catNames.indices.flatMap { i =>
       Seq(sum(when(col(s"__h_$i") >= flagThreshold, 1L).otherwise(0L))
           .as(s"__f_$i"),
         sum(col(s"__h_$i").cast("long")).as(s"__t_$i"))
@@ -1287,7 +1298,7 @@ object TextAnalysis {
       .groupBy(col("grp"))
       .agg(aggCols.head, aggCols.tail: _*)
     aggd.select(col("grp"),
-        explode(array(cats.zipWithIndex.map { case ((cat, _), i) =>
+        explode(array(catNames.zipWithIndex.map { case (cat, i) =>
           struct(lit(cat).as("category"),
             col(s"__f_$i").as("n_docs_flagged"),
             col(s"__t_$i").as("total_hits"))
@@ -1326,20 +1337,27 @@ object TextAnalysis {
       categories: Map[String, Seq[String]],
       flagThreshold: Int = 2): DataFrame = {
     require(categories.nonEmpty, "categories must be non-empty")
-    // auto-dispatch: once ANY category crosses the automaton
-    // threshold, take the whole screen through keywordScreenAuto —
-    // identical output contract, and its agg-before-melt shape keeps
-    // the (now expensive) hit expressions out of the Generate, per
-    // the "never let an expensive expression feed a Generate" rule.
-    // Only when EVERY category is automaton-compatible: a multi-word
-    // or empty term elsewhere in the map is well-defined here (it
-    // never matches a token) and must not throw because an unrelated
-    // list grew past the threshold.
-    if (categories.valuesIterator.forall(autoCompatible) &&
-        categories.valuesIterator
-          .exists(_.distinct.size >= AhoDispatchThreshold))
-      return keywordScreenAuto(df, groupCol, textCol, categories,
-        flagThreshold)
+    // auto-dispatch, PER CATEGORY: once any automaton-compatible
+    // category crosses the threshold, the whole screen takes the
+    // agg-before-melt shape (hit expressions stay out of the
+    // Generate) with each category on its best path — big compatible
+    // lists on the automaton, everything else (small lists, and
+    // multi-word/empty terms, which are well-defined literal no-ops)
+    // on the literal probe. An incompatible category elsewhere in the
+    // map neither throws nor drags a big list back onto the
+    // O(tokens × patterns) probe.
+    def autoWorthy(terms: Seq[String]): Boolean =
+      autoCompatible(terms) && terms.distinct.size >= AhoDispatchThreshold
+    if (categories.valuesIterator.exists(autoWorthy)) {
+      val cats = categories.toSeq.sortBy(_._1)
+      val litToks = filter(tokens(col(textCol)), t => length(t) > 0)
+      return screenAggMelt(df, groupCol, cats.map(_._1),
+        cats.map { case (_, terms) =>
+          if (autoWorthy(terms)) keywordHitsAuto(col(textCol), terms)
+          else size(filter(litToks,
+            t => array_contains(lit(terms.toArray), t)))
+        }, flagThreshold)
+    }
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val catHits = categories.toSeq.sortBy(_._1).map { case (cat, terms) =>
       struct(lit(cat).as("category"),
