@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON stdout line from the
+// tail of `sbt "runMain graft.Bench"` output. With the default
+// LoggedOutput strategy sbt prefixes every forked-process line with
+// `[info] ` — BENCH_r10.json shows the full line arriving intact but
+// `parsed: null` (the r9 budget fix removed truncation; the prefix is
+// the remaining suspect). StdoutOutput passes the forked JVM's stdout
+// through verbatim, so the JSON line reaches the driver bare.
+// Both scopes: `runMain`'s forkOptions don't reliably delegate
+// through `run /` on every sbt version, and the unscoped key is the
+// fallback for every forked task (test output unprefixed is harmless).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

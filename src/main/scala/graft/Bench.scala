@@ -31,6 +31,26 @@ object Bench {
   def isLowParallel(wall: Double, cpu: Double): Boolean =
     wall > 1.5 && cpu >= wall * 0.75 && cpu < wall * 3.0
 
+  /** Queries whose low-parallelism shape is INTRINSIC — order-pinned
+    * sorted-fold replay paths that serialize within groups BY DESIGN
+    * (1.2-2.4 effective cores on the quiet VM every round), each with
+    * its named constant-buffer / scaled production twin. The r10
+    * verdict: the `low_par` flag fires on exactly these four rows
+    * every round and the artifact couldn't say so — adjudications had
+    * to re-read PERF.md. With the allowlist emitted per row
+    * (`intrinsic_low_par`), a `low_par` flag on any OTHER query is
+    * machine-readably anomalous (rerun-worthy), while these four are
+    * machine-readably expected. */
+  val IntrinsicLowPar: Map[String, String] = Map(
+    "x45_ngram_novelty" ->
+      "sorted mean_inv_df fold (replay path; plain avg is the scale form)",
+    "x94_dsir_weights" ->
+      "sorted per-doc log-ratio fold (sum() is the scale form)",
+    "x97_quality_classifier" ->
+      "exact GD replay loop (x106 exact=false is the scale twin)",
+    "x106_quality_classifier_scaled" ->
+      "20-stage iterative loop - latency-bound at bench SF, data-parallel at scale")
+
   /** Hard stdout budget. The driver keeps only the FINAL 2000 chars of
     * stdout and sbt appends a `[success] Total time: …` trailer (~74
     * chars) AFTER our line — so at 1990 the HEAD of the line (where
@@ -197,7 +217,8 @@ object Bench {
       s"\"" + s.name + "\":{\"wall\":" + r3(s.wall) + ",\"cpu\":" + r3(s.cpu) +
         ",\"shuffle_mb\":" + r3(s.shuffleMb) + ",\"stages\":" + s.nStages +
         ",\"wall_gg_cpu\":" + isContention(s.wall, s.cpu) +
-        ",\"low_par\":" + isLowParallel(s.wall, s.cpu) + "}"
+        ",\"low_par\":" + isLowParallel(s.wall, s.cpu) +
+        ",\"intrinsic_low_par\":" + IntrinsicLowPar.contains(s.name) + "}"
     }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)},"queries":$fullQs,"sf":"$sfDir"}"""
   }
@@ -233,14 +254,24 @@ object Bench {
       }.mkString("{", ",", "}")
     val contJson = flagJson(
       results.filter(s => isContention(s.wall, s.cpu)), 6)
-    val lowParJson = flagJson(
-      results.filter(s => isLowParallel(s.wall, s.cpu)), 4)
+    // low_par carries only rows NOT on the [[IntrinsicLowPar]]
+    // allowlist: the four intrinsic sorted-fold rows fire every round
+    // and would crowd an actually-anomalous row out of the cap-4 map;
+    // they report by name under low_par_intrinsic instead (their
+    // walls are in the queries map and the archive rows)
+    val (lpIntr, lpAnom) = results
+      .filter(s => isLowParallel(s.wall, s.cpu))
+      .partition(s => IntrinsicLowPar.contains(s.name))
+    val lowParJson = flagJson(lpAnom, 4)
+    val lpIntrJson = lpIntr.sortBy(-_.wall)
+      .map(s => "\"" + keyOf(s.name) + "\"").mkString("[", ",", "]")
     def mkLine(dp: Int, withFlags: Boolean): String = {
       val qs = keys.zip(results.map(_.wall)).map { case (k, v) =>
         s"\"" + k + "\":" + rd(v, dp)
       }.mkString("{", ",", "}")
       val flagPart =
-        if (withFlags) s""","wall_gg_cpu":$contJson,"low_par":$lowParJson"""
+        if (withFlags)
+          s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson"""
         else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
     }
@@ -249,7 +280,7 @@ object Bench {
     // that still fit (the rows a reader adjudicates first), the rest
     // counted in "queries_dropped" and fully archived
     def mkCapped: String = {
-      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"detail":"BENCH_DETAIL.json","queries":{"""
+      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
       def suffix(dropped: Int) =
         s"""},"queries_dropped":$dropped,"sf":"$sfDir"}"""
       val entries = keys.zip(results.map(_.wall)).sortBy(-_._2)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.{Sketches, VectorMath}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for an LLM training-data pipeline, each
@@ -1323,11 +1323,17 @@ object Dedup {
     * Anchors move with the content, so an insertion early in a
     * document leaves every later anchor+window pair intact and the
     * duplication is caught at any alignment. Recall is
-    * anchor-conditioned (a shared run is caught iff it contains an
-    * anchor with its window inside the run — expected for runs ≳
-    * window + n + mod chars at anchor density 1/mod); every HIT is
-    * exact, never fuzzy — the [[cdcChunks]] shift-robustness with
-    * x194's exact-equality verdict.
+    * anchor-conditioned — the deterministic channel needs an anchor
+    * whose k-gram AND window both sit inside the shared run, ≈
+    * 1 − (1 − 1/mod)^(L − n − window + 1) for run length L, plus a
+    * small (1/mod)² boundary-straddling coincidence channel.
+    * MEASURED (OpsSpec recall harness, defaults n=40/window=8/mod=16,
+    * 64 planted unaligned runs per length): L=47 → 0.03 (coincidence
+    * only), L=48 → 0.05, L=64 → 0.77, L=80 → 0.86, L=96 → 0.97 — the
+    * "runs ≳ window + n + mod" expectation holds from L ≈ n + window
+    * + mod upward and short runs are small-but-nonzero, not zero.
+    * Every HIT is exact, never fuzzy — the [[cdcChunks]]
+    * shift-robustness with x194's exact-equality verdict.
     *
     * Output per doc (docs with ≥1 anchored window): `n_windows`,
     * `n_dup_windows` (windows whose exact content occurred EARLIER —
@@ -1347,38 +1353,20 @@ object Dedup {
     * x194 the join back is NOT redundant here: non-winner rows must
     * be attributed to their documents, so the per-row winner verdict
     * is a projection (never a filter — nothing for Catalyst to fold
-    * into the join keys). */
+    * into the join keys).
+    *
+    * Arithmetic caveat (r10 advice): "exact base-31 integer
+    * arithmetic" holds without wrap-around only for `window <= 13`
+    * (31^13·255 < 2^63; at window 14+ the rolling term wraps Long).
+    * Wrapped results stay deterministic AND oracle-replayable only
+    * when `mod` is a power of two (wrap mod 2^64 commutes with
+    * mod 2^k) — so larger windows require a power-of-two mod, and a
+    * DuckDB full-window-sum replay (which would itself overflow
+    * BIGINT) must not be written for them. */
   def anchorWindowProfile(df: DataFrame, idCol: String, textCol: String,
       n: Int = 40, window: Int = 8, mod: Int = 16): DataFrame = {
-    require(n > window, "verification window n must exceed the anchor k-gram")
-    require(window >= 2 && window <= 16, "window must be in [2,16]")
-    require(mod >= 2, "mod must be >= 2")
-    val s = col(textCol)
-    val bounds = {
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      column(graft.functions.CdcBoundaries(expression(s), window, mod))
-    }
-    val withB = Parallelism.ensure(df)
-      .filter(length(s) > 0)
-      .select(col(idCol).as("id"), s.as("__s"), bounds.as("__bounds"))
-      .repartition(col("id"))
-    // anchor = boundary position b (1-based end of the matching
-    // k-gram) whose n-char window fits: b + n <= len. The forced
-    // end-of-text boundary can never fit, so it drops out without
-    // special-casing.
-    val wins = withB
-      .select(col("id"), col("__s"),
-        explode(filter(col("__bounds"),
-          b => b + n <= length(col("__s")))).as("pos"))
-      .select(col("id"), col("pos"),
-        md5(col("__s").substr(col("pos") + 1, lit(n))).as("__h"))
-      // feeds the winner agg AND the attribution join: without a
-      // materialization only the repartition exchange above is
-      // reused and the Generate + per-window substr/md5 (the
-      // operator's dominant map cost, ~n/mod × corpus hashed) would
-      // execute once per consumer; the checkpointed rows are the
-      // narrow (id, pos, md5) triple, never text
-      .localCheckpoint(true)
+    requireAnchorParams(n, window, mod)
+    val wins = anchoredWindows(df, idCol, textCol, n, window, mod)
     val winners = wins.groupBy(col("__h"))
       .agg(min(struct(col("id"), col("pos"))).as("__w"))
     // hint ONLY the winners side: the build-side hash map must hold
@@ -1396,6 +1384,174 @@ object Dedup {
       .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
         when(col("n_dup_windows") * 2 > col("n_windows"), 1)
           .otherwise(0).cast("int").as("dup_doc"))
+  }
+
+  /** Parameter contract shared by the anchor-window family — see
+    * [[anchorWindowProfile]]'s arithmetic caveat for the window-14+
+    * power-of-two-mod rule. */
+  private def requireAnchorParams(n: Int, window: Int, mod: Int): Unit = {
+    require(n > window, "verification window n must exceed the anchor k-gram")
+    require(window >= 2 && window <= 16, "window must be in [2,16]")
+    require(mod >= 2, "mod must be >= 2")
+    require(window <= 13 || Integer.bitCount(mod) == 1,
+      "window >= 14 wraps the Long rolling term: mod must be a power of two")
+  }
+
+  /** The anchor-window family's shared (id, pos, md5) stream:
+    * content-defined anchor positions (the [[cdcChunks]] boundary
+    * predicate, [[graft.functions.CdcBoundaries]]) whose `n`-char
+    * verification window fits the document, hashed. An anchor is a
+    * boundary position b (1-based end of the matching k-gram) with
+    * b + n <= len; the forced end-of-text boundary can never fit, so
+    * it drops out without special-casing. Checkpointed: the triple
+    * feeds a winner aggregate AND an attribution join in every
+    * consumer ([[anchorWindowProfile]], [[anchorWindowDedup]]) —
+    * without the materialization only the repartition exchange is
+    * reused and the Generate + per-window substr/md5 (the dominant
+    * map cost, ~n/mod × corpus hashed) would execute once per
+    * consumer. The checkpointed rows are the narrow (id, pos, md5)
+    * triple, never text. */
+  private def anchoredWindows(df: DataFrame, idCol: String,
+      textCol: String, n: Int, window: Int, mod: Int): DataFrame = {
+    val s = col(textCol)
+    val bounds = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.CdcBoundaries(expression(s), window, mod))
+    }
+    Parallelism.ensure(df)
+      .filter(length(s) > 0)
+      .select(col(idCol).as("id"), s.as("__s"), bounds.as("__bounds"))
+      .repartition(col("id"))
+      .select(col("id"), col("__s"),
+        explode(filter(col("__bounds"),
+          b => b + n <= length(col("__s")))).as("pos"))
+      .select(col("id"), col("pos"),
+        md5(col("__s").substr(col("pos") + 1, lit(n))).as("__h"))
+      .localCheckpoint(true)
+  }
+
+  /** Shift-robust exact dedup WITH reconstruction — the removal
+    * [[anchorWindowProfile]] (x197) only *detects*: every anchored
+    * `n`-char window whose exact content occurred EARLIER in the
+    * corpus (first = smallest (id, pos), the x194 total order) is a
+    * duplicate SPAN `[pos, pos+n)`; per document the duplicate spans
+    * are merged (overlapping/adjacent spans union — anchors sit
+    * ~mod chars apart, windows n chars wide, so duplicated runs
+    * merge into one interval) and CUT from the text, and the
+    * remainder is reconstructed by concatenating the inter-span gaps
+    * in position order. This is Lee et al. 2021 (arXiv:2107.06499)
+    * exact-substring cleanup at ANY alignment: a 1-char insertion
+    * defeats [[charWindowDedup]]'s fixed grid (shifts ≢ 0 mod n
+    * share no grid window) but leaves every later content-defined
+    * anchor+window pair intact, so the duplicated run is cut from
+    * the later copy while the first occurrence — whose windows are
+    * never duplicates — reconstructs byte-exact. Recall is
+    * anchor-conditioned (see [[anchorWindowProfile]]'s measured
+    * curve); every cut is exact-match-verified, never fuzzy.
+    *
+    * Output: one row per non-empty-text input doc — (idCol,
+    * n_dup_spans, chars_removed, clean_text). Docs with no anchors
+    * or no duplicated windows pass through byte-exact (clean_text =
+    * text, 0 spans). Unlike the fixed-grid operators a doc can never
+    * empty out completely: the chars before its first anchor
+    * (≥ window of them) are never inside a span. Doc-level drops at
+    * any alignment: [[dedupByAnchorProfile]].
+    *
+    * Deterministic and oracle-replayable: integer anchor arithmetic
+    * (x135), md5 window identity, integer interval algebra,
+    * substring reconstruction — the x198 oracle replays the interval
+    * merge as a gaps-and-islands window (break when pos − lag(pos) >
+    * n — identical to this fold's merge-when `p <= last.en`, since
+    * sorted same-length spans keep last.en = prev_p + n) and the
+    * reconstruction as an indexed list_transform. ASCII/BMP parity
+    * caveat as x197/x135.
+    *
+    * Scale shape: the anchor scan + window hashing is the shared
+    * checkpointed narrow stream ([[anchoredWindows]] — corpus text
+    * never shuffles); winner aggregate and attribution join are
+    * keyed by the uniform 128-bit hash, map-side combinable,
+    * build-side hinted on the DEDUPLICATED winners only (the r10
+    * OOM-at-scale lesson); the span merge is ONE groupBy(id) whose
+    * sorted positions array is bounded by windows-per-doc (≤ len
+    * ints — same order as the doc's own text cell), merged by a
+    * single codegen'd fold, no gaps-and-islands window shuffle+sort;
+    * reconstruction is one equi-join back to the docs (dup docs
+    * only on the build side) and a map-only projection. */
+  def anchorWindowDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 40, window: Int = 8, mod: Int = 16): DataFrame = {
+    requireAnchorParams(n, window, mod)
+    val wins = anchoredWindows(df, idCol, textCol, n, window, mod)
+    val winners = wins.groupBy(col("__h"))
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    // non-winner rows are the duplicate spans; the verdict is a
+    // non-equi residual on the __h equi-join — no cross-side
+    // EQUALITY for Catalyst to fold into the join keys (the x96
+    // lesson), so both sides exchange on __h alone
+    val dups = wins
+      .join(winners.hint("shuffle_hash"), Seq("__h"))
+      .filter(!(col("id") === col("__w.id") && col("pos") === col("__w.pos")))
+      .select(col("id"), col("pos"))
+    // merge sorted spans [p, p+n) per doc: p <= last.en extends
+    // (sorted + equal length => the running end IS prev_p + n and
+    // p + n >= last.en, so the extension is always p + n)
+    val spanStruct = (st: Column, en: Column) =>
+      struct(st.as("st"), en.as("en"))
+    val merged = dups.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col("id"),
+        aggregate(
+          slice(col("__ps"), lit(2), greatest(size(col("__ps")) - 1, lit(0))),
+          array(spanStruct(element_at(col("__ps"), 1),
+            element_at(col("__ps"), 1) + n)),
+          (acc, p) => {
+            val last = element_at(acc, size(acc))
+            when(p <= last.getField("en"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(spanStruct(last.getField("st"), p + n))))
+              .otherwise(concat(acc, array(spanStruct(p, p + n))))
+          }).as("ivs"))
+    val docs = Parallelism.ensure(df)
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("__s"))
+    val ivs = col("ivs")
+    def prevEnd(i: Column): Column =
+      when(i === 0, lit(0)).otherwise(element_at(ivs, i).getField("en"))
+    val gaps = transform(ivs, (iv, i) =>
+      col("__s").substr(prevEnd(i) + 1, iv.getField("st") - prevEnd(i)))
+    val tail = col("__s").substr(
+      element_at(ivs, size(ivs)).getField("en") + 1, length(col("__s")))
+    docs.join(merged.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(size(ivs), lit(0)).cast("long").as("n_dup_spans"),
+        coalesce(
+          aggregate(ivs, lit(0),
+            (a, iv) => a + (iv.getField("en") - iv.getField("st"))),
+          lit(0)).cast("long").as("chars_removed"),
+        when(ivs.isNull, col("__s"))
+          .otherwise(concat(array_join(gaps, ""), tail)).as("clean_text"))
+  }
+
+  /** Doc-LEVEL shift-robust keep-first dedup: drop every document a
+    * strict MAJORITY of whose anchored windows were seen earlier in
+    * the corpus ([[anchorWindowProfile]]'s `dup_doc` verdict — the
+    * x194 (id, pos) total order, so the first occurrence of any
+    * duplicated content is never flagged and survives byte-identical
+    * with ALL its original columns). The coarse complement of
+    * [[anchorWindowDedup]]'s span cutting: use this when a
+    * mostly-duplicated document should vanish whole (the x1/x114
+    * doc-drop shape, but robust to the 1-char-insertion shifts that
+    * defeat exact/grid keys), span cutting when partial novel
+    * content must survive.
+    *
+    * Scale shape: the profile's (see there), plus one left-anti join
+    * against the flagged ids — build side is the flagged-doc id list
+    * only. */
+  def dedupByAnchorProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 40, window: Int = 8, mod: Int = 16): DataFrame = {
+    val flagged = anchorWindowProfile(df, idCol, textCol, n, window, mod)
+      .filter(col("dup_doc") === 1)
+      .select(col(idCol))
+    df.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
   }
 
   /** Paragraph-level exact dedup across the corpus — the Dolma /

@@ -1177,9 +1177,6 @@ object TextAnalysis {
     * arrays here are the bounded-list fast path. The explode is
     * |categories| structs per row, collapsed by a partial-agg-
     * combinable count before any exchange. */
-  /** Per-row MAXIMUM category hit count over [[keywordScreen]]'s
-    * lists — the gating column for screening pipelines
-    * (`keywordMaxHits(...) < flagThreshold` keeps a document). */
   /** Pattern count above which [[keywordScreen]]/[[keywordMaxHits]]
     * dispatch a category to the Aho–Corasick native path: the
     * literal-array probe is O(tokens × patterns) (each probe
@@ -1198,6 +1195,9 @@ object TextAnalysis {
   private def autoCompatible(terms: Seq[String]): Boolean =
     terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace))
 
+  /** Per-row MAXIMUM category hit count over [[keywordScreen]]'s
+    * lists — the gating column for screening pipelines
+    * (`keywordMaxHits(...) < flagThreshold` keeps a document). */
   def keywordMaxHits(textCol: Column,
       categories: Map[String, Seq[String]]): Column = {
     require(categories.nonEmpty, "categories must be non-empty")

@@ -6712,7 +6712,12 @@ object Extensions extends QueryModule {
     * misses (a 1-char insertion shifts every later grid window).
     * Hash-green: anchor positions are exact base-31 integer
     * arithmetic (the x135 replay), window identity is md5/substring
-    * equality, outputs are integer counts and a majority flag. */
+    * equality, outputs are integer counts and a majority flag.
+    * Parity caveat (r10 advice): the oracle replays the rolling hash
+    * via DuckDB `ascii`/`substr`, which agree with Spark's code-point
+    * arithmetic only on ASCII/BMP text — the same assumption the
+    * accepted x135 replay makes; a non-ASCII corpus change would
+    * surface here as a hash mismatch, not a wrong engine answer. */
   private val x197AnchorWindowDedup = GraftQuery(
     "x197_anchor_window_dedup",
     (s, dir) => graft.ops.Dedup.anchorWindowProfile(
@@ -6748,6 +6753,85 @@ object Extensions extends QueryModule {
         CAST(CASE WHEN 2 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
           > count(*) THEN 1 ELSE 0 END AS INT) AS dup_doc
       FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Shift-robust exact dedup WITH reconstruction
+    * ([[graft.ops.Dedup.anchorWindowDedup]]): x197's anchored
+    * duplicate windows become merged spans CUT from each document,
+    * the remainder reconstructed in position order — the removal
+    * x197 only detects (the r10 verdict's named gap). One row per
+    * non-empty doc: span/char counts plus the cleaned text; docs
+    * with no earlier-seen windows (first occurrences included)
+    * reconstruct byte-exact. Hash-green: the same x135/x197 integer
+    * anchor replay, then a gaps-and-islands interval merge (break at
+    * pos − lag(pos) > 40 ≡ the engine fold's merge-when
+    * p <= last_end for sorted equal-length spans) and an indexed
+    * list_transform reconstruction — integer-and-substring algebra
+    * end to end. Same ASCII/BMP ascii()-vs-code-point parity
+    * assumption as x197/x135. */
+  private val x198AnchorWindowRemoval = GraftQuery(
+    "x198_anchor_window_removal",
+    (s, dir) => graft.ops.Dedup.anchorWindowDedup(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 40, window = 8, mod = 16)
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (
+        SELECT doc_id, text AS s, length(text) AS len,
+          CASE WHEN length(text) >= 8 THEN
+            list_filter(range(8, length(text)+1), i ->
+              (CAST(list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(s, CAST(i-7+j AS INT), 1))
+                  * ([27512614111,887503681,28629151,923521,
+                      29791,961,31,1][j+1])))
+               AS BIGINT) % 16) = 0)
+          ELSE [] END AS anchors
+        FROM documents WHERE length(text) > 0),
+      w AS MATERIALIZED (
+        SELECT doc_id, s,
+          unnest(list_filter(anchors, a -> a + 40 <= len)) AS pos
+        FROM b),
+      e AS MATERIALIZED (
+        SELECT doc_id, pos,
+          substring(s, CAST(pos + 1 AS INT), 40) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM e),
+      d AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+      g AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - coalesce(lag(pos) OVER
+              (PARTITION BY doc_id ORDER BY pos), -100) > 40
+            THEN 1 ELSE 0 END AS brk
+        FROM d),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      iv AS (
+        SELECT doc_id, min(pos) AS st, max(pos) + 40 AS en
+        FROM isl GROUP BY doc_id, island),
+      v AS (
+        SELECT doc_id,
+          list_sort(list(struct_pack(st := st, en := en))) AS ivs,
+          count(*) AS nspans, sum(en - st) AS removed
+        FROM iv GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(coalesce(v.nspans, 0) AS BIGINT) AS n_dup_spans,
+        CAST(coalesce(v.removed, 0) AS BIGINT) AS chars_removed,
+        CASE WHEN v.doc_id IS NULL THEN b.s
+        ELSE array_to_string(
+            list_transform(v.ivs, (x, i) -> substring(b.s,
+              CAST((CASE WHEN i = 1 THEN 0
+                    ELSE struct_extract(v.ivs[i-1], 'en') END) + 1 AS INT),
+              CAST(struct_extract(x, 'st') -
+                   (CASE WHEN i = 1 THEN 0
+                    ELSE struct_extract(v.ivs[i-1], 'en') END) AS INT))), '')
+          || substring(b.s,
+               CAST(struct_extract(v.ivs[len(v.ivs)], 'en') + 1 AS INT))
+        END AS clean_text
+      FROM b LEFT JOIN v USING (doc_id) ORDER BY doc_id"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -6808,7 +6892,7 @@ object Extensions extends QueryModule {
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
-    x197AnchorWindowDedup)
+    x197AnchorWindowDedup, x198AnchorWindowRemoval)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -70,7 +70,7 @@ class BenchSpec extends AnyFunSuite {
     assert(smallTree.get("queries").size == 10)
   }
 
-  test("archive line carries every query with both flags") {
+  test("archive line carries every query with all three flags") {
     val results = Seq(
       Bench.QStat("x45_ngram_novelty", 10.7, 16.3, 7.8, 4),
       Bench.QStat("x58_encoding_checks", 3.4, 1.6, 0.0, 2))
@@ -78,7 +78,31 @@ class BenchSpec extends AnyFunSuite {
       Bench.composeArchiveLine(results, "sf"))
     val x45 = tree.get("queries").get("x45_ngram_novelty")
     assert(!x45.get("wall_gg_cpu").asBoolean && x45.get("low_par").asBoolean)
+    // the r10 verdict's self-adjudication ask: the artifact itself
+    // says the x45 shape is intrinsic — no PERF.md re-read needed
+    assert(x45.get("intrinsic_low_par").asBoolean)
     val x58 = tree.get("queries").get("x58_encoding_checks")
     assert(x58.get("wall_gg_cpu").asBoolean && !x58.get("low_par").asBoolean)
+    assert(!x58.get("intrinsic_low_par").asBoolean)
+  }
+
+  test("stdout low_par excludes the intrinsic allowlist so an anomalous row can't be crowded out") {
+    // five low-par rows: the four intrinsic sorted-fold queries plus
+    // one anomalous row SLOWER than none of them — under the old
+    // cap-4 map the intrinsic rows would evict it
+    val intrinsic = Bench.IntrinsicLowPar.keys.toSeq.sorted.map(n =>
+      Bench.QStat(n, 10.0, 15.0, 1.0, 4))
+    val anomalous = Bench.QStat("x12_ann_lsh", 4.0, 5.0, 1.0, 4)
+    assert(Bench.isLowParallel(anomalous.wall, anomalous.cpu), "fixture")
+    val line = Bench.composeStdoutLine(intrinsic :+ anomalous, "sf")
+    val tree = mapper.readTree(line)
+    assert(tree.get("low_par").has("x12"),
+      s"anomalous row missing from low_par: $line")
+    assert(!tree.get("low_par").has("x45"),
+      s"intrinsic row must not occupy the low_par cap: $line")
+    val intr = (0 until tree.get("low_par_intrinsic").size)
+      .map(tree.get("low_par_intrinsic").get(_).asText).toSet
+    assert(intr == Set("x45", "x94", "x97", "x106"),
+      s"intrinsic rows must report by name: $line")
   }
 }

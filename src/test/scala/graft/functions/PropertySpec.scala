@@ -172,6 +172,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("anchor window dedup matches a brute-force span-removal reference on random corpora") {
+    // x198's reconstruction on top of the x197 machinery: duplicate
+    // spans merged and cut, remainder concatenated — checked against
+    // an independent sequential implementation (anchors, first-
+    // occurrence order, interval merge, substring surgery) on
+    // randomized corpora with planted cross-doc splices
+    val n = 20; val window = 8; val mod = 8
+    def refAnchors(s: String): Seq[Int] =
+      if (s.length < window) Seq.empty
+      else (window to s.length).filter { i =>
+        val h = (i - window until i)
+          .foldLeft(0L)((acc, j) => acc * 31L + s.charAt(j).toLong)
+        h % mod == 0
+      }
+    def refDedup(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val wins = for {
+        (id, s) <- docs if s.nonEmpty
+        pos <- refAnchors(s) if pos + n <= s.length
+      } yield (id, pos, s.substring(pos, pos + n))
+      val winner = wins.groupBy(_._3)
+        .map { case (seg, rows) => seg -> rows.map(r => (r._1, r._2)).min }
+      val dupPs = wins.filter { case (i, p, seg) => winner(seg) != ((i, p)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      docs.filter(_._2.nonEmpty).map { case (id, s) =>
+        val merged = dupPs.getOrElse(id, Nil)
+          .foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+            acc match {
+              case (st, en) :: rest if p <= en => (st, p + n) :: rest
+              case _ => (p, p + n) :: acc
+            }
+          }.reverse
+        val sb = new StringBuilder; var prev = 0
+        merged.foreach { case (st, en) =>
+          sb.append(s.substring(prev, st)); prev = en
+        }
+        sb.append(s.substring(prev))
+        id -> ((merged.size.toLong,
+          merged.map { case (st, en) => en - st }.sum.toLong, sb.toString))
+      }.toMap
+    }
+    val alphabet = Gen.oneOf('a', 'b', 'c', 'd', ' ')
+    val corpusGen = for {
+      k <- Gen.choose(8, 20)
+      base <- Gen.listOfN(k, for {
+        len <- Gen.choose(0, 240)
+        cs <- Gen.listOfN(len, alphabet)
+      } yield cs.mkString)
+      splices <- Gen.listOfN(k, Gen.choose(0, 1000))
+    } yield base.zipWithIndex.map { case (s, i) =>
+      val donor = base((i + 1) % k)
+      val text =
+        if (i % 2 == 1 && donor.length > 80)
+          s.take(splices(i) % (s.length + 1)) + donor.substring(10, 80) +
+            s.drop(splices(i) % (s.length + 1))
+        else s
+      (i.toLong, text)
+    }
+    samples(corpusGen, 6).zipWithIndex.foreach { case (docs, si) =>
+      val got = graft.ops.Dedup.anchorWindowDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n, window, mod)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("chars_removed"),
+            r.getAs[String]("clean_text")))).toMap
+      val want = refDedup(docs)
+      assert(got == want, s"sample $si: spark=$got ref=$want")
+      if (want.values.map(_._1).sum == 0)
+        info(s"sample $si had no duplicate spans (short docs)")
+    }
+  }
+
   test("winnowing guarantee holds on random shared substrings") {
     // any shared substring of length >= window + k - 1 must yield a
     // common fingerprint (the MOSS guarantee) — random docs, random
