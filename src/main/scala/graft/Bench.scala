@@ -51,6 +51,33 @@ object Bench {
     "x106_quality_classifier_scaled" ->
       "20-stage iterative loop - latency-bound at bench SF, data-parallel at scale")
 
+  /** Fixed machine-speed calibration workload (r11 verdict: three
+    * rounds running, cross-VM drift dominated the headline total —
+    * r11's +42% was pure bench-VM contention and cost six judge-side
+    * control profiles to dismiss). Pinned input (seeded in-memory
+    * integer range, no files, no RNG), one codegen'd hash fold plus
+    * ONE small shuffle — the two things every suite query exercises —
+    * run BEFORE and AFTER the suite so a reader can normalize totals
+    * across rounds without a worktree control-run, and so pre-vs-post
+    * drift exposes contention that arrived mid-run. */
+  def calibWorkload(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, 24L * 1000 * 1000, 1L, 32)
+      .select(xxhash64(col("id")).as("h"),
+        pmod(col("id"), lit(1024)).as("k"))
+      .groupBy(col("k"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("c"))
+      .agg(expr("bit_xor(x)"), sum(col("c"))).collect()
+  }
+
+  /** Divide by calibration before calling a regression: maps a raw
+    * suite total onto the calibration machine-speed scale so totals
+    * from different round VMs compare. Uses the mean of the pre/post
+    * calibration walls; empty calib (old artifacts) passes through. */
+  def calibNormalize(total: Double, calibWalls: Seq[Double]): Double =
+    if (calibWalls.isEmpty) total
+    else total / (calibWalls.sum / calibWalls.size)
+
   /** Hard stdout budget. The driver keeps only the FINAL 2000 chars of
     * stdout and sbt appends a `[success] Total time: …` trailer (~74
     * chars) AFTER our line — so at 1990 the HEAD of the line (where
@@ -160,10 +187,10 @@ object Bench {
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       } catch { case _: Throwable => Thread.sleep(100) }
     spark.sparkContext.addSparkListener(listener)
-    val results = try ordered.map { case (name, fn) =>
+    def runTimed(name: String)(body: => Unit): QStat = {
       cpuNs.reset(); runMs.reset(); stages.reset(); shufBytes.reset()
       val t0 = System.nanoTime()
-      try { materialize(name, fn(spark, sfDir)) } catch {
+      try body catch {
         case t: Throwable =>
           System.err.println(s"[bench] $name: query failed " +
             s"(${t.getClass.getSimpleName}: ${t.getMessage})")
@@ -177,6 +204,17 @@ object Bench {
           f"cpu=${stat.cpu}%.3f taskRun=${runMs.sum / 1e3}%.3f " +
           f"shuffleMb=${stat.shuffleMb}%.1f stages=${stat.nStages}")
       stat
+    }
+    val (calib, results) = try {
+      // one untimed calibration pass first so its own codegen/JIT
+      // compile doesn't ride the pre-suite measurement
+      calibWorkload(spark); drainListenerBus()
+      val pre = runTimed("calib_pre")(calibWorkload(spark))
+      val qs = ordered.map { case (name, fn) =>
+        runTimed(name)(materialize(name, fn(spark, sfDir)))
+      }
+      val post = runTimed("calib_post")(calibWorkload(spark))
+      (Seq(pre, post), qs)
     } finally {
       // a second runBench in this JVM must not double-count: the
       // LongAdders are shared, so a leaked listener keeps feeding
@@ -185,7 +223,7 @@ object Bench {
     val outs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
       "BENCH_DETAIL.json")
-    val fullLine = composeArchiveLine(results, sfDir)
+    val fullLine = composeArchiveLine(results, sfDir, calib)
     outs.foreach { out =>
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -196,7 +234,7 @@ object Bench {
       }
     }
     // stdout line LAST, inside the hard budget — see composeStdoutLine
-    println(composeStdoutLine(results, sfDir))
+    println(composeStdoutLine(results, sfDir, calib = calib))
     spark.stop()
   }
 
@@ -212,7 +250,15 @@ object Bench {
     * machine was busy, not the plan — the adjudication booleans live IN
     * the archive rows (r8/r9's top driver-bench rows were contention
     * artifacts that cost judge-side ProfileQuery runs to diagnose). */
-  def composeArchiveLine(results: Seq[QStat], sfDir: String): String = {
+  /** `"calib_wall":[pre,post],"calib_cpu":[pre,post]` — the machine-
+    * speed rows both artifact lines carry (empty calib emits nothing,
+    * keeping replayed/synthetic compositions valid). */
+  private def calibJson(calib: Seq[QStat]): String =
+    if (calib.isEmpty) ""
+    else s""","calib_wall":${calib.map(s => r3(s.wall)).mkString("[", ",", "]")},"calib_cpu":${calib.map(s => r3(s.cpu)).mkString("[", ",", "]")}"""
+
+  def composeArchiveLine(results: Seq[QStat], sfDir: String,
+      calib: Seq[QStat] = Nil): String = {
     val fullQs = results.map { s =>
       s"\"" + s.name + "\":{\"wall\":" + r3(s.wall) + ",\"cpu\":" + r3(s.cpu) +
         ",\"shuffle_mb\":" + r3(s.shuffleMb) + ",\"stages\":" + s.nStages +
@@ -220,7 +266,7 @@ object Bench {
         ",\"low_par\":" + isLowParallel(s.wall, s.cpu) +
         ",\"intrinsic_low_par\":" + IntrinsicLowPar.contains(s.name) + "}"
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)},"queries":$fullQs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)}${calibJson(calib)},"queries":$fullQs,"sf":"$sfDir"}"""
   }
 
   /** Driver-facing stdout line, guaranteed to fit [[StdoutBudget]]:
@@ -229,7 +275,7 @@ object Bench {
     * can cut mid-head. Short ids ("q1", "x18" — the driver contract's
     * own example form); full per-query detail lives in the archive. */
   def composeStdoutLine(results: Seq[QStat], sfDir: String,
-      budget: Int = StdoutBudget): String = {
+      budget: Int = StdoutBudget, calib: Seq[QStat] = Nil): String = {
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
     val shufTotal = results.map(_.shuffleMb).sum
@@ -273,14 +319,14 @@ object Bench {
         if (withFlags)
           s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson"""
         else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
     }
     // guaranteed-fit fallback for large suites: totals + flags are
     // non-negotiable; the queries map is filled with the SLOWEST rows
     // that still fit (the rows a reader adjudicates first), the rest
     // counted in "queries_dropped" and fully archived
     def mkCapped: String = {
-      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
+      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
       def suffix(dropped: Int) =
         s"""},"queries_dropped":$dropped,"sf":"$sfDir"}"""
       val entries = keys.zip(results.map(_.wall)).sortBy(-_._2)

@@ -116,7 +116,10 @@ object Plans {
     "x194_char_window_dedup" -> "x96's shape at char granularity: window winners via map-side-combinable min(struct(id, idx, seg)) agg keyed by md5(window) — the min row IS the kept row, no join back (r10); rebuild is one shuffle on doc id — two shuffles total",
     "x195_keyword_screen_auto" -> "the Aho–Corasick probe is ONE codegen'd projection riding the scan (automaton literal in the plan); the per-source flag/total rollup is one two-phase aggregate — no joins, no explode",
     "x196_phrase_screen" -> "four phrase automata in one projection over the scan; per-source aggregate FIRST, category melt on the |sources|-row result (the Generate never re-evaluates the automata)",
-    "x197_anchor_window_dedup" -> "anchor scan (native rolling-hash expression) materialized at an id exchange BEFORE the Generate; winner agg and attribution join move only (id, pos, md5) rows on the uniform 128-bit key — window text never shuffles; the per-row winner verdict is a projection, so Catalyst has no filter to fold into the join keys")
+    "x197_anchor_window_dedup" -> "anchor scan (native rolling-hash expression) materialized at an id exchange BEFORE the Generate; winner agg and attribution join move only (id, pos, md5) rows on the uniform 128-bit key — window text never shuffles; the per-row winner verdict is a projection, so Catalyst has no filter to fold into the join keys",
+    "x198_anchor_window_removal" -> "shared localCheckpointed (id, pos, md5) anchor stream; BOTH joins shuffle-hash with the deduplicated side (winners / dup-doc spans) as build; span merge is ONE groupBy(id) codegen'd sorted fold — the gaps-and-islands Window lives only in the oracle (PlanSpec-pinned: no Window node, BuildRight on both joins)",
+    "x199_anchor_doc_dedup" -> "x197's profile plan head; the doc drop is one LEFT ANTI shuffle-hash join whose build side is the flagged-id list only — survivors stream through untouched with all columns",
+    "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -31,10 +31,15 @@ case class CdcBoundaries(child: Expression, window: Int, mod: Int)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "cdc_boundaries"
 
-  // 31^(window-1), exact in Long for window <= 16 (31^15 < 2^75 would
-  // overflow — but the ROLLING term out·31^(w−1) only needs w ≤ 13 to
-  // stay exact for code points ≤ 0x10FFFF; the [2,16] bound above is
-  // safe for ASCII/BMP inputs and matches the HOF formulation)
+  // 31^(window-1). The full window hash max(cp)·(31^w − 1)/30 stays
+  // exact in Long only for w ≤ 12 on ASCII/Latin-1 (255·(31^12−1)/30
+  // ≈ 6.7e18 < 2^63), w ≤ 10 on BMP (≈ 1.8e18) and w ≤ 9 on full
+  // Unicode (0x10FFFF·(31^9−1)/30 ≈ 9.8e17) — beyond that both the
+  // window hash and the rolling update wrap mod 2^64. Wrapped values
+  // are still DETERMINISTIC (the HOF formulation wraps identically),
+  // but an exact-arithmetic oracle replay agrees only when `mod` is
+  // a power of two (wrap mod 2^64 commutes with mod 2^k) — enforced
+  // at the operator layer (Dedup.requireAnchorParams).
   private val topPower: Long = {
     var p = 1L; var i = 1
     while (i < window) { p *= 31L; i += 1 }

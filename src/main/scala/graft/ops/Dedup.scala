@@ -1355,14 +1355,23 @@ object Dedup {
     * is a projection (never a filter — nothing for Catalyst to fold
     * into the join keys).
     *
-    * Arithmetic caveat (r10 advice): "exact base-31 integer
-    * arithmetic" holds without wrap-around only for `window <= 13`
-    * (31^13·255 < 2^63; at window 14+ the rolling term wraps Long).
-    * Wrapped results stay deterministic AND oracle-replayable only
-    * when `mod` is a power of two (wrap mod 2^64 commutes with
-    * mod 2^k) — so larger windows require a power-of-two mod, and a
-    * DuckDB full-window-sum replay (which would itself overflow
-    * BIGINT) must not be written for them. */
+    * Arithmetic caveat (r10 advice, bound corrected r12): "exact
+    * base-31 integer arithmetic" holds without wrap-around only
+    * while the full window hash max(cp)·(31^window − 1)/30 fits a
+    * signed Long — `window <= 12` on ASCII/Latin-1 (255·(31^12−1)/30
+    * ≈ 6.7e18 < 2^63; window 13 is ≈ 2.1e20 and already wraps) and
+    * `window <= 10` on BMP text (65535·(31^10−1)/30 ≈ 1.8e18;
+    * window 11 ≈ 5.6e19 wraps). Wrapped results stay deterministic
+    * AND oracle-replayable only when `mod` is a power of two (wrap
+    * mod 2^64 commutes with mod 2^k) — so larger windows require a
+    * power-of-two mod, and a DuckDB full-window-sum replay (which
+    * would itself overflow BIGINT) must not be written for them.
+    * The guard enforces the BMP envelope (the documented oracle
+    * parity surface, see the ASCII/BMP caveat above). The ASCII
+    * precondition itself is runtime-detectable: x46's
+    * `text_ascii_only` corpus check ([[graft.quality.CorpusQuality]])
+    * fails by name on a non-ASCII corpus before any anchor oracle
+    * can mystery-mismatch. */
   def anchorWindowProfile(df: DataFrame, idCol: String, textCol: String,
       n: Int = 40, window: Int = 8, mod: Int = 16): DataFrame = {
     requireAnchorParams(n, window, mod)
@@ -1393,8 +1402,9 @@ object Dedup {
     require(n > window, "verification window n must exceed the anchor k-gram")
     require(window >= 2 && window <= 16, "window must be in [2,16]")
     require(mod >= 2, "mod must be >= 2")
-    require(window <= 13 || Integer.bitCount(mod) == 1,
-      "window >= 14 wraps the Long rolling term: mod must be a power of two")
+    require(window <= 10 || Integer.bitCount(mod) == 1,
+      "window >= 11 can wrap the Long window hash (BMP envelope): " +
+        "mod must be a power of two")
   }
 
   /** The anchor-window family's shared (id, pos, md5) stream:

@@ -27,7 +27,18 @@ object CorpusQuality {
     * coalesced so an empty relation can never NULL a `passed` cell
     * past the gate's filter). Duplicate counts are over NON-NULL ids
     * (`count(id) − count(distinct id)`): a NULL id fires
-    * `doc_id_not_null` only, not a bogus duplicate. */
+    * `doc_id_not_null` only, not a bogus duplicate.
+    *
+    * `text_ascii_only` (r11 verdict) makes the anchor/CDC families'
+    * oracle-parity precondition RUNTIME-detectable: the x135/x197/
+    * x198/x199/x200 oracles replay Spark's code-point rolling hash
+    * via DuckDB `ascii()`, which agree only on ASCII text — a
+    * non-ASCII corpus would previously surface as a mystery hash
+    * mismatch; now it fails this named gate first. Observed = DOCS
+    * containing any char outside \x00-\x7F (doc granularity, not
+    * chars: Java counts UTF-16 units where DuckDB counts code
+    * points, so a char count would itself diverge on astral text —
+    * the doc predicate agrees on both engines for every plane). */
   def suite(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     def checkRow(name: String, observed: org.apache.spark.sql.Column,
         passWhen: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
@@ -41,13 +52,15 @@ object CorpusQuality {
       (count(col("doc_id")) - countDistinct(col("doc_id"))).as("dup"),
       violations(col("doc_id").isNull).as("nulls"),
       violations(col("n_chars") =!= length(col("text"))).as("mism"),
-      violations(!col("lang").isin("en", "de", "es", "fr", "zh")).as("unk"))
+      violations(!col("lang").isin("en", "de", "es", "fr", "zh")).as("unk"),
+      violations(col("text").rlike("[^\\x00-\\x7F]")).as("nonascii"))
       .select(inline(array(
         checkRow("documents_nonempty", col("n_rows"), _ > 0),
         checkRow("doc_id_unique", col("dup"), _ === 0),
         checkRow("doc_id_not_null", col("nulls"), _ === 0),
         checkRow("n_chars_consistent", col("mism"), _ === 0),
-        checkRow("lang_known", col("unk"), _ === 0))))
+        checkRow("lang_known", col("unk"), _ === 0),
+        checkRow("text_ascii_only", col("nonascii"), _ === 0))))
     val embRows = embeddings.agg(
       count(lit(1)).as("n_rows"),
       (count(col("vec_id")) - countDistinct(col("vec_id"))).as("dup"),

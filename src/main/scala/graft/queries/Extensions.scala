@@ -1098,7 +1098,9 @@ object Extensions extends QueryModule {
           COALESCE(CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
             AS BIGINT), 0) AS mism,
           COALESCE(CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
-            THEN 1 ELSE 0 END) AS BIGINT), 0) AS unk
+            THEN 1 ELSE 0 END) AS BIGINT), 0) AS unk,
+          COALESCE(CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7f]')
+            THEN 1 ELSE 0 END) AS BIGINT), 0) AS nonascii
         FROM documents),
       e AS (
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -1112,6 +1114,8 @@ object Extensions extends QueryModule {
         UNION ALL SELECT 'doc_id_not_null', nulls, CAST(nulls = 0 AS INT) FROM d
         UNION ALL SELECT 'n_chars_consistent', mism, CAST(mism = 0 AS INT) FROM d
         UNION ALL SELECT 'lang_known', unk, CAST(unk = 0 AS INT) FROM d
+        UNION ALL SELECT 'text_ascii_only', nonascii,
+               CAST(nonascii = 0 AS INT) FROM d
         UNION ALL SELECT 'embeddings_nonempty', n_rows,
                CAST(n_rows > 0 AS INT) FROM e
         UNION ALL SELECT 'vec_id_unique', dup, CAST(dup = 0 AS INT) FROM e
@@ -4164,7 +4168,9 @@ object Extensions extends QueryModule {
     * mod 16), per-doc chunk counts and the corpus-shared-chunk
     * count. Hash-green: boundaries are exact integer arithmetic
     * (base-31 over ASCII < 2^53), chunk hashes are md5, outputs are
-    * integer counts. */
+    * integer counts. The ASCII assumption is runtime-gated by x46's
+    * `text_ascii_only` check (r11 verdict): a non-ASCII corpus fails
+    * that named gate instead of hash-mismatching here. */
   private val x135CdcChunking = GraftQuery(
     "x135_cdc_chunking",
     (s, dir) => Dedup.cdcDedupProfile(
@@ -6716,8 +6722,9 @@ object Extensions extends QueryModule {
     * Parity caveat (r10 advice): the oracle replays the rolling hash
     * via DuckDB `ascii`/`substr`, which agree with Spark's code-point
     * arithmetic only on ASCII/BMP text — the same assumption the
-    * accepted x135 replay makes; a non-ASCII corpus change would
-    * surface here as a hash mismatch, not a wrong engine answer. */
+    * accepted x135 replay makes; a non-ASCII corpus change now
+    * fails x46's named `text_ascii_only` gate (r11 verdict) instead
+    * of surfacing here as a mystery hash mismatch. */
   private val x197AnchorWindowDedup = GraftQuery(
     "x197_anchor_window_dedup",
     (s, dir) => graft.ops.Dedup.anchorWindowProfile(
@@ -6767,14 +6774,18 @@ object Extensions extends QueryModule {
     * p <= last_end for sorted equal-length spans) and an indexed
     * list_transform reconstruction — integer-and-substring algebra
     * end to end. Same ASCII/BMP ascii()-vs-code-point parity
-    * assumption as x197/x135. */
+    * assumption as x197/x135, runtime-gated by x46's
+    * `text_ascii_only` check. */
   private val x198AnchorWindowRemoval = GraftQuery(
     "x198_anchor_window_removal",
     (s, dir) => graft.ops.Dedup.anchorWindowDedup(
       Tables.documents(s, dir), "doc_id", "text",
       n = 40, window = 8, mod = 16)
       .orderBy(col("doc_id")),
-    Some("""WITH b AS (
+    // `b` is referenced twice (by `w` and the final SELECT) — r11
+    // advice: MATERIALIZED, or DuckDB inlines the anchor scan into
+    // both consumers and runs the O(len·window) arithmetic twice
+    Some("""WITH b AS MATERIALIZED (
         SELECT doc_id, text AS s, length(text) AS len,
           CASE WHEN length(text) >= 8 THEN
             list_filter(range(8, length(text)+1), i ->
@@ -6832,6 +6843,193 @@ object Extensions extends QueryModule {
                CAST(struct_extract(v.ivs[len(v.ivs)], 'en') + 1 AS INT))
         END AS clean_text
       FROM b LEFT JOIN v USING (doc_id) ORDER BY doc_id"""))
+
+  /** Doc-LEVEL shift-robust keep-first dedup
+    * ([[graft.ops.Dedup.dedupByAnchorProfile]] — the r11 verdict's
+    * named carrier gap: the production form of the x197/x198 family,
+    * previously OpsSpec-only): documents a strict MAJORITY of whose
+    * anchored 40-char windows were seen earlier in the corpus vanish
+    * WHOLE; every survivor keeps ALL its original columns
+    * byte-identical, so the oracle is the x197 profile replay plus
+    * one NOT IN over the flagged ids. Hash-green: integer anchor
+    * arithmetic, md5 window identity, integer majority vote, then
+    * untouched source rows. Same ASCII/BMP ascii()-vs-code-point
+    * parity caveat as x197/x135 (runtime-gated by the
+    * `text_ascii_only` corpus check, x46). */
+  private val x199AnchorDocDedup = GraftQuery(
+    "x199_anchor_doc_dedup",
+    (s, dir) => graft.ops.Dedup.dedupByAnchorProfile(
+      Tables.documents(s, dir), "doc_id", "text",
+      n = 40, window = 8, mod = 16)
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (
+        SELECT doc_id, text AS s, length(text) AS len,
+          CASE WHEN length(text) >= 8 THEN
+            list_filter(range(8, length(text)+1), i ->
+              (CAST(list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(s, i-7+j, 1))
+                  * ([27512614111,887503681,28629151,923521,
+                      29791,961,31,1][j+1])))
+               AS BIGINT) % 16) = 0)
+          ELSE [] END AS anchors
+        FROM documents WHERE length(text) > 0),
+      w AS MATERIALIZED (
+        SELECT doc_id, s,
+          unnest(list_filter(anchors, a -> a + 40 <= len)) AS pos
+        FROM b),
+      e AS MATERIALIZED (
+        SELECT doc_id, pos,
+          substring(s, CAST(pos + 1 AS INT), 40) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM e),
+      flagged AS (
+        SELECT doc_id FROM r GROUP BY doc_id
+        HAVING 2 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > count(*))
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      ORDER BY doc_id"""))
+
+  /** End-to-end anchored curation — the r11 verdict's composition
+    * gap: x198's shift-robust removal feeds a production chain
+    * instead of standing alone. Anchored span removal (x198
+    * semantics) → repetition gate on the CLEANED text (x38
+    * semantics; dedup-inflated top-token/dup-bigram ratios would
+    * misjudge the original) → sequence packing of the survivors
+    * (x40 semantics). Docs whose cleaned text tokenizes to nothing
+    * drop at the gate on both engines (inner join against the
+    * unigram table). The whole pipeline replays hash-green: every
+    * stage reuses an already-green oracle's algebra. Scale shape:
+    * the cleaned frame is localCheckpointed once for its two
+    * consumers (gate + pack — the PERF.md re-execution rule);
+    * stages otherwise keep their audited shapes. */
+  private val x200AnchorCuration = GraftQuery(
+    "x200_anchor_curation",
+    (s, dir) => {
+      val cleaned = graft.ops.Dedup.anchorWindowDedup(
+        Tables.documents(s, dir), "doc_id", "text",
+        n = 40, window = 8, mod = 16)
+        .select(col("doc_id"), col("clean_text"))
+        .localCheckpoint(true)
+      val keptIds = TextAnalysis.repetitionStats(cleaned, "doc_id", "clean_text")
+        .filter(col("top_token_ratio") <= 0.12 && col("dup_bigram_ratio") <= 0.06)
+        .select("doc_id")
+      val kept = cleaned
+        .join(keptIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      graft.ops.Packing.chunkAssignments(kept, "doc_id", "clean_text", budget = 512)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS MATERIALIZED (
+        SELECT doc_id, text AS s, length(text) AS len,
+          CASE WHEN length(text) >= 8 THEN
+            list_filter(range(8, length(text)+1), i ->
+              (CAST(list_sum(list_transform(range(0, 8), j ->
+                ascii(substr(s, CAST(i-7+j AS INT), 1))
+                  * ([27512614111,887503681,28629151,923521,
+                      29791,961,31,1][j+1])))
+               AS BIGINT) % 16) = 0)
+          ELSE [] END AS anchors
+        FROM documents WHERE length(text) > 0),
+      w AS MATERIALIZED (
+        SELECT doc_id, s,
+          unnest(list_filter(anchors, a -> a + 40 <= len)) AS pos
+        FROM b),
+      e AS MATERIALIZED (
+        SELECT doc_id, pos,
+          substring(s, CAST(pos + 1 AS INT), 40) AS seg
+        FROM w),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        FROM e),
+      d AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+      g AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - coalesce(lag(pos) OVER
+              (PARTITION BY doc_id ORDER BY pos), -100) > 40
+            THEN 1 ELSE 0 END AS brk
+        FROM d),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      iv AS (
+        SELECT doc_id, min(pos) AS st, max(pos) + 40 AS en
+        FROM isl GROUP BY doc_id, island),
+      v AS (
+        SELECT doc_id,
+          list_sort(list(struct_pack(st := st, en := en))) AS ivs
+        FROM iv GROUP BY doc_id),
+      cln AS MATERIALIZED (
+        SELECT b.doc_id,
+          CASE WHEN v.doc_id IS NULL THEN b.s
+          ELSE array_to_string(
+              list_transform(v.ivs, (x, i) -> substring(b.s,
+                CAST((CASE WHEN i = 1 THEN 0
+                      ELSE struct_extract(v.ivs[i-1], 'en') END) + 1 AS INT),
+                CAST(struct_extract(x, 'st') -
+                     (CASE WHEN i = 1 THEN 0
+                      ELSE struct_extract(v.ivs[i-1], 'en') END) AS INT))), '')
+            || substring(b.s,
+                 CAST(struct_extract(v.ivs[len(v.ivs)], 'en') + 1 AS INT))
+          END AS clean_text
+        FROM b LEFT JOIN v USING (doc_id)),
+      toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(clean_text), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM cln),
+      uni AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+      uagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, max(c) AS top_c
+        FROM uni GROUP BY doc_id),
+      big AS (
+        SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t)),
+            i -> array_to_string(t[i:i+1], ' ')) END AS grams
+        FROM toks),
+      bi AS (
+        SELECT doc_id, gr, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gr FROM big) GROUP BY doc_id, gr),
+      bagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+               count(*) AS n_distinct_big
+        FROM bi GROUP BY doc_id),
+      kept AS (
+        SELECT c.doc_id, c.clean_text
+        FROM cln c
+        JOIN uagg u ON c.doc_id = u.doc_id
+        JOIN bagg bg ON c.doc_id = bg.doc_id
+        WHERE round(CAST(u.top_c AS DOUBLE) / u.n_tok, 4) <= 0.12
+          AND round(1.0 - CAST(bg.n_distinct_big AS DOUBLE) / bg.n_big, 4)
+            <= 0.06),
+      t2 AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(clean_text, '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+            AS start_offset
+        FROM t2)
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // 512 AS start_chunk,
+        (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
+      FROM o ORDER BY doc_id"""))
+  // ^ t2 MUST be the regex split, not x40's literal string_split(' '):
+  // TextAnalysis.tokenCount splits on the whitespace CLASS, and span
+  // removal can leave adjacent/leading/trailing spaces in clean_text
+  // where the two splits disagree (x40's literal form only replays on
+  // the raw single-spaced corpus; sf0.1 diverged by one token).
+  // Spark split('[ \t\n\f\r]+') and DuckDB string_split_regex('\s+')
+  // agree on all empty-segment edges ('a  b', ' a', 'a ', '', '  ').
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
@@ -6892,7 +7090,8 @@ object Extensions extends QueryModule {
     x187AssociationRules, x188RobustTrend, x189MutualInformation,
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
-    x197AnchorWindowDedup, x198AnchorWindowRemoval)
+    x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
+    x200AnchorCuration)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

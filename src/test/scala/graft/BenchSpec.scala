@@ -86,6 +86,56 @@ class BenchSpec extends AnyFunSuite {
     assert(!x58.get("intrinsic_low_par").asBoolean)
   }
 
+  test("calibration rows ride both artifact lines and normalize a canned cross-VM drift") {
+    // the r11 drift scenario, replayed: identical code, round A on a
+    // quiet VM, round B on a VM running every query 1.4x slower
+    // (r5/r6 measured exactly this band on identical commits). The
+    // raw totals differ 40%; divided by each round's own calibration
+    // wall they must agree — that division is the CLAUDE.md rule.
+    val roundA = (1 to 50).map(i =>
+      Bench.QStat(s"x${i}_q", wall = 2.0, cpu = 6.0, shuffleMb = 1.0, nStages = 3))
+    val roundB = roundA.map(s => s.copy(wall = s.wall * 1.4, cpu = s.cpu * 1.4))
+    val calibA = Seq(Bench.QStat("calib_pre", 1.0, 3.0, 0.1, 2),
+      Bench.QStat("calib_post", 1.0, 3.0, 0.1, 2))
+    val calibB = calibA.map(s => s.copy(wall = s.wall * 1.4, cpu = s.cpu * 1.4))
+    val totalA = roundA.map(_.wall).sum
+    val totalB = roundB.map(_.wall).sum
+    assert(totalB / totalA > 1.39, "fixture: a 40% phantom regression")
+    val normA = Bench.calibNormalize(totalA, calibA.map(_.wall))
+    val normB = Bench.calibNormalize(totalB, calibB.map(_.wall))
+    assert(math.abs(normA - normB) < 1e-9,
+      s"calibration must dissolve the phantom: $normA vs $normB")
+    // pre-calibration artifacts (no calib rows) pass through unchanged
+    assert(Bench.calibNormalize(totalA, Nil) == totalA)
+    // both artifact lines carry the fields, and the stdout line still
+    // fits the driver's tail cap at the 300-query scale
+    val big = (1 to 300).map(i =>
+      Bench.QStat(s"x${i}_q$i", (i % 17) * 0.9, (i % 13) * 1.1, 0.5, 3))
+    val line = Bench.composeStdoutLine(big, "sf", calib = calibB)
+    assert(line.length <= Bench.StdoutBudget, s"${line.length} > budget")
+    val tree = mapper.readTree(line)
+    assert(tree.get("calib_wall").get(0).asDouble == 1.4)
+    assert(tree.get("calib_wall").get(1).asDouble == 1.4)
+    assert(tree.get("calib_cpu").get(0).asDouble == 4.2)
+    val arch = mapper.readTree(Bench.composeArchiveLine(big, "sf", calibB))
+    assert(arch.get("calib_wall").size == 2 && arch.get("calib_cpu").size == 2)
+    // small suites (full-precision stdout path) carry them too
+    val small = mapper.readTree(
+      Bench.composeStdoutLine(big.take(5), "sf", calib = calibA))
+    assert(small.has("calib_wall") && small.has("calib_cpu"))
+  }
+
+  test("intrinsic allowlist keys are live query names (a rename can't silently empty it)") {
+    // r11 advice: IntrinsicLowPar is keyed by full query-name strings;
+    // if a query is renamed the allowlist silently stops matching and
+    // the crowding-out behavior the r10 verdict flagged quietly
+    // returns. Tie the keys to the registry.
+    val live = SparkEntry.queries.keySet
+    val stale = Bench.IntrinsicLowPar.keySet.diff(live)
+    assert(stale.isEmpty,
+      s"IntrinsicLowPar keys not in SparkEntry.queries: $stale")
+  }
+
   test("stdout low_par excludes the intrinsic allowlist so an anomalous row can't be crowded out") {
     // five low-par rows: the four intrinsic sorted-fold queries plus
     // one anomalous row SLOWER than none of them — under the old

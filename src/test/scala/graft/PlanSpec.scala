@@ -380,6 +380,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("x198 anchored removal: span merge is a fold (no Window), joins build on the deduplicated sides") {
+    // the r11 verdict's plan pin: the gaps-and-islands WINDOW
+    // formulation of the interval merge lives ONLY in the DuckDB
+    // oracle — the engine merges spans in one groupBy(id) codegen'd
+    // sorted fold, so no Window node may appear anywhere; and both
+    // joins must build their hash map on the deduplicated side
+    // (winners / dup-doc spans — the r10 OOM-at-scale lesson,
+    // previously enforced by hint + scaladoc only)
+    val plan = executedPlan("x198_anchor_window_removal")
+    assert(!plan.contains("Window"), plan.take(3000))
+    val shjLines = "ShuffledHashJoin[^\\n]*".r.findAllIn(plan).toSeq
+    assert(shjLines.size >= 2,
+      s"expected both joins shuffle-hash:\n${plan.take(3000)}")
+    shjLines.foreach(l => assert(l.contains("BuildRight"),
+      s"build side must be the deduplicated (right) side: $l"))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("x147 linkage: blocked equi-join (no nested loop), best-match pre-prunes as WindowGroupLimit") {
     val plan = executedPlan("x147_entity_resolution")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))

@@ -612,16 +612,24 @@ class OpsSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(1L, "alpha beta", "en", "srcA", 10L),
       org.apache.spark.sql.Row(1L, "gamma delta", "en", "srcA", 11L),
       org.apache.spark.sql.Row(null, "epsilon", "en", "srcB", 7L),
-      org.apache.spark.sql.Row(9001L, "abc", "xx", "srcX", 99L))
+      org.apache.spark.sql.Row(9001L, "abc", "xx", "srcX", 99L),
+      // the r11-verdict ASCII gate: a BMP non-ASCII doc and an
+      // ASTRAL-plane doc (surrogate pair in UTF-16) must both trip
+      // text_ascii_only — the named precondition of the anchor/CDC
+      // oracle replays. n_chars are code-point counts (Spark length
+      // counts code points, not UTF-16 units) so no other check fires
+      org.apache.spark.sql.Row(9002L, "café", "fr", "srcY", 4L),
+      org.apache.spark.sql.Row(9003L, "ok 😀", "en", "srcY", 4L))
     val corrupt = spark.createDataFrame(rows, docs.schema)
     val out = CorpusQuality.suite(corrupt, emb).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-    assert(out("documents_nonempty") == ((4L, 1)))
+    assert(out("documents_nonempty") == ((6L, 1)))
     assert(out("doc_id_unique") == ((1L, 0))) // the NULL id is NOT a dup
     assert(out("doc_id_not_null") == ((1L, 0)))
     assert(out("lang_known") == ((1L, 0)))
     assert(out("n_chars_consistent") == ((1L, 0))) // only the 9001 row lies
-    assert(CorpusQuality.failures(corrupt, emb) == 4L)
+    assert(out("text_ascii_only") == ((2L, 0))) // BMP + astral both counted
+    assert(CorpusQuality.failures(corrupt, emb) == 5L)
     // an EMPTY corpus must fail the gate, never NULL past it
     val empty = CorpusQuality.suite(docs.filter(lit(false)), emb).collect()
     empty.foreach(r => assert(!r.isNullAt(1) && !r.isNullAt(2), r.toString))
@@ -3512,11 +3520,19 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Dedup.anchorWindowProfile(rows, "doc_id", "text", n = 8, window = 8)
     }
-    // r10 advice: window >= 14 wraps the Long rolling term — allowed
+    // r10 advice: large windows wrap the Long window hash — allowed
     // only with a power-of-two mod (wrap mod 2^64 commutes)
     assertThrows[IllegalArgumentException] {
       Dedup.anchorWindowProfile(rows, "doc_id", "text",
         n = 40, window = 14, mod = 10)
+    }
+    // r11 advice (bound corrected): window=11 already wraps on BMP
+    // text (65535·(31^11−1)/30 ≈ 5.6e19 > 2^63) — the guard covers
+    // the full documented ASCII/BMP parity envelope, so 11..13 with
+    // a non-power-of-two mod must be rejected too
+    assertThrows[IllegalArgumentException] {
+      Dedup.anchorWindowProfile(rows, "doc_id", "text",
+        n = 40, window = 11, mod = 10)
     }
   }
 
