@@ -51,6 +51,25 @@ object Bench {
     "x106_quality_classifier_scaled" ->
       "20-stage iterative loop - latency-bound at bench SF, data-parallel at scale")
 
+  /** Streaming run-to-completion rows (r12 verdict #4): their bench
+    * wall is TRIGGER AND STARTUP latency, not data-parallel work —
+    * the judge measured x16 cold 4.1 s vs memoized warm 0.13 s — so
+    * on a contended VM they fire `wall_gg_cpu`/`low_par` every round
+    * and crowd the cap-bounded stdout anomaly maps those flags exist
+    * to protect. Marked rows report by name under
+    * `stream_intrinsic` instead (full flags still in the archive
+    * rows, tagged `intrinsic_stream` so a reader knows the wall is
+    * structural). */
+  val IntrinsicStream: Map[String, String] = Map(
+    "x16_streaming_hourly" ->
+      "availableNow stream run-to-completion: wall = micro-batch startup/commit latency",
+    "x72_streaming_sessions" ->
+      "stateful session stream run-to-completion: wall = trigger latency, not throughput",
+    "x79_streaming_dedup" ->
+      "dropDuplicates stream run-to-completion: wall = trigger latency, not throughput",
+    "x103_streaming_curation" ->
+      "multi-stage streaming curation run-to-completion: wall = per-batch commit latency")
+
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —
     * r11's +42% was pure bench-VM contention and cost six judge-side
@@ -77,6 +96,42 @@ object Bench {
   def calibNormalize(total: Double, calibWalls: Seq[Double]): Double =
     if (calibWalls.isEmpty) total
     else total / (calibWalls.sum / calibWalls.size)
+
+  /** Calibration wall interpolated at a position inside the run:
+    * frac 0.0 = suite start (the pre row), 1.0 = suite end (the post
+    * row), linear between — the r12 nit: with a 45% pre-to-post
+    * drift the MEAN under-corrects queries that ran late (the
+    * contended ones) and over-corrects early ones. Degenerate calib
+    * shapes fall back to the mean. */
+  def calibAt(frac: Double, calibWalls: Seq[Double]): Double =
+    calibWalls match {
+      case Seq(pre, post) =>
+        val f = math.max(0.0, math.min(1.0, frac))
+        pre + (post - pre) * f
+      case ws if ws.nonEmpty => ws.sum / ws.size
+      case _ => 1.0
+    }
+
+  /** Per-query normalization under in-run drift: each wall divides by
+    * the calibration wall interpolated at the query's own position —
+    * position measured as the fraction of cumulative suite wall at
+    * the query's midpoint (drift is a function of TIME into the run,
+    * not of query index; a 40 s query late in the suite sits at a
+    * very different machine speed than its index/230 suggests).
+    * Returns walls on the calibration machine-speed scale; empty
+    * calib passes through unchanged. */
+  def calibNormalizePerQuery(walls: Seq[Double],
+      calibWalls: Seq[Double]): Seq[Double] = {
+    val total = walls.sum
+    if (calibWalls.isEmpty || total <= 0) walls
+    else {
+      var cum = 0.0
+      walls.map { w =>
+        val mid = cum + w / 2; cum += w
+        w / calibAt(mid / total, calibWalls)
+      }
+    }
+  }
 
   /** Hard stdout budget. The driver keeps only the FINAL 2000 chars of
     * stdout and sbt appends a `[success] Total time: …` trailer (~74
@@ -259,12 +314,31 @@ object Bench {
 
   def composeArchiveLine(results: Seq[QStat], sfDir: String,
       calib: Seq[QStat] = Nil): String = {
+    // per-row interpolated calibration wall (calibAt at the row's
+    // cumulative-wall midpoint): wall / calib_at is the row's
+    // machine-speed-normalized wall, readable straight off the
+    // artifact even when the VM drifted mid-run
+    val calibAtRow: Map[String, Double] =
+      if (calib.isEmpty) Map.empty
+      else {
+        val walls = results.map(_.wall)
+        val cw = calib.map(_.wall)
+        val total = walls.sum
+        var cum = 0.0
+        results.map { s =>
+          val mid = cum + s.wall / 2; cum += s.wall
+          s.name -> calibAt(if (total > 0) mid / total else 0.5, cw)
+        }.toMap
+      }
     val fullQs = results.map { s =>
       s"\"" + s.name + "\":{\"wall\":" + r3(s.wall) + ",\"cpu\":" + r3(s.cpu) +
         ",\"shuffle_mb\":" + r3(s.shuffleMb) + ",\"stages\":" + s.nStages +
         ",\"wall_gg_cpu\":" + isContention(s.wall, s.cpu) +
         ",\"low_par\":" + isLowParallel(s.wall, s.cpu) +
-        ",\"intrinsic_low_par\":" + IntrinsicLowPar.contains(s.name) + "}"
+        ",\"intrinsic_low_par\":" + IntrinsicLowPar.contains(s.name) +
+        ",\"intrinsic_stream\":" + IntrinsicStream.contains(s.name) +
+        calibAtRow.get(s.name).map(c => ",\"calib_at\":" + r3(c)).getOrElse("") +
+        "}"
     }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)}${calibJson(calib)},"queries":$fullQs,"sf":"$sfDir"}"""
   }
@@ -298,18 +372,28 @@ object Bench {
         s"\"" + keyOf(s.name) +
           "\":[" + r3(s.wall) + "," + r3(s.cpu) + "]"
       }.mkString("{", ",", "}")
+    // streaming run-to-completion rows are excluded from BOTH anomaly
+    // maps (r12 verdict #4): their wall is trigger/startup latency, so
+    // either flag fires structurally on a contended VM; flagged ones
+    // report by name under stream_intrinsic
+    val streamRow = (s: QStat) => IntrinsicStream.contains(s.name)
     val contJson = flagJson(
-      results.filter(s => isContention(s.wall, s.cpu)), 6)
+      results.filter(s => isContention(s.wall, s.cpu) && !streamRow(s)), 6)
     // low_par carries only rows NOT on the [[IntrinsicLowPar]]
     // allowlist: the four intrinsic sorted-fold rows fire every round
     // and would crowd an actually-anomalous row out of the cap-4 map;
     // they report by name under low_par_intrinsic instead (their
     // walls are in the queries map and the archive rows)
     val (lpIntr, lpAnom) = results
-      .filter(s => isLowParallel(s.wall, s.cpu))
+      .filter(s => isLowParallel(s.wall, s.cpu) && !streamRow(s))
       .partition(s => IntrinsicLowPar.contains(s.name))
     val lowParJson = flagJson(lpAnom, 4)
     val lpIntrJson = lpIntr.sortBy(-_.wall)
+      .map(s => "\"" + keyOf(s.name) + "\"").mkString("[", ",", "]")
+    val streamIntrJson = results
+      .filter(s => streamRow(s) &&
+        (isContention(s.wall, s.cpu) || isLowParallel(s.wall, s.cpu)))
+      .sortBy(-_.wall)
       .map(s => "\"" + keyOf(s.name) + "\"").mkString("[", ",", "]")
     def mkLine(dp: Int, withFlags: Boolean): String = {
       val qs = keys.zip(results.map(_.wall)).map { case (k, v) =>
@@ -317,7 +401,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val flagPart =
         if (withFlags)
-          s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson"""
+          s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson"""
         else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
     }
@@ -326,7 +410,7 @@ object Bench {
     // that still fit (the rows a reader adjudicates first), the rest
     // counted in "queries_dropped" and fully archived
     def mkCapped: String = {
-      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
+      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
       def suffix(dropped: Int) =
         s"""},"queries_dropped":$dropped,"sf":"$sfDir"}"""
       val entries = keys.zip(results.map(_.wall)).sortBy(-_._2)

@@ -92,6 +92,11 @@ object Dedup {
     * to linear star pairing (see [[cappedBucketPairs]]). */
   val DefaultMaxBucket = 1000
 
+  /** Per-call suffix for [[cappedBucketPairs]]' CollectMetrics
+    * observation names (an observation name may appear only once per
+    * query plan). */
+  private val bucketObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Candidate pairs from shared (band, bucket) membership, with the
     * quadratic path bounded: buckets of ≤ `cap` members emit ALL
     * in-bucket pairs (the normal LSH regime); buckets beyond `cap`
@@ -125,6 +130,19 @@ object Dedup {
     require(cap >= 2, s"maxBucket must be >= 2, got $cap")
     val stats = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bn"), min(col("id")).as("__bmin"))
+      // cap-engagement observability (the "no silent caps" rule + the
+      // r12 scale-rehearsal ask): bucket count, how many buckets
+      // tripped the star-pair cap, and the largest bucket ride the
+      // stats aggregate as a CollectMetrics observation — zero extra
+      // jobs, harvested by any QueryExecutionListener (ScaleBench
+      // aggregates them per run). Name unique per CALL (two distinct
+      // CollectMetrics nodes sharing a name in one plan is an
+      // analysis error; the counter never collides across memoized
+      // frames reused in one query).
+      .observe(s"graft.capped_buckets.${bucketObsId.incrementAndGet()}",
+        count(lit(1)).as("buckets"),
+        sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("__bn")).as("max_bucket"))
     val stat = banded.hint("shuffle_hash")
       .join(stats.hint("shuffle_hash"), keys)
     val small = stat.filter(col("__bn") <= cap)
@@ -1562,6 +1580,21 @@ object Dedup {
       .filter(col("dup_doc") === 1)
       .select(col(idCol))
     df.join(flagged.hint("shuffle_hash"), Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupByAnchorProfile]] behind the x46 `text_ascii_only` gate
+    * (r12 verdict #5 — gate ORDER made structural): the gate's one
+    * aggregate scan runs EAGERLY at call time, so a non-ASCII corpus
+    * fails the NAMED corpus check before a single anchor window is
+    * hashed. The production entry point for untrusted corpora; the
+    * x199 carrier stays ungated because the driver's corpus is
+    * x46-verified every round (and a bench row must not pay the gate
+    * scan twice). */
+  def dedupByAnchorProfileGated(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 40, window: Int = 8,
+      mod: Int = 16): DataFrame = {
+    graft.quality.CorpusQuality.requireAsciiParity(df, textCol)
+    dedupByAnchorProfile(df, idCol, textCol, n, window, mod)
   }
 
   /** Paragraph-level exact dedup across the corpus — the Dolma /

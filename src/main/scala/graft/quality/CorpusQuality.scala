@@ -76,6 +76,26 @@ object CorpusQuality {
   def failures(docs: DataFrame, embeddings: DataFrame): Long =
     suite(docs, embeddings).filter(col("passed") === 0).count()
 
+  /** The anchor/CDC family's `text_ascii_only` precondition (x46) as
+    * a THROWING gate (r12 verdict #5): one aggregate scan, run
+    * EAGERLY at call time, counting docs with any char outside
+    * \x00-\x7F — the same doc-granular predicate as [[suite]]'s
+    * check row. The x135/x197/x198/x199/x200 oracles replay Spark's
+    * code-point rolling hash via DuckDB `ascii()`, which agree only
+    * on ASCII text; without this gate a non-ASCII corpus surfaces as
+    * a silent cross-engine hash mismatch deep in the compare instead
+    * of a named failure at the pipeline mouth. */
+  def requireAsciiParity(docs: DataFrame, textCol: String): Unit = {
+    val bad = docs.agg(coalesce(sum(
+        when(col(textCol).rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L)),
+      lit(0L)).as("non_ascii_docs")).collect()(0).getLong(0)
+    require(bad == 0L,
+      s"text_ascii_only gate failed: $bad non-ASCII document(s) — the " +
+        "anchor/CDC rolling-hash family's cross-engine ascii() replay " +
+        "only agrees on ASCII text (x46); filter or transliterate " +
+        "before anchor dedup")
+  }
+
   /** Winsorized per-group statistics: mean/stddev of `valueCol` after
     * clamping to the group's [lo, hi] quantiles — the outlier-robust
     * length/score profile a curation report uses (a handful of

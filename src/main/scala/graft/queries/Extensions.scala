@@ -576,9 +576,10 @@ object Extensions extends QueryModule {
         UNION
         SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
       clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      SELECT vec_id, label FROM embeddings
+      SELECT vec_id, label FROM embeddings em
       WHERE vec_id < 200
-        AND vec_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+        AND NOT EXISTS (SELECT 1 FROM clusters c
+          WHERE c.id != c.cluster_id AND c.id = em.vec_id)
       ORDER BY vec_id"""))
 
   /** Stratified corpus sampling (down-weight one language, keep the
@@ -1020,9 +1021,10 @@ object Extensions extends QueryModule {
         UNION
         SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
       clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      SELECT doc_id, source FROM documents
+      SELECT doc_id, source FROM documents d
       WHERE doc_id < 300
-        AND doc_id NOT IN (SELECT id FROM clusters WHERE id != cluster_id)
+        AND NOT EXISTS (SELECT 1 FROM clusters c
+          WHERE c.id != c.cluster_id AND c.id = d.doc_id)
       ORDER BY doc_id"""))
 
   /** Exact per-chunk occupancy of the x40 packing: doc token
@@ -1736,8 +1738,9 @@ object Extensions extends QueryModule {
         UNION
         SELECT e.src, rr.r FROM e JOIN reach rr ON rr.id = e.dst),
       cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      SELECT vec_id, label FROM embeddings
-      WHERE vec_id NOT IN (SELECT id FROM cl WHERE id != cluster_id)
+      SELECT vec_id, label FROM embeddings em
+      WHERE NOT EXISTS (SELECT 1 FROM cl c
+        WHERE c.id != c.cluster_id AND c.id = em.vec_id)
       ORDER BY vec_id"""))
 
   /** Binned interval-overlap join ([[graft.ops.Intervals.overlapJoin]]):
@@ -6851,7 +6854,10 @@ object Extensions extends QueryModule {
     * anchored 40-char windows were seen earlier in the corpus vanish
     * WHOLE; every survivor keeps ALL its original columns
     * byte-identical, so the oracle is the x197 profile replay plus
-    * one NOT IN over the flagged ids. Hash-green: integer anchor
+    * one NOT EXISTS over the flagged ids (NOT EXISTS, not NOT IN —
+    * the anti-join's NULL semantics exactly; a NULL id under NOT IN
+    * would silently empty or over-keep, r12 advice). Hash-green:
+    * integer anchor
     * arithmetic, md5 window identity, integer majority vote, then
     * untouched source rows. Same ASCII/BMP ascii()-vs-code-point
     * parity caveat as x197/x135 (runtime-gated by the
@@ -6888,8 +6894,8 @@ object Extensions extends QueryModule {
       flagged AS (
         SELECT doc_id FROM r GROUP BY doc_id
         HAVING 2 * sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > count(*))
-      SELECT doc_id, text, lang, source, n_chars FROM documents
-      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      SELECT doc_id, text, lang, source, n_chars FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
       ORDER BY doc_id"""))
 
   /** End-to-end anchored curation — the r11 verdict's composition
@@ -6977,7 +6983,7 @@ object Extensions extends QueryModule {
                  CAST(struct_extract(v.ivs[len(v.ivs)], 'en') + 1 AS INT))
           END AS clean_text
         FROM b LEFT JOIN v USING (doc_id)),
-      toks AS (
+      toks AS MATERIALIZED (
         SELECT doc_id,
           list_filter(string_split_regex(lower(clean_text), '\s+'),
             x -> len(x) > 0) AS t

@@ -134,6 +134,93 @@ class BenchSpec extends AnyFunSuite {
     val stale = Bench.IntrinsicLowPar.keySet.diff(live)
     assert(stale.isEmpty,
       s"IntrinsicLowPar keys not in SparkEntry.queries: $stale")
+    val staleStream = Bench.IntrinsicStream.keySet.diff(live)
+    assert(staleStream.isEmpty,
+      s"IntrinsicStream keys not in SparkEntry.queries: $staleStream")
+    // and the marker covers every registered streaming carrier — a new
+    // stream query without the marker would re-pollute the anomaly map
+    val unmarked = live.filter(_.contains("_streaming_"))
+      .diff(Bench.IntrinsicStream.keySet)
+    assert(unmarked.isEmpty,
+      s"streaming queries missing the IntrinsicStream marker: $unmarked")
+  }
+
+  test("streaming rows are excluded from both stdout anomaly maps and report under stream_intrinsic") {
+    // the x16 shape the r12 verdict named: run-to-completion wall is
+    // trigger/startup latency — cold 4.1 s with ~0.5 s executor CPU
+    // fires the contention flag structurally; a warm-but-contended VM
+    // can push the same row into low_par instead
+    val x16 = Bench.QStat("x16_streaming_hourly", 4.1, 0.5, 0.2, 6)
+    assert(Bench.isContention(x16.wall, x16.cpu), "fixture: flag would fire")
+    val x72 = Bench.QStat("x72_streaming_sessions", 3.0, 4.0, 0.2, 6)
+    assert(Bench.isLowParallel(x72.wall, x72.cpu), "fixture: flag would fire")
+    val realContention = Bench.QStat("x58_encoding_checks", 3.4, 1.6, 0.0, 2)
+    val line = Bench.composeStdoutLine(Seq(x16, x72, realContention), "sf")
+    val tree = mapper.readTree(line)
+    assert(!tree.get("wall_gg_cpu").has("x16"),
+      s"streaming row must not occupy the contention map: $line")
+    assert(!tree.get("low_par").has("x72"),
+      s"streaming row must not occupy the low_par map: $line")
+    assert(tree.get("wall_gg_cpu").has("x58"),
+      s"a real contention row still reports: $line")
+    val st = (0 until tree.get("stream_intrinsic").size)
+      .map(tree.get("stream_intrinsic").get(_).asText).toSet
+    assert(st == Set("x16", "x72"), s"flagged streaming rows report by name: $line")
+    // archive rows carry the marker so a reader of BENCH_DETAIL knows
+    // the wall is structural without cross-referencing the source
+    val arch = mapper.readTree(
+      Bench.composeArchiveLine(Seq(x16, realContention), "sf"))
+    assert(arch.get("queries").get("x16_streaming_hourly")
+      .get("intrinsic_stream").asBoolean)
+    assert(!arch.get("queries").get("x58_encoding_checks")
+      .get("intrinsic_stream").asBoolean)
+  }
+
+  test("per-query calibration interpolation corrects in-run drift the mean misattributes") {
+    // replay the r12 artifact scenario: calib_wall [0.482, 0.698] — the
+    // VM degraded 45% between suite start and end. Identical code on a
+    // quiet unit-speed VM runs every query at 2.0 s; on the drifting VM
+    // each query's wall inflates by the machine slowdown at its
+    // position in the run.
+    val calibQuiet = Seq(0.482, 0.482)
+    val calibDrift = Seq(0.482, 0.698)
+    val n = 50
+    val quiet = Seq.fill(n)(2.0)
+    // simulate the drifting run: solve each wall against the slowdown
+    // at its own midpoint (the machine applies the factor continuously)
+    val drifting = {
+      var cum = 0.0
+      // total drifting wall is implicit; iterate to a fixed point — two
+      // passes suffice at this drift magnitude for a test fixture
+      var walls = quiet
+      (1 to 8).foreach { _ =>
+        val tot = walls.sum
+        cum = 0.0
+        walls = walls.zip(quiet).map { case (w, q) =>
+          val mid = cum + w / 2; cum += w
+          q * Bench.calibAt(mid / tot, calibDrift) / 0.482
+        }
+      }
+      walls
+    }
+    // raw comparison shows a phantom per-query regression up to ~45%
+    assert(drifting.last / quiet.last > 1.35, "fixture: late rows look slow")
+    val normDrift = Bench.calibNormalizePerQuery(drifting, calibDrift)
+    val normQuiet = Bench.calibNormalizePerQuery(quiet, calibQuiet)
+    normDrift.zip(normQuiet).zipWithIndex.foreach { case ((d, q), i) =>
+      assert(math.abs(d - q) / q < 0.02,
+        s"row $i: interpolated calib must dissolve the drift ($d vs $q)")
+    }
+    // the MEAN-based correction (the r12 nit) leaves late rows looking
+    // >15% slow and early rows fast — the interpolation must beat it
+    val meanNorm = drifting.map(w =>
+      Bench.calibNormalize(w, calibDrift))
+    assert(meanNorm.last / normQuiet.last > 1.15,
+      "fixture: mean correction under-corrects the late rows")
+    assert(meanNorm.head / normQuiet.head < 0.87,
+      "fixture: mean correction over-corrects the early rows")
+    // empty calibration passes through unchanged
+    assert(Bench.calibNormalizePerQuery(quiet, Nil) == quiet)
   }
 
   test("stdout low_par excludes the intrinsic allowlist so an anomalous row can't be crowded out") {

@@ -636,6 +636,40 @@ class OpsSpec extends AnyFunSuite {
     assert(CorpusQuality.failures(docs.filter(lit(false)), emb) == 1L)
   }
 
+  test("x46 gate order: non-ASCII corpus fails the NAMED gate before any anchor hashing (e2e)") {
+    // r12 verdict #5: the suite-level check existed with planted
+    // violations; this is the query-level proof — a non-ASCII corpus
+    // pushed through the x199 path must fail the named x46 gate
+    // BEFORE the anchor family can produce a silent cross-engine
+    // ascii()-replay hash mismatch. A long NON-repeating body (no
+    // intra-doc window dups) so the dedup outcome is hand-checkable.
+    val body = (0 until 60).map(i => s"word$i").mkString(" ")
+    val asciiRows = Seq(
+      (1L, body),                              // first occurrence: kept
+      (2L, body + " plus a short novel tail"), // majority dup: flagged
+      (3L, "an entirely novel short document"))
+    val nonAsciiRows = asciiRows ++ Seq(
+      (4L, "café au lait " + body),  // BMP non-ASCII
+      (5L, "ok 😀 " + body)) // astral (surrogate pair)
+    val ex = intercept[IllegalArgumentException] {
+      // throws at CALL time, before the anchor plan is constructed —
+      // the gate's aggregate is the ONLY job that runs
+      Dedup.dedupByAnchorProfileGated(
+        nonAsciiRows.toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("text_ascii_only"), ex.getMessage)
+    assert(ex.getMessage.contains("2 non-ASCII"), ex.getMessage)
+    // the clean corpus passes the gate; gated output == ungated output
+    val good = asciiRows.toDF("doc_id", "text")
+    val gated = Dedup.dedupByAnchorProfileGated(good, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val ungated = Dedup.dedupByAnchorProfile(good, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(gated == ungated)
+    assert(gated.contains(1L) && gated.contains(3L), gated.toString)
+    assert(!gated.contains(2L), s"majority-dup doc must drop: $gated")
+  }
+
   test("ngram novelty matches hand-computed df fractions") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
       .toDF("doc_id", "text")

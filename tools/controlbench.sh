@@ -20,6 +20,15 @@ out="/tmp/graft_control_bench_${commit}.json"
 if [ ! -d "$wt" ]; then
   git -C "$repo" worktree add "$wt" "$commit"
 fi
+# The ratio table is only meaningful when HEAD's BENCH_DETAIL.json was
+# benched on THIS VM this session — a stale committed artifact silently
+# reintroduces the cross-VM confound this script exists to remove.
+if git -C "$repo" diff --quiet -- BENCH_DETAIL.json 2>/dev/null; then
+  echo "WARNING: BENCH_DETAIL.json is unmodified in git — it may be a" >&2
+  echo "  prior-VM artifact. Re-bench HEAD on this VM first" >&2
+  echo "  (SPARK_GRAFT_SF_DIR=$sfdir sbt 'runMain graft.Bench')" >&2
+  echo "  or the ratios compare across machines." >&2
+fi
 (cd "$wt" && SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$out" \
   sbt -batch "runMain graft.Bench" >/dev/null)
 
@@ -33,9 +42,27 @@ def walls(d):
     return {k: (v["wall"] if isinstance(v, dict) else v)
             for k, v in d["queries"].items()}
 
+import os
+# staleness guard (r12 advice): head artifact older than the control
+# run means it was NOT benched on this VM this session
+try:
+    age_gap = os.path.getmtime(sys.argv[2]) - os.path.getmtime(sys.argv[1])
+    if age_gap > 0:
+        print(f"WARNING: {sys.argv[1]} is {age_gap/60:.0f} min older than the "
+              "control run - if it was benched on another VM the ratios below "
+              "compare machines, not code", file=sys.stderr)
+except OSError:
+    pass
 hw, cw = walls(head), walls(ctrl)
 common = sorted(set(hw) & set(cw), key=lambda k: -hw[k])
 ratios = {k: hw[k] / cw[k] for k in common if cw[k] > 0}
+if not ratios:
+    # guard (r12 advice): no shared query names / all-zero control
+    # walls would StatisticsError AFTER the expensive control bench ran
+    print("no comparable queries between head and control "
+          f"({len(hw)} head vs {len(cw)} control names, "
+          f"{len(common)} shared) - check both artifacts", file=sys.stderr)
+    sys.exit(1)
 print(f"{'query':<40}{'head_wall':>10}{'ctrl_wall':>10}{'ratio':>8}")
 for k in common[:30]:
     r = ratios.get(k, float("nan"))
