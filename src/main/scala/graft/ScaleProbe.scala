@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Phase-level decomposition probe for the scale rehearsal's
+  * superlinear families (r13: ScaleBench measured x42 CPU 58×,
+  * x34 shuffle 137×, x161 CPU 26× at a ×10 corpus). The rehearsal
+  * total says WHAT grew; this main answers WHY, per corpus dir:
+  *
+  *  - x42: signature build vs candidate generation vs Jaccard
+  *    verification vs components, with the CANDIDATE- and
+  *    VERIFIED-pair counts — if CPU/pair is flat across corpora, the
+  *    growth is true-duplicate-pair growth (the corpus grows
+  *    duplicate families ∝ factor, so |pairs| ∝ factor²: workload,
+  *    not waste); if CPU/pair grows, the algorithm is superlinear
+  *    and needs a fix.
+  *  - x34: LSH bucket-size distribution (Σ C(b,2) = the pre-cap pair
+  *    bound) plus candidate/verified counts — attributes the shuffle
+  *    growth to bucket occupancy vs verification fan-out.
+  *  - x161: exact-join OUTPUT pair count — the completeness
+  *    guarantee makes output ⊇ all true pairs, so output growth IS
+  *    the quadratic and everything else should track it.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [dir ...]"
+  * (defaults to the three rehearsal dirs). One JSON line per
+  * (dir, phase) on stdout; human table on stderr.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x3",
+        "/tmp/graft_scale/x10")
+    val spark = Bench.buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    val cpuNs = new java.util.concurrent.atomic.LongAdder
+    val shufBytes = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            cpuNs.add(m.executorCpuTime)
+            shufBytes.add(m.shuffleReadMetrics.totalBytesRead)
+            shufBytes.add(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    val sb = new StringBuilder
+    def phase(dir: String, name: String)(body: => Long): Unit = {
+      cpuNs.reset(); shufBytes.reset()
+      val t0 = System.nanoTime()
+      val n = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"dir":"$dir","phase":"$name","rows":$n,""" +
+        f""""wall":$wall%.2f,"cpu":${cpuNs.sum / 1e9}%.2f,""" +
+        f""""shuffle_mb":${shufBytes.sum / 1e6}%.1f}"""
+      println(line); sb.append(line).append('\n')
+      System.err.println(f"[probe] $dir%-26s $name%-22s rows=$n%10d " +
+        f"wall=$wall%7.2f cpu=${cpuNs.sum / 1e9}%8.2f " +
+        f"shuffle=${shufBytes.sum / 1e6}%8.1f MB")
+    }
+
+    dirs.foreach { dir =>
+      graft.ops.Dedup.clearCandidateCache()
+      graft.ops.Dedup.clearBloomCache()
+      graft.ops.Dedup.clearClusterCache()
+      graft.ops.Dedup.clearEmbeddingPairCache()
+      graft.ops.Similarity.clearIvfCache()
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+
+      // -------- x42 decomposition (marginal: each phase reuses the
+      // previous phase's memo/persist, so its numbers are its OWN work)
+      phase(dir, "x42.1_signatures") {
+        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text").count()
+      }
+      phase(dir, "x42.2_candidates") {
+        graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text").count()
+      }
+      val verified = graft.ops.Dedup.ngramJaccardNearDuplicates(
+        docs, "doc_id", "text", threshold = 0.7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      phase(dir, "x42.3_verify") { verified.count() }
+      phase(dir, "x42.4_components") {
+        graft.ops.Dedup.survivorsFromPairs(docs, "doc_id",
+          verified.select("id_a", "id_b")).count()
+      }
+      verified.unpersist()
+
+      // -------- x34 decomposition
+      phase(dir, "x34.0_bucket_pairbound") {
+        // Σ C(b,2) over (band, chunk) buckets — the pre-cap pair bound
+        val sig = graft.ops.Parallelism.ensure(emb)
+          .select(col("vec_id").as("id"),
+            graft.functions.Sketches.hyperplaneSignature(col("embedding"), 48).as("sig"))
+        val banded = sig
+          .select(col("id"), col("sig"),
+            explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("chunk", expr(s"shiftright(sig, band * 6) & 63"))
+        banded.groupBy("band", "chunk").agg(count(lit(1)).as("n"))
+          .agg(sum(expr("n * (n - 1) DIV 2"))).collect()(0).getLong(0)
+      }
+      phase(dir, "x34.1_candidate_pairs") {
+        graft.ops.Dedup.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", threshold = 0.3, numBits = 48,
+          bands = 8).count()
+      }
+      phase(dir, "x34.2_survivors") {
+        graft.ops.Dedup.semanticDedupSurvivors(
+          emb, "vec_id", "embedding", threshold = 0.3, numBits = 48,
+          bands = 8).count()
+      }
+
+      // -------- x34 scale defenses, demonstrated (r13): the probe's
+      // pairbound shows Σ C(b,2) growing ~quadratically at FIXED
+      // 6-bit chunks (64 buckets/band can't absorb a growing corpus).
+      // Defense 1 — the bucket cap: maxBucket=100 forces the 717-max
+      // buckets of the ×10 corpus onto the O(n) star path.
+      // Defense 2 — sizing: 8-bit chunks (numBits=64, same 8 bands)
+      // quadruple the bucket space; production sizes bitsPerBand ≈
+      // log2(n / target_bucket) as the corpus grows.
+      phase(dir, "x34.3_cap100_pairs") {
+        graft.ops.Dedup.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", threshold = 0.3, numBits = 48,
+          bands = 8, maxBucket = 100).count()
+      }
+      phase(dir, "x34.4_sized64_pairs") {
+        graft.ops.Dedup.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", threshold = 0.3, numBits = 64,
+          bands = 8).count()
+      }
+
+      // -------- x161 output size
+      phase(dir, "x161_output_pairs") {
+        graft.ops.Dedup.prefixFilterJaccardPairs(
+          docs, "doc_id", "text", thresholdTenths = 7).count()
+      }
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_scale_probe.json"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -407,20 +407,43 @@ object Dedup {
       threshold: Double = 0.7, shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleSize = shingleSize)
       .select("id_a", "id_b")
-    // join raw text and shingle only the candidate pairs — n-gram
-    // arrays materialize for O(|candidates|) rows, not the corpus
-    val texts = df.select(col(idCol).as("tid"), col(textCol).as("t"))
+    // Distinct-gram arrays are built ONCE PER CANDIDATE DOC, not once
+    // per pair SIDE: near-dups cluster, so a doc in a k-clique sits
+    // in k−1 candidate pairs, and shingling it per pair multiplies
+    // the dominant cost by its pair degree (the r13 ×10 scale
+    // rehearsal measured verification at 843 s CPU of the family's
+    // 1292 s, flat 8.8 ms per pair, avg pair degree ≈ 8). A leftsemi
+    // against the candidate ids keeps the gram build off
+    // non-candidate docs entirely, and the grams hash to xxhash64
+    // LONGS before the intersect: same inter/union COUNTS (two
+    // distinct grams of one doc pair colliding at 64 bits ≈
+    // |grams|²/2⁶⁴ ≈ 1e-14 — below any boundary this threshold
+    // could see) at ~4× less compare work and ~2.5× less shuffle
+    // than ~20-char gram strings (the x45 hashed-gram rule applied
+    // to verification). |a∪b| = |a|+|b|−|a∩b| on distinct arrays —
+    // no union ARRAY is ever built.
+    val ids = cands.select(col("id_a").as("gid"))
+      .unionByName(cands.select(col("id_b").as("gid"))).distinct()
+    val grams = df.select(col(idCol).as("gid"), col(textCol).as("t"))
+      .join(ids, Seq("gid"), "leftsemi")
+      .select(col("gid"),
+        array_distinct(transform(
+          TextAnalysis.wordNgrams(col("t"), shingleSize),
+          g => xxhash64(g))).as("g"))
+      // materialize the hashed arrays at one exchange: both pair-side
+      // joins read the SAME subtree (ReusedExchange) instead of each
+      // re-running the semi-join + shingling (the minhashSignatures
+      // repartition rule)
+      .repartition(col("gid"))
     // shuffle joins for the same exchange-reuse reasons as the
     // signature rejoin in minhashCandidates
     cands.hint("shuffle_hash")
-      .join(texts.withColumnRenamed("tid", "id_a").withColumnRenamed("t", "text_a")
+      .join(grams.select(col("gid").as("id_a"), col("g").as("grams_a"))
         .hint("shuffle_hash"), "id_a")
-      .join(texts.withColumnRenamed("tid", "id_b").withColumnRenamed("t", "text_b")
+      .join(grams.select(col("gid").as("id_b"), col("g").as("grams_b"))
         .hint("shuffle_hash"), "id_b")
-      .withColumn("grams_a", array_distinct(TextAnalysis.wordNgrams(col("text_a"), shingleSize)))
-      .withColumn("grams_b", array_distinct(TextAnalysis.wordNgrams(col("text_b"), shingleSize)))
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
-      .withColumn("uni", size(array_union(col("grams_a"), col("grams_b"))))
+      .withColumn("uni", size(col("grams_a")) + size(col("grams_b")) - col("inter"))
       .withColumn("jaccard",
         round(when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0), 4))
       .filter(col("jaccard") >= threshold)
@@ -453,6 +476,20 @@ object Dedup {
     * frequent tokens only enter a prefix when a doc has nothing
     * rarer — the length filter `|b| ≥ ⌈t·|a|⌉` prunes the rest. No
     * sketch, no recall knob, no bucket cap needed for correctness.
+    *
+    * Shingles travel as xxhash64 LONGS end-to-end (r13: the ×10
+    * scale rehearsal measured 1144 s CPU / 9.0 GB shuffle, dominated
+    * by ~20-char gram strings riding the df-count, the per-doc
+    * sorted arrays, the prefix self-join key and the verify
+    * intersect). OUTPUT-INVARIANT: the completeness theorem needs
+    * only SOME consistent total order over the tokens — (df, hash)
+    * is as valid as (df, string), it changes which candidates form
+    * but never which pairs VERIFY — and the verify counts |a∩b|,
+    * |a|, |b| are identical unless two distinct grams of one
+    * compared doc pair collide at 64 bits (≈|grams|²/2⁶⁴ ≈ 1e-14 —
+    * no integer-threshold boundary can see it). The x161 oracle
+    * replays the STRING ordering and agrees on the verified output
+    * for exactly this reason.
     */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       thresholdTenths: Int = 7, shingleSize: Int = 3): DataFrame = {
@@ -460,8 +497,9 @@ object Dedup {
       s"thresholdTenths must be in [1,9], got $thresholdTenths")
     val toks = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
-        explode(array_distinct(
-          TextAnalysis.wordNgrams(col(textCol), shingleSize))).as("w"))
+        explode(array_distinct(transform(
+          TextAnalysis.wordNgrams(col(textCol), shingleSize),
+          g => xxhash64(g)))).as("w"))
       .localCheckpoint(true) // feeds df-count AND the sorted collect
     val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("d"))
     val sorted = toks.hint("shuffle_hash")
@@ -1742,6 +1780,21 @@ object Dedup {
   /** Drop all memoized embedding pair tables (unpersisting each). */
   def clearEmbeddingPairCache(): Unit = embPairMemo.clear(_.unpersist())
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
+    * bound the candidate set, exact cosine verifies.
+    *
+    * SIZING RULE (r13 ×10 rehearsal-measured): in-bucket work is
+    * Σ C(bucket, 2), and bucket space is FIXED at 2^(numBits/bands)
+    * per band — it cannot absorb a growing corpus, so at constant
+    * parameters the candidate stage goes ~quadratic (27.9M in-bucket
+    * pairs at a ×10 corpus vs 276k at ×1 with 6-bit chunks: 1212 s
+    * CPU / 12.4 GB shuffle). Size bitsPerBand ≈ log2(corpus /
+    * targetBucket), GROWING with the corpus (8-bit chunks at ×10:
+    * 76 s / 3.9 GB, at a stricter-band recall cost), and keep
+    * `maxBucket` as the backstop for skew the sizing can't predict
+    * (cap 100 at ×10: 16 s / 40 MB via O(n) star pairs — the
+    * reachability-preserving recall trade in [[cappedBucketPairs]]).
+    */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
