@@ -47,6 +47,7 @@ object ScaleBench {
 
   private def clearMemoCaches(): Unit = {
     graft.ops.Dedup.clearCandidateCache()
+    graft.ops.Dedup.clearGramsCache()
     graft.ops.Dedup.clearBloomCache()
     graft.ops.Dedup.clearClusterCache()
     graft.ops.Dedup.clearEmbeddingPairCache()

@@ -64,6 +64,7 @@ object ScaleProbe {
 
     dirs.foreach { dir =>
       graft.ops.Dedup.clearCandidateCache()
+      graft.ops.Dedup.clearGramsCache()
       graft.ops.Dedup.clearBloomCache()
       graft.ops.Dedup.clearClusterCache()
       graft.ops.Dedup.clearEmbeddingPairCache()

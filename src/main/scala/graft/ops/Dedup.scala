@@ -400,6 +400,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Memo for the verify-side hashed-gram tables below — the gram
+    * arrays of the CANDIDATE docs are identical across every verify
+    * threshold over the same corpus (x10 at 0.2, x42/x118 at 0.7 all
+    * share one), so one shingle pass serves the session. Same
+    * caveats as candidateMemo. */
+  private val gramsMemo =
+    new graft.BoundedMemo[(String, String, String, Int), DataFrame](
+      16, _.unpersist(blocking = false), name = "verify-grams")
+
+  /** Drop all memoized verify-gram tables (unpersisting each). */
+  def clearGramsCache(): Unit = gramsMemo.clear(_.unpersist())
+
   /** Exact n-gram Jaccard, verified on MinHash-LSH candidates only —
     * the scale-safe way to get exact similarities: the all-pairs
     * quadratic never happens. */
@@ -422,19 +434,32 @@ object Dedup {
     // than ~20-char gram strings (the x45 hashed-gram rule applied
     // to verification). |a∪b| = |a|+|b|−|a∩b| on distinct arrays —
     // no union ARRAY is ever built.
-    val ids = cands.select(col("id_a").as("gid"))
-      .unionByName(cands.select(col("id_b").as("gid"))).distinct()
-    val grams = df.select(col(idCol).as("gid"), col(textCol).as("t"))
-      .join(ids, Seq("gid"), "leftsemi")
-      .select(col("gid"),
-        array_distinct(transform(
-          TextAnalysis.wordNgrams(col("t"), shingleSize),
-          g => xxhash64(g))).as("g"))
-      // materialize the hashed arrays at one exchange: both pair-side
-      // joins read the SAME subtree (ReusedExchange) instead of each
-      // re-running the semi-join + shingling (the minhashSignatures
-      // repartition rule)
-      .repartition(col("gid"))
+    //
+    // The single build is enforced by PERSISTING the gram table (the
+    // "frame consumed by N subplans" rule): a bare repartition is NOT
+    // enough — AQE drops the user exchange as redundant against the
+    // semi-join's requirement, leaving the shingle projection to
+    // re-execute once per pair side (read off the executed plan, r13;
+    // PlanSpec pins the InMemoryTableScan shape). The memo extends
+    // the same guarantee across verify thresholds: grams don't depend
+    // on the threshold, so x10/x42/x118 share one table.
+    val gramsKey = (graft.SessionKeys.of(df.sparkSession),
+      graft.PlanKeys.of(df), s"$idCol/$textCol", shingleSize)
+    val grams = gramsMemo.get(gramsKey).getOrElse {
+      val ids = cands.select(col("id_a").as("gid"))
+        .unionByName(cands.select(col("id_b").as("gid"))).distinct()
+      val built = df.select(col(idCol).as("gid"), col(textCol).as("t"))
+        .join(ids, Seq("gid"), "leftsemi")
+        .select(col("gid"),
+          array_distinct(transform(
+            TextAnalysis.wordNgrams(col("t"), shingleSize),
+            g => xxhash64(g))).as("g"))
+        .repartition(col("gid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val winner = gramsMemo.putIfAbsent(gramsKey, built)
+      if (!(winner eq built)) built.unpersist(blocking = false)
+      winner
+    }
     // shuffle joins for the same exchange-reuse reasons as the
     // signature rejoin in minhashCandidates
     cands.hint("shuffle_hash")

@@ -399,6 +399,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("x10/x42 verify: hashed-gram table builds ONCE (both pair sides scan the cache)") {
+    // the r13 rehearsal fix, pinned: verification shingles each
+    // CANDIDATE doc once — not once per pair side, and never once per
+    // pair. A bare repartition(gid) is NOT a materialization point
+    // (AQE drops the user exchange as redundant and the shingle
+    // projection re-executes per side — read off the executed plan,
+    // r13), so the gram table is persisted and both pair-side joins
+    // must plan as InMemoryTableScans of it.
+    graft.ops.Dedup.clearGramsCache()
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.Dedup.ngramJaccardNearDuplicates(
+      docs, "doc_id", "text", threshold = 0.2)
+    out.collect()
+    // NOTE: existence asserts over the WHOLE render — "cut at the
+    // first '== Initial Plan ==' marker" would truncate at a NESTED
+    // InMemoryRelation's own adaptive render, not the top level, and
+    // hide the gram branches entirely. A missing persist produces
+    // ZERO matches anywhere, so no cut is needed.
+    val plan = out.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan \\[(gid|id_a)#\\d+L?, (g|grams_a)#".r.findFirstIn(plan).isDefined,
+      s"grams_a side must scan the persisted gram table:\n${plan.take(3000)}")
+    assert("InMemoryTableScan \\[(gid|id_b)#\\d+L?, (g|grams_b)#".r.findFirstIn(plan).isDefined,
+      s"grams_b side must scan the persisted gram table:\n${plan.take(3000)}")
+    // join-operator asserts live in the registry-wide sweep — the
+    // whole render includes nested pre-AQE cache builds whose
+    // sort-merge forms never execute, so no SMJ assert here
+  }
+
   test("x147 linkage: blocked equi-join (no nested loop), best-match pre-prunes as WindowGroupLimit") {
     val plan = executedPlan("x147_entity_resolution")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
