@@ -581,21 +581,24 @@ object Dedup {
     // per-doc dedup happens INSIDE the row (array_distinct before the
     // explode) — a (id, fp) `.distinct()` after exploding would be a
     // full shuffle for what is a purely row-local property.
-    // The fingerprint array MATERIALIZES at an exchange before the
-    // explode (the minhash-signature pattern). The load-bearing
-    // reason is the TWO consumers below (the df-cap aggregate and the
-    // join back): without the exchange each consumer re-executes the
-    // whole scan+winnowing subtree; with it they share one
-    // ReusedExchange of the computed arrays, so the corpus is read
-    // and sketched exactly once. (Warm-profile note: per-output-row
-    // generator re-eval did NOT show at sf0.1 — CPU was flat — this
-    // is about subtree re-execution, and the exchanged frame
-    // (id, fp-array) is smaller than the text it replaces.)
+    // The fingerprint arrays are CHECKPOINTED before the explode: the
+    // frame has TWO consumers (the df-cap aggregate and the join
+    // back), and the former repartition(id) materialization point
+    // did NOT make them share — the join side's pushed
+    // isnotnull(id) filter reaches its scan while the aggregate
+    // side's doesn't, so the two exchange subtrees never canonicalize
+    // equal and the corpus was read and winnowed TWICE (read off the
+    // executed plan, r13 — the same AQE/pushdown lesson as the x10
+    // gram table). The checkpoint settles the (id, fp-array) rows —
+    // far smaller than the text they replace — so the sketch pass
+    // runs exactly once at any corpus size, and the explode above it
+    // cannot re-evaluate the winnowing per output row (the x135
+    // Generate trap) because the arrays are already bytes.
     val allFps = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         array_distinct(
           Sketches.winnowingFingerprint(col(textCol), k, window)).as("fps"))
-      .repartition(col("id"))
+      .localCheckpoint(true)
       .select(col("id"), explode(col("fps")).as("fp"))
     val rare = allFps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
@@ -643,20 +646,20 @@ object Dedup {
             Sketches.winnowingFingerprint(col(textCol), k, window)).as("fps"))
         .repartition(col(as))
         .select(col(as), explode(col("fps")).as("fp"))
-    val evalFps = fps(eval, "eval_id")
-    // stop-fingerprint cap on the bounded side. The capped table is
-    // MATERIALIZED (eager localCheckpoint, a distributed job) before
-    // the broadcast: a BroadcastExchange executes its child lineage
-    // as part of the build (repo rule: never leave an expensive
-    // custom Expression under one), and evalFps feeds two subplans
-    // here (probe rows + the doc-frequency aggregate) which would
-    // re-run the winnowing twice — checkpointed, the broadcast scans
-    // settled rows and the eval fingerprints compute exactly once,
-    // in parallel.
+    // stop-fingerprint cap on the bounded side. The CHECKPOINT sits
+    // on evalFps ITSELF, not on the capped result: evalFps feeds two
+    // subplans (probe rows + the doc-frequency aggregate), and a
+    // checkpoint one level up still ran the winnowing twice inside
+    // its own build job (divergent pushed filters break exchange
+    // reuse between the two branches — the r13 x36 plan lesson).
+    // Settled here, the eval fingerprints compute exactly once in
+    // parallel, and the BroadcastExchange's child lineage (the cap
+    // join over checkpointed rows) carries no expensive custom
+    // Expression (repo rule: never leave one under a broadcast).
+    val evalFps = fps(eval, "eval_id").localCheckpoint(true)
     val rareEvalFps = evalFps
       .join(evalFps.groupBy(col("fp")).agg(count(lit(1)).as("edf"))
         .filter(col("edf") <= maxEvalDocFreq).select("fp"), Seq("fp"))
-      .localCheckpoint(true)
     fps(train, "train_id")
       .join(broadcast(rareEvalFps), Seq("fp"))
       .groupBy(col("train_id"), col("eval_id"))

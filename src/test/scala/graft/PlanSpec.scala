@@ -427,6 +427,37 @@ class PlanSpec extends AnyFunSuite {
     // sort-merge forms never execute, so no SMJ assert here
   }
 
+  test("containment: winnowing sketch runs once (checkpointed arrays, no inline re-sketch)") {
+    // r13 plan read: the former repartition(id) materialization point
+    // did NOT make the df-cap aggregate and the join back share the
+    // sketch subtree — divergent pushed null-filters break exchange
+    // canonicalization, so the corpus was winnowed TWICE. The frame
+    // is now checkpointed: the executed plan must read settled arrays
+    // (Scan ExistingRDD) and contain NO inline winnowing at all.
+    val docs = Tables.documents(spark, sfDir)
+    val out = graft.ops.Dedup.containmentCandidates(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("winnowing_fingerprint"),
+      s"sketch must live behind the checkpoint:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
+    // cross-corpus variant: the EVAL side is checkpointed (its
+    // fingerprints compute exactly once, and the broadcast child
+    // carries no expensive expression); only the single-consumer
+    // train side sketches inline
+    val train = docs.filter(col("doc_id") >= 50)
+    val ev = docs.filter(col("doc_id") < 50)
+    val out2 = graft.ops.Dedup.crossContainmentCandidates(
+      train, ev, "doc_id", "text")
+    out2.collect()
+    val p2 = out2.queryExecution.executedPlan.toString
+    assert(p2.contains("winnowing_fingerprint"), p2.take(3000))
+    assert(!p2.split("\n").exists(l =>
+      l.contains("winnowing_fingerprint") && l.contains("eval_id")),
+      s"eval side must not re-sketch:\n${p2.take(3000)}")
+    assert("Scan ExistingRDD\\[eval_id".r.findFirstIn(p2).isDefined, p2.take(3000))
+  }
+
   test("x147 linkage: blocked equi-join (no nested loop), best-match pre-prunes as WindowGroupLimit") {
     val plan = executedPlan("x147_entity_resolution")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
