@@ -45,7 +45,10 @@ object ScaleBench {
 
   case class Obs(buckets: Long, capped: Long, maxBucket: Long)
 
-  private def clearMemoCaches(): Unit = {
+  /** Shared by ScaleProbe — one list to keep in lockstep when a new
+    * memo lands (the per-dir clears are what make per-corpus numbers
+    * marginal instead of cache-luck). */
+  private[graft] def clearMemoCaches(): Unit = {
     graft.ops.Dedup.clearCandidateCache()
     graft.ops.Dedup.clearGramsCache()
     graft.ops.Dedup.clearBloomCache()
@@ -62,24 +65,9 @@ object ScaleBench {
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage-metric listener (the Bench pattern): wall is ambient, cpu
-    // and shuffle come from completed stages attributed per query
-    val cpuNs = new java.util.concurrent.atomic.LongAdder
-    val shufBytes = new java.util.concurrent.atomic.LongAdder
-    val stages = new java.util.concurrent.atomic.LongAdder
-    val stageListener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val m = e.stageInfo.taskMetrics
-        if (m != null) {
-          cpuNs.add(m.executorCpuTime)
-          shufBytes.add(m.shuffleReadMetrics.totalBytesRead)
-          shufBytes.add(m.shuffleWriteMetrics.bytesWritten)
-          stages.increment()
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(stageListener)
+    // stage metrics: the shared Bench harness (one listener + drain
+    // implementation across Bench/ScaleBench/ScaleProbe)
+    val sm = new Bench.StageMetrics(spark)
     // cap-engagement harvest: cappedBucketPairs publishes
     // (buckets, capped_buckets, max_bucket) per executed stats
     // aggregate; sum/max them per query
@@ -102,17 +90,11 @@ object ScaleBench {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(qeListener)
-    def drain(): Unit =
-      try {
-        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
-          .invoke(spark.sparkContext)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-      } catch { case _: Throwable => Thread.sleep(200) }
 
     case class Run(dir: String, family: String, wall: Double, cpu: Double,
         shuffleMb: Double, nStages: Long, obs: Obs, failed: Boolean)
     def runOne(dir: String, family: String): Run = {
-      cpuNs.reset(); shufBytes.reset(); stages.reset()
+      sm.reset()
       obsBuckets.reset(); obsCapped.reset(); obsMax.set(0L)
       val t0 = System.nanoTime()
       var failed = false
@@ -124,9 +106,9 @@ object ScaleBench {
             s"${t.getClass.getSimpleName}: ${t.getMessage}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      drain()
-      Run(dir, family, wall, cpuNs.sum / 1e9, shufBytes.sum / 1e6,
-        stages.sum, Obs(obsBuckets.sum, obsCapped.sum, obsMax.get), failed)
+      sm.drain()
+      Run(dir, family, wall, sm.cpuNs.sum / 1e9, sm.shufBytes.sum / 1e6,
+        sm.stages.sum, Obs(obsBuckets.sum, obsCapped.sum, obsMax.get), failed)
     }
 
     // JIT/codegen warmup on a NON-timed dir (see scaladoc)
@@ -140,7 +122,7 @@ object ScaleBench {
     }
     clearMemoCaches()
 
-    Bench.calibWorkload(spark); drain() // untimed calib JIT
+    Bench.calibWorkload(spark); sm.drain() // untimed calib JIT
     def calib(): Double = {
       val t0 = System.nanoTime(); Bench.calibWorkload(spark)
       (System.nanoTime() - t0) / 1e9

@@ -33,42 +33,27 @@ object ScaleProbe {
         "/tmp/graft_scale/x10")
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
-    val cpuNs = new java.util.concurrent.atomic.LongAdder
-    val shufBytes = new java.util.concurrent.atomic.LongAdder
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val m = e.stageInfo.taskMetrics
-          if (m != null) {
-            cpuNs.add(m.executorCpuTime)
-            shufBytes.add(m.shuffleReadMetrics.totalBytesRead)
-            shufBytes.add(m.shuffleWriteMetrics.bytesWritten)
-          }
-        }
-      })
+    // stage metrics: the shared Bench harness; draining per phase is
+    // what makes the marginal numbers attribute to THIS phase
+    val sm = new Bench.StageMetrics(spark)
     val sb = new StringBuilder
     def phase(dir: String, name: String)(body: => Long): Unit = {
-      cpuNs.reset(); shufBytes.reset()
+      sm.reset()
       val t0 = System.nanoTime()
       val n = body
       val wall = (System.nanoTime() - t0) / 1e9
+      sm.drain()
       val line = f"""{"dir":"$dir","phase":"$name","rows":$n,""" +
-        f""""wall":$wall%.2f,"cpu":${cpuNs.sum / 1e9}%.2f,""" +
-        f""""shuffle_mb":${shufBytes.sum / 1e6}%.1f}"""
+        f""""wall":$wall%.2f,"cpu":${sm.cpuNs.sum / 1e9}%.2f,""" +
+        f""""shuffle_mb":${sm.shufBytes.sum / 1e6}%.1f}"""
       println(line); sb.append(line).append('\n')
       System.err.println(f"[probe] $dir%-26s $name%-22s rows=$n%10d " +
-        f"wall=$wall%7.2f cpu=${cpuNs.sum / 1e9}%8.2f " +
-        f"shuffle=${shufBytes.sum / 1e6}%8.1f MB")
+        f"wall=$wall%7.2f cpu=${sm.cpuNs.sum / 1e9}%8.2f " +
+        f"shuffle=${sm.shufBytes.sum / 1e6}%8.1f MB")
     }
 
     dirs.foreach { dir =>
-      graft.ops.Dedup.clearCandidateCache()
-      graft.ops.Dedup.clearGramsCache()
-      graft.ops.Dedup.clearBloomCache()
-      graft.ops.Dedup.clearClusterCache()
-      graft.ops.Dedup.clearEmbeddingPairCache()
-      graft.ops.Similarity.clearIvfCache()
+      ScaleBench.clearMemoCaches()
       val docs = Tables.documents(spark, dir)
       val emb = Tables.embeddings(spark, dir)
 

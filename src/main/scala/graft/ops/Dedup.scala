@@ -139,10 +139,15 @@ object Dedup {
       // CollectMetrics nodes sharing a name in one plan is an
       // analysis error; the counter never collides across memoized
       // frames reused in one query).
+      // coalesce: an EMPTY stats aggregate emits NULL sum/max, which
+      // unboxing-NPEs inside a harvesting listener where Spark's bus
+      // swallows it (the CorpusQuality "empty relation can never NULL
+      // past the gate" rule applied to observations)
       .observe(s"graft.capped_buckets.${bucketObsId.incrementAndGet()}",
         count(lit(1)).as("buckets"),
-        sum(when(col("__bn") > cap, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("__bn")).as("max_bucket"))
+        coalesce(sum(when(col("__bn") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("capped_buckets"),
+        coalesce(max(col("__bn")), lit(0L)).as("max_bucket"))
     val stat = banded.hint("shuffle_hash")
       .join(stats.hint("shuffle_hash"), keys)
     val small = stat.filter(col("__bn") <= cap)

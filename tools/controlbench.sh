@@ -14,11 +14,15 @@ set -euo pipefail
 commit="${1:?usage: tools/controlbench.sh <commit> [sfDir]}"
 sfdir="${2:-/root/testdata/sf0.1}"
 repo="$(cd "$(dirname "$0")/.." && pwd)"
-wt="/tmp/graft_control_${commit}"
-out="/tmp/graft_control_bench_${commit}.json"
+# key the worktree on the RESOLVED sha, not the raw argument: a moving
+# ref ("main", HEAD~1) would silently reuse a stale checkout from a
+# prior invocation and bench the wrong baseline
+sha="$(git -C "$repo" rev-parse --verify "${commit}^{commit}")"
+wt="/tmp/graft_control_${sha:0:12}"
+out="/tmp/graft_control_bench_${sha:0:12}.json"
 
 if [ ! -d "$wt" ]; then
-  git -C "$repo" worktree add "$wt" "$commit"
+  git -C "$repo" worktree add "$wt" "$sha"
 fi
 # The ratio table is only meaningful when HEAD's BENCH_DETAIL.json was
 # benched on THIS VM this session — a stale committed artifact silently
@@ -42,15 +46,20 @@ def walls(d):
     return {k: (v["wall"] if isinstance(v, dict) else v)
             for k, v in d["queries"].items()}
 
-import os
-# staleness guard (r12 advice): head artifact older than the control
-# run means it was NOT benched on this VM this session
+import os, time
+# staleness guard (r12 advice): the head artifact must have been
+# benched on THIS VM. "older than the control run" is always true
+# (this script just created the control output), so compare against
+# the VM's boot time instead — an artifact predating boot was
+# necessarily written on another machine.
 try:
-    age_gap = os.path.getmtime(sys.argv[2]) - os.path.getmtime(sys.argv[1])
-    if age_gap > 0:
-        print(f"WARNING: {sys.argv[1]} is {age_gap/60:.0f} min older than the "
-              "control run - if it was benched on another VM the ratios below "
-              "compare machines, not code", file=sys.stderr)
+    boot = time.time() - float(open("/proc/uptime").read().split()[0])
+    age = boot - os.path.getmtime(sys.argv[1])
+    if age > 0:
+        print(f"WARNING: {sys.argv[1]} predates this VM's boot by "
+              f"{age/60:.0f} min - it was benched on another machine, so the "
+              "ratios below compare machines, not code. Re-bench HEAD here "
+              "first.", file=sys.stderr)
 except OSError:
     pass
 hw, cw = walls(head), walls(ctrl)
