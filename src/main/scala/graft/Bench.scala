@@ -70,6 +70,24 @@ object Bench {
     "x103_streaming_curation" ->
       "multi-stage streaming curation run-to-completion: wall = per-batch commit latency")
 
+  /** Checkpointed / unrolled ITERATIVE-ROUNDS rows (r13): their plans
+    * are many tiny sequential jobs — pointer-jumping CC rounds,
+    * unrolled per-channel chains, per-subspace training collects — so
+    * wall ≫ cpu is structural at bench SF, and these names have
+    * occupied the wall_gg_cpu contention map every round since r10
+    * (x28/x177/x59 in the r10–r13 artifacts), crowding out
+    * actually-anomalous rows. Each is data-parallel INSIDE a round at
+    * scale; the round count, not the VM, sets the bench wall. Flagged
+    * ones report by name under `rounds_intrinsic`; archive rows carry
+    * `intrinsic_rounds`. */
+  val IntrinsicRounds: Map[String, String] = Map(
+    "x28_dup_clusters" ->
+      "pointer-jumping CC: O(log diameter) checkpointed rounds of tiny jobs",
+    "x177_markov_attribution" ->
+      "unrolled per-channel removal-effect chain: one small job per round per channel",
+    "x59_pq_encode" ->
+      "per-subspace codebook training: rounds x subspaces of tiny driver-paced jobs")
+
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —
     * r11's +42% was pure bench-VM contention and cost six judge-side
@@ -354,6 +372,7 @@ object Bench {
         ",\"low_par\":" + isLowParallel(s.wall, s.cpu) +
         ",\"intrinsic_low_par\":" + IntrinsicLowPar.contains(s.name) +
         ",\"intrinsic_stream\":" + IntrinsicStream.contains(s.name) +
+        ",\"intrinsic_rounds\":" + IntrinsicRounds.contains(s.name) +
         calibAtRow.get(s.name).map(c => ",\"calib_at\":" + r3(c)).getOrElse("") +
         "}"
     }.mkString("{", ",", "}")
@@ -394,15 +413,21 @@ object Bench {
     // either flag fires structurally on a contended VM; flagged ones
     // report by name under stream_intrinsic
     val streamRow = (s: QStat) => IntrinsicStream.contains(s.name)
+    // iterative-rounds rows (r13): wall >> cpu is structural for
+    // many-tiny-sequential-jobs plans — x28/x177/x59 occupied the
+    // contention map in every r10-r13 artifact; same treatment
+    val roundsRow = (s: QStat) => IntrinsicRounds.contains(s.name)
     val contJson = flagJson(
-      results.filter(s => isContention(s.wall, s.cpu) && !streamRow(s)), 6)
+      results.filter(s =>
+        isContention(s.wall, s.cpu) && !streamRow(s) && !roundsRow(s)), 6)
     // low_par carries only rows NOT on the [[IntrinsicLowPar]]
     // allowlist: the four intrinsic sorted-fold rows fire every round
     // and would crowd an actually-anomalous row out of the cap-4 map;
     // they report by name under low_par_intrinsic instead (their
     // walls are in the queries map and the archive rows)
     val (lpIntr, lpAnom) = results
-      .filter(s => isLowParallel(s.wall, s.cpu) && !streamRow(s))
+      .filter(s => isLowParallel(s.wall, s.cpu) && !streamRow(s) &&
+        !roundsRow(s))
       .partition(s => IntrinsicLowPar.contains(s.name))
     val lowParJson = flagJson(lpAnom, 4)
     val lpIntrJson = lpIntr.sortBy(-_.wall)
@@ -412,13 +437,18 @@ object Bench {
         (isContention(s.wall, s.cpu) || isLowParallel(s.wall, s.cpu)))
       .sortBy(-_.wall)
       .map(s => "\"" + keyOf(s.name) + "\"").mkString("[", ",", "]")
+    val roundsIntrJson = results
+      .filter(s => roundsRow(s) &&
+        (isContention(s.wall, s.cpu) || isLowParallel(s.wall, s.cpu)))
+      .sortBy(-_.wall)
+      .map(s => "\"" + keyOf(s.name) + "\"").mkString("[", ",", "]")
     def mkLine(dp: Int, withFlags: Boolean): String = {
       val qs = keys.zip(results.map(_.wall)).map { case (k, v) =>
         s"\"" + k + "\":" + rd(v, dp)
       }.mkString("{", ",", "}")
       val flagPart =
         if (withFlags)
-          s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson"""
+          s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"rounds_intrinsic":$roundsIntrJson"""
         else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
     }
@@ -427,7 +457,7 @@ object Bench {
     // that still fit (the rows a reader adjudicates first), the rest
     // counted in "queries_dropped" and fully archived
     def mkCapped: String = {
-      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
+      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"rounds_intrinsic":$roundsIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
       def suffix(dropped: Int) =
         s"""},"queries_dropped":$dropped,"sf":"$sfDir"}"""
       val entries = keys.zip(results.map(_.wall)).sortBy(-_._2)

@@ -137,6 +137,9 @@ class BenchSpec extends AnyFunSuite {
     val staleStream = Bench.IntrinsicStream.keySet.diff(live)
     assert(staleStream.isEmpty,
       s"IntrinsicStream keys not in SparkEntry.queries: $staleStream")
+    val staleRounds = Bench.IntrinsicRounds.keySet.diff(live)
+    assert(staleRounds.isEmpty,
+      s"IntrinsicRounds keys not in SparkEntry.queries: $staleRounds")
     // and the marker covers every registered streaming carrier — a new
     // stream query without the marker would re-pollute the anomaly map
     val unmarked = live.filter(_.contains("_streaming_"))
@@ -174,6 +177,34 @@ class BenchSpec extends AnyFunSuite {
       .get("intrinsic_stream").asBoolean)
     assert(!arch.get("queries").get("x58_encoding_checks")
       .get("intrinsic_stream").asBoolean)
+  }
+
+  test("iterative-rounds rows are excluded from both stdout anomaly maps and report under rounds_intrinsic") {
+    // the x28 shape that occupied wall_gg_cpu in every r10-r13
+    // artifact: 72 stages of tiny checkpointed pointer-jump jobs —
+    // wall 3.7 s, cpu 1.6 s is the round-count latency, not the VM
+    val x28 = Bench.QStat("x28_dup_clusters", 3.7, 1.6, 0.3, 72)
+    assert(Bench.isContention(x28.wall, x28.cpu), "fixture: flag would fire")
+    val x59 = Bench.QStat("x59_pq_encode", 3.0, 4.0, 0.2, 40)
+    assert(Bench.isLowParallel(x59.wall, x59.cpu), "fixture: flag would fire")
+    val realContention = Bench.QStat("x58_encoding_checks", 3.4, 1.6, 0.0, 2)
+    val line = Bench.composeStdoutLine(Seq(x28, x59, realContention), "sf")
+    val tree = mapper.readTree(line)
+    assert(!tree.get("wall_gg_cpu").has("x28"),
+      s"rounds row must not occupy the contention map: $line")
+    assert(!tree.get("low_par").has("x59"),
+      s"rounds row must not occupy the low_par map: $line")
+    assert(tree.get("wall_gg_cpu").has("x58"),
+      s"a real contention row still reports: $line")
+    val ri = (0 until tree.get("rounds_intrinsic").size)
+      .map(tree.get("rounds_intrinsic").get(_).asText).toSet
+    assert(ri == Set("x28", "x59"), s"flagged rounds rows report by name: $line")
+    val arch = mapper.readTree(
+      Bench.composeArchiveLine(Seq(x28, realContention), "sf"))
+    assert(arch.get("queries").get("x28_dup_clusters")
+      .get("intrinsic_rounds").asBoolean)
+    assert(!arch.get("queries").get("x58_encoding_checks")
+      .get("intrinsic_rounds").asBoolean)
   }
 
   test("per-query calibration interpolation corrects in-run drift the mean misattributes") {
