@@ -627,12 +627,18 @@ object Dedup {
     * window + k − 1 chars between a train doc and an eval doc
     * surfaces at least one common fingerprint.
     *
-    * Shuffle profile at 100 TB: the train side explodes to a few
-    * dozen (fingerprint, id) rows per doc — map-only; the EVAL side
-    * is bounded by nature (benchmarks are ~10⁴–10⁶ docs), so its
-    * fingerprint set BROADCASTS and the train corpus never shuffles
-    * at all: one scan, one broadcast-hash join, one aggregate keyed
-    * by the near-unique (train_id, eval_id) pair. Fingerprints
+    * Shuffle profile at 100 TB: the train TEXT never shuffles — the
+    * slim (id, fp-array) frame (a few dozen 8-byte fingerprints per
+    * doc, ~2% of the text it replaces) crosses exactly ONE exchange,
+    * which earns its cost twice (r13 plan read): it materializes the
+    * arrays so the explode can't re-evaluate the winnowing per
+    * output row (the x135 Generate trap), and its train_id hash
+    * partitioning already satisfies the final (train_id, eval_id)
+    * aggregate's clustering, so the pair count finalizes with no
+    * second exchange. The EVAL side is bounded by nature (benchmarks
+    * are ~10⁴–10⁶ docs), so its fingerprint set BROADCASTS: one
+    * scan, one slim exchange, one broadcast-hash join, one
+    * exchange-free aggregate. Fingerprints
     * shared by more than `maxEvalDocFreq` eval docs are dropped
     * first (stop-fingerprint removal, computed on the cheap bounded
     * side) — ubiquitous boilerplate carries no contamination signal
