@@ -92,6 +92,28 @@ object Dedup {
     * to linear star pairing (see [[cappedBucketPairs]]). */
   val DefaultMaxBucket = 1000
 
+  /** LSH signature width for a corpus size — the r13 ×10 rehearsal's
+    * sizing rule as code (see [[embeddingNearDuplicates]]): bucket
+    * space per band is FIXED at 2^(numBits/bands), so in-bucket work
+    * Σ C(bucket, 2) goes quadratic when the corpus outgrows it.
+    * bitsPerBand ≈ log2(corpus / targetBucket) keeps the EXPECTED
+    * bucket at `targetBucket` members as the corpus grows (measured
+    * ×10: 6-bit chunks 1212 s CPU / 12.4 GB shuffle, 8-bit chunks
+    * 76 s / 3.9 GB); [[DefaultMaxBucket]] stays the backstop for
+    * skew the expectation can't see. Returns `bands × bitsPerBand`
+    * clamped to [bands, 64] (one Long signature), bitsPerBand capped
+    * at 16 (65k buckets/band saturates any realistic band count
+    * before the Long does). */
+  def lshBitsFor(corpus: Long, bands: Int, targetBucket: Int = 100): Int = {
+    require(corpus > 0, s"corpus must be positive, got $corpus")
+    require(bands >= 1 && bands <= 64, s"bands must be in [1,64], got $bands")
+    require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
+    val perBand = math.ceil(
+      math.log(corpus.toDouble / targetBucket) / math.log(2.0)).toInt
+    val clamped = math.min(16, math.max(1, perBand))
+    math.min(64, bands * math.min(clamped, 64 / bands))
+  }
+
   /** Per-call suffix for [[cappedBucketPairs]]' CollectMetrics
     * observation names (an observation name may appear only once per
     * query plan). */
@@ -1829,7 +1851,8 @@ object Dedup {
     * pairs at a ×10 corpus vs 276k at ×1 with 6-bit chunks: 1212 s
     * CPU / 12.4 GB shuffle). Size bitsPerBand ≈ log2(corpus /
     * targetBucket), GROWING with the corpus (8-bit chunks at ×10:
-    * 76 s / 3.9 GB, at a stricter-band recall cost), and keep
+    * 76 s / 3.9 GB, at a stricter-band recall cost) — [[lshBitsFor]]
+    * computes `numBits` from a corpus estimate — and keep
     * `maxBucket` as the backstop for skew the sizing can't predict
     * (cap 100 at ×10: 16 s / 40 MB via O(n) star pairs — the
     * reachability-preserving recall trade in [[cappedBucketPairs]]).

@@ -182,6 +182,25 @@ class OpsSpec extends AnyFunSuite {
       ("src_b", "src_c", 1L)), s"got ${got.toSeq}")
   }
 
+  test("lshBitsFor: the measured sizing rule as code") {
+    // the r13 rehearsal's demonstrated defense configuration: 20k
+    // vectors at 8 bands / target 100 sizes to 8-bit chunks = 64 bits
+    // (the x34.4 probe phase: 1212 -> 76 s CPU vs fixed 6-bit chunks)
+    assert(Dedup.lshBitsFor(20000L, bands = 8) == 64)
+    assert(Dedup.lshBitsFor(2000L, bands = 8) == 40)
+    // grows with the corpus, never past one Long, never below bands
+    val widths = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      .map(n => Dedup.lshBitsFor(n, bands = 8))
+    assert(widths == widths.sorted, s"non-monotone: $widths")
+    assert(widths.forall(w => w >= 8 && w <= 64), s"out of range: $widths")
+    // a tiny corpus still yields a valid banding
+    assert(Dedup.lshBitsFor(10L, bands = 4) == 4)
+    // contract violations are loud
+    intercept[IllegalArgumentException](Dedup.lshBitsFor(0L, 8))
+    intercept[IllegalArgumentException](Dedup.lshBitsFor(100L, 0))
+    intercept[IllegalArgumentException](Dedup.lshBitsFor(100L, 8, targetBucket = 1))
+  }
+
   test("band-bucket cap: planted mega-bucket goes linear, reachability kept, normal pairs unchanged") {
     // 30 identical docs — ONE degenerate bucket in every band (the
     // boilerplate regime) — alongside the normal near-dup fixtures
