@@ -149,7 +149,13 @@ object ScaleBench {
         s""""capped_buckets":${r.obs.capped},"max_bucket":${r.obs.maxBucket},""" +
         s""""failed":${r.failed}}"""
     val lines = runs.map(j) :+
-      s"""{"calib_wall":[${f3(calibPre)},${f3(calibPost)}],"dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      // obs_note (r13 advice): CollectMetrics fire on the query whose
+      // action FIRST executes the observed aggregate; once a pair
+      // table is memoized/persisted, later families reading the
+      // InMemoryTableScan re-fire nothing, so within a dir the
+      // per-family capped/buckets counters under-report for
+      // memo-sharing families (x34/x99 read x22-shaped memos)
+      s"""{"calib_wall":[${f3(calibPre)},${f3(calibPost)}],"dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"obs_note":"capped/buckets attribute to the first family that executes the observed aggregate; memo-sharing families (x34/x99) under-report within a dir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "/tmp/graft_scale_rehearsal.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

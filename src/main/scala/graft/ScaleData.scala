@@ -87,10 +87,24 @@ object ScaleData {
   }
 
   /** Disjoint id spaces per replica: source ids stay < 1e6 at any SF
-    * this rehearsal touches, so `id + r·1e6` never collides. */
+    * this rehearsal touches, so `id + r·1e6` never collides —
+    * CHECKED per scaled table by [[requireDisjointIds]] (r13 advice:
+    * a larger source corpus would otherwise silently alias replica
+    * id spaces and corrupt the duplicate-family structure the
+    * rehearsal measures). */
   private val IdStride = 1000000L
 
+  /** One cheap max() per scaled table: fail loudly instead of letting
+    * replica r's ids alias replica r+1's. */
+  private def requireDisjointIds(src: DataFrame, idCol: String): Unit = {
+    val mx = src.agg(coalesce(max(col(idCol)), lit(0L))).collect()(0).getLong(0)
+    require(mx < IdStride,
+      s"$idCol max $mx >= replica stride $IdStride — scaled replicas would " +
+        "collide; raise IdStride for this corpus before rehearsing")
+  }
+
   private[graft] def scaleDocuments(src: DataFrame, factor: Int): DataFrame = {
+    requireDisjointIds(src, "doc_id")
     val replicated = src
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("__h", xxhash64(col("doc_id"), col("__r")))
@@ -128,6 +142,7 @@ object ScaleData {
   }
 
   private[graft] def scaleEmbeddings(src: DataFrame, factor: Int): DataFrame = {
+    requireDisjointIds(src, "vec_id")
     val replicated = src
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("__h", xxhash64(col("vec_id"), col("__r")))
@@ -149,6 +164,9 @@ object ScaleData {
   }
 
   private[graft] def scaleEvents(src: DataFrame, factor: Int): DataFrame = {
+    // both strided id spaces must be collision-free, not just event_id
+    requireDisjointIds(src, "event_id")
+    requireDisjointIds(src, "user_id")
     val replicated = src
       .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("__h", xxhash64(col("event_id"), col("__r")))

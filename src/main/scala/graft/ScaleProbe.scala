@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.ScaleProbe [dir ...]"
   * (defaults to the three rehearsal dirs). One JSON line per
   * (dir, phase) on stdout; human table on stderr.
+  * `SPARK_GRAFT_PROBE_FAMILIES=x34[,x42,x161]` restricts the phase
+  * groups — the ×30 rehearsal point (r13 verdict #4) probes only the
+  * quadratic-adjacent x34 path, where a full-family ×30 pass would
+  * burn an hour of CPU on families already measured linear at ×10.
+  * `SPARK_GRAFT_PROBE_OUT` overrides the JSON archive path (default
+  * /tmp/graft_scale_probe.json).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -31,6 +37,9 @@ object ScaleProbe {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x3",
         "/tmp/graft_scale/x10")
+    val fams: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(f: String): Boolean = fams.forall(_.contains(f))
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
     // stage metrics: the shared Bench harness; draining per phase is
@@ -59,6 +68,7 @@ object ScaleProbe {
 
       // -------- x42 decomposition (marginal: each phase reuses the
       // previous phase's memo/persist, so its numbers are its OWN work)
+      if (want("x42")) {
       phase(dir, "x42.1_signatures") {
         graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text").count()
       }
@@ -74,8 +84,10 @@ object ScaleProbe {
           verified.select("id_a", "id_b")).count()
       }
       verified.unpersist()
+      }
 
       // -------- x34 decomposition
+      if (want("x34")) {
       phase(dir, "x34.0_bucket_pairbound") {
         // Σ C(b,2) over (band, chunk) buckets — the pre-cap pair bound
         val sig = graft.ops.Parallelism.ensure(emb)
@@ -117,15 +129,30 @@ object ScaleProbe {
           emb, "vec_id", "embedding", threshold = 0.3, numBits = 64,
           bands = 8).count()
       }
+      // Defense 3 (r14) — the PRODUCTION DEFAULT, end-to-end: AutoBits
+      // resolves numBits via lshBitsFor from one corpus count, bands=4
+      // leaves 16 bits/band of Long headroom, so bucket space keeps
+      // growing to ~6.5M-vector corpora before the signature saturates
+      // (8 bands saturate at 256 buckets/band ≈ a 25.6k corpus — the
+      // ×30 embeddings already sit past it; beyond saturation the
+      // maxBucket cap is what bounds the in-bucket work).
+      phase(dir, "x34.5_auto_pairs") {
+        graft.ops.Dedup.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", threshold = 0.3).count()
+      }
+      }
 
       // -------- x161 output size
+      if (want("x161")) {
       phase(dir, "x161_output_pairs") {
         graft.ops.Dedup.prefixFilterJaccardPairs(
           docs, "doc_id", "text", thresholdTenths = 7).count()
       }
+      }
     }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_scale_probe.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+        "/tmp/graft_scale_probe.json")),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -104,6 +104,14 @@ object Dedup {
     * clamped to [bands, 64] (one Long signature), bitsPerBand capped
     * at 16 (65k buckets/band saturates any realistic band count
     * before the Long does). */
+  /** Sentinel for `numBits` parameters: size the signature from the
+    * corpus via [[lshBitsFor]] (one cheap count) instead of a
+    * caller-fixed width — the r13 verdict's ask that production
+    * callers get the measured quadratic defense BY DEFAULT. Pass an
+    * explicit positive `numBits` to override (the bench carriers do,
+    * so their outputs stay bit-identical across corpus sizes). */
+  val AutoBits = 0
+
   def lshBitsFor(corpus: Long, bands: Int, targetBucket: Int = 100): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64], got $bands")
@@ -1064,9 +1072,13 @@ object Dedup {
     * minimum stays minimal in any sub-cluster containing it); the
     * only error mode is keeping an occasional extra near-dup whose
     * every linking pair the sketch missed (recall-bounded,
-    * spec-asserted). */
+    * spec-asserted).
+    *
+    * `numBits` defaults to [[AutoBits]]: the signature width grows
+    * with the corpus via [[lshBitsFor]] (the r13 ×10-measured
+    * quadratic defense); pass it explicitly to pin a width. */
   def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 48, bands: Int = 8,
+      threshold: Double = 0.95, numBits: Int = AutoBits, bands: Int = 8,
       maxIters: Int = 20): DataFrame =
     survivorsFromPairs(df, idCol,
       embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands), maxIters)
@@ -1851,27 +1863,54 @@ object Dedup {
     * pairs at a ×10 corpus vs 276k at ×1 with 6-bit chunks: 1212 s
     * CPU / 12.4 GB shuffle). Size bitsPerBand ≈ log2(corpus /
     * targetBucket), GROWING with the corpus (8-bit chunks at ×10:
-    * 76 s / 3.9 GB, at a stricter-band recall cost) — [[lshBitsFor]]
-    * computes `numBits` from a corpus estimate — and keep
+    * 76 s / 3.9 GB, at a stricter-band recall cost) — and keep
     * `maxBucket` as the backstop for skew the sizing can't predict
     * (cap 100 at ×10: 16 s / 40 MB via O(n) star pairs — the
     * reachability-preserving recall trade in [[cappedBucketPairs]]).
-    */
+    *
+    * The sizing rule is the DEFAULT here (r14): `numBits =`
+    * [[AutoBits]] resolves via [[lshBitsFor]] from one corpus count,
+    * so a caller who never read this paragraph still gets a bucket
+    * space that grows with their corpus. An explicit `numBits` pins
+    * the width (the bench carriers do, keeping their outputs
+    * bit-identical across rounds). */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numBits: Int = 16, bands: Int = 4,
+      threshold: Double = 0.95, numBits: Int = AutoBits, bands: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // resolve BEFORE the memo lookup so an [[AutoBits]] call and the
+    // equivalent explicit call share one pair table
+    val bits = resolvedNumBits(df, numBits, bands)
     val key = (graft.SessionKeys.of(df.sparkSession),
       graft.PlanKeys.of(df),
-      s"$idCol/$vecCol", threshold, numBits, bands, maxBucket)
+      s"$idCol/$vecCol", threshold, bits, bands, maxBucket)
     // build OUTSIDE the memo lock (the ivfIndex pattern)
     embPairMemo.get(key).getOrElse {
       val built = embeddingNearDuplicatesUncached(
-        df, idCol, vecCol, threshold, numBits, bands, maxBucket)
+        df, idCol, vecCol, threshold, bits, bands, maxBucket)
       val winner = embPairMemo.putIfAbsent(key, built)
       if (!(winner eq built)) built.unpersist(blocking = false)
       winner
     }
   }
+
+  /** `numBits` resolution for the hyperplane-LSH entry points: an
+    * explicit positive width passes through untouched; [[AutoBits]]
+    * sizes via [[lshBitsFor]] from ONE corpus count — at the r13
+    * rehearsal's ×10 corpus (20k vectors, 8 bands) that picks the
+    * measured 8-bit-chunk defense (76 s vs 1212 s CPU) without the
+    * caller knowing the sizing rule exists. The count is an
+    * id-projection aggregate (metadata-fast on a parquet scan) and
+    * runs once per call — the memo then absorbs repeats. */
+  private[ops] def resolvedNumBits(df: DataFrame, numBits: Int,
+      bands: Int): Int =
+    if (numBits > 0) numBits
+    else {
+      val corpus = math.max(1L, df.count())
+      val sized = lshBitsFor(corpus, bands)
+      System.err.println(s"[dedup] lshBitsFor auto-sizing: corpus=$corpus " +
+        s"bands=$bands -> numBits=$sized (${sized / bands}-bit chunks)")
+      sized
+    }
 
   private def embeddingNearDuplicatesUncached(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBits: Int, bands: Int,

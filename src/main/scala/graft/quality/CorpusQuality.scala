@@ -86,11 +86,15 @@ object CorpusQuality {
     * a silent cross-engine hash mismatch deep in the compare instead
     * of a named failure at the pipeline mouth. */
   def requireAsciiParity(docs: DataFrame, textCol: String): Unit = {
+    // NULL text counts as a violation (r13 advice): rlike(NULL) is
+    // NULL, and when(NULL).otherwise(0) would wave a NULL-text doc
+    // through the gate straight into the anchor family's rolling hash
     val bad = docs.agg(coalesce(sum(
-        when(col(textCol).rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L)),
+        when(col(textCol).isNull
+          || col(textCol).rlike("[^\\x00-\\x7F]"), 1L).otherwise(0L)),
       lit(0L)).as("non_ascii_docs")).collect()(0).getLong(0)
     require(bad == 0L,
-      s"text_ascii_only gate failed: $bad non-ASCII document(s) — the " +
+      s"text_ascii_only gate failed: $bad non-ASCII or NULL-text document(s) — the " +
         "anchor/CDC rolling-hash family's cross-engine ascii() replay " +
         "only agrees on ASCII text (x46); filter or transliterate " +
         "before anchor dedup")

@@ -179,6 +179,41 @@ class BenchSpec extends AnyFunSuite {
       .get("intrinsic_stream").asBoolean)
   }
 
+  test("warm_wall rides the archive rows it was measured for (r13 verdict #6)") {
+    // the bench times every stream-intrinsic query a SECOND time
+    // after the suite (memoized-warm) and the archive row carries it:
+    // the cold-wall-is-trigger-latency adjudication lives in the
+    // artifact instead of PERF.md prose
+    val x16 = Bench.QStat("x16_streaming_hourly", 4.1, 0.5, 0.2, 6)
+    val q1 = Bench.QStat("q1_agg", 1.0, 2.0, 0.1, 3)
+    val arch = mapper.readTree(Bench.composeArchiveLine(Seq(x16, q1), "sf",
+      warmWalls = Map("x16_streaming_hourly" -> 0.131)))
+    assert(arch.get("queries").get("x16_streaming_hourly")
+      .get("warm_wall").asDouble == 0.131,
+      "stream-intrinsic row carries its measured warm wall")
+    assert(!arch.get("queries").get("q1_agg").has("warm_wall"),
+      "rows without a warm measurement must not fabricate one")
+  }
+
+  test("third calib row emits as postclear scalars, never into the interpolation pair") {
+    // the cleared-session re-calibration is the contention
+    // discriminator (structural post-suite cache pressure inflates
+    // calib_cpu post on quiet VMs); it must not distort calib_at,
+    // which interpolates machine speed across the RUN
+    val q = Bench.QStat("q1_agg", 2.0, 3.0, 0.1, 3)
+    val calib3 = Seq(Bench.QStat("calib_pre", 0.5, 2.0, 0.0, 2),
+      Bench.QStat("calib_post", 0.6, 9.0, 0.0, 2),
+      Bench.QStat("calib_post_clear", 0.52, 2.3, 0.0, 2))
+    val arch = mapper.readTree(Bench.composeArchiveLine(Seq(q), "sf", calib3))
+    assert(arch.get("calib_wall").size == 2, "pair array stays a pair")
+    assert(arch.get("calib_cpu").size == 2)
+    assert(arch.get("calib_wall_postclear").asDouble == 0.52)
+    assert(arch.get("calib_cpu_postclear").asDouble == 2.3)
+    // calib_at of the single query = midpoint of (pre, post) walls
+    assert(math.abs(arch.get("queries").get("q1_agg").get("calib_at")
+      .asDouble - 0.55) < 1e-9)
+  }
+
   test("iterative-rounds rows are excluded from both stdout anomaly maps and report under rounds_intrinsic") {
     // the x28 shape that occupied wall_gg_cpu in every r10-r13
     // artifact: 72 stages of tiny checkpointed pointer-jump jobs —

@@ -142,6 +142,12 @@ class PlanSpec extends AnyFunSuite {
     // self-join whose identical sides collapse into one ReusedExchange
     assert(pairPlan.contains("ShuffledHashJoin"), pairPlan.take(2000))
     assert(pairPlan.contains("ReusedExchange"), pairPlan.take(2000))
+    // the r13 cap-observability CollectMetrics rides the bucket-stats
+    // aggregate INSIDE this candidate stage — the r13 verdict's open
+    // question was whether the self-join's ReusedExchange still forms
+    // with the observe node present; this executed plan carries both,
+    // so the answer is pinned here instead of re-adjudicated per round
+    assert(pairPlan.contains("CollectMetrics"), pairPlan.take(2000))
     // end-to-end: survivors are one LeftAnti against the (tiny)
     // cluster drop list — the CC rounds are checkpoint-truncated, so
     // the final plan stays constant-size

@@ -29,6 +29,25 @@ class ScaleDataSpec extends AnyFunSuite {
       "replica ids must be disjoint (id + r*stride)")
   }
 
+  test("id-stride guard: source ids at/above the replica stride fail loudly") {
+    // r13 advice: a larger source corpus would silently alias replica
+    // doc_id spaces (doc_id + r*stride collides with a later source
+    // id) and corrupt the duplicate-family structure under test — the
+    // generator now checks max(id) < stride per scaled table
+    import spark.implicits._
+    val colliding = Seq((Stride, "over the stride"), (1L, "fine"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val e = intercept[IllegalArgumentException] {
+      ScaleData.scaleDocuments(colliding, 2)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    val collidingVec = Seq((Stride, Array(1.0f)), (1L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      ScaleData.scaleEmbeddings(collidingVec, 2)
+    }.getMessage.contains("collide"))
+  }
+
   test("scaleDocuments: replica 0 verbatim; replica rows follow the exact/near/novel mix") {
     val rows = ScaleData.scaleDocuments(src, 4)
       .select(col("doc_id"), col("text"), col("n_chars")).collect()

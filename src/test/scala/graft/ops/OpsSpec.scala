@@ -1126,6 +1126,29 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("AutoBits sizes the LSH width from the corpus — the measured defense by default") {
+    // at the r13 ×10 rehearsal corpus (20k vectors, 8 bands) the
+    // sizing rule picks the 8-bit-chunk defense that measured 76 s
+    // CPU vs the fixed 6-bit path's 1212 s — production callers now
+    // get it without hand-wiring lshBitsFor (the r13 verdict nit)
+    assert(Dedup.lshBitsFor(20000L, 8) == 64,
+      "rehearsal corpus must auto-size to 8-bit chunks")
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    // explicit widths pass through resolution untouched
+    assert(Dedup.resolvedNumBits(emb, 48, 8) == 48)
+    val sized = Dedup.lshBitsFor(emb.count(), 8)
+    assert(Dedup.resolvedNumBits(emb, Dedup.AutoBits, 8) == sized)
+    // the auto path returns exactly the equivalent explicit call's
+    // pairs (and shares its memo entry — resolution precedes lookup)
+    val auto = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = Dedup.AutoBits, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = sized, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == explicit, "auto-sized pairs must equal explicit-width pairs")
+  }
+
   test("top tokens: frequency-ranked vocabulary with tie-break") {
     val t = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val top = TextAnalysis.topTokens(t, "text", k = 2)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Quiet-run gate for the canonical bench artifact (r13 verdict #2).
+
+BENCH_DETAIL.json is only trustworthy for cross-round adjudication when
+the VM was quiet for the WHOLE run. Gate design is data-driven (r14
+measured three same-code quiet runs plus the r13 contaminated one):
+
+- GATE 1: median calib_wall pre-vs-post drift < 20%. Bench measures
+  each calibration row as the MEDIAN OF 5 reps - single ~0.5 s shots
+  carried +/-40% noise (a quiet fastest-ever run read 76% "drift" on
+  one-shots while r13's contaminated run read 8%), so only the
+  median form of this gate means anything.
+- GATE 2: no non-intrinsic query holds >= 25% of the suite's CPU.
+  This is the signature that actually identified r13's contamination:
+  x43 absorbed 41% of suite CPU (490 s vs its 13 s quiet band) while
+  both calib-wall rows looked calm. Quiet runs top out ~7% (x161).
+- NOT gated: calib_cpu pre-vs-post. Post-suite calib_cpu sits ~9-13 s
+  on quiet and contended VMs alike (r12 quiet [5.18, 9.71], r13
+  contended [3.15, 9.89], r14 quiet [1.83, 8.39]) - it is the JVM's
+  post-suite state, not the machine. The calib_cpu_postclear row
+  quantifies how much of that the cached frames explain; reported
+  for the record only.
+
+Usage: python3 tools/benchgate.py [BENCH_DETAIL.json]
+Exit 0 = quiet (commit it); exit 1 = contended (re-bench first).
+"""
+import json
+import sys
+
+path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+d = json.load(open(path))
+
+cw = d.get("calib_wall")
+cc = d.get("calib_cpu")
+if not cw or len(cw) != 2 or cw[0] <= 0:
+    sys.exit(f"{path}: no usable calib_wall rows - re-bench with current graft.Bench")
+wall_drift = abs(cw[1] - cw[0]) / cw[0]
+print(
+    f"{path}: calib_wall {cw} drift={wall_drift:.1%}; calib_cpu {cc}; "
+    f"postclear wall={d.get('calib_wall_postclear')} "
+    f"cpu={d.get('calib_cpu_postclear')}; "
+    f"total={d.get('value'):.1f}s cpu_s={d.get('cpu_s')}"
+)
+failures = []
+if wall_drift >= 0.20:
+    failures.append(
+        f"median calib_wall drifted {wall_drift:.1%} (gate <20%): the "
+        "machine-speed scale moved mid-run"
+    )
+
+qs = d.get("queries", {})
+cpu_total = d.get("cpu_s") or sum(v.get("cpu", 0.0) for v in qs.values())
+if cpu_total > 0 and qs:
+    def intrinsic(v):
+        return v.get("intrinsic_low_par") or v.get("intrinsic_stream") \
+            or v.get("intrinsic_rounds")
+    shares = {k: v.get("cpu", 0.0) / cpu_total
+              for k, v in qs.items() if not intrinsic(v)}
+    top, share = max(shares.items(), key=lambda kv: kv[1])
+    print(f"top non-intrinsic CPU share: {top} at {share:.1%} of {cpu_total:.0f}s")
+    if share >= 0.25:
+        failures.append(
+            f"{top} holds {share:.1%} of suite CPU (gate <25%) - the r13 "
+            "contamination signature (x43 hit 41% on the contended VM)"
+        )
+
+if failures:
+    sys.exit("CONTENDED: " + "; ".join(failures) + ". Re-bench in a quiet "
+             "window before committing this artifact as canonical.")
+print("QUIET: calibration + CPU-share gates pass - OK to commit as canonical")

@@ -25,14 +25,11 @@ if [ ! -d "$wt" ]; then
   git -C "$repo" worktree add "$wt" "$sha"
 fi
 # The ratio table is only meaningful when HEAD's BENCH_DETAIL.json was
-# benched on THIS VM this session — a stale committed artifact silently
-# reintroduces the cross-VM confound this script exists to remove.
-if git -C "$repo" diff --quiet -- BENCH_DETAIL.json 2>/dev/null; then
-  echo "WARNING: BENCH_DETAIL.json is unmodified in git — it may be a" >&2
-  echo "  prior-VM artifact. Re-bench HEAD on this VM first" >&2
-  echo "  (SPARK_GRAFT_SF_DIR=$sfdir sbt 'runMain graft.Bench')" >&2
-  echo "  or the ratios compare across machines." >&2
-fi
+# benched on THIS VM this session — the Python block below warns when
+# the artifact's mtime predates this VM's boot (the reliable signal;
+# the old "unmodified in git" heuristic fired spuriously on the
+# round-close flow where a fresh same-VM bench is committed before
+# adjudication, training readers to ignore it — r13 advice).
 (cd "$wt" && SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BENCH_OUT="$out" \
   sbt -batch "runMain graft.Bench" >/dev/null)
 
