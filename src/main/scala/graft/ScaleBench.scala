@@ -30,10 +30,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleBench {
 
-  /** The scale-path families the r12 verdict names, in fixed order. */
+  /** The scale-path families the r12 verdict names, in fixed order
+    * (x22 added r14: the r13 verdict pairs it with x34 — same banded
+    * kernel, its own memo key, so its row is marginal like the rest). */
   val Families: Seq[String] = Seq(
     "x42_text_dedup_fuzzy",      // banded minhash + Jaccard verify + CC
     "x34_semantic_dedup_lsh",    // embedding LSH bands + CC + anti-join
+    "x22_embedding_near_dup",    // the pair stage alone at threshold 0.4
     "x99_cluster_split_lsh",     // LSH cluster split
     "x33_batch_topk_ivf",        // IVF ANN probe
     "x64_ivfpq_topk",            // IVF-PQ ADC probe
@@ -62,6 +65,13 @@ object ScaleBench {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x3",
         "/tmp/graft_scale/x10")
+    // family filter (mirrors ScaleProbe): a ×30 rehearsal point only
+    // needs the quadratic-adjacent families — the rest are measured
+    // linear at ×10 and would burn an hour of CPU re-proving it
+    val famFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+        .map(_.split(",").map(_.trim).toSet)
+    val active = Families.filter(f => famFilter.forall(_.contains(f)))
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -115,7 +125,7 @@ object ScaleBench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_DIR",
       "/root/testdata/sf0.01")
     System.err.println(s"[scalebench] warmup pass at $warmDir (untimed)")
-    Families.foreach { f =>
+    active.foreach { f =>
       try Bench.materialize(f, SparkEntry.queries(f)(spark, warmDir))
       catch { case t: Throwable =>
         System.err.println(s"[scalebench] warmup $f: ${t.getMessage}") }
@@ -131,7 +141,7 @@ object ScaleBench {
     val runs = dirs.flatMap { dir =>
       System.err.println(s"[scalebench] timed pass at $dir")
       clearMemoCaches()
-      Families.map { f =>
+      active.map { f =>
         val r = runOne(dir, f)
         System.err.println(f"[scalebench] ${r.family}%-28s @ $dir%-28s " +
           f"wall=${r.wall}%7.2f cpu=${r.cpu}%8.2f shuffle=${r.shuffleMb}%8.1f MB " +
