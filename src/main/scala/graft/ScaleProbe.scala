@@ -87,18 +87,31 @@ object ScaleProbe {
       }
 
       // -------- x34 decomposition
-      if (want("x34")) {
-      phase(dir, "x34.0_bucket_pairbound") {
-        // Σ C(b,2) over (band, chunk) buckets — the pre-cap pair bound
+      // Σ C(b,2) over (band, chunk) buckets — the pre-cap pair bound
+      // for a banding config. DETERMINISTIC (pure counts), unlike the
+      // phase CPU cells: r14 measured ±2-3× run-to-run CPU variance
+      // on the heavy-shuffle phases at identical outputs (x34.1 163
+      // vs 360 s CPU across two same-VM runs), so the pair bound is
+      // what cross-variant comparisons should ride.
+      def pairBound(numBits: Int, bands: Int): Long = {
+        val bpb = numBits / bands
+        val mask = (1L << bpb) - 1
         val sig = graft.ops.Parallelism.ensure(emb)
           .select(col("vec_id").as("id"),
-            graft.functions.Sketches.hyperplaneSignature(col("embedding"), 48).as("sig"))
-        val banded = sig
-          .select(col("id"), col("sig"),
-            explode(sequence(lit(0), lit(7))).as("band"))
-          .withColumn("chunk", expr(s"shiftright(sig, band * 6) & 63"))
-        banded.groupBy("band", "chunk").agg(count(lit(1)).as("n"))
+            graft.functions.Sketches.hyperplaneSignature(col("embedding"), numBits).as("sig"))
+        sig.select(col("id"), col("sig"),
+            explode(sequence(lit(0), lit(bands - 1))).as("band"))
+          .withColumn("chunk", expr(s"shiftright(sig, band * $bpb) & $mask"))
+          .groupBy("band", "chunk").agg(count(lit(1)).as("n"))
           .agg(sum(expr("n * (n - 1) DIV 2"))).collect()(0).getLong(0)
+      }
+      if (want("x34")) {
+      phase(dir, "x34.0_bucket_pairbound") { pairBound(48, 8) }
+      phase(dir, "x34.0b_sized64_pairbound") { pairBound(64, 8) }
+      phase(dir, "x34.0c_auto_pairbound") {
+        // what the AutoBits production default resolves to here
+        val n = emb.count()
+        pairBound(graft.ops.Dedup.lshBitsFor(n, 4), 4)
       }
       phase(dir, "x34.1_candidate_pairs") {
         graft.ops.Dedup.embeddingNearDuplicates(

@@ -545,7 +545,12 @@ object Similarity {
     * bucket occupancy, never |queries|×|corpus| — then exact cosine
     * ranks the candidates per query. Recall is tunable via
     * numBits/bands exactly as in [[Dedup.embeddingNearDuplicates]].
-    */
+    *
+    * SIZING: bucket space is fixed at 2^(numBits/bands) per band, so
+    * at a growing corpus pass `numBits = Dedup.lshBitsFor(corpus,
+    * bands)` (the ×10/×30-measured quadratic defense). The fixed
+    * default stays here so the x24 carrier's candidate set replays
+    * bit-identically across rounds. */
   def lshBatchTopK(queries: DataFrame, corpus: DataFrame,
       queryIdCol: String, corpusIdCol: String,
       queryVecCol: String, corpusVecCol: String, k: Int = 10,
@@ -1123,7 +1128,10 @@ object Similarity {
     * `bands = numBits` (the full-recall contract configuration)
     * makes every bucket hold ~n/2 members by construction — pass
     * `maxBucket >= n` when exactness against [[hardNegatives]] is
-    * the goal. */
+    * the goal. At a growing corpus size `numBits` with
+    * [[graft.ops.Dedup.lshBitsFor]] (bucket space is fixed at
+    * 2^(numBits/bands) per band — the ×10/×30-measured quadratic);
+    * the fixed default stays for x113 carrier replay stability. */
   def hardNegativesLsh(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String, k: Int = 5, numBits: Int = 16, bands: Int = 4,
       seed: Long = 42L,

@@ -55,7 +55,7 @@ if cpu_total > 0 and qs:
         return v.get("intrinsic_low_par") or v.get("intrinsic_stream") \
             or v.get("intrinsic_rounds")
     shares = {k: v.get("cpu", 0.0) / cpu_total
-              for k, v in qs.items() if not intrinsic(v)}
+              for k, v in qs.items() if not intrinsic(v)} or {"(none)": 0.0}
     top, share = max(shares.items(), key=lambda kv: kv[1])
     print(f"top non-intrinsic CPU share: {top} at {share:.1%} of {cpu_total:.0f}s")
     if share >= 0.25:
