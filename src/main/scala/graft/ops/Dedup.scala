@@ -1083,6 +1083,34 @@ object Dedup {
     survivorsFromPairs(df, idCol,
       embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands), maxIters)
 
+  /** Cluster count for a corpus size — the SemDeDup analog of
+    * [[lshBitsFor]]: per-cluster all-pairs work is Σ|cluster|² ≈
+    * corpus × targetCluster at k ≈ corpus/targetCluster, i.e. LINEAR
+    * in the corpus only when k grows with it; a fixed k is the same
+    * quadratic the ×10/×30 rehearsal measured on fixed LSH bucket
+    * space. Clamped to [1, [[MaxAutoK]]] — the named expiry:
+    * [[Similarity.kmeansAssign]] inlines one struct literal per
+    * centroid into the plan (`greatest` over k arms), so a flat k
+    * beyond a few hundred needs hierarchical composition (cluster,
+    * then re-cluster within), not a bigger k. Past the clamp,
+    * [[semanticDedupSurvivors]]' auto-sized LSH path is the scale
+    * form. */
+  def kForCorpus(corpus: Long, targetCluster: Int = 1000): Int = {
+    require(corpus > 0, s"corpus must be positive, got $corpus")
+    require(targetCluster >= 2, s"targetCluster must be >= 2, got $targetCluster")
+    math.min(MaxAutoK,
+      math.max(1, math.ceil(corpus.toDouble / targetCluster).toInt))
+  }
+
+  /** Flat-k expiry for [[kForCorpus]] (≈ 256k vectors at the default
+    * target): the per-centroid plan literals, not memory, are the
+    * binding constraint. */
+  val MaxAutoK = 256
+
+  /** Sentinel for `k` parameters: size via [[kForCorpus]] from one
+    * corpus count. Same contract shape as [[AutoBits]]. */
+  val AutoK = 0
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
     * partitions the embedding space FIRST, then exact-cosine pairs
     * form only WITHIN a cluster — the published alternative to
@@ -1091,7 +1119,10 @@ object Dedup {
     * the per-cluster all-pairs cost is Σ|cluster|² ≪ n², with NO
     * recall loss inside a cluster (LSH banding can miss a true pair;
     * a cluster-scoped join cannot). Cross-cluster near-dups are the
-    * paper's accepted miss mode.
+    * paper's accepted miss mode. `k` defaults to [[AutoK]] (resolved
+    * via [[kForCorpus]] from one count — "k grows with the corpus"
+    * is now the default, not a scaladoc aspiration); explicit k
+    * overrides, which the x65 carrier uses to stay replay-exact.
     *
     * Shape: replay-exact Lloyd ([[Similarity.kmeansAssign]], map-only
     * after training) → one shuffle-hash self-join keyed by cluster id
@@ -1100,10 +1131,20 @@ object Dedup {
     * The cluster key is data-dependent; a hot cluster means k is too
     * small for the corpus, not a salting problem. */
   def semanticClusterDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2, threshold: Double = 0.95,
-      maxIters: Int = 20): DataFrame =
+      k: Int = AutoK, iters: Int = 2, threshold: Double = 0.95,
+      maxIters: Int = 20): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else {
+        val corpus = math.max(1L, df.count())
+        val sized = kForCorpus(corpus)
+        System.err.println(s"[dedup] kForCorpus auto-sizing: " +
+          s"corpus=$corpus -> k=$sized")
+        sized
+      }
     survivorsFromPairs(df, idCol,
-      clusterScopedPairs(df, idCol, vecCol, k, iters, threshold), maxIters)
+      clusterScopedPairs(df, idCol, vecCol, kk, iters, threshold), maxIters)
+  }
 
   /** [[semanticClusterDedup]]'s pair stage, public for plan audits
     * and caller-composed survivor algebra: exact-cosine near-dup

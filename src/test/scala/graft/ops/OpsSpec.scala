@@ -1149,6 +1149,29 @@ class OpsSpec extends AnyFunSuite {
     assert(auto == explicit, "auto-sized pairs must equal explicit-width pairs")
   }
 
+  test("AutoK sizes SemDeDup's cluster count from the corpus (k grows or the join is quadratic)") {
+    // k ≈ corpus/target keeps Σ|cluster|² linear in the corpus; the
+    // flat-k clamp is the named expiry (per-centroid plan literals)
+    assert(Dedup.kForCorpus(2000L) == 2)
+    assert(Dedup.kForCorpus(60000L) == 60)
+    assert(Dedup.kForCorpus(1000000L) == Dedup.MaxAutoK,
+      "past the expiry the clamp holds and callers compose hierarchically")
+    assert(Dedup.kForCorpus(10L) == 1, "a tiny corpus is one all-pairs cluster")
+    intercept[IllegalArgumentException](Dedup.kForCorpus(0L))
+    intercept[IllegalArgumentException](Dedup.kForCorpus(100L, targetCluster = 1))
+    // the auto path returns exactly the equivalent explicit call's
+    // survivors (x65 pins the explicit form; this pins the default)
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val sizedK = Dedup.kForCorpus(emb.count())
+    val auto = Dedup.semanticClusterDedup(emb, "vec_id", "embedding",
+      k = Dedup.AutoK, iters = 2, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val explicit = Dedup.semanticClusterDedup(emb, "vec_id", "embedding",
+      k = sizedK, iters = 2, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == explicit, "auto-sized survivors must equal explicit-k survivors")
+  }
+
   test("top tokens: frequency-ranked vocabulary with tie-break") {
     val t = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val top = TextAnalysis.topTokens(t, "text", k = 2)
