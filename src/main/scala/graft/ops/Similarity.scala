@@ -199,22 +199,50 @@ object Similarity {
     * no join, no shuffle). The persisted assignments table is what
     * you'd write partitioned by `cluster` so probes prune partitions
     * at read time. */
+  /** IVF list count for a corpus — the standard nlist ≈ √corpus
+    * balance (a probe touches nprobe·corpus/nlist candidate rows plus
+    * nlist centroid distances; the two equalize at √n), clamped to
+    * [1, [[MaxTrainK]]] — the same named-expiry shape as
+    * [[graft.ops.Dedup.kForCorpus]]: centroids are driver-resident
+    * plan literals, so past the clamp shard the corpus and build
+    * per-shard indexes instead of growing a flat list count. */
+  def ivfListsFor(corpus: Long): Int = {
+    require(corpus > 0, s"corpus must be positive, got $corpus")
+    math.min(MaxTrainK,
+      math.max(1, math.round(math.sqrt(corpus.toDouble)).toInt))
+  }
+
+  /** Sentinel for [[ivfIndex]]'s `k`: size via [[ivfListsFor]] from
+    * one corpus count (fixed nlist makes probe cost ∝ corpus/nlist —
+    * linear with an ever-growing constant); explicit k overrides,
+    * which the x17/x33/x64 carriers use to stay replay-stable. */
+  val AutoLists = 0
+
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
-    require(k >= 1 && k <= MaxTrainK,
-      s"ivfIndex: k=$k outside [1, $MaxTrainK] — centroids are driver-resident")
-    require(trainSample >= k && trainSample <= MaxTrainSample,
+      k: Int = AutoLists, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
+    val kk =
+      if (k > 0) k
+      else {
+        val corpus = math.max(1L, df.count())
+        val sized = ivfListsFor(corpus)
+        System.err.println(s"[similarity] ivfListsFor auto-sizing: " +
+          s"corpus=$corpus -> nlist=$sized")
+        sized
+      }
+    require(kk >= 1 && kk <= MaxTrainK,
+      s"ivfIndex: k=$kk outside [1, $MaxTrainK] — centroids are driver-resident")
+    require(trainSample >= kk && trainSample <= MaxTrainSample,
       s"ivfIndex: trainSample=$trainSample outside [k, $MaxTrainSample] — " +
         "the training sample is collected to the driver")
     val key = (graft.SessionKeys.of(df.sparkSession),
       graft.PlanKeys.of(df),
-      s"$idCol/$vecCol", k, iters, trainSample)
+      s"$idCol/$vecCol", kk, iters, trainSample)
     // build OUTSIDE the lock: holding it through the sample collect +
     // assignment job would serialize unrelated concurrent builds.
     // Worst case two threads race the same key and one build is
     // discarded — cheaper than a global build mutex.
     ivfMemo.get(key).getOrElse {
-      val built = ivfIndexUncached(df, idCol, vecCol, k, iters, trainSample)
+      val built = ivfIndexUncached(df, idCol, vecCol, kk, iters, trainSample)
       val winner = ivfMemo.putIfAbsent(key, built)
       // the loser's persisted assignments must be explicitly released:
       // CacheManager holds a strong reference until unpersist, so the

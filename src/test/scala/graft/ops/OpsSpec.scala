@@ -1172,6 +1172,23 @@ class OpsSpec extends AnyFunSuite {
     assert(auto == explicit, "auto-sized survivors must equal explicit-k survivors")
   }
 
+  test("AutoLists sizes the IVF list count at sqrt(corpus), clamped at the driver bound") {
+    assert(Similarity.ivfListsFor(100L) == 10)
+    assert(Similarity.ivfListsFor(2000L) == 45)
+    assert(Similarity.ivfListsFor(1000000000L) == Similarity.MaxTrainK,
+      "past the clamp, shard the corpus — centroids are plan literals")
+    intercept[IllegalArgumentException](Similarity.ivfListsFor(0L))
+    // auto index ≡ explicit index: same assignments, same probe result
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val sized = Similarity.ivfListsFor(emb.count())
+    val auto = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      k = Similarity.AutoLists, iters = 2)
+    val explicit = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      k = sized, iters = 2)
+    assert(auto eq explicit,
+      "auto resolution precedes the memo lookup, so both calls share one index")
+  }
+
   test("top tokens: frequency-ranked vocabulary with tie-break") {
     val t = Seq((1L, "b a a"), (2L, "a b c")).toDF("doc_id", "text")
     val top = TextAnalysis.topTokens(t, "text", k = 2)
