@@ -958,8 +958,14 @@ object Dedup {
   /** Drop all memoized cluster label tables (unpersisting each). */
   def clearClusterCache(): Unit = clusterMemo.clear(_.unpersist())
 
+  /** `maxIters` default raised 20 → 40 (r14): the ×30 rehearsal
+    * measured a 15-round convergence on x34's threshold-0.3 regime
+    * (star-pair hub chains deepen with corpus scale), leaving only a
+    * 25% margin to the loud non-convergence throw. Rounds beyond
+    * convergence never run (the loop exits at changed == 0), so the
+    * higher ceiling costs nothing on shallow graphs. */
   def duplicateClusters(pairs: DataFrame, idACol: String, idBCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 40): DataFrame = {
     val key = (graft.SessionKeys.of(pairs.sparkSession),
       graft.PlanKeys.of(pairs),
       s"$idACol/$idBCol", maxIters)
@@ -1079,7 +1085,7 @@ object Dedup {
     * quadratic defense); pass it explicitly to pin a width. */
   def semanticDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = AutoBits, bands: Int = 8,
-      maxIters: Int = 20): DataFrame =
+      maxIters: Int = 40): DataFrame =
     survivorsFromPairs(df, idCol,
       embeddingNearDuplicates(df, idCol, vecCol, threshold, numBits, bands), maxIters)
 
@@ -1132,7 +1138,7 @@ object Dedup {
     * small for the corpus, not a salting problem. */
   def semanticClusterDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = AutoK, iters: Int = 2, threshold: Double = 0.95,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 40): DataFrame = {
     val kk =
       if (k > 0) k
       else {
@@ -1174,7 +1180,7 @@ object Dedup {
     * caller-provided pair sources (a persisted candidate table, a
     * bounded exact twin) reuse the same survivor algebra. */
   def survivorsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 40): DataFrame = {
     val drops = duplicateClusters(pairs, "id_a", "id_b", maxIters)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
@@ -1233,7 +1239,7 @@ object Dedup {
     * the survivor filter is one anti-join. */
   def textDedupSurvivors(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleSize: Int = 3,
-      maxIters: Int = 20): DataFrame =
+      maxIters: Int = 40): DataFrame =
     survivorsFromPairs(df, idCol,
       ngramJaccardNearDuplicates(df, idCol, textCol, threshold, shingleSize), maxIters)
 
