@@ -92,6 +92,14 @@ object Dedup {
     * to linear star pairing (see [[cappedBucketPairs]]). */
   val DefaultMaxBucket = 1000
 
+  /** Sentinel for `numBits` parameters: size the signature from the
+    * corpus via [[lshBitsFor]] (one cheap count) instead of a
+    * caller-fixed width — the r13 verdict's ask that production
+    * callers get the measured quadratic defense BY DEFAULT. Pass an
+    * explicit positive `numBits` to override (the bench carriers do,
+    * so their outputs stay bit-identical across corpus sizes). */
+  val AutoBits = 0
+
   /** LSH signature width for a corpus size — the r13 ×10 rehearsal's
     * sizing rule as code (see [[embeddingNearDuplicates]]): bucket
     * space per band is FIXED at 2^(numBits/bands), so in-bucket work
@@ -104,14 +112,6 @@ object Dedup {
     * clamped to [bands, 64] (one Long signature), bitsPerBand capped
     * at 16 (65k buckets/band saturates any realistic band count
     * before the Long does). */
-  /** Sentinel for `numBits` parameters: size the signature from the
-    * corpus via [[lshBitsFor]] (one cheap count) instead of a
-    * caller-fixed width — the r13 verdict's ask that production
-    * callers get the measured quadratic defense BY DEFAULT. Pass an
-    * explicit positive `numBits` to override (the bench carriers do,
-    * so their outputs stay bit-identical across corpus sizes). */
-  val AutoBits = 0
-
   def lshBitsFor(corpus: Long, bands: Int, targetBucket: Int = 100): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64], got $bands")

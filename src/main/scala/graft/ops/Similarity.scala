@@ -184,21 +184,6 @@ object Similarity {
   /** Drop all memoized IVF indexes (unpersisting each). */
   def clearIvfCache(): Unit = ivfMemo.clear(_.assignments.unpersist())
 
-  /** IVF (inverted-file) index: k centroids learned with `iters`
-    * Lloyd iterations over a bounded, deterministic training sample
-    * (the `trainSample` lowest-id vectors; init = its first k), then
-    * ONE distributed pass assigning every vector to its nearest
-    * centroid.
-    *
-    * Scale profile: centroid training is how production IVF builds
-    * work at any corpus size — Lloyd never needs the full data, only
-    * a representative sample, so the k×dims×sample arithmetic runs
-    * driver-side in microseconds and the cluster does exactly two
-    * jobs: a TakeOrdered to pull the sample and one map-only argmax
-    * pass over the corpus (the centroid literals ride in the plan —
-    * no join, no shuffle). The persisted assignments table is what
-    * you'd write partitioned by `cluster` so probes prune partitions
-    * at read time. */
   /** IVF list count for a corpus — the standard nlist ≈ √corpus
     * balance (a probe touches nprobe·corpus/nlist candidate rows plus
     * nlist centroid distances; the two equalize at √n), clamped to
@@ -218,6 +203,21 @@ object Similarity {
     * which the x17/x33/x64 carriers use to stay replay-stable. */
   val AutoLists = 0
 
+  /** IVF (inverted-file) index: k centroids learned with `iters`
+    * Lloyd iterations over a bounded, deterministic training sample
+    * (the `trainSample` lowest-id vectors; init = its first k), then
+    * ONE distributed pass assigning every vector to its nearest
+    * centroid.
+    *
+    * Scale profile: centroid training is how production IVF builds
+    * work at any corpus size — Lloyd never needs the full data, only
+    * a representative sample, so the k×dims×sample arithmetic runs
+    * driver-side in microseconds and the cluster does exactly two
+    * jobs: a TakeOrdered to pull the sample and one map-only argmax
+    * pass over the corpus (the centroid literals ride in the plan —
+    * no join, no shuffle). The persisted assignments table is what
+    * you'd write partitioned by `cluster` so probes prune partitions
+    * at read time. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
       k: Int = AutoLists, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
     val kk =
