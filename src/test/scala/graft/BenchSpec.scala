@@ -195,6 +195,56 @@ class BenchSpec extends AnyFunSuite {
       "rows without a warm measurement must not fabricate one")
   }
 
+  test("benchgate verdict rides both artifact lines (r14 verdict #5)") {
+    // the r14 driver tail carried a contended run (calib [0.528, 0.308],
+    // x45 17.6 s) whose adjudication lived only in PERF.md — any reader
+    // of BENCH_r15+.json must see "contended" without re-deriving it
+    val quiet = Seq(
+      Bench.QStat("q1_agg", 2.0, 6.0, 0.1, 3),
+      Bench.QStat("x161_setsim", 3.0, 10.0, 0.5, 4),
+      // intrinsic row with dominant CPU must NOT trip gate 2
+      Bench.QStat("x97_quality_classifier", 9.0, 40.0, 0.2, 40))
+    val calmCalib = Seq(Bench.QStat("calib_pre", 0.38, 2.8, 0.0, 2),
+      Bench.QStat("calib_post", 0.32, 4.5, 0.0, 2))
+    val Some((pass, drift, share, top)) = Bench.gateVerdict(quiet, calmCalib)
+    assert(pass, "quiet fixture must gate green")
+    assert(math.abs(drift - 15.789) < 0.01, s"drift pct: $drift")
+    assert(top == "x161_setsim" && math.abs(share - 10.0 / 56.0 * 100) < 1e-6,
+      "top share is over TOTAL cpu, intrinsic rows excluded from candidacy only")
+    // r13's contamination shape: one non-intrinsic query at 41% of CPU
+    val contaminated = quiet :+ Bench.QStat("x43_minhash_exact", 25.9, 490.0, 8.0, 9)
+    val Some((pass2, _, share2, top2)) = Bench.gateVerdict(contaminated, calmCalib)
+    assert(!pass2 && top2 == "x43_minhash_exact" && share2 > 25,
+      "the x43-at-41% signature must gate red")
+    // 42% calib drift (the r14 driver tail) gates red even with calm CPU
+    val driftCalib = Seq(Bench.QStat("calib_pre", 0.528, 4.8, 0.0, 2),
+      Bench.QStat("calib_post", 0.308, 4.3, 0.0, 2))
+    val Some((pass3, drift3, _, _)) = Bench.gateVerdict(quiet, driftCalib)
+    assert(!pass3 && drift3 > 40, "the r14 contended-tail calib must gate red")
+    // fields present in BOTH lines whenever calib rides them
+    val arch = mapper.readTree(
+      Bench.composeArchiveLine(contaminated, "sf", calmCalib))
+    assert(!arch.get("benchgate_pass").asBoolean)
+    assert(arch.get("calib_drift_pct").asDouble > 15)
+    assert(arch.get("top_cpu_share_pct").asDouble > 25)
+    assert(arch.get("top_cpu_query").asText == "x43_minhash_exact")
+    val line = mapper.readTree(
+      Bench.composeStdoutLine(quiet, "sf", calib = calmCalib))
+    assert(line.get("benchgate_pass").asBoolean)
+    assert(line.has("calib_drift_pct") && line.has("top_cpu_share_pct"))
+    // the capped stdout form keeps the gate fields too (non-negotiable
+    // header), and still fits the budget at 300-query scale
+    val big = (1 to 300).map(i =>
+      Bench.QStat(s"x${i}_q$i", (i % 17) * 0.9, (i % 13) * 1.1, 0.5, 3))
+    val capped = Bench.composeStdoutLine(big, "sf", calib = calmCalib)
+    assert(capped.length <= Bench.StdoutBudget)
+    assert(mapper.readTree(capped).has("benchgate_pass"))
+    // no calib rows → no fabricated verdict (replayed compositions stay valid)
+    assert(Bench.gateVerdict(quiet, Nil).isEmpty)
+    assert(!mapper.readTree(Bench.composeArchiveLine(quiet, "sf"))
+      .has("benchgate_pass"))
+  }
+
   test("third calib row emits as postclear scalars, never into the interpolation pair") {
     // the cleared-session re-calibration is the contention
     // discriminator (structural post-suite cache pressure inflates

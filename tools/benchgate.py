@@ -35,11 +35,15 @@ cc = d.get("calib_cpu")
 if not cw or len(cw) != 2 or cw[0] <= 0:
     sys.exit(f"{path}: no usable calib_wall rows - re-bench with current graft.Bench")
 wall_drift = abs(cw[1] - cw[0]) / cw[0]
+total = d.get("value")
+if not isinstance(total, (int, float)):
+    sys.exit(f"{path}: no numeric 'value' total - not a bench artifact "
+             "(hand-composed/replayed line?); re-bench with current graft.Bench")
 print(
     f"{path}: calib_wall {cw} drift={wall_drift:.1%}; calib_cpu {cc}; "
     f"postclear wall={d.get('calib_wall_postclear')} "
     f"cpu={d.get('calib_cpu_postclear')}; "
-    f"total={d.get('value'):.1f}s cpu_s={d.get('cpu_s')}"
+    f"total={total:.1f}s cpu_s={d.get('cpu_s')}"
 )
 failures = []
 if wall_drift >= 0.20:
@@ -64,6 +68,10 @@ if cpu_total > 0 and qs:
             "contamination signature (x43 hit 41% on the contended VM)"
         )
 
+stamped = d.get("benchgate_pass")
+if stamped is not None and stamped != (not failures):
+    print(f"note: in-artifact benchgate_pass={stamped} disagrees with this "
+          "gate run - artifact predates a gate change, or was hand-edited")
 if failures:
     sys.exit("CONTENDED: " + "; ".join(failures) + ". Re-bench in a quiet "
              "window before committing this artifact as canonical.")
