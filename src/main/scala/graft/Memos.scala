@@ -116,3 +116,33 @@ final class BoundedMemo[K, V](capacity: Int, onEvict: V => Unit = (_: V) => (),
     map.clear()
   }
 }
+
+/** Session-scoped memo of corpus row counts keyed by
+  * (session, plan key) — the shared resolution step for every
+  * auto-sizing sentinel ([[graft.ops.Dedup.AutoBits]]/[[graft.ops.Dedup.AutoK]]/
+  * [[graft.ops.Similarity.AutoLists]]). The r14 advice: each sentinel
+  * resolution ran a `df.count()` BEFORE its family's memo lookup, so
+  * the pair-table/index memos absorbed repeats of the build but never
+  * the count — and the count is metadata-fast only on a plain parquet
+  * scan; a derived frame (filters, projections, joins upstream) pays
+  * a full job per call. Counts are 8 bytes, so memoizing them is free
+  * and makes repeated auto-sized calls over the same frame one job
+  * total. Cleared with the other memos
+  * ([[graft.ScaleBench.clearMemoCaches]]) so rehearsal marginals stay
+  * per-corpus. */
+object CorpusCounts {
+  private val memo =
+    new BoundedMemo[(String, String), Long](64, name = "corpus-count")
+
+  /** The frame's row count (min 1 — sizing formulas log/divide by it),
+    * memoized per (session, canonical plan). Counted OUTSIDE the memo
+    * lock (the minhashCandidates pattern): the count runs a job, and a
+    * global monitor around it would serialize unrelated builds. */
+  def of(df: org.apache.spark.sql.DataFrame): Long = {
+    val key = (SessionKeys.of(df.sparkSession), PlanKeys.of(df))
+    memo.get(key).getOrElse(
+      memo.putIfAbsent(key, math.max(1L, df.count())))
+  }
+
+  def clear(): Unit = memo.clear()
+}

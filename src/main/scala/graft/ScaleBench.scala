@@ -58,6 +58,7 @@ object ScaleBench {
     graft.ops.Dedup.clearClusterCache()
     graft.ops.Dedup.clearEmbeddingPairCache()
     graft.ops.Similarity.clearIvfCache()
+    graft.CorpusCounts.clear()
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,6 +72,15 @@ object ScaleBench {
     val famFilter: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
         .map(_.split(",").map(_.trim).toSet)
+    // a typo'd family name would otherwise silently yield a run with
+    // ONLY the calib line — an artifact easily mistaken for a valid
+    // rehearsal (r14 advice)
+    famFilter.foreach { fs =>
+      val unknown = fs.diff(Families.toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_FAMILIES entries not in ScaleBench.Families: " +
+          s"${unknown.mkString(",")} (known: ${Families.mkString(",")})")
+    }
     val active = Families.filter(f => famFilter.forall(_.contains(f)))
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")

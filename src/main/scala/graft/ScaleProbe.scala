@@ -39,6 +39,15 @@ object ScaleProbe {
         "/tmp/graft_scale/x10")
     val fams: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
+    // fail loudly on a typo'd family: a silent zero-family run writes
+    // a calib-only artifact that reads like a valid probe (r14 advice)
+    val KnownFamilies = Set("x42", "x34", "x161")
+    fams.foreach { fs =>
+      val unknown = fs.diff(KnownFamilies)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_PROBE_FAMILIES entries unknown to ScaleProbe: " +
+          s"${unknown.mkString(",")} (known: ${KnownFamilies.toSeq.sorted.mkString(",")})")
+    }
     def want(f: String): Boolean = fams.forall(_.contains(f))
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
