@@ -1110,12 +1110,50 @@ object Dedup {
 
   /** Flat-k expiry for [[kForCorpus]] (≈ 256k vectors at the default
     * target): the per-centroid plan literals, not memory, are the
-    * binding constraint. */
+    * binding constraint. Past it [[clusterPlanFor]] composes two
+    * Lloyd levels instead of clamping — see [[TwoLevelK]]. */
   val MaxAutoK = 256
 
   /** Sentinel for `k` parameters: size via [[kForCorpus]] from one
     * corpus count. Same contract shape as [[AutoBits]]. */
   val AutoK = 0
+
+  /** Resolved shape of an [[AutoK]] clustering: flat below the plan-
+    * literal clamp, two-level Lloyd beyond it. */
+  sealed trait ClusterPlan
+  /** One flat Lloyd clustering of `k` ≤ [[MaxAutoK]] clusters. */
+  final case class FlatK(k: Int) extends ClusterPlan
+  /** Two-level Lloyd: k₁ top clusters (plan literals) × k₂
+    * sub-clusters each (broadcast data) ≈ the unclamped cluster
+    * count, so Σ|leaf|² stays ≈ corpus × targetCluster — the r14
+    * verdict's "beyond the clamp" path made real instead of a
+    * scaladoc aspiration. */
+  final case class TwoLevelK(k1: Int, k2: Int) extends ClusterPlan
+
+  /** [[AutoK]] resolution WITHOUT the silent clamp: below
+    * [[MaxAutoK]] the flat form (identical to [[kForCorpus]]); above
+    * it, two Lloyd levels sized k₁ ≈ √k so both stay under the
+    * plan-literal limit — the quadratic does NOT resume at n²/256.
+    * Named expiry of the two-level form: clamp² ≈ 65k leaves (≈ 65M
+    * docs at the default target) — the require below throws loudly
+    * there; a third level is the composition beyond (the
+    * [[graft.ops.Similarity.hierarchicalKmeansAssign]] machinery is
+    * depth-agnostic, only this resolver caps at two). */
+  def clusterPlanFor(corpus: Long, targetCluster: Int = 1000): ClusterPlan = {
+    require(corpus > 0, s"corpus must be positive, got $corpus")
+    require(targetCluster >= 2, s"targetCluster must be >= 2, got $targetCluster")
+    val raw = math.ceil(corpus.toDouble / targetCluster).toLong
+    if (raw <= MaxAutoK) FlatK(math.max(1L, raw).toInt)
+    else {
+      require(raw <= MaxAutoK.toLong * MaxAutoK,
+        s"clusterPlanFor: $raw clusters exceeds the two-level expiry " +
+          s"${MaxAutoK.toLong * MaxAutoK} (≈65M docs at target " +
+          s"$targetCluster) — compose a third level")
+      val k1 = math.ceil(math.sqrt(raw.toDouble)).toInt
+      val k2 = math.ceil(raw.toDouble / k1).toInt
+      TwoLevelK(k1, k2)
+    }
+  }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
     * partitions the embedding space FIRST, then exact-cosine pairs
@@ -1125,10 +1163,13 @@ object Dedup {
     * the per-cluster all-pairs cost is Σ|cluster|² ≪ n², with NO
     * recall loss inside a cluster (LSH banding can miss a true pair;
     * a cluster-scoped join cannot). Cross-cluster near-dups are the
-    * paper's accepted miss mode. `k` defaults to [[AutoK]] (resolved
-    * via [[kForCorpus]] from one count — "k grows with the corpus"
-    * is now the default, not a scaladoc aspiration); explicit k
-    * overrides, which the x65 carrier uses to stay replay-exact.
+    * paper's accepted miss mode. `k` defaults to [[AutoK]]: resolved
+    * via [[clusterPlanFor]] from one memoized count — flat below the
+    * plan-literal clamp (identical to [[kForCorpus]], which the spec
+    * pins), TWO-LEVEL Lloyd beyond it
+    * ([[semanticClusterDedupTwoLevel]]) so the Σ|cluster|² quadratic
+    * does NOT resume past [[MaxAutoK]]. Explicit k overrides and
+    * stays flat, which the x65 carrier uses to stay replay-exact.
     *
     * Shape: replay-exact Lloyd ([[Similarity.kmeansAssign]], map-only
     * after training) → one shuffle-hash self-join keyed by cluster id
@@ -1138,18 +1179,49 @@ object Dedup {
     * small for the corpus, not a salting problem. */
   def semanticClusterDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = AutoK, iters: Int = 2, threshold: Double = 0.95,
-      maxIters: Int = 40): DataFrame = {
-    val kk =
-      if (k > 0) k
-      else {
-        val corpus = math.max(1L, df.count())
-        val sized = kForCorpus(corpus)
-        System.err.println(s"[dedup] kForCorpus auto-sizing: " +
-          s"corpus=$corpus -> k=$sized")
-        sized
+      maxIters: Int = 40, targetCluster: Int = 1000): DataFrame = {
+    require(k == AutoK || k > 0,
+      s"k must be AutoK ($AutoK) or positive, got $k")
+    if (k > 0)
+      survivorsFromPairs(df, idCol,
+        clusterScopedPairs(df, idCol, vecCol, k, iters, threshold), maxIters)
+    else {
+      // memoized per (session, plan): a derived frame's count is a
+      // full job, and only the first auto-sized call should pay it
+      val corpus = graft.CorpusCounts.of(df)
+      clusterPlanFor(corpus, targetCluster) match {
+        case FlatK(kk) =>
+          System.err.println(s"[dedup] kForCorpus auto-sizing: " +
+            s"corpus=$corpus -> k=$kk (flat)")
+          survivorsFromPairs(df, idCol,
+            clusterScopedPairs(df, idCol, vecCol, kk, iters, threshold), maxIters)
+        case TwoLevelK(k1, k2) =>
+          System.err.println(s"[dedup] kForCorpus auto-sizing: " +
+            s"corpus=$corpus -> two-level k1=$k1 k2=$k2 " +
+            s"(${k1.toLong * k2} leaves)")
+          semanticClusterDedupTwoLevel(
+            df, idCol, vecCol, k1, k2, iters, threshold, maxIters)
       }
+    }
+  }
+
+  /** SemDeDup past the flat clamp: identical pair semantics
+    * (exact-cosine pairs WITHIN a cluster, keep-minimum survivors)
+    * with the cluster labels coming from the two-level Lloyd
+    * ([[Similarity.hierarchicalKmeansAssign]]) — k₁·k₂ leaf clusters
+    * from k₁ plan literals plus one broadcast join, so the per-leaf
+    * all-pairs stays Σ|leaf|² ≈ corpus × target. Engaged
+    * automatically by [[AutoK]] above [[MaxAutoK]]; public with
+    * explicit levels so the equivalence is testable (k₁ = 1 is
+    * EXACTLY the flat path — spec-pinned). */
+  def semanticClusterDedupTwoLevel(df: DataFrame, idCol: String,
+      vecCol: String, k1: Int, k2: Int, iters: Int = 2,
+      threshold: Double = 0.95, maxIters: Int = 40): DataFrame = {
+    val assigned = Similarity.hierarchicalKmeansAssign(
+      df, idCol, vecCol, k1, k2, iters)
+      .select(col(idCol).as("id"), col("cluster"))
     survivorsFromPairs(df, idCol,
-      clusterScopedPairs(df, idCol, vecCol, kk, iters, threshold), maxIters)
+      pairsWithinAssignments(df, idCol, vecCol, assigned, threshold), maxIters)
   }
 
   /** [[semanticClusterDedup]]'s pair stage, public for plan audits
@@ -1160,6 +1232,15 @@ object Dedup {
       k: Int, iters: Int, threshold: Double): DataFrame = {
     val assigned = Similarity.kmeansAssign(df, idCol, vecCol, k, iters)
       .select(col(idCol).as("id"), col("cluster"))
+    pairsWithinAssignments(df, idCol, vecCol, assigned, threshold)
+  }
+
+  /** Shared pair kernel of the flat and two-level SemDeDup paths:
+    * given (id, cluster) labels, exact-cosine pairs within a label —
+    * ONE definition so the x65-pinned within-cluster semantics cannot
+    * drift between the paths. */
+  private def pairsWithinAssignments(df: DataFrame, idCol: String,
+      vecCol: String, assigned: DataFrame, threshold: Double): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .join(assigned, "id")
     val a = keyed.select(col("cluster"), col("id").as("id_a"),
@@ -1945,19 +2026,26 @@ object Dedup {
     * sizes via [[lshBitsFor]] from ONE corpus count — at the r13
     * rehearsal's ×10 corpus (20k vectors, 8 bands) that picks the
     * measured 8-bit-chunk defense (76 s vs 1212 s CPU) without the
-    * caller knowing the sizing rule exists. The count is an
-    * id-projection aggregate (metadata-fast on a parquet scan) and
-    * runs once per call — the memo then absorbs repeats. */
+    * caller knowing the sizing rule exists. The count is metadata-fast
+    * on a plain parquet scan but a FULL job on a derived frame (r14
+    * advice), so it memoizes per (session, plan) via
+    * [[graft.CorpusCounts]] — repeated auto-sized calls over the same
+    * frame count once. Only the documented [[AutoBits]] sentinel
+    * triggers sizing; a negative width is a caller bug and fails the
+    * same require the explicit-width contract would. */
   private[ops] def resolvedNumBits(df: DataFrame, numBits: Int,
-      bands: Int): Int =
+      bands: Int): Int = {
+    require(numBits == AutoBits || numBits > 0,
+      s"numBits must be AutoBits ($AutoBits) or positive, got $numBits")
     if (numBits > 0) numBits
     else {
-      val corpus = math.max(1L, df.count())
+      val corpus = graft.CorpusCounts.of(df)
       val sized = lshBitsFor(corpus, bands)
       System.err.println(s"[dedup] lshBitsFor auto-sizing: corpus=$corpus " +
         s"bands=$bands -> numBits=$sized (${sized / bands}-bit chunks)")
       sized
     }
+  }
 
   private def embeddingNearDuplicatesUncached(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBits: Int, bands: Int,

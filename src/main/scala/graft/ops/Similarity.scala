@@ -220,10 +220,14 @@ object Similarity {
     * at read time. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
       k: Int = AutoLists, iters: Int = 3, trainSample: Int = 4096): IvfIndex = {
+    require(k == AutoLists || k > 0,
+      s"k must be AutoLists ($AutoLists) or positive, got $k")
     val kk =
       if (k > 0) k
       else {
-        val corpus = math.max(1L, df.count())
+        // memoized per (session, plan): a derived frame's count is a
+        // full job, and only the first auto-sized call should pay it
+        val corpus = graft.CorpusCounts.of(df)
         val sized = ivfListsFor(corpus)
         System.err.println(s"[similarity] ivfListsFor auto-sizing: " +
           s"corpus=$corpus -> nlist=$sized")
@@ -386,7 +390,20 @@ object Similarity {
     * drift. */
   def ivfBatchTopK(index: IvfIndex, queries: DataFrame,
       queryIdCol: String, queryVecCol: String,
-      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+      topK: Int = 10, nprobe: Int = 4): DataFrame =
+    ivfBatchScored(index, queries, queryIdCol, queryVecCol, topK, nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 4).as("cosine"))
+
+  /** [[ivfBatchTopK]] minus the output rounding: per-query top-k rows
+    * carrying the UNROUNDED cosine. Shared by the flat entry point
+    * and the sharded merge — the global re-rank must order on the
+    * same unrounded score the per-shard rank used, or a cross-shard
+    * tie inside the 4-decimal rounding window would flip ranks
+    * between the flat and sharded paths. */
+  private def ivfBatchScored(index: IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      topK: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(
@@ -407,9 +424,103 @@ object Similarity {
       .withColumn("__cos", VectorMath.cosineSimilarity(col("__cv"), col("__qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("__cos"))
+  }
+
+  /** An IVF index sharded by id hash: per-shard flat [[IvfIndex]]es,
+    * each trained and probed independently — the composition past
+    * [[MaxTrainK]]'s driver-resident-centroid clamp ([[ivfListsFor]]'s
+    * named expiry, now code): the √n list balance expires at
+    * MaxTrainK² ≈ 16.7M vectors, and beyond it a FLAT index would
+    * need more centroids than the driver holds, while shards of
+    * ≤ 16.7M vectors each keep every per-shard model inside the
+    * proven flat machinery. */
+  final case class ShardedIvfIndex(
+      shards: IndexedSeq[IvfIndex],
+      numShards: Int,
+      idCol: String,
+      vecCol: String)
+
+  /** Sentinel for [[ivfIndexSharded]]'s shard count: size via
+    * [[ivfShardsFor]] from one memoized corpus count. */
+  val AutoShards = 0
+
+  /** Shard count for a corpus: 1 (the flat index is the degenerate
+    * single shard) until the √n balance expires at
+    * [[MaxTrainK]]² ≈ 16.7M vectors, then the minimum shard count
+    * keeping every shard under it. */
+  def ivfShardsFor(corpus: Long): Int = {
+    require(corpus > 0, s"corpus must be positive, got $corpus")
+    val perShard = MaxTrainK.toLong * MaxTrainK
+    math.max(1L, math.ceil(corpus.toDouble / perShard).toLong).toInt
+  }
+
+  /** Build per-shard IVF indexes over an id-hash split
+    * (`pmod(xxhash64(id), shards)` — deterministic, no RNG). Each
+    * shard goes through [[ivfIndex]] unchanged (same memo, same
+    * [[AutoLists]] resolution per shard), so shard builds are exactly
+    * as audited as flat builds; `numShards = 1` wraps the flat index
+    * verbatim. Build cost: one bounded TakeOrdered + one map-only
+    * assignment pass PER shard — the shard count is set by the clamp,
+    * not the data volume, so the extra passes stay O(corpus) total. */
+  def ivfIndexSharded(df: DataFrame, idCol: String, vecCol: String,
+      numShards: Int = AutoShards, k: Int = AutoLists,
+      iters: Int = 3, trainSample: Int = 4096): ShardedIvfIndex = {
+    require(numShards == AutoShards || numShards > 0,
+      s"numShards must be AutoShards ($AutoShards) or positive, got $numShards")
+    val shards =
+      if (numShards > 0) numShards
+      else {
+        val corpus = graft.CorpusCounts.of(df)
+        val sized = ivfShardsFor(corpus)
+        System.err.println(s"[similarity] ivfShardsFor auto-sizing: " +
+          s"corpus=$corpus -> shards=$sized")
+        sized
+      }
+    val idxs = (0 until shards).map { s =>
+      val part =
+        if (shards == 1) df
+        else df.filter(pmod(xxhash64(col(idCol)), lit(shards)) === s)
+      ivfIndex(part, idCol, vecCol, k, iters, trainSample)
+    }
+    ShardedIvfIndex(idxs, shards, idCol, vecCol)
+  }
+
+  /** Probe-all-shards batch ANN: every shard answers with its local
+    * top-k (the flat [[ivfBatchTopK]] kernel, unrounded scores), the
+    * union re-ranks globally on (cosine DESC, neighbor_id ASC). With
+    * full probing this is EXACT: each shard's true top-k contains
+    * every global top-k member that lives in that shard, so the
+    * merged top-k equals the flat full-probe top-k (spec-pinned
+    * sharded ≡ flat ≡ exact). Scale shape: the per-shard probes are
+    * independent scans of disjoint assignment partitions — the merge
+    * shuffles only |queries| × shards × topK scalar rows. */
+  def ivfShardedBatchTopK(index: ShardedIvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String,
+      topK: Int = 10, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = index.shards.map(s =>
+      ivfBatchScored(s, queries, queryIdCol, queryVecCol, topK, nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("__cos")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    per.reduce(_.unionByName(_))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__cos"), 4).as("cosine"))
   }
+
+  /** Probe-all-shards single-query ANN: per-shard [[ivfTopK]] results
+    * merged by the SAME (rounded cosine DESC, id ASC) order the flat
+    * [[bruteForceTopK]] tail uses — shard-local top-k on a total
+    * order preserves the global top-k, so full probing is exact. */
+  def ivfShardedTopK(index: ShardedIvfIndex, query: Array[Float],
+      topK: Int = 10, nprobe: Int = 4): DataFrame =
+    index.shards.map(s => ivfTopK(s, query, topK, nprobe))
+      .reduce(_.unionByName(_))
+      .orderBy(col("cosine").desc, col(index.idCol).asc)
+      .limit(topK)
 
   /** IVF-PQ batch ANN (Jégou et al., TPAMI 2011, §IV): probe `nprobe`
     * clusters per query, score every member by ASYMMETRIC DISTANCE
@@ -717,6 +828,151 @@ object Similarity {
         .select(col("id").as(idCol), col("__vote.cluster").as("cluster"),
           round(col("__vote.sim"), 4).as("cosine"))
     }
+  }
+
+  /** Two-level Lloyd model: `k1` top-level centroids (plan literals,
+    * exactly the flat [[kmeansCentroids]] machinery) plus one
+    * sub-centroid set PER top cluster. The sub-centroids travel as
+    * broadcast DATA, not plan literals — which is the whole point:
+    * the flat clamp ([[graft.ops.Dedup.MaxAutoK]]) exists because
+    * [[kmeansAssign]] inlines one `greatest` arm per centroid into
+    * the plan, so k₁·k₂ effective clusters at k₁, k₂ ≤ the clamp
+    * need only k₁ plan literals while the k₂-sized leaf argmax runs
+    * as an ordered fold over a joined array column. */
+  final case class HierKmeansModel(
+      topCentroids: Array[Array[Double]],
+      subCentroids: Map[Int, Array[Array[Double]]],
+      k2: Int)
+
+  /** Memo of trained two-level models — driver arrays only, same
+    * shape and caveats as [[kmeansCentroids]]' memo. */
+  private val hierKmeansMemo =
+    new graft.BoundedMemo[(String, String, String, Int, Int, Int), HierKmeansModel](
+      8, name = "hier-kmeans")
+
+  /** Train a two-level Lloyd model: flat top-level k-means, then ALL
+    * per-top-cluster sub-clusterings trained together — each Lloyd
+    * round is ONE distributed job (the [[pqTrain]] shape): broadcast
+    * sub-centroid arrays join on the top id, an ordered fold argmax
+    * assigns, [[graft.functions.VectorAvg]] partials aggregate per
+    * (top, sub), and the driver collects ≤ k₁·k₂ rows. Init = the k₂
+    * lowest-id vectors of each top cluster (rank-filter window —
+    * WindowGroupLimit keeps the shuffle near k₁·k₂ rows per map
+    * partition, not the corpus).
+    *
+    * Deterministic and exactly the flat trainer at k₁ = 1: same init
+    * rule, same cosine expression rounded to 9 decimals before the
+    * argmax, same tie direction (equal sims keep the HIGHER index —
+    * the fold replaces on ≥, matching struct `greatest`), same
+    * 6-decimal half-away-from-zero centroid rounding, empty clusters
+    * keep their previous centroid (spec-pinned equivalence). */
+  def hierarchicalKmeansModel(df: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, iters: Int = 2): HierKmeansModel = {
+    require(k1 >= 1 && k1 <= MaxTrainK,
+      s"hierarchicalKmeansModel: k1=$k1 outside [1, $MaxTrainK]")
+    require(k2 >= 1 && k2 <= MaxTrainK,
+      s"hierarchicalKmeansModel: k2=$k2 outside [1, $MaxTrainK]")
+    val key = (graft.SessionKeys.of(df.sparkSession), graft.PlanKeys.of(df),
+      s"$idCol/$vecCol", k1, k2, iters)
+    hierKmeansMemo.get(key).getOrElse(hierKmeansMemo.putIfAbsent(key,
+      hierKmeansUncached(df, idCol, vecCol, k1, k2, iters)))
+  }
+
+  private def hierKmeansUncached(df: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, iters: Int): HierKmeansModel = {
+    import org.apache.spark.sql.expressions.Window
+    val top = kmeansCentroids(df, idCol, vecCol, k1, iters)
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    val assigned = assignClusters(base, top).withColumnRenamed("cluster", "__top")
+    val w = Window.partitionBy(col("__top")).orderBy(col("id"))
+    val initRows = assigned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k2)
+      .select(col("__top"), col("__rn"), col("vec"))
+      .collect()
+    var subs: Map[Int, Array[Array[Double]]] = initRows
+      .groupBy(_.getInt(0))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getInt(1))
+          .map(_.getSeq[Float](2).map(_.toDouble).toArray)
+      }
+    val vecAvg = udaf(graft.functions.VectorAvg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    for (_ <- 0 until iters if subs.nonEmpty) {
+      val updated: Map[(Int, Int), Array[Double]] =
+        subAssign(assigned, subs)
+          .groupBy(col("__top"), col("__sub")).agg(vecAvg(col("vec")).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+      subs = subs.map { case (t, cents) =>
+        t -> cents.indices.map { j =>
+          updated.get((t, j)).filter(_.nonEmpty)
+            .map(_.map(roundHalfAwayFromZero6)).getOrElse(cents(j))
+        }.toArray
+      }
+    }
+    HierKmeansModel(top, subs, k2)
+  }
+
+  /** Sub-cluster argmax with centroids as broadcast DATA: one row per
+    * top cluster carrying its sub-centroid array joins in (broadcast —
+    * ≤ k₁·k₂·dims doubles by construction), then an ordered fold over
+    * the array computes (best sim, best index) per row. The fold
+    * replaces on `sim >= best` so equal sims keep the LAST (highest)
+    * index — bit-for-bit the struct-`greatest` tie direction of
+    * [[assignClusters]], and the sim is the same
+    * [[VectorMath.cosineSimilarity]] expression rounded to 9, so the
+    * two argmax machineries cannot disagree (spec-pinned at k₁=1). */
+  private def subAssign(assigned: DataFrame,
+      subs: Map[Int, Array[Array[Double]]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centFrame = subs.toSeq.sortBy(_._1)
+      .map { case (t, cents) => (t, cents.map(_.toSeq).toSeq) }
+      .toDF("__top", "__cents")
+    val acc0 = struct(lit(Double.NegativeInfinity).as("sim"),
+      lit(0).as("sub"), lit(0).as("i"))
+    val vote = aggregate(col("__cents"), acc0, (acc, c) => {
+      val sim = round(VectorMath.cosineSimilarity(col("vec"), c), 9)
+      val take = sim >= acc.getField("sim")
+      struct(
+        when(take, sim).otherwise(acc.getField("sim")).as("sim"),
+        when(take, acc.getField("i")).otherwise(acc.getField("sub")).as("sub"),
+        (acc.getField("i") + lit(1)).as("i"))
+    })
+    assigned.join(broadcast(centFrame), Seq("__top"), "left")
+      .withColumn("__vote", vote)
+      .withColumn("__sub", coalesce(col("__vote.sub"), lit(0)))
+      .withColumn("__sim", col("__vote.sim"))
+      .drop("__cents", "__vote")
+  }
+
+  /** Leaf assignment under the two-level model: (id, cluster, cosine)
+    * with `cluster` = top·k₂ + sub (unique by construction — sub <
+    * k₂). The composition path past [[graft.ops.Dedup.MaxAutoK]]'s
+    * flat clamp: k₁·k₂ effective clusters from k₁ plan literals plus
+    * one broadcast join, each Lloyd round and the final assignment
+    * one pass over the corpus. Degenerates EXACTLY to
+    * [[kmeansAssign]] at k₁ = 1 (spec-pinned): one top cluster makes
+    * the sub-training init, rounding, and tie direction identical to
+    * the flat trainer's. Named expiry of THIS level: two levels
+    * compose up to clamp² leaves (~65k clusters ≈ 65M docs at the
+    * SemDeDup default target); beyond that, add a level — the
+    * machinery (broadcast data + fold argmax) is depth-agnostic. */
+  def hierarchicalKmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, iters: Int = 2): DataFrame = {
+    val m = hierarchicalKmeansModel(df, idCol, vecCol, k1, k2, iters)
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("vec"))
+    val assigned = assignClusters(base, m.topCentroids)
+      .withColumnRenamed("cluster", "__top")
+    subAssign(assigned, m.subCentroids)
+      .select(col("id").as(idCol),
+        (col("__top") * m.k2 + col("__sub")).as("cluster"),
+        round(col("__sim"), 4).as("cosine"))
   }
 
   /** Product-quantization model: per-subspace codebooks —

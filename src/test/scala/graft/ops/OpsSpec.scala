@@ -1126,6 +1126,53 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("x201 default-path near-dup: precision-exact and twin-consistent with explicit x22") {
+    // the driver carrier for the PRODUCTION defaults (AutoBits width,
+    // default bands/cap): rows-only at the driver, so the contract
+    // lives here — (1) precision 1.0 vs the exact pair set (the
+    // verify filter is exact cosine, auto width or not), (2) pairs
+    // shared with the explicit x22 form carry the identical exact
+    // cosine (candidates differ by sketch width, verified values
+    // can't), (3) the survivor algebra over the auto pairs removes
+    // only ids that appear in a verified pair
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val exact = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    val autoPairs = Dedup.embeddingNearDuplicates(
+      emb, "vec_id", "embedding", threshold = 0.4)
+    val auto = autoPairs.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(auto.nonEmpty)
+    assert(auto.keySet.subsetOf(exact.keySet),
+      s"false positives under the defaults: ${auto.keySet diff exact.keySet}")
+    auto.foreach { case (k, cos) =>
+      assert(cos == exact(k), s"verified cosine for $k drifted: $cos vs ${exact(k)}")
+    }
+    val x22Form = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = 48, bands = 8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    (auto.keySet intersect x22Form.keySet).foreach { k =>
+      assert(auto(k) == x22Form(k),
+        s"shared pair $k must carry identical exact cosine on both widths")
+    }
+    val ids = emb.select(col("vec_id")).as[Long].collect().toSet
+    val surv = Dedup.survivorsFromPairs(emb, "vec_id", autoPairs)
+      .select("vec_id").as[Long].collect().toSet
+    val removed = ids diff surv
+    val paired = auto.keySet.flatMap(k => Set(k._1, k._2))
+    assert(removed.subsetOf(paired),
+      s"survivor algebra removed ids with no verified pair: ${removed diff paired}")
+  }
+
   test("AutoBits sizes the LSH width from the corpus — the measured defense by default") {
     // at the r13 ×10 rehearsal corpus (20k vectors, 8 bands) the
     // sizing rule picks the 8-bit-chunk defense that measured 76 s
@@ -1170,6 +1217,131 @@ class OpsSpec extends AnyFunSuite {
       k = sizedK, iters = 2, threshold = 0.3)
       .select("vec_id").as[Long].collect().toSet
     assert(auto == explicit, "auto-sized survivors must equal explicit-k survivors")
+  }
+
+  test("clusterPlanFor: flat below the clamp, two-level beyond, loud at the two-level expiry") {
+    // below the clamp the resolution is EXACTLY kForCorpus (the x65
+    // family's pinned sizing) — no behavior change for existing users
+    assert(Dedup.clusterPlanFor(2000L) == Dedup.FlatK(2))
+    assert(Dedup.clusterPlanFor(256000L) == Dedup.FlatK(Dedup.MaxAutoK),
+      "the clamp boundary itself stays flat")
+    // one past the boundary: the quadratic must NOT resume at n²/256 —
+    // two levels sized k1 ≈ √raw keep every level under the clamp
+    Dedup.clusterPlanFor(256001L) match {
+      case Dedup.TwoLevelK(k1, k2) =>
+        assert(k1 <= Dedup.MaxAutoK && k2 <= Dedup.MaxAutoK)
+        assert(k1.toLong * k2 >= 257, "leaves must cover the unclamped count")
+      case other => fail(s"expected TwoLevelK past the clamp, got $other")
+    }
+    assert(Dedup.clusterPlanFor(2000L, targetCluster = 5) ==
+      Dedup.TwoLevelK(20, 20), "the target knob moves the boundary (spec economy)")
+    // the named two-level expiry throws loudly instead of quietly
+    // reverting to a quadratic
+    intercept[IllegalArgumentException](
+      Dedup.clusterPlanFor(100000000L, targetCluster = 2))
+    intercept[IllegalArgumentException](Dedup.clusterPlanFor(0L))
+  }
+
+  test("hierarchical k-means degenerates EXACTLY to flat at k1=1 (the composition is sound)") {
+    // one top cluster makes the sub-training init (k lowest-id
+    // vectors), cosine rounding, tie direction and centroid rounding
+    // identical to the flat trainer — so the broadcast-data fold
+    // argmax and the plan-literal greatest argmax must agree
+    // bit-for-bit on every (id, cluster, cosine) row
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val flat = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+      .as[(Long, Int, Double)].collect().toSet
+    val hier = Similarity.hierarchicalKmeansAssign(emb, "vec_id", "embedding",
+      k1 = 1, k2 = 4, iters = 2)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(hier == flat,
+      s"degenerate two-level must equal flat: ${(hier diff flat).take(3)} vs ${(flat diff hier).take(3)}")
+    // and the survivor algebra downstream agrees too (the r14 verdict's
+    // "flat and hierarchical survivors agree below the clamp")
+    val flatSurv = Dedup.semanticClusterDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val hierSurv = Dedup.semanticClusterDedupTwoLevel(emb, "vec_id", "embedding",
+      k1 = 1, k2 = 2, iters = 2, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hierSurv == flatSurv)
+  }
+
+  test("AutoK engages the two-level path above the clamp and its survivors are sound") {
+    // 3 exact replicas of the 500-vector corpus on disjoint id ranges:
+    // 1500 rows at targetCluster = 2 resolve to 750 clusters > the
+    // 256 clamp — the same code path a 300k-doc corpus takes at the
+    // default target, at spec cost. Identical vectors always land in
+    // the same leaf (the assignment is a pure function of the
+    // vector), so each replica triple collapses to its min id and the
+    // survivor set is EXACTLY the original ids (intra-corpus max
+    // pairwise cosine ≈ 0.5 < the 0.95 threshold — x22's calibration).
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val big = (0 until 3).map(r =>
+        emb.select((col("vec_id") + lit(r * 10000L)).as("vec_id"),
+          col("embedding")))
+      .reduce(_.unionByName(_))
+    val origIds = emb.select(col("vec_id")).as[Long].collect().toSet
+    val plan = Dedup.clusterPlanFor(3L * origIds.size, targetCluster = 2)
+    assert(plan == Dedup.TwoLevelK(28, 27), s"got $plan")
+    val surv = Dedup.semanticClusterDedup(big, "vec_id", "embedding",
+      k = Dedup.AutoK, iters = 2, threshold = 0.95, targetCluster = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == origIds,
+      s"each replica triple must collapse to its min id: extra=${(surv diff origIds).take(5)} missing=${(origIds diff surv).take(5)}")
+    // identical to the explicit two-level call (resolution, not
+    // behavior, is what AutoK adds)
+    val explicit = Dedup.semanticClusterDedupTwoLevel(big, "vec_id", "embedding",
+      k1 = 28, k2 = 27, iters = 2, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == explicit)
+  }
+
+  test("sharded IVF: full probe ≡ flat full probe ≡ exact (the clamp composition is lossless)") {
+    assert(Similarity.ivfShardsFor(1000L) == 1, "below the expiry the flat index stands")
+    assert(Similarity.ivfShardsFor(
+      Similarity.MaxTrainK.toLong * Similarity.MaxTrainK + 1) == 2)
+    intercept[IllegalArgumentException](Similarity.ivfShardsFor(0L))
+    intercept[IllegalArgumentException](
+      Similarity.ivfIndexSharded(null, "vec_id", "embedding", numShards = -3))
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    // 3 shards, 4 lists each, nprobe = 4 = full probe per shard
+    val sharded = Similarity.ivfIndexSharded(emb, "vec_id", "embedding",
+      numShards = 3, k = 4, iters = 2)
+    assert(sharded.shards.length == 3)
+    val viaShards = Similarity.ivfShardedBatchTopK(sharded, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val flat = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val viaFlat = Similarity.ivfBatchTopK(flat, queries,
+      "vec_id", "embedding", topK = 5, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val exact = Similarity.batchTopK(queries, emb,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaShards == exact,
+      s"sharded full-probe must be exact: ${(viaShards diff exact).take(3)} vs ${(exact diff viaShards).take(3)}")
+    assert(viaFlat == exact, "flat full-probe stays exact (x33's pinned contract)")
+    // single-query merge too
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head().toArray
+    val singleSharded = Similarity.ivfShardedTopK(sharded, q, topK = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val singleExact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(singleSharded == singleExact)
+  }
+
+  test("auto-sizing sentinels reject negative widths/ks loudly (r14 advice)") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    intercept[IllegalArgumentException](
+      Dedup.resolvedNumBits(emb, -8, 8))
+    intercept[IllegalArgumentException](
+      Dedup.semanticClusterDedup(emb, "vec_id", "embedding", k = -2))
+    intercept[IllegalArgumentException](
+      Similarity.ivfIndex(emb, "vec_id", "embedding", k = -4))
   }
 
   test("AutoLists sizes the IVF list count at sqrt(corpus), clamped at the driver bound") {
