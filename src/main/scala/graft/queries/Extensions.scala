@@ -7037,6 +7037,25 @@ object Extensions extends QueryModule {
   // Spark split('[ \t\n\f\r]+') and DuckDB string_split_regex('\s+')
   // agree on all empty-segment edges ('a  b', ' a', 'a ', '', '  ').
 
+  /** The PRODUCTION-DEFAULT embedding near-dup path: every sizing
+    * parameter auto-resolved ([[graft.ops.Dedup.AutoBits]] width from
+    * the memoized corpus count, default bands, default bucket cap) —
+    * the r14 verdict's named carrier gap: the defaults a production
+    * caller gets ran only in OpsSpec while every driver query pinned
+    * explicit widths. Resolution is deterministic at a given SF (one
+    * count → one width), so the output is stable run-to-run;
+    * rows-only because the candidate set is sketch-driven (twin-ruled
+    * to x22, the explicit-width form of the same operator — shared
+    * pairs carry identical exact cosines, and OpsSpec pins the
+    * precision/recall contract of both against the exact pair set). */
+  private val x201EmbeddingNearDupAuto = GraftQuery(
+    "x201_embedding_near_dup_auto",
+    (s, dir) => Dedup.embeddingNearDuplicates(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7097,7 +7116,7 @@ object Extensions extends QueryModule {
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
     x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
-    x200AnchorCuration)
+    x200AnchorCuration, x201EmbeddingNearDupAuto)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).
