@@ -1098,9 +1098,11 @@ object Dedup {
     * [[Similarity.kmeansAssign]] inlines one struct literal per
     * centroid into the plan (`greatest` over k arms), so a flat k
     * beyond a few hundred needs hierarchical composition (cluster,
-    * then re-cluster within), not a bigger k. Past the clamp,
-    * [[semanticDedupSurvivors]]' auto-sized LSH path is the scale
-    * form. */
+    * then re-cluster within), not a bigger k. Past the clamp the
+    * composition IS implemented: [[clusterPlanFor]] resolves
+    * [[AutoK]] to the two-level form ([[semanticClusterDedupTwoLevel]])
+    * instead of clamping — this flat resolver remains for the
+    * below-clamp leg and the spec-pinned sizing table. */
   def kForCorpus(corpus: Long, targetCluster: Int = 1000): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
     require(targetCluster >= 2, s"targetCluster must be >= 2, got $targetCluster")

@@ -189,8 +189,10 @@ object Similarity {
     * nlist centroid distances; the two equalize at √n), clamped to
     * [1, [[MaxTrainK]]] — the same named-expiry shape as
     * [[graft.ops.Dedup.kForCorpus]]: centroids are driver-resident
-    * plan literals, so past the clamp shard the corpus and build
-    * per-shard indexes instead of growing a flat list count. */
+    * plan literals, so past the clamp the corpus shards and builds
+    * per-shard indexes instead of growing a flat list count — the
+    * implemented composition is [[ivfIndexSharded]] ([[AutoShards]]
+    * resolves the shard count from the same memoized corpus count). */
   def ivfListsFor(corpus: Long): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
     math.min(MaxTrainK,
