@@ -3,19 +3,25 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Post-saturation bounds probe (r14 verdict #4): the 4-band AutoBits
-  * regime past its Long-saturation expiry, measured with DETERMINISTIC
-  * pair bounds instead of CPU cells (heavy-shuffle CPU carries ±2-3×
-  * same-VM variance — the PERF.md honesty note demonstrates it twice).
+/** Post-saturation bounds probe (r14 verdict #4, extended r15): the
+  * AutoBits regime past the historical Long-saturation expiry,
+  * measured with DETERMINISTIC pair bounds instead of CPU cells
+  * (heavy-shuffle CPU carries ±2-3× same-VM variance — the PERF.md
+  * honesty note demonstrates it twice).
   *
-  * `lshBitsFor` stops growing the bucket space at bitsPerBand =
-  * 64/bands (one Long): 4 bands saturate at 16-bit chunks ≈ a 6.5M
-  * vector corpus. Beyond that only the `maxBucket` cap bounds
-  * in-bucket work — and until this probe, that claim was arithmetic in
-  * a scaladoc, not a measurement. The probe builds synthetic
-  * vectors-only corpora ABOVE the expiry (default 8M and 16M × 32
-  * dims — no text columns, so 16M rows fit a few GiB) and emits per
-  * corpus, per banding:
+  * Through r14, `lshBitsFor` stopped growing the bucket space at
+  * bitsPerBand = 64/bands (one Long): 4 bands saturated at 16-bit
+  * chunks ≈ a 6.5M-vector corpus, beyond which only the `maxBucket`
+  * cap bounded in-bucket work (the archived r15 "saturated" rows
+  * measured exactly that regime). r15 implements the composition
+  * past the Long — WIDE per-band signatures
+  * ([[graft.ops.Dedup.lshSignature]]) — and this probe now emits the
+  * auto (wide) and saturated forms SIDE BY SIDE on the same corpus,
+  * so the sizing defense's return is a measured delta, not a claim.
+  * The probe builds synthetic vectors-only corpora ABOVE the
+  * historical expiry (default 8M and 16M × 32 dims — no text
+  * columns, so 16M rows fit a few GiB) and emits per corpus, per
+  * banding variant:
   *
   *  - `pairs_uncapped`: Σ C(bucket, 2) — candidate pairs a capless
   *    banding would emit (the quadratic);
@@ -63,17 +69,18 @@ object SaturationProbe {
 
   /** One aggregation pass: bucket-size stats and both pair bounds for
     * a banding over the corpus — the [[graft.ScaleProbe]] pairBound
-    * shape extended with the capped (= realized) form. */
+    * shape extended with the capped (= realized) form. Regime-aware
+    * via the shared helpers: widths ≤ 64 band the packed Long
+    * bit-slices (the historical saturated form), wider widths band
+    * per-band signatures ([[graft.ops.Dedup.lshSignature]]'s WIDE
+    * regime) — so the probe can put the two regimes side by side on
+    * the same corpus. */
   def bandingBounds(df: DataFrame, numBits: Int, bands: Int,
       cap: Int): (Long, Long, Long, Long, Long) = {
-    val bpb = numBits / bands
-    val mask = (1L << bpb) - 1
     val sig = df.select(col("vec_id").as("id"),
-      graft.functions.Sketches.hyperplaneSignature(col("embedding"), numBits)
+      graft.ops.Dedup.lshSignature(col("embedding"), numBits, bands)
         .as("sig"))
-    val row = sig.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("chunk", expr(s"shiftright(sig, band * $bpb) & $mask"))
+    val row = graft.ops.Dedup.lshBandChunks(sig, numBits, bands)
       .groupBy("band", "chunk").agg(count(lit(1)).as("n"))
       .agg(
         sum(expr("n * (n - 1) DIV 2")).as("uncapped"),
@@ -99,27 +106,32 @@ object SaturationProbe {
       val vecs = syntheticVectors(spark, n)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
-        // the production default banding (bands = 4), AutoBits-resolved
-        // exactly as embeddingNearDuplicates would — saturated at 64
-        // bits for every n past ~6.5M
-        val bits4 = graft.ops.Dedup.lshBitsFor(n, 4)
-        // the 8-band variant whose earlier (~25.6k) saturation the ×30
-        // rehearsal measured — its bounds here show the same regime
-        // deeper in
-        val bits8 = graft.ops.Dedup.lshBitsFor(n, 8)
-        Seq((bits4, 4), (bits8, 8)).foreach { case (bits, bands) =>
+        // per banding: the AutoBits production resolution (r15: WIDE
+        // past one Long — bucket space keeps growing) next to the
+        // r14 SATURATED form (width clamped at 64, the regime whose
+        // quadratic resumption the archived r15 rows measured) — the
+        // side-by-side that shows what the wide composition buys
+        val variants = Seq(4, 8).flatMap { bands =>
+          val auto = graft.ops.Dedup.lshBitsFor(n, bands)
+          val saturated =
+            math.min(64, bands * math.min(auto / bands, 64 / bands))
+          Seq((auto, bands, "auto")) ++
+            (if (saturated != auto) Seq((saturated, bands, "saturated"))
+             else Nil)
+        }
+        variants.foreach { case (bits, bands, regime) =>
           val t0 = System.nanoTime()
           val (unc, capd, buckets, nCapped, maxB) =
             bandingBounds(vecs, bits, bands, cap)
           val wall = (System.nanoTime() - t0) / 1e9
           val line =
-            f"""{"n":$n,"bands":$bands,"bits":$bits,"cap":$cap,""" +
-              f""""pairs_uncapped":$unc,"pairs_capped":$capd,""" +
+            f"""{"n":$n,"bands":$bands,"bits":$bits,"regime":"$regime",""" +
+              f""""cap":$cap,"pairs_uncapped":$unc,"pairs_capped":$capd,""" +
               f""""buckets":$buckets,"capped_buckets":$nCapped,""" +
               f""""max_bucket":$maxB,"wall":$wall%.1f}"""
           println(line); sb.append(line).append('\n')
           System.err.println(f"[satprobe] n=$n%9d bands=$bands bits=$bits " +
-            f"uncapped=$unc%15d capped=$capd%13d " +
+            f"($regime%s) uncapped=$unc%15d capped=$capd%13d " +
             f"capped_buckets=$nCapped%6d/$buckets max=$maxB wall=$wall%6.1f")
         }
       } finally vecs.unpersist(blocking = true)

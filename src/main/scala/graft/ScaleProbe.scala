@@ -103,14 +103,13 @@ object ScaleProbe {
       // vs 360 s CPU across two same-VM runs), so the pair bound is
       // what cross-variant comparisons should ride.
       def pairBound(numBits: Int, bands: Int): Long = {
-        val bpb = numBits / bands
-        val mask = (1L << bpb) - 1
+        // regime-aware shared banding (r15): widths past one Long get
+        // per-band signatures instead of a broken bit-slice mask
         val sig = graft.ops.Parallelism.ensure(emb)
           .select(col("vec_id").as("id"),
-            graft.functions.Sketches.hyperplaneSignature(col("embedding"), numBits).as("sig"))
-        sig.select(col("id"), col("sig"),
-            explode(sequence(lit(0), lit(bands - 1))).as("band"))
-          .withColumn("chunk", expr(s"shiftright(sig, band * $bpb) & $mask"))
+            graft.ops.Dedup.lshSignature(col("embedding"), numBits, bands)
+              .as("sig"))
+        graft.ops.Dedup.lshBandChunks(sig, numBits, bands)
           .groupBy("band", "chunk").agg(count(lit(1)).as("n"))
           .agg(sum(expr("n * (n - 1) DIV 2"))).collect()(0).getLong(0)
       }
@@ -152,12 +151,13 @@ object ScaleProbe {
           bands = 8).count()
       }
       // Defense 3 (r14) — the PRODUCTION DEFAULT, end-to-end: AutoBits
-      // resolves numBits via lshBitsFor from one corpus count, bands=4
-      // leaves 16 bits/band of Long headroom, so bucket space keeps
-      // growing to ~6.5M-vector corpora before the signature saturates
-      // (8 bands saturate at 256 buckets/band ≈ a 25.6k corpus — the
-      // ×30 embeddings already sit past it; beyond saturation the
-      // maxBucket cap is what bounds the in-bucket work).
+      // resolves numBits via lshBitsFor from one corpus count. r15:
+      // the one-Long saturation is gone — past 64 total bits the
+      // banding switches to WIDE per-band signatures (bucket space
+      // keeps growing to 2^MaxChunkBits per band ≈ 2.8e16 vectors at
+      // the default target), so the maxBucket cap is back to being a
+      // skew backstop rather than the only post-saturation bound
+      // (SaturationProbe measures both regimes side by side).
       phase(dir, "x34.5_auto_pairs") {
         graft.ops.Dedup.embeddingNearDuplicates(
           emb, "vec_id", "embedding", threshold = 0.3).count()

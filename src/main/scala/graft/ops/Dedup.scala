@@ -100,6 +100,23 @@ object Dedup {
     * so their outputs stay bit-identical across corpus sizes). */
   val AutoBits = 0
 
+  /** Per-band chunk-width ceiling — the WIDE regime's named expiry.
+    * 48-bit chunks give 2.8e14 buckets per band; at the default
+    * targetBucket=100 the sizing rule only wants more past ~2.8e16
+    * vectors, orders of magnitude beyond a 100 TB embedding corpus
+    * (1e11 rows at 1 KB/row). Kept below 64 so the bit-slice mask
+    * arithmetic of the packed path and the probes never touches the
+    * Long sign bit. */
+  val MaxChunkBits = 48
+
+  /** Seed stride between bands in the wide regime:
+    * [[graft.functions.Sketches.hyperplaneSignature]] derives plane j
+    * from `seed + j`, so bands spaced ≫ [[MaxChunkBits]] apart in
+    * seed space can never share a hyperplane — the wide per-band
+    * signatures stay as independent as the packed form's disjoint
+    * bit-slices. */
+  private[ops] val WideBandSeedStride = 1000003L
+
   /** LSH signature width for a corpus size — the r13 ×10 rehearsal's
     * sizing rule as code (see [[embeddingNearDuplicates]]): bucket
     * space per band is FIXED at 2^(numBits/bands), so in-bucket work
@@ -108,18 +125,24 @@ object Dedup {
     * bucket at `targetBucket` members as the corpus grows (measured
     * ×10: 6-bit chunks 1212 s CPU / 12.4 GB shuffle, 8-bit chunks
     * 76 s / 3.9 GB); [[DefaultMaxBucket]] stays the backstop for
-    * skew the expectation can't see. Returns `bands × bitsPerBand`
-    * clamped to [bands, 64] (one Long signature), bitsPerBand capped
-    * at 16 (65k buckets/band saturates any realistic band count
-    * before the Long does). */
+    * skew the expectation can't see. Returns `bands × bitsPerBand`.
+    *
+    * r15: the one-Long saturation clamp (bitsPerBand ≤ 64/bands,
+    * which froze the bucket space at ~6.5M vectors for 4 bands and
+    * ~25.6k for 8 — the ×30-measured 10.4× quadratic resumption) is
+    * GONE: past 64 total bits the banding switches to the WIDE
+    * per-band-signature form ([[lshBandChunks]]), so the returned
+    * width keeps growing and expected buckets stay at `targetBucket`
+    * until [[MaxChunkBits]] (~2.8e16 vectors at the default target).
+    * Widths ≤ 64 resolve exactly as before — every existing carrier
+    * and the AutoBits resolution at test SFs are bit-identical. */
   def lshBitsFor(corpus: Long, bands: Int, targetBucket: Int = 100): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64], got $bands")
     require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
     val perBand = math.ceil(
       math.log(corpus.toDouble / targetBucket) / math.log(2.0)).toInt
-    val clamped = math.min(16, math.max(1, perBand))
-    math.min(64, bands * math.min(clamped, 64 / bands))
+    bands * math.min(MaxChunkBits, math.max(1, perBand))
   }
 
   /** Per-call suffix for [[cappedBucketPairs]]' CollectMetrics
@@ -2003,7 +2026,12 @@ object Dedup {
     * so a caller who never read this paragraph still gets a bucket
     * space that grows with their corpus. An explicit `numBits` pins
     * the width (the bench carriers do, keeping their outputs
-    * bit-identical across rounds). */
+    * bit-identical across rounds). r15: widths past one Long engage
+    * the WIDE per-band-signature banding ([[lshSignature]]) — the
+    * bucket space keeps growing to 2^[[MaxChunkBits]] per band
+    * instead of freezing at 64 total bits, so the sizing defense
+    * holds to ~2.8e16 vectors and the `maxBucket` cap returns to
+    * being a skew backstop, not the only post-6.5M bound. */
   def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numBits: Int = AutoBits, bands: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -2049,26 +2077,68 @@ object Dedup {
     }
   }
 
+  /** Hyperplane-LSH signature column for `numBits` total bits over
+    * `bands` bands, in whichever regime the width demands:
+    *
+    *   - `numBits ≤ 64` (PACKED): one Long signature, bands are
+    *     bit-slices — the historical form, expression-identical to
+    *     what every carrier has always planned;
+    *   - `numBits > 64` (WIDE): an array of `bands` independent
+    *     per-band signatures of `numBits / bands` bits each, seeded
+    *     `seed + band ×` [[WideBandSeedStride]] — bucket space per
+    *     band is 2^(numBits/bands) up to 2^[[MaxChunkBits]], so the
+    *     sizing rule keeps holding where one Long saturated. Total
+    *     hyperplane dot products are `numBits` in both regimes: the
+    *     wide form costs the same projection work, it just stops
+    *     cramming all bands into 64 bits. */
+  private[graft] def lshSignature(vec: Column, numBits: Int, bands: Int,
+      seed: Long = 42L): Column = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(numBits % bands == 0, "bands must divide numBits")
+    val bitsPerBand = numBits / bands
+    require(bitsPerBand <= MaxChunkBits || numBits <= 64,
+      s"bitsPerBand $bitsPerBand exceeds MaxChunkBits $MaxChunkBits")
+    if (numBits <= 64) Sketches.hyperplaneSignature(vec, numBits, seed)
+    else array((0 until bands).map(b =>
+      Sketches.hyperplaneSignature(vec, bitsPerBand,
+        seed + b * WideBandSeedStride)): _*)
+  }
+
+  /** Explode a [[lshSignature]]-carrying frame into (…, band, chunk)
+    * rows — the packed bit-slice and wide element forms produce the
+    * same downstream schema, so [[cappedBucketPairs]] and every
+    * banded self-join are regime-agnostic. `sigd` must carry a `sig`
+    * column (dropped on return); all other columns pass through. */
+  private[graft] def lshBandChunks(sigd: DataFrame, numBits: Int,
+      bands: Int): DataFrame = {
+    val bitsPerBand = numBits / bands
+    val exploded = sigd.withColumn("band",
+      explode(sequence(lit(0), lit(bands - 1))))
+    val chunked =
+      if (numBits <= 64) {
+        val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+        exploded.withColumn("chunk",
+          expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
+      } else exploded.withColumn("chunk",
+        element_at(col("sig"), col("band") + 1))
+    chunked.drop("sig")
+  }
+
   private def embeddingNearDuplicatesUncached(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numBits: Int, bands: Int,
       maxBucket: Int): DataFrame = {
     require(numBits % bands == 0, "bands must divide numBits")
-    val bitsPerBand = numBits / bands
-    val mask = (1L << bitsPerBand) - 1
     // exchanges before/after the sketch projection — see
     // minhashCandidates (conditional parallelism + stop deferred
     // re-evaluation)
     val sig = Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        Sketches.hyperplaneSignature(col(vecCol), numBits).as("sig"))
+        lshSignature(col(vecCol), numBits, bands).as("sig"))
       .repartition(col("id"))
     // explode the band index, compute chunks from the carried column
     // (see minhashCandidates)
-    val banded = sig
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
-      .drop("sig")
+    val banded = lshBandChunks(sig.select(col("id"), col("sig")),
+      numBits, bands)
     // bucket self-join with the quadratic path bounded (see
     // cappedBucketPairs); dedup BARE id pairs (a pair may collide in
     // several bands) — dragging the vectors through the distinct

@@ -689,31 +689,33 @@ object Similarity {
     *
     * SIZING: bucket space is fixed at 2^(numBits/bands) per band, so
     * at a growing corpus pass `numBits = Dedup.lshBitsFor(corpus,
-    * bands)` (the ×10/×30-measured quadratic defense). The fixed
-    * default stays here so the x24 carrier's candidate set replays
-    * bit-identically across rounds. */
+    * bands)` (the ×10/×30-measured quadratic defense; r15: widths
+    * past one Long are honored too — the banding switches to the
+    * WIDE per-band-signature regime, see
+    * [[graft.ops.Dedup.lshSignature]]). The fixed default stays here
+    * so the x24 carrier's candidate set replays bit-identically
+    * across rounds. */
   def lshBatchTopK(queries: DataFrame, corpus: DataFrame,
       queryIdCol: String, corpusIdCol: String,
       queryVecCol: String, corpusVecCol: String, k: Int = 10,
       numBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(numBits % bands == 0, "bands must divide numBits")
-    val bitsPerBand = numBits / bands
-    val mask = (1L << bitsPerBand) - 1
     // exchanges before/after the sketch projection — see
     // Dedup.minhashCandidates (conditional parallelism + stop
-    // deferred re-eval)
+    // deferred re-eval). Signature + banding via the shared
+    // regime-aware helpers: ≤ 64 bits plans the historical packed
+    // bit-slice (carrier-identical); wider widths get per-band
+    // signatures (see Dedup.lshSignature) so a caller sizing with
+    // lshBitsFor keeps a growing bucket space past one Long.
     def keyed(df: DataFrame, idCol: String, vecCol: String,
         idAs: String, vecAs: String): DataFrame =
       Parallelism.ensure(df)
         .select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-          Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
+          Dedup.lshSignature(col(vecCol), numBits, bands, seed).as("sig"))
         .repartition(col(idAs))
     def banded(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idAs), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-        .withColumn("chunk", expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
-        .drop("sig")
+      Dedup.lshBandChunks(df.select(col(idAs), col("sig")), numBits, bands)
     val q = keyed(queries, queryIdCol, queryVecCol, "query_id", "__qv")
     val c = keyed(corpus, corpusIdCol, corpusVecCol, "neighbor_id", "__cv")
     // shuffle join (never broadcast — see Dedup.minhashCandidates);
@@ -1416,8 +1418,10 @@ object Similarity {
     * `maxBucket >= n` when exactness against [[hardNegatives]] is
     * the goal. At a growing corpus size `numBits` with
     * [[graft.ops.Dedup.lshBitsFor]] (bucket space is fixed at
-    * 2^(numBits/bands) per band — the ×10/×30-measured quadratic);
-    * the fixed default stays for x113 carrier replay stability. */
+    * 2^(numBits/bands) per band — the ×10/×30-measured quadratic;
+    * r15: wide widths past one Long are honored via
+    * [[graft.ops.Dedup.lshSignature]]); the fixed default stays for
+    * x113 carrier replay stability. */
   def hardNegativesLsh(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String, k: Int = 5, numBits: Int = 16, bands: Int = 4,
       seed: Long = 42L,
@@ -1425,20 +1429,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(numBits % bands == 0, "bands must divide numBits")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val bitsPerBand = numBits / bands
-    val mask = (1L << bitsPerBand) - 1
+    // shared regime-aware signature/banding (see Dedup.lshSignature):
+    // packed bit-slices ≤ 64 bits, per-band signatures beyond
     val keyed = Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(labelCol).as("lbl"),
         col(vecCol).as("v"),
-        Sketches.hyperplaneSignature(col(vecCol), numBits, seed).as("sig"))
+        Dedup.lshSignature(col(vecCol), numBits, bands, seed).as("sig"))
       .repartition(col("id"))
     val wCap = Window.partitionBy(col("band"), col("chunk"))
       .orderBy(xxhash64(col("id")), col("id"))
-    val capped = keyed.select(col("id"), col("lbl"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("chunk",
-        expr(s"shiftright(sig, band * $bitsPerBand) & $mask"))
-      .drop("sig")
+    val capped = Dedup.lshBandChunks(
+        keyed.select(col("id"), col("lbl"), col("sig")), numBits, bands)
       .withColumn("__r", row_number().over(wCap))
       .filter(col("__r") <= maxBucket)
       .drop("__r")

@@ -188,11 +188,23 @@ class OpsSpec extends AnyFunSuite {
     // (the x34.4 probe phase: 1212 -> 76 s CPU vs fixed 6-bit chunks)
     assert(Dedup.lshBitsFor(20000L, bands = 8) == 64)
     assert(Dedup.lshBitsFor(2000L, bands = 8) == 40)
-    // grows with the corpus, never past one Long, never below bands
+    // grows with the corpus, never below bands; r15: keeps growing
+    // PAST one Long (the wide per-band regime) instead of freezing
+    // at 64 total bits — 8-band saturation at a 25.6k corpus was the
+    // ×30-measured 10.4× quadratic resumption
     val widths = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
       .map(n => Dedup.lshBitsFor(n, bands = 8))
     assert(widths == widths.sorted, s"non-monotone: $widths")
-    assert(widths.forall(w => w >= 8 && w <= 64), s"out of range: $widths")
+    assert(widths.forall(w => w >= 8 && w <= 8 * Dedup.MaxChunkBits),
+      s"out of range: $widths")
+    assert(widths.last > 64, s"wide regime never engaged: $widths")
+    // past the old Long clamp the chunk width is exactly the sizing
+    // rule's ask: 1M/100 -> 14-bit chunks at 8 bands = 112 bits
+    assert(Dedup.lshBitsFor(1000000L, bands = 8) == 112)
+    // the wide regime's own named expiry: MaxChunkBits-bit chunks
+    // (~2.8e16 vectors at the default target before it binds)
+    assert(Dedup.lshBitsFor(Long.MaxValue / 2, bands = 4) ==
+      4 * Dedup.MaxChunkBits)
     // a tiny corpus still yields a valid banding
     assert(Dedup.lshBitsFor(10L, bands = 4) == 4)
     // contract violations are loud
@@ -388,6 +400,40 @@ class OpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 4L)))
     assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L)))
+  }
+
+  test("wide-band LSH (numBits > 64): regime routing, precision, recall") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // routing: ≤ 64 bits stays the packed Long (the historical plan
+    // every carrier pins); wider widths band per-band signatures
+    assert(vecs.select(Dedup.lshSignature(col("embedding"), 48, 8).as("s"))
+      .schema("s").dataType == LongType)
+    assert(vecs.select(Dedup.lshSignature(col("embedding"), 80, 8).as("s"))
+      .schema("s").dataType.isInstanceOf[ArrayType])
+    // banding is regime-agnostic downstream: same (…, band, chunk)
+    // schema, chunks land in the sized bucket space [0, 2^(bits/bands))
+    val chunks = Dedup.lshBandChunks(vecs.select(col("vec_id").as("id"),
+      Dedup.lshSignature(col("embedding"), 80, 8).as("sig")), 80, 8)
+    assert(chunks.columns.toSeq == Seq("id", "band", "chunk"))
+    assert(chunks.schema("chunk").dataType == LongType)
+    val rng = chunks.agg(min(col("chunk")), max(col("chunk")),
+      countDistinct(col("band"))).head()
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) < (1L << 10))
+    assert(rng.getLong(2) == 8L)
+    // end-to-end through the wide regime. The fixture makes recall
+    // DETERMINISTIC at any width: vectors 0/1/4 agree in sign with
+    // every Rademacher plane (|0.99·r0| > |0.1·r1|), so their
+    // signatures are identical in every band — all three near-dup
+    // pairs MUST surface; exact cosine verification makes precision
+    // 1.0 by construction (asserted against the brute-force set).
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, numBits = 80, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Set((0L, 1L), (0L, 4L), (1L, 4L))
+    assert(pairs == exact, s"wide regime pairs $pairs != exact $exact")
+    // contract violations are loud: 50-bit chunks exceed MaxChunkBits
+    intercept[IllegalArgumentException](
+      Dedup.lshSignature(col("embedding"), 100, 2))
   }
 
   test("lsh ANN includes exact matches and respects k") {
