@@ -121,6 +121,13 @@ object ScaleProbe {
         val n = emb.count()
         pairBound(graft.ops.Dedup.lshBitsFor(n, 4), 4)
       }
+      phase(dir, "x34.0d_auto8_pairbound") {
+        // the 8-band auto resolution (semanticDedupSurvivors' default
+        // banding) — crosses into the WIDE per-band regime at ×30
+        // (80 bits), giving the deterministic bound behind x34.6
+        val n = emb.count()
+        pairBound(graft.ops.Dedup.lshBitsFor(n, 8), 8)
+      }
       phase(dir, "x34.1_candidate_pairs") {
         graft.ops.Dedup.embeddingNearDuplicates(
           emb, "vec_id", "embedding", threshold = 0.3, numBits = 48,
@@ -160,6 +167,19 @@ object ScaleProbe {
       // (SaturationProbe measures both regimes side by side).
       phase(dir, "x34.5_auto_pairs") {
         graft.ops.Dedup.embeddingNearDuplicates(
+          emb, "vec_id", "embedding", threshold = 0.3).count()
+      }
+      // Defense 3b (r15) — the all-default SEMANTIC composition
+      // end-to-end (AutoBits + default bands=8 + CC + survivors):
+      // 8 bands cross the old Long saturation earliest, so this
+      // phase REALIZES the wide per-band regime at ×30 (60k vectors
+      // auto-size to 80 bits > one Long) while sf0.1 (40 bits) and
+      // ×10 (64 bits, the exact boundary) stay packed — the regime
+      // flip with corpus growth, exercised through the real operator
+      // (banding, capped pairs, cosine verify, components), not just
+      // the bounds aggregation.
+      phase(dir, "x34.6_auto8_survivors") {
+        graft.ops.Dedup.semanticDedupSurvivors(
           emb, "vec_id", "embedding", threshold = 0.3).count()
       }
       }
