@@ -388,16 +388,13 @@ object Extensions extends QueryModule {
     * oracle-checked against DuckDB's double-lambda cosine + window
     * replay. Ranking happens on the UNROUNDED cosine on both sides
     * (neighbor-id tiebreak), output rounds to 4. */
-  private val x23BatchTopK = GraftQuery(
-    "x23_batch_topk",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.batchTopK(
-        emb.filter(col("vec_id") < 20), emb,
-        "vec_id", "vec_id", "embedding", "embedding", k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+  /** Exact batch-top-5 oracle (queries = vec_id < 20): DuckDB
+    * double-lambda cosine + window replay, ranking on the UNROUNDED
+    * cosine with neighbor-id tiebreak — shared by x23 (the exact
+    * operator) and x202 (sharded IVF at full probe, whose merged
+    * top-k provably equals the exact one). */
+  private val batchTopK5Oracle =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 20),
       scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -416,7 +413,40 @@ object Extensions extends QueryModule {
       SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
              round(cos, 4) AS cosine
       FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank"""
+
+  private val x23BatchTopK = GraftQuery(
+    "x23_batch_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.batchTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(batchTopK5Oracle))
+
+  /** Sharded-IVF ANN driver-executed at FULL PROBE — the r15
+    * "beyond MaxTrainK" composition ([[graft.ops.Similarity.ivfIndexSharded]]:
+    * id-hash shards, per-shard flat indexes, probe-all-shards merge)
+    * under the strongest possible check: with nprobe = nlist every
+    * shard scores all its members, so the merged top-k EQUALS exact
+    * brute-force batch top-k and x23's oracle replays it hash-green.
+    * numShards = 2 pins genuine multi-shard execution (AutoShards
+    * resolves 1 below MaxTrainK², so the default at driver SFs would
+    * degenerate to the flat wrap); per-shard k = 4 lists, all
+    * probed. */
+  private val x202BatchTopKIvfSharded = GraftQuery(
+    "x202_batch_topk_ivf_sharded",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val index = Similarity.ivfIndexSharded(emb, "vec_id", "embedding",
+        numShards = 2, k = 4, iters = 2)
+      Similarity.ivfShardedBatchTopK(index, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", topK = 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(batchTopK5Oracle))
 
   /** LSH-bucketed batch top-k — the table-vs-table ANN scale path
     * (candidates bounded by bucket occupancy, never |q|×|corpus|).
@@ -1713,14 +1743,14 @@ object Extensions extends QueryModule {
     * ≈ 0.5 — same note as x34); real corpora use the 0.95 default.
     * Fully hash-green: Lloyd replays via [[kmeansReplayCtes]], the
     * within-cluster pairs and reachability replay in SQL. */
-  private val x65SemdedupClusters = GraftQuery(
-    "x65_semdedup_clusters",
-    (s, dir) => graft.ops.Dedup.semanticClusterDedup(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
-      k = 4, iters = 2, threshold = 0.3)
-      .select(col("vec_id"), col("label"))
-      .orderBy(col("vec_id")),
-    Some(s"""WITH RECURSIVE ${kmeansReplayCtes(4, 2)},
+  /** SemDeDup survivors oracle (flat k = 4, 2 Lloyd rounds,
+    * threshold 0.3): full k-means replay + within-cluster exact
+    * cosine pairs + recursive-CTE components + keep-minimum — shared
+    * by x65 (the flat operator) and x203 (the two-level machinery at
+    * k₁ = 1, whose output the spec-pinned equivalence makes exactly
+    * the flat k = 4 result). */
+  private lazy val semdedupK4Oracle =
+    s"""WITH RECURSIVE ${kmeansReplayCtes(4, 2)},
       p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bfin a JOIN bfin b
@@ -1741,7 +1771,35 @@ object Extensions extends QueryModule {
       SELECT vec_id, label FROM embeddings em
       WHERE NOT EXISTS (SELECT 1 FROM cl c
         WHERE c.id != c.cluster_id AND c.id = em.vec_id)
-      ORDER BY vec_id"""))
+      ORDER BY vec_id"""
+
+  private val x65SemdedupClusters = GraftQuery(
+    "x65_semdedup_clusters",
+    (s, dir) => graft.ops.Dedup.semanticClusterDedup(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    Some(semdedupK4Oracle))
+
+  /** Two-level SemDeDup driver-executed — the r15 "beyond MaxAutoK"
+    * composition through the FULL two-level machinery (top Lloyd,
+    * broadcast sub-centroid join, ordered-fold argmax, the shared
+    * pair kernel, survivors) at k₁ = 1, where the spec-pinned
+    * equivalence (same init rule, same round(9) argmax, same ≥ tie
+    * direction, same centroid rounding) makes the output EXACTLY the
+    * flat k = 4 path — so x65's full-kmeans-replay oracle checks the
+    * two-level code hash-green. Genuine k₁ > 1 engagement (above the
+    * MaxAutoK clamp) stays OpsSpec-pinned: the driver corpora resolve
+    * FlatK, and an explicit k₁ > 1 would have no ANSI replay. */
+  private val x203SemdedupTwoLevel = GraftQuery(
+    "x203_semdedup_two_level",
+    (s, dir) => graft.ops.Dedup.semanticClusterDedupTwoLevel(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k1 = 1, k2 = 4, iters = 2, threshold = 0.3)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id")),
+    Some(semdedupK4Oracle))
 
   /** Binned interval-overlap join ([[graft.ops.Intervals.overlapJoin]]):
     * click sessions within 15 minutes of a purchase session, across
@@ -7116,7 +7174,8 @@ object Extensions extends QueryModule {
     x190TemporalFolds, x191EvasionAudit, x192CurationV2, x193Stickiness,
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
     x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
-    x200AnchorCuration, x201EmbeddingNearDupAuto)
+    x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
+    x203SemdedupTwoLevel)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).
