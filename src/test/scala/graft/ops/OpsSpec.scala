@@ -3545,6 +3545,52 @@ class OpsSpec extends AnyFunSuite {
     assert(byQ.size == 10)
   }
 
+  test("wide-band lshBatchTopK and hardNegativesLsh: the shared regime honors widths past one Long") {
+    val vecs = (0L until 60L).map(id =>
+      (id, Array.tabulate(8)(i => math.cos(id * 1.9 + i * 0.7).toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 10)
+    // queries live IN the corpus, so each query's rank-1 neighbor is
+    // itself at cosine 1.0 — identical vectors carry identical
+    // per-band signatures in ANY regime, so the wide path (80 bits =
+    // 10-bit chunks × 8 bands > one Long) must find them
+    // deterministically
+    val wide = Similarity.lshBatchTopK(q, df, "id", "id", "vec", "vec",
+      k = 3, numBits = 80, bands = 8)
+      .as[(Long, Long, Int, Double)].collect()
+    val rank1 = wide.filter(_._3 == 1).map(t => t._1 -> (t._2, t._4)).toMap
+    (0L until 10L).foreach { qid =>
+      assert(rank1.get(qid).contains((qid, 1.0)),
+        s"query $qid rank-1 ${rank1.get(qid)} != itself at 1.0") }
+    wide.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length),
+        s"query $qid ranks not contiguous") }
+    // hardNegativesLsh through the wide regime: well-formed output —
+    // cross-label negatives only, contiguous ranks, exact cosines
+    val lbl = (0L until 40L).map { id =>
+      (id, (id % 4).toInt,
+        Array.tabulate(8)(i => math.sin(id * 2.7 + i * 1.3).toFloat)) }
+    val ldf = lbl.toDF("id", "label", "vec")
+    val negs = Similarity.hardNegativesLsh(ldf, "id", "label", "vec",
+      k = 4, numBits = 80, bands = 8, maxBucket = 1000)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(negs.nonEmpty)
+    val labelOf = lbl.map(t => t._1 -> t._2).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (va, vb) = (lbl(a.toInt)._3, lbl(b.toInt)._3)
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    negs.foreach { case (anchor, rank, neg, cos) =>
+      assert(labelOf(anchor) != labelOf(neg),
+        s"same-label negative $anchor/$neg")
+      assert(rank >= 1 && cos == cosOf(anchor, neg),
+        s"pair $anchor/$neg rank=$rank cos=$cos != ${cosOf(anchor, neg)}") }
+  }
+
   test("maxsim: each query term matches its own doc vector — the property centroids lose") {
     // doc 1 holds an x-axis and a y-axis vector; doc 2 holds two
     // diagonals. Their CENTROIDS are identical (both diagonal), but
