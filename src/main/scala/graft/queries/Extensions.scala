@@ -448,6 +448,27 @@ object Extensions extends QueryModule {
     },
     Some(batchTopK5Oracle))
 
+  /** WIDE-regime near-dup driver-executed — the r15 "past one Long"
+    * banding ([[graft.ops.Dedup.lshSignature]]: per-band signatures,
+    * chunk = the band's own Long) pinned by an explicit 80-bit /
+    * 8-band width, since no driver-SF corpus is large enough for
+    * [[graft.ops.Dedup.AutoBits]] to cross 64 bits on its own (the
+    * x202-style explicit-parameter promotion: the composition the
+    * clamp engages at scale, executed under Verify at every SF).
+    * Rows-only (sketch-driven candidates) — twin-ruled to x22
+    * exactly as x201: shared pairs carry identical exact cosines
+    * (verification is the same exact-cosine filter), and the wide
+    * regime's routing/recall contract is OpsSpec-pinned. 10-bit
+    * chunks keep buckets sparser than x22's 6-bit ones, so the pair
+    * set is a high-precision subset of the exact pair set. */
+  private val x204EmbeddingNearDupWide = GraftQuery(
+    "x204_embedding_near_dup_wide",
+    (s, dir) => Dedup.embeddingNearDuplicates(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4, numBits = 80, bands = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   /** LSH-bucketed batch top-k — the table-vs-table ANN scale path
     * (candidates bounded by bucket occupancy, never |q|×|corpus|).
     * Sketch-driven → rows-only; recall vs x23's exact ranks is
@@ -7175,7 +7196,7 @@ object Extensions extends QueryModule {
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
     x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
     x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
-    x203SemdedupTwoLevel)
+    x203SemdedupTwoLevel, x204EmbeddingNearDupWide)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).
