@@ -1219,6 +1219,30 @@ class OpsSpec extends AnyFunSuite {
       s"survivor algebra removed ids with no verified pair: ${removed diff paired}")
   }
 
+  test("CorpusCounts: memoized per plan (path-keyed), clear() recounts, empty floors at 1") {
+    // the r14-advice memo all auto-sizing sentinels share — its
+    // documented caveat IS the observable: a parquet scan is keyed by
+    // PATH, so overwriting the files leaves the memoized count stale
+    // until clear() (mirrors candidateMemo's contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_spec")
+      .resolve("t.parquet").toString
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(dir)
+    graft.CorpusCounts.clear()
+    val fresh = spark.read.parquet(dir)
+    assert(graft.CorpusCounts.of(fresh) == 10L)
+    spark.range(20).toDF("id").write.mode("overwrite").parquet(dir)
+    assert(graft.CorpusCounts.of(spark.read.parquet(dir)) == 10L,
+      "second call must serve the memoized count, not re-count")
+    graft.CorpusCounts.clear()
+    assert(graft.CorpusCounts.of(spark.read.parquet(dir)) == 20L,
+      "clear() must force a recount")
+    // sizing formulas divide/log by the count — empty frames floor at 1
+    import spark.implicits._
+    graft.CorpusCounts.clear()
+    assert(graft.CorpusCounts.of(Seq.empty[Long].toDF("id")) == 1L)
+    graft.CorpusCounts.clear()
+  }
+
   test("AutoBits sizes the LSH width from the corpus — the measured defense by default") {
     // at the r13 ×10 rehearsal corpus (20k vectors, 8 bands) the
     // sizing rule picks the 8-bit-chunk defense that measured 76 s
