@@ -1242,9 +1242,17 @@ object Dedup {
   def semanticClusterDedupTwoLevel(df: DataFrame, idCol: String,
       vecCol: String, k1: Int, k2: Int, iters: Int = 2,
       threshold: Double = 0.95, maxIters: Int = 40): DataFrame = {
+    // checkpoint the label table: the pair kernel consumes it under
+    // BOTH self-join sides, and unlike the flat path's codegen'd
+    // plan-literal `greatest`, the two-level argmax is an interpreted
+    // k₂-element fold — re-evaluating it per side doubled the
+    // dominant cost (x205 measured 37.7 s CPU at k₂=55 before this;
+    // the PERF.md "frame consumed by N subplans" rule). Two longs per
+    // row — ~1 GB at the 65M-doc two-level expiry.
     val assigned = Similarity.hierarchicalKmeansAssign(
       df, idCol, vecCol, k1, k2, iters)
       .select(col(idCol).as("id"), col("cluster"))
+      .localCheckpoint(true)
     survivorsFromPairs(df, idCol,
       pairsWithinAssignments(df, idCol, vecCol, assigned, threshold), maxIters)
   }
@@ -2111,6 +2119,14 @@ object Dedup {
     * column (dropped on return); all other columns pass through. */
   private[graft] def lshBandChunks(sigd: DataFrame, numBits: Int,
       bands: Int): DataFrame = {
+    // today's callers validate upstream, but a future internal caller
+    // passing a non-dividing width would silently band WRONG bit
+    // slices in the packed regime instead of failing like
+    // lshSignature does (r15 advice)
+    require(bands >= 1 && numBits % bands == 0,
+      s"bands ($bands) must divide numBits ($numBits)")
+    require(sigd.columns.contains("sig"),
+      s"lshBandChunks input must carry a 'sig' column, got ${sigd.columns.mkString(",")}")
     val bitsPerBand = numBits / bands
     val exploded = sigd.withColumn("band",
       explode(sequence(lit(0), lit(bands - 1))))
@@ -2160,6 +2176,194 @@ object Dedup {
       // re-running the banding+verify pipeline
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Hyperplane-LSH signature table (id, sig) — the persistable
+    * SIGNATURE STORE incremental embedding dedup reads instead of
+    * re-signing the corpus ([[minhashSignatures]]' shape for the
+    * embedding family): write this once per corpus snapshot and each
+    * day's delta dedups against it at banding cost — the numBits×dims
+    * hyperplane projections (the dominant per-vector cost) run over
+    * the delta only. Same two deliberate exchanges as
+    * [[minhashSignatures]]: Parallelism.ensure BEFORE the sketch (a
+    * one-file input would single-thread the projection), repartition
+    * (id) AFTER (materializes the signature at the shuffle so a
+    * downstream Generate can't re-evaluate it per band). `numBits`
+    * follows the [[AutoBits]]/[[lshBitsFor]] sizing contract — resolve
+    * it against the CORPUS the store describes, not a delta; the wide
+    * regime (>64 bits) lands as array<long>, packed as one long, and
+    * [[incrementalEmbeddingNearDuplicates]] guards the regime at
+    * probe time. */
+  def embeddingSignatures(df: DataFrame, idCol: String, vecCol: String,
+      numBits: Int = AutoBits, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bits = resolvedNumBits(df, numBits, bands)
+    Parallelism.ensure(df)
+      .select(col(idCol).as("id"),
+        lshSignature(col(vecCol), bits, bands, seed).as("sig"))
+      .repartition(col("id"))
+  }
+
+  /** A persisted [[embeddingSignatures]] store handle: the signature
+    * frame plus the width/banding/seed it was WRITTEN with — probes
+    * resolve their parameters from here, so a store and its readers
+    * cannot silently disagree (the
+    * [[incrementalMinhashNearDuplicates]] width-guard lesson, made
+    * structural). */
+  final case class EmbeddingSignatureStore(
+      signatures: DataFrame, numBits: Int, bands: Int, seed: Long)
+
+  /** Persist a signature store for incremental embedding dedup:
+    * signatures land as parquet (bucket the production copy by the
+    * banding keys — etl/Bucketing — when the store outgrows one
+    * shuffle), and the (num_bits, bands, seed) meta rides alongside
+    * as one small parquet — the [[graft.ops.Similarity.saveIvfIndex]]
+    * sidecar shape. [[AutoBits]] resolves against THIS frame before
+    * writing, so the recorded width is the resolved one and every
+    * later probe inherits it from [[loadEmbeddingSignatures]]. */
+  def saveEmbeddingSignatures(df: DataFrame, idCol: String, vecCol: String,
+      path: String, numBits: Int = AutoBits, bands: Int = 4,
+      seed: Long = 42L): EmbeddingSignatureStore = {
+    val bits = resolvedNumBits(df, numBits, bands)
+    embeddingSignatures(df, idCol, vecCol, bits, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((bits, bands, seed)).toDF("num_bits", "bands", "seed")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    loadEmbeddingSignatures(spark, path)
+  }
+
+  /** Load a [[saveEmbeddingSignatures]]-persisted store: meta eagerly
+    * (one row), the signature frame lazily (probes scan it map-only
+    * at banding time). */
+  def loadEmbeddingSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): EmbeddingSignatureStore = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1,
+      s"signature store meta at $path/meta must be one row, got ${m.length}")
+    EmbeddingSignatureStore(spark.read.parquet(s"$path/signatures"),
+      m(0).getAs[Int]("num_bits"), m(0).getAs[Int]("bands"),
+      m(0).getAs[Long]("seed"))
+  }
+
+  /** Incremental embedding near-dup detection: dedup a new BATCH of
+    * vectors against an already-deduped corpus whose
+    * [[embeddingSignatures]] store was persisted — the daily-delta
+    * pattern ([[incrementalMinhashNearDuplicates]]'s shape for the
+    * embedding family; at 100 TB the reference's whole
+    * incrementality story is monthly appends, udac_capstone_emr.py:155,
+    * and before this the embedding path re-signed the FULL corpus per
+    * run). The corpus VECTORS are touched once, by the verification
+    * join on surviving candidate ids only — the hyperplane
+    * projections run over the delta alone.
+    *
+    * Output: (batch_id, dup_id, cosine, dup_in) with dup_in ∈
+    * {corpus, batch}; batch-internal pairs emitted once (smaller id
+    * as batch_id); a batch id the store already holds compares
+    * against its own stored signature and can surface as (X, X,
+    * corpus) — the new-vs-old revision check.
+    *
+    * Determinism contract (OpsSpec-asserted): identical (numBits,
+    * bands, seed) ⇒ the result equals the full
+    * [[embeddingNearDuplicates]] over corpus ∪ batch at an uncapped
+    * bucket bound, restricted to pairs touching the batch.
+    *
+    * Scale shape: store-side banding is a map-only projection over
+    * the signature parquet — bucket the store by (band, chunk) and
+    * the corpus side of the candidate join is co-located, leaving ONE
+    * shuffle of the banded delta; candidate id pairs travel BARE
+    * through the distinct (two longs, not 2×dims floats — the x22
+    * shuffle rule), vectors rejoin once per surviving candidate.
+    * Deliberately NO maxBucket star-capping here: star pairs preserve
+    * reachability for a SELF-join's connected components, but a
+    * batch-vs-corpus probe wants every individual edge, and the
+    * store's [[lshBitsFor]]-sized bucket space is the load-bearing
+    * bound — a skewed daily delta means the width is stale; re-size
+    * and re-sign. */
+  def incrementalEmbeddingNearDuplicates(corpusSigs: DataFrame,
+      corpusVecs: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, numBits: Int, bands: Int = 4,
+      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+    require(numBits > 0,
+      s"numBits must be the explicit positive width the store was " +
+        s"written with, got $numBits")
+    require(bands >= 1 && numBits % bands == 0, "bands must divide numBits")
+    // loud regime/width guard (the minhash store-width rule): a store
+    // written in the other regime — or a wide store banded differently
+    // — would silently bucket nothing in common with the batch and
+    // most real duplicates would vanish with no error
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    corpusSigs.schema("sig").dataType match {
+      case LongType =>
+        require(numBits <= 64,
+          s"wide probe (numBits=$numBits) against a PACKED (long) store — " +
+            "rebuild the store or pass the width it was written with")
+      case ArrayType(LongType, _) =>
+        require(numBits > 64,
+          s"packed probe (numBits=$numBits) against a WIDE (array<long>) " +
+            "store — rebuild the store or pass the width it was written with")
+        corpusSigs.select(size(col("sig")).as("w")).limit(1).collect()
+          .headOption.foreach { row =>
+            require(row.getInt(0) == bands,
+              s"wide store carries ${row.getInt(0)} band signatures != " +
+                s"bands $bands — rebuild the store or pass the banding it " +
+                "was written with")
+          }
+      case other => throw new IllegalArgumentException(
+        s"signature store 'sig' column must be long or array<long>, got $other")
+    }
+    // the delta is bounded (a day's intake): checkpoint once — it
+    // feeds its own banding, the batch-internal pairs, and two
+    // vector rejoins
+    val batchSig = Parallelism.ensure(batch)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshSignature(col(vecCol), numBits, bands, seed).as("sig"))
+      .localCheckpoint(true)
+    val batchBanded = lshBandChunks(
+      batchSig.select(col("id"), col("sig")), numBits, bands)
+    val corpusBanded = lshBandChunks(
+      corpusSigs.select(col("id"), col("sig")), numBits, bands)
+    val bAside = batchBanded.select(
+      col("band"), col("chunk"), col("id").as("batch_id"))
+    // batch × corpus candidates (orientation fixed: batch on the
+    // left); batch_id == dup_id KEPT — the revision check
+    val bc = bAside.hint("shuffle_hash")
+      .join(corpusBanded.select(col("band"), col("chunk"),
+        col("id").as("dup_id")).hint("shuffle_hash"), Seq("band", "chunk"))
+      .select(col("batch_id"), col("dup_id")).distinct()
+      .withColumn("dup_in", lit("corpus"))
+    // batch-internal candidates (each unordered pair once)
+    val bb = bAside.hint("shuffle_hash")
+      .join(batchBanded.select(col("band"), col("chunk"),
+        col("id").as("dup_id")).hint("shuffle_hash"), Seq("band", "chunk"))
+      .filter(col("batch_id") < col("dup_id"))
+      .select(col("batch_id"), col("dup_id")).distinct()
+      .withColumn("dup_in", lit("batch"))
+    // vec_b resolves per PROVENANCE (the minhash rule: a single union
+    // lookup would fan out and mis-verify any id present on both sides)
+    def verified(cand: DataFrame, bSide: DataFrame): DataFrame = cand
+      .hint("shuffle_hash")
+      .join(batchSig.select(col("id").as("batch_id"), col("vec").as("vec_a"))
+        .hint("shuffle_hash"), "batch_id")
+      .join(bSide.hint("shuffle_hash"), "dup_id")
+      .withColumn("cosine",
+        round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id"), col("dup_id"), col("cosine"), col("dup_in"))
+    verified(bc, corpusVecs.select(col(idCol).as("dup_id"),
+        col(vecCol).as("vec_b")))
+      .unionByName(verified(bb,
+        batchSig.select(col("id").as("dup_id"), col("vec").as("vec_b"))))
+  }
+
+  /** [[incrementalEmbeddingNearDuplicates]] against a store HANDLE:
+    * width, banding and seed resolve from the store's own meta — the
+    * mismatch class the guards above catch is unrepresentable through
+    * this entry point. */
+  def incrementalEmbeddingNearDuplicates(store: EmbeddingSignatureStore,
+      corpusVecs: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame =
+    incrementalEmbeddingNearDuplicates(store.signatures, corpusVecs, batch,
+      idCol, vecCol, store.numBits, store.bands, threshold, store.seed)
 
   /** Content-defined chunking (the rsync/LBFS rolling-hash family;
     * FastCDC is the production variant): a chunk boundary falls

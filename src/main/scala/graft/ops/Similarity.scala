@@ -451,9 +451,19 @@ object Similarity {
     * single shard) until the √n balance expires at
     * [[MaxTrainK]]² ≈ 16.7M vectors, then the minimum shard count
     * keeping every shard under it. */
-  def ivfShardsFor(corpus: Long): Int = {
+  def ivfShardsFor(corpus: Long): Int =
+    ivfShardsFor(corpus, MaxTrainK.toLong * MaxTrainK)
+
+  /** Boundary-knob form of [[ivfShardsFor]] — `perShard` overrides the
+    * MaxTrainK² production boundary so [[graft.ShardRehearsal]] can
+    * engage the AUTO shard path at rehearsal corpus sizes (the true
+    * boundary needs 16.7M vectors × 4096-centroid argmax passes — not
+    * a local measurement; the ClampRehearsal boundary-knob pattern).
+    * Production callers never pass it: [[ivfIndexSharded]] reaches
+    * this only through the default-boundary form above. */
+  private[graft] def ivfShardsFor(corpus: Long, perShard: Long): Int = {
     require(corpus > 0, s"corpus must be positive, got $corpus")
-    val perShard = MaxTrainK.toLong * MaxTrainK
+    require(perShard > 0, s"perShard must be positive, got $perShard")
     math.max(1L, math.ceil(corpus.toDouble / perShard).toLong).toInt
   }
 
@@ -467,24 +477,57 @@ object Similarity {
     * not the data volume, so the extra passes stay O(corpus) total. */
   def ivfIndexSharded(df: DataFrame, idCol: String, vecCol: String,
       numShards: Int = AutoShards, k: Int = AutoLists,
-      iters: Int = 3, trainSample: Int = 4096): ShardedIvfIndex = {
+      iters: Int = 3, trainSample: Int = 4096): ShardedIvfIndex =
+    ivfIndexShardedWithBoundary(df, idCol, vecCol, numShards, k, iters,
+      trainSample, MaxTrainK.toLong * MaxTrainK)
+
+  /** [[ivfIndexSharded]] with the rehearsal boundary knob exposed —
+    * identical code path (ONE definition; the public form delegates
+    * with the production MaxTrainK² boundary), so what
+    * [[graft.ShardRehearsal]] measures under a lowered `perShard` is
+    * exactly what a >16.7M-vector corpus executes in production. */
+  private[graft] def ivfIndexShardedWithBoundary(df: DataFrame,
+      idCol: String, vecCol: String, numShards: Int, k: Int,
+      iters: Int, trainSample: Int, perShard: Long): ShardedIvfIndex = {
     require(numShards == AutoShards || numShards > 0,
       s"numShards must be AutoShards ($AutoShards) or positive, got $numShards")
     val shards =
       if (numShards > 0) numShards
       else {
         val corpus = graft.CorpusCounts.of(df)
-        val sized = ivfShardsFor(corpus)
+        val sized = ivfShardsFor(corpus, perShard)
         System.err.println(s"[similarity] ivfShardsFor auto-sizing: " +
-          s"corpus=$corpus -> shards=$sized")
+          s"corpus=$corpus perShard=$perShard -> shards=$sized")
         sized
       }
-    val idxs = (0 until shards).map { s =>
-      val part =
-        if (shards == 1) df
-        else df.filter(pmod(xxhash64(col(idCol)), lit(shards)) === s)
-      ivfIndex(part, idCol, vecCol, k, iters, trainSample)
-    }
+    val idxs =
+      if (shards == 1)
+        IndexedSeq(ivfIndex(df, idCol, vecCol, k, iters, trainSample))
+      else {
+        // ONE corpus scan: the shard key is computed and cached once,
+        // and every per-shard build (TakeOrdered sample + assignment
+        // pass) reads the materialized columnar split instead of
+        // re-scanning the source per shard — pmod(xxhash64(id)) never
+        // reaches parquet as a pushed filter, so the old per-shard
+        // filter-on-source form cost 2S full corpus reads (the r16
+        // ShardRehearsal measured it at 1.6-1.7x the flat build's
+        // CPU/vector; at the real 16.7M-vector boundary S grows with
+        // the corpus and the re-reads would dominate the build)
+        val split = df.select(col(idCol), col(vecCol),
+          pmod(xxhash64(col(idCol)), lit(shards)).as("__shard"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val built = (0 until shards).map { s =>
+            ivfIndex(split.filter(col("__shard") === s).drop("__shard"),
+              idCol, vecCol, k, iters, trainSample)
+          }
+          // materialize each shard's (persisted) assignments off the
+          // split cache BEFORE releasing it — the assignment plans are
+          // lazy and would otherwise re-read the source at first probe
+          built.foreach(_.assignments.count())
+          built
+        } finally split.unpersist(blocking = false)
+      }
     ShardedIvfIndex(idxs, shards, idCol, vecCol)
   }
 

@@ -7135,6 +7135,70 @@ object Extensions extends QueryModule {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** GENUINE-regime two-level SemDeDup driver-executed (r15 verdict
+    * #1: x203 runs the two-level CODE but at k₁ = 1, the degenerate
+    * point — the broadcast sub-centroid fan-out and the above-clamp
+    * [[graft.ops.Dedup.AutoK]] resolution never ran under
+    * graft.Verify). Three exact replicas of the embeddings corpus on
+    * disjoint id ranges at targetCluster = 2 push AutoK past
+    * [[graft.ops.Dedup.MaxAutoK]] at EVERY SF (500 vectors → raw 750
+    * clusters → TwoLevelK(28, 27); sf0.1's 2000 → TwoLevelK(55, 55)),
+    * so the top Lloyd trains k₁ > 1 plan-literal centroids and the
+    * sub-centroid broadcast join genuinely fans out
+    * (Dedup.scala semanticClusterDedup/semanticClusterDedupTwoLevel,
+    * Similarity.scala hierarchicalKmeansModel/Assign). HASH-GREEN,
+    * not rows-only: leaf assignment is a pure function of the vector,
+    * so each replica triple shares a leaf and collapses to its min id
+    * = the original vec_id, and no DISTINCT pair reaches the 0.95
+    * threshold (measured max distinct-pair cosine 0.601 at sf0.1 /
+    * 0.513 at sf0.01 / 0.479 at sf0.001 — x22's well-spread-corpus
+    * calibration), so the survivor set is EXACTLY the original corpus
+    * — a known-answer oracle that fails on any mis-bucketed replica,
+    * broken fold argmax, or broken survivor algebra. OpsSpec pins
+    * AutoK ≡ explicit-(k₁, k₂) and per-id assignment consistency. */
+  private val x205SemdedupTwoLevelDeep = GraftQuery(
+    "x205_semdedup_two_level_deep",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val big = (0 until 3).map(r =>
+          emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_.unionByName(_))
+      Dedup.semanticClusterDedup(big, "vec_id", "embedding",
+        k = Dedup.AutoK, iters = 2, threshold = 0.95, targetCluster = 2)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("SELECT vec_id FROM embeddings ORDER BY vec_id"))
+
+  /** Incremental embedding near-dup (r15 verdict #3: the reference's
+    * whole incrementality story is monthly appends —
+    * udac_capstone_emr.py:155, the S5 append sinks — and x49 covers
+    * incremental TEXT dedup, but the embedding path re-signed the
+    * full corpus per run). The corpus (vec_id ≥ 100) is represented
+    * by its signature store ([[graft.ops.Dedup.embeddingSignatures]],
+    * the persistable frame — the parquet save/load round-trip is
+    * spec'd like loadIvfIndex); the batch (vec_id < 100) is signed
+    * fresh and banded against it, corpus vectors touched only by the
+    * verification join. Sketch-driven → rows-only, twin-ruled to x22
+    * (identical exact-cosine verification, x22's 48-bit/8-band width
+    * and 0.4 test-corpus threshold); OpsSpec asserts incremental ≡
+    * full-recompute restricted to pairs touching the batch, the
+    * revision-check row, and the store width/regime guards. */
+  private val x206EmbeddingNearDupIncremental = GraftQuery(
+    "x206_embedding_near_dup_incremental",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") >= 100)
+      val store = Dedup.embeddingSignatures(
+        corpus, "vec_id", "embedding", numBits = 48, bands = 8)
+      Dedup.incrementalEmbeddingNearDuplicates(
+        store, corpus, emb.filter(col("vec_id") < 100), "vec_id",
+        "embedding", numBits = 48, bands = 8, threshold = 0.4)
+        .orderBy(col("batch_id"), col("dup_id"), col("dup_in"))
+    },
+    None)
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7196,7 +7260,8 @@ object Extensions extends QueryModule {
     x194CharWindowDedup, x195KeywordScreenAuto, x196PhraseScreen,
     x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
     x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
-    x203SemdedupTwoLevel, x204EmbeddingNearDupWide)
+    x203SemdedupTwoLevel, x204EmbeddingNearDupWide,
+    x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

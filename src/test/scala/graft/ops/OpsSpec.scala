@@ -336,6 +336,124 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("store width"), e.getMessage)
   }
 
+  test("incremental embedding == full run restricted to batch-touching pairs") {
+    // mirrors the x206 carrier exactly: corpus = vec_id >= 100 held as
+    // a signature store, batch = vec_id < 100 signed fresh. Identical
+    // (numBits, bands, seed) must reproduce the FULL recompute's pair
+    // set over corpus ∪ batch (uncapped buckets), restricted to pairs
+    // touching the batch — the x49 contract for the embedding family.
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+    val store = Dedup.embeddingSignatures(corpus, "vec_id", "embedding",
+      numBits = 48, bands = 8)
+    val inc = Dedup.incrementalEmbeddingNearDuplicates(store, corpus, batch,
+      "vec_id", "embedding", numBits = 48, bands = 8, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    // orientation + provenance (ids are disjoint here, so no revision rows)
+    inc.foreach { case (b, d, _, src) =>
+      assert(b < 100, s"batch_id must be from the batch: $b")
+      if (src == "corpus") assert(d >= 100, s"bad corpus dup: $d")
+      else assert(d < 100 && b < d, s"bad batch pair: ($b,$d)")
+    }
+    Dedup.clearEmbeddingPairCache()
+    val full = Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      threshold = 0.4, numBits = 48, bands = 8, maxBucket = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 100 || b < 100 }
+      .map { case (a, b, c) => (math.min(a, b), math.max(a, b), c) }.toSet
+    val incNorm = inc
+      .map { case (a, b, c, _) => (math.min(a, b), math.max(a, b), c) }.toSet
+    assert(incNorm == full,
+      s"incremental must equal batch-restricted full run: " +
+        s"extra=${(incNorm diff full).take(3)} missing=${(full diff incNorm).take(3)}")
+    assert(inc.nonEmpty, "fixture regime must produce at least one pair")
+  }
+
+  test("incremental embedding: revision row surfaces once; regime/width guards fail loudly") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val corpus = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val store = Dedup.embeddingSignatures(corpus, "vec_id", "embedding",
+      numBits = 48, bands = 8)
+    // id 100 re-ingested unchanged: compares against its own stored
+    // signature exactly once, cosine 1.0, tagged corpus
+    val out = Dedup.incrementalEmbeddingNearDuplicates(store, corpus,
+      emb.filter(col("vec_id") === 100), "vec_id", "embedding",
+      numBits = 48, bands = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    assert(out.count { case (b, d, c, src) =>
+      b == 100L && d == 100L && c == 1.0 && src == "corpus" } == 1,
+      s"revision pair must appear exactly once at cosine 1.0, got ${out.toSeq}")
+    // packed store probed wide / wide store probed packed: loud, not
+    // silently-empty buckets (the minhash store-width rule)
+    val batch = emb.filter(col("vec_id") < 5)
+    val ePacked = intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDuplicates(store, corpus,
+        batch, "vec_id", "embedding", numBits = 80, bands = 8)
+    }
+    assert(ePacked.getMessage.contains("PACKED"), ePacked.getMessage)
+    val wide = Dedup.embeddingSignatures(corpus, "vec_id", "embedding",
+      numBits = 80, bands = 8)
+    val eWide = intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDuplicates(wide, corpus, batch,
+        "vec_id", "embedding", numBits = 48, bands = 8)
+    }
+    assert(eWide.getMessage.contains("WIDE"), eWide.getMessage)
+    // wide store banded differently: the one-row band-count guard
+    val eBands = intercept[IllegalArgumentException] {
+      Dedup.incrementalEmbeddingNearDuplicates(wide, corpus, batch,
+        "vec_id", "embedding", numBits = 80, bands = 4)
+    }
+    assert(eBands.getMessage.contains("band signatures"), eBands.getMessage)
+  }
+
+  test("embedding signature store: save -> load -> identical probes; meta travels") {
+    // the loadIvfIndex-shaped persistence path: width/banding/seed ride
+    // a meta sidecar, so a probe through the loaded HANDLE cannot
+    // disagree with what the store was written with
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+    val written = Dedup.saveEmbeddingSignatures(corpus, "vec_id", "embedding",
+      dir, numBits = 48, bands = 8)
+    assert(written.numBits == 48 && written.bands == 8 && written.seed == 42L)
+    val loaded = Dedup.loadEmbeddingSignatures(spark, dir)
+    assert(loaded.numBits == 48 && loaded.bands == 8 && loaded.seed == 42L)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    val viaLoaded = norm(Dedup.incrementalEmbeddingNearDuplicates(
+      loaded, corpus, batch, "vec_id", "embedding", threshold = 0.4))
+    val viaFrame = norm(Dedup.incrementalEmbeddingNearDuplicates(
+      Dedup.embeddingSignatures(corpus, "vec_id", "embedding",
+        numBits = 48, bands = 8),
+      corpus, batch, "vec_id", "embedding", numBits = 48, bands = 8,
+      threshold = 0.4))
+    assert(viaLoaded == viaFrame,
+      s"persisted-store probe must equal in-memory probe: " +
+        s"${(viaLoaded diff viaFrame).take(3)} vs ${(viaFrame diff viaLoaded).take(3)}")
+  }
+
+  test("approx distinct: HLL estimate within rsd of the exact column beside it") {
+    // x15's self-twin contract: the exact count rides in the SAME
+    // output row; nothing previously asserted the estimate tracks it
+    // (surfaced by the TwinLedger audit). 5×rsd is generous — HLL++ at
+    // rsd 0.02 sits well inside it at these cardinalities.
+    val rows = graft.Tables.events(spark, graft.SparkTestSession.sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (0.10 * exact).toLong),
+        s"$t: approx $approx strays from exact $exact beyond 5x rsd")
+    }
+  }
+
   test("simhash: identical docs collide; near-dup signatures are close") {
     // banding (4×16 bits) guarantees candidate recall only for
     // hamming ≤ 3 — the exact-dup pair must surface through it
@@ -1366,6 +1484,19 @@ class OpsSpec extends AnyFunSuite {
       k1 = 28, k2 = 27, iters = 2, threshold = 0.95)
       .select("vec_id").as[Long].collect().toSet
     assert(surv == explicit)
+    // per-id assignment consistency (the x205 carrier's contract):
+    // leaf assignment is a pure function of the VECTOR, so the three
+    // replicas of every vector must share one leaf — this is what
+    // makes x205's known-answer oracle sound (a replica triple split
+    // across leaves would never pair and the extra ids would survive)
+    val leaves = Similarity.hierarchicalKmeansAssign(big, "vec_id", "embedding",
+      k1 = 28, k2 = 27, iters = 2)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect()
+      .groupBy { case (id, _) => id % 10000L }
+    leaves.foreach { case (base, rows) =>
+      assert(rows.map(_._2).distinct.length == 1,
+        s"replicas of $base split across leaves: ${rows.toSeq}")
+    }
   }
 
   test("sharded IVF: full probe ≡ flat full probe ≡ exact (the clamp composition is lossless)") {
@@ -1402,6 +1533,35 @@ class OpsSpec extends AnyFunSuite {
     val singleExact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k = 5)
       .as[(Long, Double)].collect().toSeq
     assert(singleSharded == singleExact)
+  }
+
+  test("AutoShards engages past the boundary knob; auto == explicit shard count") {
+    // the rehearsal knob (r15 verdict #2): ivfShardsFor's production
+    // boundary is MaxTrainK² ≈ 16.7M vectors — never reachable
+    // locally — so the AUTO path is exercised through the SAME code
+    // with the boundary lowered (ivfIndexShardedWithBoundary; the
+    // public form delegates with the production constant)
+    assert(Similarity.ivfShardsFor(8000L, 4096L) == 2)
+    assert(Similarity.ivfShardsFor(4096L, 4096L) == 1)
+    assert(Similarity.ivfShardsFor(16385L, 4096L) == 5)
+    intercept[IllegalArgumentException](Similarity.ivfShardsFor(100L, 0L))
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    // 500 vectors over a 256-vector boundary: AutoShards resolves 2
+    val auto = Similarity.ivfIndexShardedWithBoundary(emb, "vec_id",
+      "embedding", Similarity.AutoShards, 4, iters = 2,
+      trainSample = 4096, perShard = 256L)
+    assert(auto.numShards == 2,
+      s"auto path must resolve 2 shards past the knob, got ${auto.numShards}")
+    // and the auto-resolved build IS the explicit-2-shard build: same
+    // id-hash split, same per-shard models, identical probes
+    val explicitIdx = Similarity.ivfIndexSharded(emb, "vec_id", "embedding",
+      numShards = 2, k = 4, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    def probes(ix: Similarity.ShardedIvfIndex) =
+      Similarity.ivfShardedBatchTopK(ix, queries, "vec_id", "embedding",
+        topK = 5, nprobe = 4).as[(Long, Long, Int, Double)].collect().toSet
+    assert(probes(auto) == probes(explicitIdx),
+      "auto-resolved and explicit shard builds must probe identically")
   }
 
   test("auto-sizing sentinels reject negative widths/ks loudly (r14 advice)") {
