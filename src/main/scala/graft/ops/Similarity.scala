@@ -979,16 +979,27 @@ object Similarity {
     val centFrame = subs.toSeq.sortBy(_._1)
       .map { case (t, cents) => (t, cents.map(_.toSeq).toSeq) }
       .toDF("__top", "__cents")
-    val acc0 = struct(lit(Double.NegativeInfinity).as("sim"),
-      lit(0).as("sub"), lit(0).as("i"))
-    val vote = aggregate(col("__cents"), acc0, (acc, c) => {
-      val sim = round(VectorMath.cosineSimilarity(col("vec"), c), 9)
-      val take = sim >= acc.getField("sim")
+    // codegen'd argmax — one `greatest` arm per sub index over an
+    // element_at extract, NOT a higher-order `aggregate` fold: HOF
+    // lambdas evaluate interpreted (~66 µs/element measured r16),
+    // and this is the hot inner loop of the two-level path at its own
+    // target regime (k₂ ≈ 255 × every corpus row, per training round
+    // AND at assignment). Bit-matching the fold it replaced: struct
+    // max is (sim, sub)-lexicographic, so equal round-9 sims keep the
+    // HIGHEST index — the fold's replace-on-≥ and struct-`greatest`'s
+    // tie direction; a NULL sim (element beyond a short init array, a
+    // zero-norm pair, a missing cents row) becomes a (−inf, 0) arm
+    // that never beats a real one and reproduces the fold's
+    // acc0 = (−inf, sub 0) when no arm is real.
+    val k2m = subs.values.foldLeft(0)((m, c) => math.max(m, c.length))
+    val arms = (0 until math.max(1, k2m)).map { j =>
+      val sim = round(VectorMath.cosineSimilarity(col("vec"),
+        element_at(col("__cents"), j + 1)), 9)
       struct(
-        when(take, sim).otherwise(acc.getField("sim")).as("sim"),
-        when(take, acc.getField("i")).otherwise(acc.getField("sub")).as("sub"),
-        (acc.getField("i") + lit(1)).as("i"))
-    })
+        coalesce(sim, lit(Double.NegativeInfinity)).as("sim"),
+        when(sim.isNotNull, lit(j)).otherwise(lit(0)).as("sub"))
+    }
+    val vote = if (arms.length == 1) arms.head else greatest(arms: _*)
     assigned.join(broadcast(centFrame), Seq("__top"), "left")
       .withColumn("__vote", vote)
       .withColumn("__sub", coalesce(col("__vote.sub"), lit(0)))

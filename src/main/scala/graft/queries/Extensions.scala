@@ -7139,28 +7139,29 @@ object Extensions extends QueryModule {
     * #1: x203 runs the two-level CODE but at k₁ = 1, the degenerate
     * point — the broadcast sub-centroid fan-out and the above-clamp
     * [[graft.ops.Dedup.AutoK]] resolution never ran under
-    * graft.Verify). Three exact replicas of the embeddings corpus on
+    * graft.Verify). Two exact replicas of the embeddings corpus on
     * disjoint id ranges at targetCluster = 2 push AutoK past
-    * [[graft.ops.Dedup.MaxAutoK]] at EVERY SF (500 vectors → raw 750
-    * clusters → TwoLevelK(28, 27); sf0.1's 2000 → TwoLevelK(55, 55)),
+    * [[graft.ops.Dedup.MaxAutoK]] at EVERY SF (500 vectors → raw 500
+    * clusters → TwoLevelK(23, 22); sf0.1's 2000 → TwoLevelK(45, 45)),
     * so the top Lloyd trains k₁ > 1 plan-literal centroids and the
     * sub-centroid broadcast join genuinely fans out
     * (Dedup.scala semanticClusterDedup/semanticClusterDedupTwoLevel,
     * Similarity.scala hierarchicalKmeansModel/Assign). HASH-GREEN,
     * not rows-only: leaf assignment is a pure function of the vector,
-    * so each replica triple shares a leaf and collapses to its min id
+    * so each replica pair shares a leaf and collapses to its min id
     * = the original vec_id, and no DISTINCT pair reaches the 0.95
     * threshold (measured max distinct-pair cosine 0.601 at sf0.1 /
     * 0.513 at sf0.01 / 0.479 at sf0.001 — x22's well-spread-corpus
     * calibration), so the survivor set is EXACTLY the original corpus
     * — a known-answer oracle that fails on any mis-bucketed replica,
-    * broken fold argmax, or broken survivor algebra. OpsSpec pins
-    * AutoK ≡ explicit-(k₁, k₂) and per-id assignment consistency. */
+    * broken argmax, or broken survivor algebra. OpsSpec pins
+    * AutoK ≡ explicit-(k₁, k₂) and per-id assignment consistency
+    * (on its own 3-replica fixture — independent of this carrier). */
   private val x205SemdedupTwoLevelDeep = GraftQuery(
     "x205_semdedup_two_level_deep",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val big = (0 until 3).map(r =>
+      val big = (0 until 2).map(r =>
           emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
             col("embedding")))
         .reduce(_.unionByName(_))
