@@ -292,6 +292,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("x206 incremental embedding: batch signed once behind a checkpoint, joins shuffle-hash") {
+    val plan = executedPlan("x206_embedding_near_dup_incremental")
+    // the delta's (id, vec, sig) projection is localCheckpointed and
+    // feeds its banding, the batch-internal pairs, and two vector
+    // rejoins — every consumer must read the materialized RDD, or the
+    // hyperplane signature would re-run per consumer (the
+    // minhashSignatures rule applied to the embedding store's probe)
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+    // bucket candidates + vector rejoins are shuffle-hash — the
+    // corpus side is store-sized, never broadcast, never nested-loop
+    assert(plan.contains("ShuffledHashJoin [band"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("x66 interval join: binned equi-join, never a nested loop") {
     val plan = executedPlan("x66_interval_join")
     // the non-equi overlap predicate rides a bin equi-join:
