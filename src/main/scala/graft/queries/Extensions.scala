@@ -455,19 +455,21 @@ object Extensions extends QueryModule {
     * [[graft.ops.Dedup.AutoBits]] to cross 64 bits on its own (the
     * x202-style explicit-parameter promotion: the composition the
     * clamp engages at scale, executed under Verify at every SF).
-    * Rows-only (sketch-driven candidates) — twin-ruled to x22
-    * exactly as x201: shared pairs carry identical exact cosines
-    * (verification is the same exact-cosine filter), and the wide
-    * regime's routing/recall contract is OpsSpec-pinned. 10-bit
-    * chunks keep buckets sparser than x22's 6-bit ones, so the pair
-    * set is a high-precision subset of the exact pair set. */
+    * HASH-GREEN via the x201/x205 replica-union known answer (see
+    * x201's scaladoc for the determinism argument; the wide regime
+    * only strengthens it — 10-bit chunks keep buckets ~16× sparser
+    * than the packed carriers', so the cap is even further from
+    * engaging). A broken per-band seed stride, array chunk slice, or
+    * wide-store banding surfaces as a missing/extra pair here. */
   private val x204EmbeddingNearDupWide = GraftQuery(
     "x204_embedding_near_dup_wide",
     (s, dir) => Dedup.embeddingNearDuplicates(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4, numBits = 80, bands = 8)
+      replicatedEmbeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.95, numBits = 80, bands = 8)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        CAST(1.0 AS DOUBLE) AS cosine
+      FROM embeddings ORDER BY id_a, id_b"""))
 
   /** LSH-bucketed batch top-k — the table-vs-table ANN scale path
     * (candidates bounded by bucket occupancy, never |q|×|corpus|).
@@ -716,20 +718,22 @@ object Extensions extends QueryModule {
   private val x34SemanticDedupLsh = GraftQuery(
     "x34_semantic_dedup_lsh",
     (s, dir) => Dedup.semanticDedupSurvivors(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
-      // threshold = 0.3 is the TEST-CORPUS regime, chosen to mirror
-      // x29's exact composition: the synthetic embeddings are
-      // well-spread (max pairwise cosine ≈ 0.5), so 0.3 is what
-      // produces a non-trivial duplicate graph here. A REAL corpus
-      // wants the operator's 0.95 default — copying 0.3 into
-      // production would cluster-and-drop a large fraction of merely
-      // related documents (the high-threshold behavior is
-      // spec-asserted in OpsSpec). 48 bits / 8 bands keeps buckets
-      // sparse (see x22).
-      threshold = 0.3, numBits = 48, bands = 8)
+      replicatedEmbeddings(s, dir), "vec_id", "embedding",
+      // HASH-GREEN via the x201/x205 replica-union known answer at
+      // the operator's production 0.95 threshold (pre-r16 this ran
+      // the TEST-CORPUS 0.3 regime rows-only — that mid-threshold
+      // duplicate graph stays pinned by x29's exact composition and
+      // the OpsSpec contracts): the only verified edges are the
+      // planted (v, v+10⁶) replica pairs, so clusters are exactly
+      // those pairs and the survivor set is exactly the original
+      // corpus — any mis-bucketed replica, broken CC round, or broken
+      // survivor anti-join breaks the hash. 64 bits / 8 bands keeps
+      // the banded self-join at candidate-volume parity with the old
+      // 48/8-on-half-the-corpus form (256 buckets/band over 2× rows).
+      threshold = 0.95, numBits = 64, bands = 8)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id")),
-    None)
+    Some("SELECT vec_id, label FROM embeddings ORDER BY vec_id"))
 
   /** Exact passage-containment twin (the x7↔x22 baseline/scale-path
     * pattern applied to containment): shared distinct word-trigram
@@ -1028,19 +1032,65 @@ object Extensions extends QueryModule {
         (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk
       FROM o ORDER BY doc_id"""))
 
+  /** Two exact replicas of the documents corpus on disjoint id
+    * ranges — [[replicatedEmbeddings]]' pattern for the TEXT dedup
+    * carriers (x42/x118 share this one frame so the trigram table
+    * and candidate memo build once across both). */
+  private def replicatedDocuments(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val docs = Tables.documents(s, dir)
+    (0 until 2).map(r => docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        col("text"), col("source"), col("n_chars")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** DuckDB gram-set key over the x42/x118 replica union — the
+    * trigramGramsSql definition (one gram expression per engine, the
+    * x43 twin discipline) lifted to the union and sorted into a
+    * grouping key: Jaccard = 1.0 on DISTINCT gram arrays ⇔ identical
+    * gram SETS, so the oracle replays the full cluster semantics by
+    * grouping on the sorted gram list — no planted-answer assumption
+    * about which texts coincide. */
+  private def replicaGramKeySql(cols: String): String =
+    s"""WITH u AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text, source, n_chars FROM documents),
+      tok AS (SELECT doc_id, source, n_chars,
+          string_split_regex(lower(text), '\\s+') AS t FROM u),
+      g AS (SELECT doc_id, source, n_chars,
+          list_sort(list_distinct(CASE WHEN len(t) < 3
+            THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) END)) AS gk
+        FROM tok)
+      SELECT $cols"""
+
   /** Fuzzy text dedup at scale (the SlimPajama/Dolma pipeline):
     * MinHash-LSH candidates → exact trigram-Jaccard verification →
-    * connected components → keep cluster minima, over the FULL
-    * corpus. Sketch-fed candidate set → rows-only; x43 is the
-    * bounded exact twin and the survivor algebra (exact survivors ⊆
-    * fuzzy survivors) is spec-asserted. */
+    * connected components → keep cluster minima. HASH-GREEN on the
+    * replica-union corpus at threshold 1.0: a verified Jaccard of
+    * exactly 1.0 over DISTINCT gram arrays means identical gram
+    * SETS (inter < uni rounds ≤ 0.99 at ≤ ~100 grams/doc, far from
+    * the 0.99995 round-up boundary), identical sets sign identically
+    * so every linking pair is a guaranteed LSH candidate (recall 1 —
+    * same-text bucket groups of ≤ 4 rows never near the 1000 cap),
+    * and the oracle replays the WHOLE semantics by grouping on the
+    * sorted gram list — the engine's hashed-gram equality and the
+    * oracle's string-gram equality agree up to a 2⁻⁶⁴ xxhash64
+    * collision. The mid-threshold regime (0.7, recall < 1) stays
+    * exercised by the x10 primitive and x43's bounded exact twin. */
   private val x42TextDedupFuzzy = GraftQuery(
     "x42_text_dedup_fuzzy",
     (s, dir) => Dedup.textDedupSurvivors(
-      Tables.documents(s, dir), "doc_id", "text", threshold = 0.7)
+      replicatedDocuments(s, dir), "doc_id", "text", threshold = 1.0)
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id")),
-    None)
+    Some(replicaGramKeySql(
+      """doc_id, source FROM (
+        SELECT doc_id, source, min(doc_id) OVER (PARTITION BY gk) AS m
+        FROM g) WHERE doc_id = m ORDER BY doc_id""")))
 
   /** Exact fuzzy-dedup twin (the x28/x29 oracle pattern on TEXT):
     * all-pairs trigram Jaccard over a bounded doc slice → recursive-
@@ -3621,24 +3671,31 @@ object Extensions extends QueryModule {
   /** The scale path of x114 ([[graft.ops.Dedup.keepBestPerCluster]]
     * over MinHash-LSH verified clusters, full corpus): candidates
     * from banded MinHash, exact-Jaccard verified, pointer-jumping
-    * components, then keep each cluster's LONGEST member. Sketch-fed
-    * candidate set → rows-only; x114 is the bounded hash-green twin
-    * and OpsSpec pins the survivor algebra (every exact-path keeper
-    * survives the LSH path — missed edges only split clusters, and
-    * a split cluster keeps its halves' bests). */
+    * components, then keep each cluster's LONGEST member (n_chars
+    * DESC, id ASC). HASH-GREEN on the x42 replica union at threshold
+    * 1.0 — see x42's determinism argument; the oracle replays the
+    * full keep-best algebra as a window over the gram-set groups, so
+    * a broken tie-break, a split cluster, or a dropped singleton
+    * breaks the hash. The mid-threshold regime stays pinned by x114
+    * (bounded exact twin) and the OpsSpec survivor-algebra contract. */
   private val x118CanonicalSelectionLsh = GraftQuery(
     "x118_canonical_selection_lsh",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = replicatedDocuments(s, dir)
       val pairs = Dedup.ngramJaccardNearDuplicates(
-        docs, "doc_id", "text", threshold = 0.7, shingleSize = 3)
+        docs, "doc_id", "text", threshold = 1.0, shingleSize = 3)
         .select(col("id_a"), col("id_b"))
       val clusters = Dedup.duplicateClusters(pairs, "id_a", "id_b")
       Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", clusters)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(replicaGramKeySql(
+      """doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY gk
+            ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM g) WHERE rk = 1 ORDER BY doc_id""")))
 
   /** Length-bucket padding-waste profile ([[graft.ops.Packing
     * .paddingStats]]): per 64-token bucket at maxSeqLen 512, the
@@ -7116,24 +7173,44 @@ object Extensions extends QueryModule {
   // Spark split('[ \t\n\f\r]+') and DuckDB string_split_regex('\s+')
   // agree on all empty-segment edges ('a  b', ' a', 'a ', '', '  ').
 
-  /** The PRODUCTION-DEFAULT embedding near-dup path: every sizing
-    * parameter auto-resolved ([[graft.ops.Dedup.AutoBits]] width from
-    * the memoized corpus count, default bands, default bucket cap) —
-    * the r14 verdict's named carrier gap: the defaults a production
-    * caller gets ran only in OpsSpec while every driver query pinned
-    * explicit widths. Resolution is deterministic at a given SF (one
-    * count → one width), so the output is stable run-to-run;
-    * rows-only because the candidate set is sketch-driven (twin-ruled
-    * to x22, the explicit-width form of the same operator — shared
-    * pairs carry identical exact cosines, and OpsSpec pins the
-    * precision/recall contract of both against the exact pair set). */
+  /** Two exact replicas of the embeddings corpus on disjoint id
+    * ranges (replica r keeps vec_id + r·10⁶) — the x205 replica-union
+    * known-answer substrate shared by the x201/x204/x34 carriers so
+    * the union frame canonicalizes to ONE plan key (one
+    * [[graft.CorpusCounts]] count serves every auto-sized call). */
+  private def replicatedEmbeddings(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+    (0 until 2).map(r => emb.select(
+        (col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** The PRODUCTION-DEFAULT embedding near-dup path: every parameter
+    * auto-resolved — [[graft.ops.Dedup.AutoBits]] width from the
+    * memoized corpus count, default bands, default bucket cap, and
+    * (unlike the pre-r16 form, which had to force threshold 0.4 to
+    * get rows out of the well-spread corpus) the default 0.95
+    * threshold itself. HASH-GREEN via the x205 replica-union known
+    * answer: on the two-replica corpus the only pairs at ≥ 0.95 are
+    * the planted (v, v+10⁶) replicas (max DISTINCT-pair cosine is
+    * 0.479/0.513/0.601 at sf0.001/0.01/0.1), identical vectors sign
+    * identically so they share every band bucket (sketch recall is
+    * exactly 1 on them — candidates can't miss, and a capped bucket
+    * would have to trip in ALL bands at ~62-row averages vs the
+    * 1000-row cap to drop one), and the verified cosine of an exact
+    * replica rounds to 1.0. Any mis-bucketed replica, broken band
+    * slice, or broken verify filter breaks the hash. OpsSpec pins the
+    * precision/twin contract against explicit x22 on the raw corpus. */
   private val x201EmbeddingNearDupAuto = GraftQuery(
     "x201_embedding_near_dup_auto",
     (s, dir) => Dedup.embeddingNearDuplicates(
-      Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4)
+      replicatedEmbeddings(s, dir), "vec_id", "embedding")
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        CAST(1.0 AS DOUBLE) AS cosine
+      FROM embeddings ORDER BY id_a, id_b"""))
 
   /** GENUINE-regime two-level SemDeDup driver-executed (r15 verdict
     * #1: x203 runs the two-level CODE but at k₁ = 1, the degenerate
@@ -7176,29 +7253,40 @@ object Extensions extends QueryModule {
     * whole incrementality story is monthly appends —
     * udac_capstone_emr.py:155, the S5 append sinks — and x49 covers
     * incremental TEXT dedup, but the embedding path re-signed the
-    * full corpus per run). The corpus (vec_id ≥ 100) is represented
-    * by its signature store ([[graft.ops.Dedup.embeddingSignatures]],
-    * the persistable frame — the parquet save/load round-trip is
-    * spec'd like loadIvfIndex); the batch (vec_id < 100) is signed
-    * fresh and banded against it, corpus vectors touched only by the
-    * verification join. Sketch-driven → rows-only, twin-ruled to x22
-    * (identical exact-cosine verification, x22's 48-bit/8-band width
-    * and 0.4 test-corpus threshold); OpsSpec asserts incremental ≡
-    * full-recompute restricted to pairs touching the batch, the
-    * revision-check row, and the store width/regime guards. */
+    * full corpus per run). The corpus is represented by its signature
+    * store ([[graft.ops.Dedup.embeddingSignatures]], the persistable
+    * frame — the parquet save/load round-trip is spec'd like
+    * loadIvfIndex); the batch is signed fresh and banded against it,
+    * corpus vectors touched only by the verification join.
+    * HASH-GREEN via the replica-union known answer: the batch is an
+    * exact replica of the first 100 corpus vectors under shifted ids,
+    * so at the production 0.95 threshold each batch row matches
+    * exactly its corpus original (identical vectors share every band
+    * bucket — and this path has no bucket cap at all — while max
+    * distinct-pair cosine is 0.601 across SFs, so no cross match and
+    * no batch-internal pair survives verification). A broken store
+    * banding, probe-side seed, or provenance join breaks the hash.
+    * OpsSpec asserts incremental ≡ full-recompute restricted to pairs
+    * touching the batch, the revision-check row, and the store
+    * width/regime guards. */
   private val x206EmbeddingNearDupIncremental = GraftQuery(
     "x206_embedding_near_dup_incremental",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val corpus = emb.filter(col("vec_id") >= 100)
       val store = Dedup.embeddingSignatures(
-        corpus, "vec_id", "embedding", numBits = 48, bands = 8)
+        emb, "vec_id", "embedding", numBits = 48, bands = 8)
+      val batch = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"))
       Dedup.incrementalEmbeddingNearDuplicates(
-        store, corpus, emb.filter(col("vec_id") < 100), "vec_id",
-        "embedding", numBits = 48, bands = 8, threshold = 0.4)
+        store, emb, batch, "vec_id",
+        "embedding", numBits = 48, bands = 8, threshold = 0.95)
         .orderBy(col("batch_id"), col("dup_id"), col("dup_in"))
     },
-    None)
+    Some("""SELECT vec_id + 1000000 AS batch_id, vec_id AS dup_id,
+        CAST(1.0 AS DOUBLE) AS cosine, 'corpus' AS dup_in
+      FROM embeddings WHERE vec_id < 100
+      ORDER BY batch_id, dup_id, dup_in"""))
 
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
