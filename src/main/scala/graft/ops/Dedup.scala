@@ -409,6 +409,62 @@ object Dedup {
       .unionByName(scored(bb, batchSig))
   }
 
+  /** A persisted [[minhashSignatures]] store handle — the
+    * [[EmbeddingSignatureStore]] shape for the TEXT family: the
+    * signature frame plus the (numHashes, shingleSize) it was WRITTEN
+    * with, so a probe through the handle cannot shingle or slice
+    * differently from the store. The width mismatch fails loudly at
+    * probe time either way; a SHINGLE mismatch is the silent one —
+    * different grams hash to different minhashes, estimates sag, and
+    * real duplicates vanish below threshold with no error — which is
+    * exactly what resolving both parameters from the handle prevents.
+    * Banding stays a probe-time choice (the stored sig is the full
+    * hash array; any bands dividing numHashes slices it validly). */
+  final case class MinhashSignatureStore(
+      signatures: DataFrame, numHashes: Int, shingleSize: Int)
+
+  /** Persist a signature store for incremental TEXT dedup — the
+    * [[saveEmbeddingSignatures]] twin (r16 symmetry: the embedding
+    * family gained parquet persistence in r15/r16 while the OLDEST
+    * incrementality path, x49's minhash store, lived only in-session).
+    * Signatures land as parquet (bucket the production copy by the
+    * banding keys when the store outgrows one shuffle) with a one-row
+    * (num_hashes, shingle_size) meta sidecar. At 100 TB this is the
+    * daily-delta contract: shingling — the dominant per-doc cost —
+    * runs over each day's batch only, the corpus is a map-only
+    * signature scan. */
+  def saveMinhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 128,
+      shingleSize: Int = 3): MinhashSignatureStore = {
+    minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, shingleSize)).toDF("num_hashes", "shingle_size")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    loadMinhashSignatures(spark, path)
+  }
+
+  /** Load a [[saveMinhashSignatures]]-persisted store: meta eagerly
+    * (one row), the signature frame lazily. */
+  def loadMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashSignatureStore = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1,
+      s"minhash store meta at $path/meta must be one row, got ${m.length}")
+    MinhashSignatureStore(spark.read.parquet(s"$path/signatures"),
+      m(0).getAs[Int]("num_hashes"), m(0).getAs[Int]("shingle_size"))
+  }
+
+  /** [[incrementalMinhashNearDuplicates]] through a persisted store
+    * handle: numHashes and shingleSize resolve from the store's meta,
+    * so the probe can't disagree with what was written. */
+  def incrementalMinhashNearDuplicates(store: MinhashSignatureStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int): DataFrame =
+    incrementalMinhashNearDuplicates(store.signatures, batch, idCol,
+      textCol, threshold, store.numHashes, bands, store.shingleSize)
+
   /** SimHash near-duplicates: 64-bit signature, banded into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
     * equal), exact hamming check on candidates. */

@@ -437,6 +437,46 @@ class OpsSpec extends AnyFunSuite {
         s"${(viaLoaded diff viaFrame).take(3)} vs ${(viaFrame diff viaLoaded).take(3)}")
   }
 
+  test("minhash signature store: save -> load -> identical probes; shingle size travels") {
+    // the saveEmbeddingSignatures shape for the TEXT family: a probe
+    // through the loaded handle resolves numHashes AND shingleSize
+    // from the meta sidecar — a shingle mismatch is the silent killer
+    // (different grams, sagging estimates, vanished duplicates)
+    val corpusDocs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val corpus = corpusDocs.filter(col("doc_id") >= 100)
+    val batch = corpusDocs.filter(col("doc_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhstore").toString
+    val written = Dedup.saveMinhashSignatures(corpus, "doc_id", "text",
+      dir, numHashes = 64, shingleSize = 4)
+    assert(written.numHashes == 64 && written.shingleSize == 4)
+    val loaded = Dedup.loadMinhashSignatures(spark, dir)
+    assert(loaded.numHashes == 64 && loaded.shingleSize == 4)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    val viaLoaded = norm(Dedup.incrementalMinhashNearDuplicates(
+      loaded, batch, "doc_id", "text", threshold = 0.5, bands = 16))
+    val viaFrame = norm(Dedup.incrementalMinhashNearDuplicates(
+      Dedup.minhashSignatures(corpus, "doc_id", "text",
+        numHashes = 64, shingleSize = 4),
+      batch, "doc_id", "text", threshold = 0.5, numHashes = 64,
+      bands = 16, shingleSize = 4))
+    assert(viaLoaded.nonEmpty,
+      "the testdata batch/corpus split must surface near-dup matches — " +
+        "an empty result would make this equality vacuous")
+    assert(viaLoaded == viaFrame,
+      s"persisted-store probe must equal in-memory probe: " +
+        s"${(viaLoaded diff viaFrame).take(3)} vs ${(viaFrame diff viaLoaded).take(3)}")
+    // the width guard the handle makes unrepresentable still fires on
+    // the raw-frame form: probing the 64-wide store at 128 is loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashNearDuplicates(
+        loaded.signatures, batch, "doc_id", "text", threshold = 0.5,
+        numHashes = 128, bands = 32, shingleSize = 4).collect()
+    }
+    assert(e.getMessage.contains("signature store width"))
+  }
+
   test("approx distinct: HLL estimate within rsd of the exact column beside it") {
     // x15's self-twin contract: the exact count rides in the SAME
     // output row; nothing previously asserted the estimate tracks it
