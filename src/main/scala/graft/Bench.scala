@@ -86,7 +86,16 @@ object Bench {
     "x177_markov_attribution" ->
       "unrolled per-channel removal-effect chain: one small job per round per channel",
     "x59_pq_encode" ->
-      "per-subspace codebook training: rounds x subspaces of tiny driver-paced jobs")
+      "per-subspace codebook training: rounds x subspaces of tiny driver-paced jobs",
+    // the two-level SemDeDup carriers are Lloyd-round-dominated (top
+    // Lloyd iters + one batched sub-Lloyd job per round + CC rounds —
+    // the x59 class): every bench since r15 flagged them low_par on a
+    // structurally sequential shape (PERF.md r16: remaining cost is
+    // family-proportional, not a plan flaw)
+    "x203_semdedup_two_level" ->
+      "two-level Lloyd at k1=1: sequential top+sub training rounds, then CC rounds",
+    "x205_semdedup_two_level_deep" ->
+      "genuine k1>1 two-level Lloyd: per-round batched sub-training + CC rounds")
 
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —
