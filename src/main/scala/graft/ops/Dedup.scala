@@ -2346,7 +2346,18 @@ object Dedup {
     // loud regime/width guard (the minhash store-width rule): a store
     // written in the other regime — or a wide store banded differently
     // — would silently bucket nothing in common with the batch and
-    // most real duplicates would vanish with no error
+    // most real duplicates would vanish with no error.
+    //
+    // BLIND SPOT (r16 review): two PACKED widths are indistinguishable
+    // from the frame alone — a store written at numBits=32 probed at
+    // 48 (or under a different seed) passes every check here and
+    // silently buckets nothing in common. The frame can't carry that
+    // information; the [[EmbeddingSignatureStore]] HANDLE can and
+    // does — production callers go through [[saveEmbeddingSignatures]]
+    // /[[loadEmbeddingSignatures]] and the store-handle overload,
+    // where width/bands/seed resolve from the meta sidecar and the
+    // mismatch is unrepresentable. This raw-frame overload is the
+    // composition primitive underneath it.
     import org.apache.spark.sql.types.{ArrayType, LongType}
     corpusSigs.schema("sig").dataType match {
       case LongType =>

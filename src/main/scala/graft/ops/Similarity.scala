@@ -987,14 +987,26 @@ object Similarity {
     // AND at assignment). Bit-matching the fold it replaced: struct
     // max is (sim, sub)-lexicographic, so equal round-9 sims keep the
     // HIGHEST index — the fold's replace-on-≥ and struct-`greatest`'s
-    // tie direction; a NULL sim (element beyond a short init array, a
+    // tie direction; a NULL sim (an arm beyond a short init array, a
     // zero-norm pair, a missing cents row) becomes a (−inf, 0) arm
     // that never beats a real one and reproduces the fold's
     // acc0 = (−inf, sub 0) when no arm is real.
+    //
+    // Arms are GATED on the row's own array length: element_at is
+    // ANSI-strict in Spark 4 (out-of-bounds THROWS, it does not
+    // NULL), and k2m is the MAX sub-centroid count across top
+    // clusters — a skewed corpus where some top cluster captured
+    // fewer than k₂ members (its init array is min(k₂, |cluster|)
+    // long) would crash every row of that cluster on the arms beyond
+    // its length (r16 review finding; the interpreted fold walked
+    // each row's own array and could never go out of bounds). The
+    // CaseWhen evaluates the extract only when the guard holds, so
+    // the sim is NULL exactly where the fold's acc0 semantics expect.
     val k2m = subs.values.foldLeft(0)((m, c) => math.max(m, c.length))
     val arms = (0 until math.max(1, k2m)).map { j =>
-      val sim = round(VectorMath.cosineSimilarity(col("vec"),
-        element_at(col("__cents"), j + 1)), 9)
+      val sim = when(lit(j) < coalesce(size(col("__cents")), lit(0)),
+        round(VectorMath.cosineSimilarity(col("vec"),
+          element_at(col("__cents"), j + 1)), 9))
       struct(
         coalesce(sim, lit(Double.NegativeInfinity)).as("sim"),
         when(sim.isNotNull, lit(j)).otherwise(lit(0)).as("sub"))

@@ -1496,6 +1496,41 @@ class OpsSpec extends AnyFunSuite {
     assert(hierSurv == flatSurv)
   }
 
+  test("two-level argmax survives a top cluster SHORTER than k2 (ANSI element_at skew)") {
+    // a skewed corpus where one top Lloyd cluster captures fewer than
+    // k2 members gets an init sub-array of min(k2, |cluster|) — the
+    // codegen'd argmax builds one arm per MAX sub count across tops,
+    // and element_at is ANSI-strict in Spark 4 (out-of-bounds THROWS),
+    // so before the size-gate fix every row of the short cluster
+    // crashed the job (r16 review finding). Fixture: 8 vectors near
+    // e1 and 2 near e2 (ids 0/1 seed the two top inits), k2 = 3 —
+    // the e2 cluster's array is 2 long, forcing arm j = 2 OOB.
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0.01f, 0f, 0f), 2L -> Array(1f, 0.02f, 0f, 0f),
+      3L -> Array(1f, 0.03f, 0f, 0f), 4L -> Array(1f, 0.04f, 0f, 0f),
+      5L -> Array(1f, 0.05f, 0f, 0f), 6L -> Array(1f, 0.06f, 0f, 0f),
+      7L -> Array(1f, 0.07f, 0f, 0f), 9L -> Array(1f, 0.08f, 0f, 0f),
+      1L -> Array(0.01f, 1f, 0f, 0f), 8L -> Array(0.02f, 1f, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.hierarchicalKmeansAssign(
+      df, "vec_id", "embedding", k1 = 2, k2 = 3, iters = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length == 10, s"every row must be assigned, got ${rows.length}")
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    // the e2 pair shares a TOP (near-identical, not identical — each
+    // seeds its own sub-centroid, so leaves differ) and every sub
+    // index stays inside ITS OWN 2-long array (sub = cluster % k2 < 2)
+    assert(byId(1L) / 3 == byId(8L) / 3,
+      s"e2 pair split across tops: ${byId(1L)} vs ${byId(8L)}")
+    Seq(1L, 8L).foreach { id =>
+      assert(byId(id) % 3 < 2,
+        s"short cluster's sub index out of its array: id $id -> ${byId(id)}")
+    }
+    rows.foreach { case (id, _, cos) =>
+      assert(!cos.isNaN && cos > 0.9, s"id $id assigned at cosine $cos")
+    }
+  }
+
   test("AutoK engages the two-level path above the clamp and its survivors are sound") {
     // 3 exact replicas of the 500-vector corpus on disjoint id ranges:
     // 1500 rows at targetCluster = 2 resolve to 750 clusters > the
