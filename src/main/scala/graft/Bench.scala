@@ -116,6 +116,51 @@ object Bench {
       .agg(expr("bit_xor(x)"), sum(col("c"))).collect()
   }
 
+  private val calibSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** JIT-TRIVIAL machine-speed probe — the drift gate's signal (r16).
+    * The Spark [[calibWorkload]] never stops JIT-gliding: a fresh
+    * idle local[32] JVM ran its 5-rep median 0.40 → 0.19 s across 100
+    * executions (CalibProbe, measured), so pre-vs-post wall drift on
+    * it conflates whole-stage-codegen warmup with machine speed —
+    * three bit-repeatable 35-40% "drifts" were stamped on quiet runs
+    * the round the suite got lighter. This probe is one hot scalar
+    * loop per thread (compiles to its steady state in the first warm
+    * pass; no Spark machinery, no allocation): `threads` concurrent
+    * mix loops measure whole-machine per-core throughput — the thing
+    * VM contention actually changes — and nothing else. The Spark
+    * calib rows stay recorded for cross-round normalization and
+    * per-query calib_at interpolation; THIS pair gates. */
+  def calibScalarWorkload(threads: Int): Unit = {
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var h = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 60000000) {
+          h = java.lang.Long.rotateLeft(h * 0xC2B2AE3D27D4EB4FL, 31) ^ (h >>> 29)
+          i += 1
+        }
+        calibSink.addAndGet(h): Unit // defeat dead-code elimination
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+  }
+
+  /** 5-rep median of [[calibScalarWorkload]] after two untimed warm
+    * passes (one compiles the loop, one settles thread startup). */
+  def calibScalarMedian(threads: Int): Double = {
+    (1 to 2).foreach(_ => calibScalarWorkload(threads))
+    val walls = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      calibScalarWorkload(threads)
+      (System.nanoTime() - t0) / 1e9
+    }
+    walls.sorted.apply(walls.size / 2)
+  }
+
   /** Divide by calibration before calling a regression: maps a raw
     * suite total onto the calibration machine-speed scale so totals
     * from different round VMs compare. Uses the mean of the pre/post
@@ -178,11 +223,19 @@ object Bench {
     * actually fingerprinted r13's contamination: x43 at 41%). calib_cpu
     * is deliberately NOT gated (structural JVM state — see benchgate.py
     * header). Returns (pass, driftPct, topSharePct, topQueryName). */
-  def gateVerdict(results: Seq[QStat], calib: Seq[QStat])
+  def gateVerdict(results: Seq[QStat], calib: Seq[QStat],
+      scalar: Seq[Double] = Nil)
       : Option[(Boolean, Double, Double, String)] =
     calib.take(2) match {
       case Seq(pre, post) if pre.wall > 0 =>
-        val drift = math.abs(post.wall - pre.wall) / pre.wall
+        // drift gates on the JIT-trivial scalar pair when the artifact
+        // carries one (r16 — see calibScalarWorkload: the Spark calib's
+        // pre-vs-post wall conflates codegen warmup with machine
+        // speed); pre-r16 artifacts fall back to the Spark walls
+        val drift = scalar.take(2) match {
+          case Seq(s0, s1) if s0 > 0 => math.abs(s1 - s0) / s0
+          case _ => math.abs(post.wall - pre.wall) / pre.wall
+        }
         val cpuTotal = results.map(_.cpu).sum
         val nonIntrinsic = results.filterNot(s =>
           IntrinsicLowPar.contains(s.name) ||
@@ -199,8 +252,9 @@ object Bench {
       case _ => None
     }
 
-  private def gateJson(results: Seq[QStat], calib: Seq[QStat]): String =
-    gateVerdict(results, calib).map { case (pass, drift, share, top) =>
+  private def gateJson(results: Seq[QStat], calib: Seq[QStat],
+      scalar: Seq[Double] = Nil): String =
+    gateVerdict(results, calib, scalar).map { case (pass, drift, share, top) =>
       s""","benchgate_pass":$pass,"calib_drift_pct":${rd(drift, 1)},"top_cpu_share_pct":${rd(share, 1)},"top_cpu_query":"$top""""
     }.getOrElse("")
 
@@ -358,11 +412,38 @@ object Bench {
       QStat(name, med(stats.map(_.wall)), med(stats.map(_.cpu)),
         med(stats.map(_.shuffleMb)), stats.map(_.nStages).max)
     }
+    val scalarThreads = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    var scalarPair: Seq[Double] = Nil
     val (calib, results, warmWalls) = try {
-      // one untimed calibration pass first so its own codegen/JIT
-      // compile doesn't ride the pre-suite measurement
-      calibWorkload(spark); sm.drain()
+      // Warm the calibration workload to its JIT PLATEAU before
+      // measuring calib_pre — not one pass: a fresh local[32] JVM
+      // glides 0.54 → 0.25 s median over ~40 executions (CalibProbe,
+      // measured r16 on an idle VM), so a pre row taken after one
+      // warm pass reads ~1.6× the plateau and the pre-vs-post gate
+      // stamps a structural 35-40% "drift" on a perfectly quiet run
+      // (three bit-repeatable red stamps before this was diagnosed).
+      // Loop untimed 5-passes until consecutive medians agree within
+      // 5% (cap 8 rounds ≈ a few seconds): calib_pre then reads
+      // machine speed, and the drift gate is a contention signal
+      // again. Cross-round note: r11-r15 calib_wall values were
+      // mid-warmup readings ~1.3-1.6× this scale (PERF.md r16).
+      var lastMed = Double.MaxValue
+      var warmRounds = 0
+      var settled = false
+      while (!settled && warmRounds < 8) {
+        val walls = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          calibWorkload(spark)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val m = walls.sorted.apply(walls.size / 2)
+        settled = m >= lastMed * 0.95
+        lastMed = m
+        warmRounds += 1
+      }
+      sm.drain()
       val pre = calibMedian("calib_pre")
+      val preScalar = calibScalarMedian(scalarThreads)
       val qs = ordered.map { case (name, fn) =>
         runTimed(name)(materialize(name, fn(spark, sfDir)))
       }
@@ -372,6 +453,7 @@ object Bench {
       // calibFactorsAt would interpolate per-row calib_at toward
       // post-warmup machine state the suite never saw
       val post = calibMedian("calib_post")
+      scalarPair = Seq(preScalar, calibScalarMedian(scalarThreads))
       // streaming run-to-completion rows get a SECOND, memoized-warm
       // timing (r13 verdict #6): their cold wall is trigger/startup
       // latency (judge measured x16 5.8 s cold vs 0.13 s warm), and
@@ -405,7 +487,8 @@ object Bench {
     val outs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
       "BENCH_DETAIL.json")
-    val fullLine = composeArchiveLine(results, sfDir, calib, warmWalls)
+    val fullLine = composeArchiveLine(results, sfDir, calib, warmWalls,
+      scalarPair)
     outs.foreach { out =>
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -416,7 +499,8 @@ object Bench {
       }
     }
     // stdout line LAST, inside the hard budget — see composeStdoutLine
-    println(composeStdoutLine(results, sfDir, calib = calib))
+    println(composeStdoutLine(results, sfDir, calib = calib,
+      scalar = scalarPair))
     spark.stop()
   }
 
@@ -444,19 +528,24 @@ object Bench {
     * inflation is JVM state, so tools/benchgate.py gates on the
     * median calib_wall drift plus the suite's own CPU-share shape,
     * not on any pre-vs-post CPU comparison). */
-  private def calibJson(calib: Seq[QStat]): String =
+  private def calibJson(calib: Seq[QStat],
+      scalar: Seq[Double] = Nil): String =
     if (calib.isEmpty) ""
     else {
       val pair = calib.take(2)
       val base = s""","calib_wall":${pair.map(s => r3(s.wall)).mkString("[", ",", "]")},"calib_cpu":${pair.map(s => r3(s.cpu)).mkString("[", ",", "]")}"""
+      val sc =
+        if (scalar.size < 2) ""
+        else s""","calib_scalar":${scalar.take(2).map(r3).mkString("[", ",", "]")}"""
       val clear = calib.drop(2).headOption.map(s =>
         s""","calib_wall_postclear":${r3(s.wall)},"calib_cpu_postclear":${r3(s.cpu)}""").getOrElse("")
-      base + clear
+      base + sc + clear
     }
 
   def composeArchiveLine(results: Seq[QStat], sfDir: String,
       calib: Seq[QStat] = Nil,
-      warmWalls: Map[String, Double] = Map.empty): String = {
+      warmWalls: Map[String, Double] = Map.empty,
+      scalar: Seq[Double] = Nil): String = {
     // per-row interpolated calibration wall (calibAt at the row's
     // cumulative-wall midpoint): wall / calib_at is the row's
     // machine-speed-normalized wall, readable straight off the
@@ -480,7 +569,7 @@ object Bench {
         warmWalls.get(s.name).map(w => ",\"warm_wall\":" + r3(w)).getOrElse("") +
         "}"
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)}${calibJson(calib)}${gateJson(results, calib)},"queries":$fullQs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${results.map(_.wall).sum},"unit":"sec","cpu_s":${r3(results.map(_.cpu).sum)},"shuffle_mb":${r3(results.map(_.shuffleMb).sum)}${calibJson(calib, scalar)}${gateJson(results, calib, scalar)},"queries":$fullQs,"sf":"$sfDir"}"""
   }
 
   /** Driver-facing stdout line, guaranteed to fit [[StdoutBudget]]:
@@ -489,7 +578,8 @@ object Bench {
     * can cut mid-head. Short ids ("q1", "x18" — the driver contract's
     * own example form); full per-query detail lives in the archive. */
   def composeStdoutLine(results: Seq[QStat], sfDir: String,
-      budget: Int = StdoutBudget, calib: Seq[QStat] = Nil): String = {
+      budget: Int = StdoutBudget, calib: Seq[QStat] = Nil,
+      scalar: Seq[Double] = Nil): String = {
     val total = results.map(_.wall).sum
     val cpuTotal = results.map(_.cpu).sum
     val shufTotal = results.map(_.shuffleMb).sum
@@ -554,14 +644,14 @@ object Bench {
         if (withFlags)
           s""","wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"rounds_intrinsic":$roundsIntrJson"""
         else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)}${gateJson(results, calib)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib, scalar)}${gateJson(results, calib, scalar)}$flagPart,"queries":$qs,"sf":"$sfDir"}"""
     }
     // guaranteed-fit fallback for large suites: totals + flags are
     // non-negotiable; the queries map is filled with the SLOWEST rows
     // that still fit (the rows a reader adjudicates first), the rest
     // counted in "queries_dropped" and fully archived
     def mkCapped: String = {
-      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib)}${gateJson(results, calib)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"rounds_intrinsic":$roundsIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
+      val base = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_s":${r3(cpuTotal)},"shuffle_mb":${rd(shufTotal, 0)}${calibJson(calib, scalar)}${gateJson(results, calib, scalar)},"n_queries":${results.length},"wall_gg_cpu":$contJson,"low_par":$lowParJson,"low_par_intrinsic":$lpIntrJson,"stream_intrinsic":$streamIntrJson,"rounds_intrinsic":$roundsIntrJson,"detail":"BENCH_DETAIL.json","queries":{"""
       def suffix(dropped: Int) =
         s"""},"queries_dropped":$dropped,"sf":"$sfDir"}"""
       val entries = keys.zip(results.map(_.wall)).sortBy(-_._2)

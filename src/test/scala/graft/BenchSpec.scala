@@ -245,6 +245,43 @@ class BenchSpec extends AnyFunSuite {
       .has("benchgate_pass"))
   }
 
+  test("drift gates on the JIT-trivial scalar pair when present (r16 glide fix)") {
+    // the r16 signature: Spark calib_wall pre 0.37 / post 0.22 (a
+    // 40% "drift" that is codegen warmup — CalibProbe measured the
+    // glide 0.40 → 0.19 s over 100 executions on an idle VM) while
+    // the scalar pair is flat — must gate GREEN on the scalar signal
+    val quiet = Seq(
+      Bench.QStat("q1_agg", 2.0, 6.0, 0.1, 3),
+      Bench.QStat("x161_setsim", 3.0, 10.0, 0.5, 4),
+      Bench.QStat("x97_quality_classifier", 9.0, 40.0, 0.2, 40))
+    val glideCalib = Seq(Bench.QStat("calib_pre", 0.372, 4.7, 0.0, 2),
+      Bench.QStat("calib_post", 0.223, 3.2, 0.0, 2))
+    val Some((glidePass, glideDrift, _, _)) =
+      Bench.gateVerdict(quiet, glideCalib, Seq(0.30, 0.31))
+    assert(glidePass && glideDrift < 5,
+      s"flat scalar must override the glide-shaped Spark calib: $glideDrift")
+    // genuine mid-run machine shift shows in the scalar pair → red,
+    // even when the Spark calib happens to look calm
+    val Some((shiftPass, shiftDrift, _, _)) = Bench.gateVerdict(quiet,
+      Seq(Bench.QStat("calib_pre", 0.38, 4.7, 0.0, 2),
+        Bench.QStat("calib_post", 0.36, 3.2, 0.0, 2)),
+      Seq(0.30, 0.55))
+    assert(!shiftPass && shiftDrift > 20,
+      s"scalar-visible contention must gate red: $shiftDrift")
+    // no scalar rows (pre-r16 artifact) → the calib_wall fallback
+    val Some((fbPass, fbDrift, _, _)) = Bench.gateVerdict(quiet, glideCalib)
+    assert(!fbPass && fbDrift > 20, "fallback keeps the old behavior")
+    // the scalar pair rides both artifact lines
+    val arch = mapper.readTree(Bench.composeArchiveLine(
+      quiet, "sf", glideCalib, Map.empty, Seq(0.30, 0.31)))
+    assert(arch.get("benchgate_pass").asBoolean)
+    assert(arch.get("calib_scalar").get(0).asDouble == 0.30)
+    val line = mapper.readTree(Bench.composeStdoutLine(
+      quiet, "sf", calib = glideCalib, scalar = Seq(0.30, 0.31)))
+    assert(line.get("benchgate_pass").asBoolean)
+    assert(line.has("calib_scalar"))
+  }
+
   test("third calib row emits as postclear scalars, never into the interpolation pair") {
     // the cleared-session re-calibration is the contention
     // discriminator (structural post-suite cache pressure inflates
