@@ -50,13 +50,27 @@ object Classifier {
   def logRegScores(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, numBuckets: Int = 64, eta: Double = 0.5,
       iters: Int = 2, exact: Boolean = true): DataFrame = {
+    val feats = logRegFeatures(df, idCol, textCol,
+      when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0), numBuckets)
+    val w = logRegTrainOn(feats, eta, iters, exact)
+    logRegMargins(feats, w)
+      .select(col("id").as(idCol), col("y").cast("int").as("label"),
+        round(sigmoid(col("m")), 6).as("score"))
+  }
+
+  /** (id, y, b, x) hashed-bigram frequency features — the shared
+    * front of training and apply. `yExpr` is the label column for
+    * training (and for [[logRegScores]]' output) or a constant for
+    * unlabeled apply — everything downstream of it is
+    * expression-identical, so the split entry points cannot drift
+    * from the fused one. */
+  private def logRegFeatures(df: DataFrame, idCol: String,
+      textCol: String, yExpr: Column, numBuckets: Int): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
-    require(iters >= 1, "at least one iteration")
     // normalize once, explode the index, bucket from the carried
     // column — the bigramLogProb Generate-trap shape
     val grams = Parallelism.ensure(df)
-      .select(col(idCol).as("id"),
-        when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0).as("y"),
+      .select(col(idCol).as("id"), yExpr.as("y"),
         regexp_replace(lower(col(textCol)), graft.ops.TextAnalysis.WhitespaceClass, " ").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= 2)
       .repartition(col("id"))
@@ -69,18 +83,28 @@ object Classifier {
     val counts = grams.groupBy(col("id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy(col("id")).agg(sum(col("cnt")).as("n"))
-    val feats = counts.join(totals, Seq("id"))
+    counts.join(totals, Seq("id"))
       .select(col("id"), col("y"), col("b"),
         (col("cnt").cast("double") / col("n")).as("x"))
       .localCheckpoint(true) // feeds every iteration + final scoring
+  }
 
-    // margins m = w·x per doc, folded in bucket order and pinned to 9
-    def margins(w: DataFrame): DataFrame =
-      feats.join(broadcast(w), Seq("b"))
-        .withColumn("__v", col("w") * col("x"))
-        .groupBy(col("id"), col("y"))
-        .agg(round(sortedFold(col("b"), col("__v")), 9).as("m"))
+  /** Margins m = w·x per doc, folded in bucket order and pinned to 9.
+    * The weight join is INNER: a bucket the model never saw
+    * contributes nothing to the margin (its weight is the implicit
+    * zero the training loop started from). */
+  private def logRegMargins(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w), Seq("b"))
+      .withColumn("__v", col("w") * col("x"))
+      .groupBy(col("id"), col("y"))
+      .agg(round(sortedFold(col("b"), col("__v")), 9).as("m"))
 
+  /** The batch-GD loop over a prepared feature table → the final
+    * (b, w) weight vector (≤numBuckets rows, each round
+    * checkpointed and round(9)-pinned). */
+  private def logRegTrainOn(feats: DataFrame, eta: Double, iters: Int,
+      exact: Boolean): DataFrame = {
+    require(iters >= 1, "at least one iteration")
     def gradTerm = col("x") * (col("y") - col("p"))
     // per-bucket gradient: exact = sorted fold (oracle-replayable);
     // production = plain sum (map-side combine, bounded memory)
@@ -94,7 +118,8 @@ object Classifier {
           feats.select(col("id"), col("y")).distinct()
             .withColumn("p", lit(0.5))
         case Some(wPrev) =>
-          margins(wPrev).withColumn("p", round(sigmoid(col("m")), 9))
+          logRegMargins(feats, wPrev)
+            .withColumn("p", round(sigmoid(col("m")), 9))
       }
       val grad = feats
         .join(probs.select(col("id"), col("p")), Seq("id"))
@@ -110,9 +135,74 @@ object Classifier {
       // (the duplicateClusters rule) and keeps each round's plan flat
       w = Some(wNext.localCheckpoint(true))
     }
-    margins(w.get)
-      .select(col("id").as(idCol), col("y").cast("int").as("label"),
+    w.get
+  }
+
+  /** A trained quality-classifier handle — the signature-store
+    * discipline applied to the MODEL: the (b, w) weight table plus
+    * the (numBuckets, eta, iters) it was trained with, so scoring
+    * cannot silently bucket text differently from training (a
+    * numBuckets mismatch is the shingle-mismatch class: features
+    * land in different buckets, scores sag, no error). */
+  final case class LogRegModel(weights: DataFrame, numBuckets: Int,
+      eta: Double, iters: Int)
+
+  /** Train ONCE on the labeled corpus and return the persistable
+    * model — the production half of [[logRegScores]] (train on the
+    * curated reference-vs-crawl set, then score every day's intake
+    * with [[logRegApply]] at one broadcast join per batch, no
+    * retraining). Expression-identical to the fused path by
+    * construction (shared [[logRegFeatures]]/[[logRegTrainOn]]). */
+  def logRegTrain(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int = 64, eta: Double = 0.5,
+      iters: Int = 2, exact: Boolean = true): LogRegModel =
+    LogRegModel(
+      logRegTrainOn(
+        logRegFeatures(df, idCol, textCol,
+          when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0),
+          numBuckets),
+        eta, iters, exact),
+      numBuckets, eta, iters)
+
+  /** Score an (unlabeled) corpus with a trained model: (id, score),
+    * score = round(P(target | text), 6) exactly as [[logRegScores]]
+    * emits it. One broadcast join of the ≤numBuckets weight vector +
+    * one per-doc fold — the daily-intake scoring pass; documents
+    * shorter than one bigram are dropped (no representation), and a
+    * bucket the model never saw contributes the implicit zero
+    * weight. */
+  def logRegApply(model: LogRegModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val feats = logRegFeatures(df, idCol, textCol, lit(0.0),
+      model.numBuckets)
+    logRegMargins(feats, model.weights)
+      .select(col("id").as(idCol),
         round(sigmoid(col("m")), 6).as("score"))
+  }
+
+  /** Persist a trained model: weights parquet + a one-row
+    * (num_buckets, eta, iters) meta sidecar — the
+    * saveEmbeddingSignatures shape. */
+  def saveLogRegModel(model: LogRegModel, path: String): LogRegModel = {
+    model.weights.write.mode("overwrite").parquet(s"$path/weights")
+    val spark = model.weights.sparkSession
+    import spark.implicits._
+    Seq((model.numBuckets, model.eta, model.iters))
+      .toDF("num_buckets", "eta", "iters")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    loadLogRegModel(spark, path)
+  }
+
+  /** Load a [[saveLogRegModel]]-persisted model: meta eagerly (one
+    * row), weights lazily (scoring broadcasts them per batch). */
+  def loadLogRegModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LogRegModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1,
+      s"model meta at $path/meta must be one row, got ${m.length}")
+    LogRegModel(spark.read.parquet(s"$path/weights"),
+      m(0).getAs[Int]("num_buckets"), m(0).getAs[Double]("eta"),
+      m(0).getAs[Int]("iters"))
   }
 
   /** Reliability curve + per-bucket Brier decomposition for a scored

@@ -7299,6 +7299,85 @@ object Extensions extends QueryModule {
       FROM embeddings WHERE vec_id < 100
       ORDER BY batch_id, dup_id, dup_in"""))
 
+  /** Train-once / score-the-intake classifier split
+    * ([[graft.ops.Classifier.logRegTrain]] on the labeled doc_id<250
+    * slice, [[graft.ops.Classifier.logRegApply]] on everything else —
+    * the production half of x97's fused train-and-score: at 100 TB
+    * the reference-vs-crawl model trains once on the curated set and
+    * each day's intake pays ONE broadcast join of the ≤64-row weight
+    * vector plus a per-doc fold, no retraining; the model persists
+    * via saveLogRegModel/loadLogRegModel, spec'd like the signature
+    * stores). HASH-GREEN: the oracle replays the ENTIRE 2-round
+    * training loop over the train slice (x97's unrolled CTE chain,
+    * same sorted folds and round-9 pins) and then scores the apply
+    * slice through the same inner weight join — a drifted feature
+    * hash, a label leak across the split, or a broken apply fold
+    * breaks the hash. */
+  private val x207ClassifierApplySplit = GraftQuery(
+    "x207_classifier_apply_split",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_target", col("source") === "src0")
+      val model = graft.ops.Classifier.logRegTrain(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", "is_target",
+        numBuckets = 64, eta = 0.5, iters = 2)
+      graft.ops.Classifier.logRegApply(model,
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH norm AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+          regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      gtrain AS MATERIALIZED (
+        SELECT doc_id, y,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 64)) AS b
+        FROM norm WHERE length(s) >= 2 AND doc_id < 250),
+      ftrain AS MATERIALIZED (
+        SELECT doc_id, y, b,
+          CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+        FROM gtrain GROUP BY doc_id, y, b),
+      w1 AS MATERIALIZED (
+        SELECT b, round(0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := doc_id, v := x * (y - 0.5)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM ftrain GROUP BY b),
+      p1 AS MATERIALIZED (
+        SELECT f.doc_id,
+          round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.b, v := w1.w * f.x))),
+            s -> struct_extract(s, 'v'))), 9)))), 9) AS p
+        FROM ftrain f JOIN w1 ON f.b = w1.b GROUP BY f.doc_id),
+      w2 AS MATERIALIZED (
+        SELECT f.b, round(min(w1.w) + 0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.doc_id,
+                                       v := f.x * (f.y - p1.p)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM ftrain f JOIN p1 ON f.doc_id = p1.doc_id
+                     JOIN w1 ON f.b = w1.b
+        GROUP BY f.b),
+      gapply AS MATERIALIZED (
+        SELECT doc_id,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 64)) AS b
+        FROM norm WHERE length(s) >= 2 AND doc_id >= 250),
+      fapply AS MATERIALIZED (
+        SELECT doc_id, b,
+          CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+        FROM gapply GROUP BY doc_id, b)
+      SELECT f.doc_id,
+        round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+          list_sort(list(struct_pack(k := f.b, v := w2.w * f.x))),
+          s -> struct_extract(s, 'v'))), 9)))), 6) AS score
+      FROM fapply f JOIN w2 ON f.b = w2.b
+      GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7361,7 +7440,8 @@ object Extensions extends QueryModule {
     x197AnchorWindowDedup, x198AnchorWindowRemoval, x199AnchorDocDedup,
     x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
     x203SemdedupTwoLevel, x204EmbeddingNearDupWide,
-    x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental)
+    x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
+    x207ClassifierApplySplit)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

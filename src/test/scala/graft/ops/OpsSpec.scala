@@ -1496,6 +1496,59 @@ class OpsSpec extends AnyFunSuite {
     assert(hierSurv == flatSurv)
   }
 
+  test("logreg model: train+apply equals the fused path; save -> load -> identical scores") {
+    // the signature-store discipline applied to the MODEL: logRegTrain
+    // + logRegApply share logRegFeatures/logRegTrainOn with the fused
+    // logRegScores, so scoring the TRAINING corpus through the split
+    // path must reproduce the fused scores bit-for-bit; and a model
+    // probed through the persisted handle resolves numBuckets/eta/
+    // iters from the meta sidecar (a numBuckets mismatch is the
+    // shingle-mismatch class: silent bucket drift, sagging scores)
+    val corpus = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+      .withColumn("is_target", col("source") === "src0")
+    val fused = graft.ops.Classifier.logRegScores(
+      corpus, "doc_id", "text", "is_target", numBuckets = 32, iters = 2)
+      .select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    val model = graft.ops.Classifier.logRegTrain(
+      corpus, "doc_id", "text", "is_target", numBuckets = 32, iters = 2)
+    val split = graft.ops.Classifier.logRegApply(model, corpus, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(split.nonEmpty && split == fused,
+      s"split path drifted from fused: ${(split.toSet diff fused.toSet).take(3)}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lrmodel").toString
+    val written = graft.ops.Classifier.saveLogRegModel(model, dir)
+    assert(written.numBuckets == 32 && written.eta == 0.5 && written.iters == 2)
+    val loaded = graft.ops.Classifier.loadLogRegModel(spark, dir)
+    assert(loaded.numBuckets == 32 && loaded.eta == 0.5 && loaded.iters == 2)
+    val viaLoaded = graft.ops.Classifier.logRegApply(loaded, corpus, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(viaLoaded == fused, "persisted-model scores must equal in-session")
+  }
+
+  test("replica-union oracle premise: max DISTINCT-pair cosine sits far below 0.95") {
+    // the known-answer oracles of x201/x204/x205/x206/x34 rest on ONE
+    // data premise: no distinct embedding pair reaches the production
+    // 0.95 threshold, so the only verified pairs on a replica union
+    // are the planted ones (measured 0.479/0.513/0.601 at
+    // sf0.001/0.01/0.1 when the carriers were written). If the driver
+    // ever regenerates testdata with closer vectors, those carriers
+    // would hash-red mysteriously — this spec fails FIRST with the
+    // named reason. Brute-force all pairs at the test SF (500 vectors
+    // → 125k pairs, trivial).
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val maxCos = a.join(b, col("ia") < col("ib"))
+      .agg(max(VectorMath.cosineSimilarity(col("va"), col("vb"))))
+      .head().getDouble(0)
+    assert(maxCos < 0.7,
+      s"max distinct-pair cosine $maxCos is creeping toward the 0.95 " +
+        "known-answer threshold — the replica-union oracles " +
+        "(x201/x204/x205/x206/x34) assume only planted replicas verify; " +
+        "re-derive their oracles before trusting a hash-red on them")
+  }
+
   test("two-level argmax survives a top cluster SHORTER than k2 (ANSI element_at skew)") {
     // a skewed corpus where one top Lloyd cluster captures fewer than
     // k2 members gets an init sub-array of min(k2, |cluster|) — the
