@@ -1127,6 +1127,47 @@ object Similarity {
     PqModel(codebooks)
   }
 
+  /** Persist a trained [[PqModel]] — the last piece of the IVF-PQ
+    * serving stack without disk persistence (the IVF index side has
+    * [[saveIvfIndex]]/[[loadIvfIndex]]/[[appendToIvfIndex]]; the
+    * codebooks lived only in the per-session memo, so a daily-probe
+    * process had to retrain them). One small parquet of
+    * (subspace, code, centroid) rows — m×k entries of subDim doubles,
+    * kilobytes; the geometry (m, k, subDim) is inherent in the rows
+    * and [[loadPqModel]] re-validates it, so a truncated or mixed
+    * write fails loudly instead of mis-decoding every distance. */
+  def savePqModel(spark: SparkSession, model: PqModel,
+      path: String): PqModel = {
+    import spark.implicits._
+    (for {
+      s <- model.codebooks.indices
+      c <- model.codebooks(s).indices
+    } yield (s, c, model.codebooks(s)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    loadPqModel(spark, path)
+  }
+
+  /** Load a [[savePqModel]]-persisted model, re-validating the
+    * rectangular (m × k × subDim) geometry. */
+  def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebook store at $path/codebooks")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val subDim = rows(0)._3.length
+    require(rows.length == m * k,
+      s"PQ codebook store at $path is not rectangular: ${rows.length} " +
+        s"entries for m=$m k=$k — truncated or mixed write")
+    require(rows.forall(_._3.length == subDim),
+      s"PQ codebook store at $path mixes sub-dimensions")
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    PqModel(Array.tabulate(m)(s => Array.tabulate(k)(c => byKey((s, c)))))
+  }
+
   // argmin code for one subspace: least() over (round(L2², 9), code)
   // structs — squared distance (monotone, no sqrt), ties to the
   // smaller code index

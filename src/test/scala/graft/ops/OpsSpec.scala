@@ -2571,6 +2571,31 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cluster"), plan.take(1500))
   }
 
+  test("pq model survives save/load: identical codebooks, identical IVF-PQ probes") {
+    // the last piece of the IVF-PQ serving stack without persistence
+    // (codebooks lived only in the session memo — a daily-probe
+    // process had to retrain); loadPqModel re-validates the m×k×subDim
+    // rectangle so a truncated store fails loudly
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val written = Similarity.savePqModel(spark, pq, dir)
+    assert(written.m == pq.m && written.k == pq.k && written.subDim == pq.subDim)
+    val loaded = Similarity.loadPqModel(spark, dir)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must round-trip bit-identically")
+    val ivf = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < 5)
+    def probe(model: Similarity.PqModel) =
+      Similarity.ivfPqBatchTopK(ivf, model, queries, "vec_id", "embedding",
+        topK = 5, nprobe = 8, refine = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(probe(loaded) == probe(pq),
+      "persisted-codebook probes must equal in-session probes")
+  }
+
   test("ivf append: map-only grow, centroids frozen, appended vectors findable, clusters agree") {
     val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
     val first = emb.filter(col("vec_id") < 40)
