@@ -2571,6 +2571,43 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cluster"), plan.take(1500))
   }
 
+  test("bpe rules survive save/load; the apply path segments OOV words and matches training") {
+    // the tokenizer apply story: rules persist (contiguous-rank
+    // validated), and bpeSegmentVocabWith replays the training loop's
+    // application machinery — words the training corpus saw must
+    // segment EXACTLY as the trained model's own vocab table says,
+    // and OOV words segment losslessly under the frozen rules
+    val corpus = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val model = TextAnalysis.bpeModel(corpus, "text", numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val written = TextAnalysis.saveBpeRules(spark, model.rules, dir)
+    assert(written == model.rules, "rules must round-trip identically")
+    val loaded = TextAnalysis.loadBpeRules(spark, dir)
+    assert(loaded == model.rules)
+    def symsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("word"), col("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val applied = symsOf(TextAnalysis.bpeSegmentVocabWith(loaded, corpus, "text"))
+    val trained = symsOf(model.segmentedVocab)
+    assert(applied.nonEmpty && applied == trained,
+      s"apply path drifted from the trained vocab on " +
+        s"${(applied.toSet diff trained.toSet).take(2)}")
+    // OOV: a fabricated word the corpus cannot contain still segments
+    // losslessly under the frozen rules
+    val oov = Seq("zzqxjvzzqxjv").toDF("text")
+    val oovSyms = symsOf(TextAnalysis.bpeSegmentVocabWith(loaded, oov, "text"))
+    assert(oovSyms.keySet == Set("zzqxjvzzqxjv"))
+    assert(oovSyms("zzqxjvzzqxjv").mkString("") == "zzqxjvzzqxjv",
+      "segmentation must be lossless on OOV words")
+    // a truncated store (missing middle rank) fails loudly
+    import spark.implicits._
+    model.rules.filter(_._1 != 2).toDF("merge_rank", "lhs", "rhs", "cnt")
+      .write.mode("overwrite").parquet(s"$dir/rules")
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.loadBpeRules(spark, dir))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
   test("pq model survives save/load: identical codebooks, identical IVF-PQ probes") {
     // the last piece of the IVF-PQ serving stack without persistence
     // (codebooks lived only in the session memo — a daily-probe
