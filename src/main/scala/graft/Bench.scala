@@ -49,7 +49,9 @@ object Bench {
     "x97_quality_classifier" ->
       "exact GD replay loop (x106 exact=false is the scale twin)",
     "x106_quality_classifier_scaled" ->
-      "20-stage iterative loop - latency-bound at bench SF, data-parallel at scale")
+      "20-stage iterative loop - latency-bound at bench SF, data-parallel at scale",
+    "x207_classifier_apply_split" ->
+      "x97's exact GD training loop on the train slice + one apply join - same iterative-barrier class")
 
   /** Streaming run-to-completion rows (r12 verdict #4): their bench
     * wall is TRIGGER AND STARTUP latency, not data-parallel work —

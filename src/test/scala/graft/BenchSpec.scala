@@ -392,7 +392,7 @@ class BenchSpec extends AnyFunSuite {
       s"intrinsic row must not occupy the low_par cap: $line")
     val intr = (0 until tree.get("low_par_intrinsic").size)
       .map(tree.get("low_par_intrinsic").get(_).asText).toSet
-    assert(intr == Set("x45", "x94", "x97", "x106"),
+    assert(intr == Set("x45", "x94", "x97", "x106", "x207"),
       s"intrinsic rows must report by name: $line")
   }
 }
