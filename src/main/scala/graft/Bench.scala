@@ -234,9 +234,18 @@ object Bench {
         // carries one (r16 — see calibScalarWorkload: the Spark calib's
         // pre-vs-post wall conflates codegen warmup with machine
         // speed); pre-r16 artifacts fall back to the Spark walls
+        val sparkDrift = math.abs(post.wall - pre.wall) / pre.wall
         val drift = scalar.take(2) match {
-          case Seq(s0, s1) if s0 > 0 => math.abs(s1 - s0) / s0
-          case _ => math.abs(post.wall - pre.wall) / pre.wall
+          // the scalar pair is register-only — blind to memory-
+          // bandwidth / page-cache contention that inflates Spark
+          // walls but not a no-allocation loop (r16 review). The
+          // Spark pair stays consulted as a SECONDARY bound at 50%
+          // (beyond the ~40% structural JIT glide ever observed):
+          // gross IO/bandwidth contamination still reds the gate.
+          case Seq(s0, s1) if s0 > 0 =>
+            math.max(math.abs(s1 - s0) / s0,
+              if (sparkDrift >= 0.50) sparkDrift else 0.0)
+          case _ => sparkDrift
         }
         val cpuTotal = results.map(_.cpu).sum
         val nonIntrinsic = results.filterNot(s =>
@@ -425,10 +434,14 @@ object Bench {
       // stamps a structural 35-40% "drift" on a perfectly quiet run
       // (three bit-repeatable red stamps before this was diagnosed).
       // Loop untimed 5-passes until consecutive medians agree within
-      // 5% (cap 8 rounds ≈ a few seconds): calib_pre then reads
-      // machine speed, and the drift gate is a contention signal
-      // again. Cross-round note: r11-r15 calib_wall values were
-      // mid-warmup readings ~1.3-1.6× this scale (PERF.md r16).
+      // 5% (cap 8 rounds ≈ a few seconds): calib_pre then reads MUCH
+      // closer to the plateau — not AT it: the glide never fully
+      // stops and one noisy median can settle the loop early, so
+      // calibNormalize/calib_at carry a residual ~10-15% warmup fuzz
+      // (cross-round totals comparisons inherit it; the drift GATE
+      // does not — it reads the JIT-trivial scalar pair). Cross-round
+      // note: r11-r15 calib_wall values were mid-warmup readings
+      // ~1.3-1.6× this scale (PERF.md r16).
       var lastMed = Double.MaxValue
       var warmRounds = 0
       var settled = false

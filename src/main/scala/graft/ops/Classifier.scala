@@ -65,7 +65,8 @@ object Classifier {
     * expression-identical, so the split entry points cannot drift
     * from the fused one. */
   private def logRegFeatures(df: DataFrame, idCol: String,
-      textCol: String, yExpr: Column, numBuckets: Int): DataFrame = {
+      textCol: String, yExpr: Column, numBuckets: Int,
+      checkpoint: Boolean = true): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     // normalize once, explode the index, bucket from the carried
     // column — the bigramLogProb Generate-trap shape
@@ -83,19 +84,29 @@ object Classifier {
     val counts = grams.groupBy(col("id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy(col("id")).agg(sum(col("cnt")).as("n"))
-    counts.join(totals, Seq("id"))
+    val feats = counts.join(totals, Seq("id"))
       .select(col("id"), col("y"), col("b"),
         (col("cnt").cast("double") / col("n")).as("x"))
-      .localCheckpoint(true) // feeds every iteration + final scoring
+    // training consumes feats every iteration plus final scoring —
+    // checkpoint; the apply path reads it ONCE (one margins join), so
+    // an eager materialization of the whole intake feature table would
+    // be pure overhead on the daily-scoring hot path (r16 review)
+    if (checkpoint) feats.localCheckpoint(true) else feats
   }
 
   /** Margins m = w·x per doc, folded in bucket order and pinned to 9.
-    * The weight join is INNER: a bucket the model never saw
-    * contributes nothing to the margin (its weight is the implicit
-    * zero the training loop started from). */
-  private def logRegMargins(feats: DataFrame, w: DataFrame): DataFrame =
-    feats.join(broadcast(w), Seq("b"))
-      .withColumn("__v", col("w") * col("x"))
+    * Training uses the INNER weight join (every bucket present in the
+    * training feats has a weight after round 1, so inner ≡ left
+    * there); APPLY must join LEFT with a zero fill — a bucket the
+    * model never saw carries the implicit zero weight the training
+    * loop started from, and under an inner join a document whose
+    * EVERY bucket was untrained lost all its rows and silently
+    * vanished from the scored output (r16 review; the fused path
+    * could never reach that state). */
+  private def logRegMargins(feats: DataFrame, w: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    feats.join(broadcast(w), Seq("b"), joinType)
+      .withColumn("__v", coalesce(col("w") * col("x"), lit(0.0)))
       .groupBy(col("id"), col("y"))
       .agg(round(sortedFold(col("b"), col("__v")), 9).as("m"))
 
@@ -174,8 +185,8 @@ object Classifier {
   def logRegApply(model: LogRegModel, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val feats = logRegFeatures(df, idCol, textCol, lit(0.0),
-      model.numBuckets)
-    logRegMargins(feats, model.weights)
+      model.numBuckets, checkpoint = false)
+    logRegMargins(feats, model.weights, joinType = "left")
       .select(col("id").as(idCol),
         round(sigmoid(col("m")), 6).as("score"))
   }
@@ -200,9 +211,21 @@ object Classifier {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1,
       s"model meta at $path/meta must be one row, got ${m.length}")
-    LogRegModel(spark.read.parquet(s"$path/weights"),
-      m(0).getAs[Int]("num_buckets"), m(0).getAs[Double]("eta"),
-      m(0).getAs[Int]("iters"))
+    val numBuckets = m(0).getAs[Int]("num_buckets")
+    val weights = spark.read.parquet(s"$path/weights")
+    // re-validate weights against meta (the loadPqModel/loadBpeRules
+    // geometry discipline, r16 review): a weights dir from a
+    // different-width model with stale meta would otherwise bucket
+    // text mod numBuckets while joining weights at other b values —
+    // silent sagging scores, the exact class the sidecar exists for
+    val bs = weights.select(col("b")).collect().map(_.getInt(0))
+    require(bs.length <= numBuckets && bs.distinct.length == bs.length &&
+        bs.forall(b => b >= 0 && b < numBuckets),
+      s"model weights at $path/weights carry ${bs.length} buckets " +
+        s"${bs.sorted.take(5).mkString(",")}.. inconsistent with " +
+        s"num_buckets=$numBuckets — stale meta or mixed write")
+    LogRegModel(weights,
+      numBuckets, m(0).getAs[Double]("eta"), m(0).getAs[Int]("iters"))
   }
 
   /** Reliability curve + per-bucket Brier decomposition for a scored

@@ -1165,6 +1165,14 @@ object Similarity {
     require(rows.forall(_._3.length == subDim),
       s"PQ codebook store at $path mixes sub-dimensions")
     val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    // duplicate (subspace, code) rows can satisfy the row-count check
+    // while leaving another key missing — without this the tabulate
+    // below dies in a bare key-not-found instead of the descriptive
+    // failure the store contract promises (r16 review)
+    require(byKey.size == m * k,
+      s"PQ codebook store at $path has duplicate (subspace, code) " +
+        s"entries: ${rows.length} rows but ${byKey.size} distinct keys " +
+        s"for m=$m k=$k — mixed or double write")
     PqModel(Array.tabulate(m)(s => Array.tabulate(k)(c => byKey((s, c)))))
   }
 

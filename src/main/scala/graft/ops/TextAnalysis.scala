@@ -814,7 +814,11 @@ object TextAnalysis {
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toSeq
-    require(rules.nonEmpty, s"empty BPE rule store at $path/rules")
+    // an EMPTY rule set is a valid model (a fully-fused vocabulary
+    // exhausts training at round 1 — bpeTrainUncached's exhausted
+    // branch), so saving one must round-trip instead of crashing on
+    // its own readback (r16 review); the contiguity check below is
+    // vacuously true for it
     require(rules.map(_._1) == (1 to rules.length),
       s"BPE rule store at $path has non-contiguous ranks " +
         s"${rules.map(_._1).mkString(",")} — truncated or mixed write")

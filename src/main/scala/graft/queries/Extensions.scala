@@ -7373,9 +7373,10 @@ object Extensions extends QueryModule {
         FROM gapply GROUP BY doc_id, b)
       SELECT f.doc_id,
         round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
-          list_sort(list(struct_pack(k := f.b, v := w2.w * f.x))),
+          list_sort(list(struct_pack(k := f.b,
+            v := COALESCE(w2.w * f.x, 0.0)))),
           s -> struct_extract(s, 'v'))), 9)))), 6) AS score
-      FROM fapply f JOIN w2 ON f.b = w2.b
+      FROM fapply f LEFT JOIN w2 ON f.b = w2.b
       GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
   override def queries: Seq[GraftQuery] = Seq(

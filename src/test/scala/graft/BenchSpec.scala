@@ -271,6 +271,16 @@ class BenchSpec extends AnyFunSuite {
     // no scalar rows (pre-r16 artifact) → the calib_wall fallback
     val Some((fbPass, fbDrift, _, _)) = Bench.gateVerdict(quiet, glideCalib)
     assert(!fbPass && fbDrift > 20, "fallback keeps the old behavior")
+    // the scalar loop is register-only — blind to memory-bandwidth /
+    // IO contamination that inflates Spark walls but not a
+    // no-allocation loop; the Spark pair stays a SECONDARY bound at
+    // 50% (beyond the ~40% structural glide ever observed)
+    val Some((ioPass, ioDrift, _, _)) = Bench.gateVerdict(quiet,
+      Seq(Bench.QStat("calib_pre", 0.30, 4.7, 0.0, 2),
+        Bench.QStat("calib_post", 0.75, 3.2, 0.0, 2)),
+      Seq(0.30, 0.31))
+    assert(!ioPass && ioDrift > 50,
+      s"gross Spark-calib contamination must red past the scalar gate: $ioDrift")
     // the scalar pair rides both artifact lines
     val arch = mapper.readTree(Bench.composeArchiveLine(
       quiet, "sf", glideCalib, Map.empty, Seq(0.30, 0.31)))
