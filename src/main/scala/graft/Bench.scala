@@ -97,7 +97,10 @@ object Bench {
     "x203_semdedup_two_level" ->
       "two-level Lloyd at k1=1: sequential top+sub training rounds, then CC rounds",
     "x205_semdedup_two_level_deep" ->
-      "genuine k1>1 two-level Lloyd: per-round batched sub-training + CC rounds")
+      "genuine k1>1 two-level Lloyd: per-round batched sub-training + CC rounds",
+    "x208_persisted_store_roundtrip" ->
+      ("five driver-paced store save/load round-trips: wall = small parquet " +
+        "writes + training rounds (BPE/logreg/PQ), not data-parallel work"))
 
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —

@@ -109,9 +109,6 @@ object TwinLedger {
       "rolling uniques: sketch tracks exact within HLL error, windows actually roll",
       "HLL estimates aren't ANSI; x90 re-ships each day's user set as the " +
         "exact twin"),
-    Entry("x99_cluster_split_lsh", Some("x98_cluster_split"),
-      "cluster-aware split: near-dup clusters never straddle, singletons split by id",
-      "LSH pair source; x98 pins components + split hash exactly"),
     Entry("x106_quality_classifier_scaled", Some("x97_quality_classifier"),
       "logreg classifier: separable domains separate, relayout-stable, approx == exact",
       "plain-float-sum addition order is layout-dependent; x97 is the " +

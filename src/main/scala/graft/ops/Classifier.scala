@@ -217,12 +217,19 @@ object Classifier {
     // geometry discipline, r16 review): a weights dir from a
     // different-width model with stale meta would otherwise bucket
     // text mod numBuckets while joining weights at other b values —
-    // silent sagging scores, the exact class the sidecar exists for
-    val bs = weights.select(col("b")).collect().map(_.getInt(0))
-    require(bs.length <= numBuckets && bs.distinct.length == bs.length &&
-        bs.forall(b => b >= 0 && b < numBuckets),
-      s"model weights at $path/weights carry ${bs.length} buckets " +
-        s"${bs.sorted.take(5).mkString(",")}.. inconsistent with " +
+    // silent sagging scores, the exact class the sidecar exists for.
+    // Validation is ONE aggregate row, not a collect of the weight
+    // frame (r16 advice: the method takes arbitrary stores, and a
+    // large-numBuckets model would pay a full driver collect per
+    // load purely for validation)
+    val v = weights.agg(
+      count(lit(1)).as("n"), countDistinct(col("b")).as("nd"),
+      min(col("b")).as("lo"), max(col("b")).as("hi")).collect()(0)
+    val (n, nd) = (v.getAs[Long]("n"), v.getAs[Long]("nd"))
+    require(n <= numBuckets && nd == n &&
+        (n == 0L || (v.getAs[Int]("lo") >= 0 && v.getAs[Int]("hi") < numBuckets)),
+      s"model weights at $path/weights carry $n buckets ($nd distinct, " +
+        s"range [${v.get(2)}, ${v.get(3)}]) inconsistent with " +
         s"num_buckets=$numBuckets — stale meta or mixed write")
     LogRegModel(weights,
       numBuckets, m(0).getAs[Double]("eta"), m(0).getAs[Int]("iters"))

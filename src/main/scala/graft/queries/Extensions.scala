@@ -3226,24 +3226,44 @@ object Extensions extends QueryModule {
         FROM documents"""
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
 
-  /** The scale path of x98: the same leakage-safe split over the
-    * FULL embeddings table with LSH-bucketed near-dup pairs feeding
-    * pointer-jumping components (x34's regime: threshold 0.3 is the
-    * test-corpus setting — see that scaladoc). Sketch-driven
-    * candidate set → rows-only; x98 is the bounded hash-green twin,
-    * and the no-straddle contract is spec-asserted on the LSH
-    * path too. */
+  /** The scale path of x98: the same leakage-safe split with
+    * LSH-bucketed near-dup pairs feeding pointer-jumping components,
+    * run at the PRODUCTION defaults (threshold 0.95, AutoBits) over
+    * the x205 replica union and HASH-GREEN via the replica-union
+    * known answer (r16 verdict #1: the pre-r17 form forced threshold
+    * 0.3 to get pairs out of the well-spread corpus, and when the
+    * r16 x34 conversion left the (0.3, 48, 8) memo entry with no
+    * second tenant, 25.5 s CPU of 0.3-threshold verification mass
+    * re-attributed to this carrier — the conversion removes the mass
+    * AND the rows-only row). On the two-replica corpus the only
+    * pairs at ≥ 0.95 are the planted (v, v+10⁶) replicas (x201's
+    * premise: max distinct-pair cosine 0.479/0.513/0.601 per SF,
+    * identical vectors share every band bucket), so every cluster is
+    * exactly {v, v+10⁶} with pointer-jumping representative v —
+    * every row's cluster_id is its ORIGINAL vec_id, and both replica
+    * rows split by the x98 Knuth-hash arithmetic on it (the
+    * no-straddle contract, visible in the output itself). Shares
+    * [[replicatedEmbeddings]]' canonical plan key, so the pair table
+    * is the SAME memo entry x201 builds — the sharing the 0.3 form
+    * lost. */
   private val x99ClusterSplitLsh = GraftQuery(
     "x99_cluster_split_lsh",
     (s, dir) => graft.ops.Dedup.leakageSafeSplit(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+      replicatedEmbeddings(s, dir).select(col("vec_id"), col("label")),
       "vec_id",
       graft.ops.Dedup.embeddingNearDuplicates(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, numBits = 48, bands = 8),
+        replicatedEmbeddings(s, dir), "vec_id", "embedding"),
       "id_a", "id_b", holdoutPct = 20)
       .orderBy(col("vec_id")),
-    None)
+    Some("""WITH u AS (
+        SELECT vec_id, label, vec_id AS cluster_id FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, label, vec_id FROM embeddings)
+      SELECT vec_id, label, cluster_id,
+        CASE WHEN ((cluster_id % 2147483648) * 2654435761)
+                  % 4294967296 % 100 < 20
+             THEN 'holdout' ELSE 'train' END AS split
+      FROM u ORDER BY vec_id"""))
 
   /** Community detection ([[graft.ops.Graph.labelPropagation]]): 3
     * synchronous rounds of deterministic plurality-vote label
@@ -7379,6 +7399,161 @@ object Extensions extends QueryModule {
       FROM fapply f LEFT JOIN w2 ON f.b = w2.b
       GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
+  /** Per-sfDir store root for [[x208PersistedStoreRoundtrip]] — one
+    * temp dir per (JVM, sfDir), registered for exit deletion (the
+    * [[stagedStreamDir]] discipline); re-invocations overwrite in
+    * place, exactly what a production daily re-save does. */
+  private val storeRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storeRootFor(sfDir: String): String =
+    storeRoots.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stores_x208")
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** Disk round-trip of ALL FIVE r16 persisted stores under
+    * `graft.Verify` (r16 verdict #2 — the x201 gap-class: every
+    * save/load pair was OpsSpec round-trip-asserted, but no driver
+    * carrier ever wrote a store to parquet and probed through the
+    * LOADED handle, so a serialization regression would surface only
+    * in `sbt test`, never in a CORRECTNESS row). Each section saves
+    * to the per-session store root, re-reads FROM DISK, and probes;
+    * the output is one (store, id, ok) row per domain element with
+    * ok=true the known answer — any write/read corruption, dropped
+    * row, or value drift flips ok (or creates an unexpected group)
+    * and breaks the hash. Domains are source-table slices or literal
+    * ranges, so the oracle is five trivial SELECTs:
+    *
+    *   - `bpe_rules` ([[graft.ops.TextAnalysis.saveBpeRules]]): the
+    *     x69-memoized 8-rule model saved + parquet re-read,
+    *     rank-joined against the in-session rules (x69's oracle
+    *     proves exactly ranks 1..8 exist on this corpus at every SF);
+    *   - `embedding_sig` ([[graft.ops.Dedup.saveEmbeddingSignatures]]
+    *     → store-handle [[graft.ops.Dedup
+    *     .incrementalEmbeddingNearDuplicates]]): the x206 known
+    *     answer probed THROUGH the loaded handle — each replica batch
+    *     row must find exactly its corpus original at cosine 1.0;
+    *   - `logreg_model` ([[graft.ops.Classifier.saveLogRegModel]]):
+    *     train on doc_id<100, save, score docs 100..300 through the
+    *     loaded handle vs the in-session model — scores must agree
+    *     bit-for-bit (weights are round-9 doubles; parquet round-trips
+    *     doubles exactly);
+    *   - `minhash_sig` ([[graft.ops.Dedup.saveMinhashSignatures]]):
+    *     stored signature arrays of docs<200 vs freshly computed —
+    *     null-safe struct equality per doc;
+    *   - `pq_model` ([[graft.ops.Similarity.savePqModel]]): the
+    *     x64-memoized (m=4, k=8) codebooks re-read from parquet vs
+    *     the in-session serialization, per (subspace, code) cell.
+    *
+    * Scale shape: every store is the small persisted artifact of its
+    * family (rules/codebooks/weights are KB; signatures are one row
+    * per doc) — the carrier's cost is driver-paced store writes plus
+    * bounded probes, not corpus work. */
+  private val x208PersistedStoreRoundtrip = GraftQuery(
+    "x208_persisted_store_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val okCols = Seq(col("store"), col("id"), col("ok"))
+
+      // ---- bpe_rules: x69's memoized model, saved + re-read ----
+      val bpeRules = TextAnalysis.bpeTrainRules(docs, "text", 8)
+      TextAnalysis.saveBpeRules(s, bpeRules, s"$root/bpe")
+      val bpeFresh = bpeRules.toDF("merge_rank", "lhs", "rhs", "cnt")
+      val bpeLoaded = s.read.parquet(s"$root/bpe/rules")
+      val bpeOk = s.range(1, 9).select(col("id"))
+        .join(bpeFresh.select(col("merge_rank").cast("long").as("id"),
+          struct(col("lhs"), col("rhs"), col("cnt")).as("f")), Seq("id"), "left")
+        .join(bpeLoaded.select(col("merge_rank").cast("long").as("id"),
+          struct(col("lhs"), col("rhs"), col("cnt")).as("l")), Seq("id"), "left")
+        .select(lit("bpe_rules").as("store"), col("id"),
+          (col("f") <=> col("l")).as("ok"))
+
+      // ---- embedding_sig: save, load, probe through the handle ----
+      val embStore = Dedup.saveEmbeddingSignatures(emb, "vec_id",
+        "embedding", s"$root/emb_sig", numBits = 48, bands = 8)
+      val batch = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val probe = Dedup.incrementalEmbeddingNearDuplicates(
+        embStore, emb, batch, "vec_id", "embedding", threshold = 0.95)
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("dup_id"), col("cosine"), col("dup_in"))).as("m"))
+      val embOk = emb.filter(col("vec_id") < 100).select(col("vec_id"))
+        .join(probe.withColumn("vec_id", col("batch_id") - lit(1000000L)),
+          Seq("vec_id"), "left")
+        .select(lit("embedding_sig").as("store"), col("vec_id").as("id"),
+          (col("n") === 1 && col("m.dup_id") === col("vec_id") &&
+            col("m.cosine") === 1.0 && col("m.dup_in") === "corpus").as("ok"))
+
+      // ---- logreg_model: train, save, apply via loaded handle ----
+      val labeled = docs.withColumn("is_target", col("source") === "src0")
+      val lrModel = graft.ops.Classifier.logRegTrain(
+        labeled.filter(col("doc_id") < 100), "doc_id", "text", "is_target")
+      val lrLoaded = graft.ops.Classifier.saveLogRegModel(lrModel, s"$root/logreg")
+      val applySlice = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      val lrFresh = graft.ops.Classifier.logRegApply(lrModel, applySlice,
+        "doc_id", "text").withColumnRenamed("score", "f")
+      val lrVia = graft.ops.Classifier.logRegApply(lrLoaded, applySlice,
+        "doc_id", "text").withColumnRenamed("score", "l")
+      val lrOk = applySlice.select(col("doc_id"))
+        .join(lrFresh, Seq("doc_id"), "left")
+        .join(lrVia, Seq("doc_id"), "left")
+        .select(lit("logreg_model").as("store"), col("doc_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+
+      // ---- minhash_sig: stored arrays vs freshly computed ----
+      val mhSlice = docs.filter(col("doc_id") < 200)
+      val mhStore = Dedup.saveMinhashSignatures(mhSlice, "doc_id", "text",
+        s"$root/minhash")
+      val mhFresh = Dedup.minhashSignatures(mhSlice, "doc_id", "text")
+      val mhOk = mhSlice.select(col("doc_id"))
+        .join(mhFresh.select(col("id").as("doc_id"), col("sig").as("f")),
+          Seq("doc_id"), "left")
+        .join(mhStore.signatures.select(col("id").as("doc_id"),
+          col("sig").as("l")), Seq("doc_id"), "left")
+        .select(lit("minhash_sig").as("store"), col("doc_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+
+      // ---- pq_model: x64's memoized codebooks, saved + re-read ----
+      val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 4, k = 8, iters = 1)
+      Similarity.savePqModel(s, pq, s"$root/pq")
+      val pqFresh = (for {
+        sub <- pq.codebooks.indices
+        c <- pq.codebooks(sub).indices
+      } yield (sub, c, pq.codebooks(sub)(c).toSeq))
+        .toDF("subspace", "code", "centroid")
+      val pqLoaded = s.read.parquet(s"$root/pq/codebooks")
+      val pqOk = s.range(0, 32).select(col("id"))
+        .join(pqFresh.select(
+          (col("subspace").cast("long") * 8 + col("code")).as("id"),
+          col("centroid").as("f")), Seq("id"), "left")
+        .join(pqLoaded.select(
+          (col("subspace").cast("long") * 8 + col("code")).as("id"),
+          col("centroid").as("l")), Seq("id"), "left")
+        .select(lit("pq_model").as("store"), col("id"),
+          (col("f") <=> col("l")).as("ok"))
+
+      Seq(bpeOk, embOk, lrOk, mhOk, pqOk)
+        .map(_.select(okCols: _*)).reduce(_.unionByName(_))
+        .orderBy(col("store"), col("id"))
+    },
+    Some("""SELECT 'bpe_rules' AS store, CAST(r AS BIGINT) AS id, true AS ok
+        FROM range(1, 9) t(r)
+      UNION ALL
+      SELECT 'embedding_sig', vec_id, true FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT 'logreg_model', doc_id, true FROM documents
+        WHERE doc_id >= 100 AND doc_id < 300
+      UNION ALL
+      SELECT 'minhash_sig', doc_id, true FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 'pq_model', r, true FROM range(0, 32) t(r)
+      ORDER BY store, id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7442,7 +7617,7 @@ object Extensions extends QueryModule {
     x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
     x203SemdedupTwoLevel, x204EmbeddingNearDupWide,
     x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
-    x207ClassifierApplySplit)
+    x207ClassifierApplySplit, x208PersistedStoreRoundtrip)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -245,6 +245,66 @@ class BenchSpec extends AnyFunSuite {
       .has("benchgate_pass"))
   }
 
+  test("benchgate.py attribution movers: >3x CPU shifts absent from PERF.md warn by name (r16 verdict #5)") {
+    // the x99 lesson end-to-end: the r16 x34 conversion silently
+    // re-attributed 25.5 s CPU to x99 and no PERF.md section owned
+    // it. The tool (not a Scala mirror — the operational check IS the
+    // python) must warn on exactly the un-adjudicated >3x CPU movers:
+    // named in PERF.md (full or xNN short form) → silent; below the
+    // 2 s CPU floor → silent; gate verdicts unaffected (warning only).
+    import java.nio.file.Files
+    def artifact(qs: (String, Double, Double)*): String = {
+      val entries = qs.map { case (n, w, c) =>
+        s""""$n":{"wall":$w,"cpu":$c}""" }.mkString(",")
+      s"""{"metric":"total","value":10.0,"unit":"sec","cpu_s":1000.0,
+          "calib_wall":[0.3,0.31],"calib_scalar":[0.1,0.1],
+          "queries":{$entries}}"""
+    }
+    val dir = Files.createTempDirectory("benchgate_spec")
+    dir.toFile.deleteOnExit()
+    val prev = dir.resolve("prev.json"); val cur = dir.resolve("cur.json")
+    val perf = dir.resolve("PERF.md")
+    Files.writeString(prev, artifact(
+      ("x99_cluster_split_lsh", 0.49, 1.7),   // up-mover, unmentioned
+      ("x42_text_dedup_fuzzy", 7.0, 9.0),     // up-mover, adjudicated
+      ("x95_contamination_verify", 1.0, 6.0), // down-mover, unmentioned
+      ("x50_tiny", 0.2, 0.4)))                // >3x but under the floor
+    Files.writeString(cur, artifact(
+      ("x99_cluster_split_lsh", 6.28, 25.5),
+      ("x42_text_dedup_fuzzy", 7.4, 39.0),
+      ("x95_contamination_verify", 0.3, 0.4),
+      ("x50_tiny", 0.2, 1.5)))
+    Files.writeString(perf, "round notes: x42 conversion cost adjudicated here")
+    import scala.sys.process._
+    val sb = new StringBuilder
+    val logger = ProcessLogger(l => sb.append(l).append('\n'))
+    val code = Process(Seq("python3",
+      new java.io.File("tools/benchgate.py").getAbsolutePath,
+      cur.toString, "--prev", prev.toString, "--perf", perf.toString)).!(logger)
+    val out = sb.toString
+    assert(code == 0, s"calm fixture must still gate quiet:\n$out")
+    assert(out.contains("ATTRIBUTION WARNING: x99_cluster_split_lsh"),
+      s"unmentioned 15x up-mover must warn:\n$out")
+    assert(out.contains("ATTRIBUTION WARNING: x95_contamination_verify"),
+      s"unmentioned 15x down-mover must warn:\n$out")
+    assert(!out.contains("x42_text_dedup_fuzzy cpu"),
+      s"PERF.md-adjudicated mover must stay silent:\n$out")
+    assert(!out.contains("x50_tiny"),
+      s"under-floor mover must stay silent:\n$out")
+    // the r16-advice secondary bound: scalar flat + calib_wall >= 50%
+    // swing still gates red (IO contamination the scalar can't see)
+    val io = dir.resolve("io.json")
+    Files.writeString(io, artifact(("q1_agg", 1.0, 5.0))
+      .replace("\"calib_wall\":[0.3,0.31]", "\"calib_wall\":[0.2,0.4]"))
+    val sb2 = new StringBuilder
+    val code2 = Process(Seq("python3",
+      new java.io.File("tools/benchgate.py").getAbsolutePath,
+      io.toString, "--prev", prev.toString, "--perf", perf.toString))
+      .!(ProcessLogger(l => sb2.append(l).append('\n')))
+    assert(code2 != 0 && sb2.toString.contains("secondary gate"),
+      s"flat scalar + 100% calib_wall swing must gate red:\n${sb2.toString}")
+  }
+
   test("drift gates on the JIT-trivial scalar pair when present (r16 glide fix)") {
     // the r16 signature: Spark calib_wall pre 0.37 / post 0.22 (a
     // 40% "drift" that is codegen warmup — CalibProbe measured the

@@ -619,6 +619,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("x208: all five persisted-store sections scan their reloaded parquet") {
+    // the r16 verdict #2 contract: the carrier's plan must provably
+    // READ each store back from disk (a probe that silently fell back
+    // to the in-session frame would pass the hash while testing
+    // nothing) — every store lives under the per-session
+    // graft_stores_x208 temp root, so five distinct FileScan
+    // locations must carry that marker (bpe/rules,
+    // emb_sig/signatures, logreg/weights, minhash/signatures,
+    // pq/codebooks)
+    val plan = executedPlan("x208_persisted_store_roundtrip")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+      .count(_.contains("graft_stores_x208"))
+    assert(scans >= 5,
+      s"expected >= 5 store-path scans, got $scans:\n${plan.take(4000)}")
+  }
+
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps
     * the nested loop from being a scale hazard — either a side that

@@ -1549,6 +1549,30 @@ class OpsSpec extends AnyFunSuite {
         "re-derive their oracles before trusting a hash-red on them")
   }
 
+  test("replica-union oracle premise: distinct trigram counts sit far below the round-up boundary") {
+    // the TEXT-side twin of the cosine premise above (r16 advice):
+    // the x42/x118 threshold-1.0 known answers rest on round(J, 4)
+    // never rounding a NON-identical gram-set pair up to 1.0. For
+    // distinct sets, J <= (U-1)/U, which reaches the 0.99995
+    // round-up boundary only at union size U >= 20000 — so
+    // max-per-doc distinct trigrams < 5000 (U < 10000 for any pair)
+    // keeps every non-identical pair at J <= 0.9999, with 2x slack
+    // before the bound even bends. The corpus sits ~100 today; if
+    // regenerated testdata ships long documents, this fails FIRST
+    // with the named reason instead of x42/x118 hash-redding
+    // mysteriously. Same gram definition as the operator
+    // (array_distinct over TextAnalysis.wordNgrams).
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val maxGrams = docs.select(size(array_distinct(
+        TextAnalysis.wordNgrams(col("text"), 3))).as("n"))
+      .agg(max(col("n"))).head().getInt(0)
+    assert(maxGrams < 5000,
+      s"max per-doc distinct trigram count $maxGrams is creeping toward " +
+        "the 20000-union round(J,4)=1.0 boundary — the x42/x118 " +
+        "threshold-1.0 oracles assume only identical gram sets verify; " +
+        "re-derive their oracles before trusting a hash-red on them")
+  }
+
   test("two-level argmax survives a top cluster SHORTER than k2 (ANSI element_at skew)") {
     // a skewed corpus where one top Lloyd cluster captures fewer than
     // k2 members gets an init sub-array of min(k2, |cluster|) — the

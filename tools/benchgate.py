@@ -27,24 +27,76 @@ measured three same-code quiet runs plus the r13 contaminated one):
   quantifies how much of that the cached frames explain; reported
   for the record only.
 
-Usage: python3 tools/benchgate.py [BENCH_DETAIL.json]
+Also warns (never fails) on ATTRIBUTION MOVERS (r16 verdict #5: the
+x99 lesson - a memo-key change silently re-attributed 25.5 s of CPU to
+a query no PERF.md section mentioned): any query whose CPU moved >3x
+in either direction vs the prior committed canonical (git show
+HEAD:BENCH_DETAIL.json, or --prev PATH) and whose name does not appear
+in PERF.md (--perf PATH) is listed so the round's adjudication can't
+skip it. CPU at 3x, not the verdict's literal 2x wall: the prior
+canonical usually rode a DIFFERENT VM, and r17 measured 20 false
+2x-wall movers (consecutive query ranges swinging 2-3x both ways with
+in-run contention phases) vs exactly one CPU mover - an x95
+memo-attribution shift, the precise class this check exists for. The
+x99 case itself reads ~15x on CPU; 3x keeps that unmissable.
+
+Usage: python3 tools/benchgate.py [BENCH_DETAIL.json] [--prev PATH]
+                                  [--perf PERF.md]
 Exit 0 = quiet (commit it); exit 1 = contended (re-bench first).
 """
 import json
+import subprocess
 import sys
 
-path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
+args = sys.argv[1:]
+def opt(name, default):
+    if name in args:
+        i = args.index(name)
+        v = args[i + 1]
+        del args[i:i + 2]
+        return v
+    return default
+prev_path = opt("--prev", None)
+perf_path = opt("--perf", "PERF.md")
+path = args[0] if args else "BENCH_DETAIL.json"
 d = json.load(open(path))
+
+
+def cpu_of(v):
+    return v.get("cpu", 0.0) if isinstance(v, dict) else 0.0
+
+
+def attribution_movers(prev_qs, cur_qs, perf_text,
+                       ratio=3.0, floor=2.0):
+    """Queries whose CPU moved >ratio x (either direction) vs the
+    prior canonical, with at least one side >= floor CPU-seconds
+    (both-tiny rows are pure noise), and whose name PERF.md never
+    mentions. Pure so the BenchSpec fixture pins the semantics."""
+    import re
+    movers = []
+    for q in sorted(set(prev_qs) & set(cur_qs)):
+        pc, cc = cpu_of(prev_qs[q]), cpu_of(cur_qs[q])
+        if max(pc, cc) < floor or pc <= 0:
+            continue
+        # "mentioned" = the full query name, or its xNN short form as
+        # a whole word (PERF.md's historical prose writes both)
+        short = q.split("_")[0]
+        mentioned = q in perf_text or \
+            re.search(rf"\b{re.escape(short)}\b", perf_text) is not None
+        if (cc > ratio * pc or cc * ratio < pc) and not mentioned:
+            movers.append((q, pc, cc))
+    return movers
 
 cw = d.get("calib_wall")
 cc = d.get("calib_cpu")
 if not cw or len(cw) != 2 or cw[0] <= 0:
     sys.exit(f"{path}: no usable calib_wall rows - re-bench with current graft.Bench")
 cs = d.get("calib_scalar")
+spark_drift = abs(cw[1] - cw[0]) / cw[0]
 if cs and len(cs) == 2 and cs[0] > 0:
     drift_src, wall_drift = "calib_scalar", abs(cs[1] - cs[0]) / cs[0]
 else:
-    drift_src, wall_drift = "calib_wall", abs(cw[1] - cw[0]) / cw[0]
+    drift_src, wall_drift = "calib_wall", spark_drift
 total = d.get("value")
 if not isinstance(total, (int, float)):
     sys.exit(f"{path}: no numeric 'value' total - not a bench artifact "
@@ -62,6 +114,17 @@ if wall_drift >= 0.20:
         f"median {drift_src} drifted {wall_drift:.1%} (gate <20%): the "
         "machine-speed scale moved mid-run"
     )
+# secondary bound, mirroring Bench.gateVerdict (r16 advice): even when
+# the scalar pair is flat, a >=50% Spark calib_wall swing flags IO /
+# memory-bandwidth contamination the register-only scalar loop can't
+# see (drift under 50% stays un-gated - that band is JIT-glide noise,
+# the r16 false-red class)
+if drift_src == "calib_scalar" and spark_drift >= 0.50:
+    failures.append(
+        f"calib_wall drifted {spark_drift:.1%} (secondary gate <50%) while "
+        "calib_scalar stayed flat: IO/memory-bandwidth contamination the "
+        "scalar loop is blind to"
+    )
 
 qs = d.get("queries", {})
 cpu_total = d.get("cpu_s") or sum(v.get("cpu", 0.0) for v in qs.values())
@@ -78,6 +141,39 @@ if cpu_total > 0 and qs:
             f"{top} holds {share:.1%} of suite CPU (gate <25%) - the r13 "
             "contamination signature (x43 hit 41% on the contended VM)"
         )
+
+# --- attribution movers (warning only, never a gate failure) ---
+prev = None
+if prev_path:
+    try:
+        prev = json.load(open(prev_path))
+    except Exception as e:
+        print(f"note: --prev {prev_path} unreadable ({e}); mover check skipped")
+else:
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30)
+        if out.returncode == 0:
+            prev = json.loads(out.stdout)
+    except Exception:
+        pass
+if prev and prev.get("queries"):
+    try:
+        perf_text = open(perf_path).read()
+    except Exception:
+        perf_text = ""
+    movers = attribution_movers(prev["queries"], qs, perf_text)
+    for q, pc, cc in movers:
+        print(f"ATTRIBUTION WARNING: {q} cpu {pc:.2f} -> {cc:.2f} s "
+              f"({cc / pc:.1f}x) vs prior canonical and {perf_path} never "
+              "mentions it - adjudicate (controlbench row + PERF.md entry) "
+              "or own the shift by name before committing")
+    if not movers:
+        print("attribution: no un-adjudicated >3x CPU movers vs prior canonical")
+elif prev is None and not prev_path:
+    print("note: no prior canonical readable (git show HEAD:BENCH_DETAIL.json)"
+          " - mover check skipped")
 
 stamped = d.get("benchgate_pass")
 if stamped is not None and stamped != (not failures):
