@@ -516,17 +516,50 @@ object Similarity {
         val split = df.select(col(idCol), col(vecCol),
           pmod(xxhash64(col(idCol)), lit(shards)).as("__shard"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // shard builds are independent (disjoint slices of the
+        // persisted split; ivfIndex already builds outside its memo
+        // lock by design), but each is DRIVER-PACED — Lloyd-round
+        // sample collects and assignment-job submissions serialize on
+        // the driver, so a sequential loop leaves the 32 cores idle
+        // between one shard's rounds (the r16 ShardRehearsal localized
+        // the residual sharded/flat gap to exactly this S× per-job
+        // fixed overhead). Submitting the builds from a small thread
+        // pool overlaps those driver phases; concurrency is capped at
+        // 4, not `shards`, because each concurrent build holds a
+        // driver-resident (≤ MaxTrainK × dims) centroid model plus an
+        // in-flight training collect — the cap bounds driver memory at
+        // 4 models regardless of the clamp-driven shard count.
+        // Measured (ShardRehearsal ×8 = 4 shards, r17, medians of 3):
+        // sharded wall 2.5 → 1.2 s (flat 0.7 — the residual is the
+        // split build + the count barriers, fixed latency not data
+        // work) and sharded CPU/vector reached flat parity
+        // (0.315 vs 0.323; sequential r16 read 0.554) — probe-merge
+        // ≡ flat ≡ exact stays spec-pinned at every rehearsal corpus.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(shards, 4))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
         try {
-          val built = (0 until shards).map { s =>
-            ivfIndex(split.filter(col("__shard") === s).drop("__shard"),
-              idCol, vecCol, k, iters, trainSample)
+          val futures = (0 until shards).map { s =>
+            scala.concurrent.Future {
+              val idx = ivfIndex(
+                split.filter(col("__shard") === s).drop("__shard"),
+                idCol, vecCol, k, iters, trainSample)
+              // materialize THIS shard's (persisted) assignments off
+              // the split cache before the split is released — the
+              // assignment plans are lazy and would otherwise re-read
+              // the source at first probe
+              idx.assignments.count()
+              idx
+            }
           }
-          // materialize each shard's (persisted) assignments off the
-          // split cache BEFORE releasing it — the assignment plans are
-          // lazy and would otherwise re-read the source at first probe
-          built.foreach(_.assignments.count())
-          built
-        } finally split.unpersist(blocking = false)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf).toIndexedSeq
+        } finally {
+          pool.shutdown()
+          split.unpersist(blocking = false)
+        }
       }
     ShardedIvfIndex(idxs, shards, idCol, vecCol)
   }
