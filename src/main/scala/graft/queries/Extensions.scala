@@ -7411,12 +7411,14 @@ object Extensions extends QueryModule {
       dir.toString
     })
 
-  /** Disk round-trip of ALL FIVE r16 persisted stores under
+  /** Disk round-trip of ALL SEVEN persisted stores under
     * `graft.Verify` (r16 verdict #2 — the x201 gap-class: every
     * save/load pair was OpsSpec round-trip-asserted, but no driver
     * carrier ever wrote a store to parquet and probed through the
     * LOADED handle, so a serialization regression would surface only
-    * in `sbt test`, never in a CORRECTNESS row). Each section saves
+    * in `sbt test`, never in a CORRECTNESS row; the five r16 stores
+    * plus the r15 IVF index store and its append path, which had the
+    * same gap). Each section saves
     * to the per-session store root, re-reads FROM DISK, and probes;
     * the output is one (store, id, ok) row per domain element with
     * ok=true the known answer — any write/read corruption, dropped
@@ -7443,7 +7445,14 @@ object Extensions extends QueryModule {
     *     null-safe struct equality per doc;
     *   - `pq_model` ([[graft.ops.Similarity.savePqModel]]): the
     *     x64-memoized (m=4, k=8) codebooks re-read from parquet vs
-    *     the in-session serialization, per (subspace, code) cell.
+    *     the in-session serialization, per (subspace, code) cell;
+    *   - `ivf_index` ([[graft.ops.Similarity.saveIvfIndex]] →
+    *     [[graft.ops.Similarity.loadIvfIndex]]): full-coverage batch
+    *     top-5 through the loaded index vs the in-session one, per
+    *     (query, rank);
+    *   - `ivf_append` ([[graft.ops.Similarity.appendToIvfIndex]]):
+    *     appended replica vectors must land in exactly their
+    *     originals' clusters through the persisted centroids.
     *
     * Scale shape: every store is the small persisted artifact of its
     * family (rules/codebooks/weights are KB; signatures are one row
@@ -7517,6 +7526,64 @@ object Extensions extends QueryModule {
         .select(lit("minhash_sig").as("store"), col("doc_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
 
+      // ---- ivf_index: saveIvfIndex / loadIvfIndex probe (the same
+      // gap-class as the five r16 stores — the oldest persisted
+      // index, spec'd since r15 but never driver-exercised): the
+      // x33-memoized index saved to parquet, re-loaded, and probed
+      // with full-coverage batch top-5 — per (query, rank) the
+      // loaded index must return the identical (neighbor, cosine)
+      // as the in-session one (centroids and vectors round-trip
+      // parquet exactly; rank order is the shared unrounded-cosine
+      // + neighbor-id total order) ----
+      val ivfIdx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.saveIvfIndex(ivfIdx, s"$root/ivf")
+      val ivfLoaded = Similarity.loadIvfIndex(s, s"$root/ivf",
+        "vec_id", "embedding")
+      val ivfQ = emb.filter(col("vec_id") < 20)
+      val ivfFresh = Similarity.ivfBatchTopK(ivfIdx, ivfQ,
+        "vec_id", "embedding", topK = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"),
+          struct(col("neighbor_id"), col("cosine")).as("f"))
+      val ivfVia = Similarity.ivfBatchTopK(ivfLoaded, ivfQ,
+        "vec_id", "embedding", topK = 5, nprobe = 8)
+        .select(col("query_id"), col("rank"),
+          struct(col("neighbor_id"), col("cosine")).as("l"))
+      val ivfOk = ivfQ.select(col("vec_id"),
+          explode(sequence(lit(1), lit(5))).as("rank"))
+        .join(ivfFresh.withColumnRenamed("query_id", "vec_id"),
+          Seq("vec_id", "rank"), "left")
+        .join(ivfVia.withColumnRenamed("query_id", "vec_id"),
+          Seq("vec_id", "rank"), "left")
+        .select(lit("ivf_index").as("store"),
+          (col("vec_id") * 5 + col("rank")).as("id"),
+          (col("f") <=> col("l")).as("ok"))
+
+      // ---- ivf_append: appendToIvfIndex writes a replica batch into
+      // the cluster-partitioned layout through the PERSISTED
+      // centroids — each appended (v + 2·10⁶, same vector) must land
+      // in exactly its original's cluster (one shared assignment
+      // expression; a drifted load path or a re-centered append
+      // would split them). Separate store path: the load-probe
+      // section above must not see appended rows ----
+      Similarity.saveIvfIndex(ivfIdx, s"$root/ivf_inc")
+      Similarity.appendToIvfIndex(s, s"$root/ivf_inc",
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+            col("embedding")),
+        "vec_id", "embedding")
+      val incAsg = Similarity.loadIvfIndex(s, s"$root/ivf_inc",
+        "vec_id", "embedding").assignments
+      val incOk = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+        .join(incAsg.filter(col("vec_id") < 2000000L)
+          .select(col("vec_id"), col("cluster").as("cb")),
+          Seq("vec_id"), "left")
+        .join(incAsg.filter(col("vec_id") >= 2000000L)
+          .select((col("vec_id") - lit(2000000L)).as("vec_id"),
+            col("cluster").as("ca")), Seq("vec_id"), "left")
+        .select(lit("ivf_append").as("store"), col("vec_id").as("id"),
+          (col("ca") <=> col("cb")).as("ok"))
+
       // ---- pq_model: x64's memoized codebooks, saved + re-read ----
       val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 4, k = 8, iters = 1)
@@ -7537,7 +7604,7 @@ object Extensions extends QueryModule {
         .select(lit("pq_model").as("store"), col("id"),
           (col("f") <=> col("l")).as("ok"))
 
-      Seq(bpeOk, embOk, lrOk, mhOk, pqOk)
+      Seq(bpeOk, embOk, ivfOk, incOk, lrOk, mhOk, pqOk)
         .map(_.select(okCols: _*)).reduce(_.unionByName(_))
         .orderBy(col("store"), col("id"))
     },
@@ -7545,6 +7612,11 @@ object Extensions extends QueryModule {
         FROM range(1, 9) t(r)
       UNION ALL
       SELECT 'embedding_sig', vec_id, true FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT 'ivf_append', vec_id, true FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT 'ivf_index', vec_id * 5 + r, true
+        FROM embeddings, range(1, 6) t(r) WHERE vec_id < 20
       UNION ALL
       SELECT 'logreg_model', doc_id, true FROM documents
         WHERE doc_id >= 100 AND doc_id < 300

@@ -624,16 +624,16 @@ class PlanSpec extends AnyFunSuite {
     // READ each store back from disk (a probe that silently fell back
     // to the in-session frame would pass the hash while testing
     // nothing) — every store lives under the per-session
-    // graft_stores_x208 temp root, so five distinct FileScan
+    // graft_stores_x208 temp root, so seven-plus distinct FileScan
     // locations must carry that marker (bpe/rules,
     // emb_sig/signatures, logreg/weights, minhash/signatures,
-    // pq/codebooks)
+    // pq/codebooks, ivf/assignments, ivf_inc/assignments both sides)
     val plan = executedPlan("x208_persisted_store_roundtrip")
     val scans = plan.split("\n").filter(l =>
       l.contains("Scan parquet") || l.contains("FileScan"))
       .count(_.contains("graft_stores_x208"))
-    assert(scans >= 5,
-      s"expected >= 5 store-path scans, got $scans:\n${plan.take(4000)}")
+    assert(scans >= 7,
+      s"expected >= 7 store-path scans, got $scans:\n${plan.take(4000)}")
   }
 
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
