@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.ops.Dedup
+
+/** Incremental-vs-full rehearsal (r17): the daily-delta claims of the
+  * incremental store trio, MEASURED. The scaladocs of
+  * [[graft.ops.Dedup.incrementalExactDuplicates]] /
+  * [[graft.ops.Dedup.incrementalMinhashNearDuplicates]] /
+  * [[graft.ops.Dedup.incrementalEmbeddingNearDuplicates]] all argue
+  * the same shape — the dominant per-item cost (shingling /
+  * hyperplane projection / md5) runs over the DELTA only while the
+  * corpus contributes a precomputed store scan — but until this run
+  * the claim was only fixture-asserted, never costed (the
+  * ShardRehearsal lesson: the r15 shard scaladoc's O(corpus) claim
+  * was WRONG and only a measurement caught it).
+  *
+  * Per (dir, family): a 2% replica batch under shifted ids is deduped
+  * against the corpus twice —
+  *
+  *   - FULL: the non-incremental operator over corpus ∪ batch
+  *     (what a pipeline without stores re-runs every day);
+  *   - INC: the incremental operator against a PRE-BUILT ON-DISK
+  *     store (store build untimed: that is day-0 cost, paid once).
+  *
+  * Cells are medians of 3 with memos cleared between (the
+  * ShardRehearsal rule — single shots carry ±2-3× same-VM variance).
+  * Equivalence is re-checked at rehearsal scale, not just on the
+  * OpsSpec fixtures: the incremental result must equal the full
+  * (uncapped) result restricted to batch-touching pairs — for the
+  * exact family, a direct md5-join derivation replayed on the spot.
+  *
+  * Usage: sbt "runMain graft.IncrementalRehearsal [dir ...]"
+  *   (default: /root/testdata/sf0.1 /tmp/graft_scale/x10)
+  * Output: one JSON row per (dir, family); archive at
+  * SPARK_GRAFT_INC_OUT (default /tmp/graft_inc_rehearsal.json).
+  */
+object IncrementalRehearsal {
+
+  private val Shift = 1000000000L // batch ids: far above any corpus id
+
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
+    val spark = Bench.buildSession()
+    spark.sparkContext.setLogLevel("WARN")
+    val sm = new Bench.StageMetrics(spark)
+    val sb = new StringBuilder
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("graft_inc_stores").toString
+
+    def medianOf(reps: Int)(body: () => Long): (Double, Double, Long) = {
+      val cells = (0 until reps).map { _ =>
+        ScaleBench.clearMemoCaches()
+        sm.reset()
+        val t0 = System.nanoTime()
+        val n = body()
+        val wall = (System.nanoTime() - t0) / 1e9
+        sm.drain()
+        (wall, sm.cpuNs.sum / 1e9, n)
+      }
+      val byCpu = cells.sortBy(_._2)
+      byCpu(byCpu.length / 2)
+    }
+
+    def emit(dir: String, family: String, corpus: Long, batch: Long,
+        full: (Double, Double, Long), inc: (Double, Double, Long),
+        equiv: Boolean): Unit = {
+      val line =
+        f"""{"dir":"$dir","family":"$family","corpus":$corpus,""" +
+          f""""batch":$batch,"full_wall":${full._1}%.2f,""" +
+          f""""full_cpu":${full._2}%.2f,"full_rows":${full._3},""" +
+          f""""inc_wall":${inc._1}%.2f,"inc_cpu":${inc._2}%.2f,""" +
+          f""""inc_rows":${inc._3},""" +
+          f""""cpu_ratio":${if (inc._2 > 0) full._2 / inc._2 else -1.0}%.1f,""" +
+          f""""equiv":$equiv}"""
+      println(line); sb.append(line).append('\n')
+      System.err.println(f"[inc] $dir%-26s $family%-9s full=${full._2}%7.1fs " +
+        f"inc=${inc._2}%6.1fs ratio=${if (inc._2 > 0) full._2 / inc._2 else -1.0}%5.1fx equiv=$equiv")
+    }
+
+    try dirs.foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val nDocs = docs.count(); val nVec = emb.count()
+      val dBatch = docs.filter(col("doc_id") < nDocs / 50)
+        .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val vBatch = emb.filter(col("vec_id") < nVec / 50)
+        .select((col("vec_id") + lit(Shift)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val nDB = dBatch.count(); val nVB = vBatch.count()
+      val tag = math.abs(dir.hashCode).toString
+
+      // ---------- exact (digest ledger) ----------
+      val ledger = Dedup.saveDigestStore(docs, "doc_id", "text",
+        s"$storeRoot/$tag/digests")
+      val fullEx = medianOf(3) { () =>
+        Dedup.exact(docs.unionByName(dBatch), "doc_id", "text").count()
+      }
+      val incEx = medianOf(3) { () =>
+        Dedup.incrementalExactDuplicates(ledger, dBatch, "doc_id", "text")
+          .count()
+      }
+      // direct derivation: batch docs whose digest is in the corpus,
+      // keeper = corpus min id — must equal the incremental 'corpus'
+      // rows exactly (batch-internal rows are derived the same way)
+      val bd = dBatch.select(col("doc_id").as("batch_id"),
+        md5(col("text")).as("d")).localCheckpoint(true)
+      val direct = bd.join(
+          docs.groupBy(md5(col("text")).as("d"))
+            .agg(min(col("doc_id")).as("dup_id")), Seq("d"))
+          .select(col("batch_id"), col("dup_id"), lit("corpus").as("dup_in"))
+        .unionByName(bd.join(
+            bd.groupBy(col("d")).agg(min(col("batch_id")).as("dup_id")),
+            Seq("d"))
+          .filter(col("batch_id") > col("dup_id"))
+          .select(col("batch_id"), col("dup_id"), lit("batch").as("dup_in")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val incExSet = Dedup.incrementalExactDuplicates(ledger, dBatch,
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      emit(dir, "exact", nDocs, nDB, fullEx, incEx, incExSet == direct)
+
+      // ---------- minhash (text signature store) ----------
+      val mhStore = Dedup.saveMinhashSignatures(docs, "doc_id", "text",
+        s"$storeRoot/$tag/minhash")
+      val fullMh = medianOf(3) { () =>
+        Dedup.minhashNearDuplicates(docs.unionByName(dBatch),
+          "doc_id", "text", threshold = 0.8).count()
+      }
+      val incMh = medianOf(3) { () =>
+        Dedup.incrementalMinhashNearDuplicates(mhStore, dBatch,
+          "doc_id", "text", threshold = 0.8, bands = 32).count()
+      }
+      // equivalence vs an UNCAPPED full run (the incremental path has
+      // no bucket cap; the timed full uses the production default)
+      ScaleBench.clearMemoCaches()
+      val fullMhPairs = Dedup.minhashNearDuplicates(docs.unionByName(dBatch),
+        "doc_id", "text", threshold = 0.8, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val fullMhTouch = fullMhPairs.flatMap { case (a, b, e) =>
+        if (a >= Shift && b >= Shift) Some((math.min(a, b), math.max(a, b), e, "batch"))
+        else if (a >= Shift) Some((a, b, e, "corpus"))
+        else if (b >= Shift) Some((b, a, e, "corpus"))
+        else None
+      }.toSet
+      val incMhSet = Dedup.incrementalMinhashNearDuplicates(mhStore, dBatch,
+        "doc_id", "text", threshold = 0.8, bands = 32)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+      emit(dir, "minhash", nDocs, nDB, fullMh, incMh, incMhSet == fullMhTouch)
+
+      // ---------- embedding (hyperplane signature store) ----------
+      val numBits = Dedup.lshBitsFor(nVec + nVB, 8)
+      val embStore = Dedup.saveEmbeddingSignatures(emb, "vec_id", "embedding",
+        s"$storeRoot/$tag/embsig", numBits = numBits, bands = 8)
+      val fullEmb = medianOf(3) { () =>
+        Dedup.embeddingNearDuplicates(emb.unionByName(vBatch),
+          "vec_id", "embedding", threshold = 0.95, numBits = numBits,
+          bands = 8).count()
+      }
+      val incEmb = medianOf(3) { () =>
+        Dedup.incrementalEmbeddingNearDuplicates(embStore, emb, vBatch,
+          "vec_id", "embedding", threshold = 0.95).count()
+      }
+      ScaleBench.clearMemoCaches()
+      val fullEmbPairs = Dedup.embeddingNearDuplicates(emb.unionByName(vBatch),
+        "vec_id", "embedding", threshold = 0.95, numBits = numBits,
+        bands = 8, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val fullEmbTouch = fullEmbPairs.flatMap { case (a, b, c) =>
+        if (a >= Shift && b >= Shift) Some((math.min(a, b), math.max(a, b), c, "batch"))
+        else if (a >= Shift) Some((a, b, c, "corpus"))
+        else if (b >= Shift) Some((b, a, c, "corpus"))
+        else None
+      }.toSet
+      val incEmbSet = Dedup.incrementalEmbeddingNearDuplicates(embStore, emb,
+        vBatch, "vec_id", "embedding", threshold = 0.95)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSet
+      emit(dir, "embedding", nVec, nVB, fullEmb, incEmb,
+        incEmbSet == fullEmbTouch)
+    } finally sm.remove()
+    val out = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",
+      "/tmp/graft_inc_rehearsal.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[inc] archived to $out")
+    spark.stop()
+  }
+}

@@ -119,7 +119,9 @@ object Plans {
     "x197_anchor_window_dedup" -> "anchor scan (native rolling-hash expression) materialized at an id exchange BEFORE the Generate; winner agg and attribution join move only (id, pos, md5) rows on the uniform 128-bit key — window text never shuffles; the per-row winner verdict is a projection, so Catalyst has no filter to fold into the join keys",
     "x198_anchor_window_removal" -> "shared localCheckpointed (id, pos, md5) anchor stream; BOTH joins shuffle-hash with the deduplicated side (winners / dup-doc spans) as build; span merge is ONE groupBy(id) codegen'd sorted fold — the gaps-and-islands Window lives only in the oracle (PlanSpec-pinned: no Window node, BuildRight on both joins)",
     "x199_anchor_doc_dedup" -> "x197's profile plan head; the doc drop is one LEFT ANTI shuffle-hash join whose build side is the flagged-id list only — survivors stream through untouched with all columns",
-    "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum")
+    "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum",
+    "x208_persisted_store_roundtrip" -> "seven store sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
+    "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the ledger shuffle-hash join + min-id keeper agg; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

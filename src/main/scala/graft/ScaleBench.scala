@@ -174,8 +174,10 @@ object ScaleBench {
       // table is memoized/persisted, later families reading the
       // InMemoryTableScan re-fire nothing, so within a dir the
       // per-family capped/buckets counters under-report for
-      // memo-sharing families (x34/x99 read x22-shaped memos)
-      s"""{"calib_wall":[${f3(calibPre)},${f3(calibPost)}],"dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"obs_note":"capped/buckets attribute to the first family that executes the observed aggregate; memo-sharing families (x34/x99) under-report within a dir"}"""
+      // memo-sharing families under-report within a dir (r17: x99 now
+      // pairs over the 2-replica union at 0.95 — its own memo key
+      // here, since this list doesn't run x201's shape)
+      s"""{"calib_wall":[${f3(calibPre)},${f3(calibPost)}],"dirs":${dirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"obs_note":"capped/buckets attribute to the first family that executes the observed aggregate; memo-sharing families under-report within a dir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "/tmp/graft_scale_rehearsal.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -465,6 +465,71 @@ object Dedup {
     incrementalMinhashNearDuplicates(store.signatures, batch, idCol,
       textCol, threshold, store.numHashes, bands, store.shingleSize)
 
+  /** A persisted content-digest ledger — the EXACT member of the
+    * incremental-dedup store trio ([[MinhashSignatureStore]] and
+    * [[EmbeddingSignatureStore]] are the sketch members): one
+    * (content_hash, keeper_id) row per distinct corpus content,
+    * [[exact]]'s output persisted. At 100 TB this is the FIRST gate
+    * every day's intake passes — an md5 join against the ledger costs
+    * one shuffle of the batch digests (bucket the production store by
+    * content_hash for co-location), never touches corpus text, and —
+    * unlike the sketch stores — is exactly SQL-replayable, which is
+    * what lets the x209 composite carrier run the whole admission
+    * pipeline hash-green. No meta sidecar: the ledger has no sizing
+    * parameters to mismatch (uniform 128-bit keys at any scale). */
+  final case class DigestStore(digests: DataFrame)
+
+  /** Persist the corpus digest ledger (the reference's md5 surrogate
+    * key family, spark_elt_emr.py:64, here keyed on CONTENT). */
+  def saveDigestStore(df: DataFrame, idCol: String, textCol: String,
+      path: String): DigestStore = {
+    exact(df, idCol, textCol)
+      .select(col("content_hash"), col("keeper_id"))
+      .write.mode("overwrite").parquet(s"$path/digests")
+    loadDigestStore(df.sparkSession, path)
+  }
+
+  /** Load a [[saveDigestStore]]-persisted ledger (lazily — probes
+    * scan it once per batch join; keyed-unique by construction since
+    * [[exact]] groups by the digest). */
+  def loadDigestStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DigestStore =
+    DigestStore(spark.read.parquet(s"$path/digests"))
+
+  /** Incremental EXACT dedup against a persisted digest ledger: flag
+    * every batch doc whose content the corpus — or an earlier batch
+    * doc — already holds. Output (batch_id, dup_id, dup_in), the
+    * incremental trio's shared shape minus the score column (an
+    * exact match needs no estimate): 'corpus' rows point at the
+    * ledger's keeper id, batch-internal digest groups keep their min
+    * id and flag the rest against it ('batch'). A batch doc whose
+    * content is in the corpus AND an earlier batch doc carries both
+    * rows — admission is an anti-join on flagged batch ids, so the
+    * multiplicity is harmless and the provenance stays complete. A
+    * NULL-text batch doc is never flagged (null digests don't join);
+    * gate nulls upstream if emptiness matters.
+    *
+    * Scale shape: one md5 projection over the batch (checkpointed —
+    * it feeds the store join, the keeper aggregate, and the keeper
+    * join; a day's intake is bounded), one shuffle-hash join against
+    * the ledger, one batch-sized min aggregate. Corpus cost is the
+    * ledger scan alone. */
+  def incrementalExactDuplicates(store: DigestStore, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val b = batch
+      .select(col(idCol).as("batch_id"), md5(col(textCol)).as("digest"))
+      .localCheckpoint(true)
+    val corpusHits = b
+      .join(store.digests.select(col("content_hash").as("digest"),
+        col("keeper_id").as("dup_id")).hint("shuffle_hash"), "digest")
+      .select(col("batch_id"), col("dup_id"), lit("corpus").as("dup_in"))
+    val keepers = b.groupBy(col("digest")).agg(min(col("batch_id")).as("dup_id"))
+    val batchHits = b.join(keepers.hint("shuffle_hash"), "digest")
+      .filter(col("batch_id") > col("dup_id"))
+      .select(col("batch_id"), col("dup_id"), lit("batch").as("dup_in"))
+    corpusHits.unionByName(batchHits)
+  }
+
   /** SimHash near-duplicates: 64-bit signature, banded into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
     * equal), exact hamming check on candidates. */

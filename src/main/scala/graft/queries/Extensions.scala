@@ -7626,6 +7626,166 @@ object Extensions extends QueryModule {
       SELECT 'pq_model', r, true FROM range(0, 32) t(r)
       ORDER BY store, id"""))
 
+  /** Day-2 intake admission pipeline, end-to-end through PERSISTED
+    * day-0 artifacts — the production composition the incremental
+    * stores exist for (the reference's whole incrementality story is
+    * monthly appends, udac_capstone_emr.py:155; at 100 TB each day's
+    * intake passes the digest ledger first, then the trained quality
+    * model — never retraining, never re-scanning corpus text):
+    *
+    *   1. day-0: corpus digest ledger persisted
+    *      ([[graft.ops.Dedup.saveDigestStore]] — the EXACT member of
+    *      the incremental store trio, new r17) + quality model
+    *      trained once and persisted
+    *      ([[graft.ops.Classifier.saveLogRegModel]]);
+    *   2. intake: 100 exact replicas of corpus docs (shifted ids)
+    *      + 100 token-REVERSED corpus docs (genuinely novel content
+    *      from the corpus's own vocabulary — no synthetic-text
+    *      generator to replay);
+    *   3. [[graft.ops.Dedup.incrementalExactDuplicates]] against the
+    *      LOADED ledger flags every doc whose content the corpus or
+    *      an earlier intake doc holds (replicas — including any whose
+    *      original has a real exact-dup partner in the corpus, sf0.1
+    *      has 8 such pairs — plus any reversed doc that happens to
+    *      reproduce existing content, e.g. a token-palindrome);
+    *   4. survivors are scored through the LOADED model
+    *      ([[graft.ops.Classifier.logRegApply]]) — one broadcast
+    *      weight join, the daily admission decision's input.
+    *
+    * HASH-GREEN with NO data premise (unlike the sketch-store
+    * carriers): every stage is exact — md5 equality, min-id keepers,
+    * and the x97/x207 order-pinned logreg replay — so the oracle
+    * replays the ENTIRE pipeline including the 2-round training loop
+    * and the reversed-text construction (Spark `concat_ws(" ",
+    * reverse(split(text, WhitespaceClass)))` ≡ DuckDB
+    * `array_to_string(list_reverse(string_split_regex(text, '\s+')),
+    * ' ')` — the two splits agree on all empty-segment edges, the
+    * r12 rule, so the constructed strings and their md5s are
+    * bit-identical). A drifted digest, a batch-keeper tie-break
+    * flip, a label leak, or a broken loaded-model apply all break
+    * the hash. */
+  private val x209IncrementalIntake = GraftQuery(
+    "x209_incremental_intake",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      val ledger = Dedup.saveDigestStore(docs, "doc_id", "text",
+        s"$root/x209_digests")
+      val lrStore = graft.ops.Classifier.saveLogRegModel(
+        graft.ops.Classifier.logRegTrain(
+          docs.withColumn("is_target", col("source") === "src0")
+            .filter(col("doc_id") < 250),
+          "doc_id", "text", "is_target"),
+        s"$root/x209_model")
+      val dup = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"),
+            graft.ops.TextAnalysis.WhitespaceClass))).as("text"))
+      val intake = dup.unionByName(novel)
+      val flagged = Dedup.incrementalExactDuplicates(
+        ledger, intake, "doc_id", "text")
+      val admitted = intake.join(
+        flagged.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val scored = graft.ops.Classifier.logRegApply(
+        lrStore, admitted, "doc_id", "text")
+      flagged
+        .select(col("batch_id").as("doc_id"),
+          lit("duplicate").as("status"), col("dup_id"),
+          lit(null).cast("double").as("score"))
+        .unionByName(scored.select(col("doc_id"),
+          lit("admitted").as("status"),
+          lit(null).cast("bigint").as("dup_id"), col("score")))
+        .orderBy(col("doc_id"), col("dup_id"))
+    },
+    Some("""WITH cd AS MATERIALIZED (
+        SELECT md5(text) AS digest, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)),
+      intake AS MATERIALIZED (
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents WHERE doc_id >= 300 AND doc_id < 400),
+      ib AS MATERIALIZED (SELECT id, md5(text) AS digest FROM intake),
+      corpus_hits AS (
+        SELECT ib.id, cd.keeper AS dup_id, 'corpus' AS dup_in
+        FROM ib JOIN cd ON ib.digest = cd.digest),
+      kb AS (SELECT digest, min(id) AS k FROM ib GROUP BY digest),
+      batch_hits AS (
+        SELECT ib.id, kb.k AS dup_id, 'batch' AS dup_in
+        FROM ib JOIN kb ON ib.digest = kb.digest WHERE ib.id > kb.k),
+      flagged AS MATERIALIZED (
+        SELECT * FROM corpus_hits UNION ALL SELECT * FROM batch_hits),
+      admitted AS MATERIALIZED (
+        SELECT id, text FROM intake
+        WHERE id NOT IN (SELECT id FROM flagged)),
+      norm AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+          regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL),
+      gtrain AS MATERIALIZED (
+        SELECT doc_id, y,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 64)) AS b
+        FROM norm WHERE length(s) >= 2 AND doc_id < 250),
+      ftrain AS MATERIALIZED (
+        SELECT doc_id, y, b,
+          CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+        FROM gtrain GROUP BY doc_id, y, b),
+      w1 AS MATERIALIZED (
+        SELECT b, round(0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := doc_id, v := x * (y - 0.5)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM ftrain GROUP BY b),
+      p1 AS MATERIALIZED (
+        SELECT f.doc_id,
+          round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.b, v := w1.w * f.x))),
+            s -> struct_extract(s, 'v'))), 9)))), 9) AS p
+        FROM ftrain f JOIN w1 ON f.b = w1.b GROUP BY f.doc_id),
+      w2 AS MATERIALIZED (
+        SELECT f.b, round(min(w1.w) + 0.5 * list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.doc_id,
+                                       v := f.x * (f.y - p1.p)))),
+            s -> struct_extract(s, 'v'))), 9) AS w
+        FROM ftrain f JOIN p1 ON f.doc_id = p1.doc_id
+                     JOIN w1 ON f.b = w1.b
+        GROUP BY f.b),
+      anorm AS MATERIALIZED (
+        SELECT id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        FROM admitted WHERE text IS NOT NULL),
+      gapply AS MATERIALIZED (
+        SELECT id,
+          unnest(list_transform(range(1, length(s)),
+            i -> (ascii(substr(s, CAST(i AS INT), 1)) * 31
+                  + ascii(substr(s, CAST(i AS INT) + 1, 1))) % 64)) AS b
+        FROM anorm WHERE length(s) >= 2),
+      fapply AS MATERIALIZED (
+        SELECT id, b,
+          CAST(count(*) AS DOUBLE)
+            / CAST(sum(count(*)) OVER (PARTITION BY id) AS DOUBLE) AS x
+        FROM gapply GROUP BY id, b),
+      scored AS MATERIALIZED (
+        SELECT f.id,
+          round(1.0 / (1.0 + exp(-(round(list_sum(list_transform(
+            list_sort(list(struct_pack(k := f.b,
+              v := COALESCE(w2.w * f.x, 0.0)))),
+            s -> struct_extract(s, 'v'))), 9)))), 6) AS score
+        FROM fapply f LEFT JOIN w2 ON f.b = w2.b
+        GROUP BY f.id)
+      SELECT id AS doc_id, 'duplicate' AS status, dup_id,
+        CAST(NULL AS DOUBLE) AS score FROM flagged
+      UNION ALL
+      SELECT id, 'admitted', CAST(NULL AS BIGINT), score FROM scored
+      ORDER BY doc_id, dup_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7689,7 +7849,8 @@ object Extensions extends QueryModule {
     x200AnchorCuration, x201EmbeddingNearDupAuto, x202BatchTopKIvfSharded,
     x203SemdedupTwoLevel, x204EmbeddingNearDupWide,
     x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
-    x207ClassifierApplySplit, x208PersistedStoreRoundtrip)
+    x207ClassifierApplySplit, x208PersistedStoreRoundtrip,
+    x209IncrementalIntake)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

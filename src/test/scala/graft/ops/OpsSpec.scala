@@ -273,6 +273,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental exact dedup: ledger round-trips disk; corpus/batch provenance; nulls never flag") {
+    // the EXACT member of the incremental store trio (r17): md5
+    // ledger persisted, batch flagged against corpus keepers and
+    // earlier batch docs. Fixture covers: a corpus-internal exact-dup
+    // group (ledger keeper = min id), a batch doc duplicating it, a
+    // batch-internal dup group, a doc that is BOTH (content in corpus
+    // and in an earlier batch doc → two rows), and a null text (never
+    // flagged — null digests don't join).
+    val corpus = Seq((1L, "a b"), (2L, "c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("digest_store_spec")
+    dir.toFile.deleteOnExit()
+    val ledger = Dedup.saveDigestStore(corpus, "doc_id", "text", dir.toString)
+    val batch = Seq(
+      (10L, "a b"),            // corpus dup -> keeper 1 (not 3)
+      (11L, "x y"),            // novel, keeps
+      (12L, "x y"),            // batch dup of 11
+      (13L, "c d"),            // corpus dup -> 2
+      (14L, "a b"),            // corpus dup -> 1 AND batch dup of 10
+      (15L, null.asInstanceOf[String])) // null text: never flagged
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDuplicates(ledger, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (10L, 1L, "corpus"),
+      (13L, 2L, "corpus"),
+      (14L, 1L, "corpus"), (14L, 10L, "batch"),
+      (12L, 11L, "batch")), s"got $out")
+    // a fresh load reads DISK, not the in-session frame — the probe
+    // through it must reproduce the save-time answer exactly
+    val reloaded = Dedup.loadDigestStore(spark, dir.toString)
+    val again = Dedup.incrementalExactDuplicates(reloaded, batch,
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again == out, "loaded-handle probe must equal in-session")
+  }
+
   test("incremental minhash == full run restricted to batch-touching pairs") {
     val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
     val batch = Seq(
