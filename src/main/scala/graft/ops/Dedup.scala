@@ -511,9 +511,18 @@ object Dedup {
     *
     * Scale shape: one md5 projection over the batch (checkpointed —
     * it feeds the store join, the keeper aggregate, and the keeper
-    * join; a day's intake is bounded), one shuffle-hash join against
-    * the ledger, one batch-sized min aggregate. Corpus cost is the
-    * ledger scan alone. */
+    * join; a day's intake is bounded), one join against the ledger,
+    * one batch-sized min aggregate. The ledger join is deliberately
+    * UNHINTED: the checkpointed batch carries accurate size stats,
+    * so AQE broadcasts the (tiny) batch digest side and the ledger
+    * STREAMS — never shuffles — while a 10⁶-row intake falls back to
+    * a shuffle join on its own (the IncrementalRehearsal first
+    * measured the hinted shuffle-hash form at CPU parity with the
+    * full recompute: forcing the 50k-row ledger through an exchange
+    * against a 1k-row batch threw away exactly the asymmetry the
+    * ledger exists for). Corpus cost is the ledger scan alone —
+    * which is the real 100 TB win: the full recompute rescans corpus
+    * TEXT, the probe scans 32-byte digests. */
   def incrementalExactDuplicates(store: DigestStore, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val b = batch
@@ -521,10 +530,10 @@ object Dedup {
       .localCheckpoint(true)
     val corpusHits = b
       .join(store.digests.select(col("content_hash").as("digest"),
-        col("keeper_id").as("dup_id")).hint("shuffle_hash"), "digest")
+        col("keeper_id").as("dup_id")), "digest")
       .select(col("batch_id"), col("dup_id"), lit("corpus").as("dup_in"))
     val keepers = b.groupBy(col("digest")).agg(min(col("batch_id")).as("dup_id"))
-    val batchHits = b.join(keepers.hint("shuffle_hash"), "digest")
+    val batchHits = b.join(keepers, "digest")
       .filter(col("batch_id") > col("dup_id"))
       .select(col("batch_id"), col("dup_id"), lit("batch").as("dup_in"))
     corpusHits.unionByName(batchHits)

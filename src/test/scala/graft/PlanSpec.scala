@@ -636,6 +636,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected >= 7 store-path scans, got $scans:\n${plan.take(4000)}")
   }
 
+  test("x209: ledger and model probes read disk; the weight join broadcasts") {
+    // the admission pipeline's production shape: the digest ledger
+    // and the logreg weight table are LOADED store scans (both live
+    // under the shared graft_stores temp root), and scoring pays one
+    // broadcast join of the <= 64-row weight table — never a shuffle
+    // of the intake against it
+    val plan = executedPlan("x209_incremental_intake")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+      .count(_.contains("graft_stores_x208"))
+    assert(scans >= 2,
+      s"expected ledger + weight store scans from disk, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps
     * the nested loop from being a scale hazard — either a side that
