@@ -48,8 +48,7 @@ object IncrementalRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val sm = new Bench.StageMetrics(spark)
     val sb = new StringBuilder
-    val storeRoot = java.nio.file.Files
-      .createTempDirectory("graft_inc_stores").toString
+    val storeRoot = TempDirs.createCleaned("graft_inc_stores")
 
     def medianOf(reps: Int)(body: () => Long): (Double, Double, Long) = {
       val cells = (0 until reps).map { _ =>

@@ -209,9 +209,13 @@ object ScaleProbe {
       // scaladoc claims ≈ 0.98 — this is its measured form).
       if (want("x22")) {
         val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val slice = emb
+        // Parallelism.ensure: the exact pair join below is non-equi →
+        // BroadcastNestedLoop, whose STREAMED side inherits the scan's
+        // split count — a few-file source dir would serialize the
+        // ~8M cosine evaluations onto a few tasks (CLAUDE.md rule)
+        val slice = graft.ops.Parallelism.ensure(emb
           .filter(pmod(xxhash64(col("vec_id")), lit(5)) === 0)
-          .select(col("vec_id"), col("embedding")).persist(mem)
+          .select(col("vec_id"), col("embedding"))).persist(mem)
         val a = slice.select(col("vec_id").as("id_a"),
           col("embedding").as("va"))
         val bb = slice.select(col("vec_id").as("id_b"),

@@ -557,7 +557,15 @@ object Similarity {
             scala.concurrent.Future.sequence(futures),
             scala.concurrent.duration.Duration.Inf).toIndexedSeq
         } finally {
-          pool.shutdown()
+          // on a failed build, SIBLING shard builds are still running:
+          // a graceful shutdown would let them keep going against a
+          // just-unpersisted split — recomputing it from the SOURCE
+          // per access, the exact 2S-scan regression the split exists
+          // to prevent (r17 review). Interrupt them and wait for the
+          // pool to drain BEFORE releasing the split; on the success
+          // path the pool is already idle and this is a no-op.
+          pool.shutdownNow()
+          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
           split.unpersist(blocking = false)
         }
       }

@@ -7399,17 +7399,16 @@ object Extensions extends QueryModule {
       FROM fapply f LEFT JOIN w2 ON f.b = w2.b
       GROUP BY f.doc_id ORDER BY f.doc_id"""))
 
-  /** Per-sfDir store root for [[x208PersistedStoreRoundtrip]] — one
-    * temp dir per (JVM, sfDir), registered for exit deletion (the
-    * [[stagedStreamDir]] discipline); re-invocations overwrite in
-    * place, exactly what a production daily re-save does. */
+  /** Per-sfDir store root for [[x208PersistedStoreRoundtrip]] /
+    * [[x209IncrementalIntake]] — one temp dir per (JVM, sfDir), whole
+    * TREE removed at JVM exit ([[graft.TempDirs]] — a bare
+    * deleteOnExit on the root silently never deletes a non-empty dir,
+    * r17 review); re-invocations overwrite in place, exactly what a
+    * production daily re-save does. */
   private val storeRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def storeRootFor(sfDir: String): String =
-    storeRoots.computeIfAbsent(sfDir, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_stores_x208")
-      dir.toFile.deleteOnExit()
-      dir.toString
-    })
+    storeRoots.computeIfAbsent(sfDir,
+      _ => graft.TempDirs.createCleaned("graft_stores_x208"))
 
   /** Disk round-trip of ALL SEVEN persisted stores under
     * `graft.Verify` (r16 verdict #2 — the x201 gap-class: every
@@ -7677,15 +7676,28 @@ object Extensions extends QueryModule {
             .filter(col("doc_id") < 250),
           "doc_id", "text", "is_target"),
         s"$root/x209_model")
-      val dup = docs.filter(col("doc_id") < 100)
+      // text IS NOT NULL on BOTH intake slices (r17 review): the
+      // reversed construction diverges on NULLs — Spark concat_ws
+      // over a null array yields '' while DuckDB array_to_string
+      // keeps NULL — so regenerated testdata with null texts would
+      // hash-red with no named cause; gate them out of the intake on
+      // both sides instead (today's corpora have none)
+      val dup = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
-      val novel = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      val novel = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
         .select((col("doc_id") + lit(2000000L)).as("doc_id"),
           concat_ws(" ", reverse(split(col("text"),
             graft.ops.TextAnalysis.WhitespaceClass))).as("text"))
       val intake = dup.unionByName(novel)
+      // flagged feeds TWO subplans (the output union AND the
+      // admission anti-join, with divergent pruning — no exchange
+      // reuse): checkpoint it or the ledger join + keeper aggregate
+      // execute twice (the CLAUDE.md N-subplans rule; flagged is
+      // batch-bounded, so the checkpoint is tiny)
       val flagged = Dedup.incrementalExactDuplicates(
-        ledger, intake, "doc_id", "text")
+        ledger, intake, "doc_id", "text").localCheckpoint(true)
       val admitted = intake.join(
         flagged.select(col("batch_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -7705,11 +7717,12 @@ object Extensions extends QueryModule {
         FROM documents GROUP BY md5(text)),
       intake AS MATERIALIZED (
         SELECT doc_id + 1000000 AS id, text FROM documents
-        WHERE doc_id < 100
+        WHERE doc_id < 100 AND text IS NOT NULL
         UNION ALL
         SELECT doc_id + 2000000,
           array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
-        FROM documents WHERE doc_id >= 300 AND doc_id < 400),
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL),
       ib AS MATERIALIZED (SELECT id, md5(text) AS digest FROM intake),
       corpus_hits AS (
         SELECT ib.id, cd.keeper AS dup_id, 'corpus' AS dup_in

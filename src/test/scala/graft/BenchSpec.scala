@@ -274,7 +274,15 @@ class BenchSpec extends AnyFunSuite {
       ("x42_text_dedup_fuzzy", 7.4, 39.0),
       ("x95_contamination_verify", 0.3, 0.4),
       ("x50_tiny", 0.2, 1.5)))
-    Files.writeString(perf, "round notes: x42 conversion cost adjudicated here")
+    // x95 is mentioned ONLY in an old round section — the guard must
+    // still warn (matching the whole file would permanently exempt
+    // every query any past round discussed); x42 sits in the CURRENT
+    // (last) section and stays silent
+    Files.writeString(perf,
+      """## Round 15
+        |ancient prose adjudicating x95 and others
+        |## Round 16
+        |round notes: x42 conversion cost adjudicated here""".stripMargin)
     import scala.sys.process._
     val sb = new StringBuilder
     val logger = ProcessLogger(l => sb.append(l).append('\n'))

@@ -636,20 +636,51 @@ class PlanSpec extends AnyFunSuite {
       s"expected >= 7 store-path scans, got $scans:\n${plan.take(4000)}")
   }
 
-  test("x209: ledger and model probes read disk; the weight join broadcasts") {
-    // the admission pipeline's production shape: the digest ledger
-    // and the logreg weight table are LOADED store scans (both live
-    // under the shared graft_stores temp root), and scoring pays one
-    // broadcast join of the <= 64-row weight table — never a shuffle
-    // of the intake against it
+  test("x209: ledger and model probes read disk; flagged materializes once; weight join broadcasts") {
+    // the admission pipeline's production shape: the logreg weight
+    // table is a LOADED store scan joined broadcast (never a shuffle
+    // of the intake against it), and `flagged` — consumed by both the
+    // output union and the admission anti-join — is checkpointed so
+    // the ledger join + keeper aggregate run ONCE (the N-subplans
+    // rule; r17 review caught the double execution). The ledger scan
+    // therefore lives in the checkpoint's plan, not the final one —
+    // its disk read is pinned separately below.
     val plan = executedPlan("x209_incremental_intake")
     val scans = plan.split("\n").filter(l =>
       l.contains("Scan parquet") || l.contains("FileScan"))
       .count(_.contains("graft_stores_x208"))
-    assert(scans >= 2,
-      s"expected ledger + weight store scans from disk, got $scans:\n${plan.take(3000)}")
+    assert(scans >= 1,
+      s"expected the weight store scan from disk, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"flagged must be checkpoint-materialized:\n${plan.take(3000)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // the ledger probe itself provably reads the persisted digests
+    val ledger = graft.ops.Dedup.loadDigestStore(spark,
+      // the carrier writes under the shared store root; probe the
+      // same path it persisted
+      ledgerPathUnder(executedStoreRoot()))
+    val probe = graft.ops.Dedup.incrementalExactDuplicates(ledger,
+      Tables.documents(spark, sfDir).limit(5), "doc_id", "text")
+    probe.collect()
+    val pplan = probe.queryExecution.executedPlan.toString
+    assert(pplan.contains("x209_digests"),
+      s"ledger probe must scan the persisted digests:\n${pplan.take(3000)}")
   }
+
+  /** The x209 store root on this JVM: the carrier has executed by the
+    * time the test above runs (executedPlan collects it), so exactly
+    * one graft_stores temp root holds an x209_digests tree. */
+  private def executedStoreRoot(): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val roots = tmp.listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.startsWith("graft_stores_x208") &&
+        new java.io.File(f, "x209_digests").isDirectory)
+    assert(roots != null && roots.nonEmpty,
+      "no populated graft_stores root found — did the carrier run?")
+    roots.maxBy(_.lastModified).getAbsolutePath
+  }
+
+  private def ledgerPathUnder(root: String): String = s"$root/x209_digests"
 
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps

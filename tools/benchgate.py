@@ -66,23 +66,37 @@ def cpu_of(v):
     return v.get("cpu", 0.0) if isinstance(v, dict) else 0.0
 
 
+def current_round_section(perf_text):
+    """The text AFTER the last '## Round N' heading — the only part of
+    PERF.md that counts as THIS round's adjudication. Matching the
+    whole file would permanently exempt every query any past round
+    ever discussed (155 of 239 at r17 — including x99, the motivating
+    case), so the guard could never fire twice (r17 review). A file
+    with no round headings counts whole (fixtures, fresh repos)."""
+    import re
+    parts = re.split(r"^## Round .*$", perf_text, flags=re.MULTILINE)
+    return parts[-1]
+
+
 def attribution_movers(prev_qs, cur_qs, perf_text,
                        ratio=3.0, floor=2.0):
     """Queries whose CPU moved >ratio x (either direction) vs the
     prior canonical, with at least one side >= floor CPU-seconds
-    (both-tiny rows are pure noise), and whose name PERF.md never
-    mentions. Pure so the BenchSpec fixture pins the semantics."""
+    (both-tiny rows are pure noise), and whose name the CURRENT round
+    section of PERF.md never mentions. Pure so the BenchSpec fixture
+    pins the semantics."""
     import re
+    section = current_round_section(perf_text)
     movers = []
     for q in sorted(set(prev_qs) & set(cur_qs)):
         pc, cc = cpu_of(prev_qs[q]), cpu_of(cur_qs[q])
         if max(pc, cc) < floor or pc <= 0:
             continue
         # "mentioned" = the full query name, or its xNN short form as
-        # a whole word (PERF.md's historical prose writes both)
+        # a whole word (the round prose writes both)
         short = q.split("_")[0]
-        mentioned = q in perf_text or \
-            re.search(rf"\b{re.escape(short)}\b", perf_text) is not None
+        mentioned = q in section or \
+            re.search(rf"\b{re.escape(short)}\b", section) is not None
         if (cc > ratio * pc or cc * ratio < pc) and not mentioned:
             movers.append((q, pc, cc))
     return movers
