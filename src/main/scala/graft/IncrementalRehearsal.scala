@@ -33,6 +33,11 @@ import graft.ops.Dedup
   *
   * Usage: sbt "runMain graft.IncrementalRehearsal [dir ...]"
   *   (default: /root/testdata/sf0.1 /tmp/graft_scale/x10)
+  * `SPARK_GRAFT_INC_FAMILIES=embedding[,exact,minhash]` restricts the
+  * families (the ScaleProbe filter discipline — a ×30 point only
+  * needs the families whose regime CHANGES there: the embedding store
+  * crosses into WIDE per-band signatures past one Long, while a ×30
+  * full-minhash would burn CPU re-proving a curve already measured).
   * Output: one JSON row per (dir, family); archive at
   * SPARK_GRAFT_INC_OUT (default /tmp/graft_inc_rehearsal.json).
   */
@@ -44,6 +49,16 @@ object IncrementalRehearsal {
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
+    val KnownFamilies = Set("exact", "minhash", "embedding")
+    val fams: Option[Set[String]] = sys.env.get("SPARK_GRAFT_INC_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    fams.foreach { fs =>
+      val unknown = fs.diff(KnownFamilies)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_INC_FAMILIES entries unknown: ${unknown.mkString(",")} " +
+          s"(known: ${KnownFamilies.toSeq.sorted.mkString(",")})")
+    }
+    def want(f: String): Boolean = fams.forall(_.contains(f))
     val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
     val sm = new Bench.StageMetrics(spark)
@@ -96,6 +111,7 @@ object IncrementalRehearsal {
       val tag = math.abs(dir.hashCode).toString
 
       // ---------- exact (digest ledger) ----------
+      if (want("exact")) {
       val ledger = Dedup.saveDigestStore(docs, "doc_id", "text",
         s"$storeRoot/$tag/digests")
       val fullEx = medianOf(3) { () =>
@@ -124,8 +140,10 @@ object IncrementalRehearsal {
         "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       emit(dir, "exact", nDocs, nDB, fullEx, incEx, incExSet == direct)
+      }
 
       // ---------- minhash (text signature store) ----------
+      if (want("minhash")) {
       val mhStore = Dedup.saveMinhashSignatures(docs, "doc_id", "text",
         s"$storeRoot/$tag/minhash")
       val fullMh = medianOf(3) { () =>
@@ -154,8 +172,10 @@ object IncrementalRehearsal {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
         .toSet
       emit(dir, "minhash", nDocs, nDB, fullMh, incMh, incMhSet == fullMhTouch)
+      }
 
       // ---------- embedding (hyperplane signature store) ----------
+      if (want("embedding")) {
       val numBits = Dedup.lshBitsFor(nVec + nVB, 8)
       val embStore = Dedup.saveEmbeddingSignatures(emb, "vec_id", "embedding",
         s"$storeRoot/$tag/embsig", numBits = numBits, bands = 8)
@@ -186,6 +206,7 @@ object IncrementalRehearsal {
         .toSet
       emit(dir, "embedding", nVec, nVB, fullEmb, incEmb,
         incEmbSet == fullEmbTouch)
+      }
     } finally sm.remove()
     val out = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",
       "/tmp/graft_inc_rehearsal.json")
