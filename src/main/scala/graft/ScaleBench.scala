@@ -58,6 +58,7 @@ object ScaleBench {
     graft.ops.Dedup.clearClusterCache()
     graft.ops.Dedup.clearEmbeddingPairCache()
     graft.ops.Similarity.clearIvfCache()
+    graft.ops.Classifier.clearModelCache()
     graft.CorpusCounts.clear()
   }
 

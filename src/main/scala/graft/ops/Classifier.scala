@@ -164,16 +164,36 @@ object Classifier {
     * with [[logRegApply]] at one broadcast join per batch, no
     * retraining). Expression-identical to the fused path by
     * construction (shared [[logRegFeatures]]/[[logRegTrainOn]]). */
+  private val trainMemo = new graft.BoundedMemo[
+    (String, String, String, Int, Double, Int, Boolean), LogRegModel](
+    8, name = "logreg-model")
+
+  /** Clear the trained-model memo (rehearsal hygiene — the
+    * ScaleBench.clearMemoCaches roster). */
+  def clearModelCache(): Unit = trainMemo.clear(_ => ())
+
   def logRegTrain(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, numBuckets: Int = 64, eta: Double = 0.5,
-      iters: Int = 2, exact: Boolean = true): LogRegModel =
-    LogRegModel(
-      logRegTrainOn(
-        logRegFeatures(df, idCol, textCol,
-          when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0),
-          numBuckets),
-        eta, iters, exact),
-      numBuckets, eta, iters)
+      iters: Int = 2, exact: Boolean = true): LogRegModel = {
+    // memoized per (session, input plan, columns, params) — x207 and
+    // x209 train the IDENTICAL model on the identical slice (the
+    // bpeModel pattern: one training run serves every same-input
+    // caller; the final weights are localCheckpoint(true)-materialized
+    // inside logRegTrainOn, so a memo hit is a free frame reference,
+    // and evicted checkpoints are reclaimed by the ContextCleaner once
+    // unreferenced). Built OUTSIDE the memo lock (the ivfIndex rule).
+    val key = (graft.SessionKeys.of(df.sparkSession),
+      graft.PlanKeys.of(df) + "/" + s"$idCol/$textCol/$labelCol",
+      "train", numBuckets, eta, iters, exact)
+    trainMemo.get(key).getOrElse(
+      trainMemo.putIfAbsent(key, LogRegModel(
+        logRegTrainOn(
+          logRegFeatures(df, idCol, textCol,
+            when(col(labelCol).cast("boolean"), 1.0).otherwise(0.0),
+            numBuckets),
+          eta, iters, exact),
+        numBuckets, eta, iters)))
+  }
 
   /** Score an (unlabeled) corpus with a trained model: (id, score),
     * score = round(P(target | text), 6) exactly as [[logRegScores]]
