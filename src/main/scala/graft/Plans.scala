@@ -121,7 +121,7 @@ object Plans {
     "x199_anchor_doc_dedup" -> "x197's profile plan head; the doc drop is one LEFT ANTI shuffle-hash join whose build side is the flagged-id list only — survivors stream through untouched with all columns",
     "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum",
     "x208_persisted_store_roundtrip" -> "seven store sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
-    "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the ledger shuffle-hash join + min-id keeper agg; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned")
+    "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the UNHINTED ledger join (AQE broadcasts the tiny batch side; the ledger streams) + min-id keeper agg; flagged checkpoint-materialized for its two consumers; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
