@@ -50,8 +50,12 @@ object IncrementalRehearsal {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
     val KnownFamilies = Set("exact", "minhash", "embedding")
+    // set-but-empty ("" or a trailing comma) means unset, not "no
+    // families" — "".split(",") is Array("") and would fail the
+    // require with an unnamed entry (r17 review)
     val fams: Option[Set[String]] = sys.env.get("SPARK_GRAFT_INC_FAMILIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     fams.foreach { fs =>
       val unknown = fs.diff(KnownFamilies)
       require(unknown.isEmpty,
@@ -96,18 +100,40 @@ object IncrementalRehearsal {
     }
 
     try dirs.foreach { dir =>
-      val docs = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-      val nDocs = docs.count(); val nVec = emb.count()
-      val dBatch = docs.filter(col("doc_id") < nDocs / 50)
-        .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
-        .localCheckpoint(true)
-      val vBatch = emb.filter(col("vec_id") < nVec / 50)
-        .select((col("vec_id") + lit(Shift)).as("vec_id"), col("embedding"))
-        .localCheckpoint(true)
-      val nDB = dBatch.count(); val nVB = vBatch.count()
+      // prep is gated per MODALITY (r17 review): an embedding-only
+      // run must not pay the documents scan + 2% text checkpoint for
+      // families the filter will never execute (the filter exists
+      // precisely to avoid burning CPU on measured curves), and
+      // symmetrically for the doc-side families
+      val wantDocs = want("exact") || want("minhash")
+      val docs =
+        if (wantDocs)
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"))
+            .filter(col("text").isNotNull)
+        else null
+      val emb =
+        if (want("embedding"))
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"))
+        else null
+      val nDocs = if (wantDocs) docs.count() else 0L
+      val nVec = if (want("embedding")) emb.count() else 0L
+      val dBatch =
+        if (wantDocs)
+          docs.filter(col("doc_id") < nDocs / 50)
+            .select((col("doc_id") + lit(Shift)).as("doc_id"), col("text"))
+            .localCheckpoint(true)
+        else null
+      val vBatch =
+        if (want("embedding"))
+          emb.filter(col("vec_id") < nVec / 50)
+            .select((col("vec_id") + lit(Shift)).as("vec_id"),
+              col("embedding"))
+            .localCheckpoint(true)
+        else null
+      val nDB = if (wantDocs) dBatch.count() else 0L
+      val nVB = if (want("embedding")) vBatch.count() else 0L
       val tag = math.abs(dir.hashCode).toString
 
       // ---------- exact (digest ledger) ----------

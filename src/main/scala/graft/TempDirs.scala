@@ -22,8 +22,13 @@ object TempDirs {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
+    // never follow a directory symlink: listFiles() on one lists the
+    // TARGET's children, so recursing would delete files OUTSIDE the
+    // registered tree (r17 review) — remove the link itself only
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
     f.delete()
   }
 

@@ -539,18 +539,29 @@ object Similarity {
           math.min(shards, 4))
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val sc = split.sparkSession.sparkContext
+        val group = s"graft-ivf-shards-${System.nanoTime()}"
         try {
           val futures = (0 until shards).map { s =>
             scala.concurrent.Future {
-              val idx = ivfIndex(
-                split.filter(col("__shard") === s).drop("__shard"),
-                idCol, vecCol, k, iters, trainSample)
-              // materialize THIS shard's (persisted) assignments off
-              // the split cache before the split is released — the
-              // assignment plans are lazy and would otherwise re-read
-              // the source at first probe
-              idx.assignments.count()
-              idx
+              // job group is thread-local: every job this build
+              // submits lands in `group`, so the failure path below
+              // can CANCEL them (interrupting the pool thread alone
+              // does not stop an already-submitted Spark job — the
+              // DAGScheduler keeps running its stages, r17 review)
+              sc.setJobGroup(group, s"ivf shard $s build",
+                interruptOnCancel = true)
+              try {
+                val idx = ivfIndex(
+                  split.filter(col("__shard") === s).drop("__shard"),
+                  idCol, vecCol, k, iters, trainSample)
+                // materialize THIS shard's (persisted) assignments off
+                // the split cache before the split is released — the
+                // assignment plans are lazy and would otherwise
+                // re-read the source at first probe
+                idx.assignments.count()
+                idx
+              } finally sc.clearJobGroup()
             }
           }
           scala.concurrent.Await.result(
@@ -558,12 +569,13 @@ object Similarity {
             scala.concurrent.duration.Duration.Inf).toIndexedSeq
         } finally {
           // on a failed build, SIBLING shard builds are still running:
-          // a graceful shutdown would let them keep going against a
-          // just-unpersisted split — recomputing it from the SOURCE
-          // per access, the exact 2S-scan regression the split exists
-          // to prevent (r17 review). Interrupt them and wait for the
-          // pool to drain BEFORE releasing the split; on the success
-          // path the pool is already idle and this is a no-op.
+          // letting them continue against a just-unpersisted split
+          // would recompute it from the SOURCE per access — the exact
+          // 2S-scan regression the split exists to prevent (r17
+          // review). Cancel their JOBS (not just their threads), then
+          // drain the pool, then release the split; on the success
+          // path the group is already finished and this is a no-op.
+          sc.cancelJobGroup(group)
           pool.shutdownNow()
           pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
           split.unpersist(blocking = false)

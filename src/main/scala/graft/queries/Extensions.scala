@@ -7406,7 +7406,10 @@ object Extensions extends QueryModule {
     * r17 review); re-invocations overwrite in place, exactly what a
     * production daily re-save does. */
   private val storeRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def storeRootFor(sfDir: String): String =
+  // private[graft]: PlanSpec probes the REAL per-session root instead
+  // of reverse-engineering /tmp (a concurrent graft JVM's root would
+  // race a newest-dir scan, r17 review)
+  private[graft] def storeRootFor(sfDir: String): String =
     storeRoots.computeIfAbsent(sfDir,
       _ => graft.TempDirs.createCleaned("graft_stores_x208"))
 

@@ -277,12 +277,15 @@ class BenchSpec extends AnyFunSuite {
     // x95 is mentioned ONLY in an old round section — the guard must
     // still warn (matching the whole file would permanently exempt
     // every query any past round discussed); x42 sits in the CURRENT
-    // (last) section and stays silent
+    // round's FIRST section, which must still count after a
+    // ", continued" section is appended (the r16 PERF.md pattern)
     Files.writeString(perf,
       """## Round 15
         |ancient prose adjudicating x95 and others
         |## Round 16
-        |round notes: x42 conversion cost adjudicated here""".stripMargin)
+        |round notes: x42 conversion cost adjudicated here
+        |## Round 16, continued
+        |later notes about other things""".stripMargin)
     import scala.sys.process._
     val sb = new StringBuilder
     val logger = ProcessLogger(l => sb.append(l).append('\n'))

@@ -654,11 +654,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       s"flagged must be checkpoint-materialized:\n${plan.take(3000)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    // the ledger probe itself provably reads the persisted digests
+    // the ledger probe itself provably reads the persisted digests —
+    // through THIS JVM's real store root (the carrier has executed by
+    // the time this runs, so the root is populated; scanning /tmp for
+    // the newest root would race a concurrent graft JVM, r17 review)
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
     val ledger = graft.ops.Dedup.loadDigestStore(spark,
-      // the carrier writes under the shared store root; probe the
-      // same path it persisted
-      ledgerPathUnder(executedStoreRoot()))
+      s"$root/x209_digests")
     val probe = graft.ops.Dedup.incrementalExactDuplicates(ledger,
       Tables.documents(spark, sfDir).limit(5), "doc_id", "text")
     probe.collect()
@@ -666,21 +668,6 @@ class PlanSpec extends AnyFunSuite {
     assert(pplan.contains("x209_digests"),
       s"ledger probe must scan the persisted digests:\n${pplan.take(3000)}")
   }
-
-  /** The x209 store root on this JVM: the carrier has executed by the
-    * time the test above runs (executedPlan collects it), so exactly
-    * one graft_stores temp root holds an x209_digests tree. */
-  private def executedStoreRoot(): String = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val roots = tmp.listFiles((f: java.io.File) =>
-      f.isDirectory && f.getName.startsWith("graft_stores_x208") &&
-        new java.io.File(f, "x209_digests").isDirectory)
-    assert(roots != null && roots.nonEmpty,
-      "no populated graft_stores root found — did the carrier run?")
-    roots.maxBy(_.lastModified).getAbsolutePath
-  }
-
-  private def ledgerPathUnder(root: String): String = s"$root/x209_digests"
 
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps

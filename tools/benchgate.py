@@ -67,15 +67,25 @@ def cpu_of(v):
 
 
 def current_round_section(perf_text):
-    """The text AFTER the last '## Round N' heading — the only part of
-    PERF.md that counts as THIS round's adjudication. Matching the
-    whole file would permanently exempt every query any past round
-    ever discussed (155 of 239 at r17 — including x99, the motivating
-    case), so the guard could never fire twice (r17 review). A file
-    with no round headings counts whole (fixtures, fresh repos)."""
+    """Everything from the FIRST heading of the HIGHEST round number to
+    the end — the only part of PERF.md that counts as THIS round's
+    adjudication. Matching the whole file would permanently exempt
+    every query any past round ever discussed (155 of 239 at r17 —
+    including x99, the motivating case), so the guard could never fire
+    twice (r17 review). Taking all max-round sections (not just the
+    text after the LAST heading) keeps heading-line mentions
+    ('## Round 17 (... x99 owned ...)') and the '## Round N,
+    continued' pattern (r16) counting. A file with no round headings
+    counts whole (fixtures, fresh repos)."""
     import re
-    parts = re.split(r"^## Round .*$", perf_text, flags=re.MULTILINE)
-    return parts[-1]
+    heads = [(m.start(), int(m.group(1)))
+             for m in re.finditer(r"^## Round (\d+)", perf_text,
+                                  re.MULTILINE)]
+    if not heads:
+        return perf_text
+    max_n = max(n for _, n in heads)
+    first = min(pos for pos, n in heads if n == max_n)
+    return perf_text[first:]
 
 
 def attribution_movers(prev_qs, cur_qs, perf_text,
