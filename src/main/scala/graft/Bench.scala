@@ -70,7 +70,10 @@ object Bench {
     "x79_streaming_dedup" ->
       "dropDuplicates stream run-to-completion: wall = trigger latency, not throughput",
     "x103_streaming_curation" ->
-      "multi-stage streaming curation run-to-completion: wall = per-batch commit latency")
+      "multi-stage streaming curation run-to-completion: wall = per-batch commit latency",
+    "x211_streaming_admission" ->
+      ("foreachBatch admission stream run-to-completion: wall = 3 micro-batch " +
+        "commits, each a ledger probe + store append, driver-paced"))
 
   /** Checkpointed / unrolled ITERATIVE-ROUNDS rows (r13): their plans
     * are many tiny sequential jobs — pointer-jumping CC rounds,
@@ -103,7 +106,10 @@ object Bench {
         "writes + training rounds (BPE/logreg/PQ/IVF), not data-parallel work"),
     "x209_incremental_intake" ->
       ("day-2 admission pipeline through persisted day-0 artifacts: wall = " +
-        "ledger/model store writes + the 2-round training loop, driver-paced"))
+        "ledger/model store writes + the 2-round training loop, driver-paced"),
+    "x210_incremental_intake_day3" ->
+      ("3-day ledger lifecycle: day-0 save + day-2 flag/admit/APPEND + day-3 " +
+        "flag — sequential driver-paced store writes, not data-parallel work"))
 
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —

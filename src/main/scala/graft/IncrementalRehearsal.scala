@@ -31,6 +31,13 @@ import graft.ops.Dedup
   * (uncapped) result restricted to batch-touching pairs — for the
   * exact family, a direct md5-join derivation replayed on the spot.
   *
+  * The `append` family (r18) measures the MAINTENANCE side: FULL =
+  * re-saving all three stores over corpus ∪ batch (what the
+  * overwrite-only r17 stores forced after every day's admissions),
+  * INC = the append trio on a fresh copy of the day-0 stores —
+  * append cost must track the batch, not the corpus, and the
+  * appended stores must equal the full re-save bit-for-bit.
+  *
   * Usage: sbt "runMain graft.IncrementalRehearsal [dir ...]"
   *   (default: /root/testdata/sf0.1 /tmp/graft_scale/x10)
   * `SPARK_GRAFT_INC_FAMILIES=embedding[,exact,minhash]` restricts the
@@ -49,7 +56,7 @@ object IncrementalRehearsal {
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
-    val KnownFamilies = Set("exact", "minhash", "embedding")
+    val KnownFamilies = Set("exact", "minhash", "embedding", "append")
     // set-but-empty ("" or a trailing comma) means unset, not "no
     // families" — "".split(",") is Array("") and would fail the
     // require with an unnamed entry (r17 review)
@@ -105,7 +112,8 @@ object IncrementalRehearsal {
       // families the filter will never execute (the filter exists
       // precisely to avoid burning CPU on measured curves), and
       // symmetrically for the doc-side families
-      val wantDocs = want("exact") || want("minhash")
+      val wantDocs = want("exact") || want("minhash") || want("append")
+      val wantEmb = want("embedding") || want("append")
       val docs =
         if (wantDocs)
           Tables.documents(spark, dir)
@@ -113,12 +121,12 @@ object IncrementalRehearsal {
             .filter(col("text").isNotNull)
         else null
       val emb =
-        if (want("embedding"))
+        if (wantEmb)
           Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding"))
         else null
       val nDocs = if (wantDocs) docs.count() else 0L
-      val nVec = if (want("embedding")) emb.count() else 0L
+      val nVec = if (wantEmb) emb.count() else 0L
       val dBatch =
         if (wantDocs)
           docs.filter(col("doc_id") < nDocs / 50)
@@ -126,14 +134,14 @@ object IncrementalRehearsal {
             .localCheckpoint(true)
         else null
       val vBatch =
-        if (want("embedding"))
+        if (wantEmb)
           emb.filter(col("vec_id") < nVec / 50)
             .select((col("vec_id") + lit(Shift)).as("vec_id"),
               col("embedding"))
             .localCheckpoint(true)
         else null
       val nDB = if (wantDocs) dBatch.count() else 0L
-      val nVB = if (want("embedding")) vBatch.count() else 0L
+      val nVB = if (wantEmb) vBatch.count() else 0L
       val tag = math.abs(dir.hashCode).toString
 
       // ---------- exact (digest ledger) ----------
@@ -232,6 +240,97 @@ object IncrementalRehearsal {
         .toSet
       emit(dir, "embedding", nVec, nVB, fullEmb, incEmb,
         incEmbSet == fullEmbTouch)
+      }
+
+      // ---------- append (store maintenance ∝ batch, r17 verdict #1) ----------
+      // FULL = what a pipeline without append paths re-runs after
+      // every day's admissions: re-save all three stores over
+      // corpus ∪ batch (re-digest + re-shingle + re-sign the CORPUS).
+      // INC = the append trio on a fresh copy of the day-0 stores
+      // (copy untimed — appends mutate the tree, so each rep gets its
+      // own; the digest anti-join would otherwise no-op on rep 2 and
+      // the signature appends would double rows). Equivalence: the
+      // appended stores must equal the full re-save bit-for-bit
+      // (count + order-free bit_xor fingerprint over xxhash64 rows).
+      if (want("append")) {
+      // novel-content batch (token-reversed — the x209/x210
+      // construction): an exact-replica batch would anti-join to an
+      // EMPTY digest append and measure nothing
+      val aBatch = docs.filter(col("doc_id") < nDocs / 50)
+        .select((col("doc_id") + lit(Shift)).as("doc_id"),
+          concat_ws(" ", reverse(split(col("text"),
+            graft.ops.TextAnalysis.WhitespaceClass))).as("text"))
+        .localCheckpoint(true)
+      val nAB = aBatch.count()
+      val base = s"$storeRoot/$tag/append_base"
+      Dedup.saveDigestStore(docs, "doc_id", "text", s"$base/digest")
+      Dedup.saveMinhashSignatures(docs, "doc_id", "text", s"$base/minhash")
+      val embStore0 = Dedup.saveEmbeddingSignatures(emb, "vec_id",
+        "embedding", s"$base/embsig",
+        numBits = Dedup.lshBitsFor(nVec + nVB, 8), bands = 8)
+      def copyTree(src: String, dst: String): Unit = {
+        val sp = java.nio.file.Paths.get(src)
+        val dp = java.nio.file.Paths.get(dst)
+        val walk = java.nio.file.Files.walk(sp)
+        try walk.forEach { p =>
+          val t = dp.resolve(sp.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally walk.close()
+      }
+      val fullAp = medianOf(3) { () =>
+        val p = s"$storeRoot/$tag/append_full"
+        Dedup.saveDigestStore(docs.unionByName(aBatch), "doc_id", "text",
+          s"$p/digest")
+        Dedup.saveMinhashSignatures(docs.unionByName(aBatch), "doc_id",
+          "text", s"$p/minhash")
+        Dedup.saveEmbeddingSignatures(emb.unionByName(vBatch), "vec_id",
+          "embedding", s"$p/embsig", numBits = embStore0.numBits, bands = 8)
+        nAB
+      }
+      var rep = 0
+      val incAp = medianOf(3) { () =>
+        // per-rep fresh copy of the day-0 stores: the copy runs INSIDE
+        // the timed body (medianOf has no setup slot) but is pure
+        // file IO of the store bytes — orders below the signing work
+        // it replaces, and it biases AGAINST the append path if at all
+        val p = s"$storeRoot/$tag/append_inc_$rep"; rep += 1
+        copyTree(base, p)
+        val st = Dedup.loadDigestStore(spark, s"$p/digest")
+        val mh = Dedup.loadMinhashSignatures(spark, s"$p/minhash")
+        val es = Dedup.loadEmbeddingSignatures(spark, s"$p/embsig")
+        Dedup.appendToDigestStore(st, s"$p/digest", aBatch, "doc_id", "text")
+        Dedup.appendToMinhashSignatures(mh, s"$p/minhash", aBatch,
+          "doc_id", "text")
+        Dedup.appendToEmbeddingSignatures(es, s"$p/embsig", vBatch,
+          "vec_id", "embedding")
+        nAB
+      }
+      // bit-for-bit equivalence of the LAST inc rep vs a full re-save
+      def fp(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          expr(s"bit_xor(xxhash64(${cols.mkString(",")}))").as("x"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val lastInc = s"$storeRoot/$tag/append_inc_${rep - 1}"
+      val fullP = s"$storeRoot/$tag/append_full"
+      val equivAp =
+        fp(Dedup.loadDigestStore(spark, s"$lastInc/digest").digests,
+            Seq("content_hash", "keeper_id")) ==
+          fp(Dedup.loadDigestStore(spark, s"$fullP/digest").digests,
+            Seq("content_hash", "keeper_id")) &&
+        fp(Dedup.loadMinhashSignatures(spark, s"$lastInc/minhash").signatures,
+            Seq("id", "sig")) ==
+          fp(Dedup.loadMinhashSignatures(spark, s"$fullP/minhash").signatures,
+            Seq("id", "sig")) &&
+        fp(Dedup.loadEmbeddingSignatures(spark, s"$lastInc/embsig").signatures,
+            Seq("id", "sig")) ==
+          fp(Dedup.loadEmbeddingSignatures(spark, s"$fullP/embsig").signatures,
+            Seq("id", "sig"))
+      emit(dir, "append", nDocs + nVec, nAB + nVB, fullAp, incAp, equivAp)
       }
     } finally sm.remove()
     val out = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",

@@ -166,12 +166,27 @@ object Classifier {
     * construction (shared [[logRegFeatures]]/[[logRegTrainOn]]). */
   private val trainMemo = new graft.BoundedMemo[
     (String, String, String, Int, Double, Int, Boolean), LogRegModel](
-    8, name = "logreg-model")
+    8, onEvict = _.weights.unpersist(blocking = false),
+    name = "logreg-model")
 
   /** Clear the trained-model memo (rehearsal hygiene — the
-    * ScaleBench.clearMemoCaches roster). */
-  def clearModelCache(): Unit = trainMemo.clear(_ => ())
+    * ScaleBench.clearMemoCaches roster). Evicted models release their
+    * localCheckpointed weight RDDs explicitly (the
+    * clearIvfCache/clearClusterCache eviction discipline, r17 advice)
+    * rather than waiting on the ContextCleaner. */
+  def clearModelCache(): Unit =
+    trainMemo.clear(_.weights.unpersist(blocking = false))
 
+  /** IMMUTABLE-INPUT ASSUMPTION (the pair-table memo contract, r17
+    * advice): the memo key canonicalizes to the input's LOGICAL PLAN
+    * — for a file source that is the scan path, not the file
+    * contents — so a same-session retrain over an external directory
+    * whose underlying files changed silently returns the stale
+    * day-0 model. Daily-append pipelines must either re-`spark.read`
+    * under a new session, call [[clearModelCache]] after the
+    * append, or train through a snapshot path that never mutates
+    * in place (the store-trio discipline: stores are rewritten to
+    * fresh roots, never edited under a live handle). */
   def logRegTrain(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, numBuckets: Int = 64, eta: Double = 0.5,
       iters: Int = 2, exact: Boolean = true): LogRegModel = {

@@ -456,6 +456,33 @@ object Dedup {
       m(0).getAs[Int]("num_hashes"), m(0).getAs[Int]("shingle_size"))
   }
 
+  /** Fold a day's ADMITTED batch into a persisted minhash signature
+    * store WITHOUT re-shingling the corpus — the maintenance half of
+    * [[incrementalMinhashNearDuplicates]] (the
+    * [[graft.ops.Similarity.appendToIvfIndex]] pattern for the TEXT
+    * sketch member of the store trio; r17 verdict #1). The batch is
+    * signed with the STORE's own (numHashes, shingleSize) from the
+    * meta sidecar — one shared resolution point, so an append can
+    * never sign differently from what it appends to — and the rows
+    * land under `mode("append")`.
+    *
+    * Contract (the IVF-append shape): appended ids must be NEW —
+    * the admission anti-join's survivors. Re-appending an id the
+    * store already holds duplicates its signature row, and every
+    * later probe's verification join fans out on it (duplicate
+    * output rows, no error); dedup upstream. Cost ∝ batch: the
+    * corpus signatures are untouched — no scan, no rewrite. Returns
+    * the reloaded handle (the pre-append handle's lazy frame holds
+    * a stale file listing). */
+  def appendToMinhashSignatures(store: MinhashSignatureStore,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): MinhashSignatureStore = {
+    minhashSignatures(batch, idCol, textCol, store.numHashes,
+        store.shingleSize)
+      .write.mode("append").parquet(s"$path/signatures")
+    loadMinhashSignatures(batch.sparkSession, path)
+  }
+
   /** [[incrementalMinhashNearDuplicates]] through a persisted store
     * handle: numHashes and shingleSize resolve from the store's meta,
     * so the probe can't disagree with what was written. */
@@ -491,10 +518,53 @@ object Dedup {
 
   /** Load a [[saveDigestStore]]-persisted ledger (lazily — probes
     * scan it once per batch join; keyed-unique by construction since
-    * [[exact]] groups by the digest). */
+    * [[exact]] groups by the digest and [[appendToDigestStore]]
+    * anti-joins before writing). */
   def loadDigestStore(spark: org.apache.spark.sql.SparkSession,
       path: String): DigestStore =
     DigestStore(spark.read.parquet(s"$path/digests"))
+
+  /** Fold a day's ADMITTED batch into the persisted digest ledger
+    * WITHOUT the full-corpus [[exact]] recompute — the maintenance
+    * half of [[incrementalExactDuplicates]] (r17 verdict #1: the
+    * probe alone leaves day-2 admitted content invisible on day 3,
+    * so the caller had to re-save the whole ledger — exactly the
+    * corpus rescan the ledger exists to avoid; the reference's
+    * incrementality story is appends, udac_capstone_emr.py:155).
+    *
+    * Semantics: one (content_hash, keeper_id = min batch id) row per
+    * DISTINCT NEW content in the batch. The anti-join against the
+    * current ledger preserves the keyed-unique invariant even on a
+    * misused call (rows that were never admission-filtered); under
+    * the normal pipeline — append exactly the
+    * admission-anti-joined survivors — it matches no rows and the
+    * append degenerates to a pure write. NULL-text rows never enter
+    * the ledger (a NULL digest joins nothing and NULL keys would
+    * accumulate one row per append; gate emptiness upstream).
+    *
+    * Scale shape: cost ∝ batch plus one map-only scan of the
+    * ledger's 32-byte digests (the anti-join side — AQE broadcasts
+    * the checkpointed batch aggregate, the ledger streams; this is
+    * the same scan every day's probe already pays, never a
+    * corpus-TEXT rescan). The new rows are localCheckpointed before
+    * the append so the ledger read completes before any file lands
+    * under the path being written. Returns the reloaded handle —
+    * the pre-append handle's lazy frame would see a stale file
+    * listing. */
+  def appendToDigestStore(store: DigestStore, path: String,
+      batch: DataFrame, idCol: String, textCol: String): DigestStore = {
+    val newRows = batch
+      .select(md5(col(textCol)).as("content_hash"),
+        col(idCol).as("keeper_id"))
+      .filter(col("content_hash").isNotNull)
+      .groupBy(col("content_hash"))
+      .agg(min(col("keeper_id")).as("keeper_id"))
+      .join(store.digests.select(col("content_hash")), Seq("content_hash"),
+        "left_anti")
+      .localCheckpoint(true)
+    newRows.write.mode("append").parquet(s"$path/digests")
+    loadDigestStore(batch.sparkSession, path)
+  }
 
   /** Incremental EXACT dedup against a persisted digest ledger: flag
     * every batch doc whose content the corpus — or an earlier batch
@@ -2373,6 +2443,27 @@ object Dedup {
     EmbeddingSignatureStore(spark.read.parquet(s"$path/signatures"),
       m(0).getAs[Int]("num_bits"), m(0).getAs[Int]("bands"),
       m(0).getAs[Long]("seed"))
+  }
+
+  /** Fold a day's ADMITTED batch into a persisted embedding signature
+    * store — the EMBEDDING sketch member's maintenance path
+    * ([[appendToMinhashSignatures]]'s twin; r17 verdict #1). The
+    * batch is signed with the STORE's (numBits, bands, seed) from
+    * the meta sidecar — [[AutoBits]] never re-resolves on append:
+    * re-sizing the bucket space means re-signing the corpus, which
+    * is a REBUILD decision ([[saveEmbeddingSignatures]]), not an
+    * append (the appendToIvfIndex centroid-drift rule; a skewed
+    * grown corpus under a stale width is the caller's re-size
+    * signal). Same contract: appended ids must be new; cost ∝
+    * batch, corpus signatures untouched; returns the reloaded
+    * handle. */
+  def appendToEmbeddingSignatures(store: EmbeddingSignatureStore,
+      path: String, batch: DataFrame, idCol: String,
+      vecCol: String): EmbeddingSignatureStore = {
+    embeddingSignatures(batch, idCol, vecCol, store.numBits,
+        store.bands, store.seed)
+      .write.mode("append").parquet(s"$path/signatures")
+    loadEmbeddingSignatures(batch.sparkSession, path)
   }
 
   /** Incremental embedding near-dup detection: dedup a new BATCH of

@@ -577,7 +577,18 @@ object Similarity {
           // path the group is already finished and this is a no-op.
           sc.cancelJobGroup(group)
           pool.shutdownNow()
-          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          val drained = pool.awaitTermination(
+            120, java.util.concurrent.TimeUnit.SECONDS)
+          // a straggler that survives the interrupt past the bound
+          // races the unpersist below and recomputes the split from
+          // SOURCE per access — name the cause loudly so a later
+          // rehearsal's source-rescan regression is attributable
+          // (r17 advice: the timeout expiry was silent)
+          if (!drained)
+            System.err.println("[similarity] WARNING: ivfIndexSharded " +
+              "pool did not drain within 120s after cancellation — a " +
+              "straggler shard build may recompute the unpersisted " +
+              "split from source (expect a source-rescan regression)")
           split.unpersist(blocking = false)
         }
       }

@@ -7802,6 +7802,246 @@ object Extensions extends QueryModule {
       SELECT id, 'admitted', CAST(NULL AS BIGINT), score FROM scored
       ORDER BY doc_id, dup_id"""))
 
+  /** Day-3 intake through an APPENDED digest ledger — the maintenance
+    * composition the r17 verdict named as the one functional gap:
+    * without [[graft.ops.Dedup.appendToDigestStore]], day-2 admitted
+    * content never joins the ledger and day 3 re-admits it unless the
+    * caller re-runs the full-corpus save (exactly the rescan the
+    * ledger exists to avoid; the reference's incrementality story is
+    * appends, udac_capstone_emr.py:155, spark_elt_emr.py:82-83).
+    *
+    *   1. day-0: corpus ledger persisted (x209's step, own root);
+    *   2. day-2: the x209 intake (corpus replicas + token-reversed
+    *      novel content) flagged against the loaded ledger; admission
+    *      anti-join; the ADMITTED survivors folded into the ledger
+    *      via the append path — cost ∝ batch, the corpus text is
+    *      never rescanned;
+    *   3. day-3 intake: REPLICAS OF DAY-2 ADMITTED CONTENT (the same
+    *      reversed construction under +3·10⁶ ids — these must flag as
+    *      `corpus` dups with the day-2 keeper through the UPDATED
+    *      ledger; a broken or invisible append re-admits them and the
+    *      hash breaks), fresh corpus replicas (docs 100..150, +4·10⁶
+    *      — the day-0 entries must survive the append), and genuinely
+    *      new reversed docs (400..500, +5·10⁶ — admission must still
+    *      work on a grown ledger).
+    *
+    * HASH-GREEN with NO data premise (the x209 algebra plus one more
+    * materialized round): md5 equality, min-id keepers and the
+    * append's anti-join + min-id fold are all exactly replayable;
+    * token-palindromes, real corpus exact-dup pairs, and duplicate
+    * reversed content all fall out of the same algebra on both
+    * sides. */
+  private val x210IncrementalIntakeDay3 = GraftQuery(
+    "x210_incremental_intake_day3",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+      // day-0 save is mode("overwrite"), the appends below re-apply on
+      // top — a re-invocation replays the identical 3-day history
+      val ledger0 = Dedup.saveDigestStore(docs, "doc_id", "text",
+        s"$root/x210_digests")
+      // day-2: the x209 intake construction (NULL-text gating on both
+      // sides — the reversed form diverges on NULLs, r17 rule)
+      val dup2 = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val novel2 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val intake2 = dup2.unionByName(novel2)
+      val flagged2 = Dedup.incrementalExactDuplicates(
+        ledger0, intake2, "doc_id", "text").localCheckpoint(true)
+      val admitted2 = intake2.join(
+        flagged2.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val ledger2 = Dedup.appendToDigestStore(ledger0,
+        s"$root/x210_digests", admitted2, "doc_id", "text")
+      // day-3 intake (see scaladoc for the three slices)
+      val rep3 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val dup3 = docs
+        .filter(col("doc_id") >= 100 && col("doc_id") < 150 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text"))
+      val new3 = docs
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val intake3 = rep3.unionByName(dup3).unionByName(new3)
+      // the N-subplans rule: flagged3 feeds the output union AND the
+      // admission anti-join
+      val flagged3 = Dedup.incrementalExactDuplicates(
+        ledger2, intake3, "doc_id", "text").localCheckpoint(true)
+      val admitted3 = intake3.join(
+        flagged3.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      flagged3
+        .select(col("batch_id").as("doc_id"),
+          lit("duplicate").as("status"), col("dup_id"))
+        .unionByName(admitted3.select(col("doc_id"),
+          lit("admitted").as("status"),
+          lit(null).cast("bigint").as("dup_id")))
+        .orderBy(col("doc_id"), col("dup_id"))
+    },
+    Some("""WITH cd0 AS MATERIALIZED (
+        SELECT md5(text) AS digest, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)),
+      i2 AS MATERIALIZED (
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL),
+      ib2 AS MATERIALIZED (SELECT id, md5(text) AS digest FROM i2),
+      ch2 AS (SELECT ib2.id FROM ib2 JOIN cd0 USING (digest)),
+      kb2 AS (SELECT digest, min(id) AS k FROM ib2 GROUP BY digest),
+      bh2 AS (SELECT ib2.id FROM ib2 JOIN kb2 USING (digest)
+        WHERE ib2.id > kb2.k),
+      fl2 AS MATERIALIZED (SELECT id FROM ch2 UNION SELECT id FROM bh2),
+      app2 AS MATERIALIZED (
+        SELECT digest, min(id) AS keeper FROM ib2
+        WHERE id NOT IN (SELECT id FROM fl2)
+          AND digest NOT IN (SELECT digest FROM cd0 WHERE digest IS NOT NULL)
+        GROUP BY digest),
+      led2 AS MATERIALIZED (
+        SELECT digest, keeper FROM cd0
+        UNION ALL SELECT digest, keeper FROM app2),
+      i3 AS MATERIALIZED (
+        SELECT doc_id + 3000000 AS id,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+          AS text
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 4000000, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 150 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 5000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 400 AND doc_id < 500 AND text IS NOT NULL),
+      ib3 AS MATERIALIZED (SELECT id, md5(text) AS digest FROM i3),
+      ch3 AS (SELECT ib3.id, led2.keeper AS dup_id
+        FROM ib3 JOIN led2 USING (digest)),
+      kb3 AS (SELECT digest, min(id) AS k FROM ib3 GROUP BY digest),
+      bh3 AS (SELECT ib3.id, kb3.k AS dup_id
+        FROM ib3 JOIN kb3 USING (digest) WHERE ib3.id > kb3.k),
+      fl3 AS MATERIALIZED (
+        SELECT * FROM ch3 UNION ALL SELECT * FROM bh3)
+      SELECT id AS doc_id, 'duplicate' AS status, dup_id FROM fl3
+      UNION ALL
+      SELECT id, 'admitted', CAST(NULL AS BIGINT) FROM i3
+      WHERE id NOT IN (SELECT id FROM fl3)
+      ORDER BY doc_id, dup_id"""))
+
+  /** One admission-stream run per (session, sfDir) — the settledStream
+    * memo discipline for a foreachBatch pipeline (its output is a
+    * parquet DIRECTORY, not a memory-sink table, so the shared helper
+    * doesn't apply): day-0 ledger saved, the x209 intake staged as
+    * THREE id-ordered parquet files with strictly increasing mtimes
+    * (FileStreamSource drains oldest-first; path order agrees as a
+    * tiebreak), then
+    * [[graft.streaming.EventStreams.runIncrementalAdmission]] at
+    * maxFilesPerTrigger=1 — three real micro-batches, each probing
+    * the ledger the PREVIOUS batch appended to. */
+  private val x211Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def x211OutDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    x211Runs.computeIfAbsent(graft.SessionKeys.of(s) + "|" + dir, _ => {
+      val root = storeRootFor(dir)
+      val src = graft.TempDirs.createCleaned("graft_x211_src")
+      val out = graft.TempDirs.createCleaned("graft_x211_out")
+      val ck = graft.TempDirs.createCleaned("graft_x211_ck")
+      val docs = Tables.documents(s, dir)
+      Dedup.saveDigestStore(docs, "doc_id", "text", s"$root/x211_digests")
+      def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+      val dup = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val novelA = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 350 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val novelB = docs
+        .filter(col("doc_id") >= 350 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      Seq(dup, novelA, novelB).zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.TempDirs.createCleaned(s"graft_x211_stage$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        // strictly increasing, all within maxFileAge of the newest
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      graft.streaming.EventStreams.runIncrementalAdmission(stream,
+        s"$root/x211_digests", out, ck, "doc_id", "text")
+      out
+    })
+
+  /** The x209 admission gate AS A STRUCTURED STREAM (r17 verdict #3):
+    * three id-ordered micro-batches pass the persisted digest ledger
+    * one at a time; each batch's admitted survivors are APPENDED
+    * before the next batch probes, so intake duplicates that straddle
+    * batches flag `corpus` through the just-appended entry with the
+    * SAME keeper the batch pipeline would assign (the min-id keeper —
+    * which is what makes (doc_id, status, min dup_id) independent of
+    * the batch split and exactly SQL-replayable: the oracle is the
+    * x209 flag algebra with the flag rows reduced to min(dup_id) per
+    * doc). A broken cross-batch append admits the later copy and
+    * breaks the hash; a broken stream-static reload (stale ledger
+    * listing) does the same. */
+  private val x211StreamingAdmission = GraftQuery(
+    "x211_streaming_admission",
+    (s, dir) => s.read.parquet(x211OutDir(s, dir))
+      .orderBy(col("doc_id")),
+    Some("""WITH cd AS MATERIALIZED (
+        SELECT md5(text) AS digest, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)),
+      intake AS MATERIALIZED (
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL),
+      ib AS MATERIALIZED (SELECT id, md5(text) AS digest FROM intake),
+      ch AS (SELECT ib.id, cd.keeper AS dup_id FROM ib JOIN cd USING (digest)),
+      kb AS (SELECT digest, min(id) AS k FROM ib GROUP BY digest),
+      bh AS (SELECT ib.id, kb.k AS dup_id
+        FROM ib JOIN kb USING (digest) WHERE ib.id > kb.k),
+      fl AS MATERIALIZED (
+        SELECT id, min(dup_id) AS dup_id
+        FROM (SELECT * FROM ch UNION ALL SELECT * FROM bh) t GROUP BY id)
+      SELECT id AS doc_id, 'duplicate' AS status, dup_id FROM fl
+      UNION ALL
+      SELECT id, 'admitted', CAST(NULL AS BIGINT) FROM intake
+      WHERE id NOT IN (SELECT id FROM fl)
+      ORDER BY doc_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -7866,7 +8106,8 @@ object Extensions extends QueryModule {
     x203SemdedupTwoLevel, x204EmbeddingNearDupWide,
     x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
     x207ClassifierApplySplit, x208PersistedStoreRoundtrip,
-    x209IncrementalIntake)
+    x209IncrementalIntake, x210IncrementalIntakeDay3,
+    x211StreamingAdmission)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -231,6 +231,73 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Stream-static ADMISSION: run the x209 intake gate as a
+    * structured stream — each micro-batch probes the persisted digest
+    * ledger ([[graft.ops.Dedup.incrementalExactDuplicates]] against
+    * the store loaded FRESH per batch, the [[enrichWithDimension]]
+    * stream-static class where the static side is re-listed per
+    * batch), anti-joins the flagged ids off, APPENDS the admitted
+    * survivors' digests into the ledger
+    * ([[graft.ops.Dedup.appendToDigestStore]] — r18, the maintenance
+    * path), and lands one (doc_id, status, dup_id) row per intake doc
+    * under `outDir`. Duplicates carry `dup_id = min` over their
+    * flag rows — the batching-invariant reduction: a later copy of an
+    * admitted doc flags `corpus` through the APPENDED entry whose
+    * keeper equals the batch-mode min-id keeper, so as long as
+    * micro-batches arrive in id order the output is independent of
+    * how the intake splits into batches (EventStreamsSpec pins stream
+    * ≡ batch on the x209 fixture at 1 and 3 batches).
+    *
+    * This is `foreachBatch`, not a plan transform: the probe needs a
+    * per-batch localCheckpoint and the append is a side-effecting
+    * write — neither exists in a continuous plan. Failure semantics
+    * are the standard foreachBatch at-least-once: the LEDGER append
+    * is idempotent on replay (the append's anti-join skips digests
+    * already present), but a batch replayed after its append
+    * committed re-flags its own docs against their just-appended
+    * keepers (self-rows (X, X)) and re-appends nothing — dedup the
+    * OUTPUT on doc_id downstream if the job ever restarts mid-batch;
+    * a completed batch is never re-run (checkpointed offsets).
+    *
+    * Scale shape: per batch — one intake-sized checkpoint, one
+    * map-only scan of the ledger's 32-byte digests with the tiny
+    * batch broadcast (never a corpus-text rescan), one batch-sized
+    * append. The stream's steady-state cost is ∝ daily intake, the
+    * exact economics the store trio exists for. */
+  def runIncrementalAdmission(docs: DataFrame, storePath: String,
+      outDir: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val store = graft.ops.Dedup.loadDigestStore(
+          batch.sparkSession, storePath)
+        val flagged = graft.ops.Dedup.incrementalExactDuplicates(
+          store, batch, idCol, textCol).localCheckpoint(true)
+        // admitted feeds the append AND the output union — checkpoint
+        // (the N-subplans rule; a micro-batch is bounded)
+        val admitted = batch
+          .select(col(idCol), col(textCol))
+          .join(flagged.select(col("batch_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        graft.ops.Dedup.appendToDigestStore(store, storePath, admitted,
+          idCol, textCol)
+        flagged
+          .groupBy(col("batch_id").as(idCol))
+          .agg(min(col("dup_id")).as("dup_id"))
+          .select(col(idCol), lit("duplicate").as("status"), col("dup_id"))
+          .unionByName(admitted.select(col(idCol),
+            lit("admitted").as("status"),
+            lit(null).cast("bigint").as("dup_id")))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming query to completion against a static directory
     * (memory sink) and return the result table — the batch-driven
     * harness for tests and local verification. */

@@ -669,6 +669,60 @@ class PlanSpec extends AnyFunSuite {
       s"ledger probe must scan the persisted digests:\n${pplan.take(3000)}")
   }
 
+  test("x210: day-3 probe reads the APPENDED ledger; flagged materializes once; ledger grew by the admitted digests") {
+    // the maintenance composition (r17 verdict #1): executing the
+    // carrier populates the x210 store root with day-0 + the day-2
+    // append; the ledger on disk must then hold EXACTLY day-0's
+    // distinct digests plus day-2's admitted ones (an overwrite-only
+    // path would hold day 0 only and the day-3 replicas would
+    // silently admit — the hash catches the values, this pins the
+    // mechanism)
+    val plan = executedPlan("x210_incremental_intake_day3")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"flagged3 must be checkpoint-materialized:\n${plan.take(3000)}")
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val ledger = graft.ops.Dedup.loadDigestStore(spark,
+      s"$root/x210_digests")
+    val docs = Tables.documents(spark, sfDir)
+    val day0 = docs.select(md5(col("text")).as("d")).na.drop()
+      .distinct().count()
+    val onDisk = ledger.digests.count()
+    assert(onDisk > day0,
+      s"ledger must hold day-0 ($day0) PLUS the day-2 appended digests, got $onDisk")
+    // keyed-unique survives the append
+    assert(ledger.digests.groupBy(col("content_hash")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "appended ledger must stay keyed-unique")
+    // and the probe through it provably scans the persisted digests
+    val probe = graft.ops.Dedup.incrementalExactDuplicates(ledger,
+      docs.limit(5), "doc_id", "text")
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString.contains("x210_digests"),
+      "day-3-style probe must scan the persisted ledger")
+  }
+
+  test("x211: streaming admission's ledger grew across micro-batches; output read is a plain file scan") {
+    // executing the carrier runs the 3-micro-batch admission stream;
+    // the persisted ledger must afterwards hold day-0 plus every
+    // admitted digest (cross-batch appends landed), and the carrier's
+    // own plan is just the settled parquet read + sort — all stream
+    // work happened in foreachBatch
+    val plan = executedPlan("x211_streaming_admission")
+    assert((plan.contains("Scan parquet") || plan.contains("FileScan")) &&
+      plan.contains("Sort"), plan.take(3000))
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val ledger = graft.ops.Dedup.loadDigestStore(spark,
+      s"$root/x211_digests")
+    val docs = Tables.documents(spark, sfDir)
+    val day0 = docs.select(md5(col("text")).as("d")).na.drop()
+      .distinct().count()
+    assert(ledger.digests.count() > day0,
+      "stream appends must have grown the ledger past day-0")
+    assert(ledger.digests.groupBy(col("content_hash")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "ledger must stay keyed-unique across micro-batch appends")
+  }
+
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps
     * the nested loop from being a scale hazard — either a side that

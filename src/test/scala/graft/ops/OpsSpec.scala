@@ -310,6 +310,51 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out, "loaded-handle probe must equal in-session")
   }
 
+  test("appendToDigestStore: admitted batch folds in ∝ batch; keyed-unique; day-3 flags through the update") {
+    // the maintenance half (r17 verdict #1): day-2 admitted content
+    // must flag as `corpus` on day 3 through the UPDATED ledger,
+    // without a full-corpus re-save
+    val corpus = Seq((1L, "a b"), (2L, "c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val dir = graft.TempDirs.createCleaned("digest_append_spec")
+    val store0 = Dedup.saveDigestStore(corpus, "doc_id", "text", dir)
+    val n0 = store0.digests.count()
+    assert(n0 == 2L) // "a b" (keeper 1), "c d" (keeper 2)
+    // day-2 batch: one corpus dup (never appended), one novel group
+    // (keeper admitted), one null text (never enters the ledger)
+    val batch2 = Seq((10L, "a b"), (11L, "x y"), (12L, "x y"),
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val flagged2 = Dedup.incrementalExactDuplicates(store0, batch2,
+      "doc_id", "text")
+    val admitted2 = batch2.join(
+      flagged2.select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val store1 = Dedup.appendToDigestStore(store0, dir, admitted2,
+      "doc_id", "text")
+    // exactly ONE new row ("x y" -> 11); the null-text admit never lands
+    val rows1 = store1.digests.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows1.size == 3 && rows1.exists(_._2 == 11L),
+      s"ledger must grow by exactly the novel digest: $rows1")
+    // idempotence / keyed-unique on a MISUSED call: re-appending the
+    // same rows (already in the ledger now) is a no-op
+    val store2 = Dedup.appendToDigestStore(store1, dir, admitted2,
+      "doc_id", "text")
+    assert(store2.digests.count() == 3L, "re-append must be a no-op")
+    assert(store2.digests.groupBy(col("content_hash")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "ledger must stay keyed-unique after appends")
+    // day-3: replicas of day-2 ADMITTED content flag as corpus dups
+    // with the day-2 keeper; day-0 entries still answer
+    val batch3 = Seq((20L, "x y"), (21L, "a b"), (22L, "p q"))
+      .toDF("doc_id", "text")
+    val out3 = Dedup.incrementalExactDuplicates(store2, batch3,
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out3 == Set((20L, 11L, "corpus"), (21L, 1L, "corpus")),
+      s"day-3 must flag through the appended ledger: $out3")
+  }
+
   test("incremental minhash == full run restricted to batch-touching pairs") {
     val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
     val batch = Seq(
@@ -512,6 +557,61 @@ class OpsSpec extends AnyFunSuite {
         numHashes = 128, bands = 32, shingleSize = 4).collect()
     }
     assert(e.getMessage.contains("signature store width"))
+  }
+
+  test("appendToMinhashSignatures / appendToEmbeddingSignatures: batch signed with the store's meta, corpus untouched") {
+    // the sketch members' maintenance paths (r17 verdict #1, the
+    // appendToIvfIndex shape): after an append, the loaded store must
+    // equal save-over-(corpus ∪ batch) row-for-row — one shared
+    // signing expression, parameters resolved from the meta sidecar,
+    // so the appended rows cannot drift from the saved ones
+    val corpusDocs = graft.Tables.documents(spark, graft.SparkTestSession.sfDir)
+    val corpus = corpusDocs.filter(col("doc_id") >= 100 && col("doc_id") < 160)
+    val dBatch = corpusDocs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val mhDir = graft.TempDirs.createCleaned("graft_mh_append")
+    val mh0 = Dedup.saveMinhashSignatures(corpus, "doc_id", "text",
+      mhDir, numHashes = 64, shingleSize = 4)
+    val mh1 = Dedup.appendToMinhashSignatures(mh0, mhDir, dBatch,
+      "doc_id", "text")
+    assert(mh1.numHashes == 64 && mh1.shingleSize == 4,
+      "reloaded handle must carry the original meta")
+    def mhNorm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val mhWant = mhNorm(Dedup.minhashSignatures(
+      corpus.select(col("doc_id"), col("text")).unionByName(dBatch),
+      "doc_id", "text", numHashes = 64, shingleSize = 4))
+    assert(mhNorm(mh1.signatures) == mhWant,
+      "appended minhash store must equal a fresh save over corpus ∪ batch")
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val vCorpus = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("embedding"))
+    val vBatch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val emDir = graft.TempDirs.createCleaned("graft_emb_append")
+    val em0 = Dedup.saveEmbeddingSignatures(vCorpus, "vec_id", "embedding",
+      emDir, numBits = 48, bands = 8)
+    val em1 = Dedup.appendToEmbeddingSignatures(em0, emDir, vBatch,
+      "vec_id", "embedding")
+    assert(em1.numBits == 48 && em1.bands == 8 && em1.seed == 42L)
+    def emNorm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emWant = emNorm(Dedup.embeddingSignatures(
+      vCorpus.unionByName(vBatch), "vec_id", "embedding",
+      numBits = 48, bands = 8))
+    assert(emNorm(em1.signatures) == emWant,
+      "appended embedding store must equal a fresh save over corpus ∪ batch")
+    // probe equivalence through the APPENDED store: a replica of an
+    // appended batch vector must find it at cosine 1.0
+    val probe = Dedup.incrementalEmbeddingNearDuplicates(em1,
+      vCorpus.unionByName(vBatch),
+      emb.filter(col("vec_id") === 5)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding")),
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(probe.contains((2000005L, 1000005L, 1.0)),
+      s"replica must find the appended vector at cosine 1.0: ${probe.toSeq}")
   }
 
   test("approx distinct: HLL estimate within rsd of the exact column beside it") {
@@ -1584,6 +1684,19 @@ class OpsSpec extends AnyFunSuite {
         "known-answer threshold — the replica-union oracles " +
         "(x201/x204/x205/x206/x34) assume only planted replicas verify; " +
         "re-derive their oracles before trusting a hash-red on them")
+    // x208's embedding_sig ok-condition (n === 1: exactly one corpus
+    // hit per replica at cosine 1.0) additionally assumes no two
+    // DISTINCT corpus embeddings are bit-identical — a strictly
+    // stronger premise than maxCos < 0.7 guards only if that guard
+    // ever loosens, and the failure mode (n = 2 → hash-red with no
+    // named cause) deserves its own named assertion (r17 advice).
+    val dupVecPairs = a.join(b, col("ia") < col("ib") &&
+        col("va") === col("vb")).count()
+    assert(dupVecPairs == 0L,
+      s"$dupVecPairs distinct embedding pairs are bit-identical — " +
+        "x208's embedding_sig probe (n === 1 corpus hit per replica) " +
+        "would hash-red; re-derive its ok-condition for regenerated " +
+        "testdata before trusting that failure")
   }
 
   test("replica-union oracle premise: distinct trigram counts sit far below the round-up boundary") {

@@ -245,6 +245,102 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, "stream and batch diverged")
   }
 
+  test("streaming admission equals the batch pipeline; cross-batch appends assign the batch-mode keepers") {
+    import graft.ops.Dedup
+    // the x209 admission gate as a stream (r17 verdict #3): each
+    // micro-batch probes the persisted digest ledger and APPENDS its
+    // admitted survivors before the next batch probes. With id-ordered
+    // micro-batches the (doc_id, status, min dup_id) output is
+    // independent of the batch split: an intake dup whose keeper
+    // landed in an earlier batch flags `corpus` through the appended
+    // entry — whose keeper_id equals the batch-mode min-id keeper.
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+      reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+    val dup = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val novelA = docs.filter(col("doc_id") >= 300 && col("doc_id") < 330)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    // replicas of novelA's CONTENT under later ids — these land in a
+    // LATER micro-batch and must flag corpus through the appended
+    // keepers (the cross-batch case the carrier exists for)
+    val novelRep = docs.filter(col("doc_id") >= 300 && col("doc_id") < 330)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    val intake = dup.unionByName(novelA).unionByName(novelRep)
+    // batch-mode reference through the same operators
+    val refDir = graft.TempDirs.createCleaned("graft_adm_ref")
+    val refStore = Dedup.saveDigestStore(docs, "doc_id", "text", refDir)
+    val refFlagged = Dedup.incrementalExactDuplicates(refStore, intake,
+      "doc_id", "text").localCheckpoint(true)
+    val want = refFlagged
+      .groupBy(col("batch_id")).agg(min(col("dup_id")).as("dup_id"))
+      .select(col("batch_id").as("doc_id"), lit("duplicate").as("status"),
+        col("dup_id"))
+      .unionByName(intake.join(
+          refFlagged.select(col("batch_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("admitted").as("status"),
+          lit(null).cast("bigint").as("dup_id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // stream run: three id-ordered files, one per micro-batch
+    val srcDir = graft.TempDirs.createCleaned("graft_adm_src")
+    Seq(dup, novelA, novelRep).zipWithIndex.foreach { case (df, i) =>
+      val tmp = graft.TempDirs.createCleaned(s"graft_adm_stage$i")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"intake_$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val storeDir = graft.TempDirs.createCleaned("graft_adm_store")
+    Dedup.saveDigestStore(docs, "doc_id", "text", storeDir)
+    val outDir = graft.TempDirs.createCleaned("graft_adm_out")
+    val ckDir = graft.TempDirs.createCleaned("graft_adm_ck")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    EventStreams.runIncrementalAdmission(stream, storeDir, outDir, ckDir,
+      "doc_id", "text")
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got.exists(_._2 == "admitted") && got.exists(_._2 == "duplicate"),
+      "fixture must exercise both outcomes")
+    // the cross-batch rows specifically: every novelRep doc whose
+    // digest was ADMITTED from novelA must flag against that keeper
+    assert(got == want,
+      s"stream and batch diverged: stream-only=${(got diff want).take(5)} " +
+        s"batch-only=${(want diff got).take(5)}")
+    // the ledger grew by exactly the admitted digests — a second
+    // identical stream run over a FRESH checkpoint admits nothing new
+    val outDir2 = graft.TempDirs.createCleaned("graft_adm_out2")
+    val ckDir2 = graft.TempDirs.createCleaned("graft_adm_ck2")
+    val stream2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(srcDir)
+    EventStreams.runIncrementalAdmission(stream2, storeDir, outDir2, ckDir2,
+      "doc_id", "text")
+    val rerun = spark.read.parquet(outDir2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rerun.forall(_._2 == "duplicate"),
+      "a replayed intake against the grown ledger must admit nothing")
+  }
+
   test("streaming running profile converges to the batch profile exactly") {
     import java.nio.file.Files
     import spark.implicits._

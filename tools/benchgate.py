@@ -52,6 +52,10 @@ args = sys.argv[1:]
 def opt(name, default):
     if name in args:
         i = args.index(name)
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit(f"usage: benchgate.py [BENCH_DETAIL.json] "
+                     f"[--prev PREV.json] [--perf PERF.md] "
+                     f"(flag {name} requires a value)")
         v = args[i + 1]
         del args[i:i + 2]
         return v
