@@ -749,11 +749,16 @@ object Dedup {
     * TENTHS for exactly this reason; ⌈t·|s|⌉ is the integer
     * `(thresholdTenths·|s| + 9) div 10`).
     *
-    * Scale shape: one (token → df) two-phase count, one sorted
-    * collect per doc (the doc's own tokens — bounded by doc length),
-    * prefix explode (a FRACTION (1−t) of each doc's tokens), a
-    * shuffle-hash self-join on the prefix token, bare id pairs
-    * through the distinct, and one array rejoin for verification.
+    * Scale shape (r18): identical gram SETS collapse to one
+    * representative FIRST — exact copies are free, the machinery
+    * below runs once per distinct content — then one (token → df)
+    * two-phase count, one sorted collect per distinct set (bounded
+    * by doc length), prefix explode (a FRACTION (1−t) of each set's
+    * tokens), a shuffle-hash self-join on the prefix token, bare id
+    * pairs through the distinct, one array rejoin for verification,
+    * and a members expansion back to doc pairs (bit-identical
+    * output; see the in-body comment for the ×100 measurement and
+    * the named expiry).
     * Rare-first ordering is the whole trick: a token of global
     * frequency d can generate at most C(d,2) candidate pairs, and
     * frequent tokens only enter a prefix when a doc has nothing
@@ -778,11 +783,40 @@ object Dedup {
       thresholdTenths: Int = 7, shingleSize: Int = 3): DataFrame = {
     require(thresholdTenths >= 1 && thresholdTenths <= 9,
       s"thresholdTenths must be in [1,9], got $thresholdTenths")
-    val toks = Parallelism.ensure(df)
+    // EXACT-COPY COLLAPSE (r18 — the ×100 rehearsal finding): Jaccard
+    // is a function of the gram SET alone, so docs with identical
+    // sets are interchangeable — group them, run the whole
+    // prefix-filter machinery once per DISTINCT set, and expand rep
+    // pairs to doc pairs afterward. Output is bit-identical (every
+    // cross pair inherits its rep pair's jaccard, identical-set pairs
+    // are exactly the J = 1.0 ≥ t rows), but the pair-mass the
+    // verification join ships arrays for drops from Σ C(F_docs, 2) to
+    // Σ C(F_distinct, 2) per near-dup family: at ×100 (ScaleData's
+    // ~60-copy families, half exact copies) the doc-level form
+    // overflowed 76 GB of shuffle spill and died; the collapsed form
+    // completes (SCALE_REHEARSAL_r18). NAMED EXPIRY: the remaining
+    // rep-pair mass Σ C(F_distinct, 2) is the operator's inherent
+    // output-adjacent cost — exact all-pairs over a corpus whose
+    // NEAR-dup (distinct-content) families keep growing is
+    // quadratic in the answer itself; production runs x43 exact +
+    // x42/x8 sketch dedup FIRST and reserves this operator for the
+    // post-dedup verification sweep.
+    val gsets = Parallelism.ensure(df)
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(
+        sort_array(array_distinct(transform(
           TextAnalysis.wordNgrams(col(textCol), shingleSize),
-          g => xxhash64(g)))).as("w"))
+          g => xxhash64(g)))).as("g"))
+      .filter(size(col("g")) > 0) // gram-less docs never pair (no tokens)
+    // one row per distinct gram set: representative = min id (the
+    // keep-first convention); checkpointed — feeds the rep pipeline,
+    // the within-group pairs and both expansion sides (N-subplans rule)
+    val groups = gsets.groupBy(col("g"))
+      .agg(min(col("id")).as("rid"),
+        collect_list(col("id")).as("members"),
+        count(lit(1)).as("nm"))
+      .localCheckpoint(true)
+    val toks = groups
+      .select(col("rid").as("id"), explode(col("g")).as("w"))
       .localCheckpoint(true) // feeds df-count AND the sorted collect
     val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("d"))
     val sorted = toks.hint("shuffle_hash")
@@ -805,7 +839,7 @@ object Dedup {
           && col("a.sz") * 10 >= col("b.sz") * thresholdTenths)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands.hint("shuffle_hash")
+    val repPairs = cands.hint("shuffle_hash")
       .join(sorted.select(col("id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sza")).hint("shuffle_hash"), "id_a")
       .join(sorted.select(col("id").as("id_b"), col("toks").as("tb"),
@@ -815,6 +849,32 @@ object Dedup {
       .filter(col("inter") * 10 >= col("uni") * thresholdTenths)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+    // expand rep pairs to doc pairs: groups partition the docs, so
+    // each unordered doc pair appears in exactly one (rep_a, rep_b)
+    // row (normalized by least/greatest — member ids interleave
+    // across groups even though rid_a < rid_b)
+    val mem = groups.select(col("rid"), col("members"))
+    val cross = repPairs.hint("shuffle_hash")
+      .join(mem.select(col("rid").as("id_a"), col("members").as("ma"))
+        .hint("shuffle_hash"), "id_a")
+      .join(mem.select(col("rid").as("id_b"), col("members").as("mb"))
+        .hint("shuffle_hash"), "id_b")
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    // identical-set pairs: J = 1.0 exactly, ≥ any threshold — the
+    // self-join form keys the (inherently quadratic) family expansion
+    // by group so it distributes across groups
+    val memx = groups.filter(col("nm") > 1)
+      .select(col("rid"), explode(col("members")).as("m"))
+    val within = memx.select(col("rid"), col("m").as("id_a"))
+      .hint("shuffle_hash")
+      .join(memx.select(col("rid"), col("m").as("id_b"))
+        .hint("shuffle_hash"), Seq("rid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Containment candidates via winnowing fingerprints (MOSS scheme):
