@@ -81,7 +81,7 @@ object Plans {
     "x150_rollup_report" -> "grouping sets = one Expand over one scan feeding one two-phase aggregate — not three unioned queries",
     "x154_bucketed_batches" -> "one exchange on the length bucket; the (bucket, batch) aggregate is partial-aggregated on the window's own partitioning",
     "x155_touch_attribution" -> "all four ignore-nulls carries + the conversion filter ride ONE user-keyed window sort; no join back to the touch stream",
-    "x161_prefix_filter_join" -> "EXACT similarity self-join, no sketch: checkpointed shingle table feeds df-count and sorted collect; prefix explode joins shuffle-hash on the shingle; bare id pairs through the distinct; one checkpointed-array rejoin verifies — no nested loop anywhere",
+    "x161_prefix_filter_join" -> "EXACT similarity self-join, no sketch: identical gram sets collapse to one representative first (checkpointed groups; exact copies free), the checkpointed rep shingle table feeds df-count and sorted collect; prefix explode joins shuffle-hash on the shingle; bare id pairs through the distinct; one checkpointed-array rejoin verifies; member expansion rebuilds doc pairs — no nested loop anywhere",
     "x162_burstiness" -> "one exchange on the user key; the gap lag window and the per-user aggregate share its sort/partitioning",
     "x164_dimension_stats" -> "one posexplode + one dim-keyed two-phase aggregate; |dims| rows out regardless of corpus size",
     "x165_session_paths" -> "lag flag + running session-id share one user exchange; the per-session collect groups on (user, sid) — a superset of that partitioning, no second shuffle; top-k is TakeOrdered",
@@ -121,7 +121,8 @@ object Plans {
     "x199_anchor_doc_dedup" -> "x197's profile plan head; the doc drop is one LEFT ANTI shuffle-hash join whose build side is the flagged-id list only — survivors stream through untouched with all columns",
     "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum",
     "x208_persisted_store_roundtrip" -> "seven store sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
-    "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the UNHINTED ledger join (AQE broadcasts the tiny batch side; the ledger streams) + min-id keeper agg; flagged checkpoint-materialized for its two consumers; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned")
+    "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the UNHINTED ledger join (AQE broadcasts the tiny batch side; the ledger streams) + min-id keeper agg; flagged checkpoint-materialized for its two consumers; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned",
+    "x210_incremental_intake_day3" -> "3-day ledger lifecycle: day-2 flag/admit + appendToDigestStore (anti-joined batch-sized append, localCheckpointed before the write so the ledger read settles first), then day-3 flags through the RELOADED appended ledger — both flag stages are the x209 shape (tiny checkpointed batch broadcast, ledger streams), corpus text scanned only at day-0 save")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

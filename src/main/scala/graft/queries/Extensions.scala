@@ -7454,7 +7454,13 @@ object Extensions extends QueryModule {
     *     (query, rank);
     *   - `ivf_append` ([[graft.ops.Similarity.appendToIvfIndex]]):
     *     appended replica vectors must land in exactly their
-    *     originals' clusters through the persisted centroids.
+    *     originals' clusters through the persisted centroids;
+    *   - `minhash_append` / `embsig_append` (r18,
+    *     [[graft.ops.Dedup.appendToMinhashSignatures]] /
+    *     [[graft.ops.Dedup.appendToEmbeddingSignatures]]): a shifted
+    *     batch folded into a separate store copy — the loaded
+    *     appended rows must equal the batch signed fresh with the
+    *     store's own meta.
     *
     * Scale shape: every store is the small persisted artifact of its
     * family (rules/codebooks/weights are KB; signatures are one row
@@ -7586,6 +7592,56 @@ object Extensions extends QueryModule {
         .select(lit("ivf_append").as("store"), col("vec_id").as("id"),
           (col("ca") <=> col("cb")).as("ok"))
 
+      // ---- minhash_append / embsig_append (r18, the ivf_append
+      // shape for the sketch members): a shifted batch folded into a
+      // SEPARATE store copy through the append path — the loaded
+      // appended rows must equal the batch signed fresh with the
+      // store's own meta (one shared signing expression; a drifted
+      // load path, a meta mismatch, or a lost append row flips ok /
+      // drops a group). Separate store paths: the round-trip
+      // sections above must not see appended rows ----
+      val mhaStore0 = Dedup.saveMinhashSignatures(mhSlice, "doc_id",
+        "text", s"$root/mh_inc")
+      val mhaDom = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+      val mhaStore1 = Dedup.appendToMinhashSignatures(mhaStore0,
+        s"$root/mh_inc",
+        mhaDom.select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          col("text")),
+        "doc_id", "text")
+      val mhaFresh = Dedup.minhashSignatures(
+        mhaDom.select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          col("text")),
+        "doc_id", "text", mhaStore1.numHashes, mhaStore1.shingleSize)
+      val mhaOk = mhaDom.select(col("doc_id"))
+        .join(mhaFresh.select((col("id") - lit(3000000L)).as("doc_id"),
+          col("sig").as("f")), Seq("doc_id"), "left")
+        .join(mhaStore1.signatures.filter(col("id") >= 3000000L)
+          .select((col("id") - lit(3000000L)).as("doc_id"),
+            col("sig").as("l")), Seq("doc_id"), "left")
+        .select(lit("minhash_append").as("store"), col("doc_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+      val emaStore0 = Dedup.saveEmbeddingSignatures(emb, "vec_id",
+        "embedding", s"$root/emb_inc", numBits = 48, bands = 8)
+      val emaDom = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      val emaStore1 = Dedup.appendToEmbeddingSignatures(emaStore0,
+        s"$root/emb_inc",
+        emaDom.select((col("vec_id") + lit(3000000L)).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding")
+      val emaFresh = Dedup.embeddingSignatures(
+        emaDom.select((col("vec_id") + lit(3000000L)).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding", emaStore1.numBits, emaStore1.bands,
+        emaStore1.seed)
+      val emaOk = emaDom.select(col("vec_id"))
+        .join(emaFresh.select((col("id") - lit(3000000L)).as("vec_id"),
+          col("sig").as("f")), Seq("vec_id"), "left")
+        .join(emaStore1.signatures.filter(col("id") >= 3000000L)
+          .select((col("id") - lit(3000000L)).as("vec_id"),
+            col("sig").as("l")), Seq("vec_id"), "left")
+        .select(lit("embsig_append").as("store"), col("vec_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+
       // ---- pq_model: x64's memoized codebooks, saved + re-read ----
       val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 4, k = 8, iters = 1)
@@ -7606,7 +7662,7 @@ object Extensions extends QueryModule {
         .select(lit("pq_model").as("store"), col("id"),
           (col("f") <=> col("l")).as("ok"))
 
-      Seq(bpeOk, embOk, ivfOk, incOk, lrOk, mhOk, pqOk)
+      Seq(bpeOk, embOk, emaOk, ivfOk, incOk, lrOk, mhOk, mhaOk, pqOk)
         .map(_.select(okCols: _*)).reduce(_.unionByName(_))
         .orderBy(col("store"), col("id"))
     },
@@ -7615,6 +7671,9 @@ object Extensions extends QueryModule {
       UNION ALL
       SELECT 'embedding_sig', vec_id, true FROM embeddings WHERE vec_id < 100
       UNION ALL
+      SELECT 'embsig_append', vec_id, true FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 150
+      UNION ALL
       SELECT 'ivf_append', vec_id, true FROM embeddings WHERE vec_id < 10
       UNION ALL
       SELECT 'ivf_index', vec_id * 5 + r, true
@@ -7622,6 +7681,9 @@ object Extensions extends QueryModule {
       UNION ALL
       SELECT 'logreg_model', doc_id, true FROM documents
         WHERE doc_id >= 100 AND doc_id < 300
+      UNION ALL
+      SELECT 'minhash_append', doc_id, true FROM documents
+        WHERE doc_id >= 200 AND doc_id < 250
       UNION ALL
       SELECT 'minhash_sig', doc_id, true FROM documents WHERE doc_id < 200
       UNION ALL
