@@ -245,8 +245,9 @@ object EventStreams {
     * admitted doc flags `corpus` through the APPENDED entry whose
     * keeper equals the batch-mode min-id keeper, so as long as
     * micro-batches arrive in id order the output is independent of
-    * how the intake splits into batches (EventStreamsSpec pins stream
-    * ≡ batch on the x209 fixture at 1 and 3 batches).
+    * how the intake splits into batches (EventStreamsSpec pins the
+    * 3-micro-batch stream ≡ the batch pipeline row-for-row, and that
+    * a replayed intake against the grown ledger admits nothing).
     *
     * This is `foreachBatch`, not a plan transform: the probe needs a
     * per-batch localCheckpoint and the append is a side-effecting
