@@ -109,7 +109,10 @@ object Bench {
         "ledger/model store writes + the 2-round training loop, driver-paced"),
     "x210_incremental_intake_day3" ->
       ("3-day ledger lifecycle: day-0 save + day-2 flag/admit/APPEND + day-3 " +
-        "flag — sequential driver-paced store writes, not data-parallel work"))
+        "flag — sequential driver-paced store writes, not data-parallel work"),
+    "x212_embedding_append_probe" ->
+      ("signature store save + append + probe round-trip: wall = two store " +
+        "writes + a bounded probe, driver-paced like x208"))
 
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —

@@ -8104,6 +8104,57 @@ object Extensions extends QueryModule {
       WHERE id NOT IN (SELECT id FROM fl)
       ORDER BY doc_id"""))
 
+  /** Probe THROUGH an appended embedding signature store — the
+    * day-3 semantics for the sketch member (x210 proves it for the
+    * digest ledger; x208's `embsig_append` proves appended ROWS equal
+    * fresh signing; this proves the PROBE sees appended content):
+    * day-0 store over the corpus, day-2 append of 100 corpus
+    * replicas (+10⁶ ids — new ids, duplicate content: the
+    * revision-heavy intake case), day-3 probe of fresh replicas
+    * (+2·10⁶). Identical vectors sign identically, so each probe doc
+    * shares every band bucket with BOTH its corpus original and the
+    * day-2 appended copy — exactly two verified rows per probe id at
+    * cosine 1.0, both `corpus` provenance. A lost append, a stale
+    * handle reload, or a width/seed drift between append and probe
+    * kills the appended row and breaks the hash.
+    *
+    * Replica-union known answer (the x206/x208 premise, OpsSpec-
+    * pinned: no distinct corpus pair reaches 0.95 and no two corpus
+    * embeddings are bit-identical), so the oracle is two literal
+    * rows per probed id. */
+  private val x212EmbeddingAppendProbe = GraftQuery(
+    "x212_embedding_append_probe",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val emb = Tables.embeddings(s, dir)
+      val store0 = Dedup.saveEmbeddingSignatures(emb, "vec_id",
+        "embedding", s"$root/x212_embsig", numBits = 48, bands = 8)
+      val day2 = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"))
+      val store1 = Dedup.appendToEmbeddingSignatures(store0,
+        s"$root/x212_embsig", day2, "vec_id", "embedding")
+      // verification vectors must cover every store id (originals +
+      // the appended copies)
+      val corpusVecs = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(day2)
+      val probe = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          col("embedding"))
+      Dedup.incrementalEmbeddingNearDuplicates(store1, corpusVecs,
+          probe, "vec_id", "embedding", threshold = 0.95)
+        .select((col("batch_id") - lit(2000000L)).as("vec_id"),
+          col("dup_id"), col("cosine"), col("dup_in"))
+        .orderBy(col("vec_id"), col("dup_id"))
+    },
+    Some("""SELECT vec_id, vec_id AS dup_id,
+        CAST(1.0 AS DOUBLE) AS cosine, 'corpus' AS dup_in
+      FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id, vec_id + 1000000, CAST(1.0 AS DOUBLE), 'corpus'
+      FROM embeddings WHERE vec_id < 100
+      ORDER BY vec_id, dup_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -8169,7 +8220,7 @@ object Extensions extends QueryModule {
     x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
     x207ClassifierApplySplit, x208PersistedStoreRoundtrip,
     x209IncrementalIntake, x210IncrementalIntakeDay3,
-    x211StreamingAdmission)
+    x211StreamingAdmission, x212EmbeddingAppendProbe)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

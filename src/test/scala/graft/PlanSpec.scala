@@ -723,6 +723,20 @@ class PlanSpec extends AnyFunSuite {
       "ledger must stay keyed-unique across micro-batch appends")
   }
 
+  test("x212: the probe's banding reads the APPENDED signature store from disk") {
+    // x208's embsig_append pins appended ROWS; this pins that the
+    // incremental probe's executed plan actually scans the store
+    // path (a probe that silently re-signed in-session would pass
+    // row equality while testing nothing)
+    val plan = executedPlan("x212_embedding_append_probe")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+      .count(_.contains("x212_embsig"))
+    assert(scans >= 1,
+      s"probe must scan the appended store from disk:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps
     * the nested loop from being a scale hazard — either a side that
