@@ -341,6 +341,68 @@ class EventStreamsSpec extends AnyFunSuite {
       "a replayed intake against the grown ledger must admit nothing")
   }
 
+  test("admission stream restart: only new files process; the grown ledger flags day-2 content") {
+    import graft.ops.Dedup
+    // the scaladoc's recovery claim, pinned: after a stop, a restart
+    // on the same checkpoint consumes ONLY files that arrived since
+    // (no duplicate output rows for the already-admitted batch), and
+    // the restarted stream probes the ledger the first run APPENDED
+    // to — so replicas of run-1 content flag `duplicate` across the
+    // restart boundary.
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+      reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+    val day2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    val day3 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    val srcDir = graft.TempDirs.createCleaned("graft_admr_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = graft.TempDirs.createCleaned("graft_admr_stage")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val storeDir = graft.TempDirs.createCleaned("graft_admr_store")
+    Dedup.saveDigestStore(docs, "doc_id", "text", storeDir)
+    val outDir = graft.TempDirs.createCleaned("graft_admr_out")
+    val ckDir = graft.TempDirs.createCleaned("graft_admr_ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = EventStreams.runIncrementalAdmission(
+      spark.readStream.schema(schema).parquet(srcDir),
+      storeDir, outDir, ckDir, "doc_id", "text")
+    stage(day2, "intake_000.parquet", 1600000000000L)
+    runOnce()
+    val after1 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after1.map(_._1).toSet == day2.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet,
+      "run 1 must emit exactly one row per day-2 doc")
+    stage(day3, "intake_001.parquet", 1600000060000L)
+    runOnce() // restart on the SAME checkpoint
+    val after2 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // no duplicate rows for day-2 (exactly-once across the restart)
+    assert(after2.count(_._1 < 3000000L) == after1.length,
+      "restart must not re-process the day-2 file")
+    // every day-3 doc flags duplicate: its content is in the ledger
+    // either from day-0 (token palindromes) or from the day-2 APPEND
+    val day3Rows = after2.filter(_._1 >= 3000000L)
+    assert(day3Rows.nonEmpty && day3Rows.forall(_._2 == "duplicate"),
+      s"day-3 replicas must all flag through the grown ledger: " +
+        s"${day3Rows.filter(_._2 != "duplicate").take(5)}")
+  }
+
   test("streaming running profile converges to the batch profile exactly") {
     import java.nio.file.Files
     import spark.implicits._
