@@ -112,7 +112,13 @@ object Bench {
         "flag — sequential driver-paced store writes, not data-parallel work"),
     "x212_embedding_append_probe" ->
       ("signature store save + append + probe round-trip: wall = two store " +
-        "writes + a bounded probe, driver-paced like x208"))
+        "writes + a bounded probe, driver-paced like x208"),
+    "x213_minhash_append_probe" ->
+      ("minhash store save + append + verified probe round-trip: wall = two " +
+        "store writes + a bounded probe, driver-paced like x212"),
+    "x214_compacted_ledger_probe" ->
+      ("x210's 3-day lifecycle plus the blue/green compaction rewrite: " +
+        "sequential driver-paced store writes, not data-parallel work"))
 
   /** Fixed machine-speed calibration workload (r11 verdict: three
     * rounds running, cross-VM drift dominated the headline total —

@@ -56,7 +56,8 @@ object IncrementalRehearsal {
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
-    val KnownFamilies = Set("exact", "minhash", "embedding", "append")
+    val KnownFamilies = Set("exact", "minhash", "embedding", "append",
+      "stream")
     // set-but-empty ("" or a trailing comma) means unset, not "no
     // families" — "".split(",") is Array("") and would fail the
     // require with an unnamed entry (r17 review)
@@ -112,7 +113,8 @@ object IncrementalRehearsal {
       // families the filter will never execute (the filter exists
       // precisely to avoid burning CPU on measured curves), and
       // symmetrically for the doc-side families
-      val wantDocs = want("exact") || want("minhash") || want("append")
+      val wantDocs = want("exact") || want("minhash") || want("append") ||
+        want("stream")
       val wantEmb = want("embedding") || want("append")
       val docs =
         if (wantDocs)
@@ -331,6 +333,105 @@ object IncrementalRehearsal {
           fp(Dedup.loadEmbeddingSignatures(spark, s"$fullP/embsig").signatures,
             Seq("id", "sig"))
       emit(dir, "append", nDocs + nVec, nAB + nVB, fullAp, incAp, equivAp)
+      }
+
+      // ---------- stream (admission steady state + compaction, r18 verdict #1/#4) ----------
+      // The streaming admission gate appends one+ ledger file per
+      // micro-batch and every batch's loadDigestStore re-lists the
+      // whole tree — this family MEASURES that growth (per-batch
+      // trigger durations across N batches of novel content) and the
+      // compaction fix (probe cost through the fragmented tree vs
+      // through the compactDigestStore rewrite, load INSIDE the timed
+      // body — the listing is exactly the cost that grows).
+      if (want("stream")) {
+      // SPARK_GRAFT_STREAM_BATCHES scales the append count: the probe's
+      // fragmented-tree CPU grows with FILE COUNT (listing + one scan
+      // split per append), so a second point at 4x batches separates
+      // that growth from fixed per-probe cost
+      val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+        .map(_.toInt).getOrElse(50)
+      val batchRows = math.max(20L, nDocs / 100)
+      val base = s"$storeRoot/$tag/stream"
+      Dedup.saveDigestStore(docs, "doc_id", "text", s"$base/ledger")
+      val src = TempDirs.createCleaned("graft_inc_stream_src")
+      val slice = docs.filter(col("doc_id") < batchRows)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      (0 until nBatches).foreach { i =>
+        // novel content per batch (prefixed token) under unique ids:
+        // every batch admits everything -> every batch appends
+        val b = slice.select(
+          (col("doc_id") + lit((i + 1) * 1000000L)).as("doc_id"),
+          concat(lit(s"b$i "), col("text")).as("text"))
+        val tmp = TempDirs.createCleaned(s"graft_inc_stream_stage$i")
+        b.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = graft.streaming.EventStreams.runIncrementalAdmission(stream,
+        s"$base/ledger", TempDirs.createCleaned("graft_inc_stream_out"),
+        TempDirs.createCleaned("graft_inc_stream_ck"), "doc_id", "text")
+      val trig = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.get("triggerExecution").toLong / 1000.0)
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
+      def files(p: String): Int = new java.io.File(s"$p/digests")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      val filesFrag = files(s"$base/ledger")
+      // probe = one more day's intake; load INSIDE the timed body
+      val probeB = slice.select(
+        (col("doc_id") + lit((nBatches + 1) * 1000000L)).as("doc_id"),
+        concat(lit(s"b${nBatches - 1} "), col("text")).as("text"))
+        .localCheckpoint(true)
+      val probeFrag = medianOf(3) { () =>
+        Dedup.incrementalExactDuplicates(
+          Dedup.loadDigestStore(spark, s"$base/ledger"), probeB,
+          "doc_id", "text").count()
+      }
+      Dedup.compactDigestStore(spark, s"$base/ledger", s"$base/ledger_c")
+      val filesComp = files(s"$base/ledger_c")
+      val probeComp = medianOf(3) { () =>
+        Dedup.incrementalExactDuplicates(
+          Dedup.loadDigestStore(spark, s"$base/ledger_c"), probeB,
+          "doc_id", "text").count()
+      }
+      // equivalence: the compacted tree answers the probe identically
+      val fragSet = Dedup.incrementalExactDuplicates(
+        Dedup.loadDigestStore(spark, s"$base/ledger"), probeB,
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val compSet = Dedup.incrementalExactDuplicates(
+        Dedup.loadDigestStore(spark, s"$base/ledger_c"), probeB,
+        "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val line =
+        f"""{"dir":"$dir","family":"stream","corpus":$nDocs,""" +
+          f""""batches":$nBatches,"batch_rows":${slice.count()},""" +
+          f""""batch_wall_first10":${med(trig.take(10))}%.2f,""" +
+          f""""batch_wall_last10":${med(trig.takeRight(10))}%.2f,""" +
+          f""""files_frag":$filesFrag,"files_compact":$filesComp,""" +
+          f""""probe_frag_wall":${probeFrag._1}%.2f,""" +
+          f""""probe_frag_cpu":${probeFrag._2}%.2f,""" +
+          f""""probe_compact_wall":${probeComp._1}%.2f,""" +
+          f""""probe_compact_cpu":${probeComp._2}%.2f,""" +
+          f""""probe_rows":${probeFrag._3},""" +
+          f""""equiv":${fragSet == compSet}}"""
+      println(line); sb.append(line).append('\n')
+      System.err.println(f"[inc] $dir%-26s stream    " +
+        f"batch ${med(trig.take(10))}%.2f->${med(trig.takeRight(10))}%.2fs " +
+        f"files $filesFrag->$filesComp probe ${probeFrag._1}%.2f->" +
+        f"${probeComp._1}%.2fs equiv=${fragSet == compSet}")
       }
     } finally sm.remove()
     val out = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",

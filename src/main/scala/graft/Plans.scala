@@ -122,7 +122,11 @@ object Plans {
     "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum",
     "x208_persisted_store_roundtrip" -> "seven store sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
     "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the UNHINTED ledger join (AQE broadcasts the tiny batch side; the ledger streams) + min-id keeper agg; flagged checkpoint-materialized for its two consumers; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned",
-    "x210_incremental_intake_day3" -> "3-day ledger lifecycle: day-2 flag/admit + appendToDigestStore (anti-joined batch-sized append, localCheckpointed before the write so the ledger read settles first), then day-3 flags through the RELOADED appended ledger — both flag stages are the x209 shape (tiny checkpointed batch broadcast, ledger streams), corpus text scanned only at day-0 save")
+    "x210_incremental_intake_day3" -> "3-day ledger lifecycle: day-2 flag/admit + appendToDigestStore (anti-joined batch-sized append, localCheckpointed before the write so the ledger read settles first), then day-3 flags through the RELOADED appended ledger — both flag stages are the x209 shape (tiny checkpointed batch broadcast, ledger streams), corpus text scanned only at day-0 save",
+    "x211_streaming_admission" -> "the carrier plan itself is just the settled parquet read + sort: all admission work ran inside foreachBatch (per micro-batch: checkpointed batch digests, UNHINTED ledger probe join — AQE broadcasts the batch, the ledger streams — output write THEN idempotent append; per-batch checkpoints released deterministically)",
+    "x212_embedding_append_probe" -> "day-3 probe THROUGH the appended signature store: store-side banding is a map-only FileScan of the appended parquet (PlanSpec pins the x212_embsig scan); candidate join shuffle-hash on (band,chunk); bare id pairs through the distinct, vectors rejoin once per survivor",
+    "x213_minhash_append_probe" -> "x212's shape for the text member, with EXACT verification: appended store banding is a map-only FileScan (PlanSpec pins the x213_minhash scan); bucket-coincident candidates checkpointed once for the corpus leftsemi + both verify branches; distinct-gram arrays build once per candidate DOC (leftsemi), never per pair side",
+    "x214_compacted_ledger_probe" -> "x210's 3-day lifecycle with the monthly maintenance pass inserted: the append-fragmented ledger tree is rewritten blue/green (one round-robin exchange of 32-byte digest rows) and day 3 probes through the COMPACTED root (PlanSpec pins the x214_digests_compact scan + row-identity vs the fragmented tree)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -164,18 +164,30 @@ object Classifier {
     * with [[logRegApply]] at one broadcast join per batch, no
     * retraining). Expression-identical to the fused path by
     * construction (shared [[logRegFeatures]]/[[logRegTrainOn]]). */
+  // CAPACITY eviction deliberately does NOT release the weights (r18
+  // advice): the weights are localCheckpoint(true)-materialized, so
+  // BoundedMemo's safety premise ("Spark recomputes from lineage for
+  // any caller still holding the evicted value") does not hold — the
+  // lineage is truncated, and a deterministic release would turn a
+  // stale-but-held LogRegModel into missing-checkpoint-block failures
+  // on its next use. Evicted weights are reclaimed by the
+  // ContextCleaner once the last holder drops them (the memo's map
+  // reference was the pin). The previous `_.weights.unpersist` hook
+  // was a silent no-op anyway — Dataset.unpersist only drops
+  // CacheManager entries, never checkpoint blocks
+  // (graft.Persistence scaladoc; PersistenceSpec proves it).
   private val trainMemo = new graft.BoundedMemo[
     (String, String, String, Int, Double, Int, Boolean), LogRegModel](
-    8, onEvict = _.weights.unpersist(blocking = false),
-    name = "logreg-model")
+    8, name = "logreg-model")
 
   /** Clear the trained-model memo (rehearsal hygiene — the
-    * ScaleBench.clearMemoCaches roster). Evicted models release their
-    * localCheckpointed weight RDDs explicitly (the
-    * clearIvfCache/clearClusterCache eviction discipline, r17 advice)
-    * rather than waiting on the ContextCleaner. */
+    * ScaleBench.clearMemoCaches roster). UNLIKE capacity eviction
+    * (see trainMemo), clear releases each model's checkpointed weight
+    * blocks deterministically ([[graft.Persistence.release]]): a
+    * clear is an explicit between-reps reset and any handle held
+    * across it is dead by contract. */
   def clearModelCache(): Unit =
-    trainMemo.clear(_.weights.unpersist(blocking = false))
+    trainMemo.clear(m => graft.Persistence.release(m.weights))
 
   /** IMMUTABLE-INPUT ASSUMPTION (the pair-table memo contract, r17
     * advice): the memo key canonicalizes to the input's LOGICAL PLAN

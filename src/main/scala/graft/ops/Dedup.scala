@@ -483,6 +483,28 @@ object Dedup {
     loadMinhashSignatures(batch.sparkSession, path)
   }
 
+  /** Compact an append-accumulated minhash signature store
+    * ([[compactDigestStore]]'s twin for the TEXT sketch member): the
+    * signature frame is rewritten size-targeted via
+    * [[graft.ops.Layout.compact]], the one-row meta sidecar is
+    * re-written verbatim (same (num_hashes, shingle_size) — a
+    * compaction never re-sizes; re-sizing is a rebuild,
+    * [[saveMinhashSignatures]]). Blue/green: `outPath` must be a
+    * fresh root; the returned handle reads the compacted tree and
+    * probes through it are row-identical to the fragmented store. */
+  def compactMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): MinhashSignatureStore = {
+    require(outPath != path,
+      "compaction must write to a fresh root (blue/green): in-place " +
+        "would overwrite the files the rewrite is reading")
+    Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",
+      targetFileBytes)
+    spark.read.parquet(s"$path/meta").repartition(1)
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    loadMinhashSignatures(spark, outPath)
+  }
+
   /** [[incrementalMinhashNearDuplicates]] through a persisted store
     * handle: numHashes and shingleSize resolve from the store's meta,
     * so the probe can't disagree with what was written. */
@@ -491,6 +513,70 @@ object Dedup {
       threshold: Double, bands: Int): DataFrame =
     incrementalMinhashNearDuplicates(store.signatures, batch, idCol,
       textCol, threshold, store.numHashes, bands, store.shingleSize)
+
+  /** Incremental TEXT near-dup probe with EXACT n-gram-Jaccard
+    * verification — [[incrementalEmbeddingNearDuplicates]]'s shape
+    * for the text member (candidates from the persisted signature
+    * store, verification against the corpus TEXTS on surviving
+    * candidate ids only): LSH band buckets over the store bound the
+    * candidate set, exact Jaccard over hashed distinct-gram sets
+    * verifies (the [[ngramJaccardNearDuplicates]] verification
+    * algebra — counts identical to string grams up to a 2⁻⁶⁴
+    * xxhash64 collision). Output (batch_id, dup_id, jaccard, dup_in),
+    * the incremental trio's shared shape with the EXACT score.
+    *
+    * Recall: a batch doc and a store doc with IDENTICAL gram sets
+    * sign identically and share every band bucket, so threshold-1.0
+    * probes have recall exactly 1 (the x213 carrier's oracle premise,
+    * the x42 argument applied through the store); at mid thresholds
+    * recall is the LSH band bound, same as the estimate probe.
+    *
+    * Scale shape: the estimate probe's one banded-delta shuffle (the
+    * store side stays a map-only signature scan), then shingling over
+    * the DELTA plus the candidate-HIT corpus docs only — a leftsemi
+    * against the candidate ids keeps the gram build off the rest of
+    * the corpus (the x10 degree rule: distinct-gram arrays build once
+    * per doc, never once per pair side). Candidates and batch grams
+    * are checkpointed: both feed multiple joins (N-subplans rule) and
+    * both are bounded by the day's intake. */
+  def incrementalVerifiedTextDuplicates(store: MinhashSignatureStore,
+      corpusTexts: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int = 32): DataFrame = {
+    def grams(t: Column): Column = array_distinct(transform(
+      TextAnalysis.wordNgrams(t, store.shingleSize), g => xxhash64(g)))
+    // every bucket-coincident pair (estimate filter at 0 — the exact
+    // verification below decides); bounded by the delta, feeds the
+    // corpus leftsemi AND both verify branches
+    val cands = incrementalMinhashNearDuplicates(store, batch, idCol,
+        textCol, threshold = 0.0, bands = bands)
+      .select(col("batch_id"), col("dup_id"), col("dup_in"))
+      .localCheckpoint(true)
+    val batchGrams = batch
+      .select(col(idCol).as("id"), grams(col(textCol)).as("g"))
+      .localCheckpoint(true) // bounded delta; feeds both verify branches
+    val corpusGrams = corpusTexts
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(cands.filter(col("dup_in") === "corpus")
+        .select(col("dup_id").as("id")).distinct(), Seq("id"), "leftsemi")
+      .select(col("id"), grams(col("t")).as("g"))
+    // gram_b resolves per PROVENANCE (the estimate probe's rule: a
+    // single union lookup would fan out on ids present on both sides)
+    def verified(c: DataFrame, bSide: DataFrame): DataFrame = c
+      .hint("shuffle_hash")
+      .join(batchGrams.select(col("id").as("batch_id"), col("g").as("ga"))
+        .hint("shuffle_hash"), "batch_id")
+      .join(bSide.select(col("id").as("dup_id"), col("g").as("gb"))
+        .hint("shuffle_hash"), "dup_id")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      // |a∪b| = |a|+|b|−|a∩b| — never materialize a union array
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("dup_id"), col("jaccard"), col("dup_in"))
+    verified(cands.filter(col("dup_in") === "corpus"), corpusGrams)
+      .unionByName(
+        verified(cands.filter(col("dup_in") === "batch"), batchGrams))
+  }
 
   /** A persisted content-digest ledger — the EXACT member of the
     * incremental-dedup store trio ([[MinhashSignatureStore]] and
@@ -563,7 +649,45 @@ object Dedup {
         "left_anti")
       .localCheckpoint(true)
     newRows.write.mode("append").parquet(s"$path/digests")
+    // the write was the checkpoint's last consumer (the returned
+    // handle re-reads from disk): release the blocks deterministically
+    // — a per-micro-batch caller would otherwise accumulate them
+    // until GC (graft.Persistence scaladoc)
+    graft.Persistence.release(newRows)
     loadDigestStore(batch.sparkSession, path)
+  }
+
+  /** Compact an append-accumulated digest ledger into size-targeted
+    * parquet — the append story's second half (r18 verdict #1):
+    * [[appendToDigestStore]] lands at least one new file per call and
+    * the streaming admission gate appends once per MICRO-BATCH, so at
+    * production cadence the ledger tree accumulates small files
+    * without bound and every batch's `loadDigestStore` re-lists the
+    * whole tree — per-batch listing cost grows with APPEND COUNT, not
+    * ledger size (the reference's monthly lifecycle implies periodic
+    * maintenance, udac_capstone_emr.py:155). One
+    * [[graft.ops.Layout.compact]] rewrite: row set identical
+    * (OpsSpec-asserted, and keyed-uniqueness is a row-set property so
+    * it survives any rewrite), file count = ceil(bytes/target).
+    *
+    * BLUE/GREEN by construction: the rewrite lands under `outPath`
+    * (must differ from `path` — compacting in place would overwrite
+    * the files the rewrite is still reading) and the OLD tree stays
+    * valid until the caller swaps pointers and deletes it. Probes
+    * through the returned handle ≡ probes through the fragmented
+    * store (same rows; x214 carries it hash-green). Cost: one
+    * map-only scan + round-robin exchange of the 32-byte digest rows
+    * — ∝ ledger, so schedule it at the reference's monthly cadence,
+    * not per append. */
+  def compactDigestStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): DigestStore = {
+    require(outPath != path,
+      "compaction must write to a fresh root (blue/green): in-place " +
+        "would overwrite the files the rewrite is reading")
+    Layout.compact(spark, s"$path/digests", s"$outPath/digests",
+      targetFileBytes)
+    loadDigestStore(spark, outPath)
   }
 
   /** Incremental EXACT dedup against a persisted digest ledger: flag
@@ -854,7 +978,11 @@ object Dedup {
     // row (normalized by least/greatest — member ids interleave
     // across groups even though rid_a < rid_b)
     val mem = groups.select(col("rid"), col("members"))
-    val cross = repPairs.hint("shuffle_hash")
+    // hint ONLY the mem sides (the r10 winners-attribution rule): mem
+    // is one row per distinct content and must be the BUILD side;
+    // hinting repPairs too would let the planner build the pair
+    // stream instead and OOM at scale (r18 advice)
+    val cross = repPairs
       .join(mem.select(col("rid").as("id_a"), col("members").as("ma"))
         .hint("shuffle_hash"), "id_a")
       .join(mem.select(col("rid").as("id_b"), col("members").as("mb"))
@@ -2524,6 +2652,26 @@ object Dedup {
         store.bands, store.seed)
       .write.mode("append").parquet(s"$path/signatures")
     loadEmbeddingSignatures(batch.sparkSession, path)
+  }
+
+  /** Compact an append-accumulated embedding signature store
+    * ([[compactDigestStore]]'s twin for the EMBEDDING sketch member):
+    * size-targeted signature rewrite + verbatim meta re-write (the
+    * (num_bits, bands, seed) sidecar travels unchanged — compaction
+    * never re-signs; a width change is a rebuild,
+    * [[saveEmbeddingSignatures]]). Blue/green: `outPath` must be a
+    * fresh root. */
+  def compactEmbeddingSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): EmbeddingSignatureStore = {
+    require(outPath != path,
+      "compaction must write to a fresh root (blue/green): in-place " +
+        "would overwrite the files the rewrite is reading")
+    Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",
+      targetFileBytes)
+    spark.read.parquet(s"$path/meta").repartition(1)
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+    loadEmbeddingSignatures(spark, outPath)
   }
 
   /** Incremental embedding near-dup detection: dedup a new BATCH of

@@ -7460,7 +7460,14 @@ object Extensions extends QueryModule {
     *     [[graft.ops.Dedup.appendToEmbeddingSignatures]]): a shifted
     *     batch folded into a separate store copy — the loaded
     *     appended rows must equal the batch signed fresh with the
-    *     store's own meta.
+    *     store's own meta;
+    *   - `minhash_compact` / `embsig_compact` (r19,
+    *     [[graft.ops.Dedup.compactMinhashSignatures]] /
+    *     [[graft.ops.Dedup.compactEmbeddingSignatures]] — the x214
+    *     shape for the sketch members): the append-fragmented
+    *     mh_inc/emb_inc trees rewritten blue/green; the compacted
+    *     stores must hold the identical signature row per raw id
+    *     (originals and appended) with meta verbatim.
     *
     * Scale shape: every store is the small persisted artifact of its
     * family (rules/codebooks/weights are KB; signatures are one row
@@ -7642,6 +7649,44 @@ object Extensions extends QueryModule {
         .select(lit("embsig_append").as("store"), col("vec_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
 
+      // ---- minhash_compact / embsig_compact (r19, the x214 shape
+      // for the sketch members): the append-fragmented mh_inc/emb_inc
+      // trees rewritten blue/green through the compaction paths — the
+      // compacted store must hold the identical signature row per raw
+      // id (originals AND appended), with the meta sidecar verbatim
+      // (compaction never re-sizes). The pre-compaction handles still
+      // read the fragmented roots — blue/green means both stay valid ----
+      val mhCompact = Dedup.compactMinhashSignatures(s, s"$root/mh_inc",
+        s"$root/mh_inc_c")
+      val mhcDomain = docs.filter(col("doc_id") < 200).select(col("doc_id"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id")))
+      val mhcMeta = mhCompact.numHashes == mhaStore1.numHashes &&
+        mhCompact.shingleSize == mhaStore1.shingleSize
+      val mhcOk = mhcDomain
+        .join(mhaStore1.signatures.select(col("id").as("doc_id"),
+          col("sig").as("f")), Seq("doc_id"), "left")
+        .join(mhCompact.signatures.select(col("id").as("doc_id"),
+          col("sig").as("l")), Seq("doc_id"), "left")
+        .select(lit("minhash_compact").as("store"), col("doc_id").as("id"),
+          (col("f") <=> col("l") && lit(mhcMeta)).as("ok"))
+      val embCompact = Dedup.compactEmbeddingSignatures(s,
+        s"$root/emb_inc", s"$root/emb_inc_c")
+      val emcDomain = emb.select(col("vec_id")).unionByName(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+          .select((col("vec_id") + lit(3000000L)).as("vec_id")))
+      val emcMeta = embCompact.numBits == emaStore1.numBits &&
+        embCompact.bands == emaStore1.bands &&
+        embCompact.seed == emaStore1.seed
+      val emcOk = emcDomain
+        .join(emaStore1.signatures.select(col("id").as("vec_id"),
+          col("sig").as("f")), Seq("vec_id"), "left")
+        .join(embCompact.signatures.select(col("id").as("vec_id"),
+          col("sig").as("l")), Seq("vec_id"), "left")
+        .select(lit("embsig_compact").as("store"), col("vec_id").as("id"),
+          (col("f") <=> col("l") && lit(emcMeta)).as("ok"))
+
       // ---- pq_model: x64's memoized codebooks, saved + re-read ----
       val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 4, k = 8, iters = 1)
@@ -7662,7 +7707,8 @@ object Extensions extends QueryModule {
         .select(lit("pq_model").as("store"), col("id"),
           (col("f") <=> col("l")).as("ok"))
 
-      Seq(bpeOk, embOk, emaOk, ivfOk, incOk, lrOk, mhOk, mhaOk, pqOk)
+      Seq(bpeOk, embOk, emaOk, ivfOk, incOk, lrOk, mhOk, mhaOk, pqOk,
+          mhcOk, emcOk)
         .map(_.select(okCols: _*)).reduce(_.unionByName(_))
         .orderBy(col("store"), col("id"))
     },
@@ -7673,6 +7719,17 @@ object Extensions extends QueryModule {
       UNION ALL
       SELECT 'embsig_append', vec_id, true FROM embeddings
         WHERE vec_id >= 100 AND vec_id < 150
+      UNION ALL
+      SELECT 'embsig_compact', vec_id, true FROM embeddings
+      UNION ALL
+      SELECT 'embsig_compact', vec_id + 3000000, true FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 150
+      UNION ALL
+      SELECT 'minhash_compact', doc_id, true FROM documents
+        WHERE doc_id < 200
+      UNION ALL
+      SELECT 'minhash_compact', doc_id + 3000000, true FROM documents
+        WHERE doc_id >= 200 AND doc_id < 250
       UNION ALL
       SELECT 'ivf_append', vec_id, true FROM embeddings WHERE vec_id < 10
       UNION ALL
@@ -8155,6 +8212,191 @@ object Extensions extends QueryModule {
       FROM embeddings WHERE vec_id < 100
       ORDER BY vec_id, dup_id"""))
 
+  /** Probe THROUGH an appended MINHASH signature store — x212's
+    * symmetry for the TEXT sketch member (r18 verdict #2), closing
+    * the store-trio probe matrix (digest x210, embedding x212,
+    * minhash x213): day-0 store over the corpus, day-2 append of 100
+    * exact text replicas (+10⁶ ids), day-3 probe of fresh replicas
+    * (+2·10⁶) through the reloaded handle at threshold 1.0 with
+    * EXACT verification ([[graft.ops.Dedup.
+    * incrementalVerifiedTextDuplicates]] — the estimate stays
+    * rows-only per the r16 rule; exact Jaccard 1.0 ⇔ identical gram
+    * SETS is the x42 full-semantics replay, no planted-answer
+    * premise). Identical texts sign identically, so each probe doc
+    * shares every band bucket with its corpus original, every real
+    * corpus exact-dup of it, AND the day-2 appended copy — a lost
+    * append, stale handle reload, or width/shingle drift between
+    * append and probe kills the appended rows and breaks the hash.
+    * The oracle groups the sorted trigram list: probe rows join every
+    * store doc with an equal gram set ('corpus', including the +10⁶
+    * appended ids), and probe-internal equal-set pairs emit once
+    * ('batch'). */
+  private val x213MinhashAppendProbe = GraftQuery(
+    "x213_minhash_append_probe",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      val store0 = Dedup.saveMinhashSignatures(docs, "doc_id", "text",
+        s"$root/x213_minhash")
+      val day2 = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val store1 = Dedup.appendToMinhashSignatures(store0,
+        s"$root/x213_minhash", day2, "doc_id", "text")
+      // verification texts must cover every store id (originals + the
+      // appended copies) — the x212 corpusVecs rule
+      val corpusTexts = docs.select(col("doc_id"), col("text"))
+        .unionByName(day2)
+      val probe = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+      Dedup.incrementalVerifiedTextDuplicates(store1, corpusTexts, probe,
+          "doc_id", "text", threshold = 1.0)
+        .select(col("batch_id").as("doc_id"), col("dup_id"),
+          col("jaccard"), col("dup_in"))
+        .orderBy(col("doc_id"), col("dup_id"))
+    },
+    Some("""WITH tok AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      g AS MATERIALIZED (
+        SELECT doc_id, list_sort(list_distinct(CASE WHEN len(t) < 3
+          THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 1),
+            i -> array_to_string(t[i:i+2], ' ')) END)) AS gk
+        FROM tok),
+      store AS MATERIALIZED (
+        SELECT doc_id AS id, gk FROM g
+        UNION ALL
+        SELECT doc_id + 1000000, gk FROM g WHERE doc_id < 100),
+      probe AS MATERIALIZED (
+        SELECT doc_id + 2000000 AS id, gk FROM g WHERE doc_id < 100)
+      SELECT p.id AS doc_id, s.id AS dup_id,
+        CAST(1.0 AS DOUBLE) AS jaccard, 'corpus' AS dup_in
+      FROM probe p JOIN store s ON p.gk = s.gk
+      UNION ALL
+      SELECT a.id, b.id, CAST(1.0 AS DOUBLE), 'batch'
+      FROM probe a JOIN probe b ON a.gk = b.gk AND a.id < b.id
+      ORDER BY doc_id, dup_id"""))
+
+  /** x210's day-3 admission THROUGH A COMPACTED LEDGER — the
+    * maintenance pass's correctness carrier (r18 verdict #1's "done"
+    * bar): day-0 save, day-2 probe + admission + append (the x210
+    * history verbatim), then [[graft.ops.Dedup.compactDigestStore]]
+    * rewrites the append-fragmented tree to a fresh root (blue/green)
+    * and day 3 probes through the COMPACTED handle. The output — and
+    * so the oracle — is exactly x210's: compaction is a row-identity
+    * layout rewrite, and a compaction that dropped, duplicated or
+    * corrupted any digest row would flip an admission status and
+    * break the hash. PlanSpec pins that the day-3 probe's executed
+    * plan scans the compacted root, not the fragmented one. */
+  private val x214CompactedLedgerProbe = GraftQuery(
+    "x214_compacted_ledger_probe",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+      val ledger0 = Dedup.saveDigestStore(docs, "doc_id", "text",
+        s"$root/x214_digests")
+      val dup2 = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val novel2 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val intake2 = dup2.unionByName(novel2)
+      val flagged2 = Dedup.incrementalExactDuplicates(
+        ledger0, intake2, "doc_id", "text").localCheckpoint(true)
+      val admitted2 = intake2.join(
+        flagged2.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      Dedup.appendToDigestStore(ledger0, s"$root/x214_digests",
+        admitted2, "doc_id", "text")
+      // monthly maintenance: rewrite the fragmented tree blue/green;
+      // day 3 reads ONLY the compacted root
+      val compacted = Dedup.compactDigestStore(s, s"$root/x214_digests",
+        s"$root/x214_digests_compact")
+      val rep3 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val dup3 = docs
+        .filter(col("doc_id") >= 100 && col("doc_id") < 150 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text"))
+      val new3 = docs
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val intake3 = rep3.unionByName(dup3).unionByName(new3)
+      val flagged3 = Dedup.incrementalExactDuplicates(
+        compacted, intake3, "doc_id", "text").localCheckpoint(true)
+      val admitted3 = intake3.join(
+        flagged3.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      flagged3
+        .select(col("batch_id").as("doc_id"),
+          lit("duplicate").as("status"), col("dup_id"))
+        .unionByName(admitted3.select(col("doc_id"),
+          lit("admitted").as("status"),
+          lit(null).cast("bigint").as("dup_id")))
+        .orderBy(col("doc_id"), col("dup_id"))
+    },
+    Some("""WITH cd0 AS MATERIALIZED (
+        SELECT md5(text) AS digest, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)),
+      i2 AS MATERIALIZED (
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL),
+      ib2 AS MATERIALIZED (SELECT id, md5(text) AS digest FROM i2),
+      ch2 AS (SELECT ib2.id FROM ib2 JOIN cd0 USING (digest)),
+      kb2 AS (SELECT digest, min(id) AS k FROM ib2 GROUP BY digest),
+      bh2 AS (SELECT ib2.id FROM ib2 JOIN kb2 USING (digest)
+        WHERE ib2.id > kb2.k),
+      fl2 AS MATERIALIZED (SELECT id FROM ch2 UNION SELECT id FROM bh2),
+      app2 AS MATERIALIZED (
+        SELECT digest, min(id) AS keeper FROM ib2
+        WHERE id NOT IN (SELECT id FROM fl2)
+          AND digest NOT IN (SELECT digest FROM cd0 WHERE digest IS NOT NULL)
+        GROUP BY digest),
+      led2 AS MATERIALIZED (
+        SELECT digest, keeper FROM cd0
+        UNION ALL SELECT digest, keeper FROM app2),
+      i3 AS MATERIALIZED (
+        SELECT doc_id + 3000000 AS id,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+          AS text
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 4000000, text FROM documents
+        WHERE doc_id >= 100 AND doc_id < 150 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 5000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 400 AND doc_id < 500 AND text IS NOT NULL),
+      ib3 AS MATERIALIZED (SELECT id, md5(text) AS digest FROM i3),
+      ch3 AS (SELECT ib3.id, led2.keeper AS dup_id
+        FROM ib3 JOIN led2 USING (digest)),
+      kb3 AS (SELECT digest, min(id) AS k FROM ib3 GROUP BY digest),
+      bh3 AS (SELECT ib3.id, kb3.k AS dup_id
+        FROM ib3 JOIN kb3 USING (digest) WHERE ib3.id > kb3.k),
+      fl3 AS MATERIALIZED (
+        SELECT * FROM ch3 UNION ALL SELECT * FROM bh3)
+      SELECT id AS doc_id, 'duplicate' AS status, dup_id FROM fl3
+      UNION ALL
+      SELECT id, 'admitted', CAST(NULL AS BIGINT) FROM i3
+      WHERE id NOT IN (SELECT id FROM fl3)
+      ORDER BY doc_id, dup_id"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -8220,7 +8462,8 @@ object Extensions extends QueryModule {
     x205SemdedupTwoLevelDeep, x206EmbeddingNearDupIncremental,
     x207ClassifierApplySplit, x208PersistedStoreRoundtrip,
     x209IncrementalIntake, x210IncrementalIntakeDay3,
-    x211StreamingAdmission, x212EmbeddingAppendProbe)
+    x211StreamingAdmission, x212EmbeddingAppendProbe,
+    x213MinhashAppendProbe, x214CompactedLedgerProbe)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -252,29 +252,51 @@ object EventStreams {
     * This is `foreachBatch`, not a plan transform: the probe needs a
     * per-batch localCheckpoint and the append is a side-effecting
     * write — neither exists in a continuous plan. Failure semantics
-    * are the standard foreachBatch at-least-once: the LEDGER append
-    * is idempotent on replay (the append's anti-join skips digests
-    * already present), but a batch replayed after its append
-    * committed re-flags its own docs against their just-appended
-    * keepers (self-rows (X, X)) and re-appends nothing — dedup the
-    * OUTPUT on doc_id downstream if the job ever restarts mid-batch;
-    * a completed batch is never re-run (checkpointed offsets).
+    * are the standard foreachBatch at-least-once, with the two
+    * side-effects ORDERED so replay can only duplicate, never
+    * corrupt (r18 advice — the medium item): the OUTPUT commits
+    * FIRST, the ledger append second. A batch replayed after the
+    * output committed but before the append re-probes the identical
+    * (un-appended) ledger, re-emits the identical rows (exact
+    * duplicates — dedup the output on doc_id downstream if the job
+    * ever restarts mid-batch) and then appends; the append itself is
+    * idempotent on replay (its anti-join skips digests already
+    * present). With the OLD order — append first — a replayed batch
+    * flagged its own admitted docs as self-duplicates (X,'duplicate',
+    * X) through their just-appended keepers, an ambiguity no
+    * downstream dedup could resolve. A completed batch is never
+    * re-run (checkpointed offsets).
     *
     * Scale shape: per batch — one intake-sized checkpoint, one
     * map-only scan of the ledger's 32-byte digests with the tiny
     * batch broadcast (never a corpus-text rescan), one batch-sized
-    * append. The stream's steady-state cost is ∝ daily intake, the
-    * exact economics the store trio exists for. */
+    * append; both per-batch checkpoints are released
+    * deterministically at the end of the body
+    * ([[graft.Persistence.release]] — a continuous run would
+    * otherwise accumulate checkpoint blocks until GC, r18 advice).
+    * The stream's steady-state cost is ∝ daily intake, the exact
+    * economics the store trio exists for — except the ledger
+    * LISTING, which grows with the append count (one file per batch)
+    * until [[graft.ops.Dedup.compactDigestStore]] rewrites the tree
+    * (measured: IncrementalRehearsal's `stream` family). Returns the
+    * completed query — `recentProgress` carries per-batch durations
+    * for exactly that measurement. */
   def runIncrementalAdmission(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val store = graft.ops.Dedup.loadDigestStore(
           batch.sparkSession, storePath)
-        val flagged = graft.ops.Dedup.incrementalExactDuplicates(
-          store, batch, idCol, textCol).localCheckpoint(true)
+        // probe's plan leaves include the batch-digest checkpoint made
+        // inside incrementalExactDuplicates — released below once
+        // flagged is eagerly materialized
+        val probe = graft.ops.Dedup.incrementalExactDuplicates(
+          store, batch, idCol, textCol)
+        val flagged = probe.localCheckpoint(true)
+        graft.Persistence.release(probe)
         // admitted feeds the append AND the output union — checkpoint
         // (the N-subplans rule; a micro-batch is bounded)
         val admitted = batch
@@ -282,8 +304,7 @@ object EventStreams {
           .join(flagged.select(col("batch_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
           .localCheckpoint(true)
-        graft.ops.Dedup.appendToDigestStore(store, storePath, admitted,
-          idCol, textCol)
+        // output FIRST, append second (see failure semantics above)
         flagged
           .groupBy(col("batch_id").as(idCol))
           .agg(min(col("dup_id")).as("dup_id"))
@@ -292,11 +313,16 @@ object EventStreams {
             lit("admitted").as("status"),
             lit(null).cast("bigint").as("dup_id")))
           .write.mode("append").parquet(outDir)
+        graft.ops.Dedup.appendToDigestStore(store, storePath, admitted,
+          idCol, textCol)
+        graft.Persistence.release(flagged)
+        graft.Persistence.release(admitted)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q
   }
 
   /** Run a streaming query to completion against a static directory

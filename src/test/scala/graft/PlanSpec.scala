@@ -737,6 +737,68 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("x213: the verified probe's banding reads the APPENDED minhash store from disk") {
+    // x212's pin for the text member (r18 verdict #2): the probe's
+    // executed plan must scan the store path — a probe that silently
+    // re-signed the corpus in-session would pass row equality while
+    // testing nothing
+    // the carrier itself checkpoints the candidate stage (cands +
+    // batchGrams feed multiple joins — the N-subplans rule), so ITS
+    // plan shows Scan ExistingRDD; the store-scan pin goes through a
+    // fresh probe on the loaded handle, the x210 workaround
+    val plan = executedPlan("x213_minhash_append_probe")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"candidates must be checkpoint-materialized:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the appended store holds corpus + the 100 day-2 replica rows
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val store = graft.ops.Dedup.loadMinhashSignatures(spark,
+      s"$root/x213_minhash")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(store.signatures.count() == nDocs + 100,
+      "append must have grown the signature store by exactly the day-2 batch")
+    // and the probe's banding provably scans the appended store path
+    val probe = graft.ops.Dedup.incrementalMinhashNearDuplicates(store,
+      Tables.documents(spark, sfDir).limit(5), "doc_id", "text",
+      threshold = 0.0, bands = 32)
+    probe.collect()
+    val pplan = probe.queryExecution.executedPlan.toString
+    assert(pplan.contains("x213_minhash"),
+      s"probe banding must scan the persisted signatures:\n${pplan.take(3000)}")
+  }
+
+  test("x214: day-3 probes through the COMPACTED ledger root; compaction is row-identity on disk") {
+    // the maintenance pass's mechanism pin (r18 verdict #1): executing
+    // the carrier leaves BOTH roots on disk — the append-fragmented
+    // original and the blue/green compacted rewrite; the compacted
+    // tree must hold the identical row set in fewer files, and a
+    // probe through the compacted handle must provably scan it
+    val plan = executedPlan("x214_compacted_ledger_probe")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"flagged3 must be checkpoint-materialized:\n${plan.take(3000)}")
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val frag = graft.ops.Dedup.loadDigestStore(spark,
+      s"$root/x214_digests")
+    val comp = graft.ops.Dedup.loadDigestStore(spark,
+      s"$root/x214_digests_compact")
+    def rows(s: graft.ops.Dedup.DigestStore) = s.digests.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(comp) == rows(frag),
+      "compaction must preserve the ledger row-for-row")
+    def files(p: String): Int = new java.io.File(s"$p/digests")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(s"$root/x214_digests_compact") <
+      files(s"$root/x214_digests"),
+      "compaction must reduce the file count of the fragmented tree")
+    // and the day-3-style probe through the compacted handle scans it
+    val probe = graft.ops.Dedup.incrementalExactDuplicates(comp,
+      Tables.documents(spark, sfDir).limit(5), "doc_id", "text")
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("x214_digests_compact"),
+      "probe must scan the compacted ledger root")
+  }
+
   /** The BroadcastNestedLoopJoin allowlist for the whole-registry
     * sweep (r12 verdict #3): every entry names the BOUND that keeps
     * the nested loop from being a scale hazard — either a side that

@@ -355,6 +355,131 @@ class OpsSpec extends AnyFunSuite {
       s"day-3 must flag through the appended ledger: $out3")
   }
 
+  test("compactDigestStore: row-identical, probe-identical, fewer files, blue/green only") {
+    // the append story's second half (r18 verdict #1): appends land
+    // one+ file per call and every probe re-lists the tree — the
+    // compaction rewrite must change the LAYOUT and nothing else
+    val corpus = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val dir = graft.TempDirs.createCleaned("digest_compact_spec")
+    var store = Dedup.saveDigestStore(corpus, "doc_id", "text", dir)
+    // accumulate appends (each lands its own file(s))
+    (0 until 5).foreach { i =>
+      val b = Seq((100L + i, s"novel $i")).toDF("doc_id", "text")
+      store = Dedup.appendToDigestStore(store, dir, b, "doc_id", "text")
+    }
+    def files(p: String): Int = {
+      val d = new java.io.File(s"$p/digests")
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    }
+    val preFiles = files(dir)
+    assert(preFiles >= 6, s"appends must have fragmented the tree: $preFiles")
+    val preRows = store.digests.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Seq((200L, "a b"), (201L, "novel 3"), (202L, "fresh"))
+      .toDF("doc_id", "text")
+    val preProbe = Dedup.incrementalExactDuplicates(store, batch,
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val out = graft.TempDirs.createCleaned("digest_compact_spec_out")
+    val compacted = Dedup.compactDigestStore(spark, dir, out)
+    assert(files(out) == 1, "7 tiny appends must compact to one file")
+    val postRows = compacted.digests.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(postRows == preRows, "compaction must be row-identity")
+    val postProbe = Dedup.incrementalExactDuplicates(compacted, batch,
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(postProbe == preProbe, "probe through the compacted handle must not move")
+    // in-place compaction is a read-under-overwrite: refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.compactDigestStore(spark, dir, dir)
+    }
+  }
+
+  test("compact sketch stores: meta verbatim, signatures row-identical") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about database engines"))
+      .toDF("doc_id", "text")
+    val mhDir = graft.TempDirs.createCleaned("mh_compact_spec")
+    var mh = Dedup.saveMinhashSignatures(corpus, "doc_id", "text", mhDir,
+      numHashes = 32, shingleSize = 3)
+    mh = Dedup.appendToMinhashSignatures(mh, mhDir,
+      Seq((10L, "a fresh admitted document")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val mhOut = graft.TempDirs.createCleaned("mh_compact_spec_out")
+    val mhC = Dedup.compactMinhashSignatures(spark, mhDir, mhOut)
+    assert(mhC.numHashes == 32 && mhC.shingleSize == 3,
+      "meta must travel verbatim — compaction never re-sizes")
+    def sigRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(sigRows(mhC.signatures) == sigRows(mh.signatures))
+
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val esDir = graft.TempDirs.createCleaned("es_compact_spec")
+    var es = Dedup.saveEmbeddingSignatures(emb, "vec_id", "embedding",
+      esDir, numBits = 16, bands = 4)
+    es = Dedup.appendToEmbeddingSignatures(es, esDir,
+      Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val esOut = graft.TempDirs.createCleaned("es_compact_spec_out")
+    val esC = Dedup.compactEmbeddingSignatures(spark, esDir, esOut)
+    assert(esC.numBits == 16 && esC.bands == 4 && esC.seed == es.seed)
+    def esRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(esRows(esC.signatures) == esRows(es.signatures))
+    // probe through the compacted handle ≡ through the fragmented one
+    val probe = Seq((20L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val vecs = emb.unionByName(
+      Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    def hits(st: Dedup.EmbeddingSignatureStore) =
+      Dedup.incrementalEmbeddingNearDuplicates(st, vecs, probe,
+        "vec_id", "embedding", threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(esC) == hits(es) && hits(esC) == Set((20L, 1L), (20L, 10L)))
+  }
+
+  test("incrementalVerifiedTextDuplicates: exact jaccard through the store, per-provenance") {
+    // corpus: 1 and 3 exact dups, 2 near-dup of 1, 4 unrelated
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the ocean"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river"),
+      (4L, "spark catalyst optimizer rewrites logical plans"))
+      .toDF("doc_id", "text")
+    val dir = graft.TempDirs.createCleaned("verified_probe_spec")
+    val store = Dedup.saveMinhashSignatures(corpus, "doc_id", "text", dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river"),
+      (12L, "entirely novel delta document about watermark semantics"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalVerifiedTextDuplicates(store, corpus, batch,
+      "doc_id", "text", threshold = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    // threshold-1.0 recall is exactly 1 on identical texts: 10 and 11
+    // hit BOTH corpus copies (1 and 3) at jaccard 1.0, plus each other
+    // once ('batch', smaller id first); the near-dup 2 verifies < 1.0
+    // and is filtered; 12 matches nothing
+    assert(out == Set(
+      (10L, 1L, 1.0, "corpus"), (10L, 3L, 1.0, "corpus"),
+      (11L, 1L, 1.0, "corpus"), (11L, 3L, 1.0, "corpus"),
+      (10L, 11L, 1.0, "batch")), s"got $out")
+    // mid threshold: the exact score is the brute-force trigram
+    // jaccard, not the minhash estimate
+    val mid = Dedup.incrementalVerifiedTextDuplicates(store, corpus, batch,
+      "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc 2 differs from the probe in the last token: 9 shared grams
+    // of 10/10 distinct grams -> J = 9/11
+    assert(mid((10L, 2L)) == math.rint(9.0 / 11.0 * 10000) / 10000)
+  }
+
   test("incremental minhash == full run restricted to batch-touching pairs") {
     val corpus = docs.filter(col("doc_id").isin(1L, 3L, 5L))
     val batch = Seq(
