@@ -73,7 +73,11 @@ object Bench {
       "multi-stage streaming curation run-to-completion: wall = per-batch commit latency",
     "x211_streaming_admission" ->
       ("foreachBatch admission stream run-to-completion: wall = 3 micro-batch " +
-        "commits, each a ledger probe + store append, driver-paced"))
+        "commits, each a ledger probe + store append, driver-paced"),
+    "x215_streaming_neardup_admission" ->
+      ("foreachBatch near-dup admission stream run-to-completion: wall = 3 " +
+        "micro-batch commits, each a verified store probe + two appends, " +
+        "driver-paced"))
 
   /** Checkpointed / unrolled ITERATIVE-ROUNDS rows (r13): their plans
     * are many tiny sequential jobs — pointer-jumping CC rounds,

@@ -8277,6 +8277,145 @@ object Extensions extends QueryModule {
       FROM probe a JOIN probe b ON a.gk = b.gk AND a.id < b.id
       ORDER BY doc_id, dup_id"""))
 
+  /** One near-dup admission-stream run per (session, sfDir) — the
+    * x211Runs discipline for the SKETCH member: day-0 = minhash
+    * signature store over the corpus + the corpus TEXT store seeded,
+    * then three id-ordered micro-batches through
+    * [[graft.streaming.EventStreams.runIncrementalNearDupAdmission]]
+    * at maxFilesPerTrigger=1 — each batch's admitted docs join BOTH
+    * stores before the next batch probes. */
+  private val x215Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def x215OutDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    x215Runs.computeIfAbsent(graft.SessionKeys.of(s) + "|" + dir, _ => {
+      val root = storeRootFor(dir)
+      val src = graft.TempDirs.createCleaned("graft_x215_src")
+      val out = graft.TempDirs.createCleaned("graft_x215_out")
+      val ck = graft.TempDirs.createCleaned("graft_x215_ck")
+      val docs = Tables.documents(s, dir)
+      Dedup.saveMinhashSignatures(docs, "doc_id", "text",
+        s"$root/x215_minhash")
+      // seed the corpus TEXT store (the verification side the stream
+      // itself grows); overwrite = a re-invocation replays day-0
+      docs.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/x215_corpus")
+      def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+      val b0 = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val b1 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val b2 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+            col("text").isNotNull)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+            rev(col("text")).as("text")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.TempDirs.createCleaned(s"graft_x215_stage$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      graft.streaming.EventStreams.runIncrementalNearDupAdmission(stream,
+        s"$root/x215_minhash", s"$root/x215_corpus", out, ck,
+        "doc_id", "text", threshold = 1.0)
+      out
+    })
+
+  /** NEAR-DUP admission as a structured stream — x211's shape for the
+    * SKETCH member of the store trio, and the full production loop:
+    * each micro-batch probes the minhash signature store with EXACT
+    * gram-set verification, and its admitted docs join BOTH the
+    * corpus text store and the signature store before the next batch
+    * probes. At threshold 1.0, verified Jaccard 1.0 ⇔ identical gram
+    * SETS — an equivalence relation — so the output is
+    * batching-invariant: admitted = each class's minimum id unless
+    * the class has a corpus member; flagged docs carry
+    * dup_id = COALESCE(min corpus id in class, min intake id in
+    * class), regardless of how the intake splits into batches. The
+    * three batches exercise all the cross-batch paths: b0 = corpus
+    * replicas (flag through day-0 signatures), b1 = token-reversed
+    * novel content (admitted, APPENDED), b2 = copies of b1's content
+    * (+3·10⁶ — must flag `corpus` with b1's admitted keeper THROUGH
+    * THE APPENDED store; a lost append or stale reload admits them
+    * and breaks the hash) plus fresh reversed docs (+4·10⁶, admission
+    * must still work on the grown store). The oracle is the class
+    * algebra in SQL (the x42 gram-key form + the x211 reduction) —
+    * no planted-answer premise; palindromes and real corpus dups
+    * fall out of the same algebra on both sides. */
+  private val x215StreamingNearDupAdmission = GraftQuery(
+    "x215_streaming_neardup_admission",
+    (s, dir) => s.read.parquet(x215OutDir(s, dir))
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      g AS MATERIALIZED (
+        SELECT doc_id, list_sort(list_distinct(CASE WHEN len(t) < 3
+          THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 1),
+            i -> array_to_string(t[i:i+2], ' ')) END)) AS gk
+        FROM tok),
+      intake AS MATERIALIZED (
+        SELECT doc_id + 1000000 AS id, text FROM documents
+        WHERE doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 3000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 300 AND doc_id < 400 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 4000000,
+          array_to_string(list_reverse(string_split_regex(text, '\s+')), ' ')
+        FROM documents
+        WHERE doc_id >= 400 AND doc_id < 500 AND text IS NOT NULL),
+      itok AS MATERIALIZED (
+        SELECT id, string_split_regex(lower(text), '\s+') AS t FROM intake),
+      ig AS MATERIALIZED (
+        SELECT id, list_sort(list_distinct(CASE WHEN len(t) < 3
+          THEN [array_to_string(t, ' ')]
+          ELSE list_transform(range(1, len(t) - 1),
+            i -> array_to_string(t[i:i+2], ' ')) END)) AS gk
+        FROM itok),
+      cmin AS MATERIALIZED (SELECT gk, min(doc_id) AS k FROM g GROUP BY gk),
+      imin AS MATERIALIZED (SELECT gk, min(id) AS k FROM ig GROUP BY gk),
+      lab AS MATERIALIZED (
+        SELECT ig.id, c.k AS ck, i.k AS ik
+        FROM ig LEFT JOIN cmin c ON ig.gk = c.gk
+                JOIN imin i ON ig.gk = i.gk)
+      SELECT id AS doc_id, 'duplicate' AS status,
+        COALESCE(ck, ik) AS dup_id
+      FROM lab WHERE NOT (ck IS NULL AND id = ik)
+      UNION ALL
+      SELECT id, 'admitted', CAST(NULL AS BIGINT)
+      FROM lab WHERE ck IS NULL AND id = ik
+      ORDER BY doc_id"""))
+
   /** x210's day-3 admission THROUGH A COMPACTED LEDGER — the
     * maintenance pass's correctness carrier (r18 verdict #1's "done"
     * bar): day-0 save, day-2 probe + admission + append (the x210
@@ -8463,7 +8602,8 @@ object Extensions extends QueryModule {
     x207ClassifierApplySplit, x208PersistedStoreRoundtrip,
     x209IncrementalIntake, x210IncrementalIntakeDay3,
     x211StreamingAdmission, x212EmbeddingAppendProbe,
-    x213MinhashAppendProbe, x214CompactedLedgerProbe)
+    x213MinhashAppendProbe, x214CompactedLedgerProbe,
+    x215StreamingNearDupAdmission)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -252,20 +252,23 @@ object EventStreams {
     * This is `foreachBatch`, not a plan transform: the probe needs a
     * per-batch localCheckpoint and the append is a side-effecting
     * write — neither exists in a continuous plan. Failure semantics
-    * are the standard foreachBatch at-least-once, with the two
-    * side-effects ORDERED so replay can only duplicate, never
-    * corrupt (r18 advice — the medium item): the OUTPUT commits
-    * FIRST, the ledger append second. A batch replayed after the
-    * output committed but before the append re-probes the identical
-    * (un-appended) ledger, re-emits the identical rows (exact
-    * duplicates — dedup the output on doc_id downstream if the job
-    * ever restarts mid-batch) and then appends; the append itself is
-    * idempotent on replay (its anti-join skips digests already
-    * present). With the OLD order — append first — a replayed batch
-    * flagged its own admitted docs as self-duplicates (X,'duplicate',
-    * X) through their just-appended keepers, an ambiguity no
-    * downstream dedup could resolve. A completed batch is never
-    * re-run (checkpointed offsets).
+    * are the standard foreachBatch at-least-once, made FULLY
+    * IDEMPOTENT up to duplicate output rows (r18 advice — the medium
+    * item, closed in two parts): (1) the OUTPUT commits before the
+    * ledger append, so a replay in the window between them re-probes
+    * the identical un-appended ledger and re-emits identical rows;
+    * (2) SELF-rows (batch_id == dup_id) are filtered from the flag
+    * set — admission intake ids are new by contract, so a self-row
+    * can only be the batch's OWN append seen by a replay that failed
+    * after the append committed; with the filter that replay
+    * reproduces the original statuses exactly (other same-batch
+    * matches reduce to the same min keeper) and the append anti-join
+    * then no-ops. Net: any replay appends duplicate-but-CORRECT
+    * output rows — dedup the output on doc_id downstream if the job
+    * ever restarts mid-batch; with the OLD append-first order a
+    * replay flagged its own admitted docs as self-duplicates, an
+    * ambiguity no downstream dedup could resolve. A completed batch
+    * is never re-run (checkpointed offsets).
     *
     * Scale shape: per batch — one intake-sized checkpoint, one
     * map-only scan of the ledger's 32-byte digests with the tiny
@@ -295,7 +298,14 @@ object EventStreams {
         // flagged is eagerly materialized
         val probe = graft.ops.Dedup.incrementalExactDuplicates(
           store, batch, idCol, textCol)
-        val flagged = probe.localCheckpoint(true)
+        // drop SELF-rows (batch_id == dup_id): admission intake ids
+        // are new by contract, so a self-row can only be the batch's
+        // own append seen by a replay — filtering it makes replay
+        // fully idempotent in EVERY failure window (see scaladoc; the
+        // revision-check semantics of self-rows belong to the raw
+        // incrementalExactDuplicates, not to admission)
+        val flagged = probe.filter(col("batch_id") =!= col("dup_id"))
+          .localCheckpoint(true)
         graft.Persistence.release(probe)
         // admitted feeds the append AND the output union — checkpoint
         // (the N-subplans rule; a micro-batch is bounded)
@@ -317,6 +327,109 @@ object EventStreams {
           idCol, textCol)
         graft.Persistence.release(flagged)
         graft.Persistence.release(admitted)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Stream-static NEAR-DUP admission — [[runIncrementalAdmission]]'s
+    * shape for the SKETCH member of the store trio (the full
+    * production loop: an admitted doc joins the corpus TEXT store and
+    * the signature store, so later batches dedup against it without
+    * any corpus re-shingle). Per micro-batch:
+    *
+    *   1. probe: [[graft.ops.Dedup.incrementalVerifiedTextDuplicates]]
+    *      through the signature store loaded fresh (store banding is a
+    *      map-only signature scan; shingling runs over the batch plus
+    *      candidate-HIT corpus docs only, via `corpusTextsPath` —
+    *      which the stream itself grows, step 3);
+    *   2. output: one (doc_id, status, min dup_id) row per batch doc,
+    *      committed BEFORE the appends (the replay-ordering rule);
+    *   3. append: admitted docs anti-joined against the store's ids
+    *      (replay-idempotent — the digest-append discipline applied to
+    *      a sketch append whose own contract is new-ids-only), then
+    *      their TEXTS land under `corpusTextsPath` and their
+    *      signatures under the store (texts first: a replay between
+    *      the two can only duplicate text rows, which duplicates
+    *      verify rows the min-reduction collapses — never a signature
+    *      row, so the store stays keyed-unique). SELF-rows are
+    *      filtered from the flag set, so a replay after the sig
+    *      append reproduces the original statuses and the anti-join
+    *      no-ops — the [[runIncrementalAdmission]] idempotence
+    *      argument verbatim.
+    *
+    * BATCHING-INVARIANT ONLY AT threshold = 1.0: verified Jaccard 1.0
+    * ⇔ identical gram SETS, an equivalence relation, so the admitted
+    * set is the class-minimum rule regardless of batch splits
+    * (EventStreamsSpec pins stream ≡ the class algebra; the x215
+    * carrier replays it in SQL). At mid thresholds similarity is not
+    * transitive and greedy online admission depends on the batch
+    * split — outputs are valid online-dedup decisions but carry no
+    * SQL oracle; keep such runs rows-only.
+    *
+    * Scale shape: per batch — one batch shingle+sign pass, one
+    * map-only store banding scan, verification on candidates only,
+    * two batch-sized appends; per-batch checkpoints released at end
+    * of body. The store tree grows one file per batch —
+    * [[graft.ops.Dedup.compactMinhashSignatures]] is the maintenance
+    * pass, same economics as the digest ledger (measured:
+    * SCALE_REHEARSAL_r19_stream.json). */
+  def runIncrementalNearDupAdmission(docs: DataFrame, storePath: String,
+      corpusTextsPath: String, outDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 1.0, bands: Int = 32):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store = graft.ops.Dedup.loadMinhashSignatures(spark, storePath)
+        val corpusTexts = spark.read.parquet(corpusTextsPath)
+        val probe = graft.ops.Dedup.incrementalVerifiedTextDuplicates(
+          store, corpusTexts, batch, idCol, textCol, threshold, bands)
+        // REORIENT batch-internal pairs: the probe emits them with
+        // the SMALLER id as batch_id (the estimate-probe convention),
+        // but admission flags the LARGER id against the min keeper —
+        // without the swap a same-batch dup class would admit its
+        // LAST member and flag the keeper (EventStreamsSpec fixture
+        // caught it; the real corpus has no intra-batch dup classes,
+        // so the carrier alone could not). Then the self-row filter:
+        // replay idempotence, the exact-admission rule.
+        val oriented = probe.filter(col("dup_in") === "corpus")
+          .unionByName(probe.filter(col("dup_in") === "batch")
+            .select(col("dup_id").as("batch_id"),
+              col("batch_id").as("dup_id"), col("jaccard"), col("dup_in")))
+        val flagged = oriented.filter(col("batch_id") =!= col("dup_id"))
+          .localCheckpoint(true)
+        graft.Persistence.release(probe)
+        val admitted = batch
+          .select(col(idCol), col(textCol))
+          .join(flagged.select(col("batch_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        // output FIRST (the runIncrementalAdmission replay rule)
+        flagged
+          .groupBy(col("batch_id").as(idCol))
+          .agg(min(col("dup_id")).as("dup_id"))
+          .select(col(idCol), lit("duplicate").as("status"), col("dup_id"))
+          .unionByName(admitted.select(col(idCol),
+            lit("admitted").as("status"),
+            lit(null).cast("bigint").as("dup_id")))
+          .write.mode("append").parquet(outDir)
+        // appends, made replay-idempotent on the SIGNATURE store's ids
+        val newAdmits = admitted
+          .join(store.signatures.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        newAdmits.write.mode("append").parquet(corpusTextsPath)
+        graft.ops.Dedup.appendToMinhashSignatures(store, storePath,
+          newAdmits, idCol, textCol)
+        graft.Persistence.release(flagged)
+        graft.Persistence.release(admitted)
+        graft.Persistence.release(newAdmits)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

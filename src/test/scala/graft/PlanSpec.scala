@@ -737,6 +737,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("x215: near-dup admission grew BOTH stores across micro-batches; keyed-unique signatures") {
+    // executing the carrier runs the 3-micro-batch near-dup admission
+    // stream; afterwards the signature store AND the corpus text
+    // store must hold day-0 plus every admitted doc (the full
+    // production loop: admitted docs join both stores), with the
+    // signature store keyed-unique (the anti-joined append)
+    val plan = executedPlan("x215_streaming_neardup_admission")
+    assert((plan.contains("Scan parquet") || plan.contains("FileScan")) &&
+      plan.contains("Sort"), plan.take(3000))
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val store = graft.ops.Dedup.loadMinhashSignatures(spark,
+      s"$root/x215_minhash")
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val nSigs = store.signatures.count()
+    assert(nSigs > nDocs,
+      "stream appends must have grown the signature store past day-0")
+    assert(store.signatures.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "signature store must stay keyed-unique across micro-batch appends")
+    val nTexts = spark.read.parquet(s"$root/x215_corpus").count()
+    assert(nTexts == nSigs,
+      s"corpus text store ($nTexts) must grow in lockstep with the " +
+        s"signature store ($nSigs) — every admitted doc joins both")
+  }
+
   test("x213: the verified probe's banding reads the APPENDED minhash store from disk") {
     // x212's pin for the text member (r18 verdict #2): the probe's
     // executed plan must scan the store path — a probe that silently

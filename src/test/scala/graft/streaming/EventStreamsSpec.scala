@@ -335,10 +335,157 @@ class EventStreamsSpec extends AnyFunSuite {
       .parquet(srcDir)
     EventStreams.runIncrementalAdmission(stream2, storeDir, outDir2, ckDir2,
       "doc_id", "text")
+    val ledgerAfterRun1 = Dedup.loadDigestStore(spark, storeDir)
+      .digests.count()
     val rerun = spark.read.parquet(outDir2).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(rerun.forall(_._2 == "duplicate"),
-      "a replayed intake against the grown ledger must admit nothing")
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // the r19 idempotent-replay contract (self-rows filtered): a
+    // replayed intake REPRODUCES the original statuses exactly —
+    // run-1-admitted ids re-admit as pure no-ops (their ledger keeper
+    // is themselves; the append anti-join skips them), content dups
+    // re-flag with the same keepers. The pre-r19 behavior flagged the
+    // admitted ids as self-duplicates (X,'duplicate',X) — the
+    // corrupting ambiguity the r18 advice named.
+    assert(rerun == got,
+      s"a replayed intake must reproduce the original statuses: " +
+        s"rerun-only=${(rerun diff got).take(5)} " +
+        s"orig-only=${(got diff rerun).take(5)}")
+    assert(Dedup.loadDigestStore(spark, storeDir).digests.count() ==
+      ledgerAfterRun1, "the replay must append nothing")
+  }
+
+  test("near-dup admission stream: class-minimum algebra across batches; both stores grow in lockstep") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // threshold-1.0 gram-set classes on a hand fixture:
+    //   corpus: 1,2 same class A (exact copies); 3 class B
+    //   batch 1: 10 = class A (flags corpus, dup 1); 11 = class C
+    //            (novel -> admitted + appended); 12 = class C
+    //            (same-batch dup of 11)
+    //   batch 2: 20 = class C (must flag through the APPENDED store,
+    //            dup 11); 21 = class B (flags corpus, dup 3);
+    //            22 = class D (admitted on the grown store)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "omicron pi rho sigma tau"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "lambda mu nu xi kappa"),
+      (12L, "lambda mu nu xi kappa")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "lambda mu nu xi kappa"),
+      (21L, "omicron pi rho sigma tau"),
+      (22L, "phi chi psi omega iota")).toDF("doc_id", "text")
+    val sigDir = graft.TempDirs.createCleaned("graft_nda_sig")
+    val txtDir = graft.TempDirs.createCleaned("graft_nda_txt")
+    Dedup.saveMinhashSignatures(corpus, "doc_id", "text", sigDir)
+    corpus.write.mode("overwrite").parquet(txtDir)
+    val srcDir = graft.TempDirs.createCleaned("graft_nda_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val tmp = graft.TempDirs.createCleaned(s"graft_nda_stage$i")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"intake_$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val outDir = graft.TempDirs.createCleaned("graft_nda_out")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    EventStreams.runIncrementalNearDupAdmission(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      sigDir, txtDir, outDir,
+      graft.TempDirs.createCleaned("graft_nda_ck"), "doc_id", "text")
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      (10L, "duplicate", 1L),
+      (11L, "admitted", -1L),
+      (12L, "duplicate", 11L),
+      (20L, "duplicate", 11L), // through the batch-1 APPEND
+      (21L, "duplicate", 3L),
+      (22L, "admitted", -1L)), s"got $out")
+    // both stores grew by exactly the admitted docs {11, 22}
+    val sigs = Dedup.loadMinhashSignatures(spark, sigDir).signatures
+    assert(sigs.count() == 5L)
+    assert(spark.read.parquet(txtDir).count() == 5L)
+    assert(sigs.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
+  test("admission stop -> compact -> restart: new root serves the grown history; only new files process") {
+    import graft.ops.Dedup
+    // the operational maintenance story end-to-end: run the admission
+    // stream, STOP, compact the append-fragmented ledger blue/green,
+    // point the restarted stream at the COMPACTED root — the restart
+    // consumes only files staged since (same checkpoint), flags
+    // day-3 replicas through the compacted ledger (which must hold
+    // the day-2 appends), and its own appends land in the new root.
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+      reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+    val day2 = docs.filter(col("doc_id") >= 320 && col("doc_id") < 340)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    val day3 = docs.filter(col("doc_id") >= 320 && col("doc_id") < 340)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+        rev(col("text")).as("text"))
+    val srcDir = graft.TempDirs.createCleaned("graft_acr_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = graft.TempDirs.createCleaned("graft_acr_stage")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val storeDir = graft.TempDirs.createCleaned("graft_acr_store")
+    val compactDir = graft.TempDirs.createCleaned("graft_acr_store_c")
+    Dedup.saveDigestStore(docs, "doc_id", "text", storeDir)
+    val outDir = graft.TempDirs.createCleaned("graft_acr_out")
+    val ckDir = graft.TempDirs.createCleaned("graft_acr_ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(store: String): Unit = EventStreams.runIncrementalAdmission(
+      spark.readStream.schema(schema).parquet(srcDir),
+      store, outDir, ckDir, "doc_id", "text")
+    stage(day2, "intake_000.parquet", 1600000000000L)
+    runOnce(storeDir)
+    val n1 = spark.read.parquet(outDir).count()
+    // STOP -> monthly maintenance: blue/green rewrite of the grown tree
+    val compacted = Dedup.compactDigestStore(spark, storeDir, compactDir)
+    val grownRows = Dedup.loadDigestStore(spark, storeDir).digests.count()
+    assert(compacted.digests.count() == grownRows,
+      "compaction must carry the day-2 appends into the new root")
+    // RESTART against the compacted root, same checkpoint
+    stage(day3, "intake_001.parquet", 1600000060000L)
+    runOnce(compactDir)
+    val out2 = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out2.count(_._1 < 3000000L) == n1,
+      "restart must not re-process the day-2 file")
+    val day3Rows = out2.filter(_._1 >= 3000000L)
+    assert(day3Rows.nonEmpty && day3Rows.forall(_._2 == "duplicate"),
+      "day-3 replicas must flag through the COMPACTED ledger")
+    // the restart's appends (none here — all dups) left the new root
+    // keyed-unique and at least day-2-sized
+    assert(Dedup.loadDigestStore(spark, compactDir).digests
+      .groupBy(col("content_hash")).count()
+      .filter(col("count") > 1).count() == 0L)
   }
 
   test("admission stream restart: only new files process; the grown ledger flags day-2 content") {
