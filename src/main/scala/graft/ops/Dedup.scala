@@ -495,7 +495,8 @@ object Dedup {
   def compactMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): MinhashSignatureStore = {
-    require(outPath != path,
+    require(new java.io.File(outPath).getCanonicalPath !=
+        new java.io.File(path).getCanonicalPath,
       "compaction must write to a fresh root (blue/green): in-place " +
         "would overwrite the files the rewrite is reading")
     Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",
@@ -682,7 +683,8 @@ object Dedup {
   def compactDigestStore(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): DigestStore = {
-    require(outPath != path,
+    require(new java.io.File(outPath).getCanonicalPath !=
+        new java.io.File(path).getCanonicalPath,
       "compaction must write to a fresh root (blue/green): in-place " +
         "would overwrite the files the rewrite is reading")
     Layout.compact(spark, s"$path/digests", s"$outPath/digests",
@@ -2664,7 +2666,8 @@ object Dedup {
   def compactEmbeddingSignatures(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): EmbeddingSignatureStore = {
-    require(outPath != path,
+    require(new java.io.File(outPath).getCanonicalPath !=
+        new java.io.File(path).getCanonicalPath,
       "compaction must write to a fresh root (blue/green): in-place " +
         "would overwrite the files the rewrite is reading")
     Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",

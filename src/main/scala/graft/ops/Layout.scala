@@ -81,6 +81,12 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // blue/green only (r19, the store-compaction rule): an in-place
+    // rewrite overwrites the files the scan is still reading
+    require(new java.io.File(outDir).getCanonicalPath !=
+        new java.io.File(inDir).getCanonicalPath,
+      "compact must write to a fresh directory: in-place would " +
+        "overwrite the files the rewrite is reading")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)

@@ -373,10 +373,12 @@ object EventStreams {
     * Scale shape: per batch — one batch shingle+sign pass, one
     * map-only store banding scan, verification on candidates only,
     * two batch-sized appends; per-batch checkpoints released at end
-    * of body. The store tree grows one file per batch —
-    * [[graft.ops.Dedup.compactMinhashSignatures]] is the maintenance
-    * pass, same economics as the digest ledger (measured:
-    * SCALE_REHEARSAL_r19_stream.json). */
+    * of body. BOTH appended trees grow one file per batch — the
+    * signature store ([[graft.ops.Dedup.compactMinhashSignatures]]
+    * is the maintenance pass) and the corpus text dir (a plain
+    * parquet dir: [[graft.ops.Layout.compact]] directly, same
+    * blue/green discipline) — same economics as the digest ledger
+    * (measured: SCALE_REHEARSAL_r19_stream.json). */
   def runIncrementalNearDupAdmission(docs: DataFrame, storePath: String,
       corpusTextsPath: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -390,6 +392,12 @@ object EventStreams {
         val corpusTexts = spark.read.parquet(corpusTextsPath)
         val probe = graft.ops.Dedup.incrementalVerifiedTextDuplicates(
           store, corpusTexts, batch, idCol, textCol, threshold, bands)
+        // checkpoint the RAW probe once (it feeds both orientation
+        // branches below — the N-subplans rule: two filters over the
+        // lazy frame would execute the verify joins twice), then free
+        // its internal candidate/gram checkpoints
+        val flaggedRaw = probe.localCheckpoint(true)
+        graft.Persistence.release(probe)
         // REORIENT batch-internal pairs: the probe emits them with
         // the SMALLER id as batch_id (the estimate-probe convention),
         // but admission flags the LARGER id against the min keeper —
@@ -397,14 +405,13 @@ object EventStreams {
         // LAST member and flag the keeper (EventStreamsSpec fixture
         // caught it; the real corpus has no intra-batch dup classes,
         // so the carrier alone could not). Then the self-row filter:
-        // replay idempotence, the exact-admission rule.
-        val oriented = probe.filter(col("dup_in") === "corpus")
-          .unionByName(probe.filter(col("dup_in") === "batch")
+        // replay idempotence, the exact-admission rule. Cheap
+        // projections over the checkpoint — no second checkpoint.
+        val flagged = flaggedRaw.filter(col("dup_in") === "corpus")
+          .unionByName(flaggedRaw.filter(col("dup_in") === "batch")
             .select(col("dup_id").as("batch_id"),
               col("batch_id").as("dup_id"), col("jaccard"), col("dup_in")))
-        val flagged = oriented.filter(col("batch_id") =!= col("dup_id"))
-          .localCheckpoint(true)
-        graft.Persistence.release(probe)
+          .filter(col("batch_id") =!= col("dup_id"))
         val admitted = batch
           .select(col(idCol), col(textCol))
           .join(flagged.select(col("batch_id").as(idCol)).distinct(),
@@ -427,7 +434,7 @@ object EventStreams {
         newAdmits.write.mode("append").parquet(corpusTextsPath)
         graft.ops.Dedup.appendToMinhashSignatures(store, storePath,
           newAdmits, idCol, textCol)
-        graft.Persistence.release(flagged)
+        graft.Persistence.release(flaggedRaw)
         graft.Persistence.release(admitted)
         graft.Persistence.release(newAdmits)
       }
