@@ -102,6 +102,32 @@ object Layout {
     nFiles
   }
 
+  /** Partition-preserving small-file compaction — [[compact]] for
+    * trees written with `partitionBy` (the IVF assignments layout):
+    * a plain compact would FLATTEN the directory layout and lose the
+    * PartitionFilters pruning the layout exists for. One hash
+    * repartition on the partition columns merges each partition
+    * value's accumulated append files into one file inside its
+    * directory (the writer re-splits by value); rows and the
+    * partition scheme are preserved exactly. Blue/green like
+    * [[compact]]. NAMED EXPIRY: all rows of one partition value land
+    * in one task, so a skewed partition compacts to ONE file of any
+    * size — no target-size knob can split within a value; a store
+    * whose single partition outgrows a task is a re-layout decision
+    * (finer partition key), not a compaction one. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(new java.io.File(outDir).getCanonicalPath !=
+        new java.io.File(inDir).getCanonicalPath,
+      "compact must write to a fresh directory: in-place would " +
+        "overwrite the files the rewrite is reading")
+    spark.read.parquet(inDir)
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
   /** Re-lays `df` out along the Z-curve of `colNames`: one range
     * shuffle on the z-value (contiguous curve segments per
     * partition → per-file min/max tight on EVERY participating

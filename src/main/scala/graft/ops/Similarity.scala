@@ -306,6 +306,32 @@ object Similarity {
       .parquet(s"$path/assignments")
   }
 
+  /** Compact an append-accumulated IVF index tree —
+    * [[graft.ops.Dedup.compactDigestStore]]'s shape for the ANN
+    * member, via the PARTITION-PRESERVING rewrite
+    * ([[graft.ops.Layout.compactPartitioned]]): every
+    * [[appendToIvfIndex]] call lands one+ file in each touched
+    * cluster directory, so daily appends fragment the per-cluster
+    * dirs the probe-time PartitionFilters pruning depends on; a plain
+    * flat compact would destroy that layout. Centroids ride along
+    * verbatim (compaction never re-centers — re-centering is a
+    * REBUILD, the appendToIvfIndex drift rule). Blue/green: `outPath`
+    * must be a fresh root; returns the reloaded handle over the
+    * compacted tree, probe-identical to the fragmented one
+    * (OpsSpec + the x208 `ivf_compact` section pin it). */
+  def compactIvfIndex(spark: SparkSession, path: String, outPath: String,
+      idCol: String, vecCol: String): IvfIndex = {
+    require(new java.io.File(outPath).getCanonicalPath !=
+        new java.io.File(path).getCanonicalPath,
+      "compaction must write to a fresh root (blue/green): in-place " +
+        "would overwrite the files the rewrite is reading")
+    Layout.compactPartitioned(spark, s"$path/assignments",
+      s"$outPath/assignments", Seq("cluster"))
+    spark.read.parquet(s"$path/centroids").repartition(1)
+      .write.mode("overwrite").parquet(s"$outPath/centroids")
+    loadIvfIndex(spark, outPath, idCol, vecCol)
+  }
+
   /** Load a [[saveIvfIndex]]-persisted index. The assignments frame
     * reads lazily (cluster pruning pushes to the partitioned scan);
     * centroids are collected eagerly (k rows). Column names travel

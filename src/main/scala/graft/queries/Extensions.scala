@@ -7467,7 +7467,12 @@ object Extensions extends QueryModule {
     *     shape for the sketch members): the append-fragmented
     *     mh_inc/emb_inc trees rewritten blue/green; the compacted
     *     stores must hold the identical signature row per raw id
-    *     (originals and appended) with meta verbatim.
+    *     (originals and appended) with meta verbatim;
+    *   - `ivf_compact` (r19, [[graft.ops.Similarity.compactIvfIndex]]
+    *     — the PARTITION-PRESERVING rewrite): the append-fragmented
+    *     cluster-partitioned ivf_inc tree compacted without
+    *     flattening the PartitionFilters layout; per raw id the
+    *     compacted assignments carry the identical cluster.
     *
     * Scale shape: every store is the small persisted artifact of its
     * family (rules/codebooks/weights are KB; signatures are one row
@@ -7649,6 +7654,25 @@ object Extensions extends QueryModule {
         .select(lit("embsig_append").as("store"), col("vec_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
 
+      // ---- ivf_compact (r19): the append-fragmented cluster-
+      // partitioned ivf_inc tree rewritten PARTITION-PRESERVINGLY
+      // (a flat compact would destroy the PartitionFilters layout);
+      // per raw id the compacted assignments must carry the identical
+      // cluster, centroids verbatim ----
+      val ivfCompact = Similarity.compactIvfIndex(s, s"$root/ivf_inc",
+        s"$root/ivf_inc_c", "vec_id", "embedding")
+      val ivcDomain = emb.select(col("vec_id")).unionByName(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id")))
+      val ivcOk = ivcDomain
+        .join(incAsg.select(col("vec_id"), col("cluster").as("f")),
+          Seq("vec_id"), "left")
+        .join(ivfCompact.assignments
+          .select(col("vec_id"), col("cluster").as("l")),
+          Seq("vec_id"), "left")
+        .select(lit("ivf_compact").as("store"), col("vec_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+
       // ---- minhash_compact / embsig_compact (r19, the x214 shape
       // for the sketch members): the append-fragmented mh_inc/emb_inc
       // trees rewritten blue/green through the compaction paths — the
@@ -7708,7 +7732,7 @@ object Extensions extends QueryModule {
           (col("f") <=> col("l")).as("ok"))
 
       Seq(bpeOk, embOk, emaOk, ivfOk, incOk, lrOk, mhOk, mhaOk, pqOk,
-          mhcOk, emcOk)
+          mhcOk, emcOk, ivcOk)
         .map(_.select(okCols: _*)).reduce(_.unionByName(_))
         .orderBy(col("store"), col("id"))
     },
@@ -7732,6 +7756,11 @@ object Extensions extends QueryModule {
         WHERE doc_id >= 200 AND doc_id < 250
       UNION ALL
       SELECT 'ivf_append', vec_id, true FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT 'ivf_compact', vec_id, true FROM embeddings
+      UNION ALL
+      SELECT 'ivf_compact', vec_id + 2000000, true FROM embeddings
+        WHERE vec_id < 10
       UNION ALL
       SELECT 'ivf_index', vec_id * 5 + r, true
         FROM embeddings, range(1, 6) t(r) WHERE vec_id < 20

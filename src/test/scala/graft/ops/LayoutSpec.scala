@@ -83,6 +83,35 @@ class LayoutSpec extends AnyFunSuite {
       s"expected a range exchange, got:\n${plan.take(1500)}")
   }
 
+  test("compactPartitioned: rows and partition scheme preserved; guards loud") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, (i % 4).toInt)).toDF("id", "part")
+    val in = graft.TempDirs.createCleaned("layout_cp_in")
+    df.write.mode("overwrite").partitionBy("part").parquet(in)
+    // two appends fragment each partition dir
+    df.filter($"id" <= 8).write.mode("append").partitionBy("part").parquet(in)
+    df.filter($"id" <= 4).write.mode("append").partitionBy("part").parquet(in)
+    val out = graft.TempDirs.createCleaned("layout_cp_out")
+    Layout.compactPartitioned(spark, in, out, Seq("part"))
+    def dirs(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("part=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(dirs(out).keySet == dirs(in).keySet, "partition dirs must survive")
+    assert(dirs(out).values.forall(_ == 1), s"one file per value: ${dirs(out)}")
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows(out) == rows(in), "compaction must be row-identity")
+    intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, in, in + "/", Seq("part"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, in, out + "2", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, in, in) // flat compact shares the guard
+    }
+  }
+
   test("zValue guards: dims must fit a signed long") {
     intercept[IllegalArgumentException] {
       Layout.zValue(Seq(col("a"), col("b"), col("c")), 22)

@@ -3009,6 +3009,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfIndex: partition layout preserved, per-cluster files merged, probes identical") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sfDir)
+    val built = Similarity.ivfIndex(emb.filter(col("vec_id") < 40),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val dir = graft.TempDirs.createCleaned("graft_ivf_compact")
+    Similarity.saveIvfIndex(built, dir)
+    // three daily appends fragment each touched cluster directory
+    (0 until 3).foreach { day =>
+      Similarity.appendToIvfIndex(spark, dir,
+        emb.filter(col("vec_id") >= 40 + day * 10 &&
+          col("vec_id") < 50 + day * 10), "vec_id", "embedding")
+    }
+    val frag = Similarity.loadIvfIndex(spark, dir, "vec_id", "embedding")
+    def clusterFiles(root: String): Map[String, Int] = {
+      val d = new java.io.File(s"$root/assignments")
+      d.listFiles().filter(_.getName.startsWith("cluster=")).map { cd =>
+        cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val preFiles = clusterFiles(dir)
+    assert(preFiles.values.exists(_ > 1),
+      s"appends must have fragmented some cluster dir: $preFiles")
+    val out = graft.TempDirs.createCleaned("graft_ivf_compact_out")
+    val comp = Similarity.compactIvfIndex(spark, dir, out,
+      "vec_id", "embedding")
+    val postFiles = clusterFiles(out)
+    // layout preserved (same cluster dirs), files merged to one each
+    assert(postFiles.keySet == preFiles.keySet,
+      s"partition layout must survive compaction: $postFiles vs $preFiles")
+    assert(postFiles.values.forall(_ == 1),
+      s"each cluster dir must compact to one file: $postFiles")
+    // row-identity: (id, cluster) sets equal
+    def asg(i: Similarity.IvfIndex) = i.assignments
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(asg(comp) == asg(frag))
+    assert(comp.centroids.map(_.toSeq).toSeq ==
+      frag.centroids.map(_.toSeq).toSeq, "centroids must travel verbatim")
+    // probe-identity through the compacted handle
+    val queries = emb.filter(col("vec_id") < 5)
+    def topk(i: Similarity.IvfIndex) =
+      Similarity.ivfBatchTopK(i, queries, "vec_id", "embedding",
+        topK = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(topk(comp) == topk(frag))
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, dir, dir, "vec_id", "embedding")
+    }
+  }
+
   test("weighted sample: exact k, relayout-stable, weight-biased, no global sort") {
     val rows = (1L to 2000L).map(i => (i, if (i <= 200) 1000L else 10L))
     val df = rows.toDF("id", "w")
