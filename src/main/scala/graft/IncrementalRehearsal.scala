@@ -57,7 +57,7 @@ object IncrementalRehearsal {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
     val KnownFamilies = Set("exact", "minhash", "embedding", "append",
-      "stream")
+      "stream", "streamnd")
     // set-but-empty ("" or a trailing comma) means unset, not "no
     // families" — "".split(",") is Array("") and would fail the
     // require with an unnamed entry (r17 review)
@@ -114,7 +114,7 @@ object IncrementalRehearsal {
       // precisely to avoid burning CPU on measured curves), and
       // symmetrically for the doc-side families
       val wantDocs = want("exact") || want("minhash") || want("append") ||
-        want("stream")
+        want("stream") || want("streamnd")
       val wantEmb = want("embedding") || want("append")
       val docs =
         if (wantDocs)
@@ -432,6 +432,98 @@ object IncrementalRehearsal {
         f"batch ${med(trig.take(10))}%.2f->${med(trig.takeRight(10))}%.2fs " +
         f"files $filesFrag->$filesComp probe ${probeFrag._1}%.2f->" +
         f"${probeComp._1}%.2fs equiv=${fragSet == compSet}")
+      }
+      // ---------- streamnd (near-dup admission steady state, r19) ----------
+      // x215's gate costed like the digest one: N micro-batches of
+      // novel content through runIncrementalNearDupAdmission — the
+      // per-batch cost must be dominated by the batch's own shingle+
+      // sign pass (∝ intake), with BOTH appended trees growing one
+      // file per batch and the sketch compaction restoring the
+      // 1-file probe.
+      if (want("streamnd")) {
+      val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+        .map(_.toInt).getOrElse(25)
+      val batchRows = math.max(20L, nDocs / 100)
+      val base = s"$storeRoot/$tag/streamnd"
+      Dedup.saveMinhashSignatures(docs, "doc_id", "text", s"$base/sig")
+      docs.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/corpus")
+      val src = TempDirs.createCleaned("graft_inc_streamnd_src")
+      val slice = docs.filter(col("doc_id") < batchRows)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      (0 until nBatches).foreach { i =>
+        val b = slice.select(
+          (col("doc_id") + lit((i + 1) * 1000000L)).as("doc_id"),
+          concat(lit(s"nd$i "), col("text")).as("text"))
+        val tmp = TempDirs.createCleaned(s"graft_inc_streamnd_stage$i")
+        b.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = graft.streaming.EventStreams.runIncrementalNearDupAdmission(
+        stream, s"$base/sig", s"$base/corpus",
+        TempDirs.createCleaned("graft_inc_streamnd_out"),
+        TempDirs.createCleaned("graft_inc_streamnd_ck"),
+        "doc_id", "text", threshold = 1.0)
+      val trig = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.get("triggerExecution").toLong / 1000.0)
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
+      def filesUnder(p: String): Int = new java.io.File(p)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      val sigFrag = filesUnder(s"$base/sig/signatures")
+      val txtFrag = filesUnder(s"$base/corpus")
+      // probe = one more day's intake, replicas of the LAST batch's
+      // admitted content (must flag through the appended store);
+      // load + probe inside the timed body, the stream-family rule
+      val probeB = slice.select(
+        (col("doc_id") + lit((nBatches + 1) * 1000000L)).as("doc_id"),
+        concat(lit(s"nd${nBatches - 1} "), col("text")).as("text"))
+        .localCheckpoint(true)
+      def probeCount(sigPath: String, txtPath: String): Long =
+        Dedup.incrementalVerifiedTextDuplicates(
+          Dedup.loadMinhashSignatures(spark, sigPath),
+          spark.read.parquet(txtPath), probeB, "doc_id", "text",
+          threshold = 1.0).count()
+      val probeFrag = medianOf(3) { () =>
+        probeCount(s"$base/sig", s"$base/corpus")
+      }
+      Dedup.compactMinhashSignatures(spark, s"$base/sig", s"$base/sig_c")
+      graft.ops.Layout.compact(spark, s"$base/corpus", s"$base/corpus_c")
+      val probeComp = medianOf(3) { () =>
+        probeCount(s"$base/sig_c", s"$base/corpus_c")
+      }
+      val line =
+        f"""{"dir":"$dir","family":"streamnd","corpus":$nDocs,""" +
+          f""""batches":$nBatches,"batch_rows":${slice.count()},""" +
+          f""""batch_wall_first10":${med(trig.take(10))}%.2f,""" +
+          f""""batch_wall_last10":${med(trig.takeRight(10))}%.2f,""" +
+          f""""sig_files_frag":$sigFrag,"txt_files_frag":$txtFrag,""" +
+          f""""sig_files_compact":${filesUnder(s"$base/sig_c/signatures")},""" +
+          f""""txt_files_compact":${filesUnder(s"$base/corpus_c")},""" +
+          f""""probe_frag_wall":${probeFrag._1}%.2f,""" +
+          f""""probe_frag_cpu":${probeFrag._2}%.2f,""" +
+          f""""probe_compact_wall":${probeComp._1}%.2f,""" +
+          f""""probe_compact_cpu":${probeComp._2}%.2f,""" +
+          f""""probe_rows":${probeFrag._3},""" +
+          f""""equiv":${probeFrag._3 == probeComp._3}}"""
+      println(line); sb.append(line).append('\n')
+      System.err.println(f"[inc] $dir%-26s streamnd  " +
+        f"batch ${med(trig.take(10))}%.2f->${med(trig.takeRight(10))}%.2fs " +
+        f"sig files $sigFrag->1 probe ${probeFrag._1}%.2f->" +
+        f"${probeComp._1}%.2fs rows=${probeFrag._3}")
       }
     } finally sm.remove()
     val out = sys.env.getOrElse("SPARK_GRAFT_INC_OUT",
