@@ -7413,7 +7413,7 @@ object Extensions extends QueryModule {
     storeRoots.computeIfAbsent(sfDir,
       _ => graft.TempDirs.createCleaned("graft_stores_x208"))
 
-  /** Disk round-trip of ALL SEVEN persisted stores under
+  /** Disk round-trip of EVERY persisted store under
     * `graft.Verify` (r16 verdict #2 — the x201 gap-class: every
     * save/load pair was OpsSpec round-trip-asserted, but no driver
     * carrier ever wrote a store to parquet and probed through the

@@ -619,7 +619,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
-  test("x208: all five persisted-store sections scan their reloaded parquet") {
+  test("x208: the persisted-store sections scan their reloaded parquet") {
     // the r16 verdict #2 contract: the carrier's plan must provably
     // READ each store back from disk (a probe that silently fell back
     // to the in-session frame would pass the hash while testing

@@ -422,6 +422,69 @@ class EventStreamsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("near-dup admission stop -> compact -> restart: compacted roots serve the grown history") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // the digest compact-restart story for the SKETCH gate: run two
+    // batches, STOP, compact BOTH appended trees blue/green, restart
+    // against the compacted roots — only the new file processes, and
+    // a replica of run-1-admitted content flags through the COMPACTED
+    // signature store with the original keeper.
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "lambda mu nu xi kappa")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "lambda mu nu xi kappa"),
+      (21L, "phi chi psi omega iota")).toDF("doc_id", "text")
+    val sigDir = graft.TempDirs.createCleaned("graft_ndc_sig")
+    val txtDir = graft.TempDirs.createCleaned("graft_ndc_txt")
+    Dedup.saveMinhashSignatures(corpus, "doc_id", "text", sigDir)
+    corpus.write.mode("overwrite").parquet(txtDir)
+    val srcDir = graft.TempDirs.createCleaned("graft_ndc_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = graft.TempDirs.createCleaned("graft_ndc_stage")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val outDir = graft.TempDirs.createCleaned("graft_ndc_out")
+    val ckDir = graft.TempDirs.createCleaned("graft_ndc_ck")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(sig: String, txt: String): Unit =
+      EventStreams.runIncrementalNearDupAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        sig, txt, outDir, ckDir, "doc_id", "text", threshold = 1.0)
+    stage(b1, "intake_000.parquet", 1600000000000L)
+    runOnce(sigDir, txtDir)
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == 1L) // 10 admitted
+    // STOP -> compact both trees blue/green
+    val sigC = graft.TempDirs.createCleaned("graft_ndc_sig_c")
+    val txtC = graft.TempDirs.createCleaned("graft_ndc_txt_c")
+    Dedup.compactMinhashSignatures(spark, sigDir, sigC)
+    graft.ops.Layout.compact(spark, txtDir, txtC)
+    // RESTART against the compacted roots, same checkpoint
+    stage(b2, "intake_001.parquet", 1600000060000L)
+    runOnce(sigC, txtC)
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      (10L, "admitted", -1L),
+      (20L, "duplicate", 10L), // through the COMPACTED store's appended row
+      (21L, "admitted", -1L)), s"got $out")
+    // the restart's appends landed in the compacted roots
+    assert(Dedup.loadMinhashSignatures(spark, sigC).signatures.count() == 3L)
+    assert(spark.read.parquet(txtC).count() == 3L)
+  }
+
   test("admission stop -> compact -> restart: new root serves the grown history; only new files process") {
     import graft.ops.Dedup
     // the operational maintenance story end-to-end: run the admission
