@@ -106,7 +106,7 @@ object Bench {
     "x205_semdedup_two_level_deep" ->
       "genuine k1>1 two-level Lloyd: per-round batched sub-training + CC rounds",
     "x208_persisted_store_roundtrip" ->
-      ("seven driver-paced store save/load round-trips: wall = small parquet " +
+      ("driver-paced store save/load round-trips: wall = small parquet " +
         "writes + training rounds (BPE/logreg/PQ/IVF), not data-parallel work"),
     "x209_incremental_intake" ->
       ("day-2 admission pipeline through persisted day-0 artifacts: wall = " +

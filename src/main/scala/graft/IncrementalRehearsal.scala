@@ -38,6 +38,14 @@ import graft.ops.Dedup
   * append cost must track the batch, not the corpus, and the
   * appended stores must equal the full re-save bit-for-bit.
   *
+  * The `stream` / `streamnd` families (r19) measure the ADMISSION
+  * GATES' steady state: N staged micro-batches (default 50/25;
+  * SPARK_GRAFT_STREAM_BATCHES overrides) through the digest /
+  * near-dup foreachBatch pipelines — per-batch trigger walls from
+  * `recentProgress`, appended-tree file growth, and fragmented- vs
+  * compacted-tree probe cost (load inside the timed body: the
+  * LISTING is the cost that grows with append count).
+  *
   * Usage: sbt "runMain graft.IncrementalRehearsal [dir ...]"
   *   (default: /root/testdata/sf0.1 /tmp/graft_scale/x10)
   * `SPARK_GRAFT_INC_FAMILIES=embedding[,exact,minhash]` restricts the

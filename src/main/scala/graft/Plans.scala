@@ -120,7 +120,7 @@ object Plans {
     "x198_anchor_window_removal" -> "shared localCheckpointed (id, pos, md5) anchor stream; BOTH joins shuffle-hash with the deduplicated side (winners / dup-doc spans) as build; span merge is ONE groupBy(id) codegen'd sorted fold — the gaps-and-islands Window lives only in the oracle (PlanSpec-pinned: no Window node, BuildRight on both joins)",
     "x199_anchor_doc_dedup" -> "x197's profile plan head; the doc drop is one LEFT ANTI shuffle-hash join whose build side is the flagged-id list only — survivors stream through untouched with all columns",
     "x200_anchor_curation" -> "cleaned frame localCheckpointed ONCE for its two consumers (repetition gate + packing — the PERF.md re-execution rule); each stage keeps its audited shape: x198's fold-merge joins, x38's two-phase token aggregates, x40's two-phase distributed prefix sum",
-    "x208_persisted_store_roundtrip" -> "seven store sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
+    "x208_persisted_store_roundtrip" -> "store round-trip/append/compaction sections, each provably READING its reloaded parquet (PlanSpec pins >= 7 graft_stores FileScans); every probe join is broadcast/shuffle-hash on ids — the stores themselves are KB-scale artifacts",
     "x209_incremental_intake" -> "day-2 admission: batch digests checkpointed once feed the UNHINTED ledger join (AQE broadcasts the tiny batch side; the ledger streams) + min-id keeper agg; flagged checkpoint-materialized for its two consumers; survivors scored through ONE broadcast join of the <=64-row loaded weight table — corpus text is never rescanned",
     "x210_incremental_intake_day3" -> "3-day ledger lifecycle: day-2 flag/admit + appendToDigestStore (anti-joined batch-sized append, localCheckpointed before the write so the ledger read settles first), then day-3 flags through the RELOADED appended ledger — both flag stages are the x209 shape (tiny checkpointed batch broadcast, ledger streams), corpus text scanned only at day-0 save",
     "x211_streaming_admission" -> "the carrier plan itself is just the settled parquet read + sort: all admission work ran inside foreachBatch (per micro-batch: checkpointed batch digests, UNHINTED ledger probe join — AQE broadcasts the batch, the ledger streams — output write THEN idempotent append; per-batch checkpoints released deterministically)",
