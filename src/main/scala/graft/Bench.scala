@@ -77,7 +77,11 @@ object Bench {
     "x215_streaming_neardup_admission" ->
       ("foreachBatch near-dup admission stream run-to-completion: wall = 3 " +
         "micro-batch commits, each a verified store probe + two appends, " +
-        "driver-paced"))
+        "driver-paced"),
+    "x216_streaming_embedding_admission" ->
+      ("foreachBatch embedding admission stream run-to-completion: wall = 3 " +
+        "micro-batch commits, each a cosine-verified store probe + two " +
+        "appends, driver-paced"))
 
   /** Checkpointed / unrolled ITERATIVE-ROUNDS rows (r13): their plans
     * are many tiny sequential jobs — pointer-jumping CC rounds,

@@ -127,7 +127,8 @@ object Plans {
     "x212_embedding_append_probe" -> "day-3 probe THROUGH the appended signature store: store-side banding is a map-only FileScan of the appended parquet (PlanSpec pins the x212_embsig scan); candidate join shuffle-hash on (band,chunk); bare id pairs through the distinct, vectors rejoin once per survivor",
     "x213_minhash_append_probe" -> "x212's shape for the text member, with EXACT verification: appended store banding is a map-only FileScan (PlanSpec pins the x213_minhash scan); bucket-coincident candidates checkpointed once for the corpus leftsemi + both verify branches; distinct-gram arrays build once per candidate DOC (leftsemi), never per pair side",
     "x214_compacted_ledger_probe" -> "x210's 3-day lifecycle with the monthly maintenance pass inserted: the append-fragmented ledger tree is rewritten blue/green (one round-robin exchange of 32-byte digest rows) and day 3 probes through the COMPACTED root (PlanSpec pins the x214_digests_compact scan + row-identity vs the fragmented tree)",
-    "x215_streaming_neardup_admission" -> "x211's shape for the SKETCH member — the carrier plan is the settled parquet read + sort; per micro-batch inside foreachBatch: batch shingle+sign pass, map-only store-banding scan, exact gram-set verification on candidates only, batch-internal pairs REORIENTED to the min keeper, then output commit -> text append -> anti-joined signature append (replay-idempotent; admitted docs join BOTH stores before the next batch probes)")
+    "x215_streaming_neardup_admission" -> "x211's shape for the SKETCH member — the carrier plan is the settled parquet read + sort; per micro-batch inside foreachBatch: batch shingle+sign pass, map-only store-banding scan, exact gram-set verification on candidates only, batch-internal pairs REORIENTED to the min keeper, then output commit -> text append -> anti-joined signature append (replay-idempotent; admitted docs join BOTH stores before the next batch probes)",
+    "x216_streaming_embedding_admission" -> "the trio's EMBEDDING member, same settled-read carrier plan; per micro-batch: batch hyperplane signing, map-only store-banding scan, exact cosine verification on candidates only, min-keeper reorientation + self-row filter, output commit -> vector append -> anti-joined signature append — admitted vectors join both stores before the next batch probes")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -8445,6 +8445,100 @@ object Extensions extends QueryModule {
       FROM lab WHERE ck IS NULL AND id = ik
       ORDER BY doc_id"""))
 
+  /** One embedding admission-stream run per (session, sfDir) — the
+    * x215Runs discipline for the EMBEDDING member: day-0 = signature
+    * store + corpus VECTOR store seeded, then three id-ordered
+    * micro-batches through [[graft.streaming.EventStreams
+    * .runIncrementalEmbeddingAdmission]] at maxFilesPerTrigger=1. */
+  private val x216Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def x216OutDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    x216Runs.computeIfAbsent(graft.SessionKeys.of(s) + "|" + dir, _ => {
+      val root = storeRootFor(dir)
+      val src = graft.TempDirs.createCleaned("graft_x216_src")
+      val out = graft.TempDirs.createCleaned("graft_x216_out")
+      val ck = graft.TempDirs.createCleaned("graft_x216_ck")
+      val emb = Tables.embeddings(s, dir)
+      Dedup.saveEmbeddingSignatures(emb, "vec_id", "embedding",
+        s"$root/x216_embsig", numBits = 48, bands = 8)
+      emb.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$root/x216_corpus")
+      // negation = replayable "novel vector" generator: cos(-v, w) =
+      // -cos(v, w), and the corpus premise pins |cos| < 0.95 on every
+      // distinct pair (OpsSpec; measured min/max -0.56/0.60 at sf0.1)
+      def neg(c: org.apache.spark.sql.Column) = transform(c, x => -x)
+      val b0 = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding"))
+      val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"),
+          neg(col("embedding")).as("embedding"))
+      val b2 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+        .select((col("vec_id") + lit(3000000L)).as("vec_id"),
+          neg(col("embedding")).as("embedding"))
+        .unionByName(emb
+          .filter(col("vec_id") >= 350 && col("vec_id") < 400)
+          .select((col("vec_id") + lit(4000000L)).as("vec_id"),
+            neg(col("embedding")).as("embedding")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.TempDirs.createCleaned(s"graft_x216_stage$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      graft.streaming.EventStreams.runIncrementalEmbeddingAdmission(
+        stream, s"$root/x216_embsig", s"$root/x216_corpus", out, ck,
+        "vec_id", "embedding", threshold = 0.95)
+      out
+    })
+
+  /** EMBEDDING admission as a structured stream — completing the
+    * streaming admission trio (digest x211, text sketch x215, this):
+    * each micro-batch probes the persisted embedding signature store
+    * with exact cosine verification and its admitted vectors join
+    * BOTH the corpus vector store and the signature store before the
+    * next batch probes. Replica-union + NEGATION known answer: the
+    * corpus premise (OpsSpec-pinned, measured min/max pairwise cosine
+    * −0.56/0.60 at sf0.1) puts every distinct pair strictly inside
+    * |cos| < 0.95, so flagging at 0.95 induces exact equivalence
+    * classes — b0 corpus replicas flag with their original as keeper,
+    * b1 negated vectors are novel and admitted (cos(−v, w) = −cos(v,
+    * w) > −0.95), b2's copies of b1 content must flag `corpus` with
+    * b1's admitted keeper THROUGH THE APPENDED store (a lost append
+    * or stale reload admits them and breaks the hash), and fresh
+    * negated vectors still admit on the grown store. The oracle is
+    * four literal slices. */
+  private val x216StreamingEmbeddingAdmission = GraftQuery(
+    "x216_streaming_embedding_admission",
+    (s, dir) => s.read.parquet(x216OutDir(s, dir))
+      .orderBy(col("vec_id")),
+    Some("""SELECT vec_id + 1000000 AS vec_id, 'duplicate' AS status,
+        vec_id AS dup_id
+      FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 2000000, 'admitted', CAST(NULL AS BIGINT)
+      FROM embeddings WHERE vec_id >= 300 AND vec_id < 350
+      UNION ALL
+      SELECT vec_id + 3000000, 'duplicate', vec_id + 2000000
+      FROM embeddings WHERE vec_id >= 300 AND vec_id < 350
+      UNION ALL
+      SELECT vec_id + 4000000, 'admitted', CAST(NULL AS BIGINT)
+      FROM embeddings WHERE vec_id >= 350 AND vec_id < 400
+      ORDER BY vec_id"""))
+
   /** x210's day-3 admission THROUGH A COMPACTED LEDGER — the
     * maintenance pass's correctness carrier (r18 verdict #1's "done"
     * bar): day-0 save, day-2 probe + admission + append (the x210
@@ -8632,7 +8726,7 @@ object Extensions extends QueryModule {
     x209IncrementalIntake, x210IncrementalIntakeDay3,
     x211StreamingAdmission, x212EmbeddingAppendProbe,
     x213MinhashAppendProbe, x214CompactedLedgerProbe,
-    x215StreamingNearDupAdmission)
+    x215StreamingNearDupAdmission, x216StreamingEmbeddingAdmission)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

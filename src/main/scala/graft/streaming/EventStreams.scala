@@ -445,6 +445,85 @@ object EventStreams {
     q
   }
 
+  /** Stream-static EMBEDDING admission — the third member of the
+    * streaming admission trio ([[runIncrementalAdmission]] = digest,
+    * [[runIncrementalNearDupAdmission]] = text sketch): per
+    * micro-batch, probe the persisted embedding signature store with
+    * EXACT cosine verification
+    * ([[graft.ops.Dedup.incrementalEmbeddingNearDuplicates]] through
+    * the handle loaded fresh — width/bands/seed resolve from the meta
+    * sidecar), flag batch vectors whose cosine against the corpus —
+    * or an earlier batch vector — clears `threshold`, and fold the
+    * admitted survivors into BOTH stores (vectors under
+    * `corpusVecsPath`, signatures via
+    * [[graft.ops.Dedup.appendToEmbeddingSignatures]]) before the next
+    * batch probes.
+    *
+    * Same discipline as the text gate, verbatim: batch-internal pairs
+    * REORIENTED to the min keeper (the probe emits them smaller-id
+    * first), SELF-rows filtered (replay idempotence — intake ids are
+    * new by contract), output committed before the appends, appends
+    * anti-joined on the store's ids, per-batch checkpoints released.
+    *
+    * Oracle scope (the x212/x215 analysis applied): the output is
+    * batching-invariant when flagging induces EQUIVALENCE CLASSES —
+    * exact replicas at a threshold nothing distinct reaches (the
+    * x216 carrier's replica/negation construction under the
+    * OpsSpec-pinned |cosine| < 0.95 corpus premise). At thresholds
+    * real distinct pairs cross, cosine is not transitive and greedy
+    * online admission depends on the batch split — valid decisions,
+    * no SQL oracle; keep such runs rows-only. */
+  def runIncrementalEmbeddingAdmission(docs: DataFrame, storePath: String,
+      corpusVecsPath: String, outDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.95):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val store = graft.ops.Dedup.loadEmbeddingSignatures(spark, storePath)
+        val corpusVecs = spark.read.parquet(corpusVecsPath)
+        val probe = graft.ops.Dedup.incrementalEmbeddingNearDuplicates(
+          store, corpusVecs, batch, idCol, vecCol, threshold)
+        val flaggedRaw = probe.localCheckpoint(true)
+        graft.Persistence.release(probe)
+        val flagged = flaggedRaw.filter(col("dup_in") === "corpus")
+          .unionByName(flaggedRaw.filter(col("dup_in") === "batch")
+            .select(col("dup_id").as("batch_id"),
+              col("batch_id").as("dup_id"), col("cosine"), col("dup_in")))
+          .filter(col("batch_id") =!= col("dup_id"))
+        val admitted = batch
+          .select(col(idCol), col(vecCol))
+          .join(flagged.select(col("batch_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        flagged
+          .groupBy(col("batch_id").as(idCol))
+          .agg(min(col("dup_id")).as("dup_id"))
+          .select(col(idCol), lit("duplicate").as("status"), col("dup_id"))
+          .unionByName(admitted.select(col(idCol),
+            lit("admitted").as("status"),
+            lit(null).cast("bigint").as("dup_id")))
+          .write.mode("append").parquet(outDir)
+        val newAdmits = admitted
+          .join(store.signatures.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        newAdmits.write.mode("append").parquet(corpusVecsPath)
+        graft.ops.Dedup.appendToEmbeddingSignatures(store, storePath,
+          newAdmits, idCol, vecCol)
+        graft.Persistence.release(flaggedRaw)
+        graft.Persistence.release(admitted)
+        graft.Persistence.release(newAdmits)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming query to completion against a static directory
     * (memory sink) and return the result table — the batch-driven
     * harness for tests and local verification. */

@@ -762,6 +762,27 @@ class PlanSpec extends AnyFunSuite {
         s"signature store ($nSigs) — every admitted doc joins both")
   }
 
+  test("x216: embedding admission grew BOTH stores across micro-batches; keyed-unique signatures") {
+    // the x215 pin for the embedding member
+    val plan = executedPlan("x216_streaming_embedding_admission")
+    assert((plan.contains("Scan parquet") || plan.contains("FileScan")) &&
+      plan.contains("Sort"), plan.take(3000))
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    val store = graft.ops.Dedup.loadEmbeddingSignatures(spark,
+      s"$root/x216_embsig")
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val nSigs = store.signatures.count()
+    assert(nSigs > nVec,
+      "stream appends must have grown the signature store past day-0")
+    assert(store.signatures.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "signature store must stay keyed-unique across micro-batch appends")
+    val nVecsStored = spark.read.parquet(s"$root/x216_corpus").count()
+    assert(nVecsStored == nSigs,
+      s"corpus vector store ($nVecsStored) must grow in lockstep with " +
+        s"the signature store ($nSigs)")
+  }
+
   test("x213: the verified probe's banding reads the APPENDED minhash store from disk") {
     // x212's pin for the text member (r18 verdict #2): the probe's
     // executed plan must scan the store path — a probe that silently

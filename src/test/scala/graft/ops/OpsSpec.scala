@@ -1822,6 +1822,19 @@ class OpsSpec extends AnyFunSuite {
         "x208's embedding_sig probe (n === 1 corpus hit per replica) " +
         "would hash-red; re-derive its ok-condition for regenerated " +
         "testdata before trusting that failure")
+    // x216's NEGATION construction additionally needs the LOWER tail:
+    // cos(-v, w) = -cos(v, w), so a negated corpus vector is novel at
+    // 0.95 only while no distinct pair sits at or below -0.95
+    // (measured min -0.508/-0.549/-0.557 at sf0.001/0.01/0.1 when the
+    // carrier was written). Same failure mode, same named reason.
+    val minCos = a.join(b, col("ia") < col("ib"))
+      .agg(min(VectorMath.cosineSimilarity(col("va"), col("vb"))))
+      .head().getDouble(0)
+    assert(minCos > -0.7,
+      s"min distinct-pair cosine $minCos is creeping toward the -0.95 " +
+        "negation bound — x216's streaming embedding admission assumes " +
+        "negated corpus vectors are novel; re-derive its oracle before " +
+        "trusting a hash-red on it")
   }
 
   test("replica-union oracle premise: distinct trigram counts sit far below the round-up boundary") {
