@@ -366,9 +366,13 @@ object IncrementalRehearsal {
         .select(col("doc_id"), col("text")).localCheckpoint(true)
       (0 until nBatches).foreach { i =>
         // novel content per batch (prefixed token) under unique ids:
-        // every batch admits everything -> every batch appends
+        // every batch admits everything -> every batch appends. Batch
+        // ids ride above Shift (1e9) — the x100 corpus carries ids up
+        // to ~99e6, and a colliding intake id violates the gates'
+        // new-ids contract (now guarded loudly; the first x100
+        // streamnd run hit exactly this with 1e6-spaced shifts)
         val b = slice.select(
-          (col("doc_id") + lit((i + 1) * 1000000L)).as("doc_id"),
+          (col("doc_id") + lit(Shift + i * 10000000L)).as("doc_id"),
           concat(lit(s"b$i "), col("text")).as("text"))
         val tmp = TempDirs.createCleaned(s"graft_inc_stream_stage$i")
         b.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -399,7 +403,7 @@ object IncrementalRehearsal {
       val filesFrag = files(s"$base/ledger")
       // probe = one more day's intake; load INSIDE the timed body
       val probeB = slice.select(
-        (col("doc_id") + lit((nBatches + 1) * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(Shift + nBatches * 10000000L)).as("doc_id"),
         concat(lit(s"b${nBatches - 1} "), col("text")).as("text"))
         .localCheckpoint(true)
       val probeFrag = medianOf(3) { () =>
@@ -460,8 +464,9 @@ object IncrementalRehearsal {
       val slice = docs.filter(col("doc_id") < batchRows)
         .select(col("doc_id"), col("text")).localCheckpoint(true)
       (0 until nBatches).foreach { i =>
+        // ids above Shift — the x100 id-collision lesson (see stream)
         val b = slice.select(
-          (col("doc_id") + lit((i + 1) * 1000000L)).as("doc_id"),
+          (col("doc_id") + lit(Shift + i * 10000000L)).as("doc_id"),
           concat(lit(s"nd$i "), col("text")).as("text"))
         val tmp = TempDirs.createCleaned(s"graft_inc_streamnd_stage$i")
         b.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -497,7 +502,7 @@ object IncrementalRehearsal {
       // admitted content (must flag through the appended store);
       // load + probe inside the timed body, the stream-family rule
       val probeB = slice.select(
-        (col("doc_id") + lit((nBatches + 1) * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(Shift + nBatches * 10000000L)).as("doc_id"),
         concat(lit(s"nd${nBatches - 1} "), col("text")).as("text"))
         .localCheckpoint(true)
       def probeCount(sigPath: String, txtPath: String): Long =

@@ -417,7 +417,37 @@ object EventStreams {
           .join(flagged.select(col("batch_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
           .localCheckpoint(true)
-        // output FIRST (the runIncrementalAdmission replay rule)
+        // appends made replay-idempotent on the SIGNATURE store's ids,
+        // resolved BEFORE any effect so the collision guard can refuse
+        // the batch with nothing written
+        val newAdmits = admitted
+          .join(store.signatures.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        // LOUD id-collision guard (the ×100 rehearsal finding): the
+        // anti-join above exists for REPLAY idempotence — a dropped id
+        // must therefore already carry this batch's own signature in
+        // the store. A dropped id with a DIFFERENT stored signature is
+        // an intake id colliding with an existing store id (the
+        // "intake ids are new" contract violated): silently swallowing
+        // it would emit 'admitted' while the store never learns the
+        // content, and every later day re-admits it. Cost ∝ dropped —
+        // zero rows on a normal batch, the whole batch only on replay.
+        val dropped = admitted.join(newAdmits.select(col(idCol)),
+          Seq(idCol), "left_anti")
+        val collided = graft.ops.Dedup.minhashSignatures(dropped, idCol,
+            textCol, store.numHashes, store.shingleSize)
+          .join(store.signatures.select(col("id"), col("sig").as("stored")),
+            Seq("id"))
+          .filter(!(col("sig") <=> col("stored")))
+          .limit(1).collect()
+        require(collided.isEmpty,
+          s"admission intake id ${collided.headOption.map(_.get(0))} " +
+            "already exists in the signature store with different " +
+            "content — intake ids must be NEW (the store-append " +
+            "contract); re-key the intake")
+        // output FIRST among the effects (the runIncrementalAdmission
+        // replay rule), then the two appends
         flagged
           .groupBy(col("batch_id").as(idCol))
           .agg(min(col("dup_id")).as("dup_id"))
@@ -426,11 +456,6 @@ object EventStreams {
             lit("admitted").as("status"),
             lit(null).cast("bigint").as("dup_id")))
           .write.mode("append").parquet(outDir)
-        // appends, made replay-idempotent on the SIGNATURE store's ids
-        val newAdmits = admitted
-          .join(store.signatures.select(col("id").as(idCol)),
-            Seq(idCol), "left_anti")
-          .localCheckpoint(true)
         newAdmits.write.mode("append").parquet(corpusTextsPath)
         graft.ops.Dedup.appendToMinhashSignatures(store, storePath,
           newAdmits, idCol, textCol)
@@ -498,6 +523,25 @@ object EventStreams {
           .join(flagged.select(col("batch_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
           .localCheckpoint(true)
+        val newAdmits = admitted
+          .join(store.signatures.select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        // loud id-collision guard BEFORE any effect — see
+        // runIncrementalNearDupAdmission
+        val dropped = admitted.join(newAdmits.select(col(idCol)),
+          Seq(idCol), "left_anti")
+        val collided = graft.ops.Dedup.embeddingSignatures(dropped, idCol,
+            vecCol, store.numBits, store.bands, store.seed)
+          .join(store.signatures.select(col("id"), col("sig").as("stored")),
+            Seq("id"))
+          .filter(!(col("sig") <=> col("stored")))
+          .limit(1).collect()
+        require(collided.isEmpty,
+          s"admission intake id ${collided.headOption.map(_.get(0))} " +
+            "already exists in the signature store with different " +
+            "content — intake ids must be NEW (the store-append " +
+            "contract); re-key the intake")
         flagged
           .groupBy(col("batch_id").as(idCol))
           .agg(min(col("dup_id")).as("dup_id"))
@@ -506,10 +550,6 @@ object EventStreams {
             lit("admitted").as("status"),
             lit(null).cast("bigint").as("dup_id")))
           .write.mode("append").parquet(outDir)
-        val newAdmits = admitted
-          .join(store.signatures.select(col("id").as(idCol)),
-            Seq(idCol), "left_anti")
-          .localCheckpoint(true)
         newAdmits.write.mode("append").parquet(corpusVecsPath)
         graft.ops.Dedup.appendToEmbeddingSignatures(store, storePath,
           newAdmits, idCol, vecCol)

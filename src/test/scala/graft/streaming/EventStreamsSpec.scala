@@ -422,6 +422,49 @@ class EventStreamsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("near-dup admission refuses an intake id that collides with a store id") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // the x100 rehearsal finding: an intake id already present in the
+    // signature store would be silently swallowed by the replay
+    // anti-join — 'admitted' emitted, store never learns the content,
+    // every later day re-admits it. The gate must refuse loudly
+    // UNLESS the dropped id carries the store's own content (replay).
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val sigDir = graft.TempDirs.createCleaned("graft_ndg_sig")
+    val txtDir = graft.TempDirs.createCleaned("graft_ndg_txt")
+    Dedup.saveMinhashSignatures(corpus, "doc_id", "text", sigDir)
+    corpus.write.mode("overwrite").parquet(txtDir)
+    val srcDir = graft.TempDirs.createCleaned("graft_ndg_src")
+    val bad = Seq((1L, "entirely novel content under a corpus id"))
+      .toDF("doc_id", "text")
+    val tmp = graft.TempDirs.createCleaned("graft_ndg_stage")
+    bad.repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(srcDir, "intake_000.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.runIncrementalNearDupAdmission(
+        spark.readStream.schema(schema).parquet(srcDir),
+        sigDir, txtDir, graft.TempDirs.createCleaned("graft_ndg_out"),
+        graft.TempDirs.createCleaned("graft_ndg_ck"),
+        "doc_id", "text", threshold = 1.0)
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
+    assert(rootMsg(e).contains("must be NEW"),
+      s"collision must fail with the named contract: ${rootMsg(e).take(200)}")
+    // the store is untouched by the refused batch
+    assert(Dedup.loadMinhashSignatures(spark, sigDir).signatures.count() == 1L)
+  }
+
   test("near-dup admission stop -> compact -> restart: compacted roots serve the grown history") {
     import graft.ops.Dedup
     import spark.implicits._
