@@ -81,7 +81,11 @@ object Bench {
     "x216_streaming_embedding_admission" ->
       ("foreachBatch embedding admission stream run-to-completion: wall = 3 " +
         "micro-batch commits, each a cosine-verified store probe + two " +
-        "appends, driver-paced"))
+        "appends, driver-paced"),
+    "x218_streaming_neardup_midthreshold" ->
+      ("x215's foreachBatch gate at threshold 0.7 run-to-completion: wall = 3 " +
+        "micro-batch commits, each a verified store probe + two appends, " +
+        "driver-paced"))
 
   /** Checkpointed / unrolled ITERATIVE-ROUNDS rows (r13): their plans
     * are many tiny sequential jobs — pointer-jumping CC rounds,

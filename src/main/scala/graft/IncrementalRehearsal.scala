@@ -65,7 +65,7 @@ object IncrementalRehearsal {
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/tmp/graft_scale/x10")
     val KnownFamilies = Set("exact", "minhash", "embedding", "append",
-      "stream", "streamnd")
+      "stream", "streamnd", "streampolicy")
     // set-but-empty ("" or a trailing comma) means unset, not "no
     // families" — "".split(",") is Array("") and would fail the
     // require with an unnamed entry (r17 review)
@@ -122,7 +122,7 @@ object IncrementalRehearsal {
       // precisely to avoid burning CPU on measured curves), and
       // symmetrically for the doc-side families
       val wantDocs = want("exact") || want("minhash") || want("append") ||
-        want("stream") || want("streamnd")
+        want("stream") || want("streamnd") || want("streampolicy")
       val wantEmb = want("embedding") || want("append")
       val docs =
         if (wantDocs)
@@ -445,6 +445,79 @@ object IncrementalRehearsal {
         f"files $filesFrag->$filesComp probe ${probeFrag._1}%.2f->" +
         f"${probeComp._1}%.2fs equiv=${fragSet == compSet}")
       }
+      // ---------- streampolicy (cadenced compaction holds wall flat, r20) ----------
+      // The stream family shows per-batch cost growing with the
+      // ledger's FILE COUNT; this one runs the SAME gate with
+      // compactEvery wired (r19 verdict #4) and measures the policy
+      // doing its job: per-batch wall flat from first10 to last10 and
+      // the tree ending ≤ one compaction interval of files, with a
+      // final probe proving the swaps lost nothing.
+      if (want("streampolicy")) {
+      val nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+        .map(_.toInt).getOrElse(50)
+      val every = sys.env.get("SPARK_GRAFT_COMPACT_EVERY")
+        .map(_.toInt).getOrElse(10)
+      val batchRows = math.max(20L, nDocs / 100)
+      val base = s"$storeRoot/$tag/streampolicy"
+      Dedup.saveDigestStore(docs, "doc_id", "text", s"$base/ledger")
+      val src = TempDirs.createCleaned("graft_inc_streampol_src")
+      val slice = docs.filter(col("doc_id") < batchRows)
+        .select(col("doc_id"), col("text")).localCheckpoint(true)
+      (0 until nBatches).foreach { i =>
+        val b = slice.select(
+          (col("doc_id") + lit(Shift + i * 10000000L)).as("doc_id"),
+          concat(lit(s"p$i "), col("text")).as("text"))
+        val tmp = TempDirs.createCleaned(s"graft_inc_streampol_stage$i")
+        b.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = graft.streaming.EventStreams.runIncrementalAdmission(stream,
+        s"$base/ledger", TempDirs.createCleaned("graft_inc_streampol_out"),
+        TempDirs.createCleaned("graft_inc_streampol_ck"), "doc_id", "text",
+        compactEvery = every)
+      val trig = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => p.durationMs.get("triggerExecution").toLong / 1000.0)
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
+      val filesEnd = graft.ops.Layout.dataFileCount(spark,
+        s"$base/ledger/digests")
+      // fresh ids carrying the LAST batch's content: every row must
+      // flag through the swapped tree (a lost append would admit them)
+      val probeB = slice.select(
+        (col("doc_id") + lit(Shift + nBatches * 10000000L)).as("doc_id"),
+        concat(lit(s"p${nBatches - 1} "), col("text")).as("text"))
+        .localCheckpoint(true)
+      val probeRows = Dedup.incrementalExactDuplicates(
+        Dedup.loadDigestStore(spark, s"$base/ledger"), probeB,
+        "doc_id", "text").count()
+      val line =
+        f"""{"dir":"$dir","family":"streampolicy","corpus":$nDocs,""" +
+          f""""batches":$nBatches,"compact_every":$every,""" +
+          f""""batch_rows":${slice.count()},""" +
+          f""""batch_wall_first10":${med(trig.take(10))}%.2f,""" +
+          f""""batch_wall_last10":${med(trig.takeRight(10))}%.2f,""" +
+          f""""files_end":$filesEnd,""" +
+          f""""probe_rows":$probeRows,""" +
+          f""""probe_complete":${probeRows == slice.count()}}"""
+      println(line); sb.append(line).append('\n')
+      System.err.println(f"[inc] $dir%-26s streampol " +
+        f"batch ${med(trig.take(10))}%.2f->${med(trig.takeRight(10))}%.2fs " +
+        f"files_end=$filesEnd probe=$probeRows/${slice.count()}")
+      }
+
       // ---------- streamnd (near-dup admission steady state, r19) ----------
       // x215's gate costed like the digest one: N micro-batches of
       // novel content through runIncrementalNearDupAdmission — the

@@ -24,9 +24,28 @@ import org.apache.spark.sql.execution.LogicalRDD
   * end of a foreachBatch body. On a frame that is not a local
   * checkpoint it releases nothing and is harmless. */
 object Persistence {
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = releaseExcept(df)
+
+  /** [[release]], minus any [[LogicalRDD]] leaf that also appears in
+    * one of `keep`'s plans — for releasing the INTERNAL checkpoints
+    * of a frame built from caller-supplied inputs without touching
+    * checkpoint blocks the caller still owns. The motivating case
+    * (r19 advisor, medium): `incrementalVerifiedTextDuplicates`
+    * eagerly checkpoints its candidate frame, which truncates the
+    * minhash probe's internal batch-signature checkpoint OUT of the
+    * returned plan — the caller's end-of-batch `release` could never
+    * reach it, so one orphaned checkpoint's blocks accumulated per
+    * micro-batch until GC. The operator now releases its raw probe
+    * frame itself, excepting the caller's `batch` input (whose own
+    * checkpoint, if any, is not this operator's to free). */
+  def releaseExcept(df: DataFrame, keep: DataFrame*): Unit = {
+    val keepIds = keep.flatMap(_.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd.id
+    }).toSet
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD if !keepIds.contains(lr.rdd.id) =>
+        lr.rdd.unpersist(blocking = false)
       case _ =>
     }
+  }
 }

@@ -128,7 +128,9 @@ object Plans {
     "x213_minhash_append_probe" -> "x212's shape for the text member, with EXACT verification: appended store banding is a map-only FileScan (PlanSpec pins the x213_minhash scan); bucket-coincident candidates checkpointed once for the corpus leftsemi + both verify branches; distinct-gram arrays build once per candidate DOC (leftsemi), never per pair side",
     "x214_compacted_ledger_probe" -> "x210's 3-day lifecycle with the monthly maintenance pass inserted: the append-fragmented ledger tree is rewritten blue/green (one round-robin exchange of 32-byte digest rows) and day 3 probes through the COMPACTED root (PlanSpec pins the x214_digests_compact scan + row-identity vs the fragmented tree)",
     "x215_streaming_neardup_admission" -> "x211's shape for the SKETCH member — the carrier plan is the settled parquet read + sort; per micro-batch inside foreachBatch: batch shingle+sign pass, map-only store-banding scan, exact gram-set verification on candidates only, batch-internal pairs REORIENTED to the min keeper, then output commit -> text append -> anti-joined signature append (replay-idempotent; admitted docs join BOTH stores before the next batch probes)",
-    "x216_streaming_embedding_admission" -> "the trio's EMBEDDING member, same settled-read carrier plan; per micro-batch: batch hyperplane signing, map-only store-banding scan, exact cosine verification on candidates only, min-keeper reorientation + self-row filter, output commit -> vector append -> anti-joined signature append — admitted vectors join both stores before the next batch probes")
+    "x216_streaming_embedding_admission" -> "the trio's EMBEDDING member, same settled-read carrier plan; per micro-batch: batch hyperplane signing, map-only store-banding scan, exact cosine verification on candidates only, min-keeper reorientation + self-row filter, output commit -> vector append -> anti-joined signature append — admitted vectors join both stores before the next batch probes",
+    "x217_store_erasure" -> "store-aware right-to-erasure lifecycle: every store rewrite is blue/green (corpus anti-join with the broadcast subject list riding the scan; ledger keeper re-election = one corpus md5 scan joined to the affected-hash slice; signature anti-join + verbatim meta); the audit is one counting scan per rewritten root, zero-filled by left join; re-intake probes the x209 shape through the rewritten ledger",
+    "x218_streaming_neardup_midthreshold" -> "x215's settled-read carrier plan at threshold 0.7: identical per-micro-batch shape (batch shingle+sign, map-only store banding, exact verification on candidates only, reorientation + self-row filter, output-first commits) — only the greedy admitted SET differs, which is why it is rows-only")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

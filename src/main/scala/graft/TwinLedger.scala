@@ -138,7 +138,16 @@ object TwinLedger {
     Entry("x176_audience_overlap_hll", Some("x175_audience_overlap"),
       "audience overlap: hand Jaccard, duplicate events collapse, sketch pins to exact",
       "HLL estimates aren't ANSI; x175 is the exact-count twin, every " +
-        "pair spec-pinned against it"))
+        "pair spec-pinned against it"),
+    Entry("x218_streaming_neardup_midthreshold",
+      Some("x215_streaming_neardup_admission"),
+      "mid-threshold admission: true-pair flags, intake partition, stores grow by admitted",
+      "at 0.7 similarity is not transitive, so greedy online admission " +
+        "depends on the batch split — valid decisions, no SQL oracle; " +
+        "x215 is the SAME gate at threshold 1.0 where flagging induces " +
+        "equivalence classes (hash-green), and the contract test pins " +
+        "flags ⊆ the exact batch-mode pair set, statuses partition the " +
+        "intake, and store growth = the admitted set"))
   // x201/x204/x206 left the ledger in r16: the replica-union known
   // answer (x205's pattern) made them hash-green — at the production
   // 0.95 threshold over an exact-replica union, sketch recall is

@@ -495,10 +495,7 @@ object Dedup {
   def compactMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): MinhashSignatureStore = {
-    require(new java.io.File(outPath).getCanonicalPath !=
-        new java.io.File(path).getCanonicalPath,
-      "compaction must write to a fresh root (blue/green): in-place " +
-        "would overwrite the files the rewrite is reading")
+    Layout.requireFreshRoot(spark, path, outPath)
     Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",
       targetFileBytes)
     spark.read.parquet(s"$path/meta").repartition(1)
@@ -548,10 +545,17 @@ object Dedup {
     // every bucket-coincident pair (estimate filter at 0 — the exact
     // verification below decides); bounded by the delta, feeds the
     // corpus leftsemi AND both verify branches
-    val cands = incrementalMinhashNearDuplicates(store, batch, idCol,
+    val candsRaw = incrementalMinhashNearDuplicates(store, batch, idCol,
         textCol, threshold = 0.0, bands = bands)
       .select(col("batch_id"), col("dup_id"), col("dup_in"))
-      .localCheckpoint(true)
+    val cands = candsRaw.localCheckpoint(true)
+    // the eager checkpoint above truncated the minhash probe's
+    // internal batch-signature checkpoint OUT of every plan this
+    // function returns — release it NOW or its blocks orphan until GC
+    // (one per micro-batch on the admission stream; r19 advisor,
+    // medium). The caller's `batch` leaves are excepted: its own
+    // checkpoint blocks, if any, are not this operator's to free.
+    graft.Persistence.releaseExcept(candsRaw, batch)
     val batchGrams = batch
       .select(col(idCol).as("id"), grams(col(textCol)).as("g"))
       .localCheckpoint(true) // bounded delta; feeds both verify branches
@@ -683,10 +687,7 @@ object Dedup {
   def compactDigestStore(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): DigestStore = {
-    require(new java.io.File(outPath).getCanonicalPath !=
-        new java.io.File(path).getCanonicalPath,
-      "compaction must write to a fresh root (blue/green): in-place " +
-        "would overwrite the files the rewrite is reading")
+    Layout.requireFreshRoot(spark, path, outPath)
     Layout.compact(spark, s"$path/digests", s"$outPath/digests",
       targetFileBytes)
     loadDigestStore(spark, outPath)
@@ -2666,10 +2667,7 @@ object Dedup {
   def compactEmbeddingSignatures(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       targetFileBytes: Long = 128L << 20): EmbeddingSignatureStore = {
-    require(new java.io.File(outPath).getCanonicalPath !=
-        new java.io.File(path).getCanonicalPath,
-      "compaction must write to a fresh root (blue/green): in-place " +
-        "would overwrite the files the rewrite is reading")
+    Layout.requireFreshRoot(spark, path, outPath)
     Layout.compact(spark, s"$path/signatures", s"$outPath/signatures",
       targetFileBytes)
     spark.read.parquet(s"$path/meta").repartition(1)

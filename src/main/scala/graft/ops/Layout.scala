@@ -22,6 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Blue/green guard shared by every compaction/rewrite entry point:
+    * refuse `outDir` naming the same directory as `inDir` (an
+    * in-place rewrite overwrites the files the rewrite is still
+    * reading). Both paths are qualified through the SAME Hadoop
+    * FileSystem (`fs.makeQualified`) so scheme-equivalent forms of
+    * one directory (`file:/x` vs `/x`, default-FS-relative vs
+    * absolute URIs) are recognized as equal — java.io.File string
+    * canonicalization alone reported those different and let a
+    * read-under-overwrite through (r19 advisor). The local File
+    * comparison is KEPT as a second check (OR, refusal-is-safe
+    * direction): it resolves `..` segments and symlinks, which
+    * Hadoop Path normalization does not. */
+  private[graft] def requireFreshRoot(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def q(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val sameQualified = q(outDir) == q(inDir)
+    val sameLocal =
+      try new java.io.File(outDir).getCanonicalPath ==
+        new java.io.File(inDir).getCanonicalPath
+      catch { case _: java.io.IOException => false }
+    require(!sameQualified && !sameLocal,
+      s"rewrite must target a fresh directory (blue/green): '$outDir' " +
+        s"resolves to the same location as '$inDir' and an in-place " +
+        "rewrite would overwrite the files it is reading")
+  }
+
   /** Morton (Z-curve) value: interleaves the low `bits` bits of each
     * column, LSB-aligned — bit j of column i lands at position
     * j*d + i, so dimensions alternate bit-for-bit and the resulting
@@ -81,12 +112,8 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    // blue/green only (r19, the store-compaction rule): an in-place
-    // rewrite overwrites the files the scan is still reading
-    require(new java.io.File(outDir).getCanonicalPath !=
-        new java.io.File(inDir).getCanonicalPath,
-      "compact must write to a fresh directory: in-place would " +
-        "overwrite the files the rewrite is reading")
+    // blue/green only (r19, the store-compaction rule)
+    requireFreshRoot(spark, inDir, outDir)
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
@@ -118,14 +145,81 @@ object Layout {
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    require(new java.io.File(outDir).getCanonicalPath !=
-        new java.io.File(inDir).getCanonicalPath,
-      "compact must write to a fresh directory: in-place would " +
-        "overwrite the files the rewrite is reading")
+    requireFreshRoot(spark, inDir, outDir)
     spark.read.parquet(inDir)
       .repartition(partitionCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(outDir)
+  }
+
+  /** Data-file count of a store tree — the metadata walk every
+    * compaction-cadence decision starts from (no Spark job). Hidden
+    * files (`_` and `.` prefixes — commit markers, local-FS CRC
+    * sidecars) are excluded, matching what a Spark scan lists. */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The compaction-cadence RULE, as arithmetic (r19 verdict #4):
+    * compact when the tree's file count times the measured marginal
+    * per-file probe cost exceeds `maxFraction` of the per-batch wall
+    * the caller wants to protect. The marginal cost is
+    * MEASURED, not assumed: SCALE_REHEARSAL_r19_stream.json put it at
+    * ~1.2–2.2 ms/file locally (listing + one scan split per append
+    * file; re-measure on the production filesystem — object-store
+    * listing is slower). Equivalently, a fixed `compactEvery = N`
+    * batches holds per-batch wall flat when
+    * N ≈ maxFraction × batchWallMs / perFileMs (each batch appends
+    * one+ file per store tree) — the form the admission gates wire
+    * (their batch cadence is fixed, so the file count between
+    * compactions is too). */
+  def compactionDue(fileCount: Int, perFileMs: Double,
+      batchWallMs: Double, maxFraction: Double = 0.2): Boolean = {
+    require(perFileMs > 0 && batchWallMs > 0 && maxFraction > 0,
+      "compactionDue needs positive cost/wall/fraction")
+    fileCount * perFileMs > maxFraction * batchWallMs
+  }
+
+  /** Swap a freshly-compacted tree into the live path — the pointer
+    * swap that completes the blue/green lifecycle WITHOUT violating
+    * the fresh-root rule: the rewrite already landed under
+    * `compactedPath` (a different root, so no read-under-overwrite
+    * ever happened); this is pure metadata (two renames + a delete),
+    * valid ONLY while no reader is active on `livePath` — exactly the
+    * between-micro-batches property a foreachBatch body guarantees,
+    * which is where the admission gates call it. Crash window: a
+    * failure between the renames leaves `livePath` missing and
+    * `livePath.old` present — the next load fails LOUDLY (no silent
+    * wrong answer); recover by renaming `.old` back (or the compacted
+    * tree in) by hand. A foreachBatch REPLAY after a completed swap
+    * re-probes the compacted tree, which answers identically
+    * (compaction is row-identity — OpsSpec). */
+  def swapCompacted(spark: org.apache.spark.sql.SparkSession,
+      livePath: String, compactedPath: String): Unit = {
+    requireFreshRoot(spark, livePath, compactedPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val fs = live.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(livePath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old),
+      s"swapCompacted: cannot move $live aside to $old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(compactedPath), live),
+      s"swapCompacted: cannot move $compactedPath into $live " +
+        s"(the previous tree is preserved at $old)")
+    fs.delete(old, true)
   }
 
   /** Re-lays `df` out along the Z-curve of `colNames`: one range

@@ -321,10 +321,7 @@ object Similarity {
     * (OpsSpec + the x208 `ivf_compact` section pin it). */
   def compactIvfIndex(spark: SparkSession, path: String, outPath: String,
       idCol: String, vecCol: String): IvfIndex = {
-    require(new java.io.File(outPath).getCanonicalPath !=
-        new java.io.File(path).getCanonicalPath,
-      "compaction must write to a fresh root (blue/green): in-place " +
-        "would overwrite the files the rewrite is reading")
+    Layout.requireFreshRoot(spark, path, outPath)
     Layout.compactPartitioned(spark, s"$path/assignments",
       s"$outPath/assignments", Seq("cluster"))
     spark.read.parquet(s"$path/centroids").repartition(1)

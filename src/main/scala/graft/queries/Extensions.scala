@@ -8381,7 +8381,10 @@ object Extensions extends QueryModule {
     * batching-invariant: admitted = each class's minimum id unless
     * the class has a corpus member; flagged docs carry
     * dup_id = COALESCE(min corpus id in class, min intake id in
-    * class), regardless of how the intake splits into batches. The
+    * class), for any ID-ORDERED split of the intake into micro-batches
+    * (the x211 precondition — this carrier stages its batches in id
+    * order; a larger-id class member arriving EARLY would be admitted
+    * and diverge from the class-minimum oracle, r19 advisor). The
     * three batches exercise all the cross-batch paths: b0 = corpus
     * replicas (flag through day-0 signatures), b1 = token-reversed
     * novel content (admitted, APPENDED), b2 = copies of b1's content
@@ -8659,6 +8662,228 @@ object Extensions extends QueryModule {
       WHERE id NOT IN (SELECT id FROM fl3)
       ORDER BY doc_id, dup_id"""))
 
+  /** One MID-THRESHOLD near-dup admission run per (session, sfDir) —
+    * x215's harness at the production-realistic threshold 0.7 (r19
+    * verdict #3, the x201 gap-class: both sketch gates documented the
+    * greedy mid-threshold regime as valid rows-only territory, but no
+    * driver query ever executed it — it ran only in EventStreamsSpec
+    * at threshold 1.0). Batches: b0 = exact replicas (flag at 1.0 ≥
+    * 0.7); b1 = token-REVERSED docs (novel → ADMITTED and appended to
+    * both stores); b2 = LAST-TOKEN-TRUNCATED reversals of the same
+    * docs — trigram jaccard (t−4)/(t−2) against b1's admitted
+    * content, the MID regime: long docs flag THROUGH THE APPENDED
+    * STORE at a non-exact similarity (the path no threshold-1.0
+    * carrier can reach), short docs admit — plus fresh reversals on
+    * the grown store. (A first cut truncated the CORPUS docs
+    * directly: every sf's docs are long enough that all 400 rows
+    * flagged at ≥0.7 and nothing was ever admitted — the
+    * greedy/append path never ran.) */
+  private val x218Runs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def x218OutDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    x218Runs.computeIfAbsent(graft.SessionKeys.of(s) + "|" + dir, _ => {
+      val root = storeRootFor(dir)
+      val src = graft.TempDirs.createCleaned("graft_x218_src")
+      val out = graft.TempDirs.createCleaned("graft_x218_out")
+      val ck = graft.TempDirs.createCleaned("graft_x218_ck")
+      val docs = Tables.documents(s, dir)
+      Dedup.saveMinhashSignatures(docs, "doc_id", "text",
+        s"$root/x218_minhash")
+      docs.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/x218_corpus")
+      def rev(c: org.apache.spark.sql.Column) = concat_ws(" ",
+        reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass)))
+      def truncRev(c: org.apache.spark.sql.Column) = {
+        val toks = reverse(split(c, graft.ops.TextAnalysis.WhitespaceClass))
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1))))
+      }
+      val b0 = docs.filter(col("doc_id") < 100 && col("text").isNotNull)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val b1 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          rev(col("text")).as("text"))
+      val b2 = docs
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          truncRev(col("text")).as("text"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500 &&
+            col("text").isNotNull)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+            rev(col("text")).as("text")))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.TempDirs.createCleaned(s"graft_x218_stage$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      graft.streaming.EventStreams.runIncrementalNearDupAdmission(stream,
+        s"$root/x218_minhash", s"$root/x218_corpus", out, ck,
+        "doc_id", "text", threshold = 0.7)
+      out
+    })
+
+  /** MID-THRESHOLD streaming near-dup admission — the greedy ONLINE
+    * regime under the driver (r19 verdict #3). At 0.7 similarity is
+    * not transitive, so the admitted set depends on the batch split:
+    * the outputs are valid online-dedup decisions with NO SQL oracle
+    * (rows-only; TwinLedger: twin chain → x215, the threshold-1.0
+    * equivalence-class regime of the SAME gate, hash-green; contract
+    * test pins flags ⊆ the exact batch-mode ≥0.7 pair set, statuses
+    * partition the intake, stores grow by exactly the admitted set). */
+  private val x218StreamingNearDupMidThreshold = GraftQuery(
+    "x218_streaming_neardup_midthreshold",
+    (s, dir) => s.read.parquet(x218OutDir(s, dir))
+      .orderBy(col("doc_id"), col("dup_id")),
+    None)
+
+  /** STORE-AWARE right-to-erasure (r19 verdict #1): x141's
+    * [[graft.ops.Privacy.erase]] purges FRAMES, but the admission
+    * pipelines persist a subject's content in up to three places —
+    * the corpus text dir, the digest ledger (where a purged id can
+    * survive as the dedup KEEPER), and the signature store. This
+    * carrier runs the full lifecycle: seed all three trees over
+    * corpus ∪ replicas (replicas of docs < 100 at +10⁶ guarantee
+    * re-election targets), erase a subject set spanning every case —
+    * keeper-with-surviving-holder (< 50: replica remains → keeper
+    * re-elects to it), content-fully-forgotten ([50,100): original
+    * AND replica erased), and corpus-structure-decided ([100,150):
+    * re-election falls to the corpus' own real duplicate classes) —
+    * then proves, in ONE hash-green output: (a) zero residue per
+    * subject per store (the x141 silence ≠ success table, fanned
+    * across store roots — a zero-filled left join, so an unpurged
+    * store would show its residue); (b) the post-erasure ledger slice
+    * over subject-held content: re-elected keepers present, forgotten
+    * rows ABSENT (a surviving row appears on the Spark side only and
+    * breaks the hash); (c) re-intake: copies of forgotten content are
+    * ADMITTED (the ledger forgot it — the compliance point: content
+    * must not keep flagging against a purged id), copies of surviving
+    * content flag with the RE-ELECTED keeper. Oracle = exact md5/id
+    * algebra end-to-end; no planted-answer premise (real corpus dup
+    * classes ride through the same algebra on both sides). */
+  private val x217StoreErasure = GraftQuery(
+    "x217_store_erasure",
+    (s, dir) => {
+      val root = storeRootFor(dir)
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      base.unionByName(base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$root/x217_corpus")
+      val corpusDf = s.read.parquet(s"$root/x217_corpus")
+      Dedup.saveDigestStore(corpusDf, "doc_id", "text",
+        s"$root/x217_digests")
+      Dedup.saveMinhashSignatures(corpusDf, "doc_id", "text",
+        s"$root/x217_minhash")
+      // subjects keep their NULL-text ids: they hold nothing anywhere,
+      // and the audit must still report them (zero) by the left join
+      val subjects = docs.filter(col("doc_id") < 150).select(col("doc_id"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 50 && col("doc_id") < 100)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id")))
+      val audit = Privacy.eraseFromStores(s, subjects, "doc_id",
+        "doc_id", "text",
+        (s"$root/x217_corpus", s"$root/x217_corpus_clean"),
+        Some((s"$root/x217_digests", s"$root/x217_digests_clean")),
+        Some((s"$root/x217_minhash", s"$root/x217_minhash_clean")))
+      val ledger1 = Dedup.loadDigestStore(s, s"$root/x217_digests_clean")
+      val intake = base
+        .filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text"))
+        .unionByName(base.filter(col("doc_id") < 50)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("text")))
+      val flagged = Dedup.incrementalExactDuplicates(ledger1, intake,
+        "doc_id", "text").localCheckpoint(true)
+      val admitted = intake.join(
+        flagged.select(col("batch_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val subjHashes = corpusDf.join(subjects, Seq("doc_id"), "leftsemi")
+        .select(md5(col("text")).as("content_hash")).distinct()
+      val ledgerSlice = ledger1.digests
+        .join(subjHashes, Seq("content_hash"), "leftsemi")
+      audit.select(lit("audit").as("part"),
+          concat_ws(":", col("store"), col("subject_id")).as("k"),
+          col("n_residual").cast("string").as("v"))
+        .unionByName(ledgerSlice.select(lit("ledger").as("part"),
+          col("content_hash").as("k"),
+          col("keeper_id").cast("string").as("v")))
+        .unionByName(flagged.select(lit("status").as("part"),
+          col("batch_id").cast("string").as("k"),
+          concat_ws(":", lit("duplicate"), col("dup_id")).as("v")))
+        .unionByName(admitted.select(lit("status").as("part"),
+          col("doc_id").cast("string").as("k"),
+          lit("admitted").as("v")))
+        .orderBy(col("part"), col("k"), col("v"))
+    },
+    Some("""WITH corpus AS MATERIALIZED (
+        SELECT doc_id AS id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id < 100 AND text IS NOT NULL),
+      subj AS MATERIALIZED (
+        SELECT doc_id AS s FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents
+        WHERE doc_id >= 50 AND doc_id < 100),
+      led0 AS MATERIALIZED (
+        SELECT md5(text) AS h, min(id) AS k FROM corpus GROUP BY 1),
+      rem AS MATERIALIZED (
+        SELECT id, text FROM corpus WHERE id NOT IN (SELECT s FROM subj)),
+      rem_min AS MATERIALIZED (
+        SELECT md5(text) AS h, min(id) AS k FROM rem GROUP BY 1),
+      led1 AS MATERIALIZED (
+        SELECT l.h, l.k FROM led0 l WHERE l.k NOT IN (SELECT s FROM subj)
+        UNION ALL
+        SELECT l.h, r.k FROM led0 l JOIN rem_min r USING (h)
+        WHERE l.k IN (SELECT s FROM subj)),
+      subj_h AS MATERIALIZED (
+        SELECT DISTINCT md5(c.text) AS h FROM corpus c
+        JOIN subj ON c.id = subj.s),
+      intake AS MATERIALIZED (
+        SELECT doc_id + 2000000 AS id, text FROM documents
+        WHERE doc_id >= 50 AND doc_id < 100 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 3000000, text FROM documents
+        WHERE doc_id < 50 AND text IS NOT NULL),
+      ib AS MATERIALIZED (SELECT id, md5(text) AS h FROM intake),
+      ch AS (SELECT ib.id, led1.k AS dup_id FROM ib JOIN led1 USING (h)),
+      kb AS (SELECT h, min(id) AS k FROM ib GROUP BY h),
+      bh AS (SELECT ib.id, kb.k AS dup_id FROM ib JOIN kb USING (h)
+        WHERE ib.id > kb.k),
+      fl AS MATERIALIZED (SELECT * FROM ch UNION ALL SELECT * FROM bh)
+      SELECT 'audit' AS part, 'corpus:' || CAST(s AS VARCHAR) AS k,
+        '0' AS v FROM subj
+      UNION ALL
+      SELECT 'audit', 'digests:' || CAST(s AS VARCHAR), '0' FROM subj
+      UNION ALL
+      SELECT 'audit', 'signatures:' || CAST(s AS VARCHAR), '0' FROM subj
+      UNION ALL
+      SELECT 'ledger', h, CAST(k AS VARCHAR) FROM led1
+      WHERE h IN (SELECT h FROM subj_h)
+      UNION ALL
+      SELECT 'status', CAST(id AS VARCHAR),
+        'duplicate:' || CAST(dup_id AS VARCHAR) FROM fl
+      UNION ALL
+      SELECT 'status', CAST(id AS VARCHAR), 'admitted' FROM intake
+      WHERE id NOT IN (SELECT id FROM fl)
+      ORDER BY part, k, v"""))
+
   override def queries: Seq[GraftQuery] = Seq(
     x1DedupExact, x2Fingerprint, x3TextTokens, x4TextQuality, x5LangId,
     x6SimTopK, x7EmbeddingPairs, x8MinhashPairs, x9SimhashPairs,
@@ -8726,7 +8951,8 @@ object Extensions extends QueryModule {
     x209IncrementalIntake, x210IncrementalIntakeDay3,
     x211StreamingAdmission, x212EmbeddingAppendProbe,
     x213MinhashAppendProbe, x214CompactedLedgerProbe,
-    x215StreamingNearDupAdmission, x216StreamingEmbeddingAdmission)
+    x215StreamingNearDupAdmission, x216StreamingEmbeddingAdmission,
+    x217StoreErasure, x218StreamingNearDupMidThreshold)
 
   /** Index-backed batch ANN: every query probes its nprobe nearest
     * IVF clusters (index memoized; built once per session+input).

@@ -283,14 +283,27 @@ object EventStreams {
     * until [[graft.ops.Dedup.compactDigestStore]] rewrites the tree
     * (measured: IncrementalRehearsal's `stream` family). Returns the
     * completed query — `recentProgress` carries per-batch durations
-    * for exactly that measurement. */
+    * for exactly that measurement.
+    *
+    * `compactEvery` (r19 verdict #4 — the maintenance CADENCE): when
+    * > 0, after every N committed micro-batches the gate compacts the
+    * ledger blue/green to a fresh temp root and swaps it into place
+    * ([[graft.ops.Layout.swapCompacted]] — metadata-only, and the end
+    * of a foreachBatch body is exactly the no-reader-active window it
+    * requires). Size N from [[graft.ops.Layout.compactionDue]]'s
+    * rule: N ≈ maxFraction × batchWallMs / perFileMs (each batch
+    * appends one+ file; measured ~1.2–2.2 ms/file locally). 0 = never
+    * — run the compaction at your own cadence. A replay after a
+    * completed swap re-probes the compacted tree, which answers
+    * identically (compaction is row-identity). */
   def runIncrementalAdmission(docs: DataFrame, storePath: String,
       outDir: String, checkpointDir: String, idCol: String = "doc_id",
-      textCol: String = "text"):
+      textCol: String = "text", compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
+    require(compactEvery >= 0, "compactEvery must be >= 0 (0 = never)")
     val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val store = graft.ops.Dedup.loadDigestStore(
           batch.sparkSession, storePath)
         // probe's plan leaves include the batch-digest checkpoint made
@@ -327,6 +340,14 @@ object EventStreams {
           idCol, textCol)
         graft.Persistence.release(flagged)
         graft.Persistence.release(admitted)
+        // maintenance cadence (see scaladoc): compact + swap AFTER all
+        // of this batch's effects, while no reader is active
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val tmp = graft.TempDirs.createCleaned("graft_adm_ledger_c")
+          graft.ops.Dedup.compactDigestStore(batch.sparkSession,
+            storePath, tmp)
+          graft.ops.Layout.swapCompacted(batch.sparkSession, storePath, tmp)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -361,11 +382,16 @@ object EventStreams {
     *      no-ops — the [[runIncrementalAdmission]] idempotence
     *      argument verbatim.
     *
-    * BATCHING-INVARIANT ONLY AT threshold = 1.0: verified Jaccard 1.0
-    * ⇔ identical gram SETS, an equivalence relation, so the admitted
-    * set is the class-minimum rule regardless of batch splits
-    * (EventStreamsSpec pins stream ≡ the class algebra; the x215
-    * carrier replays it in SQL). At mid thresholds similarity is not
+    * BATCHING-INVARIANT ONLY AT threshold = 1.0 AND WITH ID-ORDERED
+    * MICRO-BATCHES (the x211 precondition, r19 advisor): verified
+    * Jaccard 1.0 ⇔ identical gram SETS, an equivalence relation, so
+    * the admitted set is the class-minimum rule for any id-ordered
+    * split of the intake (EventStreamsSpec pins stream ≡ the class
+    * algebra; the x215 carrier replays it in SQL). If a LARGER-id
+    * class member arrives in an earlier batch it is admitted and the
+    * later class minimum flags against it — a valid online decision
+    * that diverges from the class-minimum oracle; non-ordered intakes
+    * are rows-only territory. At mid thresholds similarity is not
     * transitive and greedy online admission depends on the batch
     * split — outputs are valid online-dedup decisions but carry no
     * SQL oracle; keep such runs rows-only.
@@ -378,15 +404,19 @@ object EventStreams {
     * is the maintenance pass) and the corpus text dir (a plain
     * parquet dir: [[graft.ops.Layout.compact]] directly, same
     * blue/green discipline) — same economics as the digest ledger
-    * (measured: SCALE_REHEARSAL_r19_stream.json). */
+    * (measured: SCALE_REHEARSAL_r19_stream.json). `compactEvery` > 0
+    * runs both compactions + pointer swaps after every N committed
+    * batches ([[runIncrementalAdmission]]'s cadence contract; size N
+    * via [[graft.ops.Layout.compactionDue]]). */
   def runIncrementalNearDupAdmission(docs: DataFrame, storePath: String,
       corpusTextsPath: String, outDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 1.0, bands: Int = 32):
+      threshold: Double = 1.0, bands: Int = 32, compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
+    require(compactEvery >= 0, "compactEvery must be >= 0 (0 = never)")
     val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = graft.ops.Dedup.loadMinhashSignatures(spark, storePath)
         val corpusTexts = spark.read.parquet(corpusTextsPath)
@@ -431,21 +461,26 @@ object EventStreams {
         // an intake id colliding with an existing store id (the
         // "intake ids are new" contract violated): silently swallowing
         // it would emit 'admitted' while the store never learns the
-        // content, and every later day re-admits it. Cost ∝ dropped —
-        // zero rows on a normal batch, the whole batch only on replay.
+        // content, and every later day re-admits it. SHORT-CIRCUITED
+        // on the normal path (r19 advisor): dropped is the difference
+        // of two per-batch checkpoints, so its emptiness probe never
+        // touches the store — only a non-empty dropped set (replay or
+        // collision) pays the signature join's store scan.
         val dropped = admitted.join(newAdmits.select(col(idCol)),
           Seq(idCol), "left_anti")
-        val collided = graft.ops.Dedup.minhashSignatures(dropped, idCol,
-            textCol, store.numHashes, store.shingleSize)
-          .join(store.signatures.select(col("id"), col("sig").as("stored")),
-            Seq("id"))
-          .filter(!(col("sig") <=> col("stored")))
-          .limit(1).collect()
-        require(collided.isEmpty,
-          s"admission intake id ${collided.headOption.map(_.get(0))} " +
-            "already exists in the signature store with different " +
-            "content — intake ids must be NEW (the store-append " +
-            "contract); re-key the intake")
+        if (dropped.limit(1).collect().nonEmpty) {
+          val collided = graft.ops.Dedup.minhashSignatures(dropped, idCol,
+              textCol, store.numHashes, store.shingleSize)
+            .join(store.signatures.select(col("id"), col("sig").as("stored")),
+              Seq("id"))
+            .filter(!(col("sig") <=> col("stored")))
+            .limit(1).collect()
+          require(collided.isEmpty,
+            s"admission intake id ${collided.headOption.map(_.get(0))} " +
+              "already exists in the signature store with different " +
+              "content — intake ids must be NEW (the store-append " +
+              "contract); re-key the intake")
+        }
         // output FIRST among the effects (the runIncrementalAdmission
         // replay rule), then the two appends
         flagged
@@ -462,6 +497,15 @@ object EventStreams {
         graft.Persistence.release(flaggedRaw)
         graft.Persistence.release(admitted)
         graft.Persistence.release(newAdmits)
+        // maintenance cadence: BOTH appended trees, after all effects
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val sigC = graft.TempDirs.createCleaned("graft_ndadm_sig_c")
+          graft.ops.Dedup.compactMinhashSignatures(spark, storePath, sigC)
+          graft.ops.Layout.swapCompacted(spark, storePath, sigC)
+          val txtC = graft.TempDirs.createCleaned("graft_ndadm_txt_c")
+          graft.ops.Layout.compact(spark, corpusTextsPath, txtC)
+          graft.ops.Layout.swapCompacted(spark, corpusTextsPath, txtC)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -501,11 +545,12 @@ object EventStreams {
   def runIncrementalEmbeddingAdmission(docs: DataFrame, storePath: String,
       corpusVecsPath: String, outDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.95):
+      threshold: Double = 0.95, compactEvery: Int = 0):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(docs.isStreaming, "docs must be a streaming DataFrame")
+    require(compactEvery >= 0, "compactEvery must be >= 0 (0 = never)")
     val q = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = graft.ops.Dedup.loadEmbeddingSignatures(spark, storePath)
         val corpusVecs = spark.read.parquet(corpusVecsPath)
@@ -527,21 +572,23 @@ object EventStreams {
           .join(store.signatures.select(col("id").as(idCol)),
             Seq(idCol), "left_anti")
           .localCheckpoint(true)
-        // loud id-collision guard BEFORE any effect — see
-        // runIncrementalNearDupAdmission
+        // loud id-collision guard BEFORE any effect, short-circuited
+        // on the normal path — see runIncrementalNearDupAdmission
         val dropped = admitted.join(newAdmits.select(col(idCol)),
           Seq(idCol), "left_anti")
-        val collided = graft.ops.Dedup.embeddingSignatures(dropped, idCol,
-            vecCol, store.numBits, store.bands, store.seed)
-          .join(store.signatures.select(col("id"), col("sig").as("stored")),
-            Seq("id"))
-          .filter(!(col("sig") <=> col("stored")))
-          .limit(1).collect()
-        require(collided.isEmpty,
-          s"admission intake id ${collided.headOption.map(_.get(0))} " +
-            "already exists in the signature store with different " +
-            "content — intake ids must be NEW (the store-append " +
-            "contract); re-key the intake")
+        if (dropped.limit(1).collect().nonEmpty) {
+          val collided = graft.ops.Dedup.embeddingSignatures(dropped, idCol,
+              vecCol, store.numBits, store.bands, store.seed)
+            .join(store.signatures.select(col("id"), col("sig").as("stored")),
+              Seq("id"))
+            .filter(!(col("sig") <=> col("stored")))
+            .limit(1).collect()
+          require(collided.isEmpty,
+            s"admission intake id ${collided.headOption.map(_.get(0))} " +
+              "already exists in the signature store with different " +
+              "content — intake ids must be NEW (the store-append " +
+              "contract); re-key the intake")
+        }
         flagged
           .groupBy(col("batch_id").as(idCol))
           .agg(min(col("dup_id")).as("dup_id"))
@@ -556,6 +603,15 @@ object EventStreams {
         graft.Persistence.release(flaggedRaw)
         graft.Persistence.release(admitted)
         graft.Persistence.release(newAdmits)
+        // maintenance cadence: both appended trees, after all effects
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val sigC = graft.TempDirs.createCleaned("graft_embadm_sig_c")
+          graft.ops.Dedup.compactEmbeddingSignatures(spark, storePath, sigC)
+          graft.ops.Layout.swapCompacted(spark, storePath, sigC)
+          val vecC = graft.TempDirs.createCleaned("graft_embadm_vec_c")
+          graft.ops.Layout.compact(spark, corpusVecsPath, vecC)
+          graft.ops.Layout.swapCompacted(spark, corpusVecsPath, vecC)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

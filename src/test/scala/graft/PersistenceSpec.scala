@@ -31,6 +31,26 @@ class PersistenceSpec extends AnyFunSuite {
       "Persistence.release must unpersist the LogicalRDD's checkpointed RDD")
   }
 
+  test("releaseExcept frees internal checkpoints but keeps the excepted input's") {
+    val before = persistentIds
+    val input = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    val inputBlocks = persistentIds -- before
+    assert(inputBlocks.nonEmpty)
+    // an operator-internal checkpoint derived from the input
+    val internal = input.select(($"x" * 2).as("y")).localCheckpoint(true)
+    val internalBlocks = persistentIds -- before -- inputBlocks
+    assert(internalBlocks.nonEmpty)
+    // a frame whose plan joins the internal checkpoint back to the
+    // caller's input — the incrementalVerifiedTextDuplicates shape
+    val combined = internal.crossJoin(input)
+    Persistence.releaseExcept(combined, input)
+    assert(internalBlocks.intersect(persistentIds).isEmpty,
+      "releaseExcept must free the operator's internal checkpoint")
+    assert(inputBlocks.subsetOf(persistentIds),
+      "releaseExcept must NOT free the excepted caller input's blocks")
+    Persistence.release(input)
+  }
+
   test("release on a non-checkpointed frame is harmless") {
     val plain = Seq(1, 2).toDF("x").filter($"x" > 0)
     Persistence.release(plain) // no LogicalRDD leaf — nothing to do

@@ -813,6 +813,36 @@ class PlanSpec extends AnyFunSuite {
       s"probe banding must scan the persisted signatures:\n${pplan.take(3000)}")
   }
 
+  test("x217: erasure rewrites land blue/green; the re-intake probe scans the CLEAN ledger") {
+    // mechanism pin for the store-aware erasure carrier (r19 verdict
+    // #1): executing it leaves BOTH generations of every tree on disk
+    // (blue/green — the old roots stay valid until the caller swaps
+    // and deletes), the rewritten corpus holds zero subject rows ON
+    // DISK (not just in a frame), and a probe through the clean
+    // handle provably scans the clean root
+    executedPlan("x217_store_erasure")
+    val root = graft.queries.Extensions.storeRootFor(sfDir)
+    for (t <- Seq("x217_corpus", "x217_corpus_clean",
+        "x217_digests/digests", "x217_digests_clean/digests",
+        "x217_minhash/signatures", "x217_minhash_clean/signatures",
+        "x217_minhash_clean/meta"))
+      assert(new java.io.File(s"$root/$t").exists(),
+        s"missing store tree after erasure: $t")
+    val subjectResidue = spark.read.parquet(s"$root/x217_corpus_clean")
+      .filter(col("doc_id") < 150 ||
+        (col("doc_id") >= 1000050L && col("doc_id") < 1000100L))
+      .count()
+    assert(subjectResidue == 0,
+      "the rewritten corpus tree must hold zero subject rows on disk")
+    val probe = graft.ops.Dedup.incrementalExactDuplicates(
+      graft.ops.Dedup.loadDigestStore(spark, s"$root/x217_digests_clean"),
+      Tables.documents(spark, sfDir).limit(5), "doc_id", "text")
+    probe.collect()
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("x217_digests_clean"),
+      "the re-intake probe must scan the rewritten ledger root")
+  }
+
   test("x214: day-3 probes through the COMPACTED ledger root; compaction is row-identity on disk") {
     // the maintenance pass's mechanism pin (r18 verdict #1): executing
     // the carrier leaves BOTH roots on disk — the append-fragmented

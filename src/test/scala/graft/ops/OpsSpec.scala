@@ -5347,6 +5347,127 @@ class OpsSpec extends AnyFunSuite {
     assert(auditAfter == Map(1L -> 0L, 9L -> 0L))
   }
 
+  test("compaction cadence: compactionDue arithmetic; swapCompacted completes blue/green") {
+    // the r19 verdict-#4 rule: due ⇔ files × perFileMs > fraction × wall
+    assert(!Layout.compactionDue(fileCount = 10, perFileMs = 2.0,
+      batchWallMs = 1000.0))
+    assert(Layout.compactionDue(fileCount = 150, perFileMs = 2.0,
+      batchWallMs = 1000.0))
+    assert(!Layout.compactionDue(fileCount = 100, perFileMs = 2.0,
+      batchWallMs = 1000.0), "boundary: exactly the budget is not yet due")
+    val live = graft.TempDirs.createCleaned("swap_live_spec")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+      .repartition(3).write.mode("overwrite").parquet(live)
+    assert(Layout.dataFileCount(spark, live) == 3)
+    val before = spark.read.parquet(live).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val tmp = graft.TempDirs.createCleaned("swap_tmp_spec")
+    Layout.compact(spark, live, tmp)
+    Layout.swapCompacted(spark, live, tmp)
+    assert(Layout.dataFileCount(spark, live) == 1,
+      "the live path must now hold the compacted tree")
+    assert(spark.read.parquet(live).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == before,
+      "the swap must be row-identity")
+    assert(!new java.io.File(live + ".old").exists(),
+      "the swapped-aside tree must be deleted on success")
+    intercept[IllegalArgumentException] {
+      Layout.swapCompacted(spark, live, live)
+    }
+  }
+
+  test("store-aware erasure: keeper re-election, forgotten content re-admitted, " +
+      "per-store zero residue, blue/green only") {
+    // r19 verdict #1: erasure must reach the TREES the admission
+    // pipelines grow — corpus dir, digest ledger (keeper!), signatures
+    val corpus = Seq((1L, "shared"), (2L, "shared"), (3L, "solo"),
+      (4L, "other")).toDF("doc_id", "text")
+    val cDir = graft.TempDirs.createCleaned("erase_corpus_spec")
+    corpus.write.mode("overwrite").parquet(cDir)
+    val dDir = graft.TempDirs.createCleaned("erase_digest_spec")
+    Dedup.saveDigestStore(corpus, "doc_id", "text", dDir)
+    val mDir = graft.TempDirs.createCleaned("erase_minhash_spec")
+    Dedup.saveMinhashSignatures(corpus, "doc_id", "text", mDir)
+    val subjects = Seq(1L, 3L, 99L).toDF("uid") // 99 holds nothing
+    val cOut = graft.TempDirs.createCleaned("erase_corpus_spec_out")
+    val dOut = graft.TempDirs.createCleaned("erase_digest_spec_out")
+    val mOut = graft.TempDirs.createCleaned("erase_minhash_spec_out")
+    val audit = Privacy.eraseFromStores(spark, subjects, "uid",
+        "doc_id", "text", (cDir, cOut), Some((dDir, dOut)),
+        Some((mDir, mOut)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(audit.keySet ==
+      (for (st <- Set("corpus", "digests", "signatures");
+            s <- Set(1L, 3L, 99L)) yield (st, s)),
+      "audit must list every subject in every store — silence != success")
+    assert(audit.values.forall(_ == 0L), s"zero residue everywhere: $audit")
+    // ledger: 'shared' keeper RE-ELECTED to the surviving holder 2;
+    // 'solo' (only holder erased) FORGOTTEN; 'other' untouched
+    val led = Dedup.loadDigestStore(spark, dOut).digests
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val h = (t: String) => org.apache.commons.codec.digest.DigestUtils.md5Hex(t)
+    assert(led == Set((h("shared"), 2L), (h("other"), 4L)),
+      s"re-elect shared->2, forget solo, keep other: $led")
+    // re-intake: forgotten content ADMITTED (no flag row), surviving
+    // content flags with the RE-ELECTED keeper
+    val intake = Seq((10L, "solo"), (11L, "shared")).toDF("doc_id", "text")
+    val probe = Dedup.incrementalExactDuplicates(
+        Dedup.loadDigestStore(spark, dOut), intake, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == Set((11L, 2L)),
+      s"solo re-admitted (ledger forgot it), shared flags with keeper 2: $probe")
+    // signature store: subject rows gone, meta verbatim
+    val mh = Dedup.loadMinhashSignatures(spark, mOut)
+    assert(mh.signatures.select(col("id")).collect().map(_.getLong(0)).toSet
+      == Set(2L, 4L))
+    assert(mh.numHashes == 128 && mh.shingleSize == 3,
+      "erasure never re-sizes — meta must travel verbatim")
+    // in-place rewrite is read-under-overwrite: refuse loudly
+    intercept[IllegalArgumentException] {
+      Privacy.eraseFromParquetStore(spark, cOut, cOut, "doc_id",
+        subjects, "uid")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.eraseFromDigestStore(spark, dOut, dOut, subjects, "uid",
+        spark.read.parquet(cOut), "doc_id", "text")
+    }
+  }
+
+  test("eraseFromEmbeddingSignatures: subject rows purged, meta verbatim") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val dir = graft.TempDirs.createCleaned("erase_embsig_spec")
+    val store = Dedup.saveEmbeddingSignatures(vecs, "vec_id", "embedding",
+      dir, numBits = 16, bands = 4)
+    val out = graft.TempDirs.createCleaned("erase_embsig_spec_out")
+    val erased = Privacy.eraseFromEmbeddingSignatures(spark, dir, out,
+      Seq(2L).toDF("uid"), "uid")
+    assert(erased.signatures.select(col("id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert((erased.numBits, erased.bands, erased.seed) ==
+      (store.numBits, store.bands, store.seed),
+      "meta sidecar must travel verbatim through erasure")
+    intercept[IllegalArgumentException] {
+      Privacy.eraseFromEmbeddingSignatures(spark, out, out,
+        Seq(1L).toDF("uid"), "uid")
+    }
+  }
+
+  test("requireFreshRoot: scheme-equivalent URI forms of one dir are refused") {
+    // r19 advisor (low): java.io.File canonicalization saw file:/x and
+    // /x as DIFFERENT and let an in-place rewrite through; the guard
+    // now qualifies both through the same Hadoop FileSystem
+    val dir = graft.TempDirs.createCleaned("freshroot_spec")
+    Seq((1L, "a")).toDF("id", "t").write.mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, "file:" + dir)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, "file:" + dir, dir)
+    }
+  }
+
   test("noisy counts: seeded noise replays, bounded tails, true counts intact") {
     val rows = Seq.fill(40)("A").zipWithIndex.map { case (t, i) => (t, i) } ++
       Seq.fill(25)("B").zipWithIndex.map { case (t, i) => (t, i) }

@@ -422,6 +422,157 @@ class EventStreamsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0L)
   }
 
+  test("admission compactEvery: identical output, ledger ends compacted, probes keep working") {
+    import graft.ops.{Dedup, Layout}
+    import spark.implicits._
+    // 6 single-file batches, each one corpus dup + one novel doc; run
+    // the digest gate over the SAME staged input with compactEvery=2
+    // (fires after batches 2/4/6 — the last AFTER batch 6's append,
+    // so the ledger ends exactly one file) and with the cadence off:
+    // outputs must match row-for-row, and a day-7 probe through the
+    // swapped tree must flag batch-6 content (nothing lost)
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "omicron pi rho"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 6).map { i =>
+      Seq((100L + i, "alpha beta gamma"), (10L + i, s"novel content $i"))
+        .toDF("doc_id", "text")
+    }
+    def stage(): String = {
+      val src = graft.TempDirs.createCleaned("graft_ce_src")
+      batches.zipWithIndex.foreach { case (df, i) =>
+        val tmp = graft.TempDirs.createCleaned(s"graft_ce_stage$i")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(src, f"intake_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      }
+      src
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def run(compactEvery: Int): (Set[(Long, String, Long)], String) = {
+      val ledger = graft.TempDirs.createCleaned(s"graft_ce_led$compactEvery")
+      Dedup.saveDigestStore(corpus, "doc_id", "text", ledger)
+      val out = graft.TempDirs.createCleaned(s"graft_ce_out$compactEvery")
+      graft.streaming.EventStreams.runIncrementalAdmission(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage()),
+        ledger, out,
+        graft.TempDirs.createCleaned(s"graft_ce_ck$compactEvery"),
+        "doc_id", "text", compactEvery = compactEvery)
+      (spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet, ledger)
+    }
+    val (outPlain, _) = run(0)
+    val (outCadence, ledgerC) = run(2)
+    assert(outCadence == outPlain,
+      "the maintenance cadence must not change a single admission row")
+    assert(Layout.dataFileCount(spark, s"$ledgerC/digests") == 1,
+      "compactEvery=2 over 6 batches must leave the ledger compacted " +
+        "(last fire lands after the final append)")
+    val probe = Seq((200L, "novel content 5"), (201L, "brand new"))
+      .toDF("doc_id", "text")
+    val flags = Dedup.incrementalExactDuplicates(
+        Dedup.loadDigestStore(spark, ledgerC), probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((200L, 15L)),
+      s"the swapped tree must still hold batch 6's append: $flags")
+  }
+
+  test("mid-threshold admission: true-pair flags, intake partition, stores grow by admitted") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // the production-realistic 0.7 regime (r19 verdict #3): similarity
+    // is NOT transitive here, so the output is a greedy ONLINE
+    // decision sequence with no SQL oracle — the contract below is
+    // what remains provable for ANY batch split:
+    //   (a) every flag is a true ≥-threshold pair (⊆ the batch-mode
+    //       verified candidate set over corpus ∪ intake);
+    //   (b) admitted ∪ flagged = intake, disjoint;
+    //   (c) both stores grow by exactly the admitted set.
+    // Fixture: 10/13 sit at trigram-jaccard 5/7 ≈ 0.714 vs corpus 1
+    // (mid-regime, not exact); 10 is FLAGGED so its content never
+    // enters the store — 13 must flag against CORPUS 1, not 10 (the
+    // greedy path's signature); 12 copies ADMITTED 11 and must flag
+    // through the appended store.
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "zz")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "a b c d e f g x"),
+      (11L, "m n o")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (12L, "m n o"),
+      (13L, "a b c d e f g x"),
+      (14L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val sigDir = graft.TempDirs.createCleaned("graft_ndmid_sig")
+    val txtDir = graft.TempDirs.createCleaned("graft_ndmid_txt")
+    Dedup.saveMinhashSignatures(corpus, "doc_id", "text", sigDir)
+    corpus.write.mode("overwrite").parquet(txtDir)
+    val srcDir = graft.TempDirs.createCleaned("graft_ndmid_src")
+    Seq(b1, b2).zipWithIndex.foreach { case (df, i) =>
+      val tmp = graft.TempDirs.createCleaned(s"graft_ndmid_stage$i")
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"intake_$i%03d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1600000000000L + i * 60000L)
+    }
+    val outDir = graft.TempDirs.createCleaned("graft_ndmid_out")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    EventStreams.runIncrementalNearDupAdmission(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      sigDir, txtDir, outDir,
+      graft.TempDirs.createCleaned("graft_ndmid_ck"), "doc_id", "text",
+      threshold = 0.7)
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      (10L, "duplicate", 1L),  // mid-regime 0.714 flag
+      (11L, "admitted", -1L),
+      (12L, "duplicate", 11L), // exact copy through the APPEND
+      (13L, "duplicate", 1L),  // greedy: 10 was flagged, never stored
+      (14L, "admitted", -1L)), s"got $out")
+    // (a) flags ⊆ the EXACT batch-mode ≥0.7 pair set (prefix-filter
+    // join, not the LSH candidate generator — candidate recall must
+    // not be able to fail the contract)
+    val union = corpus.unionByName(b1).unionByName(b2)
+    val batchPairs = Dedup.prefixFilterJaccardPairs(
+        union, "doc_id", "text", thresholdTenths = 7)
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    val flags = out.collect { case (id, "duplicate", dup) => (id, dup) }
+    assert(flags.forall(batchPairs.contains),
+      s"every online flag must be a true batch-mode pair: " +
+        s"${flags.filterNot(batchPairs.contains)}")
+    // (b) partition of the intake
+    val intakeIds = Set(10L, 11L, 12L, 13L, 14L)
+    assert(out.map(_._1) == intakeIds)
+    assert(out.groupBy(_._1).forall(_._2.size == 1),
+      "one status per intake doc")
+    // (c) stores grew by exactly the admitted set
+    val sigIds = Dedup.loadMinhashSignatures(spark, sigDir).signatures
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 3L, 11L, 14L))
+    assert(spark.read.parquet(txtDir).select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 11L, 14L))
+  }
+
   test("near-dup admission refuses an intake id that collides with a store id") {
     import graft.ops.Dedup
     import spark.implicits._
