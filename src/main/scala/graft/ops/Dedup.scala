@@ -1777,6 +1777,15 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, hashGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT checkpointed (r20 opt, measured): the frame has two
+    // consumers (the gram build and the slim (id, n_tokens) join
+    // side), so the corpus IS tokenized twice — but materializing
+    // the token arrays showed no same-VM profile win over the
+    // re-tokenize (warm CPU read BETTER without it: ~5–8 s vs
+    // ~11–15 s checkpointed, and the arrays are the corpus
+    // re-encoded, not a slim derivation — their block-store
+    // footprint grows with the corpus). The r13 materialize-once
+    // rule is for frames SMALLER than what they replace.
     val base = Parallelism.ensure(df)
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"))

@@ -584,8 +584,12 @@ object Funnel {
         struct(col(orderCol).as("k"), term.as("v")).as("__kv"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(aggregate(sort_array(collect_list(col("__kv"))), lit(0.0),
-          (a, s) => a + s.getField("v")), 6).as("score"))
+        round({
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          // native fold (r20 opt, FoldSumSpec-pinned bit-equal)
+          column(graft.functions.FoldSum(
+            expression(sort_array(collect_list(col("__kv")))), Some("v")))
+        }, 6).as("score"))
   }
 
   /** Per-user inter-arrival statistics + burstiness (Goh & Barabási

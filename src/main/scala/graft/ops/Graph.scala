@@ -76,10 +76,12 @@ object Graph {
           .join(ranks.select(col("id").as("src"), col("rank")), "src")
           .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("contrib"))
         val mass = contribs.groupBy(col("id"))
-          .agg(if (exact)
-            aggregate(sort_array(collect_list(col("contrib"))),
-              lit(0.0), (acc, x) => acc + x).as("mass")
-          else sum(col("contrib")).as("mass"))
+          .agg(if (exact) {
+            import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+            // native fold (r20 opt, FoldSumSpec-pinned bit-equal)
+            column(graft.functions.FoldSum(
+              expression(sort_array(collect_list(col("contrib")))))).as("mass")
+          } else sum(col("contrib")).as("mass"))
         ranks = nodeIds
           .join(mass, Seq("id"), "left")
           .crossJoin(nRow)
@@ -223,17 +225,19 @@ object Graph {
       val pushed = e
         .join(scores.select(col("id").as(fromCol), col("s")), fromCol)
         .select(col(toCol).as("id"), col("s"))
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      // native folds (r20 opt, FoldSumSpec-pinned bit-equal)
       val raw = pushed.groupBy(col("id"))
         .agg(if (exact)
-          aggregate(sort_array(collect_list(col("s"))),
-            lit(0.0), (acc, x) => acc + x).as("raw")
+          column(graft.functions.FoldSum(
+            expression(sort_array(collect_list(col("s")))))).as("raw")
         else sum(col("s")).as("raw"))
         .localCheckpoint(true)
       val total = broadcast(raw.agg(
         (if (exact)
-          aggregate(
-            sort_array(collect_list(struct(col("id"), col("raw")))),
-            lit(0.0), (acc, s) => acc + s.getField("raw"))
+          column(graft.functions.FoldSum(
+            expression(sort_array(collect_list(struct(col("id"), col("raw"))))),
+            Some("raw")))
         else sum(col("raw"))).as("total")))
       nodeIds.join(raw, Seq("id"), "left").crossJoin(total)
         .select(col("id"),

@@ -383,12 +383,25 @@ object TextAnalysis {
     *   - `dup_bigram_ratio`: 1 − distinct bigrams / bigrams (the
     *     classic duplicate-n-gram fraction).
     *
-    * Scale shape: one tokenization pass materialized at an exchange
-    * (never explode a split expression directly — the Generate
-    * re-evaluates it per output row), then two two-phase aggregates
-    * whose keys embed the near-unique doc id — skew-free however hot
-    * a token is — joined back on the id they are both already
-    * partitioned by (no extra exchange). */
+    * Scale shape: the corpus is tokenized ONCE PER CONSUMER branch
+    * (twice) — deliberate, measured (r20 opt): the bare
+    * repartition(id) is not a materialization point (the two
+    * consumer subtrees' divergent Generate pushdowns break exchange
+    * reuse, the r13 class), but NO materialized alternative beat it
+    * on the same-VM 3-rep profile — an eager localCheckpoint of the
+    * token arrays (tokenize once, materialize, read twice) and
+    * checkpoint-then-repartition both landed inside the ±2–3×
+    * same-VM CPU noise band with identical walls (~1.1–1.2 s at
+    * sf0.1), while the checkpoint carries a principled scale cost:
+    * the token arrays are the corpus re-encoded, BIGGER than the
+    * text they replace, so the materialization's block-store
+    * footprint grows with the corpus for no demonstrated win (the
+    * r13 materialize-once rule is for frames smaller than their
+    * source). A checkpoint also FORGETS partitioning (LogicalRDD
+    * reports UnknownPartitioning — read off the executed plan), so
+    * the naive checkpoint form re-exchanges every aggregate. The
+    * aggregates embed the near-unique doc id — skew-free however
+    * hot a token is. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // empty tokens are filtered IN THE ARRAY, once, so unigram and
     // bigram views tokenize identically (and identically to the
@@ -950,6 +963,21 @@ object TextAnalysis {
     * CLAUDE.md float-sum rule) — hash-green against the DuckDB list
     * replay. */
   def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.CharEntropy(expression(text)))
+  }
+
+  /** The reference higher-order-function formulation of
+    * [[charEntropy]] — kept ONLY as the equality witness for
+    * CharEntropySpec (native == fold on every fixture): per distinct
+    * char it re-evaluates `split(text, "")` twice and runs an
+    * interpreted `filter` over the whole char array —
+    * O(chars × distinct-chars) interpreted work, ~9–10 s warm CPU at
+    * sf0.1 vs the native expression's single O(chars) pass (r20 opt;
+    * an explode → hash-aggregate rewrite was also measured and
+    * REJECTED: 26 s CPU — per-row aggregation overhead over |chars|
+    * rows costs more than the in-row interpreted fold it replaced). */
+  private[graft] def charEntropyFold(text: Column): Column = {
     val cs = split(text, "")
     val term = (c: Column) => {
       val p = size(filter(cs, x => x === c)) / size(cs)
@@ -1119,8 +1147,13 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .select(col("id"), termScore.as("ts"))
       .groupBy(col("id"))
-      .agg(aggregate(sort_array(collect_list(col("ts"))), lit(0.0),
-          (acc, x) => acc + x).as("score"),
+      .agg({
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          // native fold (r20 opt — same addition chain as the HOF
+          // form, FoldSumSpec-pinned)
+          column(graft.functions.FoldSum(
+            expression(sort_array(collect_list(col("ts"))))))
+        }.as("score"),
         count(lit(1)).as("terms_matched"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
@@ -1156,9 +1189,13 @@ object TextAnalysis {
     val ranked = counts
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
-    def fold(v: Column, name: String) =
-      aggregate(sort_array(collect_list(struct(col("rk").as("k"), v.as("v")))),
-        lit(0.0), (a, s) => a + s.getField("v")).as(name)
+    def fold(v: Column, name: String) = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      // native fold (r20 opt, FoldSumSpec-pinned bit-equal to the HOF)
+      column(graft.functions.FoldSum(expression(
+        sort_array(collect_list(struct(col("rk").as("k"), v.as("v"))))),
+        Some("v"))).as(name)
+    }
     val n = col("n_terms").cast("double")
     ranked
       .select(col("grp"), col("rk"),

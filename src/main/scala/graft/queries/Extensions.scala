@@ -1556,13 +1556,20 @@ object Extensions extends QueryModule {
 
   /** Duplicated-span detection ([[Dedup.duplicatedSpans]]): per-doc
     * token positions covered by cross-document 8-gram matches, merged
-    * into maximal spans. Text-keyed here so the whole pipeline —
-    * explode, document frequency, islands — replays in ANSI SQL; the
-    * hash-keyed scale variant is spec-asserted equal. */
+    * into maximal spans. Hash-keyed since r20-opt (grams travel as
+    * xxhash64 longs — the x161 ordering argument: only gram EQUALITY
+    * feeds the output, so the text-keyed ANSI oracle still replays
+    * the identical result; OpsSpec pins hash-keyed == text-keyed). */
   private val x57DupSpans = GraftQuery(
     "x57_dup_spans",
+    // hashGrams (r20 opt, the r13 x161 precedent): the 8-word gram
+    // key travels as its xxhash64 long — df counts and the leftsemi
+    // need only gram EQUALITY, so the output is bit-identical unless
+    // two distinct grams of one doc collide at 64 bits
+    // (≈|grams|²/2⁶⁴); OpsSpec asserts hash-keyed == text-keyed and
+    // the STRING-keyed oracle replays the same verified output
     (s, dir) => Dedup.duplicatedSpans(
-      Tables.documents(s, dir), "doc_id", "text", n = 8)
+      Tables.documents(s, dir), "doc_id", "text", n = 8, hashGrams = true)
       .orderBy(col("doc_id")),
     Some("""WITH t AS (
         SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
@@ -2369,11 +2376,15 @@ object Extensions extends QueryModule {
   /** Character-entropy quality signal
     * ([[graft.ops.TextAnalysis.charEntropy]]): per-doc Shannon
     * entropy computed entirely inside the row (no explode, no
-    * shuffle). Hash-green: integer-count ratios + sorted fold,
-    * replayed with DuckDB's list lambdas. */
+    * shuffle) by the native [[graft.functions.CharEntropy]]
+    * expression — one O(chars) pass per doc since r20-opt (the HOF
+    * fold it replaced ran an interpreted filter per DISTINCT char;
+    * CharEntropySpec pins native == fold, outputs bit-identical,
+    * oracle unchanged). Hash-green: integer-count ratios + sorted
+    * fold, replayed with DuckDB's list lambdas. */
   private val x80CharEntropy = GraftQuery(
     "x80_char_entropy",
-    // the entropy fold is the whole cost and the plan is otherwise
+    // the entropy pass is the whole cost and the plan is otherwise
     // exchange-free, so a 1-file scan would run it on ONE task —
     // re-spread first (measured 7.2 s -> sub-second at sf0.1)
     (s, dir) => graft.ops.Parallelism.ensure(Tables.documents(s, dir))
