@@ -912,10 +912,21 @@ object TextAnalysis {
     * |groups|²/2 rows by a two-phase count. The per-group totals ARE
     * broadcast (|groups| rows). */
   def sourceOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    // tokens travel as xxhash64 LONGS from the explode on (r20 opt,
+    // the x161/x57 ordering argument): only token EQUALITY feeds the
+    // distinct, the vocabulary counts and the self-join, so every
+    // output number is identical unless two distinct tokens of one
+    // source collide at 64 bits (≈|vocab|²/2⁶⁴) — the distinct's
+    // map-side partial agg, the checkpoint blocks and both self-join
+    // shuffle sides carry 8 bytes per token instead of the token
+    // text (guide §2.3 narrower types). OpsSpec pins hashed ==
+    // string-keyed on the sf0.001 corpus; the string-keyed ANSI
+    // oracle replays the same counts.
     val toks = Parallelism.ensure(df)
       .select(col(groupCol).as("grp"),
-        explode(tokens(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0 && col("grp").isNotNull)
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0 && col("grp").isNotNull)
+      .select(col("grp"), xxhash64(col("tok")).as("token"))
       .distinct()
       .localCheckpoint(true) // feeds both self-join sides + the counts
     val counts = toks.groupBy(col("grp")).agg(count(lit(1)).as("n"))

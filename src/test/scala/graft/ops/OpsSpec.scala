@@ -2679,6 +2679,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.keySet.forall { case (x, y) => x < y })
   }
 
+  test("source overlap: hashed token keys == string-keyed reference (sf0.001)") {
+    // the r20-opt hash conversion (tokens shuffle as xxhash64 longs)
+    // must reproduce the string-keyed counts exactly on real data —
+    // a string-keyed reference built inline from the same tokenizer
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = TextAnalysis.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val toks = docs
+      .select(col("source").as("grp"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0 && col("grp").isNotNull)
+      .distinct().localCheckpoint(true)
+    val counts = toks.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val ref = toks.select(col("grp").as("source_a"), col("token"))
+      .join(toks.select(col("grp").as("source_b"), col("token")), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(counts.select(col("grp").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(counts.select(col("grp").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("winsorized stats: clamping tames the outlier, raw mean keeps it") {
     val df = (Seq.fill(9)(10.0) :+ 1000.0).zipWithIndex
       .map { case (v, i) => (i.toLong, "g", v) }
