@@ -42,7 +42,7 @@ object Plans {
     "x48_zorder" -> "Morton key is a single codegen'd projection over the scan; the layout op adds one rangepartitioning exchange",
     "x49_dedup_incremental" -> "store side banded map-only from persisted signatures (no text re-shingle); bucket joins shuffle-hash on (band,bucket)",
     "x50_pack_chunks" -> "slim prefix-sum frame + one shuffle join by id + one zero-skew aggregate by chunk; in-chunk order from per-group struct sort, never a global sort",
-    "x60_source_overlap" -> "distinct (group, token) materialized once for three consumers; shuffle-hash self-join on token (vocab never broadcast); |groups|-row totals broadcast back",
+    "x60_source_overlap" -> "distinct (group, token) materialized once for three consumers; tokens travel as xxhash64 LONGS from the explode on (r20 opt — 8 bytes/token through the distinct and both self-join sides); shuffle-hash self-join on token (vocab never broadcast); |groups|-row totals broadcast back",
     "x61_winsorized_stats" -> "per-group quantile aggregate broadcast back onto the scan; clamp is map-only — the corpus side never shuffles",
     "x62_mixture_sample" -> "membership is a map-only integer filter over the scan; stratum counts + global min ride in via broadcast joins only",
     "x64_ivfpq_topk" -> "bounded query batch carries its per-query m*k ADC lookup table into the broadcast probe join; candidate scoring is a map-only zip_with fold; two windows bound refine and top-k",
@@ -54,7 +54,7 @@ object Plans {
     "x75_mixture_schedule" -> "one window shuffle keyed by source (rank within source), counts broadcast back; the interleave key is computed map-side — the global order never materializes",
     "x76_bm25_topk" -> "tf/dl reduced map-side; score join shuffle-hash on id over ONLY docs holding a query term; |Q|-row df + single-row corpus stats broadcast; top-k plans as TakeOrdered (x78's per-round plan is checkpoint-truncated by design — see Graph.pageRank scaladoc)",
     "x77_token_budget" -> "one window shuffle on the group key carrying only the narrow (id, priority, tokens) columns; the budget cut is a map-side filter after the running sum",
-    "x80_char_entropy" -> "entropy folds INSIDE the row (higher-order functions over the char array) — the expression itself needs no exchange (spec-asserted); the carrier query re-spreads an under-split scan first or the whole fold lands on one task (7.2s -> 0.9s warm at sf0.1)",
+    "x80_char_entropy" -> "entropy computed INSIDE the row by the native char_entropy expression (r20 opt: one O(chars) codegen'd pass replaced the interpreted per-distinct-char HOF fold — ~20x CPU, CharEntropySpec pins bit-equality); no exchange; the carrier re-spreads an under-split scan first or the whole pass lands on one task",
     "x82_collocations" -> "ONE tokenize/explode scan -> (token, successor-or-NULL) pair counts checkpointed; unigram counts are its w1-marginal, bigram counts its non-NULL slice, totals re-aggregate from the count tables; vocab joins shuffle-hash on the word key (never broadcast); only the two single-row totals broadcast; top-k is TakeOrdered",
     "x84_distinctive_terms" -> "one tokenize/explode pass; term totals, group totals and |V| re-aggregate from the (group,term) counts table — the corpus is never re-scanned; WindowGroupLimit bounds the per-group rank",
     "x85_cohort_retention" -> "activity reduced to distinct (user, week) in one exchange; cohort table rejoins shuffle-hash on the user key; |cohorts|-row sizes broadcast back",
