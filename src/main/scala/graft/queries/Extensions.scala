@@ -7497,8 +7497,21 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir)
       val emb = Tables.embeddings(s, dir)
       val okCols = Seq(col("store"), col("id"), col("ok"))
+      // r20 opt (guide §2.6, the r17 ivfIndexSharded pool discipline
+      // via ops.Concurrency): the twelve sections form EIGHT
+      // independent store chains (disjoint roots and domains by
+      // construction); their cost is eager DRIVER actions —
+      // save/append/compact writes, meta collects, training collects
+      // — which the sequential build serialized (~30 blocking
+      // actions ≈ this row's whole bench wall, the suite's largest).
+      // The chains now run from a 4-thread pool; each returns its
+      // (store-label → okFrame) pairs and the union keeps the
+      // original fixed order, so the output is bit-identical and the
+      // oracle untouched.
+      val mhSlice = docs.filter(col("doc_id") < 200)
 
       // ---- bpe_rules: x69's memoized model, saved + re-read ----
+      def bpeChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val bpeRules = TextAnalysis.bpeTrainRules(docs, "text", 8)
       TextAnalysis.saveBpeRules(s, bpeRules, s"$root/bpe")
       val bpeFresh = bpeRules.toDF("merge_rank", "lhs", "rhs", "cnt")
@@ -7510,8 +7523,11 @@ object Extensions extends QueryModule {
           struct(col("lhs"), col("rhs"), col("cnt")).as("l")), Seq("id"), "left")
         .select(lit("bpe_rules").as("store"), col("id"),
           (col("f") <=> col("l")).as("ok"))
+      Seq("bpe_rules" -> bpeOk)
+      }
 
       // ---- embedding_sig: save, load, probe through the handle ----
+      def embSigChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val embStore = Dedup.saveEmbeddingSignatures(emb, "vec_id",
         "embedding", s"$root/emb_sig", numBits = 48, bands = 8)
       val batch = emb.filter(col("vec_id") < 100)
@@ -7527,8 +7543,11 @@ object Extensions extends QueryModule {
         .select(lit("embedding_sig").as("store"), col("vec_id").as("id"),
           (col("n") === 1 && col("m.dup_id") === col("vec_id") &&
             col("m.cosine") === 1.0 && col("m.dup_in") === "corpus").as("ok"))
+      Seq("embedding_sig" -> embOk)
+      }
 
       // ---- logreg_model: train, save, apply via loaded handle ----
+      def logregChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val labeled = docs.withColumn("is_target", col("source") === "src0")
       val lrModel = graft.ops.Classifier.logRegTrain(
         labeled.filter(col("doc_id") < 100), "doc_id", "text", "is_target")
@@ -7543,9 +7562,11 @@ object Extensions extends QueryModule {
         .join(lrVia, Seq("doc_id"), "left")
         .select(lit("logreg_model").as("store"), col("doc_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
+      Seq("logreg_model" -> lrOk)
+      }
 
       // ---- minhash_sig: stored arrays vs freshly computed ----
-      val mhSlice = docs.filter(col("doc_id") < 200)
+      def minhashChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val mhStore = Dedup.saveMinhashSignatures(mhSlice, "doc_id", "text",
         s"$root/minhash")
       val mhFresh = Dedup.minhashSignatures(mhSlice, "doc_id", "text")
@@ -7556,7 +7577,13 @@ object Extensions extends QueryModule {
           col("sig").as("l")), Seq("doc_id"), "left")
         .select(lit("minhash_sig").as("store"), col("doc_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
+      Seq("minhash_sig" -> mhOk)
+      }
 
+      // ---- ivf chain: index save/load probe, append, and the
+      // partition-preserving compact — ONE chain (append reads the
+      // saved ivf_inc tree, compact reads the appended one) ----
+      def ivfChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       // ---- ivf_index: saveIvfIndex / loadIvfIndex probe (the same
       // gap-class as the five r16 stores — the oldest persisted
       // index, spec'd since r15 but never driver-exercised): the
@@ -7615,6 +7642,28 @@ object Extensions extends QueryModule {
         .select(lit("ivf_append").as("store"), col("vec_id").as("id"),
           (col("ca") <=> col("cb")).as("ok"))
 
+      // ---- ivf_compact (r19): the append-fragmented cluster-
+      // partitioned ivf_inc tree rewritten PARTITION-PRESERVINGLY
+      // (a flat compact would destroy the PartitionFilters layout);
+      // per raw id the compacted assignments must carry the identical
+      // cluster, centroids verbatim ----
+      val ivfCompact = Similarity.compactIvfIndex(s, s"$root/ivf_inc",
+        s"$root/ivf_inc_c", "vec_id", "embedding")
+      val ivcDomain = emb.select(col("vec_id")).unionByName(
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + lit(2000000L)).as("vec_id")))
+      val ivcOk = ivcDomain
+        .join(incAsg.select(col("vec_id"), col("cluster").as("f")),
+          Seq("vec_id"), "left")
+        .join(ivfCompact.assignments
+          .select(col("vec_id"), col("cluster").as("l")),
+          Seq("vec_id"), "left")
+        .select(lit("ivf_compact").as("store"), col("vec_id").as("id"),
+          (col("f") <=> col("l")).as("ok"))
+      Seq("ivf_index" -> ivfOk, "ivf_append" -> incOk,
+        "ivf_compact" -> ivcOk)
+      }
+
       // ---- minhash_append / embsig_append (r18, the ivf_append
       // shape for the sketch members): a shifted batch folded into a
       // SEPARATE store copy through the append path — the loaded
@@ -7623,6 +7672,7 @@ object Extensions extends QueryModule {
       // load path, a meta mismatch, or a lost append row flips ok /
       // drops a group). Separate store paths: the round-trip
       // sections above must not see appended rows ----
+      def mhIncChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val mhaStore0 = Dedup.saveMinhashSignatures(mhSlice, "doc_id",
         "text", s"$root/mh_inc")
       val mhaDom = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
@@ -7643,6 +7693,30 @@ object Extensions extends QueryModule {
             col("sig").as("l")), Seq("doc_id"), "left")
         .select(lit("minhash_append").as("store"), col("doc_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
+      // minhash_compact (r19, the x214 shape): the append-fragmented
+      // mh_inc tree rewritten blue/green — identical signature row
+      // per raw id (originals AND appended), meta sidecar verbatim
+      val mhCompact = Dedup.compactMinhashSignatures(s, s"$root/mh_inc",
+        s"$root/mh_inc_c")
+      val mhcDomain = docs.filter(col("doc_id") < 200).select(col("doc_id"))
+        .unionByName(docs
+          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id")))
+      val mhcMeta = mhCompact.numHashes == mhaStore1.numHashes &&
+        mhCompact.shingleSize == mhaStore1.shingleSize
+      val mhcOk = mhcDomain
+        .join(mhaStore1.signatures.select(col("id").as("doc_id"),
+          col("sig").as("f")), Seq("doc_id"), "left")
+        .join(mhCompact.signatures.select(col("id").as("doc_id"),
+          col("sig").as("l")), Seq("doc_id"), "left")
+        .select(lit("minhash_compact").as("store"), col("doc_id").as("id"),
+          (col("f") <=> col("l") && lit(mhcMeta)).as("ok"))
+      Seq("minhash_append" -> mhaOk, "minhash_compact" -> mhcOk)
+      }
+
+      // ---- embsig_append + embsig_compact: same chain shape for
+      // the embedding store copy ----
+      def embIncChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val emaStore0 = Dedup.saveEmbeddingSignatures(emb, "vec_id",
         "embedding", s"$root/emb_inc", numBits = 48, bands = 8)
       val emaDom = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
@@ -7664,48 +7738,12 @@ object Extensions extends QueryModule {
             col("sig").as("l")), Seq("vec_id"), "left")
         .select(lit("embsig_append").as("store"), col("vec_id").as("id"),
           (col("f") <=> col("l")).as("ok"))
-
-      // ---- ivf_compact (r19): the append-fragmented cluster-
-      // partitioned ivf_inc tree rewritten PARTITION-PRESERVINGLY
-      // (a flat compact would destroy the PartitionFilters layout);
-      // per raw id the compacted assignments must carry the identical
-      // cluster, centroids verbatim ----
-      val ivfCompact = Similarity.compactIvfIndex(s, s"$root/ivf_inc",
-        s"$root/ivf_inc_c", "vec_id", "embedding")
-      val ivcDomain = emb.select(col("vec_id")).unionByName(
-        emb.filter(col("vec_id") < 10)
-          .select((col("vec_id") + lit(2000000L)).as("vec_id")))
-      val ivcOk = ivcDomain
-        .join(incAsg.select(col("vec_id"), col("cluster").as("f")),
-          Seq("vec_id"), "left")
-        .join(ivfCompact.assignments
-          .select(col("vec_id"), col("cluster").as("l")),
-          Seq("vec_id"), "left")
-        .select(lit("ivf_compact").as("store"), col("vec_id").as("id"),
-          (col("f") <=> col("l")).as("ok"))
-
-      // ---- minhash_compact / embsig_compact (r19, the x214 shape
-      // for the sketch members): the append-fragmented mh_inc/emb_inc
-      // trees rewritten blue/green through the compaction paths — the
-      // compacted store must hold the identical signature row per raw
-      // id (originals AND appended), with the meta sidecar verbatim
-      // (compaction never re-sizes). The pre-compaction handles still
-      // read the fragmented roots — blue/green means both stay valid ----
-      val mhCompact = Dedup.compactMinhashSignatures(s, s"$root/mh_inc",
-        s"$root/mh_inc_c")
-      val mhcDomain = docs.filter(col("doc_id") < 200).select(col("doc_id"))
-        .unionByName(docs
-          .filter(col("doc_id") >= 200 && col("doc_id") < 250)
-          .select((col("doc_id") + lit(3000000L)).as("doc_id")))
-      val mhcMeta = mhCompact.numHashes == mhaStore1.numHashes &&
-        mhCompact.shingleSize == mhaStore1.shingleSize
-      val mhcOk = mhcDomain
-        .join(mhaStore1.signatures.select(col("id").as("doc_id"),
-          col("sig").as("f")), Seq("doc_id"), "left")
-        .join(mhCompact.signatures.select(col("id").as("doc_id"),
-          col("sig").as("l")), Seq("doc_id"), "left")
-        .select(lit("minhash_compact").as("store"), col("doc_id").as("id"),
-          (col("f") <=> col("l") && lit(mhcMeta)).as("ok"))
+      // embsig_compact (r19, the x214 shape): the append-fragmented
+      // emb_inc tree rewritten blue/green — the compacted store must
+      // hold the identical signature row per raw id (originals AND
+      // appended), meta sidecar verbatim (compaction never
+      // re-sizes). The pre-compaction handle still reads the
+      // fragmented root — blue/green means both stay valid.
       val embCompact = Dedup.compactEmbeddingSignatures(s,
         s"$root/emb_inc", s"$root/emb_inc_c")
       val emcDomain = emb.select(col("vec_id")).unionByName(
@@ -7721,8 +7759,11 @@ object Extensions extends QueryModule {
           col("sig").as("l")), Seq("vec_id"), "left")
         .select(lit("embsig_compact").as("store"), col("vec_id").as("id"),
           (col("f") <=> col("l") && lit(emcMeta)).as("ok"))
+      Seq("embsig_append" -> emaOk, "embsig_compact" -> emcOk)
+      }
 
       // ---- pq_model: x64's memoized codebooks, saved + re-read ----
+      def pqChain(): Seq[(String, org.apache.spark.sql.DataFrame)] = {
       val pq = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 4, k = 8, iters = 1)
       Similarity.savePqModel(s, pq, s"$root/pq")
@@ -7741,9 +7782,19 @@ object Extensions extends QueryModule {
           col("centroid").as("l")), Seq("id"), "left")
         .select(lit("pq_model").as("store"), col("id"),
           (col("f") <=> col("l")).as("ok"))
+      Seq("pq_model" -> pqOk)
+      }
 
-      Seq(bpeOk, embOk, emaOk, ivfOk, incOk, lrOk, mhOk, mhaOk, pqOk,
-          mhcOk, emcOk, ivcOk)
+      val frames = graft.ops.Concurrency.awaitAll(s, "x208-stores")(Seq(
+        () => bpeChain(), () => embSigChain(), () => logregChain(),
+        () => minhashChain(), () => ivfChain(), () => mhIncChain(),
+        () => embIncChain(), () => pqChain())).flatten.toMap
+      // the original fixed union order — output identical to the
+      // sequential build (and totally ordered by the orderBy anyway)
+      Seq("bpe_rules", "embedding_sig", "embsig_append", "ivf_index",
+          "ivf_append", "logreg_model", "minhash_sig", "minhash_append",
+          "pq_model", "minhash_compact", "embsig_compact", "ivf_compact")
+        .map(frames(_))
         .map(_.select(okCols: _*)).reduce(_.unionByName(_))
         .orderBy(col("store"), col("id"))
     },
