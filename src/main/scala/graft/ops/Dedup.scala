@@ -2562,11 +2562,23 @@ object Dedup {
     // whole query's cost); ids alone shuffle two longs, the vectors
     // rejoin once per surviving pair
     val pairs = cappedBucketPairs(banded, Seq("band", "chunk"), maxBucket)
-    pairs.hint("shuffle_hash")
-      .join(sig.select(col("id").as("id_a"), col("vec").as("vec_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("vec").as("vec_b"))
-        .hint("shuffle_hash"), "id_b")
+    // r21 size-gated build side (guide §3.1): when the (id, vec) side
+    // PROVABLY fits under the broadcast threshold, broadcast it — the
+    // pair side then streams with no exchange at all, and the widest
+    // exchange in this plan ((id_a, id_b, vec_a) re-keyed on id_b)
+    // disappears. The broadcast builds straight off the SOURCE
+    // projection so it never re-executes the signature subtree.
+    // Over the threshold the r10 rule stands unchanged: shuffle_hash
+    // both sides so the planner can never build the full pair stream.
+    val bcast = Joins.vectorSideBroadcastable(df, vecCol)
+    def vecSide(idAs: String, vecAs: String): DataFrame =
+      if (bcast)
+        broadcast(df.select(col(idCol).as(idAs), col(vecCol).as(vecAs)))
+      else sig.select(col("id").as(idAs), col("vec").as(vecAs))
+        .hint("shuffle_hash")
+    (if (bcast) pairs else pairs.hint("shuffle_hash"))
+      .join(vecSide("id_a", "vec_a"), "id_a")
+      .join(vecSide("id_b", "vec_b"), "id_b")
       .withColumn("cosine", round(VectorMath.cosineSimilarity(col("vec_a"), col("vec_b")), 4))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -97,4 +97,76 @@ object Joins {
         Literal(bytes, BinaryType), ColumnBridge.expression(c)))
     big.filter(mightContain(col(bigKey).cast("long")))
   }
+
+  /** Decision memo for [[vectorSideBroadcastable]] keyed by
+    * (session, plan, column, threshold): the gate runs at most one
+    * count job and one length-sum job per distinct vector frame. */
+  private val gateMemo =
+    new graft.BoundedMemo[(String, String, String, Long), Boolean](
+      64, name = "bcast-gate")
+
+  /** Bytes/row floor for the gate's bound: an UnsafeRow of
+    * (long id, array<numeric>) is 8B null bits + 8B id + 8B array
+    * offset/size + 16B array header, and the broadcast hash relation
+    * adds its own per-entry overhead — 64B/row over-counts all of it
+    * on purpose. */
+  private val RowOverheadBytes = 64L
+
+  /** The bound must hold with slack: it feeds an executor-memory
+    * decision (guide §3.1 — a wrong broadcast OOMs every executor). */
+  private val SafetyFactor = 2L
+
+  /** Size-gated build-side choice for the pair–vector verify joins
+    * (embeddingNearDuplicates / lshBatchTopK / hardNegativesLsh): the
+    * candidate-pair side carries two longs per row, the vector side
+    * carries the corpus — when the vector side PROVABLY fits under
+    * the session's `autoBroadcastJoinThreshold`, broadcasting it
+    * erases every verify-join exchange (the pair table streams, and
+    * the widest exchange in those plans — (id_a, id_b, vec_a) re-keyed
+    * on id_b — disappears outright). An UNPROVEN side keeps the r10
+    * rule: `hint("shuffle_hash")` on the vector side so the planner
+    * can never decide to build the full pair stream and OOM at scale.
+    *
+    * The bound is driver-safe at any true cardinality: the memoized
+    * corpus COUNT gates first ([[RowOverheadBytes]] per row floor — a
+    * frame whose count alone blows the bound never touches vector
+    * data), and only a provably small frame pays the one exact
+    * `sum(size(vec))` job. Size estimates are NOT trusted (guide §3.1:
+    * "estimates are often badly wrong"); the gate only acts on a bound
+    * it computed itself, with a [[SafetyFactor]]× margin. */
+  def vectorSideBroadcastable(df: DataFrame, vecCol: String): Boolean = {
+    val threshold =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold <= 0) false
+    else {
+      val key = (graft.SessionKeys.of(df.sparkSession),
+        graft.PlanKeys.of(df), vecCol, threshold)
+      gateMemo.get(key).getOrElse(
+        gateMemo.putIfAbsent(key, provablyUnder(df, vecCol, threshold)))
+    }
+  }
+
+  private def provablyUnder(df: DataFrame, vecCol: String,
+      threshold: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    val elemBytes = df.schema(vecCol).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(IntegerType, _) => Some(4L)
+      case ArrayType(DoubleType, _) | ArrayType(LongType, _) => Some(8L)
+      case _ => None // unknown element layout: never gamble executor memory
+    }
+    elemBytes.exists { eb =>
+      val n = graft.CorpusCounts.of(df)
+      n * RowOverheadBytes * SafetyFactor <= threshold && {
+        val elems = df.select(coalesce(
+          sum(greatest(size(col(vecCol)).cast("long"), lit(0L))),
+          lit(0L))).head().getLong(0)
+        val bound = (n * RowOverheadBytes + elems * eb) * SafetyFactor
+        val ok = bound <= threshold
+        System.err.println(s"[joins] vector verify side: rows=$n " +
+          s"elems=$elems bound=${bound}B threshold=${threshold}B -> " +
+          (if (ok) "BROADCAST" else "shuffle_hash"))
+        ok
+      }
+    }
+  }
 }

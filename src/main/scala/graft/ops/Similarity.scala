@@ -858,9 +858,24 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
-    cands.hint("shuffle_hash")
-      .join(q.select(col("query_id"), col("__qv")).hint("shuffle_hash"), "query_id")
-      .join(c.select(col("neighbor_id"), col("__cv")).hint("shuffle_hash"), "neighbor_id")
+    // r21 size-gated build side (guide §3.1, the embeddingNearDuplicates
+    // rule), gated per side — a bounded query batch can broadcast while
+    // a corpus-sized neighbor side keeps the r10 shuffle_hash posture.
+    // Broadcast sides build off the SOURCE projections (no signature
+    // re-execution).
+    val bq = Joins.vectorSideBroadcastable(queries, queryVecCol)
+    val bc = Joins.vectorSideBroadcastable(corpus, corpusVecCol)
+    val qSide =
+      if (bq) broadcast(queries.select(
+        col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+      else q.select(col("query_id"), col("__qv")).hint("shuffle_hash")
+    val cSide =
+      if (bc) broadcast(corpus.select(
+        col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")))
+      else c.select(col("neighbor_id"), col("__cv")).hint("shuffle_hash")
+    (if (bq && bc) cands else cands.hint("shuffle_hash"))
+      .join(qSide, "query_id")
+      .join(cSide, "neighbor_id")
       .withColumn("__cos", VectorMath.cosineSimilarity(col("__cv"), col("__qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1655,11 +1670,20 @@ object Similarity {
       .select(col("anchor_id"), col("neg_id")).distinct()
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("__cos").desc, col("neg_id").asc)
-    cands.hint("shuffle_hash")
-      .join(keyed.select(col("id").as("anchor_id"), col("v").as("__av"))
-        .hint("shuffle_hash"), "anchor_id")
-      .join(keyed.select(col("id").as("neg_id"), col("v").as("__nv"))
-        .hint("shuffle_hash"), "neg_id")
+    // r21 size-gated build side (guide §3.1, the embeddingNearDuplicates
+    // rule): a provably-small vector side broadcasts (built off the
+    // SOURCE projection — no signature re-execution), erasing both
+    // pair-side exchanges; otherwise shuffle_hash stands (r10: never
+    // let the planner build the full pair stream).
+    val bcast = Joins.vectorSideBroadcastable(df, vecCol)
+    def vecSide(idAs: String, vecAs: String): DataFrame =
+      if (bcast)
+        broadcast(df.select(col(idCol).as(idAs), col(vecCol).as(vecAs)))
+      else keyed.select(col("id").as(idAs), col("v").as(vecAs))
+        .hint("shuffle_hash")
+    (if (bcast) cands else cands.hint("shuffle_hash"))
+      .join(vecSide("anchor_id", "__av"), "anchor_id")
+      .join(vecSide("neg_id", "__nv"), "neg_id")
       .withColumn("__cos",
         round(VectorMath.cosineSimilarity(col("__av"), col("__nv")), 4))
       .withColumn("rank", row_number().over(w))
