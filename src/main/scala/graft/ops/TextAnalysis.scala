@@ -20,8 +20,21 @@ object TextAnalysis {
     * this class IS RE2's `\s`. */
   val WhitespaceClass: String = "[ \\t\\n\\f\\r]+"
 
-  /** Whitespace tokenization (lowercased). */
-  def tokens(text: Column): Column = split(lower(text), WhitespaceClass)
+  /** Whitespace tokenization (lowercased) — native byte-scan split
+    * ([[graft.functions.WhitespaceTokens]]; r21: replaces the
+    * java.util.regex `split` that compiled the pattern per row on the
+    * widest shared text hot path). Bit-identical on every
+    * empty-segment edge; [[tokensRegex]] is the equality witness. */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.WhitespaceTokens(expression(lower(text))))
+  }
+
+  /** The regex formulation of [[tokens]] — kept ONLY as the equality
+    * witness for TokenizerSpec (native == regex on every edge fixture
+    * and the real corpus). */
+  private[graft] def tokensRegex(text: Column): Column =
+    split(lower(text), WhitespaceClass)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
