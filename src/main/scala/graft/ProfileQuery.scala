@@ -14,14 +14,19 @@ import java.util.concurrent.atomic.LongAdder
   * query does more work" from "the machine was busy"; shuffle bytes
   * separate plan regressions from noise.
   *
-  * Usage: sbt "runMain graft.ProfileQuery <query> [sfDir] [runs]"
+  * Usage: sbt "runMain graft.ProfileQuery <query> [sfDir] [runs] [stages]"
+  * — the optional 4th arg `stages` additionally prints, per run, the
+  * top stages by executor run time (stage id, task count, run/cpu
+  * seconds, a name snippet) so an over-spread or stalled stage can be
+  * NAMED instead of inferred from totals (r20 verdict item 2).
   */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(
-      sys.error("usage: ProfileQuery <query> [sfDir] [runs]"))
+      sys.error("usage: ProfileQuery <query> [sfDir] [runs] [stages]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val dumpStages = args.lift(3).contains("stages")
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = Bench.buildSession()
@@ -32,6 +37,8 @@ object ProfileQuery {
     val shufWrite = new LongAdder
     val spilled = new LongAdder
     val stages = new LongAdder
+    val stageRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
@@ -42,13 +49,16 @@ object ProfileQuery {
           shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
           spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
           stages.increment()
+          if (dumpStages) stageRows.add((e.stageInfo.stageId,
+            e.stageInfo.numTasks, m.executorRunTime, m.executorCpuTime,
+            e.stageInfo.name.takeWhile(_ != '\n').take(80)))
         }
       }
     })
     Bench.warmup(spark, sfDir)
     for (i <- 1 to runs) {
       cpuNs.reset(); runMs.reset(); shufRead.reset(); shufWrite.reset()
-      spilled.reset(); stages.reset()
+      spilled.reset(); stages.reset(); stageRows.clear()
       val t0 = System.nanoTime()
       Bench.materialize(name, fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -59,6 +69,14 @@ object ProfileQuery {
         f"cpu=${cpuNs.sum / 1e9}%.3fs taskRun=${runMs.sum / 1e3}%.3fs " +
         f"shufRead=${shufRead.sum / 1e6}%.1fMB shufWrite=${shufWrite.sum / 1e6}%.1fMB " +
         f"spill=${spilled.sum / 1e6}%.1fMB stages=${stages.sum}")
+      if (dumpStages) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+          case (id, tasks, run, cpu, nm) =>
+            println(f"[stage] run=$i id=$id tasks=$tasks " +
+              f"taskRun=${run / 1e3}%.3fs cpu=${cpu / 1e9}%.3fs $nm")
+        }
+      }
     }
     spark.stop()
   }

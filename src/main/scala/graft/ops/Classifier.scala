@@ -77,11 +77,11 @@ object Classifier {
     require(numBuckets > 0, "numBuckets must be positive")
     // normalize once, explode the index, bucket from the carried
     // column — the bigramLogProb Generate-trap shape
-    val grams = Parallelism.ensure(df)
+    val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"), yExpr.as("y"),
         regexp_replace(lower(col(textCol)), graft.ops.TextAnalysis.WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 2)
-      .repartition(col("id"))
+      .filter(col("s").isNotNull && length(col("s")) >= 2),
+      col("id")) // explicit width: the explode below fans out ~|s|×
       .select(col("id"), col("y"),
         explode(sequence(lit(1), length(col("s")) - 1)).as("i"), col("s"))
       .select(col("id"), col("y"),

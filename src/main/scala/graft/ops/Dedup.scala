@@ -1394,8 +1394,20 @@ object Dedup {
   private def duplicateClustersUncached(pairs: DataFrame, idACol: String,
       idBCol: String, maxIters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // r21: the cached edge layout is sized by the EDGE LIST (~1M
+    // 16-byte rows ≈ 16 MB per partition), not the core count — every
+    // round re-scans this cache, and a core-count width pins every
+    // round's map stages at ~defaultParallelism tasks over tiny data
+    // (the 32c>8c inversion, profiled: 64-task round stages at 3.9 s
+    // CPU / 11 s task time on 32 cores vs 0.28 s / 0.8 s on 8). The
+    // hash-on-src layout also hands the seed aggregate its clustering
+    // for free. The count memoizes and forces the shared upstream
+    // pair build before anything here materializes.
+    val pairRows = graft.CorpusCounts.of(pairs)
+    val edgeWidth = math.max(1L, (2L * pairRows + 999999L) / 1000000L).toInt
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .repartition(edgeWidth, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint, not persist: each round's plan references the
     // previous round's — cached-but-unchecked lineage GROWS
@@ -1408,7 +1420,27 @@ object Dedup {
     // folded into the initialization aggregate (one round saved)
     // unpersist in finally: the non-convergence throw below must not
     // leave the edge list pinned for the session lifetime
+    //
+    // r21: the rounds coalesce by SIZE, not parallelism. The per-round
+    // frames are O(|clustered docs|) — tiny relative to the machine —
+    // but AQE's default parallelismFirst keeps every round stage at
+    // ~defaultParallelism tasks, so per-task fixed overhead SCALES
+    // WITH CORES on latency-dominated rounds (profiled, r21: the
+    // 64-task propagation stages read 3.9 s CPU / 11 s task time at 32
+    // cores vs 0.28 s / 0.8 s at 8 — the 32c>8c inversion the r20
+    // verdict flagged). parallelismFirst=false is scoped to the loop:
+    // rounds bigger than the advisory partition size still go wide, so
+    // nothing changes at corpus scale. The edge list (and the shared
+    // upstream pair-table build, which the first action here would
+    // otherwise trigger) materializes BEFORE the scope so memo-shared
+    // artifacts build identically no matter which consumer runs first.
+    val sess = pairs.sparkSession
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     try {
+      edges.count()
+      val prevPf = sess.conf.get(pfKey, "true")
+      sess.conf.set(pfKey, "false")
+      try {
       var labels = edges.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
         .select(col("src").as("id"), col("cluster_id"))
@@ -1474,6 +1506,7 @@ object Dedup {
             s"($changed labels still improving) — raise maxIters; near-dup " +
             "components are normally shallow, so this signals pathological input")
       labels
+      } finally sess.conf.set(pfKey, prevPf)
     } finally edges.unpersist()
   }
 

@@ -38,6 +38,25 @@ object Parallelism {
     }
   }
 
+  /** Keyed respread with an EXPLICIT width for exchanges whose
+    * downstream work FANS OUT (an explode of per-char/per-token
+    * indices) — the r21 x97 finding: a bare `repartition(col)` is
+    * AQE-coalescible, and coalescing sizes by the exchange's INPUT
+    * bytes, blind to the fan-out, so a ~2 MB normalized-text exchange
+    * collapses to 1–2 read tasks and the 10M-row explode + bucket
+    * hashing behind it runs SERIAL at any core count (profiled:
+    * 4.1 s single-task stage inside x97's feature build). An explicit
+    * partition count is not AQE-coalescible; the width is
+    * max(defaultParallelism, the child's planned width), so it never
+    * narrows real scale-out (a corpus-wide scan's thousands of splits
+    * win the max) and never drops below the machine locally. */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      plannedPartitions(df).getOrElse(0))
+    df.repartition(target, keys: _*)
+  }
+
   /** Planned partition count; None when the plan carries an Exchange
     * whose width is unknown here (already re-spread to
     * `shuffle.partitions` — leave it alone). */

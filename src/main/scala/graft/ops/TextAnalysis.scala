@@ -94,11 +94,11 @@ object TextAnalysis {
     // one g=NULL gram, which groupBy keeps as a group — inflating the
     // model's total/vocab scalars and shifting every doc's mean
     // (an ANSI-SQL replay drops null docs entirely).
-    val grams = Parallelism.ensure(df)
+    val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull)
-      .repartition(col("id"))
+      .filter(col("s").isNotNull),
+      col("id")) // explicit width: the explode below fans out ~|s|×
       .select(col("id"), col("s"),
         explode(sequence(lit(1), greatest(length(col("s")) - 1, lit(1)))).as("i"))
       .select(col("id"), col("s").substr(col("i"), lit(2)).as("g"))
@@ -204,11 +204,11 @@ object TextAnalysis {
     val smoothDenom = alpha * numBuckets
     // normalize once, explode the index, substr the carried column —
     // the same Generate-trap avoidance as bigramLogProb
-    val grams = Parallelism.ensure(df)
+    val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(isTargetCol).cast("boolean").as("tgt"),
         regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 2)
-      .repartition(col("id"))
+      .filter(col("s").isNotNull && length(col("s")) >= 2),
+      col("id")) // explicit width: the explode below fans out ~|s|×
       .select(col("id"), col("tgt"), col("s"),
         explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
       .select(col("id"), col("tgt"),
