@@ -6622,13 +6622,18 @@ object Extensions extends QueryModule {
       val docs = Tables.documents(s, dir)
       val withFp = docs.withColumn("fp",
         TextAnalysis.fingerprint(TextAnalysis.confusableSkeleton(col("text"))))
-      // the exactKeepFirst idiom: left-semi on (fp, winner id) —
-      // never join-then-filter, which Catalyst folds into widened
-      // join keys (the r10 x96/x194 lesson)
+      // r21: semi-join on the WINNER IDS alone. doc_id is unique (the
+      // corpus id contract), so id ∈ {min(doc_id) per fp} ≡ the
+      // exactKeepFirst (fp, id) membership — but the (fp, doc_id)
+      // form forced the probe side to re-evaluate the skeleton
+      // fingerprint, and `survivors` feeds TWO subplans, so the
+      // translate+regexp+md5 pipeline ran 3× over the corpus (plan
+      // audit, plans/r21/x192_curation_v2_audit.txt nodes 4/10/27).
+      // Id-only keeps it to the ONE evaluation under `keep`.
       val keep = withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      val survivors = withFp
-        .join(keep.hint("shuffle_hash"), Seq("fp", "doc_id"), "left_semi")
-        .drop("fp")
+      val survivors = docs
+        .join(keep.select(col("doc_id")).hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
       val scores = TextAnalysis.knLogProb(
         docs.filter(col("doc_id") % 2 === 0), survivors, "doc_id", "text")
       val gated = survivors
