@@ -22,7 +22,7 @@ object Plans {
     "x8_minhash_pairs" -> "sketch projection between exchanges; banded shuffle self-join",
     "x14_asof_join" -> "one shuffle by key, window carry-forward, no range explosion",
     "x18_dedup_keep_first" -> "min-id partial aggregate + semi-join; no single-partition window sort",
-    "x22_embedding_near_dup" -> "banded signature shuffle self-join; bare id pairs through the distinct, vectors rejoin once",
+    "x22_embedding_near_dup" -> "banded signature shuffle self-join; bare id pairs through the distinct; r21: the vector rejoin broadcasts when the size gate proves the (id, vec) side small, shuffle-hash otherwise",
     "x23_batch_topk" -> "bounded query side broadcast; corpus scored map-side, per-query window top-k",
     "x25_vocab_topk" -> "explode → two-phase hash aggregate → TakeOrdered; Zipf skew neutralized by partial agg",
     "x27_sessions" -> "native session_window: one shuffle keyed (user, merged-window), map-side partial merge",
@@ -70,7 +70,7 @@ object Plans {
     "x107_label_propagation" -> "Pregel shape: edges exchange once; each round re-shuffles only the (node,label) table through TWO map-side-combinable aggs (vote count then struct-max) — no collect_list, hub-safe; rounds checkpoint-truncated (flat per-round plan by design)",
     "x108_random_projection" -> "map-only: the whole JL projection is one codegen'd transform/aggregate projection over the scan — zero exchanges (0.0 MB shuffle measured)",
     "x110_pca_power_iteration" -> "matrix-free C·w: component explode materialized once (localCheckpoint) feeds mean + 2x(y,z) rounds; <=64-row weight frames broadcast-join; the d-scalar normalize is driver-side — no d×d covariance anywhere",
-    "x113_hard_negatives_lsh" -> "banded signature shuffle self-join with the cross-label filter BEFORE the rank; bare id pairs through the distinct, one vector rejoin per survivor, all joins shuffle-hash (corpus sides never broadcast)",
+    "x113_hard_negatives_lsh" -> "banded signature shuffle self-join with the cross-label filter BEFORE the rank; bare id pairs through the distinct; r21 size-gated vector rejoin (broadcast when provably small, shuffle-hash at scale)",
     "x114_canonical_selection" -> "cluster labels left-join on the id; keep-best rank<=1 plans as WindowGroupLimit on the cluster-label shuffle — map tasks pre-prune to their local best",
     "x116_upsample_mixture" -> "pure map + bounded explode: per-stratum (base, threshold) literals ride the plan; membership is an integer compare on the Knuth id-hash — no shuffle, no RNG state",
     "x117_epoch_shuffle" -> "two-phase global rank: bucket counts collected once (<=parts rows), offsets broadcast-join, per-bucket dense rank windows on the bucket shuffle — no global sort, no single-partition window",
@@ -111,7 +111,7 @@ object Plans {
     "x189_mutual_information" -> "the chi-square shape: ONE (a,b) cell count, marginals re-aggregate from it, keyed sorted folds reduce to a single row",
     "x190_temporal_folds" -> "one single-row min/max broadcast + a map-only integer fold projection; the k-row cumulative window is bounded by construction",
     "x191_evasion_audit" -> "one map pass computing both fingerprints per row; one combinable grouped aggregate with two two-phase exact distincts",
-    "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first join, KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle",
+    "x192_curation_v2" -> "four audited stages chained: skeleton-fingerprint keep-first (r21: winner-id semi-join, ONE fingerprint pass), KN scoring joins (vocab²-bounded model, one single-row cross), threshold filter, two-phase kfold rank + final combinable aggregate — no stage widens another's shuffle",
     "x193_stickiness" -> "one checkpointed distinct (day,user) feeds the daily count AND the x90 window expansion; the bounded day list broadcasts into the range join",
     "x194_char_window_dedup" -> "x96's shape at char granularity: window winners via map-side-combinable min(struct(id, idx, seg)) agg keyed by md5(window) — the min row IS the kept row, no join back (r10); rebuild is one shuffle on doc id — two shuffles total",
     "x195_keyword_screen_auto" -> "the Aho–Corasick probe is ONE codegen'd projection riding the scan (automaton literal in the plan); the per-source flag/total rollup is one two-phase aggregate — no joins, no explode",
