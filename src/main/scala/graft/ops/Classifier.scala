@@ -77,15 +77,19 @@ object Classifier {
     require(numBuckets > 0, "numBuckets must be positive")
     // normalize once, explode the index, bucket from the carried
     // column — the bigramLogProb Generate-trap shape
+    // bucket array computed in ONE pass (r21: the exploded substr
+    // form seeked O(len²) per doc), MATERIALIZED at the spread
+    // exchange so the Generate reads a carried column (the
+    // minhashSignatures rule); explicit width because the explode
+    // fans out ~|s|×
     val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"), yExpr.as("y"),
         regexp_replace(lower(col(textCol)), graft.ops.TextAnalysis.WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 2),
-      col("id")) // explicit width: the explode below fans out ~|s|×
+      .filter(col("s").isNotNull && length(col("s")) >= 2)
       .select(col("id"), col("y"),
-        explode(sequence(lit(1), length(col("s")) - 1)).as("i"), col("s"))
-      .select(col("id"), col("y"),
-        TextAnalysis.bigramBucket(col("s"), col("i"), numBuckets).as("b"))
+        TextAnalysis.bigramBuckets(col("s"), numBuckets).as("bs")),
+      col("id"))
+      .select(col("id"), col("y"), explode(col("bs")).as("b"))
     // frequency features x = count(doc, b) / count(doc): exact
     // integer division to double — identical on every engine
     val counts = grams.groupBy(col("id"), col("y"), col("b"))

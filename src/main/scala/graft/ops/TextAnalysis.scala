@@ -94,14 +94,17 @@ object TextAnalysis {
     // one g=NULL gram, which groupBy keeps as a group — inflating the
     // model's total/vocab scalars and shifting every doc's mean
     // (an ANSI-SQL replay drops null docs entirely).
+    // gram array computed in ONE pass (r21: the exploded substr form
+    // seeked O(len²) per doc), MATERIALIZED at the spread exchange
+    // (the minhashSignatures Generate rule); explicit width because
+    // the explode fans out ~|s|×
     val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"),
         regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull),
-      col("id")) // explicit width: the explode below fans out ~|s|×
-      .select(col("id"), col("s"),
-        explode(sequence(lit(1), greatest(length(col("s")) - 1, lit(1)))).as("i"))
-      .select(col("id"), col("s").substr(col("i"), lit(2)).as("g"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), charBigrams(col("s")).as("gs")),
+      col("id"))
+      .select(col("id"), explode(col("gs")).as("g"))
       .localCheckpoint(true)
     val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val model = counts.agg(sum(col("c")).as("total"),
@@ -196,6 +199,27 @@ object TextAnalysis {
       ascii(s.substr(i, lit(1))) * 31 + ascii(s.substr(i + 1, lit(1))),
       lit(numBuckets))
 
+  /** Whole-doc bucket array in ONE code-point pass — the native form
+    * of [[bigramBucket]] over every position (r21: the per-position
+    * `substr(s, i)` SEEKS on a UTF8String, making the exploded form
+    * O(len²) per doc — 40–55 s CPU at sf0.1 in the x97/x94 feature
+    * builds). BigramExprSpec pins array == the substr/ascii form.
+    * Callers materialize the array at an exchange before exploding
+    * (the minhashSignatures Generate rule). */
+  private[ops] def bigramBuckets(s: Column, numBuckets: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.BigramBuckets(expression(s), numBuckets))
+  }
+
+  /** Whole-doc char-bigram array in one byte-boundary pass — the
+    * native form of the exploded `substr(i, 2)` gram build (same
+    * O(len²) seek pathology as [[bigramBuckets]]; same edge
+    * semantics: "" → [""], 1-char → [s]). */
+  private[ops] def charBigrams(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.CharBigrams(expression(s)))
+  }
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       isTargetCol: String, numBuckets: Int = 512,
       alpha: Double = 0.5): DataFrame = {
@@ -204,15 +228,16 @@ object TextAnalysis {
     val smoothDenom = alpha * numBuckets
     // normalize once, explode the index, substr the carried column —
     // the same Generate-trap avoidance as bigramLogProb
+    // one-pass bucket array materialized at the spread exchange —
+    // see logRegFeatures (the r21 O(len²) substr-seek fix)
     val grams = Parallelism.spread(Parallelism.ensure(df)
       .select(col(idCol).as("id"), col(isTargetCol).cast("boolean").as("tgt"),
         regexp_replace(lower(col(textCol)), WhitespaceClass, " ").as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 2),
-      col("id")) // explicit width: the explode below fans out ~|s|×
-      .select(col("id"), col("tgt"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - 1)).as("i"))
+      .filter(col("s").isNotNull && length(col("s")) >= 2)
       .select(col("id"), col("tgt"),
-        bigramBucket(col("s"), col("i"), numBuckets).as("b"))
+        bigramBuckets(col("s"), numBuckets).as("bs")),
+      col("id"))
+      .select(col("id"), col("tgt"), explode(col("bs")).as("b"))
     // reduce gram INSTANCES to per-doc bucket counts first: the
     // models, the scoring join and the per-doc fold all run over
     // (doc × distinct-buckets) rows — several× fewer than gram
