@@ -33,6 +33,7 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     val cpuNs = new LongAdder
     val runMs = new LongAdder
+    val gcMs = new LongAdder
     val shufRead = new LongAdder
     val shufWrite = new LongAdder
     val spilled = new LongAdder
@@ -45,6 +46,7 @@ object ProfileQuery {
         if (m != null) {
           cpuNs.add(m.executorCpuTime)
           runMs.add(m.executorRunTime)
+          gcMs.add(m.jvmGCTime)
           shufRead.add(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
           spilled.add(m.memoryBytesSpilled + m.diskBytesSpilled)
@@ -58,7 +60,7 @@ object ProfileQuery {
     Bench.warmup(spark, sfDir)
     for (i <- 1 to runs) {
       cpuNs.reset(); runMs.reset(); shufRead.reset(); shufWrite.reset()
-      spilled.reset(); stages.reset(); stageRows.clear()
+      spilled.reset(); stages.reset(); gcMs.reset(); stageRows.clear()
       val t0 = System.nanoTime()
       Bench.materialize(name, fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
@@ -68,7 +70,7 @@ object ProfileQuery {
       println(f"[profile] $name run=$i wall=$wall%.3fs " +
         f"cpu=${cpuNs.sum / 1e9}%.3fs taskRun=${runMs.sum / 1e3}%.3fs " +
         f"shufRead=${shufRead.sum / 1e6}%.1fMB shufWrite=${shufWrite.sum / 1e6}%.1fMB " +
-        f"spill=${spilled.sum / 1e6}%.1fMB stages=${stages.sum}")
+        f"spill=${spilled.sum / 1e6}%.1fMB gc=${gcMs.sum / 1e3}%.3fs stages=${stages.sum}")
       if (dumpStages) {
         import scala.jdk.CollectionConverters._
         stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
